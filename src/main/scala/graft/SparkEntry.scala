@@ -1,13 +1,245 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.silver.Silver
+import graft.gold.Gold
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query returns a deterministically ORDER BY-ed result whose
+  * fractional columns are derived from exact integer partials (SURVEY §7
+  * oracle-parity discipline), so the DuckDB comparison is bit-exact.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("gold_daily_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared oracle SQL fragments -------------------------------------
+
+  /** dim_date as a DuckDB CTE body (reference load_dim_date,
+    * silver_load.sql:137-183). Kept as one string so every mart oracle
+    * inlines the identical definition.
+    */
+  private val dimDateSql =
+    """bounds AS (
+      |  SELECT least((SELECT CAST(min(o_orderdate) AS DATE) FROM orders),
+      |               (SELECT CAST(min(l_shipdate) AS DATE) FROM lineitem)) AS lo,
+      |         greatest((SELECT CAST(max(o_orderdate) AS DATE) FROM orders),
+      |                  (SELECT CAST(max(l_shipdate) AS DATE) FROM lineitem)) AS hi
+      |), days AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS cal_date FROM bounds
+      |), dim_date AS (
+      |  SELECT CAST(year(cal_date)*10000 + month(cal_date)*100 + day(cal_date) AS INTEGER) AS date_id,
+      |         cal_date,
+      |         CAST(year(cal_date) AS INTEGER) AS year,
+      |         CAST(month(cal_date) AS INTEGER) AS month,
+      |         monthname(cal_date) AS month_name,
+      |         CAST(day(cal_date) AS INTEGER) AS day,
+      |         CAST(quarter(cal_date) AS INTEGER) AS quarter,
+      |         CAST(dayofweek(cal_date) AS INTEGER) AS day_of_week,
+      |         dayname(cal_date) AS day_name,
+      |         dayofweek(cal_date) IN (0,6) AS is_weekend
+      |  FROM days
+      |)""".stripMargin
+
+  // ---- queries ---------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "silver_dim_station" -> ((s, d) =>
+      Silver.dimStation(Tables.nation(s, d), Tables.region(s, d),
+          Tables.customer(s, d), Tables.supplier(s, d))
+        .orderBy("nationkey")),
+
+    "silver_dim_user" -> ((s, d) =>
+      Silver.dimUser(Tables.customer(s, d), Tables.orders(s, d))
+        .orderBy(col("mktsegment"), col("orderstatus"),
+          col("priority_rank").asc_nulls_last)),
+
+    "silver_dim_date" -> ((s, d) =>
+      Silver.dimDate(Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy("date_id")),
+
+    "silver_fact_trips" -> ((s, d) =>
+      Silver.factTrips(Tables.lineitem(s, d), Tables.orders(s, d),
+          Tables.customer(s, d), Tables.supplier(s, d))
+        .orderBy("trip_id")),
+
+    "gold_daily_summary" -> ((s, d) =>
+      Gold.dailyTripSummary(Tables.lineitem(s, d), Tables.orders(s, d),
+          Silver.dimDate(Tables.orders(s, d), Tables.lineitem(s, d)))
+        .orderBy("cal_date")),
+
+    "gold_station_popularity" -> ((s, d) =>
+      Gold.stationPopularity(Tables.lineitem(s, d), Tables.orders(s, d),
+          Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))
+        .orderBy("nationkey")),
+
+    "gold_popular_routes" -> ((s, d) =>
+      Gold.popularRoutes(Tables.lineitem(s, d), Tables.orders(s, d),
+          Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))
+        .orderBy("route_id")),
+
+    "gold_user_behavior" -> ((s, d) =>
+      Gold.userBehavior(Tables.orders(s, d), Tables.customer(s, d))
+        .orderBy("c_mktsegment", "o_orderstatus", "order_age_years")),
+
+    "gold_station_view" -> ((s, d) =>
+      Gold.stationPopularityView(
+          Gold.stationPopularity(Tables.lineitem(s, d), Tables.orders(s, d),
+            Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d)))
+        .orderBy("station_code")),
+  )
+
+  // ---- oracles ---------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "silver_dim_station" ->
+      """WITH keys AS (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION
+        |  SELECT s_nationkey FROM supplier
+        |), rep AS (
+        |  SELECT c_nationkey AS nationkey, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer
+        |)
+        |SELECT md5('station|' || CAST(k.nationkey AS VARCHAR)) AS station_key,
+        |       k.nationkey AS nationkey,
+        |       COALESCE(n.n_name, 'UNKNOWN') AS station_name,
+        |       r.r_name AS region_name,
+        |       rep.c_custkey AS rep_custkey,
+        |       rep.c_acctbal AS rep_acctbal
+        |FROM keys k
+        |LEFT JOIN nation n ON n.n_nationkey = k.nationkey
+        |LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+        |LEFT JOIN (SELECT * FROM rep WHERE rn = 1) rep ON rep.nationkey = k.nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "silver_dim_user" ->
+      """WITH segs AS (SELECT DISTINCT c_mktsegment AS mktsegment FROM customer),
+        |stats AS (SELECT DISTINCT o_orderstatus AS orderstatus FROM orders),
+        |bounds AS (SELECT min(CAST(substr(o_orderpriority,1,1) AS INTEGER)) AS lo,
+        |                  max(CAST(substr(o_orderpriority,1,1) AS INTEGER)) AS hi
+        |           FROM orders),
+        |ranks AS (SELECT CAST(unnest(generate_series(lo, hi)) AS INTEGER) AS priority_rank FROM bounds
+        |          UNION ALL SELECT CAST(NULL AS INTEGER) FROM bounds)
+        |SELECT md5(COALESCE(mktsegment,'') || '|' || COALESCE(orderstatus,'') || '|' ||
+        |           COALESCE(CAST(priority_rank AS VARCHAR),'')) AS user_type_key,
+        |       mktsegment, orderstatus, priority_rank
+        |FROM segs CROSS JOIN stats CROSS JOIN ranks
+        |ORDER BY mktsegment, orderstatus, priority_rank NULLS LAST""".stripMargin,
+
+    "silver_dim_date" ->
+      s"""WITH $dimDateSql
+         |SELECT * FROM dim_date ORDER BY date_id""".stripMargin,
+
+    "silver_fact_trips" ->
+      """SELECT CAST(l.l_orderkey*10 + l.l_linenumber AS BIGINT) AS trip_id,
+        |  md5('station|' || CAST(c.c_nationkey AS VARCHAR)) AS start_station_key,
+        |  md5('station|' || CAST(s.s_nationkey AS VARCHAR)) AS end_station_key,
+        |  CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + day(o.o_orderdate) AS INTEGER) AS start_date_id,
+        |  CAST(year(l.l_shipdate)*10000 + month(l.l_shipdate)*100 + day(l.l_shipdate) AS INTEGER) AS end_date_id,
+        |  CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INTEGER) AS duration_days,
+        |  CAST(round(l.l_extendedprice/60.0) AS INTEGER) AS duration_min,
+        |  l.l_partkey AS bike_id,
+        |  l.l_quantity AS quantity,
+        |  md5(COALESCE(c.c_mktsegment,'') || '|' || COALESCE(o.o_orderstatus,'') || '|' ||
+        |      COALESCE(CAST(CAST(substr(o.o_orderpriority,1,1) AS INTEGER) AS VARCHAR),'')) AS user_type_key
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |ORDER BY trip_id""".stripMargin,
+
+    "gold_daily_summary" ->
+      s"""WITH $dimDateSql,
+         |fact AS (
+         |  SELECT l.l_quantity, l.l_partkey, l.l_extendedprice,
+         |         CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + day(o.o_orderdate) AS INTEGER) AS start_date_id
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |)
+         |SELECT d.cal_date, d.year, d.month_name, d.day_name, d.is_weekend,
+         |  count(*) AS total_trips,
+         |  CAST(sum(f.l_quantity) AS BIGINT) AS total_qty,
+         |  sum(f.l_quantity)/count(*) AS avg_qty,
+         |  count(DISTINCT f.l_partkey) AS unique_bikes,
+         |  (CAST(CAST(sum(CAST(round(f.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE))/CAST(count(*) AS DOUBLE) AS avg_price
+         |FROM fact f JOIN dim_date d ON f.start_date_id = d.date_id
+         |GROUP BY 1,2,3,4,5
+         |ORDER BY cal_date""".stripMargin,
+
+    "gold_station_popularity" ->
+      """WITH starts AS (
+        |  SELECT c.c_nationkey AS nationkey, count(*) AS trips_started
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1
+        |), ends AS (
+        |  SELECT s.s_nationkey AS nationkey, count(*) AS trips_ended
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1
+        |), details AS (
+        |  SELECT c_nationkey AS nationkey, max(c_mktsegment) AS top_segment
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT COALESCE(st.nationkey, en.nationkey) AS nationkey,
+        |  n.n_name AS station_name,
+        |  COALESCE(st.trips_started, 0) AS trips_started,
+        |  COALESCE(en.trips_ended, 0) AS trips_ended,
+        |  COALESCE(st.trips_started, 0) - COALESCE(en.trips_ended, 0) AS net_flow,
+        |  COALESCE(st.trips_started, 0) + COALESCE(en.trips_ended, 0) AS total_trips,
+        |  d.top_segment AS top_segment
+        |FROM starts st
+        |FULL OUTER JOIN ends en ON st.nationkey = en.nationkey
+        |LEFT JOIN nation n ON COALESCE(st.nationkey, en.nationkey) = n.n_nationkey
+        |LEFT JOIN details d ON COALESCE(st.nationkey, en.nationkey) = d.nationkey
+        |WHERE n.n_name IS NOT NULL
+        |ORDER BY nationkey""".stripMargin,
+
+    "gold_popular_routes" ->
+      """SELECT n1.n_name || ' -> ' || n2.n_name AS route_id,
+        |  n1.n_name AS start_station, n2.n_name AS end_station,
+        |  count(*) AS trip_count,
+        |  CAST(sum(date_diff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_duration_days
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |LEFT JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |LEFT JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IS NOT NULL AND n2.n_name IS NOT NULL
+        |GROUP BY n1.n_name, n2.n_name
+        |ORDER BY route_id""".stripMargin,
+
+    "gold_user_behavior" ->
+      """SELECT c.c_mktsegment, o.o_orderstatus,
+        |  CAST(2002 - year(o.o_orderdate) AS INTEGER) AS order_age_years,
+        |  count(*) AS total_orders,
+        |  CAST(CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price,
+        |  (CAST(CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE))/CAST(count(*) AS DOUBLE) AS avg_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY c_mktsegment, o_orderstatus, order_age_years""".stripMargin,
+
+    "gold_station_view" ->
+      """WITH starts AS (
+        |  SELECT c.c_nationkey AS nationkey, count(*) AS trips_started
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1
+        |), ends AS (
+        |  SELECT s.s_nationkey AS nationkey, count(*) AS trips_ended
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1
+        |)
+        |SELECT COALESCE(st.nationkey, en.nationkey) AS station_code,
+        |  n.n_name AS station,
+        |  COALESCE(st.trips_started, 0) AS departures,
+        |  COALESCE(en.trips_ended, 0) AS arrivals,
+        |  COALESCE(st.trips_started, 0) - COALESCE(en.trips_ended, 0) AS flow,
+        |  COALESCE(st.trips_started, 0) + COALESCE(en.trips_ended, 0) AS traffic
+        |FROM starts st
+        |FULL OUTER JOIN ends en ON st.nationkey = en.nationkey
+        |LEFT JOIN nation n ON COALESCE(st.nationkey, en.nationkey) = n.n_nationkey
+        |WHERE n.n_name IS NOT NULL
+        |ORDER BY station_code""".stripMargin,
+  )
 }

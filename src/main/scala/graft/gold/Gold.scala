@@ -1,0 +1,146 @@
+package graft.gold
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.silver.Silver
+
+/** Gold data marts — the reference's four materialized views
+  * (/root/reference include/sql/gold/gold_ddl.sql:11-132) re-expressed as
+  * DataFrame programs over the silver star. Spark has no incremental MV;
+  * full recompute matches `REFRESH MATERIALIZED VIEW` semantics exactly
+  * (gold_ddl.sql:201-244), so each mart is a pure function meant for
+  * overwrite-mode writes.
+  *
+  * Determinism discipline for the DuckDB oracle (SURVEY §7): fractional
+  * aggregates are computed from exact integer partials (whole-valued
+  * quantities, cents-scaled prices) followed by a single IEEE division —
+  * bit-identical across engines regardless of partial-aggregation order.
+  *
+  * Scale notes: every mart is fact-scan → partial agg (map-side combine) →
+  * final agg on few keys; dim joins are broadcast. No fact-fact shuffle
+  * except the deliberate starts⟗ends full-outer in station popularity,
+  * which aggregates BEFORE joining (two small aggregates joined, never the
+  * raw fact rows).
+  */
+object Gold {
+
+  /** Cents-exact sum of a 2-decimal double column → BIGINT (order-stable). */
+  private def centsSum(c: String) =
+    sum(round(col(c) * 100).cast("long"))
+
+  /** dm_daily_trip_summary (gold_ddl.sql:11-26): fact ⋈ dim_date (J4),
+    * multi-key group on date attributes (A4), COUNT/SUM/AVG (A1) and
+    * COUNT(DISTINCT bike) (A2).
+    */
+  def dailyTripSummary(lineitem: DataFrame, orders: DataFrame,
+                       dimDate: DataFrame): DataFrame = {
+    val fact = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("start_date_id",
+        year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
+          dayofmonth(col("o_orderdate")))
+    fact
+      .join(broadcast(dimDate), col("start_date_id") === col("date_id")) // J4
+      .groupBy(col("cal_date"), col("year"), col("month_name"),
+        col("day_name"), col("is_weekend"))                              // A4
+      .agg(
+        count(lit(1)).as("total_trips"),                                 // A1
+        sum(col("l_quantity")).cast("long").as("total_qty"),  // whole-valued → exact
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        countDistinct(col("l_partkey")).as("unique_bikes"),              // A2
+        ((centsSum("l_extendedprice").cast("double") / lit(100.0)) /
+          count(lit(1)).cast("double")).as("avg_price"))
+  }
+
+  /** dm_station_popularity (gold_ddl.sql:29-91): two pre-aggregations
+    * full-outer-joined on the station key (J6) with COALESCE zero-fill,
+    * derived net-flow arithmetic (A9), MAX-as-any detail collapse (A5),
+    * and a left back-join for display attributes (J9).
+    */
+  def stationPopularity(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, supplier: DataFrame,
+                        nation: DataFrame): DataFrame = {
+    // aggregate BEFORE joining: each side collapses the fact to ≤ |stations| rows.
+    val starts = orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("trips_started"))
+    val ends = lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("trips_ended"))
+    // A5: collapse per-station detail rows with MAX-as-any-value.
+    val details = customer.groupBy(col("c_nationkey").as("nationkey"))
+      .agg(max(col("c_mktsegment")).as("top_segment"))
+    // J6: Seq-form full outer join coalesces the key, mirroring
+    // COALESCE(s.station_name, e.station_name) at gold_ddl.sql:73.
+    starts.join(ends, Seq("nationkey"), "full_outer")
+      .join(broadcast(nation), col("nationkey") === col("n_nationkey"), "left") // J9
+      .join(broadcast(details), Seq("nationkey"), "left")
+      .filter(col("n_name").isNotNull)                                   // P6
+      .select(
+        col("nationkey"),
+        col("n_name").as("station_name"),
+        coalesce(col("trips_started"), lit(0L)).as("trips_started"),
+        coalesce(col("trips_ended"), lit(0L)).as("trips_ended"),
+        (coalesce(col("trips_started"), lit(0L)) -
+          coalesce(col("trips_ended"), lit(0L))).as("net_flow"),         // A9
+        (coalesce(col("trips_started"), lit(0L)) +
+          coalesce(col("trips_ended"), lit(0L))).as("total_trips"),
+        col("top_segment"))
+  }
+
+  /** dm_popular_routes (gold_ddl.sql:94-113): fact grouped by the two
+    * station endpoints, double left join to the dim + null filter (J7),
+    * route label concat (F12), exact-int average duration.
+    */
+  def popularRoutes(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, supplier: DataFrame,
+                    nation: DataFrame): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("sk"), col("n_name").as("start_station"))
+    val n2 = nation.select(col("n_nationkey").as("ek"), col("n_name").as("end_station"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("sk"), "left")     // J7
+      .join(broadcast(n2), col("s_nationkey") === col("ek"), "left")
+      .filter(col("start_station").isNotNull && col("end_station").isNotNull) // P6
+      .withColumn("duration_days", datediff(col("l_shipdate"), col("o_orderdate")))
+      .groupBy(col("start_station"), col("end_station"))
+      .agg(count(lit(1)).as("trip_count"),
+        (sum(col("duration_days")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_duration_days"))
+      .select(
+        concat_ws(" -> ", col("start_station"), col("end_station")).as("route_id"), // F12
+        col("start_station"), col("end_station"),
+        col("trip_count"), col("avg_duration_days"))
+  }
+
+  /** dm_user_behavior_summary (gold_ddl.sql:116-132): chained inner dim
+    * joins (J8), computed age-style group key (F13), COUNT/SUM/AVG.
+    */
+  def userBehavior(orders: DataFrame, customer: DataFrame): DataFrame = {
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey")) // J8
+      // F13 analog: arithmetic age-style key from the event year.
+      .withColumn("order_age_years", lit(2002) - year(col("o_orderdate")))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"), col("order_age_years"))
+      .agg(
+        count(lit(1)).as("total_orders"),
+        (centsSum("o_totalprice").cast("double") / lit(100.0)).as("total_price"),
+        ((centsSum("o_totalprice").cast("double") / lit(100.0)) /
+          count(lit(1)).cast("double")).as("avg_price"))
+  }
+
+  /** Rename views (S9/P7, gold_ddl.sql:135-193): pure column-alias
+    * projections over a mart.
+    */
+  def stationPopularityView(mart: DataFrame): DataFrame =
+    mart.select(
+      col("nationkey").as("station_code"),
+      col("station_name").as("station"),
+      col("trips_started").as("departures"),
+      col("trips_ended").as("arrivals"),
+      col("net_flow").as("flow"),
+      col("total_trips").as("traffic"))
+}
