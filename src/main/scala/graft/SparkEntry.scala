@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.silver.Silver
 import graft.gold.Gold
+import graft.bronze.Bronze
+import graft.enrich.Enrich
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -91,6 +93,42 @@ object SparkEntry {
           Gold.stationPopularity(Tables.lineitem(s, d), Tables.orders(s, d),
             Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d)))
         .orderBy("station_code")),
+
+    "bronze_clean_events" -> ((s, d) =>
+      Bronze.cleanEvents(Tables.events(s, d)).drop("ts")
+        .orderBy("event_id")),
+
+    "bronze_upsert_anti" -> ((s, d) =>
+      // insert-if-absent: customers with no pending order yet — the rows
+      // an upsert would insert (reference ON CONFLICT DO NOTHING, S7/J11).
+      Enrich.insertIfAbsent(
+          Tables.customer(s, d).select(col("c_custkey")),
+          Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"))
+        .orderBy("c_custkey")),
+
+    "bronze_incremental" -> ((s, d) =>
+      Bronze.newSince(Tables.events(s, d), "ts", "2024-01-15 00:00:00")
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") /
+            lit(100.0)).as("total_value"))
+        .orderBy("event_date")),
+
+    "enrich_props_json" -> ((s, d) =>
+      Enrich.propsStats(Tables.events(s, d))
+        .orderBy("event_type")),
+
+    "bronze_file_source" -> ((s, d) =>
+      Bronze.withSourceFile(Tables.events(s, d))
+        .groupBy(col("source_file"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source_file")),
+
+    "enrich_geocode" -> ((s, d) =>
+      Enrich.geocodeUsers(s, Tables.events(s, d).select(col("user_id")).distinct())
+        .orderBy("user_id")),
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -241,5 +279,50 @@ object SparkEntry {
         |LEFT JOIN nation n ON COALESCE(st.nationkey, en.nationkey) = n.n_nationkey
         |WHERE n.n_name IS NOT NULL
         |ORDER BY station_code""".stripMargin,
+
+    "bronze_clean_events" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type_clean,
+        |  COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE event_type END, 'unknown') AS event_type_filled,
+        |  CASE WHEN value < 0 OR value > 400 THEN NULL ELSE value END AS value_valid
+        |FROM events
+        |WHERE NOT (user_id = 0 AND value = 0)
+        |ORDER BY event_id""".stripMargin,
+
+    "bronze_upsert_anti" ->
+      """SELECT DISTINCT c.c_custkey
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_orderstatus = 'P' AND o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "bronze_incremental" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1
+        |ORDER BY event_date""".stripMargin,
+
+    "enrich_props_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "bronze_file_source" ->
+      """SELECT 'events' AS source_file, count(*) AS n
+        |FROM events
+        |ORDER BY source_file""".stripMargin,
+
+    "enrich_geocode" ->
+      """SELECT user_id,
+        |  (user_id * 2654435761) % 97 AS geo_code,
+        |  'geo_' || CAST((user_id * 2654435761) % 97 AS VARCHAR) AS geo_name
+        |FROM (SELECT DISTINCT user_id FROM events)
+        |ORDER BY user_id""".stripMargin,
   )
 }
