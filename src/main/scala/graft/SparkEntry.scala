@@ -6,6 +6,7 @@ import graft.silver.Silver
 import graft.gold.Gold
 import graft.bronze.Bronze
 import graft.enrich.Enrich
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -129,9 +130,173 @@ object SparkEntry {
     "enrich_geocode" -> ((s, d) =>
       Enrich.geocodeUsers(s, Tables.events(s, d).select(col("user_id")).distinct())
         .orderBy("user_id")),
+
+    "text_token_stats" -> ((s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "text_top_tokens" -> ((s, d) =>
+      TextAnalysis.topTokens(Tables.documents(s, d), 20)),
+
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.languageId(s, Tables.documents(s, d)).orderBy("doc_id")),
+
+    "text_simhash" -> ((s, d) =>
+      Dedup.simhash16(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy("keeper")),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), w = 3, threshold = 0.8)
+        .orderBy("d1", "d2")),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), w = 3, numHashes = 8,
+          bandWidth = 2, threshold = 0.5)
+        .orderBy("d1", "d2")),
+
+    "sim_topk_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
+    "sim_topk_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.payloadStats(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.asBinary(Tables.documents(s, d)))
+        .orderBy("doc_id")),
   )
 
-  // ---- oracles ---------------------------------------------------------
+  // ---- generated oracle fragments (identical constants as the Spark
+  //      plans: hash seeds, band layout, hyperplane matrix) --------------
+
+  /** toks+tri CTE bodies shared by the shingle-based dedup oracles. */
+  private val triSql =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), tri AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, len(l)-2),
+      |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      |  FROM toks
+      |)""".stripMargin
+
+  private val minhashOracle: String = {
+    val mhCols = (0 until 8).map(s =>
+      s"    min(CAST('0x' || substr(md5('$s|' || sh), 1, 8) AS BIGINT)) AS mh$s")
+      .mkString(",\n")
+    val bandSelects = (0 until 4).map { b =>
+      val k = s"CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR)"
+      s"  SELECT doc_id, $b AS band, $k AS bkey FROM mh"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $triSql,
+       |mh AS (
+       |  SELECT doc_id,
+       |$mhCols
+       |  FROM tri GROUP BY doc_id
+       |), bands AS (
+       |$bandSelects
+       |), cands AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM tri GROUP BY 1
+       |), com AS (
+       |  SELECT c.d1, c.d2, count(*) AS common
+       |  FROM cands c
+       |  JOIN tri a ON a.doc_id = c.d1
+       |  JOIN tri b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2,
+       |  CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
+       |FROM com JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val bitSums = (0 until 16).map(b =>
+      s"    sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n")
+    val assemble = (0 until 16).map(b =>
+      s"CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+       |), th AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM tok
+       |), bits AS (
+       |  SELECT doc_id,
+       |$bitSums
+       |  FROM th GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($assemble AS INTEGER) AS simhash
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  /** Double-precision cosine in the same index-ordered shape as
+    * [[Similarity.cosine]].
+    */
+  private def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  private val lshOracle: String = {
+    val planes = Similarity.planeMatrix(8, 64)
+    def planeLit(p: Int): String =
+      planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bitCols = (0 until 8).map { p =>
+      s"""    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+         |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])) >= 0
+         |      THEN 1 ELSE 0 END AS b$p""".stripMargin
+    }.mkString(",\n")
+    def bkey(bits: Seq[Int]) =
+      bits.map(b => s"CAST(b$b AS VARCHAR)").mkString(" || ',' || ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |$bitCols
+       |  FROM embeddings
+       |), banded AS (
+       |  SELECT vec_id, embedding, 0 AS band, ${bkey(0 until 4)} AS bkey FROM sig
+       |  UNION ALL
+       |  SELECT vec_id, embedding, 1 AS band, ${bkey(4 until 8)} AS bkey FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, q.embedding AS qe,
+       |                  c.vec_id AS cid, c.embedding AS ce
+       |  FROM banded q JOIN banded c
+       |    ON q.band = c.band AND q.bkey = c.bkey AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 5
+       |), scored AS (
+       |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS sim FROM cand
+       |), r AS (
+       |  SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+       |  FROM scored
+       |)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "silver_dim_station" ->
@@ -324,5 +489,123 @@ object SparkEntry {
         |  'geo_' || CAST((user_id * 2654435761) % 97 AS VARCHAR) AS geo_name
         |FROM (SELECT DISTINCT user_id FROM events)
         |ORDER BY user_id""".stripMargin,
+
+    "text_token_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(l) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(l)) AS INTEGER) AS n_distinct_tokens,
+        |  CAST(list_sum(list_transform(l, x -> length(x))) AS INTEGER) AS sum_tok_len,
+        |  CAST(CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) AS DOUBLE)
+        |    / CAST(len(l) AS DOUBLE) AS avg_tok_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_top_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 20""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS l
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars AS INTEGER) AS n_chars,
+        |    CAST(len(l) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(l)) AS INTEGER) AS n_distinct_tokens,
+        |    CAST(len(list_filter(l, x -> list_contains(['the','a','of','and','in'], x))) AS INTEGER) AS n_stopwords
+        |  FROM t
+        |)
+        |SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, n_stopwords,
+        |  CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        |  CAST(n_distinct_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS diversity,
+        |  (CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 0.5 +
+        |  (CAST(n_distinct_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 0.5 AS quality_score
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val lexValues = TextAnalysis.langLexicon
+        .map { case (l, t) => s"('$l','$t')" }.mkString(", ")
+      s"""WITH lex(lex_lang, lex_token) AS (VALUES $lexValues),
+         |langs AS (SELECT DISTINCT lex_lang AS cand_lang FROM lex),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |hits AS (
+         |  SELECT t.doc_id, l.lex_lang AS cand_lang, count(*) AS hits
+         |  FROM tok t JOIN lex l ON t.token = l.lex_token GROUP BY 1, 2
+         |), allh AS (
+         |  SELECT d.doc_id, g.cand_lang, COALESCE(h.hits, 0) AS hits
+         |  FROM (SELECT doc_id FROM documents) d
+         |  CROSS JOIN langs g
+         |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.cand_lang = g.cand_lang
+         |), r AS (
+         |  SELECT doc_id, cand_lang, hits,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY hits DESC, cand_lang ASC) AS rn
+         |  FROM allh
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN hits > 0 THEN cand_lang ELSE 'unknown' END AS pred_lang,
+         |  hits AS best_hits
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "text_simhash" -> simhashOracle,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $triSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+         |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2,
+         |  CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
+         |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+         |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_minhash_lsh" -> minhashOracle,
+
+    "sim_topk_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+         |s AS (
+         |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS sim
+         |  FROM q, c WHERE qid != cid
+         |), r AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |  FROM s
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_topk_lsh" -> lshOracle,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  ascii(substr(text, 1, 1)) AS f0,
+        |  ascii(substr(text, 2, 1)) AS f1,
+        |  CAST(octet_length(encode(text)) % 256 AS INTEGER) AS f2
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: opaque binary payloads + typed metadata structs.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * deterministic stand-in ([[fakeDecode]]) — but the Spark-side plumbing
+  * is the real pattern for binary media at scale:
+  *  - media as `BinaryType` columns riding alongside a `StructType`
+  *    metadata column (schema evolution stays in the struct);
+  *  - decode/feature-extract via `mapPartitions` so any native decoder
+  *    is initialized once per partition (the JVM analog of a Pandas UDF
+  *    over mapInPandas: iterator-in/iterator-out, batch-shaped);
+  *  - feature output as fixed-width typed columns, ready for the
+  *    similarity operators in [[Similarity]].
+  */
+object Multimodal {
+
+  /** Wrap text rows as (payload: binary, meta: struct) — the multimodal
+    * column shape. With real media, `payload` is the image/audio bytes.
+    */
+  def asBinary(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+
+  /** Pure-projection payload statistics — stays in WholeStageCodegen. */
+  def payloadStats(docs: DataFrame): DataFrame =
+    asBinary(docs).select(
+      col("doc_id"),
+      octet_length(col("payload")).as("n_bytes"),
+      col("meta.lang").as("lang"),
+      col("meta.source").as("source"),
+      col("meta.n_chars").as("n_chars"))
+
+  /** Deterministic stand-in for a media decoder: first two payload bytes
+    * and the length mod 256. A real build replaces the body with an
+    * image/audio library call; signature and batching stay the same.
+    */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int) =
+    (if (payload.length > 0) payload(0) & 0xff else -1,
+      if (payload.length > 1) payload(1) & 0xff else -1,
+      payload.length % 256)
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("f0", IntegerType, nullable = false),
+    StructField("f1", IntegerType, nullable = false),
+    StructField("f2", IntegerType, nullable = false)))
+
+  /** Decode/feature-extract over binary payloads. mapPartitions keeps
+    * decoder initialization per-partition (NOT per-row) and processes an
+    * iterator — the exact shape a native decoder or an inference batch
+    * needs at scale.
+    */
+  def extractFeatures(spark: SparkSession, binDf: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        // decoder/codec init would happen HERE, once per partition.
+        it.map { r =>
+          val (f0, f1, f2) = fakeDecode(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), f0, f1, f2)
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, mirroring production vector-search systems:
+  *  - [[bruteForceTopK]]: exact cosine top-k. At scale this is the
+  *    verification/re-rank kernel: broadcast the (small) query set,
+  *    stream the corpus once, keep a per-partition top-k, merge — no
+  *    shuffle of the corpus, one narrow pass.
+  *  - [[lshTopK]]: random-hyperplane LSH (SimHash for vectors) — the
+  *    scale path. Sign-bit signatures against a fixed ±1 hyperplane
+  *    matrix bucket the corpus; only same-band candidates are scored.
+  *    The hyperplane matrix is derived deterministically from md5 bits,
+  *    so signatures are reproducible across engines and runs (the DuckDB
+  *    oracle embeds the identical matrix).
+  *
+  * Dot products use double accumulation in index order via the
+  * `zip_with`+`aggregate` higher-order functions — sequential and
+  * deterministic, matching the oracle's list_transform+list_sum shape.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float> columns in double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query vector (rank output — ranks are
+    * stable because neighbor gaps dwarf float noise; similarity values
+    * stay internal).
+    */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"))
+  }
+
+  /** Deterministic ±1 hyperplane matrix: component (p, d) is +1 iff the
+    * last hex digit of md5("p_d") is even. Pure function of constants —
+    * computed once on the driver, embedded as literals in both the Spark
+    * plan and the oracle SQL.
+    */
+  def planeMatrix(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("02468ace".contains(hex.last)) 1.0 else -1.0
+    }
+  }
+
+  /** LSH signature bits for one embedding column against the planes. */
+  private def signBits(ce: Column, planes: Array[Array[Double]]): Seq[Column] =
+    planes.toSeq.map { row =>
+      val w = array(row.toSeq.map(lit): _*)
+      val dotp = aggregate(zip_with(ce, w, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp >= 0, lit(1)).otherwise(lit(0))
+    }
+
+  /** ANN top-k: candidates share at least one signature band with the
+    * query; exact cosine re-rank within candidates. Recall < 1 by design
+    * — that is the LSH trade; the oracle runs the identical pipeline.
+    */
+  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              numPlanes: Int = 8, bandWidth: Int = 4): DataFrame = {
+    require(numPlanes % bandWidth == 0)
+    val dim = 64
+    val planes = planeMatrix(numPlanes, dim)
+    val nBands = numPlanes / bandWidth
+
+    def withBands(df: DataFrame, idCol: String): DataFrame = {
+      val bits = signBits(col("embedding"), planes)
+      val bandStructs = (0 until nBands).map { b =>
+        val key = concat_ws(",",
+          (0 until bandWidth).map(r => bits(b * bandWidth + r)): _*)
+        struct(lit(b).as("band"), key.as("bkey"))
+      }
+      df.select(col("vec_id").as(idCol), col("embedding"),
+        explode(array(bandStructs: _*)).as("bk"))
+        .select(col(idCol), col("embedding"),
+          col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    }
+
+    val qb = withBands(queries, "qid")
+      .withColumnRenamed("embedding", "qe")
+    val cb = withBands(emb, "cid")
+      .withColumnRenamed("embedding", "ce")
+    val cands = qb.join(cb, Seq("band", "bkey"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qe"), col("cid"), col("ce"))
+      .dropDuplicates("qid", "cid")
+    val scored = cands.withColumn("sim", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"))
+  }
+}

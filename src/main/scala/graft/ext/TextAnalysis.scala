@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (builder mandate
+  * §2.11 — beyond the reference surface): token statistics, quality
+  * scoring, language ID, document fingerprinting.
+  *
+  * Scale design: every operator is a per-row projection or a single
+  * partial+final aggregation — no driver-side loops, no UDFs; all
+  * expressions are Catalyst built-ins (split/transform/aggregate are
+  * evaluated per-row inside the scan stage). At 100 TB the only shuffle
+  * here is the token-frequency groupBy, which map-side combines on a
+  * ~vocabulary-sized key space.
+  */
+object TextAnalysis {
+
+  private val toks = split(col("text"), " ")
+
+  /** Per-document token statistics. Averages are exact-int / exact-int →
+    * bit-identical across engines.
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+        .as("sum_tok_len"))
+      .withColumn("avg_tok_len",
+        col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
+
+  /** Global top-k token frequencies — explode → count with map-side
+    * combine; deterministic total order (count desc, token asc).
+    */
+  def topTokens(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Stopwords used by quality scoring — a small fixed public list. */
+  val qualityStopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
+
+  /** Per-document quality score from length/stopword/diversity ratios
+    * (the heuristics used by public web-corpus cleaning pipelines).
+    * All ratios are exact-int divisions; the score is a fixed linear
+    * combination evaluated in one deterministic expression shape.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stopArr = array(qualityStopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(filter(toks, t => array_contains(stopArr, t))).as("n_stopwords"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("diversity",
+        col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality_score",
+        col("stopword_ratio") * lit(0.5) + col("diversity") * lit(0.5))
+  }
+
+  /** Normalized-content fingerprint: lowercase, collapse whitespace,
+    * trim, md5. Identical normalization is SQL-expressible in any engine,
+    * making the fingerprint portable across systems.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .as("fingerprint"))
+
+  /** Public per-language stopword lexicons for the n-gram/stopword-hit
+    * language-ID heuristic.
+    */
+  val langLexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "in",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das", "de" -> "ist",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les", "fr" -> "des",
+    "es" -> "el", "es" -> "los", "es" -> "las", "es" -> "y", "es" -> "de",
+    "zh" -> "的", "zh" -> "是", "zh" -> "在", "zh" -> "了", "zh" -> "不")
+
+  /** Language ID: count lexicon hits (with multiplicity) per (doc, lang),
+    * pick the argmax with a deterministic tie-break, fall back to
+    * "unknown" when no lexicon matches at all. The lexicon is broadcast;
+    * the per-doc argmax is a window over ≤ |langs| rows.
+    */
+  def languageId(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val lex = langLexicon.toDF("lex_lang", "lex_token")
+    val langs = lex.select(col("lex_lang").as("cand_lang")).distinct()
+    val hits = docs.select(col("doc_id"), explode(toks).as("token"))
+      .join(broadcast(lex), col("token") === col("lex_token"))
+      .groupBy(col("doc_id"), col("lex_lang").as("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val all = docs.select(col("doc_id")).crossJoin(broadcast(langs))
+      .join(hits, Seq("doc_id", "cand_lang"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("cand_lang").asc)
+    all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"),
+        when(col("hits") > 0, col("cand_lang")).otherwise(lit("unknown"))
+          .as("pred_lang"),
+        col("hits").as("best_hits"))
+  }
+}
