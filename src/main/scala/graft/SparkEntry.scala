@@ -182,6 +182,21 @@ object SparkEntry {
       Multimodal.extractFeatures(s,
           Multimodal.asBinary(Tables.documents(s, d)))
         .orderBy("doc_id")),
+
+    // batch/stream-agnostic transforms (graft.streaming) run here in
+    // batch mode — identical code drives the AvailableNow streaming jobs.
+    "stream_windowed_counts" -> ((s, d) =>
+      graft.streaming.Streams.windowedCounts(Tables.events(s, d))
+        .withColumn("window_start_ms", unix_millis(col("window_start")))
+        .drop("window_start")
+        .orderBy("window_start_ms", "event_type")),
+
+    "stream_sessionize" -> ((s, d) =>
+      graft.streaming.Streams.sessionizeBatch(
+          Tables.events(s, d).select(col("user_id"),
+            unix_millis(col("ts")).as("ts_ms")),
+          gapMs = 30L * 60 * 1000)
+        .orderBy("user_id", "start_ms")),
   )
 
   // ---- generated oracle fragments (identical constants as the Spark
@@ -607,5 +622,31 @@ object SparkEntry {
         |  ascii(substr(text, 2, 1)) AS f1,
         |  CAST(octet_length(encode(text)) % 256 AS INTEGER) AS f2
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "stream_windowed_counts" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |x AS (SELECT user_id, ts_ms,
+        |        lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev_ts
+        |      FROM e),
+        |y AS (SELECT user_id, ts_ms,
+        |        CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM x),
+        |z AS (SELECT user_id, ts_ms,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |                               ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM y)
+        |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+        |       CAST(count(*) AS INTEGER) AS n_events
+        |FROM z GROUP BY user_id, session_seq
+        |ORDER BY user_id, start_ms""".stripMargin,
   )
 }

@@ -24,8 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float> columns in double precision. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two array<float> columns in double precision —
+    * the native codegen'd expression (one fused primitive loop, no
+    * intermediate arrays). Bit-identical to [[cosineHof]] (see
+    * ExpressionsSpec), which documents the pure-DataFrame formulation.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.KeyColumns.cosine_native(a, b)
+
+  /** Higher-order-function formulation (zip_with + aggregate): portable
+    * to any Spark without custom expressions; kept as the cross-check
+    * and the shape the DuckDB oracle mirrors.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by interpreted eval and generated code. */
+object KeyFunctions {
+
+  /** Exact reference surrogate-key semantics (F1, /root/reference
+    * include/sql/silver/silver_load.sql:48):
+    * `('x' || substr(md5(s), 1, 16))::bit(64)::bigint` — the first 16 hex
+    * chars of the md5 are the first 8 digest bytes, reinterpreted as a
+    * SIGNED big-endian 64-bit value. Spark's `conv(...,16,10)` cannot
+    * express this (it saturates unsigned); this one-liner can.
+    */
+  def signedMd5Long(s: UTF8String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    java.nio.ByteBuffer.wrap(dig, 0, 8).getLong
+  }
+
+  /** Double-precision cosine over two float arrays, index-ordered
+    * accumulation (bit-compatible with the zip_with/aggregate formulation
+    * in [[graft.ext.Similarity.cosine]]).
+    */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Native Catalyst expression for the reference's signed md5 key (F1).
+  * Codegen'd (no UDF serialization, no row boxing) — stays inside
+  * WholeStageCodegen spans.
+  */
+case class SignedMd5Long(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    KeyFunctions.signedMd5Long(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.KeyFunctions$$.MODULE$$.signedMd5Long($c)")
+  override protected def withNewChildInternal(newChild: Expression): SignedMd5Long =
+    copy(child = newChild)
+}
+
+/** Native cosine similarity over array<float> columns: a single fused
+  * loop over primitive arrays — no intermediate product array, unlike the
+  * zip_with+aggregate formulation. Identical IEEE result (each
+  * accumulator sums in index order).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KeyFunctions.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.KeyFunctions$$.MODULE$$.cosineFloat($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Column-level entry points (Spark 4: Column↔Expression bridging lives
+  * in org.apache.spark.sql.classic.ExpressionUtils).
+  */
+object KeyColumns {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def signed_md5_long(c: Column): Column = column(SignedMd5Long(expression(c)))
+  def cosine_native(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Register both for SQL callers (`SELECT signed_md5_long(x) ...`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "signed_md5_long", exprs => SignedMd5Long(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_native", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private val fixture = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today"),
+    (1L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat today"), // near dup
+    (3L, "completely different words about spark query engines here"),
+    (4L, "one two"), // shorter than the shingle width
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val out = Dedup.exact(fixture).filter(col("n_copies") > 1).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("keeper") === 0L)
+    assert(out.head.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("ngram jaccard finds exact and near duplicates, skips short docs") {
+    val pairs = Dedup.ngramJaccard(fixture, w = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 1 && p._3 == 1.0)) // identical
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 2 && p._3 > 0.5))  // near
+    assert(!pairs.exists(p => p._1 == 4 || p._2 == 4)) // too short to shingle
+  }
+
+  test("minhash LSH detects identical documents with certainty") {
+    // identical shingle sets → identical signatures → same bucket, jac 1.0
+    val out = Dedup.minhashLsh(fixture, w = 3, numHashes = 8, bandWidth = 2,
+      threshold = 0.99)
+    val hits = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.contains((0L, 1L)))
+  }
+
+  test("minhash LSH candidates are verified: no pair below the threshold escapes") {
+    val out = Dedup.minhashLsh(fixture, w = 3, numHashes = 8, bandWidth = 2,
+      threshold = 0.9).collect()
+    out.foreach(r => assert(r.getDouble(2) >= 0.9))
+  }
+
+  test("simhash: identical docs share a signature; near dups are close in hamming") {
+    val sigs = Dedup.simhash16(fixture).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    val hammingNear = Integer.bitCount(sigs(0L) ^ sigs(2L))
+    val hammingFar = Integer.bitCount(sigs(0L) ^ sigs(3L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("LSH agrees with exhaustive jaccard on the driver corpus at threshold 0.8") {
+    val docs = Tables.documents(spark, sfDir)
+    val exhaustive = Dedup.ngramJaccard(docs, w = 3, threshold = 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, w = 3, numHashes = 8, bandWidth = 2, threshold = 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step guarantees precision; near-identical dups make recall 1.0 here
+    assert(lsh.subsetOf(exhaustive))
+    assert(lsh === exhaustive)
+  }
+}

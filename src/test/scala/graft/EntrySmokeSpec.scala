@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's t1 smoke plus an execute-all sweep at sf0.001. */
+class EntrySmokeSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query executes at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+      info(s"$name -> $n rows")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracles without queries: $extra")
+  }
+}

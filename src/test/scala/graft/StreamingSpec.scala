@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  test("AvailableNow incremental pipeline processes only new files across runs") {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val ev = Tables.events(spark, sfDir)
+      .select("ts", "event_type", "value").cache()
+    val schema = ev.schema
+    // batch 1: first half of January
+    ev.filter(col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+      .write.mode("append").parquet(src)
+    val q1 = Streams.incrementalPipeline(spark, schema, src, out, ckpt)
+    q1.awaitTermination()
+    val rows1 = spark.read.parquet(out).count()
+    assert(rows1 > 0, "first increment emits closed windows")
+    // batch 2: the rest arrives; checkpoint must skip batch-1 files
+    ev.filter(col("ts") >= to_timestamp(lit("2024-01-15 00:00:00")))
+      .write.mode("append").parquet(src)
+    val q2 = Streams.incrementalPipeline(spark, schema, src, out, ckpt)
+    q2.awaitTermination()
+    val rows2 = spark.read.parquet(out).count()
+    assert(rows2 > rows1, "second increment appends the new files' windows")
+    ev.unpersist()
+  }
+
+  test("stateful sessionization agrees with the batch window formulation") {
+    val gap = 30L * 60 * 1000
+    val evts = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+    val batch = Streams.sessionizeBatch(evts, gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // flatMapGroupsWithState on a BATCH dataset processes each group once
+    // with no prior state: every closed session must match; the final open
+    // session per user stays in state, so the stream emits a subset.
+    val ds = evts.as[Streams.SessionEvent]
+    val streamed = Streams.sessionize(ds, gap)
+      .collect().map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events)).toSet
+    assert(streamed.subsetOf(batch))
+    // exactly the per-user trailing sessions are withheld in state
+    val users = evts.select("user_id").distinct().count()
+    assert(batch.size - streamed.size === users)
+  }
+
+  test("windowed counts in batch mode: totals reconcile with raw events") {
+    val ev = Tables.events(spark, sfDir)
+    val agg = Streams.windowedCounts(ev)
+    assert(agg.agg(sum("n_events")).head().getLong(0) === ev.count())
+  }
+}
