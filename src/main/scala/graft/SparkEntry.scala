@@ -122,7 +122,9 @@ object SparkEntry {
         .orderBy("event_type")),
 
     "bronze_file_source" -> ((s, d) =>
-      Bronze.withSourceFile(Tables.events(s, d))
+      // file-name derivation must stay inside the scan stage: eventsRaw,
+      // not the repartitioned events (input_file_name() is '' post-shuffle).
+      Bronze.withSourceFile(Tables.eventsRaw(s, d))
         .groupBy(col("source_file"))
         .agg(count(lit(1)).as("n"))
         .orderBy("source_file")),
@@ -153,11 +155,11 @@ object SparkEntry {
       Dedup.exact(Tables.documents(s, d)).orderBy("keeper")),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(Tables.documents(s, d), w = 3, threshold = 0.8)
+      Dedup.ngramJaccard(Tables.documents(s, d), w = 5, threshold = 0.8)
         .orderBy("d1", "d2")),
 
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(Tables.documents(s, d), w = 3, numHashes = 8,
+      Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
           bandWidth = 2, threshold = 0.5)
         .orderBy("d1", "d2")),
 
@@ -206,17 +208,17 @@ object SparkEntry {
   private val triSql =
     """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3
+      |  WHERE len(string_split(text, ' ')) >= 5
       |), tri AS (
       |  SELECT DISTINCT doc_id,
-      |         unnest(list_transform(generate_series(1, len(l)-2),
-      |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      |         unnest(list_transform(generate_series(1, len(l)-4),
+      |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
       |  FROM toks
       |)""".stripMargin
 
   private val minhashOracle: String = {
     val mhCols = (0 until 8).map(s =>
-      s"    min(CAST('0x' || substr(md5('$s|' || sh), 1, 8) AS BIGINT)) AS mh$s")
+      s"    min(CAST('0x' || substr(md5('0|' || sh) || md5('1|' || sh), ${8 * s + 1}, 8) AS BIGINT)) AS mh$s")
       .mkString(",\n")
     val bandSelects = (0 until 4).map { b =>
       val k = s"CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR)"
@@ -580,15 +582,28 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" ->
       s"""WITH $triSql,
+         |freq AS (SELECT sh, count(*) AS f FROM tri GROUP BY 1),
          |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
-         |pairs AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-         |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |ranked AS (
+         |  SELECT t.doc_id, t.sh, s.n,
+         |         row_number() OVER (PARTITION BY t.doc_id
+         |                            ORDER BY fr.f ASC, t.sh ASC) AS rn
+         |  FROM tri t JOIN freq fr ON fr.sh = t.sh JOIN sizes s ON s.doc_id = t.doc_id
+         |), prefix AS (
+         |  SELECT doc_id, sh FROM ranked WHERE rn <= n - floor(0.8 * n) + 1
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |), com AS (
+         |  SELECT c.d1, c.d2, count(*) AS common
+         |  FROM cands c
+         |  JOIN tri a ON a.doc_id = c.d1
+         |  JOIN tri b ON b.doc_id = c.d2 AND b.sh = a.sh
          |  GROUP BY 1, 2
          |)
          |SELECT d1, d2,
          |  CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
-         |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+         |FROM com JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
          |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
 

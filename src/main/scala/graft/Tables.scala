@@ -20,6 +20,18 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Raise a scan's parallelism to the session default when the source
+    * file has too few row groups to split (the small-SF testdata is one
+    * row group per table, which would serialize every downstream
+    * operator on one task). Guarded: at warehouse scale a scan already
+    * has ≥ parallelism partitions and this is the identity — it never
+    * shrinks partitioning.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
@@ -34,13 +46,28 @@ object Tables {
     * are all micro-aligned, so the conversion is lossless and matches what
     * DuckDB reads natively.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** events with ts normalized but WITHOUT the parallelism repartition —
+    * for operators that must run inside the scan stage (e.g.
+    * `input_file_name()`, which returns '' after any exchange).
+    */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spread(load(s, d, "events"))
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  // documents/embeddings feed interpreted higher-order expressions
+  // (lambdas are not codegen'd) — parallelism matters more than the tiny
+  // exchange these small tables cost.
+  def documents(s: SparkSession, d: String): DataFrame = spread(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = spread(load(s, d, "embeddings"))
 }

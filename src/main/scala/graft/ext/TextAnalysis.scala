@@ -27,8 +27,9 @@ object TextAnalysis {
       col("doc_id"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_distinct_tokens"),
-      aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-        .as("sum_tok_len"))
+      // Σ token lengths ≡ non-delimiter chars — codegen'd `replace`
+      // instead of an interpreted aggregate(transform(...)) lambda.
+      length(regexp_replace(col("text"), " ", "")).as("sum_tok_len"))
       .withColumn("avg_tok_len",
         col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
 

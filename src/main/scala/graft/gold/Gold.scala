@@ -17,10 +17,11 @@ import graft.silver.Silver
   * bit-identical across engines regardless of partial-aggregation order.
   *
   * Scale notes: every mart is fact-scan → partial agg (map-side combine) →
-  * final agg on few keys; dim joins are broadcast. No fact-fact shuffle
-  * except the deliberate starts⟗ends full-outer in station popularity,
-  * which aggregates BEFORE joining (two small aggregates joined, never the
-  * raw fact rows).
+  * final agg on few keys. Bounded dims (nation, the calendar) carry
+  * explicit broadcast hints; data-scaled relations don't (AQE decides at
+  * runtime). No fact-fact shuffle except the deliberate starts⟗ends
+  * full-outer in station popularity, which aggregates BEFORE joining (two
+  * small aggregates joined, never the raw fact rows).
   */
 object Gold {
 
@@ -61,11 +62,11 @@ object Gold {
                         nation: DataFrame): DataFrame = {
     // aggregate BEFORE joining: each side collapses the fact to ≤ |stations| rows.
     val starts = orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nationkey"))
       .agg(count(lit(1)).as("trips_started"))
     val ends = lineitem
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_nationkey").as("nationkey"))
       .agg(count(lit(1)).as("trips_ended"))
     // A5: collapse per-station detail rows with MAX-as-any-value.
@@ -100,8 +101,8 @@ object Gold {
     val n2 = nation.select(col("n_nationkey").as("ek"), col("n_name").as("end_station"))
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("c_nationkey") === col("sk"), "left")     // J7
       .join(broadcast(n2), col("s_nationkey") === col("ek"), "left")
       .filter(col("start_station").isNotNull && col("end_station").isNotNull) // P6
@@ -121,7 +122,7 @@ object Gold {
     */
   def userBehavior(orders: DataFrame, customer: DataFrame): DataFrame = {
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey")) // J8
+      .join(customer, col("o_custkey") === col("c_custkey")) // J8
       // F13 analog: arithmetic age-style key from the event year.
       .withColumn("order_age_years", lit(2002) - year(col("o_orderdate")))
       .groupBy(col("c_mktsegment"), col("o_orderstatus"), col("order_age_years"))

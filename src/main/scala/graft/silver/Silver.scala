@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * lineitem+orders = trips fact.
   *
   * Scale notes (100 TB design):
-  *  - Dims here are tiny (≤ thousands of rows) → every fact-side join is
-  *    an explicit `broadcast()`, no shuffle of the fact.
+  *  - Explicit `broadcast()` only on relations bounded by construction
+  *    (nation/region, per-key representatives). Anything that grows with
+  *    the data (customer, supplier) carries no hint — AQE converts those
+  *    joins to broadcast at runtime when actual sizes allow.
   *  - The only big-big join is lineitem⋈orders on the order key — a
   *    shuffle hash/sort-merge join on a single equi-key, the canonical
   *    co-partitionable join (bucket both sides by orderkey when persisted).
@@ -133,9 +135,10 @@ object Silver {
       // the one genuine shuffle join: both sides large, single equi-key.
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       // J2/J3: the station dim source joined twice (start via customer,
-      // end via supplier); both broadcast-sized.
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"), "left")
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"), "left")
+      // end via supplier). No static broadcast hints — customer/supplier
+      // scale with the data; AQE picks broadcast at runtime when small.
+      .join(customer, col("o_custkey") === col("c_custkey"), "left")
+      .join(supplier, col("l_suppkey") === col("s_suppkey"), "left")
       .select(
         (col("l_orderkey") * 10 + col("l_linenumber")).as("trip_id"),
         surrogateKey(lit("station"), col("c_nationkey")).as("start_station_key"),

@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, Tables}
+
+/** Dev harness: stage-by-stage timing + formatted plans for one query.
+  * Usage: runMain graft.tools.Profile <queryName> [sfDir]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](lbl: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $lbl%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    // warm the JVM/codegen with a trivial job first
+    time("warmup")(spark.range(1000000).selectExpr("sum(id)").collect())
+    if (args.contains("--cachecold")) {
+      val tri = graft.ext.Dedup.shingles(Tables.documents(spark, sfDir), 3).persist()
+      time("cold persist+count")(tri.count())
+      time("cached count")(tri.count())
+      spark.stop(); return
+    }
+    time(s"$name run1")(SparkEntry.queries(name)(spark, sfDir).count())
+    time(s"$name run2")(SparkEntry.queries(name)(spark, sfDir).count())
+    if (args.contains("--explain"))
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    if (args.contains("--ngram")) {
+      import graft.ext.Dedup
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, sfDir)
+      val tri = Dedup.shingles(docs, 3).persist()
+      time("tri persist+count")(tri.count())
+      val freq = tri.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+      val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val w1 = Window.partitionBy(col("doc_id")).orderBy(col("f").asc, col("sh").asc)
+      val prefix = tri.join(freq, "sh").withColumn("rn", row_number().over(w1))
+        .join(sizes, "doc_id")
+        .filter(col("rn") <= col("n") - floor(lit(0.8) * col("n")) + 1)
+        .select(col("doc_id"), col("sh"))
+      time("prefix count")(println("prefix rows=" + prefix.count()))
+      val cands = prefix.as("a").join(prefix.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      time("cands count")(println("cands=" + cands.count()))
+    }
+    if (args.contains("--stages")) {
+      import graft.ext.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      val tri = time("shingles count")(Dedup.shingles(docs, 3))
+      time("shingles action")(tri.count())
+      val md = time("md5 pass build") {
+        tri.withColumn("m", concat(
+          md5(concat(lit("0|"), col("sh"))), md5(concat(lit("1|"), col("sh")))))
+      }
+      time("md5 pass action")(md.count())
+      val mh = md.groupBy(col("doc_id"))
+        .agg(min(conv(substring(col("m"), 1, 8), 16, 10).cast("long")).as("mh0"),
+          (1 until 8).map(s => min(conv(substring(col("m"), 8 * s + 1, 8), 16, 10)
+            .cast("long")).as(s"mh$s")): _*)
+      time("minhash agg action")(mh.count())
+    }
+    spark.stop()
+  }
+}
