@@ -163,6 +163,38 @@ object SparkEntry {
           bandWidth = 2, threshold = 0.5)
         .orderBy("d1", "d2")),
 
+    "silver_nearest" -> ((s, d) => {
+      // J12/F14: nearest-neighbor via cross join + window argmin with a
+      // deterministic tie-break (the reference notebook's nearest-station).
+      import org.apache.spark.sql.expressions.Window
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val w = Window.partitionBy(col("s_suppkey"))
+        .orderBy(col("d2").asc, col("c_custkey").asc)
+      sup.crossJoin(cust)
+        .withColumn("d2",
+          (col("s_acctbal") - col("c_acctbal")) * (col("s_acctbal") - col("c_acctbal")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("s_suppkey"), col("c_custkey").as("nearest_custkey"), col("d2"))
+        .orderBy("s_suppkey")
+    }),
+
+    "bronze_domain_unnest" -> ((s, d) =>
+      // G3: literal-array unnest joined against observed counts, with a
+      // domain value absent from the data exercising the zero-fill path.
+      s.range(1).select(explode(array(
+          lit("click"), lit("error"), lit("purchase"), lit("refund"),
+          lit("signup"), lit("view"))).as("event_type"))
+        .join(Tables.events(s, d).groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n")),
+          Seq("event_type"), "left")
+        .select(col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type")),
+
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(Tables.embeddings(s, d), threshold = 0.42)
+        .orderBy("i", "j")),
+
     "sim_topk_bruteforce" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -608,6 +640,37 @@ object SparkEntry {
          |ORDER BY d1, d2""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
+
+    "silver_nearest" ->
+      """WITH x AS (
+        |  SELECT s.s_suppkey, c.c_custkey,
+        |         (s.s_acctbal - c.c_acctbal) * (s.s_acctbal - c.c_acctbal) AS d2
+        |  FROM supplier s CROSS JOIN customer c
+        |), r AS (
+        |  SELECT s_suppkey, c_custkey, d2,
+        |         row_number() OVER (PARTITION BY s_suppkey
+        |                            ORDER BY d2 ASC, c_custkey ASC) AS rn
+        |  FROM x
+        |)
+        |SELECT s_suppkey, c_custkey AS nearest_custkey, d2
+        |FROM r WHERE rn = 1 ORDER BY s_suppkey""".stripMargin,
+
+    "bronze_domain_unnest" ->
+      """WITH dom(event_type) AS (VALUES ('click'),('error'),('purchase'),
+        |                               ('refund'),('signup'),('view')),
+        |obs AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+        |SELECT d.event_type AS event_type, COALESCE(o.n, 0) AS n
+        |FROM dom d LEFT JOIN obs o ON o.event_type = d.event_type
+        |ORDER BY d.event_type""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |         ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |)
+         |SELECT i, j, sim FROM p WHERE sim >= 0.42
+         |ORDER BY i, j""".stripMargin,
 
     "sim_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

@@ -158,6 +158,22 @@ object Dedup {
     verifyJaccard(tri, sizes, cands, threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs — the exact pairwise kernel.
+    * One side is broadcast and streamed against the other with the fused
+    * native cosine expression; at warehouse scale this kernel runs per
+    * LSH bucket (see [[graft.ext.Similarity.lshTopK]]'s banding) rather
+    * than over the full cross product.
+    */
+  def embeddingCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("sim",
+        graft.functions.KeyColumns.cosine_native(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"), col("sim"))
+  }
+
   /** 16-bit SimHash per document from token 32-bit hashes (with
     * multiplicity): bit b of the signature is the sign of
     * Σ_tokens (±1 by token-hash bit b). One explode + one aggregation.

@@ -89,3 +89,21 @@ object KeyColumns {
       "cosine_native", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
   }
 }
+
+/** SparkSessionExtensions entry point so the expressions are available in
+  * every session built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), including pure-SQL users.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("signed_md5_long"),
+      new ExpressionInfo(classOf[SignedMd5Long].getName, "signed_md5_long"),
+      (exprs: Seq[Expression]) => SignedMd5Long(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("cosine_native"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_native"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.plans
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.gold.Gold
+import graft.silver.Silver
+
+/** End-to-end orchestration — the reference's transactional ETL procedure
+  * and mart-refresh DAG (/root/reference
+  * include/sql/silver/silver_load.sql:285-308, dags/gold_dag.py:33-70)
+  * restated for an immutable-files warehouse:
+  *
+  *  - Postgres gave the reference one transaction around the five silver
+  *    steps; Spark+parquet has no cross-table transactions, so atomicity
+  *    becomes STAGE-THEN-PROMOTE: every table is written to a staging
+  *    directory and moved into place only after the whole batch succeeds.
+  *    A failed run leaves the live warehouse untouched (same all-or-
+  *    nothing observable behavior as the reference's rollback).
+  *  - The four gold marts are independent, exactly like the reference's
+  *    parallel refresh fan-out — they're submitted as concurrent jobs on
+  *    the shared SparkSession (Spark's scheduler interleaves stages).
+  */
+object Pipeline {
+
+  /** Build all silver + gold tables from the source dir and atomically
+    * promote them under `warehouseDir`. Returns table names written.
+    */
+  def runFullEtl(spark: SparkSession, srcDir: String, warehouseDir: String): Seq[String] = {
+    val nation = Tables.nation(spark, srcDir)
+    val region = Tables.region(spark, srcDir)
+    val customer = Tables.customer(spark, srcDir)
+    val supplier = Tables.supplier(spark, srcDir)
+    val orders = Tables.orders(spark, srcDir)
+    val lineitem = Tables.lineitem(spark, srcDir)
+
+    val dimDate = Silver.dimDate(orders, lineitem)
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "dim_station" -> Silver.dimStation(nation, region, customer, supplier),
+      "dim_user" -> Silver.dimUser(customer, orders),
+      "dim_date" -> dimDate,
+      "fact_trips" -> Silver.factTrips(lineitem, orders, customer, supplier),
+      "dm_daily_trip_summary" -> Gold.dailyTripSummary(lineitem, orders, dimDate),
+      "dm_station_popularity" ->
+        Gold.stationPopularity(lineitem, orders, customer, supplier, nation),
+      "dm_popular_routes" ->
+        Gold.popularRoutes(lineitem, orders, customer, supplier, nation),
+      "dm_user_behavior" -> Gold.userBehavior(orders, customer))
+
+    val staging = Paths.get(warehouseDir, s".staging-${java.util.UUID.randomUUID}")
+    Files.createDirectories(staging)
+    try {
+      // independent writes run as concurrent jobs (the gold_dag fan-out);
+      // Spark's scheduler interleaves their stages on the shared session.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = tables.map { case (name, df) =>
+        Future(df.write.mode("overwrite").parquet(staging.resolve(name).toString))
+      }
+      Await.result(Future.sequence(writes), Duration.Inf)
+      // promote: move each staged table over the live one. Directory moves
+      // are the atomicity unit (per-table atomic, batch-ordered dims→fact→
+      // marts so readers never see a fact without its dims).
+      tables.map(_._1).foreach { name =>
+        val live = Paths.get(warehouseDir, name)
+        deleteRecursively(live)
+        Files.move(staging.resolve(name), live, StandardCopyOption.ATOMIC_MOVE)
+      }
+      tables.map(_._1)
+    } finally deleteRecursively(staging)
+  }
+
+  /** S8: recompute-and-overwrite mart refresh (`REFRESH MATERIALIZED
+    * VIEW` semantics) for one mart by name.
+    */
+  def refreshMart(spark: SparkSession, srcDir: String, warehouseDir: String,
+                  mart: String): Unit = {
+    val df = mart match {
+      case "dm_daily_trip_summary" =>
+        Gold.dailyTripSummary(Tables.lineitem(spark, srcDir), Tables.orders(spark, srcDir),
+          Silver.dimDate(Tables.orders(spark, srcDir), Tables.lineitem(spark, srcDir)))
+      case "dm_station_popularity" =>
+        Gold.stationPopularity(Tables.lineitem(spark, srcDir), Tables.orders(spark, srcDir),
+          Tables.customer(spark, srcDir), Tables.supplier(spark, srcDir),
+          Tables.nation(spark, srcDir))
+      case "dm_popular_routes" =>
+        Gold.popularRoutes(Tables.lineitem(spark, srcDir), Tables.orders(spark, srcDir),
+          Tables.customer(spark, srcDir), Tables.supplier(spark, srcDir),
+          Tables.nation(spark, srcDir))
+      case "dm_user_behavior" =>
+        Gold.userBehavior(Tables.orders(spark, srcDir), Tables.customer(spark, srcDir))
+      case other => throw new IllegalArgumentException(s"unknown mart: $other")
+    }
+    df.write.mode("overwrite").parquet(s"$warehouseDir/$mart")
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.Pipeline
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("full ETL stages then promotes all silver+gold tables atomically") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val written = Pipeline.runFullEtl(spark, sfDir, wh)
+    assert(written.size === 8)
+    written.foreach { t =>
+      assert(spark.read.parquet(s"$wh/$t").count() > 0, s"$t is empty")
+    }
+    // no staging residue after promotion
+    assert(!new java.io.File(wh).listFiles().exists(_.getName.startsWith(".staging")))
+    // re-running (the reference's idempotent re-run) fully replaces tables
+    val counts1 = written.map(t => t -> spark.read.parquet(s"$wh/$t").count()).toMap
+    Pipeline.runFullEtl(spark, sfDir, wh)
+    written.foreach { t =>
+      assert(spark.read.parquet(s"$wh/$t").count() === counts1(t), s"$t changed on rerun")
+    }
+  }
+
+  test("single-mart refresh matches the pipeline's version") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh2").toString
+    Pipeline.refreshMart(spark, sfDir, wh, "dm_station_popularity")
+    val refreshed = spark.read.parquet(s"$wh/dm_station_popularity")
+    val direct = graft.gold.Gold.stationPopularity(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir))
+    assert(refreshed.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(refreshed).count() === 0)
+    intercept[IllegalArgumentException] {
+      Pipeline.refreshMart(spark, sfDir, wh, "nope")
+    }
+  }
+
+  test("GraftExtensions makes the native functions SQL-visible in a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    spark // force shared session init first
+    // getOrCreate would hand back the shared session (and silently skip
+    // extension injection) — detach it so a genuinely new session with
+    // the extensions applied is built on the same SparkContext.
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val k = s2.sql("SELECT signed_md5_long('station|3') AS k").head().getLong(0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest("station|3".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(k === java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16))
+      val c = s2.sql(
+        "SELECT cosine_native(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+          "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+}
