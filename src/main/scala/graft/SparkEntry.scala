@@ -540,11 +540,12 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     "text_token_stats" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)
         |SELECT doc_id,
         |  CAST(len(l) AS INTEGER) AS n_tokens,
         |  CAST(len(list_distinct(l)) AS INTEGER) AS n_distinct_tokens,
         |  CAST(list_sum(list_transform(l, x -> length(x))) AS INTEGER) AS sum_tok_len,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER) AS n_subword_tokens,
         |  CAST(CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) AS DOUBLE)
         |    / CAST(len(l) AS DOUBLE) AS avg_tok_len
         |FROM t ORDER BY doc_id""".stripMargin,

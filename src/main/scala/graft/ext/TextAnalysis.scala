@@ -29,7 +29,11 @@ object TextAnalysis {
       size(array_distinct(toks)).as("n_distinct_tokens"),
       // Σ token lengths ≡ non-delimiter chars — codegen'd `replace`
       // instead of an interpreted aggregate(transform(...)) lambda.
-      length(regexp_replace(col("text"), " ", "")).as("sum_tok_len"))
+      length(regexp_replace(col("text"), " ", "")).as("sum_tok_len"),
+      // BPE-ish subword count: greedy fixed-width chunks, the regex
+      // analog of byte-pair segment counting (engine-portable pattern).
+      size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+        .as("n_subword_tokens"))
       .withColumn("avg_tok_len",
         col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
 

@@ -45,6 +45,16 @@ class IncrementalUpsertSpec extends AnyFunSuite {
     cleaned.unpersist()
   }
 
+  test("append sink accumulates batches with an ingest audit column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val batch = events.limit(100)
+    Bronze.appendSink(batch, dir)
+    Bronze.appendSink(batch, dir)
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 200)
+    assert(out.columns.contains("created_at"))
+  }
+
   test("csv scan derives the period column from the file name") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
     val f = new java.io.File(dir, "201801-trips.csv")
