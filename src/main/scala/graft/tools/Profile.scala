@@ -25,6 +25,24 @@ object Profile {
     }
     // warm the JVM/codegen with a trivial job first
     time("warmup")(spark.range(1000000).selectExpr("sum(id)").collect())
+    if (args.contains("--scaleops")) {
+      import graft.operators.ScaleOps
+      val li = Tables.lineitem(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      val plain = li.join(o, Seq("l_orderkey")).count()
+      val salted = ScaleOps.saltedJoin(li, o, Seq("l_orderkey"), salt = 7).count()
+      println(s"[profile] plain=$plain salted=$salted equal=${plain == salted}")
+      ScaleOps.writeBucketed(li.select("l_orderkey", "l_quantity"),
+        "li_b", Seq("l_orderkey"), 8)
+      ScaleOps.writeBucketed(Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_totalprice"), "o_b", Seq("o_orderkey"), 8)
+      val j = ScaleOps.readTable(spark, "li_b")
+        .join(ScaleOps.readTable(spark, "o_b"), col("l_orderkey") === col("o_orderkey"))
+      println("[profile] bucketed rows=" + j.count())
+      j.explain("formatted")
+      spark.stop(); return
+    }
     if (args.contains("--cachecold")) {
       val tri = graft.ext.Dedup.shingles(Tables.documents(spark, sfDir), 3).persist()
       time("cold persist+count")(tri.count())

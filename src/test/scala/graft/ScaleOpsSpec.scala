@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ScaleOps
+
+class ScaleOpsSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("salted join is semantically identical to the plain join") {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = ScaleOps.saltedJoin(li, o, Seq("l_orderkey"), salt = 7)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("bucketed tables join without a shuffle on the bucket key") {
+    ScaleOps.writeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+      "li_bucketed", Seq("l_orderkey"), numBuckets = 8)
+    ScaleOps.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
+      "o_bucketed", Seq("o_orderkey"), numBuckets = 8)
+    // disable broadcast so the plan must be a sort-merge join — otherwise
+    // the planner broadcasts the small side and skips bucketed reading,
+    // and "no shuffle" would hold for the wrong reason.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.flatMap(Option(_)) // unset optional conf reads as null
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleOps.readTable(spark, "li_bucketed")
+        .join(ScaleOps.readTable(spark, "o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() === Tables.lineitem(spark, sfDir).count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans, got:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+}
