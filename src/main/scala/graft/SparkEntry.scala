@@ -217,6 +217,10 @@ object SparkEntry {
           Multimodal.asBinary(Tables.documents(s, d)))
         .orderBy("doc_id")),
 
+    "multimodal_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(Tables.documents(s, d), frameBytes = 16, stride = 4)
+        .orderBy("doc_id")),
+
     // batch/stream-agnostic transforms (graft.streaming) run here in
     // batch mode — identical code drives the AvailableNow streaming jobs.
     "stream_windowed_counts" -> ((s, d) =>
@@ -700,6 +704,12 @@ object SparkEntry {
         |  ascii(substr(text, 1, 1)) AS f0,
         |  ascii(substr(text, 2, 1)) AS f1,
         |  CAST(octet_length(encode(text)) % 256 AS INTEGER) AS f2
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST((octet_length(encode(text)) + 15) // 16 AS INTEGER) AS n_frames,
+        |  CAST((CAST((octet_length(encode(text)) + 15) // 16 AS INTEGER) + 3) // 4 AS INTEGER) AS n_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "stream_windowed_counts" ->

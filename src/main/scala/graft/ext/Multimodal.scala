@@ -52,6 +52,26 @@ object Multimodal {
     StructField("f1", IntegerType, nullable = false),
     StructField("f2", IntegerType, nullable = false)))
 
+  /** Frame sampling over a binary "video" payload: treat the payload as
+    * fixed-width frames and keep every `stride`-th one. The chunking and
+    * batch shape are the real pattern; a codec would replace the
+    * byte-slicing. Pure per-row projection — no shuffle.
+    */
+  def frameSample(docs: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    asBinary(docs).select(
+      col("doc_id"),
+      (octet_length(col("payload")) + frameBytes - 1)
+        .divide(frameBytes).cast("int").as("n_frames"))
+      .withColumn("n_sampled",
+        ((col("n_frames") + stride - 1) / stride).cast("int"))
+
+  /** Resize stub: a real build calls an image library per partition; the
+    * deterministic stand-in re-chunks bytes to the target "dimensions"
+    * and records the transform in metadata.
+    */
+  def fakeResize(payload: Array[Byte], targetLen: Int): Array[Byte] =
+    java.util.Arrays.copyOf(payload, targetLen)
+
   /** Decode/feature-extract over binary payloads. mapPartitions keeps
     * decoder initialization per-partition (NOT per-row) and processes an
     * iterator — the exact shape a native decoder or an inference batch

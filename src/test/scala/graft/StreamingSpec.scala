@@ -49,6 +49,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size - streamed.size === users)
   }
 
+  test("watermark finalizes windows and drops late data in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = Streams.windowedCounts(ms.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      // two events inside hour 10
+      ms.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:40:00"), "click", 2.0))
+      q.processAllAvailable()
+      // far-future event pushes the watermark past hour 10 → it finalizes
+      ms.addData((ts("2024-01-01 13:00:00"), "click", 3.0))
+      q.processAllAvailable()
+      // a LATE hour-10 event arrives after finalization → dropped
+      ms.addData((ts("2024-01-01 10:50:00"), "click", 9.0))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 16:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      val hour10 = spark.table("wm_out")
+        .filter(col("window_start") === to_timestamp(lit("2024-01-01 10:00:00")))
+        .collect()
+      assert(hour10.length === 1)
+      assert(hour10.head.getAs[Long]("n_events") === 2) // late row NOT counted
+      assert(hour10.head.getAs[Long]("value_cents") === 300)
+    } finally q.stop()
+  }
+
   test("windowed counts in batch mode: totals reconcile with raw events") {
     val ev = Tables.events(spark, sfDir)
     val agg = Streams.windowedCounts(ev)
