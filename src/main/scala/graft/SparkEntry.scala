@@ -145,6 +145,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
 
+    "text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
+        .orderBy("doc_id", "rnk")),
+
     "text_langid" -> ((s, d) =>
       TextAnalysis.languageId(s, Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -167,8 +171,12 @@ object SparkEntry {
       // J12/F14: nearest-neighbor via cross join + window argmin with a
       // deterministic tie-break (the reference notebook's nearest-station).
       import org.apache.spark.sql.expressions.Window
+      // spread the STREAMED side: the planner broadcasts the smaller
+      // supplier relation, so the cross join's parallelism is the
+      // customer scan's — and single-row-group files give one task.
       val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
-      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val cust = Tables.spread(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")))
       val w = Window.partitionBy(col("s_suppkey"))
         .orderBy(col("d2").asc, col("c_custkey").asc)
       sup.crossJoin(cust)
@@ -610,6 +618,28 @@ object SparkEntry {
          |  hits AS best_hits
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
+
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY 1),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.token,
+        |         (CAST(t.tf AS DOUBLE)/CAST(dl.doc_len AS DOUBLE)) *
+        |         (CAST(n.n_docs AS DOUBLE)/CAST(df.df AS DOUBLE)) AS score
+        |  FROM tf t JOIN dl ON dl.doc_id = t.doc_id
+        |  JOIN df ON df.token = t.token CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, token, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, token ASC) AS rnk
+        |  FROM scored
+        |)
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, token, score
+        |FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     "text_simhash" -> simhashOracle,
 

@@ -71,6 +71,29 @@ object TextAnalysis {
         col("stopword_ratio") * lit(0.5) + col("diversity") * lit(0.5))
   }
 
+  /** TF-IDF-style salient terms per document: tf = in-doc frequency,
+    * idf = N/df (rational inverse document frequency — no logarithm, so
+    * every score is a fixed sequence of exact-int IEEE divisions and one
+    * multiply, bit-identical across engines). Top-k per doc by score with
+    * a deterministic tie-break. One token explode + two aggregations +
+    * one broadcast-sized join — the join+agg tf-idf shape at any scale.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val docLen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_len"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docLen, "doc_id").join(df, "token").crossJoin(n)
+      .withColumn("score",
+        (col("tf").cast("double") / col("doc_len").cast("double")) *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("token"), col("score"))
+  }
+
   /** Normalized-content fingerprint: lowercase, collapse whitespace,
     * trim, md5. Identical normalization is SQL-expressible in any engine,
     * making the fingerprint portable across systems.
