@@ -45,6 +45,28 @@ class IncrementalUpsertSpec extends AnyFunSuite {
     cleaned.unpersist()
   }
 
+  test("geocode JSON parses through the declared StructType (from_json showcase)") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"place_id": 42, "display_name": "Main St, Emeryville",
+        | "address": {"road": "Main St", "city": "Emeryville",
+        |             "state": "California", "postcode": "94608",
+        |             "country": "USA"}}""".stripMargin.replace("\n", ""),
+      """{"place_id": 7, "display_name": "Elsewhere", "address": {"state": "Nevada"}}"""
+    ).toDF("json")
+    val parsed = raw.select(
+      from_json(col("json"), Enrich.geocodeJsonSchema).as("g"))
+      .select(col("g.place_id"), col("g.address.city").as("city"),
+        col("g.address.state").as("state"))
+    val rows = parsed.collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(42L, 7L))
+    assert(rows.find(_.getLong(0) == 42L).get.getString(1) === "Emeryville")
+    assert(rows.find(_.getLong(0) == 7L).get.getString(2) === "Nevada")
+    // P4 default path: null city coalesces to the reference default
+    val filled = parsed.select(coalesce(col("city"), lit("Emeryville")).as("c"))
+    assert(filled.filter(col("c").isNull).count() === 0)
+  }
+
   test("append sink accumulates batches with an ingest audit column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/bronze"
     val batch = events.limit(100)
