@@ -85,6 +85,23 @@ object SparkEntry {
           Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))
         .orderBy("route_id")),
 
+    "gold_hourly_summary" -> ((s, d) =>
+      // the reference mart's hour dimension (gold_ddl.sql:13 EXTRACT hour)
+      // plus the TIME-of-day representation decided in SURVEY §7:
+      // seconds since midnight as an int.
+      Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .withColumn("start_hour", hour(col("ts")))
+        .withColumn("tod_sec",
+          hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts")))
+        .groupBy(col("event_date"), col("start_hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tod_sec")).as("first_tod_sec"),
+          max(col("tod_sec")).as("last_tod_sec"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") /
+            lit(100.0)).as("total_value"))
+        .orderBy("event_date", "start_hour", "event_type")),
+
     "gold_user_behavior" -> ((s, d) =>
       Gold.userBehavior(Tables.orders(s, d), Tables.customer(s, d))
         .orderBy("c_mktsegment", "o_orderstatus", "order_age_years")),
@@ -475,6 +492,18 @@ object SparkEntry {
         |WHERE n1.n_name IS NOT NULL AND n2.n_name IS NOT NULL
         |GROUP BY n1.n_name, n2.n_name
         |ORDER BY route_id""".stripMargin,
+
+    "gold_hourly_summary" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  CAST(hour(ts) AS INTEGER) AS start_hour,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  CAST(min(hour(ts)*3600 + minute(ts)*60 + second(ts)) AS INTEGER) AS first_tod_sec,
+        |  CAST(max(hour(ts)*3600 + minute(ts)*60 + second(ts)) AS INTEGER) AS last_tod_sec,
+        |  CAST(CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_date, start_hour, event_type""".stripMargin,
 
     "gold_user_behavior" ->
       """SELECT c.c_mktsegment, o.o_orderstatus,
