@@ -254,6 +254,20 @@ object SparkEntry {
         .drop("window_start")
         .orderBy("window_start_ms", "event_type")),
 
+    "stream_asof_join" -> ((s, d) => {
+      // point-in-time join: each click picks up the user's most recent
+      // prior-or-equal purchase value (leakage-free feature join).
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("pid"), col("value"))
+      graft.operators.AsofJoin
+        .asofJoin(clicks, purchases, Seq("user_id"), "ts", "pid", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+
     "stream_sessionize" -> ((s, d) =>
       graft.streaming.Streams.sessionizeBatch(
           Tables.events(s, d).select(col("user_id"),
@@ -778,6 +792,30 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "stream_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id, ts, event_id AS pid, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), u AS (
+        |  SELECT user_id, ts, 0 AS is_right, CAST(NULL AS BIGINT) AS rid,
+        |         event_id, CAST(NULL AS DOUBLE) AS rv
+        |  FROM clicks
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, pid, NULL, value FROM purch
+        |), c AS (
+        |  SELECT user_id, event_id, is_right,
+        |         last_value(rv IGNORE NULLS) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY ts ASC, is_right DESC, rid ASC NULLS LAST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |  FROM u
+        |)
+        |SELECT event_id, user_id, asof_value
+        |FROM c WHERE is_right = 0
+        |ORDER BY event_id""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),

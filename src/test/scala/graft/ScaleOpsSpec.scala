@@ -18,6 +18,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("asof join attaches the latest prior-or-equal right value per key") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // before any right row
+      (2L, 10L, ts("2024-01-01 12:00:00")),  // after r1
+      (3L, 10L, ts("2024-01-01 14:00:00")),  // equal-ts with r2 → includes it
+      (4L, 20L, ts("2024-01-01 12:00:00")))  // other key, no right rows
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 11:00:00"), 1.5),
+      (101L, 10L, ts("2024-01-01 14:00:00"), 2.5))
+      .toDF("pid", "user_id", "ts", "value")
+    val out = graft.operators.AsofJoin
+      .asofJoin(left, right, Seq("user_id"), "ts", "pid", Seq("value"))
+      .select("event_id", "asof_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === None)        // nothing at-or-before
+    assert(out(2L) === Some(1.5))   // r1 carried forward
+    assert(out(3L) === Some(2.5))   // equal timestamp matches (<=)
+    assert(out(4L) === None)        // key with no right side
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     ScaleOps.writeBucketed(
       Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
