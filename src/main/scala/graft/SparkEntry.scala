@@ -184,6 +184,26 @@ object SparkEntry {
           bandWidth = 2, threshold = 0.5)
         .orderBy("d1", "d2")),
 
+    "silver_range_join" -> ((s, d) => {
+      // range (interval) join: customers against generated account-balance
+      // bands. The theta-BETWEEN join is the general form; for uniform
+      // bands the scale path rewrites it to an equi-join on
+      // floor(acctbal/width) — same result, no nested loop. Both sides
+      // derive the band table from the data (A3-style global bounds).
+      val cust = Tables.customer(s, d)
+      val bounds = cust.agg(
+        floor(min(col("c_acctbal")) / 1000).cast("long").as("lo"),
+        floor(max(col("c_acctbal")) / 1000).cast("long").as("hi"))
+      val bands = bounds.select(explode(sequence(col("lo"), col("hi"))).as("band"))
+        .select(col("band"), (col("band") * 1000).cast("double").as("band_lo"),
+          ((col("band") + 1) * 1000).cast("double").as("band_hi"))
+      cust.join(broadcast(bands),
+          col("c_acctbal") >= col("band_lo") && col("c_acctbal") < col("band_hi"))
+        .groupBy(col("band"), col("band_lo"), col("band_hi"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("band")
+    }),
+
     "silver_nearest" -> ((s, d) => {
       // J12/F14: nearest-neighbor via cross join + window argmin with a
       // deterministic tie-break (the reference notebook's nearest-station).
@@ -718,6 +738,22 @@ object SparkEntry {
          |ORDER BY d1, d2""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
+
+    "silver_range_join" ->
+      """WITH bounds AS (
+        |  SELECT CAST(floor(min(c_acctbal)/1000) AS BIGINT) AS lo,
+        |         CAST(floor(max(c_acctbal)/1000) AS BIGINT) AS hi
+        |  FROM customer
+        |), bands AS (
+        |  SELECT band, CAST(band*1000 AS DOUBLE) AS band_lo,
+        |         CAST((band+1)*1000 AS DOUBLE) AS band_hi
+        |  FROM (SELECT unnest(generate_series(lo, hi)) AS band FROM bounds)
+        |)
+        |SELECT b.band, b.band_lo, b.band_hi, count(*) AS n_customers
+        |FROM customer c JOIN bands b
+        |  ON c.c_acctbal >= b.band_lo AND c.c_acctbal < b.band_hi
+        |GROUP BY 1, 2, 3
+        |ORDER BY band""".stripMargin,
 
     "silver_nearest" ->
       """WITH x AS (

