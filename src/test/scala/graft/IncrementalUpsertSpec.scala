@@ -77,6 +77,22 @@ class IncrementalUpsertSpec extends AnyFunSuite {
     assert(out.columns.contains("created_at"))
   }
 
+  test("partitioned sink enables partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/bronze"
+    Bronze.appendSink(events.select("event_id", "event_type", "value"), dir,
+      partitionCols = Seq("event_type"))
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val scan = pruned.queryExecution.executedPlan.toString
+    // the filter must prune partitions at the scan, not post-filter rows
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("isnotnull(event_type") || scan.contains("event_type#"),
+      s"expected partition filters in:\n$scan")
+    val expected = events.filter(col("event_type") === "purchase").count()
+    assert(pruned.count() === expected)
+    // directory layout is hive-partitioned
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("event_type=")))
+  }
+
   test("csv scan derives the period column from the file name") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
     val f = new java.io.File(dir, "201801-trips.csv")
