@@ -38,6 +38,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("registered views give a SQL-only user the whole star") {
+    val names = graft.plans.Views.register(spark, sfDir)
+    assert(names.size === 18)
+    // a reference-style SQL query straight against the mart view
+    val top = spark.sql(
+      """SELECT station_name, net_flow FROM dm_station_popularity
+        |ORDER BY net_flow DESC, station_name LIMIT 3""".stripMargin).collect()
+    assert(top.length === 3)
+    // silver + gold agree through SQL: mart total == fact row count
+    val factN = spark.sql("SELECT count(*) FROM fact_trips").head().getLong(0)
+    val martTrips = spark.sql(
+      "SELECT sum(total_trips) FROM dm_daily_trip_summary").head().getLong(0)
+    assert(martTrips === factN)
+    // custom function + view compose in one SQL statement
+    graft.functions.KeyColumns.register(spark)
+    val k = spark.sql(
+      "SELECT signed_md5_long(station_name) AS k FROM dm_station_popularity LIMIT 1")
+      .head().getLong(0)
+    assert(k != 0L)
+  }
+
   test("GraftExtensions makes the native functions SQL-visible in a fresh session") {
     import org.apache.spark.sql.SparkSession
     spark // force shared session init first
