@@ -837,19 +837,19 @@ object SparkEntry {
         |  WHERE event_type = 'purchase'
         |), u AS (
         |  SELECT user_id, ts, 0 AS is_right, CAST(NULL AS BIGINT) AS rid,
-        |         event_id, CAST(NULL AS DOUBLE) AS rv
+        |         event_id, CAST(NULL AS STRUCT(v DOUBLE)) AS rv
         |  FROM clicks
         |  UNION ALL
-        |  SELECT user_id, ts, 1, pid, NULL, value FROM purch
+        |  SELECT user_id, ts, 1, pid, NULL, struct_pack(v := value) FROM purch
         |), c AS (
         |  SELECT user_id, event_id, is_right,
         |         last_value(rv IGNORE NULLS) OVER (
         |           PARTITION BY user_id
         |           ORDER BY ts ASC, is_right DESC, rid ASC NULLS LAST
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
         |  FROM u
         |)
-        |SELECT event_id, user_id, asof_value
+        |SELECT event_id, user_id, carried.v AS asof_value
         |FROM c WHERE is_right = 0
         |ORDER BY event_id""".stripMargin,
 

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   *    oracle computes the identical pipeline), which also makes
   *    signatures stable across re-runs and clusters — a requirement for
   *    incremental dedup against an existing corpus.
+  *
+  * Caching note: the near-dup pipelines `persist()` the shingle table
+  * (reused 3-4× inside one job); the entry stays in the session cache
+  * keyed by its logical plan — identical re-invocations reuse it, and a
+  * long-lived session that moves to a new corpus should
+  * `spark.catalog.clearCache()` between corpora.
   */
 object Dedup {
 
@@ -40,7 +46,10 @@ object Dedup {
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.split(' ')
+        // limit -1 keeps trailing empty tokens — the semantics of Spark's
+        // split() and DuckDB's string_split (Scala's char-split drops
+        // them, which would diverge from the oracle on trailing spaces).
+        val t = text.split(" ", -1)
         if (t.length < w) Iterator.empty
         else t.sliding(w).map(s => (id, s.mkString(" "))).toSet.iterator
       }

@@ -37,14 +37,19 @@ object Multimodal {
       col("meta.source").as("source"),
       col("meta.n_chars").as("n_chars"))
 
-  /** Deterministic stand-in for a media decoder: first two payload bytes
-    * and the length mod 256. A real build replaces the body with an
-    * image/audio library call; signature and batching stay the same.
+  /** Deterministic stand-in for a media decoder: the first two Unicode
+    * code points of the decoded payload plus the byte length mod 256.
+    * Code points (not raw UTF-8 bytes) so the features match the SQL
+    * `ascii(substr(text, n, 1))` definition on any corpus, not just
+    * ASCII. A real build replaces the body with an image/audio library
+    * call; signature and batching stay the same.
     */
-  def fakeDecode(payload: Array[Byte]): (Int, Int, Int) =
-    (if (payload.length > 0) payload(0) & 0xff else -1,
-      if (payload.length > 1) payload(1) & 0xff else -1,
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    (if (s.length > 0) s.codePointAt(0) else 0,
+      if (s.length > 1) s.codePointAt(s.offsetByCodePoints(0, 1)) else 0,
       payload.length % 256)
+  }
 
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

@@ -87,9 +87,11 @@ object Similarity {
     * — that is the LSH trade; the oracle runs the identical pipeline.
     */
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              numPlanes: Int = 8, bandWidth: Int = 4): DataFrame = {
+              numPlanes: Int = 8, bandWidth: Int = 4, dim: Int = 64): DataFrame = {
     require(numPlanes % bandWidth == 0)
-    val dim = 64
+    // dim must equal the embedding length: a short plane row would make
+    // zip_with pad with nulls and collapse every signature to all-zero
+    // (one giant bucket — silent O(n²) degeneration).
     val planes = planeMatrix(numPlanes, dim)
     val nBands = numPlanes / bandWidth
 

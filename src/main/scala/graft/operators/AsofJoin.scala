@@ -32,27 +32,32 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, rightId: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // ALL right-side values travel in ONE struct so the carry is
+    // row-consistent: a right row whose valueCol happens to be null must
+    // still be "the latest row" — per-column ignoreNulls carries would
+    // stitch together a chimera of different right rows.
+    val rvType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy(name = c)))
     val tagged =
       left.select(
         (keys.map(col) :+ col(tsCol) :+ lit(0).as("_is_right") :+
           lit(null).cast("long").as("_rid")) ++
-          leftCols.filterNot(c => keys.contains(c) || c == tsCol).map(col) ++
-          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_rv_$c")): _*)
+          leftCols.filterNot(c => keys.contains(c) || c == tsCol).map(col) :+
+          lit(null).cast(rvType).as("_rv"): _*)
       .unionByName(
         right.select(
           (keys.map(col) :+ col(tsCol) :+ lit(1).as("_is_right") :+
-            col(rightId).cast("long").as("_rid")) ++
-            valueCols.map(c => col(c).as(s"_rv_$c")): _*),
+            col(rightId).cast("long").as("_rid")) :+
+            struct(valueCols.map(col): _*).as("_rv"): _*),
         allowMissingColumns = true)
     // right rows sort BEFORE left rows at an equal timestamp (<= policy),
     // and by rightId among themselves (largest-last wins the carry).
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("_is_right").desc, col("_rid").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_rv_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_is_right") === 0)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+    tagged.withColumn("_carried", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_is_right") === 0)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"_carried.$c").as(s"asof_$c")): _*)
   }
 }

@@ -28,6 +28,11 @@ object ScaleOps {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salt: Int, how: String = "inner"): DataFrame = {
     require(salt >= 1)
+    // right/full outer would surface each unmatched REPLICATED small row
+    // `salt` times — only probe-side-preserving joins are salt-safe.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(how.toLowerCase),
+      s"saltedJoin supports probe-side-preserving joins only, got: $how")
     val salted = big.withColumn("_salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(salt)).cast("int"))
     val replicated = small.withColumn("_salt",

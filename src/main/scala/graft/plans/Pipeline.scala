@@ -60,13 +60,22 @@ object Pipeline {
         Future(df.write.mode("overwrite").parquet(staging.resolve(name).toString))
       }
       Await.result(Future.sequence(writes), Duration.Inf)
-      // promote: move each staged table over the live one. Directory moves
-      // are the atomicity unit (per-table atomic, batch-ordered dims→fact→
-      // marts so readers never see a fact without its dims).
+      // promote: swap each staged table in. The live copy is moved ASIDE
+      // first (not deleted), so a crash mid-promotion leaves either the
+      // old or the new directory in place — never neither; the aside copy
+      // is removed only after the new one is in position.
       tables.map(_._1).foreach { name =>
         val live = Paths.get(warehouseDir, name)
-        deleteRecursively(live)
-        Files.move(staging.resolve(name), live, StandardCopyOption.ATOMIC_MOVE)
+        val aside = Paths.get(warehouseDir, s".old-$name-${java.util.UUID.randomUUID}")
+        val hadLive = Files.exists(live)
+        if (hadLive) Files.move(live, aside, StandardCopyOption.ATOMIC_MOVE)
+        try Files.move(staging.resolve(name), live, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case e: Throwable =>
+            if (hadLive) Files.move(aside, live, StandardCopyOption.ATOMIC_MOVE)
+            throw e
+        }
+        if (hadLive) deleteRecursively(aside)
       }
       tables.map(_._1)
     } finally deleteRecursively(staging)

@@ -36,15 +36,14 @@ object Views {
       "dim_user" -> Silver.dimUser(customer, orders),
       "dim_date" -> dimDate,
       "fact_trips" -> Silver.factTrips(lineitem, orders, customer, supplier))
+    val stationPop = Gold.stationPopularity(lineitem, orders, customer, supplier, nation)
     val gold = Seq(
       "dm_daily_trip_summary" -> Gold.dailyTripSummary(lineitem, orders, dimDate),
-      "dm_station_popularity" ->
-        Gold.stationPopularity(lineitem, orders, customer, supplier, nation),
+      "dm_station_popularity" -> stationPop,
       "dm_popular_routes" ->
         Gold.popularRoutes(lineitem, orders, customer, supplier, nation),
       "dm_user_behavior" -> Gold.userBehavior(orders, customer),
-      "v_station_popularity" -> Gold.stationPopularityView(
-        Gold.stationPopularity(lineitem, orders, customer, supplier, nation)))
+      "v_station_popularity" -> Gold.stationPopularityView(stationPop))
 
     val all = base ++ silver ++ gold
     all.foreach { case (name, df) => df.createOrReplaceTempView(name) }

@@ -55,10 +55,14 @@ object Streams {
   private case class SessionState(start_ms: Long, end_ms: Long, n: Int)
 
   /** Stateful sessionization: events for a user belong to one session
-    * while gaps stay under `gapMs`. flatMapGroupsWithState with
-    * processing-time timeout emits closed sessions; state is one small
-    * record per active user — the bounded-state shape that survives
-    * unbounded streams.
+    * while gaps stay under `gapMs`. Emits a session when a LATER event
+    * for the same user closes it; the trailing open session stays in
+    * state until the next batch for that user (by design for the
+    * AvailableNow scheduled-batch pattern — each run closes what the
+    * previous runs left open). State is one small record per active
+    * user — the bounded-state shape that survives unbounded streams.
+    * A deployment that must flush idle users adds an event-time timeout;
+    * batch backfill with identical semantics is [[sessionizeBatch]].
     */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._

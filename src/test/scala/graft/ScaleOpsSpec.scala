@@ -56,6 +56,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out(4L) === None)        // key with no right side
   }
 
+  test("asof join: the LATEST right row wins even when its value is null") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, ts("2024-01-01 15:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 11:00:00"), Some(1.5)),
+      (101L, 10L, ts("2024-01-01 14:00:00"), None: Option[Double])) // newer, null value
+      .toDF("pid", "user_id", "ts", "value")
+    val out = graft.operators.AsofJoin
+      .asofJoin(left, right, Seq("user_id"), "ts", "pid", Seq("value"))
+      .select("asof_value").head()
+    // point-in-time correctness: the t=14:00 ROW is attached (its value
+    // is null) — NOT the older non-null value (that would be leakage of
+    // a stale feature).
+    assert(out.isNullAt(0))
+  }
+
+  test("salted join rejects build-side-preserving join types") {
+    val df = Tables.supplier(spark, sfDir)
+    intercept[IllegalArgumentException] {
+      ScaleOps.saltedJoin(df, df, Seq("s_suppkey"), 4, how = "full_outer")
+    }
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     ScaleOps.writeBucketed(
       Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
