@@ -85,6 +85,35 @@ object SparkEntry {
           Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))
         .orderBy("route_id")),
 
+    "gold_rollup_summary" -> ((s, d) =>
+      // hierarchical totals beyond the reference surface: ROLLUP over
+      // (year, month) with grouping markers — subtotal rows null-fill the
+      // rolled-up keys, exactly as in ANSI SQL.
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          col("o_totalprice"))
+        .rollup(col("o_year"), col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          grouping(col("o_year")).cast("int").as("g_year"),
+          grouping(col("o_month")).cast("int").as("g_month"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") /
+            lit(100.0)).as("total_price"))
+        .orderBy(col("g_year"), col("g_month"),
+          col("o_year").asc_nulls_last, col("o_month").asc_nulls_last)),
+
+    "silver_set_ops" -> ((s, d) => {
+      // INTERSECT / EXCEPT (absent from the reference — completing the
+      // relational surface): customers with both pending and final
+      // orders, and customers with final but never pending.
+      val o = Tables.orders(s, d)
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      p.intersect(f).withColumn("tag", lit("both"))
+        .union(f.except(p).withColumn("tag", lit("f_only")))
+        .orderBy("tag", "o_custkey")
+    }),
+
     "gold_hourly_summary" -> ((s, d) =>
       // the reference mart's hour dimension (gold_ddl.sql:13 EXTRACT hour)
       // plus the TIME-of-day representation decided in SURVEY §7:
@@ -526,6 +555,25 @@ object SparkEntry {
         |WHERE n1.n_name IS NOT NULL AND n2.n_name IS NOT NULL
         |GROUP BY n1.n_name, n2.n_name
         |ORDER BY route_id""".stripMargin,
+
+    "gold_rollup_summary" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(grouping(year(o_orderdate)) AS INTEGER) AS g_year,
+        |  CAST(grouping(month(o_orderdate)) AS INTEGER) AS g_month,
+        |  CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+        |ORDER BY g_year, g_month, o_year NULLS LAST, o_month NULLS LAST""".stripMargin,
+
+    "silver_set_ops" ->
+      """WITH p AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'),
+        |f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM p INTERSECT SELECT o_custkey FROM f)
+        |UNION ALL
+        |SELECT o_custkey, 'f_only' AS tag FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM p)
+        |ORDER BY tag, o_custkey""".stripMargin,
 
     "gold_hourly_summary" ->
       """SELECT CAST(ts AS DATE) AS event_date,
