@@ -133,8 +133,8 @@ object Gold {
           count(lit(1)).cast("double")).as("avg_price"))
   }
 
-  /** Rename views (S9/P7, gold_ddl.sql:135-193): pure column-alias
-    * projections over a mart.
+  /** Rename views (S9/P7, gold_ddl.sql:135-193): the reference exposes
+    * each mart through a pure column-alias view; all four mirrored here.
     */
   def stationPopularityView(mart: DataFrame): DataFrame =
     mart.select(
@@ -144,4 +144,34 @@ object Gold {
       col("trips_ended").as("arrivals"),
       col("net_flow").as("flow"),
       col("total_trips").as("traffic"))
+
+  def dailySummaryView(mart: DataFrame): DataFrame =
+    mart.select(
+      col("cal_date").as("trip_date"),
+      col("year").as("trip_year"),
+      col("month_name").as("month"),
+      col("day_name").as("weekday"),
+      col("is_weekend").as("weekend"),
+      col("total_trips").as("trips"),
+      col("total_qty").as("quantity"),
+      col("avg_qty").as("avg_quantity"),
+      col("unique_bikes").as("distinct_bikes"),
+      col("avg_price").as("avg_trip_price"))
+
+  def popularRoutesView(mart: DataFrame): DataFrame =
+    mart.select(
+      col("route_id").as("route"),
+      col("start_station").as("origin"),
+      col("end_station").as("destination"),
+      col("trip_count").as("trips"),
+      col("avg_duration_days").as("avg_days"))
+
+  def userBehaviorView(mart: DataFrame): DataFrame =
+    mart.select(
+      col("c_mktsegment").as("segment"),
+      col("o_orderstatus").as("status"),
+      col("order_age_years").as("age_years"),
+      col("total_orders").as("orders"),
+      col("total_price").as("revenue"),
+      col("avg_price").as("avg_order_value"))
 }
