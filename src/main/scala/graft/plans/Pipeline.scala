@@ -21,6 +21,12 @@ import graft.silver.Silver
   *  - The four gold marts are independent, exactly like the reference's
   *    parallel refresh fan-out — they're submitted as concurrent jobs on
   *    the shared SparkSession (Spark's scheduler interleaves stages).
+  *
+  * The directory-move promotion here targets a filesystem warehouse
+  * (local/HDFS renames are atomic). On an object store, the same
+  * stage-then-promote protocol is expressed as a catalog pointer swap —
+  * write staging prefixes, then update each table's location in the
+  * metastore — or delegated to a table format's transactional commit.
   */
 object Pipeline {
 

@@ -50,6 +50,14 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start(outDir)
 
+  /** Streaming ingest dedup — the streaming form of the reference's
+    * at-least-once idempotency (`ON CONFLICT DO NOTHING`): duplicate ids
+    * arriving within the watermark horizon are dropped exactly once
+    * across micro-batches; state is bounded by the watermark.
+    */
+  def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates(idCol, "ts")
+
   case class SessionEvent(user_id: Long, ts_ms: Long)
   case class UserSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
   private case class SessionState(start_ms: Long, end_ms: Long, n: Int)

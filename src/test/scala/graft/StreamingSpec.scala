@@ -79,6 +79,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate ids across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = Streams.dedupStream(
+        ms.toDF().toDF("event_id", "ts", "value"), "event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:01:00"), 2.0),
+        (1L, ts("2024-01-01 10:00:00"), 1.0)) // dup within the batch
+      q.processAllAvailable()
+      ms.addData((1L, ts("2024-01-01 10:00:00"), 1.0), // dup across batches
+        (3L, ts("2024-01-01 10:02:00"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L)) // each id exactly once
+    } finally q.stop()
+  }
+
   test("windowed counts in batch mode: totals reconcile with raw events") {
     val ev = Tables.events(spark, sfDir)
     val agg = Streams.windowedCounts(ev)
