@@ -50,20 +50,31 @@ object Tables {
     * for operators that must run inside the scan stage (e.g.
     * `input_file_name()`, which returns '' after any exchange).
     */
-  def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+  def eventsRaw(s: SparkSession, d: String): DataFrame =
+    loadEventsNanos(s, d)
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
 
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spread(load(s, d, "events"))
+  def events(s: SparkSession, d: String): DataFrame =
+    spread(loadEventsNanos(s, d))
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+
+  /** The nanos-as-long switch must be set at SESSION CONSTRUCTION
+    * (`.config("spark.sql.legacy.parquet.nanosAsLong", "true")` — all of
+    * Bench/Verify/Profile/SparkTestBase do). It cannot be scoped to one
+    * read: a read option survives schema inference but the parquet scan
+    * re-reads the session conf per task, and mutating the session conf
+    * inside a loader would silently flip every later TIMESTAMP(NANOS)
+    * read in the session — so this fails fast instead of mutating.
+    */
+  private def loadEventsNanos(s: SparkSession, d: String): DataFrame = {
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet stores TIMESTAMP(NANOS): build the session with " +
+        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
+    load(s, d, "events")
   }
   // documents/embeddings feed interpreted higher-order expressions
   // (lambdas are not codegen'd) — parallelism matters more than the tiny

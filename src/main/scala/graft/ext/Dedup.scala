@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   *    incremental dedup against an existing corpus.
   *
   * Caching note: the near-dup pipelines `persist()` the shingle table
-  * (reused 3-4× inside one job); the entry stays in the session cache
-  * keyed by its logical plan — identical re-invocations reuse it, and a
-  * long-lived session that moves to a new corpus should
-  * `spark.catalog.clearCache()` between corpora.
+  * (reused 3-4× inside one job), eagerly materialize the (small) result
+  * with a lineage-truncating local checkpoint, and `unpersist()` the
+  * shingle cache before returning — a long-lived session running many
+  * corpora accumulates nothing.
   */
 object Dedup {
 
@@ -83,6 +83,14 @@ object Dedup {
     // materialized once, reused by ranking, sizing and verification
     // (at warehouse scale: a staging table).
     val tri = shingles(docs, w).persist()
+    // the pair result is tiny next to the shingle table: eagerly
+    // materialize it (lineage-truncating, so later actions never re-run
+    // the pipeline), then drop the shingle cache before returning.
+    try ngramJaccardOn(tri, threshold).localCheckpoint(eager = true)
+    finally tri.unpersist(blocking = false)
+  }
+
+  private def ngramJaccardOn(tri: DataFrame, threshold: Double): DataFrame = {
     val freq = tri.groupBy(col("sh")).agg(count(lit(1)).as("f"))
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val w1 = org.apache.spark.sql.expressions.Window
@@ -136,6 +144,12 @@ object Dedup {
     require(numHashes % bandWidth == 0, "bands must tile the signature")
     require(numHashes <= 8, "8 32-bit hashes per two md5 digests")
     val tri = shingles(docs, w).persist()
+    try minhashLshOn(tri, numHashes, bandWidth, threshold).localCheckpoint(eager = true)
+    finally tri.unpersist(blocking = false)
+  }
+
+  private def minhashLshOn(tri: DataFrame, numHashes: Int,
+                           bandWidth: Int, threshold: Double): DataFrame = {
     // TWO md5 digests per shingle yield eight 32-bit hash functions
     // (chunked substrings) — 4× fewer digest computations than one md5
     // per hash function, with the same independence for min-hashing.
@@ -167,11 +181,36 @@ object Dedup {
     verifyJaccard(tri, sizes, cands, threshold)
   }
 
-  /** Embedding-cosine near-duplicate pairs — the exact pairwise kernel.
-    * One side is broadcast and streamed against the other with the fused
-    * native cosine expression; at warehouse scale this kernel runs per
-    * LSH bucket (see [[graft.ext.Similarity.lshTopK]]'s banding) rather
-    * than over the full cross product.
+  /** Embedding-cosine near-duplicate pairs over LSH buckets — the scale
+    * path: [[graft.ext.Similarity.withBandKeys]] buckets the corpus by
+    * hyperplane-signature bands, candidate pairs come from a shuffled
+    * equi-join on (band, bkey) — never a cross product — and the fused
+    * native cosine scores candidates only. Recall < 1 by LSH design
+    * (band layout trades recall for bucket volume); within-recall results
+    * are exact because the kernel is the true cosine, not the signature.
+    */
+  def embeddingCosinePairsLsh(emb: DataFrame, threshold: Double,
+                              numPlanes: Int = 8, bandWidth: Int = 2,
+                              dim: Int = 64): DataFrame = {
+    val banded = Similarity.withBandKeys(emb, "vid", numPlanes, bandWidth, dim)
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("i"), col("x.embedding").as("ea"),
+        col("y.vid").as("j"), col("y.embedding").as("eb"))
+      .dropDuplicates("i", "j")
+    cands
+      .withColumn("sim",
+        graft.functions.KeyColumns.cosine_native(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"), col("sim"))
+  }
+
+  /** Embedding-cosine pairs, exhaustively — the VERIFICATION kernel only:
+    * an all-pairs theta join whose cost is O(n²). It exists to measure
+    * [[embeddingCosinePairsLsh]]'s recall on samples; the bucketed form
+    * is the production path.
     */
   def embeddingCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))

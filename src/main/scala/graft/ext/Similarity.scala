@@ -86,31 +86,47 @@ object Similarity {
     * query; exact cosine re-rank within candidates. Recall < 1 by design
     * — that is the LSH trade; the oracle runs the identical pipeline.
     */
-  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              numPlanes: Int = 8, bandWidth: Int = 4, dim: Int = 64): DataFrame = {
-    require(numPlanes % bandWidth == 0)
-    // dim must equal the embedding length: a short plane row would make
-    // zip_with pad with nulls and collapse every signature to all-zero
-    // (one giant bucket — silent O(n²) degeneration).
+  /** dim must equal the actual embedding length: a short plane row makes
+    * zip_with pad with nulls, every dot product null, every signature bit
+    * 0 — all vectors collapse into ONE bucket and the join silently
+    * degenerates to O(n²). Checked against the data (one-row probe), not
+    * left to a comment.
+    */
+  private[ext] def requireDim(df: DataFrame, dim: Int): Unit = {
+    val actual = df.select(size(col("embedding"))).head().getInt(0)
+    require(actual == dim,
+      s"embedding length is $actual but the plane matrix is built for $dim " +
+        "— pass dim=<actual length> or the LSH signature degenerates")
+  }
+
+  /** Band the rows of an embedding table: one output row per (vector,
+    * band) with the band's signature key — the shared bucketing step of
+    * [[lshTopK]] and [[graft.ext.Dedup.embeddingCosinePairsLsh]].
+    * Output columns: (<idCol>, embedding, band, bkey).
+    */
+  def withBandKeys(df: DataFrame, idCol: String, numPlanes: Int,
+                   bandWidth: Int, dim: Int): DataFrame = {
+    require(numPlanes % bandWidth == 0, "bands must tile the signature")
+    requireDim(df, dim)
     val planes = planeMatrix(numPlanes, dim)
     val nBands = numPlanes / bandWidth
-
-    def withBands(df: DataFrame, idCol: String): DataFrame = {
-      val bits = signBits(col("embedding"), planes)
-      val bandStructs = (0 until nBands).map { b =>
-        val key = concat_ws(",",
-          (0 until bandWidth).map(r => bits(b * bandWidth + r)): _*)
-        struct(lit(b).as("band"), key.as("bkey"))
-      }
-      df.select(col("vec_id").as(idCol), col("embedding"),
-        explode(array(bandStructs: _*)).as("bk"))
-        .select(col(idCol), col("embedding"),
-          col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val bits = signBits(col("embedding"), planes)
+    val bandStructs = (0 until nBands).map { b =>
+      val key = concat_ws(",",
+        (0 until bandWidth).map(r => bits(b * bandWidth + r)): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
     }
+    df.select(col("vec_id").as(idCol), col("embedding"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("embedding"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
 
-    val qb = withBands(queries, "qid")
+  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              numPlanes: Int = 8, bandWidth: Int = 4, dim: Int = 64): DataFrame = {
+    val qb = withBandKeys(queries, "qid", numPlanes, bandWidth, dim)
       .withColumnRenamed("embedding", "qe")
-    val cb = withBands(emb, "cid")
+    val cb = withBandKeys(emb, "cid", numPlanes, bandWidth, dim)
       .withColumnRenamed("embedding", "ce")
     val cands = qb.join(cb, Seq("band", "bkey"))
       .filter(col("qid") =!= col("cid"))

@@ -17,8 +17,16 @@ object KeyFunctions {
     * SIGNED big-endian 64-bit value. Spark's `conv(...,16,10)` cannot
     * express this (it saturates unsigned); this one-liner can.
     */
+  // MessageDigest instances are reusable (digest() implies reset()) but not
+  // thread-safe; provider lookup per row is measurable on a key column, so
+  // each executor thread keeps one.
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def signedMd5Long(s: UTF8String): Long = {
-    val dig = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val dig = md5.get().digest(s.getBytes)
     java.nio.ByteBuffer.wrap(dig, 0, 8).getLong
   }
 

@@ -32,6 +32,10 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, rightId: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Tie-break in the right id's NATIVE type: casting to long would turn a
+    // string UUID id into null and make the equal-timestamp winner
+    // nondeterministic. Any orderable type works as-is.
+    val ridType = right.schema(rightId).dataType
     // ALL right-side values travel in ONE struct so the carry is
     // row-consistent: a right row whose valueCol happens to be null must
     // still be "the latest row" — per-column ignoreNulls carries would
@@ -41,13 +45,13 @@ object AsofJoin {
     val tagged =
       left.select(
         (keys.map(col) :+ col(tsCol) :+ lit(0).as("_is_right") :+
-          lit(null).cast("long").as("_rid")) ++
+          lit(null).cast(ridType).as("_rid")) ++
           leftCols.filterNot(c => keys.contains(c) || c == tsCol).map(col) :+
           lit(null).cast(rvType).as("_rv"): _*)
       .unionByName(
         right.select(
           (keys.map(col) :+ col(tsCol) :+ lit(1).as("_is_right") :+
-            col(rightId).cast("long").as("_rid")) :+
+            col(rightId).as("_rid")) :+
             struct(valueCols.map(col): _*).as("_rv"): _*),
         allowMissingColumns = true)
     // right rows sort BEFORE left rows at an equal timestamp (<= policy),

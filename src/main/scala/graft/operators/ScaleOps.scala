@@ -46,17 +46,21 @@ object ScaleOps {
     */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     numBuckets: Int): Unit = {
+    // a simple identifier only: anything with '/', '..', etc. could
+    // resolve outside the warehouse root below.
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"table must be a simple identifier: $table")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // an orphaned location (e.g. from a previous JVM whose in-memory
-    // catalog is gone) blocks CREATE TABLE — clear it.
-    val loc = java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (java.nio.file.Files.exists(loc)) {
-      java.nio.file.Files.walk(loc)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
-    }
+    // catalog is gone) blocks CREATE TABLE — clear it. Resolved through
+    // the Hadoop FileSystem API so hdfs:// and object-store warehouse
+    // URIs work identically to file://.
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -16,8 +16,12 @@ import graft.silver.Silver
   *    steps; Spark+parquet has no cross-table transactions, so atomicity
   *    becomes STAGE-THEN-PROMOTE: every table is written to a staging
   *    directory and moved into place only after the whole batch succeeds.
-  *    A failed run leaves the live warehouse untouched (same all-or-
-  *    nothing observable behavior as the reference's rollback).
+  *    A failed run leaves the live warehouse untouched: a write failure
+  *    never reaches promotion, and a promotion failure rolls back every
+  *    table already swapped (asides are retained until the whole batch
+  *    lands). The remaining window is a hard process crash mid-promote,
+  *    which leaves `.old-*` aside directories for manual recovery —
+  *    closing that too takes a catalog pointer swap (below).
   *  - The four gold marts are independent, exactly like the reference's
   *    parallel refresh fan-out — they're submitted as concurrent jobs on
   *    the shared SparkSession (Spark's scheduler interleaves stages).
@@ -67,22 +71,37 @@ object Pipeline {
       }
       Await.result(Future.sequence(writes), Duration.Inf)
       // promote: swap each staged table in. The live copy is moved ASIDE
-      // first (not deleted), so a crash mid-promotion leaves either the
-      // old or the new directory in place — never neither; the aside copy
-      // is removed only after the new one is in position.
-      tables.map(_._1).foreach { name =>
-        val live = Paths.get(warehouseDir, name)
-        val aside = Paths.get(warehouseDir, s".old-$name-${java.util.UUID.randomUUID}")
-        val hadLive = Files.exists(live)
-        if (hadLive) Files.move(live, aside, StandardCopyOption.ATOMIC_MOVE)
-        try Files.move(staging.resolve(name), live, StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case e: Throwable =>
-            if (hadLive) Files.move(aside, live, StandardCopyOption.ATOMIC_MOVE)
-            throw e
+      // first (not deleted) and every aside is retained until the WHOLE
+      // batch has promoted — if any swap fails, all earlier promotions
+      // roll back from their asides, so observers never see a mixed
+      // warehouse (the reference's transaction-rollback behavior). Only
+      // after the last table is in place are the asides removed.
+      case class Promoted(live: Path, aside: Path, hadLive: Boolean)
+      val done = scala.collection.mutable.ListBuffer.empty[Promoted]
+      try {
+        tables.map(_._1).foreach { name =>
+          val live = Paths.get(warehouseDir, name)
+          val aside = Paths.get(warehouseDir, s".old-$name-${java.util.UUID.randomUUID}")
+          val hadLive = Files.exists(live)
+          if (hadLive) Files.move(live, aside, StandardCopyOption.ATOMIC_MOVE)
+          try Files.move(staging.resolve(name), live, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case e: Throwable =>
+              if (hadLive) Files.move(aside, live, StandardCopyOption.ATOMIC_MOVE)
+              throw e
+          }
+          done += Promoted(live, aside, hadLive)
         }
-        if (hadLive) deleteRecursively(aside)
+      } catch {
+        case e: Throwable =>
+          // restore every table promoted before the failure.
+          done.toList.reverse.foreach { p =>
+            deleteRecursively(p.live)
+            if (p.hadLive) Files.move(p.aside, p.live, StandardCopyOption.ATOMIC_MOVE)
+          }
+          throw e
       }
+      done.foreach(p => if (p.hadLive) deleteRecursively(p.aside))
       tables.map(_._1)
     } finally deleteRecursively(staging)
   }
