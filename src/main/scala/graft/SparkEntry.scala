@@ -141,6 +141,80 @@ object SparkEntry {
             Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d)))
         .orderBy("station_code")),
 
+    "gold_daily_view" -> ((s, d) =>
+      Gold.dailySummaryView(
+          Gold.dailyTripSummary(Tables.lineitem(s, d), Tables.orders(s, d),
+            Silver.dimDate(Tables.orders(s, d), Tables.lineitem(s, d))))
+        .orderBy("trip_date")),
+
+    "gold_routes_view" -> ((s, d) =>
+      Gold.popularRoutesView(
+          Gold.popularRoutes(Tables.lineitem(s, d), Tables.orders(s, d),
+            Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d)))
+        .orderBy("route")),
+
+    "gold_user_view" -> ((s, d) =>
+      Gold.userBehaviorView(
+          Gold.userBehavior(Tables.orders(s, d), Tables.customer(s, d)))
+        .orderBy("segment", "status", "age_years")),
+
+    "gold_daily_summary_warehouse" -> ((s, d) => {
+      // the same mart read off the PERSISTED star: bucketed fact sources
+      // (the l⋈o join runs shuffle-free) and a stored calendar instead of
+      // two per-refresh full-bounds scans. Same rows as gold_daily_summary.
+      val star = graft.plans.Warehouse.ensure(s, d)
+      Gold.dailyTripSummary(star.lineitem, star.orders, star.dimDate)
+        .orderBy("cal_date")
+    }),
+
+    "bronze_csv_ingest" -> ((s, d) => {
+      // S3/S5 end-to-end over a checked-in CSV fixture: header scan with
+      // an explicit schema (never inference — that is a full extra pass),
+      // filename-derived period column inside the scan stage, then the
+      // usual cents-exact aggregation. The DuckDB oracle reads the same
+      // files with read_csv(filename=true).
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("trip_id", LongType), StructField("station", StringType),
+        StructField("qty", IntegerType), StructField("price", DoubleType)))
+      Bronze.scanCsvWithPeriod(s, schema, "/root/repo/fixtures/trips_*.csv")
+        .groupBy(col("period"), col("station"))
+        .agg(count(lit(1)).as("n_trips"),
+          sum(col("qty")).cast("long").as("total_qty"),
+          (sum(round(col("price") * 100).cast("long")).cast("double") /
+            lit(100.0)).as("total_price"))
+        .orderBy("period", "station")
+    }),
+
+    "enrich_geocode_json" -> ((s, d) => {
+      // the reference's geocode table round trip (get_locations.py:71-107
+      // + silver_load.sql:42-44): raw JSON response per user → from_json
+      // struct → insert-if-absent against the already-geocoded set → the
+      // full dim joined back to an events aggregate.
+      val ev = Tables.events(s, d)
+      val users = ev.select(col("user_id")).distinct()
+      val code = (col("user_id") * lit(2654435761L)) % 97
+      val raw = users.withColumn("payload", concat(
+        lit("{\"place_id\": "), col("user_id"),
+        lit(", \"display_name\": \"geo_"), code,
+        lit("\", \"address\": {\"city\": \"city_"), code % 10,
+        lit("\", \"country\": \"country_"), code % 5,
+        lit("\"}}")))
+      val parsed = Enrich.parseGeocode(raw)
+      val existing = parsed.filter(col("user_id") % 3 === 0)
+      val inserted = Enrich.insertIfAbsent(parsed, existing, Seq("user_id"))
+      val dim = existing.unionByName(inserted)
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .join(dim, Seq("user_id"))
+        .select(col("user_id"), col("n_events"), col("geo_name"),
+          col("city"), col("country"))
+        .orderBy("user_id")
+    }),
+
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, d), threshold = 0.42)
+        .orderBy("i", "j")),
+
     "bronze_clean_events" -> ((s, d) =>
       Bronze.cleanEvents(Tables.events(s, d)).drop("ts")
         .orderBy("event_id")),
@@ -439,6 +513,84 @@ object SparkEntry {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Mart bodies without ORDER BY, shared by the mart oracle and its
+    * rename-view oracle (gold_ddl.sql:135-193 defines the views as pure
+    * column aliases over the marts).
+    */
+  private val dailySummaryCoreSql =
+    s"""WITH $dimDateSql,
+       |fact AS (
+       |  SELECT l.l_quantity, l.l_partkey, l.l_extendedprice,
+       |         CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + day(o.o_orderdate) AS INTEGER) AS start_date_id
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |)
+       |SELECT d.cal_date, d.year, d.month_name, d.day_name, d.is_weekend,
+       |  count(*) AS total_trips,
+       |  CAST(sum(f.l_quantity) AS BIGINT) AS total_qty,
+       |  sum(f.l_quantity)/count(*) AS avg_qty,
+       |  count(DISTINCT f.l_partkey) AS unique_bikes,
+       |  (CAST(CAST(sum(CAST(round(f.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE))/CAST(count(*) AS DOUBLE) AS avg_price
+       |FROM fact f JOIN dim_date d ON f.start_date_id = d.date_id
+       |GROUP BY 1,2,3,4,5""".stripMargin
+
+  private val popularRoutesCoreSql =
+    """SELECT n1.n_name || ' -> ' || n2.n_name AS route_id,
+      |  n1.n_name AS start_station, n2.n_name AS end_station,
+      |  count(*) AS trip_count,
+      |  CAST(sum(date_diff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_duration_days
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |LEFT JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |LEFT JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IS NOT NULL AND n2.n_name IS NOT NULL
+      |GROUP BY n1.n_name, n2.n_name""".stripMargin
+
+  private val userBehaviorCoreSql =
+    """SELECT c.c_mktsegment, o.o_orderstatus,
+      |  CAST(2002 - year(o.o_orderdate) AS INTEGER) AS order_age_years,
+      |  count(*) AS total_orders,
+      |  CAST(CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price,
+      |  (CAST(CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE))/CAST(count(*) AS DOUBLE) AS avg_price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** LSH-banded embedding dedup: 16 planes, 4 bands of 4 — identical
+    * constants to [[Dedup.embeddingCosinePairsLsh]]'s defaults.
+    */
+  private val embLshOracle: String = {
+    val planes = Similarity.planeMatrix(16, 64)
+    def planeLit(p: Int): String =
+      planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bitCols = (0 until 16).map { p =>
+      s"""    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+         |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])) >= 0
+         |      THEN 1 ELSE 0 END AS b$p""".stripMargin
+    }.mkString(",\n")
+    def bkey(bits: Seq[Int]) =
+      bits.map(b => s"CAST(b$b AS VARCHAR)").mkString(" || ',' || ")
+    val bandSelects = (0 until 4).map(b =>
+      s"  SELECT vec_id, embedding, $b AS band, ${bkey(b * 4 until (b + 1) * 4)} AS bkey FROM sig")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |$bitCols
+       |  FROM embeddings
+       |), banded AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.vec_id AS i, x.embedding AS ea,
+       |                  y.vec_id AS j, y.embedding AS eb
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+       |), p AS (
+       |  SELECT i, j, ${cosineSql("ea", "eb")} AS sim FROM cand
+       |)
+       |SELECT i, j, sim FROM p WHERE sim >= 0.42
+       |ORDER BY i, j""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "silver_dim_station" ->
       """WITH keys AS (
@@ -499,22 +651,17 @@ object SparkEntry {
         |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |ORDER BY trip_id""".stripMargin,
 
-    "gold_daily_summary" ->
-      s"""WITH $dimDateSql,
-         |fact AS (
-         |  SELECT l.l_quantity, l.l_partkey, l.l_extendedprice,
-         |         CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + day(o.o_orderdate) AS INTEGER) AS start_date_id
-         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |)
-         |SELECT d.cal_date, d.year, d.month_name, d.day_name, d.is_weekend,
-         |  count(*) AS total_trips,
-         |  CAST(sum(f.l_quantity) AS BIGINT) AS total_qty,
-         |  sum(f.l_quantity)/count(*) AS avg_qty,
-         |  count(DISTINCT f.l_partkey) AS unique_bikes,
-         |  (CAST(CAST(sum(CAST(round(f.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE))/CAST(count(*) AS DOUBLE) AS avg_price
-         |FROM fact f JOIN dim_date d ON f.start_date_id = d.date_id
-         |GROUP BY 1,2,3,4,5
-         |ORDER BY cal_date""".stripMargin,
+    "gold_daily_summary" -> s"$dailySummaryCoreSql\nORDER BY cal_date",
+
+    "gold_daily_summary_warehouse" -> s"$dailySummaryCoreSql\nORDER BY cal_date",
+
+    "gold_daily_view" ->
+      s"""SELECT cal_date AS trip_date, year AS trip_year, month_name AS month,
+         |  day_name AS weekday, is_weekend AS weekend, total_trips AS trips,
+         |  total_qty AS quantity, avg_qty AS avg_quantity,
+         |  unique_bikes AS distinct_bikes, avg_price AS avg_trip_price
+         |FROM ($dailySummaryCoreSql) v
+         |ORDER BY trip_date""".stripMargin,
 
     "gold_station_popularity" ->
       """WITH starts AS (
@@ -541,20 +688,14 @@ object SparkEntry {
         |WHERE n.n_name IS NOT NULL
         |ORDER BY nationkey""".stripMargin,
 
-    "gold_popular_routes" ->
-      """SELECT n1.n_name || ' -> ' || n2.n_name AS route_id,
-        |  n1.n_name AS start_station, n2.n_name AS end_station,
-        |  count(*) AS trip_count,
-        |  CAST(sum(date_diff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_duration_days
-        |FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |LEFT JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
-        |LEFT JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-        |WHERE n1.n_name IS NOT NULL AND n2.n_name IS NOT NULL
-        |GROUP BY n1.n_name, n2.n_name
-        |ORDER BY route_id""".stripMargin,
+    "gold_popular_routes" -> s"$popularRoutesCoreSql\nORDER BY route_id",
+
+    "gold_routes_view" ->
+      s"""SELECT route_id AS route, start_station AS origin,
+         |  end_station AS destination, trip_count AS trips,
+         |  avg_duration_days AS avg_days
+         |FROM ($popularRoutesCoreSql) v
+         |ORDER BY route""".stripMargin,
 
     "gold_rollup_summary" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
@@ -588,14 +729,14 @@ object SparkEntry {
         |ORDER BY event_date, start_hour, event_type""".stripMargin,
 
     "gold_user_behavior" ->
-      """SELECT c.c_mktsegment, o.o_orderstatus,
-        |  CAST(2002 - year(o.o_orderdate) AS INTEGER) AS order_age_years,
-        |  count(*) AS total_orders,
-        |  CAST(CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price,
-        |  (CAST(CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE))/CAST(count(*) AS DOUBLE) AS avg_price
-        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY 1, 2, 3
-        |ORDER BY c_mktsegment, o_orderstatus, order_age_years""".stripMargin,
+      s"$userBehaviorCoreSql\nORDER BY c_mktsegment, o_orderstatus, order_age_years",
+
+    "gold_user_view" ->
+      s"""SELECT c_mktsegment AS segment, o_orderstatus AS status,
+         |  order_age_years AS age_years, total_orders AS orders,
+         |  total_price AS revenue, avg_price AS avg_order_value
+         |FROM ($userBehaviorCoreSql) v
+         |ORDER BY segment, status, age_years""".stripMargin,
 
     "gold_station_view" ->
       """WITH starts AS (
@@ -824,6 +965,45 @@ object SparkEntry {
         |SELECT d.event_type AS event_type, COALESCE(o.n, 0) AS n
         |FROM dom d LEFT JOIN obs o ON o.event_type = d.event_type
         |ORDER BY d.event_type""".stripMargin,
+
+    "bronze_csv_ingest" ->
+      """SELECT regexp_extract(filename, '([^/]+)\.csv', 1) AS period, station,
+        |  count(*) AS n_trips,
+        |  CAST(sum(qty) AS BIGINT) AS total_qty,
+        |  CAST(CAST(sum(CAST(round(price*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price
+        |FROM read_csv('/root/repo/fixtures/trips_*.csv', header=true,
+        |  columns={'trip_id':'BIGINT','station':'VARCHAR','qty':'INTEGER','price':'DOUBLE'},
+        |  filename=true)
+        |GROUP BY 1, 2
+        |ORDER BY period, station""".stripMargin,
+
+    "enrich_geocode_json" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |raw AS (
+        |  SELECT user_id,
+        |    '{"place_id": ' || CAST(user_id AS VARCHAR) ||
+        |    ', "display_name": "geo_' || CAST((user_id*2654435761)%97 AS VARCHAR) ||
+        |    '", "address": {"city": "city_' || CAST(((user_id*2654435761)%97)%10 AS VARCHAR) ||
+        |    '", "country": "country_' || CAST(((user_id*2654435761)%97)%5 AS VARCHAR) ||
+        |    '"}}' AS payload
+        |  FROM u
+        |), parsed AS (
+        |  SELECT user_id,
+        |    json_extract_string(payload, '$.display_name') AS geo_name,
+        |    json_extract_string(payload, '$.address.city') AS city,
+        |    json_extract_string(payload, '$.address.country') AS country
+        |  FROM raw
+        |), existing AS (SELECT * FROM parsed WHERE user_id % 3 = 0),
+        |inserted AS (
+        |  SELECT p.* FROM parsed p
+        |  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.user_id = p.user_id)
+        |), dim AS (SELECT * FROM existing UNION ALL SELECT * FROM inserted),
+        |agg AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT a.user_id, a.n_events, d.geo_name, d.city, d.country
+        |FROM agg a JOIN dim d ON d.user_id = a.user_id
+        |ORDER BY a.user_id""".stripMargin,
+
+    "dedup_embedding_lsh" -> embLshOracle,
 
     "dedup_embedding_cosine" ->
       s"""WITH p AS (

@@ -74,6 +74,22 @@ object Enrich {
       StructField("city", StringType), StructField("state", StringType),
       StructField("postcode", StringType), StructField("country", StringType))))))
 
+  /** The geocode round trip (get_locations.py:71-107): a raw JSON
+    * response string per key → typed struct via `from_json` → flat dim
+    * columns ready for the insert-if-absent upsert and the silver join
+    * (silver_load.sql:42-44). Parsing is a codegen'd column expression —
+    * the scan stage does it in place, nothing driver-side.
+    */
+  def parseGeocode(raw: DataFrame, payloadCol: String = "payload"): DataFrame =
+    raw
+      .withColumn("_g", from_json(col(payloadCol), geocodeJsonSchema))
+      .select(
+        raw.columns.filterNot(_ == payloadCol).map(col) :+
+          col("_g.place_id").as("place_id") :+
+          col("_g.display_name").as("geo_name") :+
+          col("_g.address.city").as("city") :+
+          col("_g.address.country").as("country"): _*)
+
   /** from_json over the events `props` payload: parse, extract, aggregate.
     * Showcases typed JSON parsing as a codegen-friendly column expression
     * instead of driver-side parsing.

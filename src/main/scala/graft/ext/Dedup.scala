@@ -190,7 +190,7 @@ object Dedup {
     * are exact because the kernel is the true cosine, not the signature.
     */
   def embeddingCosinePairsLsh(emb: DataFrame, threshold: Double,
-                              numPlanes: Int = 8, bandWidth: Int = 2,
+                              numPlanes: Int = 16, bandWidth: Int = 4,
                               dim: Int = 64): DataFrame = {
     val banded = Similarity.withBandKeys(emb, "vid", numPlanes, bandWidth, dim)
     val cands = banded.as("x")

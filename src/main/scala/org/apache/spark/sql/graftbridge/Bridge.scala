@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True iff no DataFrame/table cache entries remain in the session —
+    * lets tests assert operators release their internal `persist()`s
+    * (`SharedState.cacheManager` is `private[sql]`).
+    */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.sharedState.cacheManager.isEmpty
 }

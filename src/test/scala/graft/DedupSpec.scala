@@ -64,4 +64,32 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exhaustive))
     assert(lsh === exhaustive)
   }
+
+  test("near-dup operators release their internal shingle cache") {
+    val docs = Tables.documents(spark, sfDir)
+    spark.catalog.clearCache()
+    Dedup.ngramJaccard(docs, w = 3, threshold = 0.8).count()
+    assert(org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark),
+      "ngramJaccard left a cache entry behind")
+    Dedup.minhashLsh(docs, w = 3, numHashes = 8, bandWidth = 2, threshold = 0.8).count()
+    assert(org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark),
+      "minhashLsh left a cache entry behind")
+  }
+
+  test("LSH embedding dedup: candidates come from bucket joins, results are exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val lsh = Dedup.embeddingCosinePairsLsh(emb, threshold = 0.42)
+    // scale shape: the candidate join is an equi-join on (band, bkey) —
+    // never a nested-loop cross product.
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LSH pair join must not be a cross product:\n$plan")
+    // precision 1 within recall: every emitted pair is a genuine pair of
+    // the exhaustive kernel, with the same similarity value.
+    val all = Dedup.embeddingCosinePairs(emb, threshold = 0.42)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(got.nonEmpty, "banded dedup should surface at least one pair")
+    got.foreach { case (k, sim) => assert(all.get(k).contains(sim)) }
+  }
 }

@@ -73,6 +73,48 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.isNullAt(0))
   }
 
+  test("asof join tie-breaks on a STRING right id without degrading") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    // two right rows at the SAME timestamp with string ids: the larger id
+    // must win deterministically (a cast-to-long would null both out).
+    val right = Seq(
+      ("uuid-aa", 10L, ts("2024-01-01 11:00:00"), 1.0),
+      ("uuid-zz", 10L, ts("2024-01-01 11:00:00"), 2.0))
+      .toDF("pid", "user_id", "ts", "value")
+    val out = graft.operators.AsofJoin
+      .asofJoin(left, right, Seq("user_id"), "ts", "pid", Seq("value"))
+      .select("asof_value").head()
+    assert(out.getDouble(0) === 2.0)
+  }
+
+  test("warehouse star: the fact join runs shuffle-free off the bucketed layout") {
+    import graft.plans.Warehouse
+    val star = Warehouse.ensure(spark, sfDir, numBuckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = star.lineitem.join(star.orders,
+        col("l_orderkey") === col("o_orderkey"))
+      assert(fact.count() === Tables.lineitem(spark, sfDir).count())
+      val plan = fact.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"fact join must not shuffle off the warehouse layout:\n$plan")
+      // and the mart built on the star returns the same rows as the
+      // recompute-from-source form.
+      val fromStar = SparkEntry.queries("gold_daily_summary_warehouse")(spark, sfDir)
+      val fromSource = SparkEntry.queries("gold_daily_summary")(spark, sfDir)
+      assert(fromStar.exceptAll(fromSource).count() === 0)
+      assert(fromSource.exceptAll(fromStar).count() === 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("salted join rejects build-side-preserving join types") {
     val df = Tables.supplier(spark, sfDir)
     intercept[IllegalArgumentException] {

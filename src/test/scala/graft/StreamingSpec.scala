@@ -101,6 +101,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup is id-level and drops late arrivals past the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = Streams.dedupStream(
+        ms.toDF().toDF("event_id", "ts", "value"), "event_id")
+      .writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      // same id at a DIFFERENT event time, inside the horizon: id-level
+      // semantics (the reference's ON CONFLICT DO NOTHING) drop it — the
+      // (id, ts) pair formulation would have let it through.
+      ms.addData((1L, ts("2024-01-01 10:30:00"), 9.0))
+      q.processAllAvailable()
+      // push the watermark to 13:00 (max 14:00 − 1h horizon)
+      ms.addData((99L, ts("2024-01-01 14:00:00"), 0.0))
+      q.processAllAvailable()
+      // a record older than the watermark arrives: dropped as late even
+      // though its id is fresh; a current record still passes.
+      ms.addData((3L, ts("2024-01-01 10:02:00"), 3.0),
+        (4L, ts("2024-01-01 14:01:00"), 4.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 4L, 99L))
+    } finally q.stop()
+  }
+
   test("windowed counts in batch mode: totals reconcile with raw events") {
     val ev = Tables.events(spark, sfDir)
     val agg = Streams.windowedCounts(ev)
