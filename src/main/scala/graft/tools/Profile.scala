@@ -73,6 +73,28 @@ object Profile {
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
       time("cands count")(println("cands=" + cands.count()))
     }
+    if (args.contains("--md5bench")) {
+      // SignedMd5Long kernel: ThreadLocal digest vs per-call provider
+      // lookup (the round-1 implementation). Pure-JVM loop: isolates the
+      // expression cost from scan/shuffle noise.
+      import org.apache.spark.unsafe.types.UTF8String
+      val n = 5000000
+      val inputs = Array.tabulate(64)(i => UTF8String.fromString(s"key_$i|payload"))
+      def loop(f: UTF8String => Long): Long = {
+        var acc = 0L; var i = 0
+        while (i < n) { acc ^= f(inputs(i & 63)); i += 1 }
+        acc
+      }
+      def perCall(s: UTF8String): Long = {
+        val dig = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        java.nio.ByteBuffer.wrap(dig, 0, 8).getLong
+      }
+      loop(graft.functions.KeyFunctions.signedMd5Long) // warm both paths
+      loop(perCall)
+      time(s"threadlocal x$n")(loop(graft.functions.KeyFunctions.signedMd5Long))
+      time(s"getInstance x$n")(loop(perCall))
+      spark.stop(); return
+    }
     if (args.contains("--stages")) {
       import graft.ext.Dedup
       val docs = Tables.documents(spark, sfDir)
