@@ -215,6 +215,36 @@ object SparkEntry {
       Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, d), threshold = 0.42)
         .orderBy("i", "j")),
 
+    "corpus_split_assign" -> ((s, d) =>
+      // deterministic hash-bucket train/val/test assignment — stable per
+      // document across runs/cluster sizes, never rand().
+      ext.Corpus.splitAssign(Tables.documents(s, d))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+
+    "corpus_redact" -> ((s, d) =>
+      ext.Corpus.redact(Tables.documents(s, d))
+        .select(col("doc_id"), col("clean_text"), col("was_redacted"))
+        .orderBy("doc_id")),
+
+    "corpus_sample_stratified" -> ((s, d) => {
+      // 20% per-language deterministic sample, reported against totals.
+      val docs = Tables.documents(s, d)
+      val sampled = ext.Corpus.stratifiedSample(docs, "doc_id", keepPerMille = 200)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
+    "corpus_mix_sources" -> ((s, d) =>
+      ext.Corpus.mixSources(Tables.documents(s, d), "source", "doc_id",
+          Map("src0" -> 800, "src1" -> 500, "src2" -> 200, "src3" -> 100))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")),
+
     "bronze_clean_events" -> ((s, d) =>
       Bronze.cleanEvents(Tables.events(s, d)).drop("ts")
         .orderBy("event_id")),
@@ -1004,6 +1034,49 @@ object SparkEntry {
         |ORDER BY a.user_id""".stripMargin,
 
     "dedup_embedding_lsh" -> embLshOracle,
+
+    "corpus_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "corpus_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+        |      '[0-9]+', '#', 'g'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents
+        |)
+        |SELECT doc_id, clean_text,
+        |  CAST(CASE WHEN clean_text != text THEN 1 ELSE 0 END AS INTEGER) AS was_redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample_stratified" ->
+      """WITH s AS (
+        |  SELECT lang, count(*) AS n_sampled FROM documents
+        |  WHERE CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 200
+        |  GROUP BY 1
+        |), t AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1)
+        |SELECT t.lang, t.n_total, COALESCE(s.n_sampled, 0) AS n_sampled
+        |FROM t LEFT JOIN s ON s.lang = t.lang
+        |ORDER BY t.lang""".stripMargin,
+
+    "corpus_mix_sources" ->
+      """WITH rates(src, rate) AS (VALUES ('src0', 800), ('src1', 500),
+        |                                ('src2', 200), ('src3', 100))
+        |SELECT d.source, count(*) AS n_kept
+        |FROM documents d JOIN rates r ON d.source = r.src
+        |WHERE CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < r.rate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH p AS (

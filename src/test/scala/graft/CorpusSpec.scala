@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Corpus
+
+class CorpusSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  test("split assignment is a pure function of the id: stable under corpus growth") {
+    val docs = Tables.documents(spark, sfDir)
+    val full = Corpus.splitAssign(docs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // re-assign on HALF the corpus: every shared document keeps its split
+    // (the property that makes incremental training-set refreshes sound).
+    val half = Corpus.splitAssign(docs.filter(col("doc_id") % 2 === 0))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    half.foreach { case (id, s) => assert(full(id) === s) }
+    // all three splits are populated and roughly proportioned
+    val bysplit = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bysplit.keySet === Set("train", "val", "test"))
+    assert(bysplit("train") > bysplit("val"))
+  }
+
+  test("redaction masks emails and digit runs and collapses whitespace") {
+    val df = Seq(
+      (1L, "Contact Bob.Smith+x@Example.org  now"),
+      (2L, "order 1234 of 56 units"),
+      (3L, "already clean text"))
+      .toDF("doc_id", "text")
+    val out = Corpus.redact(df).select("doc_id", "clean_text", "was_redacted")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) === (("contact <email> now", 1)))
+    assert(out(2L) === (("order # of # units", 1)))
+    assert(out(3L) === (("already clean text", 0)))
+  }
+
+  test("stratified sample is deterministic and keeps roughly the asked share") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Corpus.stratifiedSample(docs, "doc_id", 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.stratifiedSample(docs, "doc_id", 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b) // no rand(): re-runs keep the identical rows
+    val total = docs.count()
+    assert(a.size > total * 0.1 && a.size < total * 0.3)
+  }
+
+  test("source mixing keeps only listed sources, at their rates") {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = Corpus.mixSources(docs, "source", "doc_id",
+      Map("src0" -> 1000, "src1" -> 0))
+    val srcs = kept.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(srcs === Set("src0")) // rate 1000 keeps all, rate 0 and unlisted drop all
+    assert(kept.count() === docs.filter(col("source") === "src0").count())
+  }
+}
