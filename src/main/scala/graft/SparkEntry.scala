@@ -427,6 +427,33 @@ object SparkEntry {
             unix_millis(col("ts")).as("ts_ms")),
           gapMs = 30L * 60 * 1000)
         .orderBy("user_id", "start_ms")),
+
+    "stream_interval_join" -> ((s, d) => {
+      // recent-context attachment: purchases in the hour before each
+      // click, via the watermark-bounded stream-stream interval join
+      // (batch form of the same code; state bounded by the horizon).
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      graft.streaming.Streams
+        .intervalJoin(clicks, purchases, "user_id", "ts", "pts",
+          horizon = "1 hour", joinType = "left")
+        .groupBy(col("l.event_id").as("event_id"),
+          col("l.user_id").as("user_id"))
+        .agg(count(col("r.pts")).as("n_recent_purchases"),
+          coalesce(sum(round(col("r.value") * 100).cast("long")), lit(0L))
+            .as("recent_value_cents"))
+        .orderBy("event_id")
+    }),
+
+    "stats_sketches" -> ((s, d) =>
+      // sketch outputs are engine-specific → no DuckDB oracle (driver
+      // records the rows-only check); bounded-error agreement with exact
+      // answers is asserted in SketchesSpec.
+      ext.Sketches.eventTypeProfile(Tables.events(s, d))
+        .orderBy("event_type")),
   )
 
   // ---- generated oracle fragments (identical constants as the Spark
@@ -1153,6 +1180,21 @@ object SparkEntry {
         |SELECT event_id, user_id, carried.v AS asof_value
         |FROM c WHERE is_right = 0
         |ORDER BY event_id""".stripMargin,
+
+    "stream_interval_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.event_id, c.user_id,
+        |  count(p.pts) AS n_recent_purchases,
+        |  CAST(COALESCE(sum(CAST(round(p.value*100) AS BIGINT)), 0) AS BIGINT) AS recent_value_cents
+        |FROM clicks c LEFT JOIN purch p
+        |  ON p.user_id = c.user_id
+        | AND p.pts >= c.ts - INTERVAL 1 HOUR AND p.pts <= c.ts
+        |GROUP BY 1, 2
+        |ORDER BY c.event_id""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),

@@ -62,6 +62,32 @@ object Streams {
   def dedupStream(events: DataFrame, idCol: String): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: each left row matches right rows for
+    * the same key whose event time falls in `[leftTs − horizon, leftTs]`
+    * — "recent context" attachment (e.g. purchases in the hour before a
+    * click). Both sides are watermarked with the horizon, which BOUNDS
+    * the join state: a buffered right row can never match once it falls
+    * `horizon` behind the watermark, so Spark evicts it. The identical
+    * code runs in batch (withWatermark is a no-op there) — the P2
+    * batch/stream-agnostic invariant, oracle-checked via
+    * `stream_interval_join`.
+    *
+    * Columns keep their side via the `l`/`r` aliases; callers select
+    * `col("l.x")` / `col("r.y")`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   horizon: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, horizon)
+    val r = right.withWatermark(rightTs, horizon)
+    l.as("l").join(r.as("r"),
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"interval $horizon") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"),
+      joinType)
+  }
+
   case class SessionEvent(user_id: Long, ts_ms: Long)
   case class UserSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
   private case class SessionState(start_ms: Long, end_ms: Long, n: Int)

@@ -132,6 +132,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attaches in-horizon rows and respects the bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = Streams.intervalJoin(
+        clicks.toDF().toDF("event_id", "user_id", "ts"),
+        purchases.toDF().toDF("user_id", "pts", "value"),
+        "user_id", "ts", "pts", horizon = "1 hour")
+      .select(col("l.event_id"), col("r.value"))
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      purchases.addData((10L, ts("2024-01-01 09:30:00"), 5.0),  // in horizon of click@10:00
+        (10L, ts("2024-01-01 08:30:00"), 7.0))                  // 90 min before: outside
+      clicks.addData((1L, 10L, ts("2024-01-01 10:00:00")),
+        (2L, 20L, ts("2024-01-01 10:00:00")))                   // no purchases for user 20
+      q.processAllAvailable()
+      val out = spark.table("ij_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(out === Set((1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("windowed counts in batch mode: totals reconcile with raw events") {
     val ev = Tables.events(spark, sfDir)
     val agg = Streams.windowedCounts(ev)
