@@ -73,12 +73,16 @@ object Similarity {
     }
   }
 
-  /** LSH signature bits for one embedding column against the planes. */
+  /** LSH signature bits for one embedding column against the planes —
+    * one fused native dot product per plane (array lambdas are
+    * interpreted, and 8–16 of them per row dominated the banding
+    * profile). Index-ordered double accumulation, so the sign decisions
+    * are bit-identical to the oracle's list_sum formulation.
+    */
   private def signBits(ce: Column, planes: Array[Array[Double]]): Seq[Column] =
     planes.toSeq.map { row =>
-      val w = array(row.toSeq.map(lit): _*)
-      val dotp = aggregate(zip_with(ce, w, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
+      val w = array(row.toSeq.map(v => lit(v.toFloat)): _*)
+      val dotp = graft.functions.KeyColumns.dot_native(ce, w)
       when(dotp >= 0, lit(1)).otherwise(lit(0))
     }
 

@@ -30,6 +30,20 @@ object KeyFunctions {
     java.nio.ByteBuffer.wrap(dig, 0, 8).getLong
   }
 
+  /** Double-precision dot product over two float arrays, index-ordered —
+    * bit-compatible with DuckDB's list_sum(list_transform(...)) and the
+    * zip_with/aggregate formulation. The hyperplane-signature kernel.
+    */
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
   /** Double-precision cosine over two float arrays, index-ordered
     * accumulation (bit-compatible with the zip_with/aggregate formulation
     * in [[graft.ext.Similarity.cosine]]).
@@ -80,6 +94,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Native dot product over array<float> columns — one fused primitive
+  * loop, codegen'd. The LSH hyperplane-signature kernel: 16 of these per
+  * row as interpreted array lambdas dominated the banded-dedup profile.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KeyFunctions.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.KeyFunctions$$.MODULE$$.dotFloat($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
 /** Column-level entry points (Spark 4: Column↔Expression bridging lives
   * in org.apache.spark.sql.classic.ExpressionUtils).
   */
@@ -88,6 +118,8 @@ object KeyColumns {
   def signed_md5_long(c: Column): Column = column(SignedMd5Long(expression(c)))
   def cosine_native(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def dot_native(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
 
   /** Register both for SQL callers (`SELECT signed_md5_long(x) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

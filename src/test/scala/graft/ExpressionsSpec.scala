@@ -57,6 +57,23 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("dot_native equals the interpreted zip_with/aggregate dot bit-for-bit") {
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val pairs = emb.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("j"), col("embedding").as("b")))
+      .filter(col("i") < col("j")).limit(200)
+    pairs.select(
+        KeyColumns.dot_native(col("a"), col("b")).as("native"),
+        hofDot(col("a"), col("b")).as("hof"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+  }
+
   test("cosine of a vector with itself is 1.0") {
     val emb = Tables.embeddings(spark, sfDir).limit(10)
     emb.select(KeyColumns.cosine_native(col("embedding"), col("embedding")).as("c"))
