@@ -121,12 +121,14 @@ object KeyColumns {
   def dot_native(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
 
-  /** Register both for SQL callers (`SELECT signed_md5_long(x) ...`). */
+  /** Register all three for SQL callers (`SELECT signed_md5_long(x) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "signed_md5_long", exprs => SignedMd5Long(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_native", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_native", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
   }
 }
 
@@ -145,5 +147,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("cosine_native"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_native"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("dot_native"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
   }
 }
