@@ -428,6 +428,15 @@ object SparkEntry {
           gapMs = 30L * 60 * 1000)
         .orderBy("user_id", "start_ms")),
 
+    "stream_session_window" -> ((s, d) =>
+      // the built-in session_window operator; oracle = the identical
+      // gap-session semantics in the lag/cumsum SQL formulation, so the
+      // declarative, stateful and batch session forms all agree.
+      graft.streaming.Streams.sessionWindows(
+          Tables.events(s, d).select(col("user_id"), col("ts")),
+          gapMs = 30L * 60 * 1000)
+        .orderBy("user_id", "start_ms")),
+
     "stream_interval_join" -> ((s, d) => {
       // recent-context attachment: purchases in the hour before each
       // click, via the watermark-bounded stream-stream interval join
@@ -1180,6 +1189,24 @@ object SparkEntry {
         |SELECT event_id, user_id, carried.v AS asof_value
         |FROM c WHERE is_right = 0
         |ORDER BY event_id""".stripMargin,
+
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |x AS (SELECT user_id, ts_ms,
+        |        lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev_ts
+        |      FROM e),
+        |y AS (SELECT user_id, ts_ms,
+        |        CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM x),
+        |z AS (SELECT user_id, ts_ms,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |                               ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM y)
+        |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+        |       CAST(count(*) AS INTEGER) AS n_events
+        |FROM z GROUP BY user_id, session_seq
+        |ORDER BY user_id, start_ms""".stripMargin,
 
     "stream_interval_join" ->
       """WITH clicks AS (

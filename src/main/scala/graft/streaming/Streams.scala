@@ -127,6 +127,25 @@ object Streams {
         })
   }
 
+  /** Session windows via Spark's built-in `session_window` — the
+    * declarative form of [[sessionize]]/[[sessionizeBatch]]: same
+    * gap-based semantics, and in streaming the watermark both bounds
+    * state and finalizes idle sessions (the timeout flush the
+    * flatMapGroupsWithState form leaves to the next batch). The window
+    * end is `last event + gap`, so the session's true end is
+    * `window.end − gap`.
+    */
+  def sessionWindows(events: DataFrame, gapMs: Long): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMs milliseconds").as("sw"))
+      .agg(count(lit(1)).cast("int").as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("start_ms"),
+        (unix_millis(col("sw.end")) - gapMs).as("end_ms"),
+        col("n_events"))
+
   /** Batch sessionization with identical semantics (used to cross-check
     * the stateful path in tests, and as the backfill job at scale —
     * window lag over (user, ts) then a running session id).

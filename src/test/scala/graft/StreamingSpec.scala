@@ -132,6 +132,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window streaming finalizes idle sessions once the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streams.sessionWindows(
+        ms.toDF().toDF("user_id", "ts"), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((10L, ts("2024-01-01 10:00:00")), (10L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("sw_out").count() === 0) // session still open
+      // another user far ahead pushes the watermark past 10:40 → user 10's
+      // gap can never be bridged, the session finalizes and emits.
+      ms.addData((20L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sw_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      assert(rows.toSeq === Seq((10L,
+        ts("2024-01-01 10:00:00").getTime,
+        ts("2024-01-01 10:10:00").getTime, 2)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attaches in-horizon rows and respects the bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
