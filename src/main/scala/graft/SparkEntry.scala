@@ -193,7 +193,7 @@ object SparkEntry {
       // full dim joined back to an events aggregate.
       val ev = Tables.events(s, d)
       val users = ev.select(col("user_id")).distinct()
-      val code = (col("user_id") * lit(2654435761L)) % 97
+      val code = Enrich.syntheticGeoCodeCol(col("user_id"))
       val raw = users.withColumn("payload", concat(
         lit("{\"place_id\": "), col("user_id"),
         lit(", \"display_name\": \"geo_"), code,
@@ -1089,7 +1089,7 @@ object SparkEntry {
         |    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
         |      '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
         |      '[0-9]+', '#', 'g'),
-        |      '\s+', ' ', 'g')) AS clean_text
+        |      '[ \t\n\f\r\x0B]+', ' ', 'g')) AS clean_text
         |  FROM documents
         |)
         |SELECT doc_id, clean_text,

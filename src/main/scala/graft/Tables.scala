@@ -62,18 +62,29 @@ object Tables {
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
 
-  /** The nanos-as-long switch must be set at SESSION CONSTRUCTION
+  /** The nanos-as-long switch belongs at SESSION CONSTRUCTION
     * (`.config("spark.sql.legacy.parquet.nanosAsLong", "true")` — all of
     * Bench/Verify/Profile/SparkTestBase do). It cannot be scoped to one
     * read: a read option survives schema inference but the parquet scan
-    * re-reads the session conf per task, and mutating the session conf
-    * inside a loader would silently flip every later TIMESTAMP(NANOS)
-    * read in the session — so this fails fast instead of mutating.
+    * re-reads the session conf per task. For externally built sessions
+    * that did not set it, the loader sets it WITH a warning (the conf is
+    * session-wide: any later TIMESTAMP(NANOS) column in this session now
+    * reads as BIGINT); a session that EXPLICITLY set it false fails fast
+    * rather than having its choice silently overridden.
     */
   private def loadEventsNanos(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet stores TIMESTAMP(NANOS): build the session with " +
-        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    s.conf.getOption(key) match {
+      case Some("true") => ()
+      case None =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"setting $key=true session-wide (events.parquet is TIMESTAMP(NANOS)); " +
+            "prefer setting it at session construction")
+        s.conf.set(key, "true")
+      case Some(other) => throw new IllegalArgumentException(
+        s"events.parquet stores TIMESTAMP(NANOS) but $key=$other was set " +
+          "explicitly — set it to true at session construction to read events")
+    }
     load(s, d, "events")
   }
   // documents/embeddings feed interpreted higher-order expressions

@@ -35,6 +35,12 @@ object Enrich {
     */
   def syntheticGeoCode(key: Long): Long = (key * 2654435761L) % 97L
 
+  /** Column form of [[syntheticGeoCode]] — the single definition queries
+    * compose instead of re-inlining the constants.
+    */
+  def syntheticGeoCodeCol(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (key * lit(2654435761L)) % 97
+
   /** S6: partition-wise enrichment. One "client" (here: the pure stub)
     * and one rate-limit token bucket per partition — the structure the
     * reference implements per-process with `time.sleep` spacing

@@ -56,7 +56,10 @@ object Corpus {
     val noEmail = regexp_replace(lowered,
       "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>")
     val noDigits = regexp_replace(noEmail, "[0-9]+", "#")
-    val collapsed = trim(regexp_replace(noDigits, "\\s+", " "))
+    // explicit whitespace class, not \s: Java's \s includes \x0B
+    // (vertical tab) while RE2's (DuckDB) does not — an explicit class
+    // means both engines, and the oracle, see the identical set.
+    val collapsed = trim(regexp_replace(noDigits, "[ \\t\\n\\f\\r\\x0B]+", " "))
     docs.withColumn("clean_text", collapsed)
       .withColumn("was_redacted", (collapsed =!= col(textCol)).cast("int"))
   }

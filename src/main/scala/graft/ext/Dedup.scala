@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
   * Caching note: the near-dup pipelines `persist()` the shingle table
   * (reused 3-4× inside one job), eagerly materialize the (small) result
   * with a lineage-truncating local checkpoint, and `unpersist()` the
-  * shingle cache before returning — a long-lived session running many
-  * corpora accumulates nothing.
+  * shingle cache before returning — no cache-manager entries linger.
+  * The checkpointed result itself lives in executor block storage until
+  * the returned DataFrame is GC'd, and localCheckpoint is NOT resilient
+  * to executor loss (lineage is truncated): correct for a
+  * driver-consumed pair list; a warehouse-scale run that must survive
+  * executor churn writes the result to a staging table instead and
+  * reads it back.
   */
 object Dedup {
 

@@ -97,10 +97,17 @@ object Similarity {
     * left to a comment.
     */
   private[ext] def requireDim(df: DataFrame, dim: Int): Unit = {
-    val actual = df.select(size(col("embedding"))).head().getInt(0)
-    require(actual == dim,
-      s"embedding length is $actual but the plane matrix is built for $dim " +
-        "— pass dim=<actual length> or the LSH signature degenerates")
+    // one-row probe; an EMPTY side is fine (downstream result is empty),
+    // and a null embedding is reported as such instead of an opaque NPE.
+    val probe = df.select(size(col("embedding")).as("d")).limit(1).collect()
+    probe.headOption.foreach { r =>
+      require(!r.isNullAt(0) && r.getInt(0) >= 0,
+        "first embedding is null — cannot derive the LSH dimension")
+      val actual = r.getInt(0)
+      require(actual == dim,
+        s"embedding length is $actual but the plane matrix is built for $dim " +
+          "— pass dim=<actual length> or the LSH signature degenerates")
+    }
   }
 
   /** Band the rows of an embedding table: one output row per (vector,

@@ -94,10 +94,22 @@ object Pipeline {
         }
       } catch {
         case e: Throwable =>
-          // restore every table promoted before the failure.
+          // restore every table promoted before the failure. The fresh
+          // copy is MOVED aside (atomic) — never deleted first — so no
+          // instant exists where a table has neither old nor new data;
+          // restores are best-effort across all tables (one failed move
+          // must not strand the rest mid-rollback).
           done.toList.reverse.foreach { p =>
-            deleteRecursively(p.live)
-            if (p.hadLive) Files.move(p.aside, p.live, StandardCopyOption.ATOMIC_MOVE)
+            try {
+              val failed = Paths.get(warehouseDir,
+                s".failed-${p.live.getFileName}-${java.util.UUID.randomUUID}")
+              Files.move(p.live, failed, StandardCopyOption.ATOMIC_MOVE)
+              if (p.hadLive)
+                Files.move(p.aside, p.live, StandardCopyOption.ATOMIC_MOVE)
+              deleteRecursively(failed)
+            } catch {
+              case re: Throwable => e.addSuppressed(re)
+            }
           }
           throw e
       }

@@ -26,19 +26,24 @@ object Warehouse {
 
   final case class Star(lineitem: DataFrame, orders: DataFrame, dimDate: DataFrame)
 
-  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private def suffix(key: String): String =
+    (scala.util.hashing.MurmurHash3.stringHash(key) & Int.MaxValue).toString
 
-  private def suffix(srcDir: String): String =
-    (scala.util.hashing.MurmurHash3.stringHash(srcDir) & Int.MaxValue).toString
-
-  /** Build (once per JVM and source dir) and return the persisted star. */
+  /** Build (once per catalog, source dir and bucket count) and return the
+    * persisted star. Existence is checked against the session CATALOG,
+    * not a JVM flag — a fresh SparkSession (fresh in-memory catalog) in
+    * the same JVM rebuilds; a different `numBuckets` is a different
+    * layout and gets its own tables. Serialized on this object so
+    * concurrent callers cannot race the DROP/delete/saveAsTable sequence.
+    */
   def ensure(spark: SparkSession, srcDir: String,
-             numBuckets: Int = 32): Star = {
-    val sfx = suffix(srcDir)
+             numBuckets: Int = 32): Star = synchronized {
+    val sfx = suffix(s"$srcDir|$numBuckets")
     val liName = s"wh_lineitem_$sfx"
     val oName = s"wh_orders_$sfx"
     val ddName = s"wh_dim_date_$sfx"
-    built.getOrElseUpdate(srcDir, {
+    val missing = Seq(liName, oName, ddName).exists(!spark.catalog.tableExists(_))
+    if (missing) {
       ScaleOps.writeBucketed(Tables.lineitem(spark, srcDir), liName,
         Seq("l_orderkey"), numBuckets)
       ScaleOps.writeBucketed(Tables.orders(spark, srcDir), oName,
@@ -48,8 +53,7 @@ object Warehouse {
       ScaleOps.writeBucketed(
         Silver.dimDate(Tables.orders(spark, srcDir), Tables.lineitem(spark, srcDir)),
         ddName, Seq("date_id"), numBuckets = 1)
-      ()
-    })
+    }
     Star(spark.table(liName), spark.table(oName), spark.table(ddName))
   }
 }

@@ -131,19 +131,28 @@ object Streams {
     * declarative form of [[sessionize]]/[[sessionizeBatch]]: same
     * gap-based semantics, and in streaming the watermark both bounds
     * state and finalizes idle sessions (the timeout flush the
-    * flatMapGroupsWithState form leaves to the next batch). The window
-    * end is `last event + gap`, so the session's true end is
-    * `window.end − gap`.
+    * flatMapGroupsWithState form leaves to the next batch).
+    *
+    * Semantics alignment with the sibling forms (which define "same
+    * session" as `diff ≤ gapMs` at MILLISECOND precision): event times
+    * are truncated to ms (raw micro-precision timestamps would split
+    * where the ms-based forms merge), and the window gap is `gapMs + 1`
+    * because `session_window` merges on `diff < gap` ([start, end)
+    * windows) while the others merge on `diff ≤ gapMs` — with whole-ms
+    * times, `< gapMs+1 ⟺ ≤ gapMs`, so all three forms agree exactly.
+    * The window end is `last event + gap`, so the session's true end is
+    * `window.end − (gapMs + 1)`.
     */
   def sessionWindows(events: DataFrame, gapMs: Long): DataFrame =
     events
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"),
-        session_window(col("ts"), s"$gapMs milliseconds").as("sw"))
+        session_window(col("ts"), s"${gapMs + 1} milliseconds").as("sw"))
       .agg(count(lit(1)).cast("int").as("n_events"))
       .select(col("user_id"),
         unix_millis(col("sw.start")).as("start_ms"),
-        (unix_millis(col("sw.end")) - gapMs).as("end_ms"),
+        (unix_millis(col("sw.end")) - (gapMs + 1)).as("end_ms"),
         col("n_events"))
 
   /** Batch sessionization with identical semantics (used to cross-check
