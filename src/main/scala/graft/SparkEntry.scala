@@ -215,6 +215,22 @@ object SparkEntry {
       Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, d), threshold = 0.42)
         .orderBy("i", "j")),
 
+    "dedup_incremental" -> ((s, d) => {
+      // batch-over-batch dedup: replays of already-seen content are
+      // anti-joined out against the persisted hash set; in-batch copies
+      // collapse to the smallest doc_id.
+      val docs = Tables.documents(s, d)
+      val firstHalf = docs.filter(col("doc_id") < 250)
+      val secondHalf = docs.filter(col("doc_id") >= 250)
+      val incoming = secondHalf
+        .unionByName(firstHalf.withColumn("doc_id", col("doc_id") + 10000))
+        .unionByName(secondHalf.withColumn("doc_id", col("doc_id") + 20000))
+      val seen = firstHalf.select(md5(col("text")).as("content_hash"))
+      Dedup.incrementalExact(incoming, seen)
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy("doc_id")
+    }),
+
     "corpus_split_assign" -> ((s, d) =>
       // deterministic hash-bucket train/val/test assignment — stable per
       // document across runs/cluster sizes, never rand().
@@ -1070,6 +1086,26 @@ object SparkEntry {
         |ORDER BY a.user_id""".stripMargin,
 
     "dedup_embedding_lsh" -> embLshOracle,
+
+    "dedup_incremental" ->
+      """WITH first_half AS (SELECT * FROM documents WHERE doc_id < 250),
+        |second_half AS (SELECT * FROM documents WHERE doc_id >= 250),
+        |incoming AS (
+        |  SELECT doc_id, text FROM second_half
+        |  UNION ALL SELECT doc_id + 10000, text FROM first_half
+        |  UNION ALL SELECT doc_id + 20000, text FROM second_half
+        |), seen AS (SELECT DISTINCT md5(text) AS content_hash FROM first_half),
+        |hashed AS (SELECT doc_id, md5(text) AS content_hash FROM incoming),
+        |novel AS (
+        |  SELECT h.doc_id, h.content_hash FROM hashed h
+        |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.content_hash = h.content_hash)
+        |), r AS (
+        |  SELECT doc_id, content_hash,
+        |         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id ASC) AS rn
+        |  FROM novel
+        |)
+        |SELECT doc_id, content_hash FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "corpus_split_assign" ->
       """WITH b AS (

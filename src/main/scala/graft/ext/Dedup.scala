@@ -66,6 +66,26 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
 
+  /** Incremental exact dedup — the batch-over-batch form every growing
+    * corpus needs: keep only `incoming` documents whose content hash is
+    * absent from the accumulated corpus AND deduplicate within the batch
+    * (first doc_id wins). One anti-join against the (small, hash-only)
+    * seen-set plus one window — the seen-set is what a warehouse persists
+    * between batches, never the documents themselves. Portable md5
+    * hashing makes the seen-set stable across engines and re-runs.
+    */
+  def incrementalExact(incoming: DataFrame, seenHashes: DataFrame): DataFrame = {
+    val hashed = incoming.withColumn("content_hash", md5(col("text")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("doc_id").asc)
+    hashed
+      .join(seenHashes.select(col("content_hash")).dropDuplicates("content_hash"),
+        Seq("content_hash"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Portable 32-bit hash: first 8 hex chars of md5, as a long.
     * Engine-portable (DuckDB: CAST('0x' || substr(md5(s),1,8) AS BIGINT)).
     */

@@ -70,4 +70,33 @@ object ScaleOps {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Small-file compaction — the warehouse maintenance pass (OPTIMIZE
+    * analog): rewrite a parquet directory into ~`targetBytes` files.
+    * Incremental sinks (`Bronze.appendSink`, streaming) accrete small
+    * files whose per-file open/footer cost eventually dominates scans;
+    * compaction restores scan efficiency without changing content.
+    * File count is sized from the actual on-disk bytes via the Hadoop FS
+    * API (object-store safe); the rewrite goes through a temp directory
+    * and a swap so readers never see a half-written table.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, (bytes / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(dir + ".precompact")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(path, old)) sys.error(s"compact: cannot move $dir aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // restore
+      sys.error(s"compact: cannot promote compacted $dir")
+    }
+    fs.delete(old, true)
+  }
 }

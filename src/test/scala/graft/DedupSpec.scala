@@ -65,6 +65,21 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exhaustive)
   }
 
+  test("incremental dedup drops replayed content and collapses in-batch copies") {
+    import spark.implicits._
+    val seen = Seq("old text one", "old text two").toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("content_hash"))
+    val incoming = Seq(
+      (10L, "brand new"),
+      (11L, "old text one"),   // replay of seen content → dropped
+      (12L, "brand new"),      // in-batch copy → loses to id 10
+      (13L, "also new"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(incoming, seen)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(10L, 13L))
+  }
+
   test("near-dup operators release their internal shingle cache") {
     val docs = Tables.documents(spark, sfDir)
     spark.catalog.clearCache()

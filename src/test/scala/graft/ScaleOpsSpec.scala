@@ -115,6 +115,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction rewrites many small files into few without changing content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = Tables.orders(spark, sfDir).repartition(20)
+    df.write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 20)
+    val rows = spark.read.parquet(dir).count()
+    ScaleOps.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(parquetFiles === 1, "everything fits one target-sized file")
+    assert(spark.read.parquet(dir).count() === rows)
+    assert(!new java.io.File(dir + ".compacting").exists())
+    assert(!new java.io.File(dir + ".precompact").exists())
+  }
+
   test("salted join rejects build-side-preserving join types") {
     val df = Tables.supplier(spark, sfDir)
     intercept[IllegalArgumentException] {
