@@ -396,6 +396,13 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    "sim_topk_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
     "sim_topk_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
@@ -1174,6 +1181,35 @@ object SparkEntry {
          |ORDER BY qid, rnk""".stripMargin,
 
     "sim_topk_lsh" -> lshOracle,
+
+    "sim_topk_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 16
+         |), ca AS (
+         |  SELECT cid, ce, cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |  ) WHERE crn <= 1
+         |), qp AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id < 5
+         |  ) WHERE crn <= 4
+         |), scored AS (
+         |  SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
+         |  FROM qp q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid
+         |), r AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

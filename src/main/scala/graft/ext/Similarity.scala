@@ -133,6 +133,54 @@ object Similarity {
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
+  /** IVF (inverted-file) ANN — the cell-partitioned scale path used by
+    * production vector stores, alongside [[lshTopK]]:
+    *
+    *  1. BUILD: every corpus vector is assigned to its nearest of
+    *     `numCells` centroids — one narrow pass over the corpus against a
+    *     broadcast centroid table (K rows), shuffle only on the cell id.
+    *     At warehouse scale the cell assignment is persisted (bucketed by
+    *     cell), not recomputed per query.
+    *  2. PROBE: each query scores the same centroids, takes its `nprobe`
+    *     nearest cells, and exact-cosine re-ranks ONLY those cells'
+    *     members — the corpus fraction touched is ~nprobe/numCells.
+    *
+    * Centroid choice is pluggable; here it is the first `numCells`
+    * corpus vectors, deterministically (production IVF refines centroids
+    * with k-means — an assign+mean loop over this same kernel — but
+    * FLOAT MEANS accumulate in partition order, which is not
+    * reproducible across engines or runs, so the oracle-checked form
+    * stays with sampled centroids). Recall < 1 by design: a true
+    * neighbor in an unprobed cell is missed — the standard IVF trade.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = broadcast(
+      emb.filter(col("vec_id") < numCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
+    def nearestCells(df: DataFrame, id: String, embCol: String,
+                     probes: Int): DataFrame = {
+      val scored = df.crossJoin(centroids)
+        .withColumn("csim", cosine(col(embCol), col("centroid")))
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell").asc)
+      scored.withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= probes)
+        .select(col(id), col(embCol), col("cell"))
+    }
+    val cells = nearestCells(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid", "ce", 1)
+    val probes = nearestCells(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid", "qe", nprobe)
+    val cands = probes.join(cells, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qe"), col("cid"), col("ce"))
+    val scored = cands.withColumn("sim", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"))
+  }
+
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
               numPlanes: Int = 8, bandWidth: Int = 4, dim: Int = 64): DataFrame = {
     val qb = withBandKeys(queries, "qid", numPlanes, bandWidth, dim)

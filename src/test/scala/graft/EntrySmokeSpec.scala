@@ -22,4 +22,10 @@ class EntrySmokeSpec extends AnyFunSuite {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracles without queries: $extra")
   }
+
+  test("rows-only queries (no oracle) are exactly the documented sketch set") {
+    // every other query must carry a DuckDB oracle — the correctness bar.
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("stats_sketches"), s"undocumented rows-only queries: $rowsOnly")
+  }
 }
