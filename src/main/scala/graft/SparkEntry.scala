@@ -1184,7 +1184,8 @@ object SparkEntry {
 
     "sim_topk_ivf" ->
       s"""WITH cent AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 16
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
          |), ca AS (
          |  SELECT cid, ce, cell FROM (
          |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,

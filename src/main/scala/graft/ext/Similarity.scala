@@ -50,9 +50,16 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", cosine(col("qe"), col("ce")))
+    rankTopK(c.crossJoin(broadcast(q)).filter(col("qid") =!= col("cid")), k)
+  }
+
+  /** Shared exact-cosine re-rank tail of all three search paths: score a
+    * (qid, qe, cid, ce) candidate frame, keep each query's top k.
+    * ONE definition so the (sim desc, cid asc) tie-break — which every
+    * DuckDB oracle mirrors — cannot drift between paths.
+    */
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
+    val scored = cands.withColumn("sim", cosine(col("qe"), col("ce")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -155,9 +162,13 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
               numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    // lowest vec_ids by GLOBAL ORDER, not `vec_id < numCells` — sparse or
+    // offset id spaces would otherwise yield zero centroids and a silently
+    // empty result. TakeOrdered on K rows, then broadcast.
     val centroids = broadcast(
-      emb.filter(col("vec_id") < numCells)
+      emb.orderBy(col("vec_id")).limit(numCells)
         .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
+    require(centroids.count() > 0, "ivfTopK: corpus has no vectors to use as centroids")
     def nearestCells(df: DataFrame, id: String, embCol: String,
                      probes: Int): DataFrame = {
       val scored = df.crossJoin(centroids)
@@ -171,14 +182,11 @@ object Similarity {
       emb.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid", "ce", 1)
     val probes = nearestCells(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid", "qe", nprobe)
-    val cands = probes.join(cells, Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("qe"), col("cid"), col("ce"))
-    val scored = cands.withColumn("sim", cosine(col("qe"), col("ce")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"))
+    rankTopK(
+      probes.join(cells, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("qe"), col("cid"), col("ce")),
+      k)
   }
 
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
@@ -187,14 +195,11 @@ object Similarity {
       .withColumnRenamed("embedding", "qe")
     val cb = withBandKeys(emb, "cid", numPlanes, bandWidth, dim)
       .withColumnRenamed("embedding", "ce")
-    val cands = qb.join(cb, Seq("band", "bkey"))
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("qe"), col("cid"), col("ce"))
-      .dropDuplicates("qid", "cid")
-    val scored = cands.withColumn("sim", cosine(col("qe"), col("ce")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"))
+    rankTopK(
+      qb.join(cb, Seq("band", "bkey"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("qe"), col("cid"), col("ce"))
+        .dropDuplicates("qid", "cid"),
+      k)
   }
 }

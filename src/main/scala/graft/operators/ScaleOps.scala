@@ -76,26 +76,59 @@ object ScaleOps {
     * Incremental sinks (`Bronze.appendSink`, streaming) accrete small
     * files whose per-file open/footer cost eventually dominates scans;
     * compaction restores scan efficiency without changing content.
-    * File count is sized from the actual on-disk bytes via the Hadoop FS
-    * API (object-store safe); the rewrite goes through a temp directory
-    * and a swap so readers never see a half-written table.
+    *
+    *  - Hive partition layout (`col=value/` subdirectories, e.g. from
+    *    `Bronze.appendSink(partitionCols)`) is detected from the
+    *    directory names and PRESERVED: rows are hashed by the partition
+    *    columns so each partition directory compacts to one file.
+    *  - Requires a QUIESCED table: files appended between the snapshot
+    *    listing and the swap would be lost, so the swap aborts if the
+    *    source listing changed during the rewrite (a transactional table
+    *    format is the coordination layer for live writers at scale).
+    *  - The two-rename swap is atomic on local/HDFS metadata renames;
+    *    readers in the instant between them see a missing (never a
+    *    half-written) directory. On an object store, where rename is
+    *    copy+delete, route the swap through a catalog pointer instead.
     */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(path).getLength
-    val nFiles = math.max(1, (bytes / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
+    def snapshot(): Set[(String, Long)] = {
+      val it = fs.listFiles(path, true)
+      val b = Set.newBuilder[(String, Long)]
+      while (it.hasNext) { val f = it.next(); b += ((f.getPath.toString, f.getLen)) }
+      b.result()
+    }
+    val before = snapshot()
+    val bytes = before.iterator.map(_._2).sum
+    // ceiling division: files come out <= targetBytes, never up to 2x.
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val partitionCols = fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName.takeWhile(_ != '=')).distinct
+    val tmp = path.suffix(".compacting")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    spark.read.parquet(dir).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(dir + ".precompact")
+    val df = spark.read.parquet(dir)
+    val writer =
+      if (partitionCols.nonEmpty)
+        // hash by the partition columns: each partition value lands in
+        // one task, so each partition directory gets one output file.
+        df.repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+          .write.partitionBy(partitionCols: _*)
+      else df.repartition(nFiles).write
+    writer.mode("overwrite").parquet(tmp.toString)
+    if (snapshot() != before) {
+      fs.delete(tmp, true)
+      sys.error(s"compact: $dir changed during the rewrite — writers must be quiesced")
+    }
+    val old = path.suffix(".precompact")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(path, old)) sys.error(s"compact: cannot move $dir aside")
     if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // restore
-      sys.error(s"compact: cannot promote compacted $dir")
+      if (!fs.rename(old, path))
+        sys.error(s"compact: promote AND restore failed — data is intact at $old")
+      sys.error(s"compact: cannot promote compacted $dir (original restored)")
     }
     fs.delete(old, true)
   }
