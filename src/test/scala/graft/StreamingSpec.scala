@@ -132,6 +132,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("exactly-once sink: a replayed micro-batch is skipped by its commit marker") {
+    val base = java.nio.file.Files.createTempDirectory("graft_eos").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts", "value")
+    ev.limit(100).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run() = {
+      val q = Streams.exactlyOnceSink(
+        spark.readStream.schema(schema).parquet(src), out, ckpt)
+      q.awaitTermination()
+    }
+    run()
+    val once = spark.read.parquet(s"$out/data").count()
+    assert(once === 100)
+    // simulate a sink-side replay: wipe the checkpoint so the SAME files
+    // re-process as the same batch id — the marker must dedupe the write.
+    val cp = java.nio.file.Paths.get(ckpt)
+    java.nio.file.Files.walk(cp)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    run()
+    assert(spark.read.parquet(s"$out/data").count() === once,
+      "replayed batch must not double-write")
+  }
+
   test("session_window streaming finalizes idle sessions once the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
