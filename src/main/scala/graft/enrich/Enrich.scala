@@ -90,7 +90,7 @@ object Enrich {
     raw
       .withColumn("_g", from_json(col(payloadCol), geocodeJsonSchema))
       .select(
-        raw.columns.filterNot(_ == payloadCol).map(col) :+
+        raw.columns.toIndexedSeq.filterNot(_ == payloadCol).map(col) :+
           col("_g.place_id").as("place_id") :+
           col("_g.display_name").as("geo_name") :+
           col("_g.address.city").as("city") :+

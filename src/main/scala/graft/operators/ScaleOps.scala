@@ -34,7 +34,7 @@ object ScaleOps {
       "leftsemi", "left_anti", "leftanti").contains(how.toLowerCase),
       s"saltedJoin supports probe-side-preserving joins only, got: $how")
     val salted = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salt)).cast("int"))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salt)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, keys :+ "_salt", how).drop("_salt")

@@ -62,29 +62,30 @@ object Streams {
   def dedupStream(events: DataFrame, idCol: String): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(idCol)
 
-  /** Exactly-once parquet sink via `foreachBatch` + batch-id markers —
+  /** Exactly-once `foreachBatch` sink via IDEMPOTENT per-batch writes —
     * the standard hardening of Structured Streaming's at-least-once
     * `foreachBatch` contract: a micro-batch can be REPLAYED after a
-    * failure between sink write and checkpoint commit, so each batch's
-    * append is gated on a `_committed_<id>` marker written only after
-    * the data lands. A replayed id finds its marker and skips — the
-    * write becomes idempotent, which composes with the checkpoint's
-    * no-reprocessing guarantee into exactly-once output. The same
-    * mechanism gates any non-transactional sink (jdbc upserts, object
-    * stores); transactional table formats subsume it.
+    * failure between sink write and checkpoint commit, so each batch
+    * OVERWRITES its own `batch_id=<id>` directory instead of appending
+    * to a shared one. A replay rewrites the identical directory (no
+    * duplicate rows, no commit-marker protocol whose marker write can
+    * itself be lost mid-crash), and the batch id doubles as provenance:
+    * readers see it as a partition column over `outDir/data`.
+    *
+    * Scope: `foreachBatch` idempotency is for NON-transactional sinks
+    * (jdbc upserts keyed on batch id, multi-table fan-out). For plain
+    * parquet output, Spark's built-in file sink already achieves
+    * exactly-once through its `_spark_metadata` log
+    * ([[incrementalPipeline]] uses it); this operator demonstrates the
+    * pattern on files because the container has no external store.
     */
   def exactlyOnceSink(stream: DataFrame, outDir: String,
                       checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val marker = new org.apache.hadoop.fs.Path(s"$outDir/_committed_$batchId")
-        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(marker)) {
-          batch.write.mode("append").parquet(s"$outDir/data")
-          fs.create(marker, true).close()
-        }
+        batch.write.mode("overwrite")
+          .parquet(s"$outDir/data/batch_id=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -147,11 +147,12 @@ class StreamingSpec extends AnyFunSuite {
     val once = spark.read.parquet(s"$out/data").count()
     assert(once === 100)
     // simulate a sink-side replay: wipe the checkpoint so the SAME files
-    // re-process as the same batch id — the marker must dedupe the write.
-    val cp = java.nio.file.Paths.get(ckpt)
-    java.nio.file.Files.walk(cp)
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+    // re-process as the same batch id — the per-batch overwrite must
+    // rewrite, not append.
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(f => java.nio.file.Files.delete(f))
+    finally walk.close()
     run()
     assert(spark.read.parquet(s"$out/data").count() === once,
       "replayed batch must not double-write")
