@@ -480,6 +480,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "scale_zorder_key" -> ((s, d) =>
+      // the Morton interleave behind Z-order clustered writes
+      // (ScaleOps.writeZOrdered) — plain shift/mask arithmetic both
+      // engines fold identically.
+      Tables.events(s, d).filter(col("event_id") < 500)
+        .select(col("event_id"),
+          graft.operators.ScaleOps
+            .zorderKey(col("user_id") % 256, col("event_id") % 256)
+            .cast("long").as("zkey"))
+        .orderBy("event_id")),
+
     "stats_sketches" -> ((s, d) =>
       // sketch outputs are engine-specific → no DuckDB oracle (driver
       // records the rows-only check); bounded-error agreement with exact
@@ -1261,6 +1272,14 @@ object SparkEntry {
         |)
         |SELECT event_id, user_id, carried.v AS asof_value
         |FROM c WHERE is_right = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "scale_zorder_key" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 15), i ->
+        |    ((((user_id % 256) >> i) & 1) << (2*i)) +
+        |    ((((event_id % 256) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
+        |FROM events WHERE event_id < 500
         |ORDER BY event_id""".stripMargin,
 
     "stream_session_window" ->

@@ -71,6 +71,34 @@ object ScaleOps {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** 32-bit Z-order (Morton) key of two int columns: bit i of each input
+    * lands at output bits 2i / 2i+1, so records close in BOTH dimensions
+    * get close keys. Plain shift/mask column arithmetic — codegen'd, and
+    * the DuckDB oracle computes the identical fold.
+    */
+  def zorderKey(x: org.apache.spark.sql.Column,
+                y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-order-clustered write — the data-layout half of multi-dimensional
+    * data skipping: range-partition and sort the rows by the interleaved
+    * key before writing, so each parquet file covers a SMALL rectangle of
+    * (x, y) space and its row-group min/max statistics prune selective
+    * filters on EITHER dimension. A single-column sort clusters only its
+    * leading column; Z-ordering spends the same write to serve both.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    path: String, numFiles: Int): Unit = {
+    val keyed = df.withColumn("_z", zorderKey(col(xCol), col(yCol)))
+    keyed.repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction — the warehouse maintenance pass (OPTIMIZE
     * analog): rewrite a parquet directory into ~`targetBytes` files.
     * Incremental sinks (`Bronze.appendSink`, streaming) accrete small

@@ -135,6 +135,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered write clusters BOTH dimensions: per-file spans shrink vs a plain write") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val ev = Tables.events(spark, sfDir)
+      .select((col("user_id") % 64).as("x"), (col("event_id") % 64).as("y"))
+    def avgSpans(dir: String): (Double, Double) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y"))).head()
+        (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      }
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+    ev.repartition(8).write.parquet(s"$base/plain")
+    ScaleOps.writeZOrdered(ev, "x", "y", s"$base/zorder", numFiles = 8)
+    assert(spark.read.parquet(s"$base/zorder").count() === ev.count())
+    val (px, py) = avgSpans(s"$base/plain")
+    val (zx, zy) = avgSpans(s"$base/zorder")
+    info(f"plain spans x=$px%.1f y=$py%.1f; z-ordered x=$zx%.1f y=$zy%.1f")
+    // a random shuffle gives ~full-range spans in every file; the Z-curve
+    // must shrink the COMBINED span substantially (each file covers a
+    // rectangle of the key space, so min/max stats can prune both dims).
+    assert(zx + zy < 0.75 * (px + py),
+      f"z-order should cluster: got x+y span $zx%.1f+$zy%.1f vs plain $px%.1f+$py%.1f")
+  }
+
   test("compaction rewrites many small files into few without changing content") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     val df = Tables.orders(spark, sfDir).repartition(20)
