@@ -328,6 +328,12 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, d), w = 5, threshold = 0.8)
         .orderBy("d1", "d2")),
 
+    "dedup_clusters" -> ((s, d) =>
+      // pairwise matches → dedup clusters (cluster id = canonical keeper)
+      Dedup.clusterPairs(
+          Dedup.ngramJaccard(Tables.documents(s, d), w = 5, threshold = 0.8))
+        .orderBy("doc_id")),
+
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
           bandWidth = 2, threshold = 0.5)
@@ -513,6 +519,35 @@ object SparkEntry {
       |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
       |  FROM toks
       |)""".stripMargin
+
+  /** Prefix-filtered exact-Jaccard pairs, no ORDER BY — shared by the
+    * pair oracle and the connected-components oracle built on it.
+    */
+  private lazy val ngramPairsCoreSql: String =
+    s"""WITH $triSql,
+       |freq AS (SELECT sh, count(*) AS f FROM tri GROUP BY 1),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+       |ranked AS (
+       |  SELECT t.doc_id, t.sh, s.n,
+       |         row_number() OVER (PARTITION BY t.doc_id
+       |                            ORDER BY fr.f ASC, t.sh ASC) AS rn
+       |  FROM tri t JOIN freq fr ON fr.sh = t.sh JOIN sizes s ON s.doc_id = t.doc_id
+       |), prefix AS (
+       |  SELECT doc_id, sh FROM ranked WHERE rn <= n - floor(0.8 * n) + 1
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |), com AS (
+       |  SELECT c.d1, c.d2, count(*) AS common
+       |  FROM cands c
+       |  JOIN tri a ON a.doc_id = c.d1
+       |  JOIN tri b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2,
+       |  CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
+       |FROM com JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8""".stripMargin
 
   private val minhashOracle: String = {
     val mhCols = (0 until 8).map(s =>
@@ -999,32 +1034,23 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      s"""WITH $triSql,
-         |freq AS (SELECT sh, count(*) AS f FROM tri GROUP BY 1),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
-         |ranked AS (
-         |  SELECT t.doc_id, t.sh, s.n,
-         |         row_number() OVER (PARTITION BY t.doc_id
-         |                            ORDER BY fr.f ASC, t.sh ASC) AS rn
-         |  FROM tri t JOIN freq fr ON fr.sh = t.sh JOIN sizes s ON s.doc_id = t.doc_id
-         |), prefix AS (
-         |  SELECT doc_id, sh FROM ranked WHERE rn <= n - floor(0.8 * n) + 1
-         |), cands AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |), com AS (
-         |  SELECT c.d1, c.d2, count(*) AS common
-         |  FROM cands c
-         |  JOIN tri a ON a.doc_id = c.d1
-         |  JOIN tri b ON b.doc_id = c.d2 AND b.sh = a.sh
-         |  GROUP BY 1, 2
+    "dedup_ngram_jaccard" -> s"$ngramPairsCoreSql\nORDER BY d1, d2",
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT d1, d2 FROM ($ngramPairsCoreSql) p
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION
+         |  SELECT d2, d1 FROM pairs
+         |), reach(node, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
          |)
-         |SELECT d1, d2,
-         |  CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
-         |FROM com JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-         |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8
-         |ORDER BY d1, d2""".stripMargin,
+         |SELECT node AS doc_id, min(m) AS cluster_id
+         |FROM reach GROUP BY 1
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
 

@@ -247,6 +247,42 @@ object Dedup {
       .select(col("i"), col("j"), col("sim"))
   }
 
+  /** Connected components over a near-duplicate pair list — the step
+    * that turns pairwise matches into DEDUP CLUSTERS (cluster id = the
+    * smallest doc id in the component; that doc is the canonical
+    * keeper). Iterative min-label propagation: each round every node
+    * adopts the smallest label among itself and its neighbors, and the
+    * loop stops at fixpoint. Rounds needed = the component DIAMETER
+    * (near-dup clusters are small and dense, so 2–3 in practice), each
+    * round one distributed join+aggregate; per-round localCheckpoint
+    * truncates the growing lineage — the standard iterative-algorithm
+    * shape on Spark. The result is iteration-order independent (a
+    * fixpoint), so the DuckDB oracle can compute it with a recursive
+    * reachability CTE instead.
+    */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint(eager = true) // reused every round; tiny vs corpus
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      changed = next
+        .join(labels.select(col("node"), col("label").as("prev")), "node")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 16-bit SimHash per document from token 32-bit hashes (with
     * multiplicity): bit b of the signature is the sign of
     * Σ_tokens (±1 by token-hash bit b). One explode + one aggregation.

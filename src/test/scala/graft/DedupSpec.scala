@@ -65,6 +65,17 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exhaustive)
   }
 
+  test("clusterPairs resolves transitive chains into min-id components") {
+    import spark.implicits._
+    // chain 1-2-3 (2 and 3 never directly paired) + island 7-9 + singleton pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (20L, 21L))
+      .toDF("d1", "d2")
+    val got = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("incremental dedup drops replayed content and collapses in-batch copies") {
     import spark.implicits._
     val seen = Seq("old text one", "old text two").toDF("text")
