@@ -135,6 +135,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact scan under a selective dim filter") {
+    // at 100 TB, a selective predicate on the dim side of a shuffle join
+    // should reach the fact scan as a runtime semi-join filter — Spark's
+    // injected bloom filter does exactly that. Thresholds are lowered so
+    // the small-SF plan shows the same shape a warehouse run gets.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption.flatMap(Option(_))).toMap
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sfDir)
+      val o = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val expected = j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+        s"expected an injected runtime bloom filter:\n$plan")
+      // the filter is a pruning optimization, never a semantics change
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(li.join(o, col("l_orderkey") === col("o_orderkey")).count() === expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("z-ordered write clusters BOTH dimensions: per-file spans shrink vs a plain write") {
     val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     val ev = Tables.events(spark, sfDir)
