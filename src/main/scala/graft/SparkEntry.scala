@@ -1302,7 +1302,7 @@ object SparkEntry {
 
     "scale_zorder_key" ->
       """SELECT event_id,
-        |  CAST(list_sum(list_transform(generate_series(0, 15), i ->
+        |  CAST(list_sum(list_transform(generate_series(0, 30), i ->
         |    ((((user_id % 256) >> i) & 1) << (2*i)) +
         |    ((((event_id % 256) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
         |FROM events WHERE event_id < 500

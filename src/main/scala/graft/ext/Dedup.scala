@@ -261,11 +261,17 @@ object Dedup {
     * reachability CTE instead.
     */
   def clusterPairs(pairs: DataFrame): DataFrame = {
+    // persist (not checkpoint) each round's labels and RELEASE the
+    // superseded round as soon as its successor is materialized — the
+    // loop holds at most edges + two label snapshots at any moment.
+    // Lineage grows one join per round, bounded by the component
+    // diameter; the cached snapshot short-circuits recompute either way.
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .localCheckpoint(eager = true) // reused every round; tiny vs corpus
+      .persist()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
+      .persist()
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
@@ -274,13 +280,21 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(eager = true)
+        .persist()
       changed = next
         .join(labels.select(col("node"), col("label").as("prev")), "node")
-        .filter(col("label") =!= col("prev")).count()
+        .filter(col("label") =!= col("prev")).count() // materializes next
+      labels.unpersist(blocking = false)
       labels = next
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    // one eager result materialization, then drop every intermediate —
+    // the same release discipline as the pair pipelines above.
+    try labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint(eager = true)
+    finally {
+      labels.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+    }
   }
 
   /** 16-bit SimHash per document from token 32-bit hashes (with

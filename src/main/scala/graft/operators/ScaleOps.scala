@@ -71,14 +71,17 @@ object ScaleOps {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
-  /** 32-bit Z-order (Morton) key of two int columns: bit i of each input
-    * lands at output bits 2i / 2i+1, so records close in BOTH dimensions
-    * get close keys. Plain shift/mask column arithmetic — codegen'd, and
-    * the DuckDB oracle computes the identical fold.
+  /** Z-order (Morton) key of two int columns: bit i of each input lands
+    * at output bits 2i / 2i+1, so records close in BOTH dimensions get
+    * close keys. Interleaves bits 0–30 of each side (positions ≤ 62 — the
+    * key stays a positive long, so long ordering equals curve ordering):
+    * any NON-NEGATIVE int value is ordered exactly; callers with wider
+    * domains bucket first. Plain shift/mask column arithmetic —
+    * codegen'd, and the DuckDB oracle computes the identical fold.
     */
   def zorderKey(x: org.apache.spark.sql.Column,
                 y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 16).map { i =>
+    (0 until 31).map { i =>
       shiftleft(shiftright(x.cast("long"), i).bitwiseAND(1), 2 * i) +
         shiftleft(shiftright(y.cast("long"), i).bitwiseAND(1), 2 * i + 1)
     }.reduce(_ + _)
@@ -92,6 +95,8 @@ object ScaleOps {
     */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
                     path: String, numFiles: Int): Unit = {
+    require(!df.columns.contains("_z"),
+      "input already has a _z column — it would be clobbered and dropped")
     val keyed = df.withColumn("_z", zorderKey(col(xCol), col(yCol)))
     keyed.repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
