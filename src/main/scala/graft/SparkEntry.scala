@@ -329,9 +329,14 @@ object SparkEntry {
         .orderBy("d1", "d2")),
 
     "dedup_clusters" -> ((s, d) =>
-      // pairwise matches → dedup clusters (cluster id = canonical keeper)
+      // pairwise matches → dedup clusters (cluster id = canonical keeper).
+      // Pairs come from the CHEAP banded MinHash path (already eagerly
+      // materialized by minhashLsh, so the CC loop never re-runs the pair
+      // pipeline); at warehouse scale the pair list is a staged table and
+      // this operator reads it back — the API takes any pairs frame.
       Dedup.clusterPairs(
-          Dedup.ngramJaccard(Tables.documents(s, d), w = 5, threshold = 0.8))
+          Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
+            bandWidth = 2, threshold = 0.5))
         .orderBy("doc_id")),
 
     "dedup_minhash_lsh" -> ((s, d) =>
@@ -549,7 +554,10 @@ object SparkEntry {
        |FROM com JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
        |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8""".stripMargin
 
-  private val minhashOracle: String = {
+  /** Banded-MinHash verified pairs, no ORDER BY — shared by the pair
+    * oracle and the connected-components oracle built on it.
+    */
+  private lazy val minhashPairsCoreSql: String = {
     val mhCols = (0 until 8).map(s =>
       s"    min(CAST('0x' || substr(md5('0|' || sh) || md5('1|' || sh), ${8 * s + 1}, 8) AS BIGINT)) AS mh$s")
       .mkString(",\n")
@@ -580,9 +588,10 @@ object SparkEntry {
        |SELECT d1, d2,
        |  CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
        |FROM com JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-       |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.5
-       |ORDER BY d1, d2""".stripMargin
+       |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.5""".stripMargin
   }
+
+  private val minhashOracle: String = s"$minhashPairsCoreSql\nORDER BY d1, d2"
 
   private val simhashOracle: String = {
     val bitSums = (0 until 16).map(b =>
@@ -1038,7 +1047,7 @@ object SparkEntry {
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
-         |  SELECT d1, d2 FROM ($ngramPairsCoreSql) p
+         |  SELECT d1, d2 FROM ($minhashPairsCoreSql) p
          |), edges AS (
          |  SELECT d1 AS a, d2 AS b FROM pairs
          |  UNION

@@ -271,19 +271,24 @@ object Dedup {
       .persist()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
+      .withColumn("chg", lit(false))
       .persist()
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
         .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("node")).agg(min(col("nl")).as("nmin"))
+      // carry a changed-this-round flag INSIDE the label snapshot: the
+      // convergence check is then a filter+count over the same persisted
+      // frame — ONE job per round materializes next AND counts changes
+      // (labels only ever decrease, so changed ⟺ nmin < label), instead
+      // of a second join-against-previous action.
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
         .persist()
-      changed = next
-        .join(labels.select(col("node"), col("label").as("prev")), "node")
-        .filter(col("label") =!= col("prev")).count() // materializes next
+      changed = next.filter(col("chg")).count() // materializes next
       labels.unpersist(blocking = false)
       labels = next
     }

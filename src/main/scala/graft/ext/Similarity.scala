@@ -165,10 +165,13 @@ object Similarity {
     // lowest vec_ids by GLOBAL ORDER, not `vec_id < numCells` — sparse or
     // offset id spaces would otherwise yield zero centroids and a silently
     // empty result. TakeOrdered on K rows, then broadcast.
-    val centroids = broadcast(
-      emb.orderBy(col("vec_id")).limit(numCells)
-        .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
-    require(centroids.count() > 0, "ivfTopK: corpus has no vectors to use as centroids")
+    val centroidSet = emb.orderBy(col("vec_id")).limit(numCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    // guard is a one-row probe (limit-1 job), not a full count — the same
+    // cheap-probe pattern as requireDim; an empty corpus fails with a
+    // clear message instead of silently returning an empty result.
+    require(!centroidSet.isEmpty, "ivfTopK: corpus has no vectors to use as centroids")
+    val centroids = broadcast(centroidSet)
     def nearestCells(df: DataFrame, id: String, embCol: String,
                      probes: Int): DataFrame = {
       val scored = df.crossJoin(centroids)

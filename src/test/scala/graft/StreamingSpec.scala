@@ -132,7 +132,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("exactly-once sink: a replayed micro-batch is skipped by its commit marker") {
+  test("exactly-once sink: a replayed micro-batch idempotently overwrites its own batch directory") {
     val base = java.nio.file.Files.createTempDirectory("graft_eos").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
     val ev = Tables.events(spark, sfDir).select("event_id", "ts", "value")
