@@ -508,6 +508,151 @@ object SparkEntry {
       // answers is asserted in SketchesSpec.
       ext.Sketches.eventTypeProfile(Tables.events(s, d))
         .orderBy("event_type")),
+
+    "stats_sketches_bounds" -> ((s, d) =>
+      // the oracle-checked corroboration of stats_sketches: exact
+      // companions plus bounded-error verdict flags the oracle expects to
+      // be TRUE — a sketch out of bounds fails the hash match.
+      ext.Sketches.profileBounds(Tables.events(s, d))
+        .orderBy("event_type")),
+
+    "gold_pipeline_e2e" -> ((s, d) => {
+      // S5/S8 end-to-end: the FULL ETL (all silver + gold tables written
+      // to staging, then atomically promoted — reference
+      // silver_load.sql:285-308 + gold_dag.py) into a throwaway
+      // warehouse, returning a mart read back FROM DISK. Oracle = the
+      // same mart SQL, so the write→promote→read path itself is
+      // hash-checked, not just the in-memory plan.
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-e2e-").toString
+      graft.plans.Pipeline.runFullEtl(s, d, wh)
+      s.read.parquet(s"$wh/dm_daily_trip_summary").orderBy("cal_date")
+    }),
+
+    "stream_pipeline" -> ((s, d) => {
+      // the LIVE streaming path (not the batch twin): AvailableNow
+      // file-stream over the events source → watermarked hourly windows →
+      // parquet sink, then the sink contents read back. Append mode only
+      // emits windows FINALIZED by the watermark (end ≤ max event time −
+      // 1 h); both sides filter strictly below that line so the edge
+      // window's emit-or-hold never decides the comparison.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-stream-").toString
+      // the file-stream source monitors a DIRECTORY; the testdata table is
+      // a single parquet file, so stage it as a symlink (no data copy) —
+      // the production shape is streaming an arrival directory anyway.
+      val srcPath = java.nio.file.Paths.get(tmp, "src")
+      java.nio.file.Files.createDirectories(srcPath)
+      java.nio.file.Files.createSymbolicLink(
+        srcPath.resolve("events.parquet"),
+        java.nio.file.Paths.get(d, "events.parquet"))
+      val src = srcPath.toString
+      // schema read under the session's nanosAsLong conf: ts arrives as
+      // raw nanos LONG; prepare() rebuilds the micro-precision timestamp
+      // INSIDE the stream exactly as Tables.events does for batch.
+      val sch = s.read.parquet(src).schema
+      graft.streaming.Streams.incrementalPipeline(
+          s, sch, src, s"$tmp/out", s"$tmp/ck",
+          prepare = df => df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000"))))
+        .awaitTermination()
+      val horizonMs = 3600000L
+      val mx = Tables.events(s, d)
+        .agg(max(unix_millis(col("ts"))).as("mx_ms"))
+      s.read.parquet(s"$tmp/out")
+        .withColumn("window_start_ms", unix_millis(col("window_start")))
+        .crossJoin(mx) // 1-row broadcast
+        .filter(col("window_start_ms") + horizonMs < col("mx_ms") - horizonMs)
+        .select(col("window_start_ms"), col("event_type"),
+          col("n_events"), col("value_cents"))
+        .orderBy("window_start_ms", "event_type")
+    }),
+
+    "gold_popular_routes_warehouse" -> ((s, d) => {
+      // the fact-joining mart off the PERSISTED star: the l⋈o join was
+      // paid once at ingest; grouping keys include fact_trips' bucket
+      // column, so the aggregation below starts with zero exchange.
+      val star = graft.plans.Warehouse.ensure(s, d)
+      Gold.popularRoutesFromStar(star.factTrips, star.dimStation)
+        .orderBy("route_id")
+    }),
+
+    "gold_pivot" -> ((s, d) =>
+      // pivot with an EXPLICIT value list — never values-discovery, which
+      // costs an extra distinct scan and makes the output schema
+      // data-dependent (a schema change at 100 TB is an outage, not a
+      // feature). Missing cells are zero-filled to match the oracle's
+      // FILTER counts.
+      Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .groupBy(col("event_date"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("event_date"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+        .orderBy("event_date")),
+
+    "gold_window_funcs" -> ((s, d) => {
+      // the analytic-function family over a per-customer order timeline:
+      // sequence, quartile, neighbors, running total, rank-with-ties.
+      // ONE shuffle on o_custkey serves all five window specs (same
+      // partition key; Spark plans a single Exchange, then two sorts).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wy = Window.partitionBy(col("o_custkey"))
+        .orderBy(year(col("o_orderdate")))
+      Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).as("rn"),
+          ntile(4).over(w).as("q4"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_cents"),
+          rank().over(wy).as("rnk_year"),
+          dense_rank().over(wy).as("drnk_year"))
+        .orderBy("o_orderkey")
+    }),
+
+    "gold_cube_summary" -> ((s, d) =>
+      // CUBE over (segment, status) with the grouping_id bitmask —
+      // completes the grouping-sets family next to gold_rollup_summary.
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          grouping_id().cast("int").as("gid"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") /
+            lit(100.0)).as("total_price"))
+        .orderBy(col("gid"),
+          col("c_mktsegment").asc_nulls_last,
+          col("o_orderstatus").asc_nulls_last)),
+
+    "scale_salted_join" -> ((s, d) =>
+      // the skew-salting operator on the oracle path: results must be
+      // IDENTICAL to the plain join for any salt (the oracle is the
+      // unsalted SQL), while the hot key spreads over `salt` reducers.
+      graft.operators.ScaleOps.saltedJoin(
+          Tables.orders(s, d),
+          Tables.customer(s, d)
+            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          Seq("o_custkey"), salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") /
+            lit(100.0)).as("total_price"))
+        .orderBy("c_mktsegment")),
+
+    "corpus_quality_gate" -> ((s, d) =>
+      // batch admission control: every expectation evaluates in ONE
+      // partial+final aggregation pass, unpivoted to a row per check.
+      ext.Quality.eventsGate(Tables.events(s, d))
+        .orderBy("check_name")),
   )
 
   // ---- generated oracle fragments (identical constants as the Spark
@@ -1367,5 +1512,90 @@ object SparkEntry {
         |       CAST(count(*) AS INTEGER) AS n_events
         |FROM z GROUP BY user_id, session_seq
         |ORDER BY user_id, start_ms""".stripMargin,
+
+    // the e2e pipeline writes the mart to disk and reads it back — the
+    // oracle is the mart's own SQL, so the staged-write/promote/read
+    // path must reproduce the direct computation bit-exactly.
+    "gold_pipeline_e2e" -> s"$dailySummaryCoreSql\nORDER BY cal_date",
+
+    "gold_popular_routes_warehouse" ->
+      s"$popularRoutesCoreSql\nORDER BY route_id",
+
+    "stream_pipeline" ->
+      """WITH m AS (SELECT epoch_ms(max(ts)) AS mx_ms FROM events)
+        |SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events, m
+        |WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 < mx_ms - 3600000
+        |GROUP BY 1, 2
+        |ORDER BY window_start_ms, event_type""".stripMargin,
+
+    // exact companions reproduced by DuckDB; the *_ok sketch-bound flags
+    // are TRUE by expectation — a sketch out of bounds hash-mismatches.
+    "stats_sketches_bounds" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "gold_pivot" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
+
+    "gold_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS q4,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
+        |  CAST(rank() OVER wy AS INTEGER) AS rnk_year,
+        |  CAST(dense_rank() OVER wy AS INTEGER) AS drnk_year
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wy AS (PARTITION BY o_custkey ORDER BY year(o_orderdate))
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "gold_cube_summary" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+        |  CAST(2*grouping(c_mktsegment) + grouping(o_orderstatus) AS INTEGER) AS gid,
+        |  CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderstatus)
+        |ORDER BY gid, c_mktsegment NULLS LAST, o_orderstatus NULLS LAST""".stripMargin,
+
+    // the oracle is the UNSALTED join: salting must be invisible in the
+    // result for any salt value.
+    "scale_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_quality_gate" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |         count(DISTINCT event_id) AS du,
+        |         sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+        |             ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS bt,
+        |         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nt,
+        |         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nu,
+        |         sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS nv
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'event_id_unique' AS check_name, CAST(n - du AS BIGINT) AS n_violations, (n - du) = 0 AS pass FROM a
+        |  UNION ALL SELECT 'event_type_in_domain', CAST(bt AS BIGINT), bt = 0 FROM a
+        |  UNION ALL SELECT 'ts_not_null', CAST(nt AS BIGINT), nt = 0 FROM a
+        |  UNION ALL SELECT 'user_id_not_null', CAST(nu AS BIGINT), nu = 0 FROM a
+        |  UNION ALL SELECT 'value_non_negative', CAST(nv AS BIGINT), nv = 0 FROM a)
+        |ORDER BY check_name""".stripMargin,
   )
 }

@@ -271,6 +271,8 @@ object Dedup {
       .persist()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
+      // schema symmetry with `next` only — the loop rebuilds chg each
+      // round and never reads the seed's value.
       .withColumn("chg", lit(false))
       .persist()
     var changed = 1L

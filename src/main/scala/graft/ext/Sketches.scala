@@ -29,4 +29,32 @@ object Sketches {
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
         percentile_approx(col("value"), lit(0.5), lit(2000)).as("p50_value"),
         percentile_approx(col("value"), lit(0.95), lit(2000)).as("p95_value"))
+
+  /** Sketch-vs-exact bounds, shaped for the ORACLE: the sketch values
+    * themselves are engine-specific state (no DuckDB bit-match exists),
+    * but the EXACT companions and the bounded-error verdicts are not —
+    * DuckDB reproduces the exact columns and expects every `*_ok` flag
+    * TRUE, so a sketch drifting out of its error bound fails the hash
+    * check. Error budgets: HLL++ at 2% target rsd is held to ±5%
+    * (≈2.5σ); the rank-error quantile sketch at accuracy 2000 must land
+    * within the exact inter-quartile / p90–max brackets — generous for
+    * n/2000 rank error, tight enough to catch a broken sketch.
+    */
+  def profileBounds(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(2000)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(2000)).as("p95"),
+        expr("percentile(value, 0.25)").as("ep25"),
+        expr("percentile(value, 0.75)").as("ep75"),
+        expr("percentile(value, 0.90)").as("ep90"),
+        max(col("value")).as("emax"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("au") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * 0.05).as("hll_ok"),
+        (col("p50") >= col("ep25") && col("p50") <= col("ep75")).as("p50_ok"),
+        (col("p95") >= col("ep90") && col("p95") <= col("emax")).as("p95_ok"))
 }

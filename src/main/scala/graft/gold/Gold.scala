@@ -117,6 +117,43 @@ object Gold {
         col("trip_count"), col("avg_duration_days"))
   }
 
+  /** dm_popular_routes computed OFF THE PERSISTED STAR instead of the raw
+    * sources: the fact is already joined and persisted bucketed on
+    * `start_station_key`, so the aggregation below — whose grouping keys
+    * include the bucket column — runs with ZERO exchange before the
+    * partial agg, and the only joins left are two broadcasts of the tiny
+    * station dim for display names. The raw-source form
+    * ([[popularRoutes]]) re-pays lineitem⋈orders plus two fact-side dim
+    * joins on every refresh; at 100 TB this form moves nothing but the
+    * ≤|stations|² aggregate.
+    *
+    * Parity with [[popularRoutes]] holds because every station key in the
+    * fact resolves in the dim (both derive the key from the same
+    * nationkey expression) and the testdata's nation table is total — a
+    * nationkey missing from `nation` would surface here as the dim's
+    * 'UNKNOWN' name where the raw form's null-name filter drops the row.
+    */
+  def popularRoutesFromStar(factTrips: DataFrame, dimStation: DataFrame): DataFrame = {
+    val s1 = dimStation.select(col("station_key").as("start_station_key"),
+      col("station_name").as("start_station"))
+    val s2 = dimStation.select(col("station_key").as("end_station_key"),
+      col("station_name").as("end_station"))
+    factTrips
+      // grouping keys ⊇ bucket column ⇒ no shuffle before this aggregate.
+      .groupBy(col("start_station_key"), col("end_station_key"))
+      .agg(count(lit(1)).as("trip_count"),
+        sum(col("duration_days")).as("sum_duration"))
+      .join(broadcast(s1), Seq("start_station_key"))
+      .join(broadcast(s2), Seq("end_station_key"))
+      .filter(col("start_station") =!= "UNKNOWN" && col("end_station") =!= "UNKNOWN")
+      .select(
+        concat_ws(" -> ", col("start_station"), col("end_station")).as("route_id"),
+        col("start_station"), col("end_station"),
+        col("trip_count"),
+        (col("sum_duration").cast("double") /
+          col("trip_count").cast("double")).as("avg_duration_days"))
+  }
+
   /** dm_user_behavior_summary (gold_ddl.sql:116-132): chained inner dim
     * joins (J8), computed age-style group key (F13), COUNT/SUM/AVG.
     */

@@ -41,8 +41,9 @@ object Streams {
     */
   def incrementalPipeline(spark: SparkSession, schema: StructType,
                           srcDir: String, outDir: String,
-                          checkpointDir: String): StreamingQuery =
-    windowedCounts(spark.readStream.schema(schema).parquet(srcDir))
+                          checkpointDir: String,
+                          prepare: DataFrame => DataFrame = identity): StreamingQuery =
+    windowedCounts(prepare(spark.readStream.schema(schema).parquet(srcDir)))
       .writeStream
       .format("parquet")
       .option("checkpointLocation", checkpointDir)
