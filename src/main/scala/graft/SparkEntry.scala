@@ -653,6 +653,97 @@ object SparkEntry {
       // partial+final aggregation pass, unpivoted to a row per check.
       ext.Quality.eventsGate(Tables.events(s, d))
         .orderBy("check_name")),
+
+    "silver_gapfill" -> ((s, d) => {
+      // resample the sparse high-value purchase feed onto the dense
+      // hourly spine: zero-filled counts + last-observation-carried-
+      // forward values. One groupBy shuffle (union trick — no spine
+      // left-join chain) plus the per-key window sort.
+      val ev = Tables.events(s, d)
+        .withColumn("hour_ms", unix_millis(date_trunc("hour", col("ts"))))
+      val raw = ev.filter(col("value") > 99)
+        .select(col("event_type"), col("hour_ms"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val keys = ev.select(col("event_type")).distinct()
+      val bounds = ev.agg(min(col("hour_ms")).as("lo"),
+        max(col("hour_ms")).as("hi"))
+      graft.operators.TimeSeries.gapFillLocf(raw, keys, bounds,
+          "event_type", "hour_ms", "cents", step = 3600000L)
+        .select(col("event_type"), col("hour_ms"), col("n_obs"),
+          col("value_sum"), col("locf_value"))
+        .orderBy("event_type", "hour_ms")
+    }),
+
+    "gold_topn_per_group" -> ((s, d) => {
+      // top-5 orders by price within every priority class: the rank
+      // filter is planned as WindowGroupLimit, so each partition keeps a
+      // 5-row heap during the sort instead of ranking all rows
+      // (plan-asserted in GoldViewsSpec).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 5)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    "gold_moving_avg" -> ((s, d) => {
+      // 7-day trailing moving average over the daily revenue series —
+      // RANGE frame on the day number, so missing days shrink the window
+      // (calendar semantics), unlike a ROWS frame which would span gaps.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("o_orderdate"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+        .withColumn("day_nr", unix_date(col("o_orderdate")).cast("long"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("day_nr")).rangeBetween(-6, 0)
+      daily.select(col("o_orderpriority"), col("o_orderdate"),
+          col("n_orders"), col("day_cents"),
+          (sum(col("day_cents")).over(w).cast("double") /
+            count(col("day_cents")).over(w).cast("double")).as("ma7_cents"))
+        .orderBy("o_orderpriority", "o_orderdate")
+    }),
+
+    "text_ngram_freq" -> ((s, d) =>
+      // corpus bigram document frequencies: one explode + one agg, top-30
+      // with a full deterministic tie-break.
+      Dedup.shingles(Tables.documents(s, d), w = 2)
+        .groupBy(col("sh").as("bigram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("bigram").asc)
+        .limit(30)),
+
+    "corpus_contamination" -> ((s, d) =>
+      // train/eval contamination sweep: src0+src1 play the benchmark,
+      // the rest the training corpus; rare-shingle collisions only.
+      ext.Corpus.contamination(Tables.documents(s, d),
+          benchSources = Seq("src0", "src1"), w = 5, maxShingleFreq = 8,
+          threshold = 0.3)
+        .orderBy("bench_doc", "train_doc")),
+
+    "scale_partition_pruning" -> ((s, d) => {
+      // dynamic partition pruning over the date-partitioned layout: the
+      // dim side (first week of each month) is broadcast, and its values
+      // reach the fact scan as a RUNTIME partition filter — unselected
+      // day directories are never opened (plan-asserted in ScaleOpsSpec).
+      // The layout build is staged once per JVM, like the warehouse.
+      val dir = graft.operators.ScaleOps.ensureDatePartitionedEvents(s, d)
+      val fact = s.read.parquet(dir)
+      val dim = Tables.events(s, d)
+        .select(to_date(col("ts")).as("event_date")).distinct()
+        .filter(dayofmonth(col("event_date")) <= 7)
+      fact.join(broadcast(dim), Seq("event_date"))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy("event_date", "event_type")
+    }),
   )
 
   // ---- generated oracle fragments (identical constants as the Spark
@@ -1597,5 +1688,103 @@ object SparkEntry {
         |  UNION ALL SELECT 'user_id_not_null', CAST(nu AS BIGINT), nu = 0 FROM a
         |  UNION ALL SELECT 'value_non_negative', CAST(nv AS BIGINT), nv = 0 FROM a)
         |ORDER BY check_name""".stripMargin,
+
+    "silver_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms, value
+        |  FROM events),
+        |b AS (SELECT min(hour_ms) AS lo, max(hour_ms) AS hi FROM e),
+        |keys AS (SELECT DISTINCT event_type FROM e),
+        |spine AS (
+        |  SELECT k.event_type,
+        |         unnest(generate_series(b.lo, b.hi, 3600000)) AS hour_ms
+        |  FROM keys k CROSS JOIN b),
+        |obs AS (
+        |  SELECT event_type, hour_ms, count(*) AS n_obs,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_sum
+        |  FROM e WHERE value > 99 GROUP BY 1, 2)
+        |SELECT s.event_type, s.hour_ms,
+        |  CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs, o.value_sum,
+        |  last_value(o.value_sum IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.hour_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM spine s LEFT JOIN obs o
+        |  ON o.event_type = s.event_type AND o.hour_ms = s.hour_ms
+        |ORDER BY 1, 2""".stripMargin,
+
+    "gold_topn_per_group" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn,
+        |    o_orderkey, o_totalprice
+        |  FROM orders)
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "gold_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS day_cents,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_nr
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, o_orderdate, n_orders, day_cents,
+        |  CAST(CAST(sum(day_cents) OVER w AS BIGINT) AS DOUBLE) /
+        |    CAST(count(day_cents) OVER w AS DOUBLE) AS ma7_cents
+        |FROM daily
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_nr
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, o_orderdate""".stripMargin,
+
+    "text_ngram_freq" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), big AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(l)-1),
+        |                i -> l[i] || ' ' || l[i+1])) AS bigram
+        |  FROM toks)
+        |SELECT bigram, count(*) AS n_docs FROM big
+        |GROUP BY 1 ORDER BY n_docs DESC, bigram LIMIT 30""".stripMargin,
+
+    "corpus_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5
+        |), tri AS (
+        |  SELECT DISTINCT doc_id, source,
+        |         unnest(list_transform(generate_series(1, len(l)-4),
+        |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
+        |  FROM toks
+        |), freq AS (SELECT sh, count(*) AS f FROM tri GROUP BY 1),
+        |keep AS (SELECT t.* FROM tri t JOIN freq f ON f.sh = t.sh AND f.f <= 8),
+        |bench AS (SELECT doc_id, sh FROM keep WHERE source IN ('src0','src1')),
+        |train AS (SELECT doc_id, sh FROM keep WHERE source NOT IN ('src0','src1')),
+        |bsize AS (SELECT doc_id, count(*) AS n FROM bench GROUP BY 1),
+        |shared AS (
+        |  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc,
+        |         count(*) AS n_shared
+        |  FROM bench b JOIN train t ON b.sh = t.sh GROUP BY 1, 2)
+        |SELECT bench_doc, train_doc, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) AS score
+        |FROM shared JOIN bsize ON bsize.doc_id = bench_doc
+        |WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3
+        |ORDER BY bench_doc, train_doc""".stripMargin,
+
+    // the oracle sees no partition layout — pruning must be invisible in
+    // the result, visible only in the plan.
+    "scale_partition_pruning" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events
+        |  WHERE day(CAST(ts AS DATE)) <= 7)
+        |SELECT e.event_date, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM (SELECT CAST(ts AS DATE) AS event_date, event_type, value
+        |      FROM events) e
+        |JOIN dim ON e.event_date = dim.event_date
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

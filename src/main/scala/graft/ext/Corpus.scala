@@ -73,6 +73,57 @@ object Corpus {
                        keepPerMille: Int, salt: String = "sample"): DataFrame =
     docs.filter(hashBucket(col(idCol), salt, 1000) < keepPerMille)
 
+  /** Train/benchmark contamination detection — the n-gram-collision check
+    * a training corpus runs before an eval set can be trusted: for every
+    * (benchmark doc, training doc) pair sharing enough rare n-grams,
+    * report the containment score |shared| / |benchmark shingles|.
+    *
+    * Scale design: the join is an EQUI-join on the shingle — never
+    * doc×doc — and its fanout is bounded by the frequency cap: shingles
+    * appearing more than `maxShingleFreq` times corpus-wide (boilerplate)
+    * are excluded before the join, so one shingle contributes at most
+    * cap² pair rows. Dropping high-frequency n-grams is the published
+    * contamination methodology, not just a performance fix: boilerplate
+    * collisions are noise, membership of RARE n-grams is signal. Shingling
+    * runs once over each disjoint side (no doc→source re-join of the
+    * shingle table), and the scores are exact-integer divisions, so the
+    * oracle reproduces them bit-for-bit.
+    */
+  def contamination(docs: DataFrame, benchSources: Seq[String],
+                    w: Int = 5, maxShingleFreq: Long = 8,
+                    threshold: Double = 0.3): DataFrame = {
+    val bsh = Dedup.shingles(
+      docs.filter(col("source").isin(benchSources: _*)), w).persist()
+    val tsh = Dedup.shingles(
+      docs.filter(!col("source").isin(benchSources: _*)), w).persist()
+    try {
+      val keep = bsh.unionAll(tsh)
+        .groupBy(col("sh")).agg(count(lit(1)).as("f"))
+        .filter(col("f") <= maxShingleFreq)
+        .select(col("sh"))
+      val bkeep = bsh.join(keep, Seq("sh"), "left_semi")
+        .withColumnRenamed("doc_id", "bench_doc").persist()
+      val tkeep = tsh.join(keep, Seq("sh"), "left_semi")
+        .withColumnRenamed("doc_id", "train_doc")
+      try {
+        val bsize = bkeep.groupBy(col("bench_doc")).agg(count(lit(1)).as("n"))
+        bkeep.join(tkeep, Seq("sh"))
+          .groupBy(col("bench_doc"), col("train_doc"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(bsize, Seq("bench_doc"))
+          .withColumn("score",
+            col("n_shared").cast("double") / col("n").cast("double"))
+          .filter(col("score") >= threshold)
+          .select(col("bench_doc"), col("train_doc"), col("n_shared"),
+            col("score"))
+          .localCheckpoint(eager = true)
+      } finally bkeep.unpersist(blocking = false)
+    } finally {
+      bsh.unpersist(blocking = false)
+      tsh.unpersist(blocking = false)
+    }
+  }
+
   /** Weighted source mixing: per-source keep rates (per mille), the
     * hash-threshold form of the "sample each corpus at its mixing weight
     * then union" recipe used to balance training mixtures. Sources not in

@@ -104,6 +104,31 @@ object ScaleOps {
       .write.mode("overwrite").parquet(path)
   }
 
+  private val partitionedEventsDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Stage the events feed as a DATE-partitioned layout (once per JVM and
+    * source dir) — the physical design that makes dynamic partition
+    * pruning possible: each `event_date=…/` directory is a prunable unit,
+    * so a selective dim-side filter reaches the fact scan as a runtime
+    * partition filter and unselected days are never opened. `ts` is
+    * carried as epoch millis (partition-stable, engine-neutral); each
+    * date lands in exactly one task via the hash repartition, so the
+    * layout is one file per day, not tasks×days small files.
+    */
+  def ensureDatePartitionedEvents(spark: SparkSession, srcDir: String): String =
+    partitionedEventsDirs.getOrElseUpdate(srcDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_events_bydate_").toString + "/events"
+      graft.Tables.events(spark, srcDir)
+        .withColumn("event_date", to_date(col("ts")))
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .drop("ts")
+        .repartition(col("event_date"))
+        .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Small-file compaction — the warehouse maintenance pass (OPTIMIZE
     * analog): rewrite a parquet directory into ~`targetBytes` files.
     * Incremental sinks (`Bronze.appendSink`, streaming) accrete small

@@ -35,4 +35,18 @@ class GoldViewsSpec extends AnyFunSuite {
       assert(view.count() === mart.count())
     }
   }
+
+  test("top-n per group plans a WindowGroupLimit, not a full per-partition rank") {
+    val q = SparkEntry.queries("gold_topn_per_group")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the rank<=5 filter must push into the window sort as a group limit:
+    // each partition keeps a bounded heap instead of ranking every row —
+    // at 100 TB the difference between a top-k and a full sort per key.
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank filter pushed down as WindowGroupLimit:\n$plan")
+    // exactly 5 rows per priority class, ranks 1..5
+    val perGroup = q.groupBy("o_orderpriority").count().collect()
+    assert(perGroup.nonEmpty)
+    assert(perGroup.forall(_.getLong(1) === 5L))
+  }
 }

@@ -231,6 +231,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("date-partitioned fact: a dim-side filter prunes partitions at runtime (DPP)") {
+    val dir = ScaleOps.ensureDatePartitionedEvents(spark, sfDir)
+    val fact = spark.read.parquet(dir)
+    val nDays = fact.select("event_date").distinct().count()
+    val dim = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("event_date")).distinct()
+      .filter(dayofmonth(col("event_date")) <= 7)
+    val joined = fact.join(broadcast(dim), Seq("event_date"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a runtime partition-pruning filter on the fact scan:\n$plan")
+    // pruning is a scan optimization, never a semantics change: the join
+    // result equals the unpartitioned-source join.
+    val expected = Tables.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+      .join(broadcast(dim), Seq("event_date")).count()
+    assert(joined.count() === expected)
+    // and the scan actually skipped: after execution, the fact scan read
+    // fewer partitions than exist in the layout.
+    val scanned = joined.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics.get("numPartitions").map(_.value)
+      }.flatten
+    scanned.foreach { n =>
+      info(s"fact scan read $n of $nDays date partitions")
+      assert(n < nDays, s"DPP should skip partitions: read $n of $nDays")
+    }
+  }
+
   test("salted join rejects build-side-preserving join types") {
     val df = Tables.supplier(spark, sfDir)
     intercept[IllegalArgumentException] {
