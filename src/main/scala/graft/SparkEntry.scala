@@ -159,11 +159,13 @@ object SparkEntry {
         .orderBy("segment", "status", "age_years")),
 
     "gold_daily_summary_warehouse" -> ((s, d) => {
-      // the same mart read off the PERSISTED star: bucketed fact sources
-      // (the l⋈o join runs shuffle-free) and a stored calendar instead of
-      // two per-refresh full-bounds scans. Same rows as gold_daily_summary.
+      // the same mart off the PERSISTED star: rolls up from the stored
+      // fact (NO join at refresh beyond the broadcast calendar — the
+      // l⋈o shuffle was paid once, into fact_trips) and a stored
+      // calendar instead of two per-refresh full-bounds scans. Same rows
+      // as gold_daily_summary.
       val star = graft.plans.Warehouse.ensure(s, d)
-      Gold.dailyTripSummary(star.lineitem, star.orders, star.dimDate)
+      Gold.dailySummaryFromStar(star.factTrips, star.dimDate)
         .orderBy("cal_date")
     }),
 
@@ -365,22 +367,28 @@ object SparkEntry {
     }),
 
     "silver_nearest" -> ((s, d) => {
-      // J12/F14: nearest-neighbor via cross join + window argmin with a
+      // J12/F14: nearest-neighbor via cross join + argmin with a
       // deterministic tie-break (the reference notebook's nearest-station).
-      import org.apache.spark.sql.expressions.Window
+      // The cartesian is the reference's semantics (scale-safe ANN forms
+      // live in ext.Similarity); the ARGMIN, though, is a partial
+      // aggregation — min(struct(d2, key)) combines map-side, so only
+      // |suppliers| rows reach the shuffle instead of the former window
+      // sort moving every cross-join row.
       // spread the STREAMED side: the planner broadcasts the smaller
       // supplier relation, so the cross join's parallelism is the
       // customer scan's — and single-row-group files give one task.
       val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
       val cust = Tables.spread(
         Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")))
-      val w = Window.partitionBy(col("s_suppkey"))
-        .orderBy(col("d2").asc, col("c_custkey").asc)
       sup.crossJoin(cust)
         .withColumn("d2",
           (col("s_acctbal") - col("c_acctbal")) * (col("s_acctbal") - col("c_acctbal")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("s_suppkey"), col("c_custkey").as("nearest_custkey"), col("d2"))
+        .groupBy(col("s_suppkey"))
+        // lexicographic struct min = (min d2, then min custkey): exactly
+        // the old row_number(ORDER BY d2, c_custkey) = 1 row.
+        .agg(min(struct(col("d2"), col("c_custkey"))).as("m"))
+        .select(col("s_suppkey"), col("m.c_custkey").as("nearest_custkey"),
+          col("m.d2").as("d2"))
         .orderBy("s_suppkey")
     }),
 
@@ -1023,6 +1031,7 @@ object SparkEntry {
         |  CAST(round(l.l_extendedprice/60.0) AS INTEGER) AS duration_min,
         |  l.l_partkey AS bike_id,
         |  l.l_quantity AS quantity,
+        |  CAST(round(l.l_extendedprice*100) AS BIGINT) AS price_cents,
         |  md5(COALESCE(c.c_mktsegment,'') || '|' || COALESCE(o.o_orderstatus,'') || '|' ||
         |      COALESCE(CAST(CAST(substr(o.o_orderpriority,1,1) AS INTEGER) AS VARCHAR),'')) AS user_type_key
         |FROM lineitem l

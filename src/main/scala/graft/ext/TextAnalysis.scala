@@ -81,7 +81,10 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(toks).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val docLen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_len"))
+    // doc_len and df both roll up from tf — the raw token stream is
+    // exploded and shuffled ONCE; the rollups aggregate the (much
+    // smaller) per-term counts.
+    val docLen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("doc_len"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(docLen, "doc_id").join(df, "token").crossJoin(n)

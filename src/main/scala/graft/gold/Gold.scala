@@ -90,6 +90,25 @@ object Gold {
         col("top_segment"))
   }
 
+  /** dm_daily_trip_summary off the PERSISTED fact: identical values to
+    * [[dailyTripSummary]] (count/sum/distinct roll up from the fact's
+    * columns; avg_price from the exact `price_cents` the fact carries),
+    * with NO join at refresh time beyond the broadcast calendar — the
+    * lineitem⋈orders shuffle was paid once when the fact was persisted.
+    */
+  def dailySummaryFromStar(factTrips: DataFrame, dimDate: DataFrame): DataFrame =
+    factTrips
+      .join(broadcast(dimDate), col("start_date_id") === col("date_id"))  // J4
+      .groupBy(col("cal_date"), col("year"), col("month_name"),
+        col("day_name"), col("is_weekend"))
+      .agg(
+        count(lit(1)).as("total_trips"),
+        sum(col("quantity")).cast("long").as("total_qty"),
+        (sum(col("quantity")) / count(lit(1))).as("avg_qty"),
+        countDistinct(col("bike_id")).as("unique_bikes"),
+        ((sum(col("price_cents")).cast("double") / lit(100.0)) /
+          count(lit(1)).cast("double")).as("avg_price"))
+
   /** dm_popular_routes (gold_ddl.sql:94-113): fact grouped by the two
     * station endpoints, double left join to the dim + null filter (J7),
     * route label concat (F12), exact-int average duration.

@@ -42,34 +42,61 @@ object Pipeline {
     val region = Tables.region(spark, srcDir)
     val customer = Tables.customer(spark, srcDir)
     val supplier = Tables.supplier(spark, srcDir)
-    val orders = Tables.orders(spark, srcDir)
-    val lineitem = Tables.lineitem(spark, srcDir)
+    // spread the fact sources: when the planner broadcasts the dims the
+    // fact pipeline inherits the SCAN's partitioning, and a few-row-group
+    // source would serialize the surrogate-key projection and the fact
+    // write into one or two tasks. Identity at warehouse scale (a big
+    // scan already has ≥ default parallelism splits).
+    val orders = Tables.spread(Tables.orders(spark, srcDir))
+    val lineitem = Tables.spread(Tables.lineitem(spark, srcDir))
 
     val dimDate = Silver.dimDate(orders, lineitem)
-    val tables: Seq[(String, DataFrame)] = Seq(
+    val silverTables: Seq[(String, DataFrame)] = Seq(
       "dim_station" -> Silver.dimStation(nation, region, customer, supplier),
       "dim_user" -> Silver.dimUser(customer, orders),
       "dim_date" -> dimDate,
-      "fact_trips" -> Silver.factTrips(lineitem, orders, customer, supplier),
-      "dm_daily_trip_summary" -> Gold.dailyTripSummary(lineitem, orders, dimDate),
-      "dm_station_popularity" ->
-        Gold.stationPopularity(lineitem, orders, customer, supplier, nation),
-      "dm_popular_routes" ->
-        Gold.popularRoutes(lineitem, orders, customer, supplier, nation),
-      "dm_user_behavior" -> Gold.userBehavior(orders, customer))
+      "fact_trips" -> Silver.factTrips(lineitem, orders, customer, supplier))
 
     val staging = Paths.get(warehouseDir, s".staging-${java.util.UUID.randomUUID}")
     Files.createDirectories(staging)
+    val tableNames = silverTables.map(_._1) ++
+      Seq("dm_daily_trip_summary", "dm_popular_routes",
+        "dm_station_popularity", "dm_user_behavior")
+
     try {
-      // independent writes run as concurrent jobs (the gold_dag fan-out);
-      // Spark's scheduler interleaves their stages on the shared session.
+      // the gold_dag fan-out with the reference's silver_dag → gold_dag
+      // dependency structure, expressed as futures over concurrent jobs
+      // on the shared session: the FACT-grain marts (daily, routes) wait
+      // only for the staged tables they read — the lineitem⋈orders
+      // shuffle is paid exactly once, into fact_trips, and those marts
+      // roll up from the persisted fact instead of re-joining raw
+      // sources. station_popularity and user_behavior are ORDER-grain
+      // (trips_started counts orders, not line items), aggregate their
+      // sources directly, and overlap the whole silver wave.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val writes = tables.map { case (name, df) =>
-        Future(df.write.mode("overwrite").parquet(staging.resolve(name).toString))
-      }
-      Await.result(Future.sequence(writes), Duration.Inf)
+      def write(name: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(staging.resolve(name).toString)
+      def staged(name: String): DataFrame =
+        Tables.spread(spark.read.parquet(staging.resolve(name).toString))
+      val silverDone = silverTables.map { case (name, df) =>
+        name -> Future(write(name, df))
+      }.toMap
+      val goldFutures = Seq(
+        Future(write("dm_station_popularity",
+          Gold.stationPopularity(lineitem, orders, customer, supplier, nation))),
+        Future(write("dm_user_behavior", Gold.userBehavior(orders, customer))),
+        silverDone("fact_trips").zip(silverDone("dim_date")).map { _ =>
+          write("dm_daily_trip_summary",
+            Gold.dailySummaryFromStar(staged("fact_trips"), staged("dim_date")))
+        },
+        silverDone("fact_trips").zip(silverDone("dim_station")).map { _ =>
+          write("dm_popular_routes",
+            Gold.popularRoutesFromStar(staged("fact_trips"), staged("dim_station")))
+        })
+      Await.result(
+        Future.sequence(silverDone.values.toSeq ++ goldFutures), Duration.Inf)
       // promote: swap each staged table in. The live copy is moved ASIDE
       // first (not deleted) and every aside is retained until the WHOLE
       // batch has promoted — if any swap fails, all earlier promotions
@@ -79,7 +106,7 @@ object Pipeline {
       case class Promoted(live: Path, aside: Path, hadLive: Boolean)
       val done = scala.collection.mutable.ListBuffer.empty[Promoted]
       try {
-        tables.map(_._1).foreach { name =>
+        tableNames.foreach { name =>
           val live = Paths.get(warehouseDir, name)
           val aside = Paths.get(warehouseDir, s".old-$name-${java.util.UUID.randomUUID}")
           val hadLive = Files.exists(live)
@@ -114,7 +141,7 @@ object Pipeline {
           throw e
       }
       done.foreach(p => if (p.hadLive) deleteRecursively(p.aside))
-      tables.map(_._1)
+      tableNames
     } finally deleteRecursively(staging)
   }
 

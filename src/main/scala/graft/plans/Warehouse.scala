@@ -68,10 +68,17 @@ object Warehouse {
         b.result().sorted
       }
     }
+    // layoutVersion folds the STAR'S OWN schema into the fingerprint:
+    // a code change to the persisted tables (new fact column, different
+    // derivation) must rebuild even when the sources are byte-identical.
     java.security.MessageDigest.getInstance("MD5")
-      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .digest((entries.mkString("\n") + s"\nlayout:$layoutVersion")
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
+
+  /** Bump on any change to the persisted star's schema or derivation. */
+  private val layoutVersion = 2
 
   private def storedFingerprint(spark: SparkSession, table: String): Option[String] =
     spark.sql(s"SHOW TBLPROPERTIES `$table`")

@@ -151,6 +151,9 @@ object Silver {
         round(col("l_extendedprice") / 60.0).cast("int").as("duration_min"), // F8
         col("l_partkey").as("bike_id"),
         col("l_quantity").as("quantity"),
+        // exact-cents price so gold marts (avg_price) roll up from the
+        // PERSISTED fact bit-exactly — no raw-source re-join at refresh.
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
         surrogateKey(col("c_mktsegment"), col("o_orderstatus"),
           substring(col("o_orderpriority"), 1, 1).cast("int")).as("user_type_key"))
   }
