@@ -662,6 +662,77 @@ object SparkEntry {
       ext.Quality.eventsGate(Tables.events(s, d))
         .orderBy("check_name")),
 
+    "silver_merge_upsert" -> ((s, d) => {
+      // SCD-1 MERGE: every %10 customer gets an updated balance, every %7
+      // customer key is re-inserted negated as a new row — updates
+      // replace, inserts append, untouched rows survive.
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(cust.filter(col("c_custkey") % 7 === 0)
+          .select((-col("c_custkey")).as("c_custkey"), col("c_name"),
+            lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+      graft.operators.Merge.upsert(cust, updates, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    "silver_scd2" -> ((s, d) =>
+      // SCD-2 history from the order feed as a status-change stream:
+      // consecutive same-status rows collapse, each surviving change
+      // opens a version bounded by the next one.
+      graft.operators.Merge.scd2(
+          Tables.orders(s, d).select(col("o_custkey"),
+            to_date(col("o_orderdate")).as("ts"),
+            col("o_orderstatus").as("status"),
+            col("o_orderkey").as("change_id")),
+          keyCol = "o_custkey", tsCol = "ts", attrCol = "status",
+          tieCol = "change_id")
+        .orderBy("o_custkey", "valid_from", "change_id")),
+
+    "bronze_schema_evolution" -> ((s, d) => {
+      // two feed generations (one predates user_id) merged BY NAME, the
+      // missing column null-filled — the bronze read path of any
+      // long-lived feed. Batches staged once per JVM.
+      val (b1, b2) = Bronze.ensureEvolvedBatches(s, d)
+      Bronze.readEvolved(s, b1, b2)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("user_id"))
+        .orderBy("event_id")
+    }),
+
+    "stats_histogram" -> ((s, d) => {
+      // fixed-width 20-bucket histogram with data-derived bounds (A3
+      // style): one bounds pass + one aggregation; the max value is
+      // clamped into the last bucket.
+      val ev = Tables.events(s, d)
+      val b = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.crossJoin(broadcast(b))
+        .withColumn("bucket",
+          least(floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / 20)), lit(19.0)).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy("bucket")
+    }),
+
+    "corpus_embedding_centroids" -> ((s, d) =>
+      // per-label centroids in FIXED POINT: summing round(x*1e6) longs is
+      // order-insensitive and exact, so the centroid is a plain
+      // distributed aggregation — no ordered float fold, no collect — and
+      // still bit-identical across engines. One row per (label, dim).
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p0", "x")))
+        .groupBy(col("label"), (col("p0") + 1).as("pos"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(round(col("x").cast("double") * 1000000).cast("long")).as("fx"))
+        .select(col("label"), col("pos"), col("n_vecs"),
+          (col("fx").cast("double") /
+            (col("n_vecs").cast("double") * lit(1000000.0))).as("centroid"))
+        .orderBy("label", "pos")),
+
     "silver_gapfill" -> ((s, d) => {
       // resample the sparse high-value purchase feed onto the dense
       // hourly spine: zero-filled counts + last-observation-carried-
@@ -1697,6 +1768,64 @@ object SparkEntry {
         |  UNION ALL SELECT 'user_id_not_null', CAST(nu AS BIGINT), nu = 0 FROM a
         |  UNION ALL SELECT 'value_non_negative', CAST(nv AS BIGINT), nv = 0 FROM a)
         |ORDER BY check_name""".stripMargin,
+
+    "silver_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT -c_custkey, c_name, CAST(0.0 AS DOUBLE), 'NEW'
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT t.c_custkey, u.c_name, u.c_acctbal, u.c_mktsegment
+        |FROM customer t JOIN upd u ON t.c_custkey = u.c_custkey
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |UNION ALL
+        |SELECT * FROM upd
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "silver_scd2" ->
+      """WITH h AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS ts,
+        |         o_orderstatus AS status, o_orderkey AS change_id
+        |  FROM orders),
+        |m AS (
+        |  SELECT *, lag(status) OVER (PARTITION BY o_custkey
+        |                              ORDER BY ts, change_id) AS prev
+        |  FROM h),
+        |v AS (SELECT o_custkey, status, change_id, ts FROM m
+        |      WHERE prev IS NULL OR prev <> status)
+        |SELECT o_custkey, status, change_id, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM v
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, change_id)
+        |ORDER BY o_custkey, valid_from, change_id""".stripMargin,
+
+    "bronze_schema_evolution" ->
+      """SELECT event_id, event_type, value, CAST(NULL AS BIGINT) AS user_id
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, event_type, value, user_id
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "stats_histogram" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        |SELECT CAST(least(floor((value - lo)/((hi - lo)/20)), 19.0) AS INTEGER) AS bucket,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events CROSS JOIN b
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "corpus_embedding_centroids" ->
+      """SELECT label, CAST(i AS INTEGER) AS pos, count(*) AS n_vecs,
+        |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS centroid
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
 
     "silver_gapfill" ->
       """WITH e AS (

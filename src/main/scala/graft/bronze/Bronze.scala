@@ -84,4 +84,35 @@ object Bronze {
     // to_timestamp parses in the session time zone (pinned UTC) — never
     // java.sql.Timestamp.valueOf, which parses in the JVM default zone.
     bronze.filter(col(tsCol) > to_timestamp(lit(watermark)))
+
+  private val evolvedDirs =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Stage two event batches with EVOLVED schemas (once per JVM and
+    * source dir): batch 1 in the original 3-column layout, batch 2 with
+    * the later-added `user_id`. This is the bronze reality of a
+    * long-lived feed — producers add columns mid-stream, and the lake
+    * holds both generations side by side forever.
+    */
+  def ensureEvolvedBatches(spark: SparkSession, srcDir: String): (String, String) =
+    evolvedDirs.getOrElseUpdate(srcDir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_evolve_").toString
+      val ev = graft.Tables.events(spark, srcDir)
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.parquet(s"$base/batch1")
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+        .write.parquet(s"$base/batch2")
+      (s"$base/batch1", s"$base/batch2")
+    })
+
+  /** Schema-evolution scan: union the generations BY NAME, null-filling
+    * the columns a batch predates. `mergeSchema` pays a per-file footer
+    * read at planning; production pins the merged schema in a catalog and
+    * passes it explicitly — the scan shape is identical.
+    */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse merge semantics over immutable files — the two standard
+  * dimension-maintenance operators a Postgres reference gets from
+  * `INSERT … ON CONFLICT UPDATE` and trigger-maintained history tables,
+  * restated as pure DataFrame programs:
+  *
+  *  - [[upsert]]: SCD-1 MERGE (update-or-insert) — one full-outer
+  *    key join; ANSI multiplicity semantics (every matched target row
+  *    is updated, so duplicate-key targets keep their row count).
+  *  - [[scd2]]: SCD-2 version history (valid_from/valid_to/is_current)
+  *    built from a change feed — two passes over the SAME per-key window
+  *    partitioning (one Exchange: the collapse filter and the validity
+  *    lead reuse the key shuffle).
+  *
+  * Scale: both shuffle once on the dimension key. The rewritten dim is
+  * then persisted by stage-then-promote ([[graft.plans.Pipeline]]); at
+  * 100 TB the update batch is typically ≪ the dim, and the union form
+  * still reads each side once — there is no cheaper shape without a
+  * transactional table format maintaining per-file row versions.
+  */
+object Merge {
+
+  /** SCD-1 MERGE: update-values replace same-key target rows (EVERY
+    * matched row — a duplicate-key target keeps its multiplicity, as in
+    * ANSI MERGE); unmatched update rows are inserts; unmatched target
+    * rows survive. `updates` must be key-unique (the ANSI precondition —
+    * a multi-match MERGE is an error in SQL too); `target` and `updates`
+    * must share the schema. A `_m` match marker (not COALESCE) decides
+    * replacement, so an update carrying an intentional NULL still wins.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val nonKeys = target.columns.filterNot(keys.contains).toSeq
+    val u = updates.select(
+      keys.map(col) ++ nonKeys.map(c => col(c).as(s"_u_$c")) :+
+        lit(true).as("_m"): _*)
+    target.join(u, keys, "full_outer")
+      .select(keys.map(col) ++ nonKeys.map(c =>
+        when(col("_m").isNotNull, col(s"_u_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** SCD-2 from a change feed (key, ts, attribute, tie-break id):
+    * consecutive rows with an UNCHANGED attribute open no new version;
+    * each surviving row becomes a version valid from its own ts until the
+    * next version's ts (null = current). `tieCol` makes same-timestamp
+    * changes deterministic — required for reproducible history.
+    */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+           attrCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attrCol))
+      .select(col(keyCol), col(attrCol), col(tieCol),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(
+          Window.partitionBy(col(keyCol))
+            .orderBy(col(tsCol), col(tieCol))).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Merge
+
+class MergeSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("upsert: updates replace, inserts append, dup-key targets keep multiplicity") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (2L, "b2", 21.0),
+      (3L, "c", 30.0)).toDF("k", "name", "v")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val out = Merge.upsert(target, updates, Seq("k"))
+      .orderBy("k", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out === Seq(
+      (1L, "a", 10.0),          // untouched
+      (2L, "B", 99.0),          // BOTH key-2 target rows updated (ANSI)
+      (2L, "B", 99.0),
+      (3L, "c", 30.0),
+      (4L, "d", 40.0)))         // insert
+  }
+
+  test("upsert: an update carrying an intentional NULL wins over the target value") {
+    import spark.implicits._
+    val target = Seq((1L, Some("keep"))).toDF("k", "name")
+    val updates = Seq((1L, None: Option[String])).toDF("k", "name")
+    val out = Merge.upsert(target, updates, Seq("k")).collect()
+    assert(out.length === 1 && out.head.isNullAt(1),
+      "match marker, not COALESCE, must decide replacement")
+  }
+
+  test("scd2: consecutive same-value changes collapse; versions tile the timeline") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val h = Seq(
+      (1L, d("2024-01-01"), "O", 100L),
+      (1L, d("2024-01-05"), "O", 101L),  // unchanged → no new version
+      (1L, d("2024-02-01"), "F", 102L),
+      (2L, d("2024-01-03"), "P", 200L))
+      .toDF("k", "ts", "st", "id")
+    val out = Merge.scd2(h, "k", "ts", "st", "id")
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(3).toString,
+        Option(r.getDate(4)).map(_.toString), r.getBoolean(5)))
+    assert(out === Seq(
+      (1L, "O", "2024-01-01", Some("2024-02-01"), false),
+      (1L, "F", "2024-02-01", None, true),
+      (2L, "P", "2024-01-03", None, true)))
+  }
+}
