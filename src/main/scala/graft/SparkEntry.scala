@@ -544,36 +544,32 @@ object SparkEntry {
       // emits windows FINALIZED by the watermark (end ≤ max event time −
       // 1 h); both sides filter strictly below that line so the edge
       // window's emit-or-hold never decides the comparison.
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-stream-").toString
-      // the file-stream source monitors a DIRECTORY; the testdata table is
-      // a single parquet file, so stage it as a symlink (no data copy) —
-      // the production shape is streaming an arrival directory anyway.
-      val srcPath = java.nio.file.Paths.get(tmp, "src")
-      java.nio.file.Files.createDirectories(srcPath)
-      java.nio.file.Files.createSymbolicLink(
-        srcPath.resolve("events.parquet"),
-        java.nio.file.Paths.get(d, "events.parquet"))
-      val src = srcPath.toString
-      // schema read under the session's nanosAsLong conf: ts arrives as
-      // raw nanos LONG; prepare() rebuilds the micro-precision timestamp
-      // INSIDE the stream exactly as Tables.events does for batch.
+      val (tmp, src) = stageEventsStreamDir(d)
       val sch = s.read.parquet(src).schema
       graft.streaming.Streams.incrementalPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck",
-          prepare = df => df.withColumn("ts",
-            timestamp_micros(expr("ts div 1000"))))
+          s, sch, src, s"$tmp/out", s"$tmp/ck", prepare = rebuildStreamTs)
         .awaitTermination()
-      val horizonMs = 3600000L
-      val mx = Tables.events(s, d)
-        .agg(max(unix_millis(col("ts"))).as("mx_ms"))
-      s.read.parquet(s"$tmp/out")
-        .withColumn("window_start_ms", unix_millis(col("window_start")))
-        .crossJoin(mx) // 1-row broadcast
-        .filter(col("window_start_ms") + horizonMs < col("mx_ms") - horizonMs)
-        .select(col("window_start_ms"), col("event_type"),
-          col("n_events"), col("value_cents"))
-        .orderBy("window_start_ms", "event_type")
+      sinkBelowHorizon(s, d, s"$tmp/out", "event_type")
+    }),
+
+    "stream_enrich" -> ((s, d) => {
+      // LIVE stream-static enrichment: each micro-batch joins the
+      // broadcast category dim statelessly (the join adds nothing to the
+      // state store), then the watermarked window agg finalizes — the
+      // streaming form of the dim-join enrichment every feed needs.
+      import s.implicits._
+      val (tmp, src) = stageEventsStreamDir(d)
+      val sch = s.read.parquet(src).schema
+      val dim = Seq(
+        "click" -> "engagement", "view" -> "engagement",
+        "purchase" -> "revenue", "signup" -> "lifecycle",
+        "error" -> "ops").toDF("event_type", "category")
+      graft.streaming.Streams.enrichedPipeline(
+          s, sch, src, s"$tmp/out", s"$tmp/ck", dim,
+          dimKey = "event_type", categoryCol = "category",
+          prepare = rebuildStreamTs)
+        .awaitTermination()
+      sinkBelowHorizon(s, d, s"$tmp/out", "category")
     }),
 
     "gold_popular_routes_warehouse" -> ((s, d) => {
@@ -661,6 +657,19 @@ object SparkEntry {
       // partial+final aggregation pass, unpivoted to a row per check.
       ext.Quality.eventsGate(Tables.events(s, d))
         .orderBy("check_name")),
+
+    "gold_unpivot" -> ((s, d) =>
+      // wide-to-long: the pivoted daily counts melted back to one row per
+      // (date, type) — zero-count cells survive as explicit zeros, which
+      // a plain GROUP BY cannot produce. Pure projection over the pivot.
+      queries("gold_pivot")(s, d)
+        .unpivot(Array(col("event_date")),
+          Array(col("n_click"), col("n_error"), col("n_purchase"),
+            col("n_signup"), col("n_view")),
+          "metric", "n_events")
+        .withColumn("event_type", regexp_replace(col("metric"), "^n_", ""))
+        .select(col("event_date"), col("event_type"), col("n_events"))
+        .orderBy("event_date", "event_type")),
 
     "silver_merge_upsert" -> ((s, d) => {
       // SCD-1 MERGE: every %10 customer gets an updated balance, every %7
@@ -824,6 +833,50 @@ object SparkEntry {
         .orderBy("event_date", "event_type")
     }),
   )
+
+  // ---- live-streaming query plumbing -----------------------------------
+
+  /** Stage the events table as a file-stream SOURCE directory: the
+    * file-stream source monitors a DIRECTORY; the testdata table is a
+    * single parquet file, so stage it as a symlink (no data copy) — the
+    * production shape is streaming an arrival directory anyway. Fresh
+    * temp dir per call: each run reprocesses from a clean checkpoint.
+    */
+  private def stageEventsStreamDir(d: String): (String, String) = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-stream-").toString
+    val srcPath = java.nio.file.Paths.get(tmp, "src")
+    java.nio.file.Files.createDirectories(srcPath)
+    java.nio.file.Files.createSymbolicLink(
+      srcPath.resolve("events.parquet"),
+      java.nio.file.Paths.get(d, "events.parquet"))
+    (tmp, srcPath.toString)
+  }
+
+  /** Schema read under the session's nanosAsLong conf delivers ts as raw
+    * nanos LONG; rebuild the micro-precision timestamp INSIDE the stream
+    * exactly as Tables.events does for batch.
+    */
+  private val rebuildStreamTs: DataFrame => DataFrame =
+    _.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Read a streaming sink back deterministically: only windows strictly
+    * below the watermark horizon on BOTH sides, so the edge window's
+    * emit-or-hold never decides the comparison.
+    */
+  private def sinkBelowHorizon(s: SparkSession, d: String, outDir: String,
+                               categoryCol: String): DataFrame = {
+    val horizonMs = 3600000L
+    val mx = Tables.events(s, d)
+      .agg(max(unix_millis(col("ts"))).as("mx_ms"))
+    s.read.parquet(outDir)
+      .withColumn("window_start_ms", unix_millis(col("window_start")))
+      .crossJoin(mx) // 1-row broadcast
+      .filter(col("window_start_ms") + horizonMs < col("mx_ms") - horizonMs)
+      .select(col("window_start_ms"), col(categoryCol),
+        col("n_events"), col("value_cents"))
+      .orderBy("window_start_ms", categoryCol)
+  }
 
   // ---- generated oracle fragments (identical constants as the Spark
   //      plans: hash seeds, band layout, hyperplane matrix) --------------
@@ -1768,6 +1821,36 @@ object SparkEntry {
         |  UNION ALL SELECT 'user_id_not_null', CAST(nu AS BIGINT), nu = 0 FROM a
         |  UNION ALL SELECT 'value_non_negative', CAST(nv AS BIGINT), nv = 0 FROM a)
         |ORDER BY check_name""".stripMargin,
+
+    "gold_unpivot" ->
+      """WITH p AS (
+        |  SELECT CAST(ts AS DATE) AS event_date,
+        |    count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |    count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |    count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |    count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |  FROM events GROUP BY 1)
+        |SELECT event_date, 'click' AS event_type, CAST(n_click AS BIGINT) AS n_events FROM p
+        |UNION ALL SELECT event_date, 'error', CAST(n_error AS BIGINT) FROM p
+        |UNION ALL SELECT event_date, 'purchase', CAST(n_purchase AS BIGINT) FROM p
+        |UNION ALL SELECT event_date, 'signup', CAST(n_signup AS BIGINT) FROM p
+        |UNION ALL SELECT event_date, 'view', CAST(n_view AS BIGINT) FROM p
+        |ORDER BY event_date, event_type""".stripMargin,
+
+    "stream_enrich" ->
+      """WITH m AS (SELECT epoch_ms(max(ts)) AS mx_ms FROM events)
+        |SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |  CASE WHEN event_type IN ('click','view') THEN 'engagement'
+        |       WHEN event_type = 'purchase' THEN 'revenue'
+        |       WHEN event_type = 'signup' THEN 'lifecycle'
+        |       ELSE 'ops' END AS category,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events, m
+        |WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 < mx_ms - 3600000
+        |GROUP BY 1, 2
+        |ORDER BY window_start_ms, category""".stripMargin,
 
     "silver_merge_upsert" ->
       """WITH upd AS (

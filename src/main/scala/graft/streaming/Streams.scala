@@ -51,6 +51,31 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start(outDir)
 
+  /** Stream-static enrichment pipeline: the live form of the reference's
+    * dim-join enrichment — each micro-batch joins the (bounded, broadcast)
+    * dimension with NO state: a static join adds nothing to the streaming
+    * state store, so it scales with the dim, not the stream. Downstream,
+    * the watermarked window agg is the only stateful operator.
+    */
+  def enrichedPipeline(spark: SparkSession, schema: StructType,
+                       srcDir: String, outDir: String, checkpointDir: String,
+                       dim: DataFrame, dimKey: String, categoryCol: String,
+                       prepare: DataFrame => DataFrame = identity): StreamingQuery =
+    prepare(spark.readStream.schema(schema).parquet(srcDir))
+      .join(broadcast(dim), dimKey)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col(categoryCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col(categoryCol),
+        col("n_events"), col("value_cents"))
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+
   /** Streaming ingest dedup — the streaming form of the reference's
     * at-least-once idempotency (`ON CONFLICT DO NOTHING`): a duplicate ID
     * arriving within the watermark horizon is dropped even when its
