@@ -534,7 +534,8 @@ object SparkEntry {
       val wh = java.nio.file.Files
         .createTempDirectory("graft-e2e-").toString
       graft.plans.Pipeline.runFullEtl(s, d, wh)
-      s.read.parquet(s"$wh/dm_daily_trip_summary").orderBy("cal_date")
+      detachAndClean(
+        s.read.parquet(s"$wh/dm_daily_trip_summary").orderBy("cal_date"), wh)
     }),
 
     "stream_pipeline" -> ((s, d) => {
@@ -549,7 +550,7 @@ object SparkEntry {
       graft.streaming.Streams.incrementalPipeline(
           s, sch, src, s"$tmp/out", s"$tmp/ck", prepare = rebuildStreamTs)
         .awaitTermination()
-      sinkBelowHorizon(s, d, s"$tmp/out", "event_type")
+      detachAndClean(sinkBelowHorizon(s, d, s"$tmp/out", "event_type"), tmp)
     }),
 
     "stream_enrich" -> ((s, d) => {
@@ -567,9 +568,9 @@ object SparkEntry {
       graft.streaming.Streams.enrichedPipeline(
           s, sch, src, s"$tmp/out", s"$tmp/ck", dim,
           dimKey = "event_type", categoryCol = "category",
-          prepare = rebuildStreamTs)
+          fallbackCategory = "ops", prepare = rebuildStreamTs)
         .awaitTermination()
-      sinkBelowHorizon(s, d, s"$tmp/out", "category")
+      detachAndClean(sinkBelowHorizon(s, d, s"$tmp/out", "category"), tmp)
     }),
 
     "gold_popular_routes_warehouse" -> ((s, d) => {
@@ -847,9 +848,11 @@ object SparkEntry {
       .createTempDirectory("graft-stream-").toString
     val srcPath = java.nio.file.Paths.get(tmp, "src")
     java.nio.file.Files.createDirectories(srcPath)
+    // absolute target: a relative sf dir would otherwise resolve against
+    // the temp src/ directory and dangle.
     java.nio.file.Files.createSymbolicLink(
       srcPath.resolve("events.parquet"),
-      java.nio.file.Paths.get(d, "events.parquet"))
+      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
     (tmp, srcPath.toString)
   }
 
@@ -859,6 +862,18 @@ object SparkEntry {
     */
   private val rebuildStreamTs: DataFrame => DataFrame =
     _.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Eagerly materialize a throwaway-directory result, then delete the
+    * directory: repeated bench/verify runs must not accumulate staged
+    * warehouses and stream sinks under /tmp. The local checkpoint
+    * detaches the returned frame's lineage from the deleted files.
+    */
+  private def detachAndClean(df: DataFrame, dirs: String*): DataFrame = {
+    val out = df.localCheckpoint(eager = true)
+    dirs.foreach(dir =>
+      graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(dir)))
+    out
+  }
 
   /** Read a streaming sink back deterministically: only windows strictly
     * below the watermark horizon on BOTH sides, so the edge window's
@@ -1876,10 +1891,12 @@ object SparkEntry {
         |  FROM orders),
         |m AS (
         |  SELECT *, lag(status) OVER (PARTITION BY o_custkey
-        |                              ORDER BY ts, change_id) AS prev
+        |                              ORDER BY ts, change_id) AS prev,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY ts, change_id) AS rn
         |  FROM h),
         |v AS (SELECT o_custkey, status, change_id, ts FROM m
-        |      WHERE prev IS NULL OR prev <> status)
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM status)
         |SELECT o_custkey, status, change_id, ts AS valid_from,
         |  lead(ts) OVER w AS valid_to,
         |  (lead(ts) OVER w IS NULL) AS is_current
@@ -1979,7 +1996,11 @@ object SparkEntry {
         |         unnest(list_transform(generate_series(1, len(l)-4),
         |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
         |  FROM toks
-        |), freq AS (SELECT sh, count(*) AS f FROM tri GROUP BY 1),
+        |), freq AS (
+        |  -- cap population = bench ∪ train (docs with a source); a
+        |  -- NULL-source doc is in neither side and must not shift the cap
+        |  SELECT sh, count(*) AS f FROM tri
+        |  WHERE source IS NOT NULL GROUP BY 1),
         |keep AS (SELECT t.* FROM tri t JOIN freq f ON f.sh = t.sh AND f.f <= 8),
         |bench AS (SELECT doc_id, sh FROM keep WHERE source IN ('src0','src1')),
         |train AS (SELECT doc_id, sh FROM keep WHERE source NOT IN ('src0','src1')),

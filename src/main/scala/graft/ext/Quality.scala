@@ -24,7 +24,10 @@ object Quality {
   def expectations(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
     val aggs = checks.zipWithIndex.map { case ((_, c), i) =>
-      c.cast("long").as(s"_v$i")
+      // an EMPTY batch must read as zero violations (pass), not NULL:
+      // sum() over no rows is NULL, and a NULL pass flag would neither
+      // pass nor fail the gate.
+      coalesce(c.cast("long"), lit(0L)).as(s"_v$i")
     }
     val agged = df.agg(aggs.head, aggs.tail: _*)
     val rows = checks.zipWithIndex.map { case ((name, _), i) =>

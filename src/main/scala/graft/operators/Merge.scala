@@ -54,7 +54,12 @@ object Merge {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     changes
       .withColumn("_prev", lag(col(attrCol), 1).over(w))
-      .filter(col("_prev").isNull || col("_prev") =!= col(attrCol))
+      .withColumn("_rn", row_number().over(w))
+      // null-safe change detection: a run of NULL attributes is ONE
+      // version (NULL <=> NULL holds), and only the key's first row is
+      // unconditionally a version — `_prev IS NULL` would misread both.
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(attrCol)))
+      .drop("_rn")
       .select(col(keyCol), col(attrCol), col(tieCol),
         col(tsCol).as("valid_from"),
         lead(col(tsCol), 1).over(

@@ -169,7 +169,7 @@ object Pipeline {
     df.write.mode("overwrite").parquet(s"$warehouseDir/$mart")
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))

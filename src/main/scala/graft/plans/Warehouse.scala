@@ -44,6 +44,14 @@ object Warehouse {
   private def suffix(key: String): String =
     (scala.util.hashing.MurmurHash3.stringHash(key) & Int.MaxValue).toString
 
+  /** Catalog name of a star table for (srcDir, numBuckets) — the single
+    * definition of the naming scheme (tests resolve names through this,
+    * never by re-deriving the hash).
+    */
+  private[graft] def tableName(name: String, srcDir: String,
+                               numBuckets: Int): String =
+    s"wh_${name}_${suffix(s"$srcDir|$numBuckets")}"
+
   /** Fingerprint of the source tables the star derives from: a recursive
     * listing (path, length, modification time) folded into one hash.
     * Listing metadata is cheap at any scale (no file contents are read)
@@ -95,13 +103,12 @@ object Warehouse {
     */
   def ensure(spark: SparkSession, srcDir: String,
              numBuckets: Int = 32): Star = synchronized {
-    val sfx = suffix(s"$srcDir|$numBuckets")
-    val liName = s"wh_lineitem_$sfx"
-    val oName = s"wh_orders_$sfx"
-    val ddName = s"wh_dim_date_$sfx"
-    val ftName = s"wh_fact_trips_$sfx"
-    val dsName = s"wh_dim_station_$sfx"
-    val duName = s"wh_dim_user_$sfx"
+    val liName = tableName("lineitem", srcDir, numBuckets)
+    val oName = tableName("orders", srcDir, numBuckets)
+    val ddName = tableName("dim_date", srcDir, numBuckets)
+    val ftName = tableName("fact_trips", srcDir, numBuckets)
+    val dsName = tableName("dim_station", srcDir, numBuckets)
+    val duName = tableName("dim_user", srcDir, numBuckets)
     val all = Seq(liName, oName, ddName, ftName, dsName, duName)
     val fp = sourceFingerprint(spark, srcDir)
     val missing = all.exists(!spark.catalog.tableExists(_))

@@ -60,9 +60,15 @@ object Streams {
   def enrichedPipeline(spark: SparkSession, schema: StructType,
                        srcDir: String, outDir: String, checkpointDir: String,
                        dim: DataFrame, dimKey: String, categoryCol: String,
+                       fallbackCategory: String,
                        prepare: DataFrame => DataFrame = identity): StreamingQuery =
     prepare(spark.readStream.schema(schema).parquet(srcDir))
-      .join(broadcast(dim), dimKey)
+      // LEFT join + fallback: a key missing from the dim must not drop
+      // the event from the feed — it lands in the catch-all category
+      // (dropping it would silently under-count on dim drift).
+      .join(broadcast(dim), Seq(dimKey), "left")
+      .withColumn(categoryCol,
+        coalesce(col(categoryCol), lit(fallbackCategory)))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col(categoryCol))
       .agg(count(lit(1)).as("n_events"),

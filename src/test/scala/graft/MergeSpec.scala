@@ -50,4 +50,31 @@ class MergeSpec extends AnyFunSuite {
       (1L, "F", "2024-02-01", None, true),
       (2L, "P", "2024-01-03", None, true)))
   }
+
+  test("scd2: a run of NULL attributes is ONE version, not one per change row") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val h = Seq(
+      (1L, d("2024-01-01"), Some("O"), 1L),
+      (1L, d("2024-01-02"), None: Option[String], 2L),  // O → NULL: new version
+      (1L, d("2024-01-03"), None: Option[String], 3L),  // NULL run: no new version
+      (1L, d("2024-01-04"), Some("O"), 4L))             // NULL → O: new version
+      .toDF("k", "ts", "st", "id")
+    val out = Merge.scd2(h, "k", "ts", "st", "id")
+      .orderBy("valid_from").collect()
+      .map(r => (Option(r.getString(1)), r.getDate(3).toString))
+    assert(out === Seq(
+      (Some("O"), "2024-01-01"),
+      (None, "2024-01-02"),
+      (Some("O"), "2024-01-04")))
+  }
+
+  test("quality gate: an empty batch passes with zero violations, never NULL") {
+    val out = graft.ext.Quality
+      .eventsGate(Tables.events(spark, sfDir).limit(0))
+      .collect()
+    assert(out.length === 5)
+    assert(out.forall(r => r.getLong(1) === 0L && r.getBoolean(2)),
+      "empty input must read as zero violations / pass=true")
+  }
 }

@@ -243,18 +243,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"expected a runtime partition-pruning filter on the fact scan:\n$plan")
     // pruning is a scan optimization, never a semantics change: the join
-    // result equals the unpartitioned-source join.
+    // result equals the unpartitioned-source join. collect() (not
+    // count()) so THIS df's queryExecution runs and carries the metrics
+    // below — count() builds a separate execution.
     val expected = Tables.events(spark, sfDir)
       .withColumn("event_date", to_date(col("ts")))
       .join(broadcast(dim), Seq("event_date")).count()
-    assert(joined.count() === expected)
-    // and the scan actually skipped: after execution, the fact scan read
-    // fewer partitions than exist in the layout.
-    val scanned = joined.queryExecution.executedPlan.collectLeaves()
-      .collectFirst {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metrics.get("numPartitions").map(_.value)
-      }.flatten
+    assert(joined.collect().length.toLong === expected)
+    // and the scan actually skipped: after execution, the FACT scan (the
+    // one over the partitioned dir — not the dim's events scan) read
+    // fewer partitions than exist in the layout. The metric must exist:
+    // a silently-absent metric would skip the load-bearing assertion.
+    // AQE nests the executed tree in adaptive/query-stage wrappers that
+    // collectLeaves treats as leaves — recurse through every wrapper or
+    // the scan (and its metrics) is invisible.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scanned = allScans(joined.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(dir)))
+      .flatMap(_.metrics.get("numPartitions").map(_.value))
+    assert(scanned.nonEmpty, "fact scan must expose the numPartitions metric")
     scanned.foreach { n =>
       info(s"fact scan read $n of $nDays date partitions")
       assert(n < nDays, s"DPP should skip partitions: read $n of $nDays")

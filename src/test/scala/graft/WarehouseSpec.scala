@@ -27,7 +27,7 @@ class WarehouseSpec extends AnyFunSuite {
     // capture the physical files backing the fact table; an idempotent
     // second ensure must not rewrite them.
     def factFiles = {
-      val loc = spark.sql(s"DESCRIBE FORMATTED `${starTable(src, "fact_trips")}`")
+      val loc = spark.sql(s"DESCRIBE FORMATTED `${Warehouse.tableName("fact_trips", src, 4)}`")
         .where(col("col_name") === "Location").select("data_type").head().getString(0)
       val dir = new java.io.File(new java.net.URI(loc))
       dir.listFiles().filter(_.getName.endsWith(".parquet"))
@@ -78,11 +78,5 @@ class WarehouseSpec extends AnyFunSuite {
     val fromSource = SparkEntry.queries("gold_popular_routes")(spark, sfDir)
     assert(fromStar.exceptAll(fromSource).count() === 0)
     assert(fromSource.exceptAll(fromStar).count() === 0)
-  }
-
-  private def starTable(src: String, name: String): String = {
-    val sfx = (scala.util.hashing.MurmurHash3.stringHash(
-      s"$src|4") & Int.MaxValue).toString
-    s"wh_${name}_$sfx"
   }
 }
