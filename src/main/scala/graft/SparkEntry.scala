@@ -659,6 +659,52 @@ object SparkEntry {
       ext.Quality.eventsGate(Tables.events(s, d))
         .orderBy("check_name")),
 
+    "gold_funnel" -> ((s, d) => {
+      // ordered conversion funnel (view → click after it → purchase after
+      // that) via RUNNING conditional minima: two window passes over ONE
+      // per-user sort (same spec), then one aggregation. Strict-< on the
+      // step timestamps makes same-instant steps non-qualifying, so tie
+      // order inside a timestamp can never change the result.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+      val s1 = e.withColumn("fv",
+        min(when(col("event_type") === "view", col("ts_ms"))).over(w))
+      val s2 = s1.withColumn("fc",
+        min(when(col("event_type") === "click" && col("fv") < col("ts_ms"),
+          col("ts_ms"))).over(w))
+      val perUser = s2.groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+        max(when(col("event_type") === "click" && col("fv") < col("ts_ms"), 1)
+          .otherwise(0)).as("c"),
+        max(when(col("event_type") === "purchase" && col("fc") < col("ts_ms"), 1)
+          .otherwise(0)).as("p"))
+      perUser.agg(count(lit(1)).as("n_users"),
+        sum(col("v")).cast("long").as("n_viewed"),
+        sum(col("c")).cast("long").as("n_clicked"),
+        sum(col("p")).cast("long").as("n_purchased"))
+    }),
+
+    "gold_cohort_retention" -> ((s, d) => {
+      // weekly cohort retention: cohort = a user's first active day;
+      // one user-key shuffle serves both the first-day aggregation and
+      // the join back (partitioning reuse), then the cohort-week rollup.
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(first, "user_id")
+        // floor-division, not cast-truncation: DuckDB's CAST rounds while
+        // Spark's truncates — floor() agrees everywhere (days are >= 0).
+        .groupBy(col("cohort_day"),
+          floor(datediff(col("day"), col("cohort_day")) / 7).cast("int")
+            .as("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_day", "week_n")
+    }),
+
     "gold_unpivot" -> ((s, d) =>
       // wide-to-long: the pivoted daily counts melted back to one row per
       // (date, type) — zero-count cells survive as explicit zeros, which
@@ -1836,6 +1882,45 @@ object SparkEntry {
         |  UNION ALL SELECT 'user_id_not_null', CAST(nu AS BIGINT), nu = 0 FROM a
         |  UNION ALL SELECT 'value_non_negative', CAST(nv AS BIGINT), nv = 0 FROM a)
         |ORDER BY check_name""".stripMargin,
+
+    "gold_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        |  FROM events),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN event_type='view' THEN ts_ms END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS fv
+        |  FROM e),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type='click' AND fv < ts_ms
+        |                     THEN ts_ms END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS fc
+        |  FROM s1),
+        |u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS v,
+        |    max(CASE WHEN event_type='click' AND fv < ts_ms THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type='purchase' AND fc < ts_ms THEN 1 ELSE 0 END) AS p
+        |  FROM s2 GROUP BY 1)
+        |SELECT count(*) AS n_users, CAST(sum(v) AS BIGINT) AS n_viewed,
+        |  CAST(sum(c) AS BIGINT) AS n_clicked,
+        |  CAST(sum(p) AS BIGINT) AS n_purchased
+        |FROM u""".stripMargin,
+
+    "gold_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT e.user_id, CAST(ts AS DATE) AS day, f.cohort_day
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_day,
+        |  CAST(floor(date_diff('day', cohort_day, day)/7) AS INTEGER) AS week_n,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM a GROUP BY 1, 2
+        |ORDER BY cohort_day, week_n""".stripMargin,
 
     "gold_unpivot" ->
       """WITH p AS (
