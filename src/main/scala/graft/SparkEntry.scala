@@ -854,6 +854,14 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("bigram").asc)
         .limit(30)),
 
+    "corpus_chunk" -> ((s, d) =>
+      // 40-token windows advancing by 30 (10-token overlap) — narrow
+      // per-row emit, chunk ids stable under corpus growth.
+      ext.Corpus.chunk(Tables.documents(s, d), width = 40, overlap = 10)
+        .withColumn("chunk_id", col("chunk_id").cast("int"))
+        .withColumn("n_tokens", col("n_tokens").cast("int"))
+        .orderBy("doc_id", "chunk_id")),
+
     "corpus_contamination" -> ((s, d) =>
       // train/eval contamination sweep: src0+src1 play the benchmark,
       // the rest the training corpus; rare-shingle collisions only.
@@ -2071,6 +2079,19 @@ object SparkEntry {
         |  FROM toks)
         |SELECT bigram, count(*) AS n_docs FROM big
         |GROUP BY 1 ORDER BY n_docs DESC, bigram LIMIT 30""".stripMargin,
+
+    "corpus_chunk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (
+        |  SELECT doc_id, l,
+        |         unnest(generate_series(1, len(l), 30)) AS start1
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST((start1 - 1)/30 AS INTEGER) AS chunk_id,
+        |  CAST(len(list_slice(l, start1, start1 + 39)) AS INTEGER) AS n_tokens,
+        |  array_to_string(list_slice(l, start1, start1 + 39), ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "corpus_contamination" ->
       """WITH toks AS (

@@ -73,6 +73,32 @@ object Corpus {
                        keepPerMille: Int, salt: String = "sample"): DataFrame =
     docs.filter(hashBucket(col(idCol), salt, 1000) < keepPerMille)
 
+  /** Fixed-size overlapping token chunks — the window split every
+    * training pipeline runs before tokenization (long documents become
+    * `width`-token windows advancing by `stride = width − overlap`).
+    * A typed flatMap for the same reason as [[Dedup.shingles]]: the
+    * per-row emit loop is plain JVM code inside one narrow stage — no
+    * shuffle, no interpreted array lambdas. Chunk identity is a pure
+    * function of (doc, offset), so re-chunking a grown corpus never
+    * renumbers existing chunks.
+    */
+  def chunk(docs: DataFrame, width: Int = 40, overlap: Int = 10): DataFrame = {
+    require(width > overlap && overlap >= 0, "need 0 <= overlap < width")
+    val stride = width - overlap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        Iterator.range(0, t.length, stride).map { start =>
+          val slice = t.slice(start, start + width)
+          (id, start / stride, slice.length, slice.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "chunk_id", "n_tokens", "chunk_text")
+  }
+
   /** Train/benchmark contamination detection — the n-gram-collision check
     * a training corpus runs before an eval set can be trusted: for every
     * (benchmark doc, training doc) pair sharing enough rare n-grams,
