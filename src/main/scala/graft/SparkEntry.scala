@@ -16,6 +16,14 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
+  /** Exact-cents money partial — SUM of per-row round(x*100) longs, the
+    * oracle-parity discipline (integer partials; any fractional output is
+    * ONE final division of exact ints). Single definition for every
+    * query that aggregates money.
+    */
+  private def centsSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c * 100).cast("long"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("gold_daily_summary")(spark, "/root/testdata/sf0.001")
@@ -97,7 +105,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           grouping(col("o_year")).cast("int").as("g_year"),
           grouping(col("o_month")).cast("int").as("g_month"),
-          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") /
+          (centsSum(col("o_totalprice")).cast("double") /
             lit(100.0)).as("total_price"))
         .orderBy(col("g_year"), col("g_month"),
           col("o_year").asc_nulls_last, col("o_month").asc_nulls_last)),
@@ -127,7 +135,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           min(col("tod_sec")).as("first_tod_sec"),
           max(col("tod_sec")).as("last_tod_sec"),
-          (sum(round(col("value") * 100).cast("long")).cast("double") /
+          (centsSum(col("value")).cast("double") /
             lit(100.0)).as("total_value"))
         .orderBy("event_date", "start_hour", "event_type")),
 
@@ -183,7 +191,7 @@ object SparkEntry {
         .groupBy(col("period"), col("station"))
         .agg(count(lit(1)).as("n_trips"),
           sum(col("qty")).cast("long").as("total_qty"),
-          (sum(round(col("price") * 100).cast("long")).cast("double") /
+          (centsSum(col("price")).cast("double") /
             lit(100.0)).as("total_price"))
         .orderBy("period", "station")
     }),
@@ -281,7 +289,7 @@ object SparkEntry {
       Bronze.newSince(Tables.events(s, d), "ts", "2024-01-15 00:00:00")
         .groupBy(to_date(col("ts")).as("event_date"))
         .agg(count(lit(1)).as("n_events"),
-          (sum(round(col("value") * 100).cast("long")).cast("double") /
+          (centsSum(col("value")).cast("double") /
             lit(100.0)).as("total_value"))
         .orderBy("event_date")),
 
@@ -494,7 +502,7 @@ object SparkEntry {
         .groupBy(col("l.event_id").as("event_id"),
           col("l.user_id").as("user_id"))
         .agg(count(col("r.pts")).as("n_recent_purchases"),
-          coalesce(sum(round(col("r.value") * 100).cast("long")), lit(0L))
+          coalesce(centsSum(col("r.value")), lit(0L))
             .as("recent_value_cents"))
         .orderBy("event_id")
     }),
@@ -617,7 +625,7 @@ object SparkEntry {
           ntile(4).over(w).as("q4"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
-          sum(round(col("o_totalprice") * 100).cast("long"))
+          centsSum(col("o_totalprice"))
             .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_cents"),
           rank().over(wy).as("rnk_year"),
           dense_rank().over(wy).as("drnk_year"))
@@ -632,7 +640,7 @@ object SparkEntry {
         .cube(col("c_mktsegment"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           grouping_id().cast("int").as("gid"),
-          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") /
+          (centsSum(col("o_totalprice")).cast("double") /
             lit(100.0)).as("total_price"))
         .orderBy(col("gid"),
           col("c_mktsegment").asc_nulls_last,
@@ -649,7 +657,7 @@ object SparkEntry {
           Seq("o_custkey"), salt = 8)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") /
+          (centsSum(col("o_totalprice")).cast("double") /
             lit(100.0)).as("total_price"))
         .orderBy("c_mktsegment")),
 
@@ -689,9 +697,11 @@ object SparkEntry {
     }),
 
     "gold_cohort_retention" -> ((s, d) => {
-      // weekly cohort retention: cohort = a user's first active day;
-      // one user-key shuffle serves both the first-day aggregation and
-      // the join back (partitioning reuse), then the cohort-week rollup.
+      // weekly cohort retention: cohort = a user's first active day. The
+      // first-day aggregate is ≤|users| rows; AQE broadcasts it back over
+      // the events scan at this SF, and at scale — where it no longer
+      // fits — both join sides hash on user_id and the identical
+      // scan-side exchange is deduplicated by exchange reuse.
       val ev = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
       val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
@@ -770,7 +780,7 @@ object SparkEntry {
             ((col("hi") - col("lo")) / 20)), lit(19.0)).cast("int"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_events"),
-          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          centsSum(col("value")).as("value_cents"))
         .orderBy("bucket")
     }),
 
@@ -834,7 +844,7 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"),
           to_date(col("o_orderdate")).as("o_orderdate"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+          centsSum(col("o_totalprice")).as("day_cents"))
         .withColumn("day_nr", unix_date(col("o_orderdate")).cast("long"))
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("day_nr")).rangeBetween(-6, 0)
@@ -884,7 +894,7 @@ object SparkEntry {
       fact.join(broadcast(dim), Seq("event_date"))
         .groupBy(col("event_date"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          centsSum(col("value")).as("value_cents"))
         .orderBy("event_date", "event_type")
     }),
   )

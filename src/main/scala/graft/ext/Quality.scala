@@ -39,8 +39,7 @@ object Quality {
   }
 
   /** Conditional violation count for row-level predicates. */
-  def countWhere(pred: Column): Column =
-    sum(when(pred, 1L).otherwise(0L))
+  def countWhere(pred: Column): Column = count_if(pred)
 
   /** The standard gate for the events feed: key uniqueness, required
     * fields, domain membership, and value sanity.
