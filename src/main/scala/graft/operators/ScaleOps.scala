@@ -129,6 +129,27 @@ object ScaleOps {
       dir
     })
 
+  /** Retention for per-batch sinks ([[graft.streaming.Streams.exactlyOnceSink]]
+    * writes `data/batch_id=<n>/`): delete every batch directory older
+    * than the newest `keepLast` — the lifecycle pass that stops an
+    * append-forever sink from growing without bound. Deleting whole
+    * partition directories is metadata-cheap at any scale and never
+    * rewrites surviving data (contrast [[compact]], which rewrites).
+    * Returns the expired batch ids.
+    */
+  def expireBatches(spark: SparkSession, dataDir: String,
+                    keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least one batch")
+    val path = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Nil
+    val batches = fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(s => s.getPath.getName.stripPrefix("batch_id=").toLong -> s.getPath)
+      .sortBy(-_._1)
+    batches.drop(keepLast).map { case (id, p) => fs.delete(p, true); id }
+  }
+
   /** Small-file compaction — the warehouse maintenance pass (OPTIMIZE
     * analog): rewrite a parquet directory into ~`targetBytes` files.
     * Incremental sinks (`Bronze.appendSink`, streaming) accrete small

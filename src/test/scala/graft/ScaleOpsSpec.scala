@@ -276,6 +276,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("batch retention keeps the newest batches and deletes the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_expire").toString + "/data"
+    val ev = Tables.events(spark, sfDir).select("event_id", "value").limit(10)
+    (0L to 4L).foreach(b => ev.write.parquet(s"$dir/batch_id=$b"))
+    val expired = ScaleOps.expireBatches(spark, dir, keepLast = 2)
+    assert(expired.sorted === Seq(0L, 1L, 2L))
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left === Set("batch_id=3", "batch_id=4"))
+    // surviving data is readable and intact (partition column included)
+    assert(spark.read.parquet(dir).count() === 20)
+    // idempotent: nothing more to expire
+    assert(ScaleOps.expireBatches(spark, dir, keepLast = 2) === Nil)
+  }
+
+  test("AQE splits a skewed join partition at runtime (the salting alternative)") {
+    import spark.implicits._
+    // one hot key dominating the probe side — the shape that strands one
+    // reducer. With thresholds forced down, AQE must mark the SMJ skewed.
+    val hot = spark.range(20000).select(lit(1L).as("k"), col("id").as("v"))
+      .union(spark.range(200).select((col("id") % 10 + 2).as("k"), col("id").as("v")))
+    val dim = spark.range(12).select(col("id").as("k"), (col("id") * 10).as("w"))
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1") {
+      val j = hot.join(dim, Seq("k"))
+      // collect(), not count(): the skew markers live on THIS df's
+      // queryExecution, and count() runs a separate one.
+      assert(j.collect().length === 20000 + 200)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join (isSkewJoin):\n$plan")
+    }
+  }
+
   test("salted join rejects build-side-preserving join types") {
     val df = Tables.supplier(spark, sfDir)
     intercept[IllegalArgumentException] {
