@@ -38,6 +38,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fact-grain refresh reads the warehouse star and reproduces the ETL mart") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh3").toString
+    Pipeline.runFullEtl(spark, sfDir, wh)
+    Seq("dm_daily_trip_summary", "dm_popular_routes").foreach { m =>
+      val etl = spark.read.parquet(s"$wh/$m").collect().toSet
+      Pipeline.refreshMart(spark, sfDir, wh, m)
+      val refreshed = spark.read.parquet(s"$wh/$m").collect().toSet
+      assert(refreshed === etl, s"$m refresh-from-star must match the ETL output")
+    }
+  }
+
   test("registered views give a SQL-only user the whole star") {
     val names = graft.plans.Views.register(spark, sfDir)
     assert(names.size === 18)

@@ -66,4 +66,56 @@ class PropertiesSpec extends AnyFunSuite {
     }
     users.unpersist()
   }
+
+  test("property: MERGE is idempotent — re-applying the same batch changes nothing") {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal")).cache()
+    samples(Gen.choose(2L, 9L), 3).foreach { m =>
+      val updates = cust.filter(col("c_custkey") % m === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+      val once = graft.operators.Merge.upsert(cust, updates, Seq("c_custkey"))
+      val twice = graft.operators.Merge.upsert(once, updates, Seq("c_custkey"))
+      assert(twice.exceptAll(once).count() === 0, s"mod $m")
+      assert(once.exceptAll(twice).count() === 0, s"mod $m")
+    }
+    cust.unpersist()
+  }
+
+  test("property: gap-filled series tiles keys x ticks exactly and conserves observations") {
+    import spark.implicits._
+    samples(Gen.choose(2L, 9L), 3).foreach { step =>
+      val raw = Seq((1L, 0L, 5L), (1L, step, 6L), (2L, step * 3, 7L))
+        .toDF("k", "t", "v")
+      val keys = Seq(1L, 2L).toDF("k")
+      val bounds = Seq((0L, step * 4)).toDF("lo", "hi")
+      val out = graft.operators.TimeSeries
+        .gapFillLocf(raw, keys, bounds, "k", "t", "v", step).cache()
+      assert(out.count() === 2 * 5, s"step $step: 2 keys x 5 ticks")
+      assert(out.agg(sum("n_obs")).head().getLong(0) === 3L,
+        s"step $step: every observation lands on exactly one tick")
+      out.unpersist()
+    }
+  }
+
+  test("property: chunks reassemble to the original document for arbitrary widths") {
+    val docs = Tables.documents(spark, sfDir).limit(20).cache()
+    samples(Gen.chooseNum(2, 60).flatMap(w =>
+      Gen.chooseNum(0, w - 1).map(o => (w, o))), 4).foreach { case (w, o) =>
+      val stride = w - o
+      val rebuilt = graft.ext.Corpus.chunk(docs, w, o)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) =>
+          // drop each chunk's overlap tail except the final chunk's
+          val toks = rows.map(_.getString(3).split(" ", -1))
+          id -> (toks.dropRight(1).map(_.take(stride)) :+ toks.last)
+            .flatten.mkString(" ")
+        }
+      val original = docs.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rebuilt === original, s"width $w overlap $o")
+    }
+    docs.unpersist()
+  }
 }
