@@ -354,6 +354,22 @@ object SparkEntry {
           bandWidth = 2, threshold = 0.5)
         .orderBy("d1", "d2")),
 
+    "dedup_incremental_near" -> ((s, d) => {
+      // batch-over-batch near-dup admission: src0-9 play the accumulated
+      // corpus (its PERSISTED band table is the state), src10-19 the
+      // incoming batch; an incoming doc colliding with any seen band
+      // bucket is rejected. Candidate-level by design (see scaladoc).
+      val docs = Tables.documents(s, d)
+      val seenSrc = (0 to 9).map(i => s"src$i")
+      val seen = docs.filter(col("source").isin(seenSrc: _*))
+      val incoming = docs.filter(!col("source").isin(seenSrc: _*))
+      Dedup.incrementalNearDup(incoming,
+          Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2),
+          w = 5, numHashes = 8, bandWidth = 2)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "silver_range_join" -> ((s, d) => {
       // range (interval) join: customers against generated account-balance
       // bands. The theta-BETWEEN join is the general form; for uniform
@@ -1004,7 +1020,10 @@ object SparkEntry {
   /** Banded-MinHash verified pairs, no ORDER BY — shared by the pair
     * oracle and the connected-components oracle built on it.
     */
-  private lazy val minhashPairsCoreSql: String = {
+  /** mh+bands CTE bodies (8 hashes, 4 bands of 2) shared by the banded
+    * minhash oracles — identical constants to `Dedup.bandsOf`.
+    */
+  private lazy val bandCteSql: String = {
     val mhCols = (0 until 8).map(s =>
       s"    min(CAST('0x' || substr(md5('0|' || sh) || md5('1|' || sh), ${8 * s + 1}, 8) AS BIGINT)) AS mh$s")
       .mkString(",\n")
@@ -1012,14 +1031,18 @@ object SparkEntry {
       val k = s"CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR)"
       s"  SELECT doc_id, $b AS band, $k AS bkey FROM mh"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH $triSql,
-       |mh AS (
+    s"""mh AS (
        |  SELECT doc_id,
        |$mhCols
        |  FROM tri GROUP BY doc_id
        |), bands AS (
        |$bandSelects
-       |), cands AS (
+       |)""".stripMargin
+  }
+
+  private lazy val minhashPairsCoreSql: String = {
+    s"""WITH $triSql,
+       |$bandCteSql, cands AS (
        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
@@ -1510,6 +1533,25 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
+
+    "dedup_incremental_near" ->
+      s"""WITH $triSql,
+         |$bandCteSql,
+         |docsrc AS (SELECT doc_id, source FROM documents),
+         |seenb AS (
+         |  SELECT DISTINCT band, bkey
+         |  FROM bands JOIN docsrc USING (doc_id)
+         |  WHERE source IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})),
+         |rejected AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM bands b
+         |  JOIN docsrc s ON s.doc_id = b.doc_id
+         |  JOIN seenb k ON k.band = b.band AND k.bkey = b.bkey
+         |  WHERE s.source NOT IN (${(0 to 9).map(i => s"'src$i'").mkString(",")}))
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.source NOT IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)
+         |ORDER BY doc_id""".stripMargin,
 
     "silver_range_join" ->
       """WITH bounds AS (

@@ -173,8 +173,20 @@ object Dedup {
     finally tri.unpersist(blocking = false)
   }
 
-  private def minhashLshOn(tri: DataFrame, numHashes: Int,
-                           bandWidth: Int, threshold: Double): DataFrame = {
+  /** MinHash band table of a document set: one row per (doc, band) with
+    * the band's bucket key — the compact, md5-portable state a warehouse
+    * PERSISTS between batches for incremental near-dup admission (bands
+    * are O(docs × nBands), never the shingles).
+    */
+  def bandTable(docs: DataFrame, w: Int = 3, numHashes: Int = 8,
+                bandWidth: Int = 2): DataFrame = {
+    require(numHashes % bandWidth == 0, "bands must tile the signature")
+    require(numHashes <= 8, "8 32-bit hashes per two md5 digests")
+    bandsOf(shingles(docs, w), numHashes, bandWidth)
+  }
+
+  private def bandsOf(tri: DataFrame, numHashes: Int,
+                      bandWidth: Int): DataFrame = {
     // TWO md5 digests per shingle yield eight 32-bit hash functions
     // (chunked substrings) — 4× fewer digest computations than one md5
     // per hash function, with the same independence for min-hashing.
@@ -191,9 +203,34 @@ object Dedup {
       val cols = (0 until bandWidth).map(r => col(s"mh${b * bandWidth + r}"))
       struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bkey"))
     }
-    val bands = minhashes.select(col("doc_id"),
+    minhashes.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Incremental near-dup admission — the batch-over-batch form of
+    * [[minhashLsh]]: an incoming document is REJECTED when any of its
+    * band buckets collides with the accumulated corpus's persisted band
+    * table ([[bandTable]] is the state — compact and md5-stable across
+    * engines and re-runs). One semi-join on (band, bkey) + one anti-join
+    * on the doc id; admission is deliberately candidate-level (LSH
+    * collision, no exact verification) — the aggressive-dedup trade
+    * every streaming-admission pipeline makes, since verifying would
+    * need the seen corpus's shingles, not its bands.
+    */
+  def incrementalNearDup(incoming: DataFrame, seenBands: DataFrame,
+                         w: Int = 3, numHashes: Int = 8,
+                         bandWidth: Int = 2): DataFrame = {
+    val collided = bandTable(incoming, w, numHashes, bandWidth)
+      .join(seenBands.select(col("band"), col("bkey")).dropDuplicates("band", "bkey"),
+        Seq("band", "bkey"), "left_semi")
+      .select(col("doc_id")).distinct()
+    incoming.join(collided, Seq("doc_id"), "left_anti")
+  }
+
+  private def minhashLshOn(tri: DataFrame, numHashes: Int,
+                           bandWidth: Int, threshold: Double): DataFrame = {
+    val bands = bandsOf(tri, numHashes, bandWidth)
     // candidates: same band value in any band → LSH bucket join.
     val cands = bands.as("x")
       .join(bands.as("y"),
