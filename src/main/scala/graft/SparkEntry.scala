@@ -884,8 +884,6 @@ object SparkEntry {
       // 40-token windows advancing by 30 (10-token overlap) — narrow
       // per-row emit, chunk ids stable under corpus growth.
       ext.Corpus.chunk(Tables.documents(s, d), width = 40, overlap = 10)
-        .withColumn("chunk_id", col("chunk_id").cast("int"))
-        .withColumn("n_tokens", col("n_tokens").cast("int"))
         .orderBy("doc_id", "chunk_id")),
 
     "corpus_contamination" -> ((s, d) =>
@@ -1017,9 +1015,6 @@ object SparkEntry {
        |FROM com JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
        |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8""".stripMargin
 
-  /** Banded-MinHash verified pairs, no ORDER BY — shared by the pair
-    * oracle and the connected-components oracle built on it.
-    */
   /** mh+bands CTE bodies (8 hashes, 4 bands of 2) shared by the banded
     * minhash oracles — identical constants to `Dedup.bandsOf`.
     */
@@ -1040,6 +1035,9 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Banded-MinHash verified pairs, no ORDER BY — shared by the pair
+    * oracle and the connected-components oracle built on it.
+    */
   private lazy val minhashPairsCoreSql: String = {
     s"""WITH $triSql,
        |$bandCteSql, cands AS (
@@ -1542,12 +1540,17 @@ object SparkEntry {
          |  SELECT DISTINCT band, bkey
          |  FROM bands JOIN docsrc USING (doc_id)
          |  WHERE source IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})),
+         |incb AS (
+         |  SELECT b.doc_id, b.band, b.bkey
+         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
+         |  WHERE s.source NOT IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})),
          |rejected AS (
-         |  SELECT DISTINCT b.doc_id
-         |  FROM bands b
-         |  JOIN docsrc s ON s.doc_id = b.doc_id
-         |  JOIN seenb k ON k.band = b.band AND k.bkey = b.bkey
-         |  WHERE s.source NOT IN (${(0 to 9).map(i => s"'src$i'").mkString(",")}))
+         |  SELECT DISTINCT doc_id FROM incb
+         |  JOIN seenb k USING (band, bkey)
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM incb x
+         |  JOIN incb y ON x.band = y.band AND x.bkey = y.bkey
+         |             AND x.doc_id < y.doc_id)
          |SELECT d.doc_id, d.source, d.n_chars FROM documents d
          |WHERE d.source NOT IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})
          |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)

@@ -210,22 +210,37 @@ object Dedup {
 
   /** Incremental near-dup admission — the batch-over-batch form of
     * [[minhashLsh]]: an incoming document is REJECTED when any of its
-    * band buckets collides with the accumulated corpus's persisted band
-    * table ([[bandTable]] is the state — compact and md5-stable across
-    * engines and re-runs). One semi-join on (band, bkey) + one anti-join
-    * on the doc id; admission is deliberately candidate-level (LSH
-    * collision, no exact verification) — the aggressive-dedup trade
-    * every streaming-admission pipeline makes, since verifying would
-    * need the seen corpus's shingles, not its bands.
+    * band buckets collides with (a) the accumulated corpus's persisted
+    * band table ([[bandTable]] is the state — compact and md5-stable
+    * across engines and re-runs) or (b) a SMALLER-id document of its own
+    * batch — without the within-batch pass, a pair of near-identical
+    * incoming docs that match nothing seen would both be admitted
+    * (the sibling [[incrementalExact]] makes the same two checks).
+    * Rejecting against a doc that itself lost to a seen collision is
+    * correct: its content is already represented in the corpus.
+    * Admission is deliberately candidate-level (LSH collision, no exact
+    * verification) — the aggressive-dedup trade every streaming-admission
+    * pipeline makes, since verifying would need the seen corpus's
+    * shingles, not its bands.
     */
   def incrementalNearDup(incoming: DataFrame, seenBands: DataFrame,
                          w: Int = 3, numHashes: Int = 8,
                          bandWidth: Int = 2): DataFrame = {
-    val collided = bandTable(incoming, w, numHashes, bandWidth)
-      .join(seenBands.select(col("band"), col("bkey")).dropDuplicates("band", "bkey"),
-        Seq("band", "bkey"), "left_semi")
-      .select(col("doc_id")).distinct()
-    incoming.join(collided, Seq("doc_id"), "left_anti")
+    val bands = bandTable(incoming, w, numHashes, bandWidth).persist()
+    try {
+      val seenHit = bands
+        .join(seenBands.select(col("band"), col("bkey")).dropDuplicates("band", "bkey"),
+          Seq("band", "bkey"), "left_semi")
+        .select(col("doc_id"))
+      val batchHit = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("y.doc_id").as("doc_id"))
+      val rejected = seenHit.unionAll(batchHit).distinct()
+      incoming.join(rejected, Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = true)
+    } finally bands.unpersist(blocking = false)
   }
 
   private def minhashLshOn(tri: DataFrame, numHashes: Int,

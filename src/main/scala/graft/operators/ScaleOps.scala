@@ -143,11 +143,18 @@ object ScaleOps {
     val path = new org.apache.hadoop.fs.Path(dataDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return Nil
+    // numeric ids only: partitionBy can leave e.g. a
+    // batch_id=__HIVE_DEFAULT_PARTITION__ dir, which must not abort
+    // retention for every other batch.
     val batches = fs.listStatus(path).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("batch_id=\\d+"))
       .map(s => s.getPath.getName.stripPrefix("batch_id=").toLong -> s.getPath)
       .sortBy(-_._1)
-    batches.drop(keepLast).map { case (id, p) => fs.delete(p, true); id }
+    // report only what was actually removed — a false delete (permission,
+    // concurrent reader) must not be logged as purged.
+    batches.drop(keepLast).collect {
+      case (id, p) if fs.delete(p, true) => id
+    }
   }
 
   /** Small-file compaction — the warehouse maintenance pass (OPTIMIZE

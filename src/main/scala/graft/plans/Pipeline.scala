@@ -152,6 +152,14 @@ object Pipeline {
     * the silver star, never raw bronze) and fall back to recomputing
     * from sources on a cold warehouse; both forms are oracle-proven
     * equal. Order-grain marts aggregate sources directly either way.
+    *
+    * Freshness contract (same as the reference's gold_dag, which reads
+    * whatever silver currently holds): if sources changed since the
+    * star was built, star-read marts reflect the star's version and
+    * source-read marts the sources' — advance the star first
+    * ([[runFullEtl]]) when refreshing after new data. Version-coherent
+    * multi-mart refresh IS [[runFullEtl]]; this entry point is the
+    * single-mart convenience.
     */
   def refreshMart(spark: SparkSession, srcDir: String, warehouseDir: String,
                   mart: String): Unit = {
