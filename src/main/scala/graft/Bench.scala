@@ -53,23 +53,47 @@ object Bench {
       // recompile can inflate either single run; the min of two clean-state
       // runs is the reproducible steady-state cost of the plan itself.
       val (a, okA) = once(); val (b, okB) = once()
-      (name, math.min(a, b), okA && okB)
+      (name, math.min(a, b), okA && okB, (a, b))
     }
-    // ONE compact JSON line. The harness reading this keeps only the tail
-    // of the run's output, so the line must stay short: per-query values
-    // at 2 decimals (10 ms — below run-to-run noise), totals at 3. A
-    // failed query is excluded from the total and listed in "errors"
+    // ONE compact JSON line. The harness keeps only the LAST 2000 chars of
+    // the run's output (r4 evidence: the recorded tail began mid-map — the
+    // HEAD of the line is what truncation removes), and sbt's trailing
+    // "[success] ..." line costs ~75 of those. An 84-entry flat map no
+    // longer fits, so:
+    //  * query names are grouped by their prefix ("gold_daily_summary" →
+    //    queries.gold.daily_summary) — reconstruct as <group>_<key>;
+    //  * values are 2-decimal seconds with trailing zeros stripped;
+    //  * the map comes LAST with the most expensive groups at the END, so
+    //    if the line ever overflows again only cheap entries are lost;
+    //  * full-precision per-query timings (both runs, not just the min)
+    //    go to BENCH_DETAIL.json in the repo root.
+    // A failed query is excluded from the total and listed in "errors"
     // instead of masquerading as a fast timing; "runs"/"agg" flag the
     // min-of-two methodology so cross-round totals compare knowingly.
-    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def fc(v: Double) = { // compact: 2dp, strip trailing zeros / dot
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) f2(v) else -1)
+    val grouped = results.groupBy { case (k, _, _, _) => k.takeWhile(_ != '_') }
+      .toSeq.sortBy { case (_, rs) => rs.collect { case (_, v, true, _) => v }.sum }
+    val qs = grouped.map { case (g, rs) =>
+      val inner = rs.sortBy { case (_, v, _, _) => v }.map { case (k, v, ok, _) =>
+        "\"" + k.drop(g.length + 1) + "\":" + (if (ok) fc(v) else -1)
+      }.mkString(",")
+      "\"" + g + "\":{" + inner + "}"
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
     val errField = if (errs.isEmpty) "" else errs.mkString(",\"errors\":[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min"$errField,"queries":$qs,"ingest_sec":${f3(ingestSec)},"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    val detail = results.map { case (k, v, ok, (a, b)) =>
+      s""""$k":{"min":${f3(v)},"runs":[${f3(a)},${f3(b)}],"ok":$ok}"""
+    }.mkString("{", ",", "}")
+    val detailJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min","ingest_sec":${f3(ingestSec)},"sf":"$sfDir","queries":$detail}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson.getBytes("UTF-8"))
+    catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min"$errField,"ingest_sec":${f3(ingestSec)},"sf":"$sfName","detail":"BENCH_DETAIL.json","queries":$qs}""")
     spark.stop()
   }
 }
