@@ -751,9 +751,13 @@ object SparkEntry {
       val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("c_mktsegment"))
+      // key 0 is excluded from the negated-insert arm: -0 == 0 would
+      // collide with the %10 update arm and violate the key-unique batch
+      // precondition upsert now enforces (ANSI MERGE raises there).
       val updates = cust.filter(col("c_custkey") % 10 === 0)
         .withColumn("c_acctbal", col("c_acctbal") + 100.0)
-        .unionByName(cust.filter(col("c_custkey") % 7 === 0)
+        .unionByName(cust.filter(col("c_custkey") % 7 === 0 &&
+            col("c_custkey") =!= 0)
           .select((-col("c_custkey")).as("c_custkey"), col("c_name"),
             lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
       graft.operators.Merge.upsert(cust, updates, Seq("c_custkey"))
@@ -784,21 +788,7 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    "stats_histogram" -> ((s, d) => {
-      // fixed-width 20-bucket histogram with data-derived bounds (A3
-      // style): one bounds pass + one aggregation; the max value is
-      // clamped into the last bucket.
-      val ev = Tables.events(s, d)
-      val b = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-      ev.crossJoin(broadcast(b))
-        .withColumn("bucket",
-          least(floor((col("value") - col("lo")) /
-            ((col("hi") - col("lo")) / 20)), lit(19.0)).cast("int"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_events"),
-          centsSum(col("value")).as("value_cents"))
-        .orderBy("bucket")
-    }),
+    "stats_histogram" -> ((s, d) => histogram20(Tables.events(s, d))),
 
     "corpus_embedding_centroids" -> ((s, d) =>
       // per-label centroids in FIXED POINT: summing round(x*1e6) longs is
@@ -951,6 +941,27 @@ object SparkEntry {
     dirs.foreach(dir =>
       graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(dir)))
     out
+  }
+
+  /** Fixed-width 20-bucket histogram with data-derived bounds (A3 style):
+    * one bounds pass + one aggregation; the max value is clamped into the
+    * last bucket. hi==lo guard: a constant column has width 0 and the
+    * divide yields NaN — degenerate input collapses into bucket 0 instead
+    * (the oracle CASE mirrors it). Extracted so the guard is unit-testable
+    * on injected input (the query reads the events table).
+    */
+  private[graft] def histogram20(ev: DataFrame): DataFrame = {
+    val b = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.crossJoin(broadcast(b))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / 20)), lit(19.0)))
+          .cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        centsSum(col("value")).as("value_cents"))
+      .orderBy("bucket")
   }
 
   /** Read a streaming sink back deterministically: only windows strictly
@@ -2021,7 +2032,7 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey % 10 = 0
         |  UNION ALL
         |  SELECT -c_custkey, c_name, CAST(0.0 AS DOUBLE), 'NEW'
-        |  FROM customer WHERE c_custkey % 7 = 0)
+        |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey != 0)
         |SELECT t.c_custkey, u.c_name, u.c_acctbal, u.c_mktsegment
         |FROM customer t JOIN upd u ON t.c_custkey = u.c_custkey
         |UNION ALL
@@ -2062,7 +2073,8 @@ object SparkEntry {
 
     "stats_histogram" ->
       """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
-        |SELECT CAST(least(floor((value - lo)/((hi - lo)/20)), 19.0) AS INTEGER) AS bucket,
+        |SELECT CAST(CASE WHEN hi = lo THEN 0
+        |  ELSE least(floor((value - lo)/((hi - lo)/20)), 19.0) END AS INTEGER) AS bucket,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events CROSS JOIN b

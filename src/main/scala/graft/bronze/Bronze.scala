@@ -96,8 +96,9 @@ object Bronze {
     */
   def ensureEvolvedBatches(spark: SparkSession, srcDir: String): (String, String) =
     evolvedDirs.getOrElseUpdate(srcDir, {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_evolve_").toString
+      // registered for shutdown-hook deletion: staged once per JVM,
+      // must not accumulate under /tmp across bench/verify runs.
+      val base = graft.TempDirs.create("graft_evolve_").toString
       val ev = graft.Tables.events(spark, srcDir)
       ev.filter(col("event_id") % 2 === 0)
         .select(col("event_id"), col("event_type"), col("value"))

@@ -32,8 +32,25 @@ object Merge {
     * a multi-match MERGE is an error in SQL too); `target` and `updates`
     * must share the schema. A `_m` match marker (not COALESCE) decides
     * replacement, so an update carrying an intentional NULL still wins.
+    *
+    * The precondition is ENFORCED by default (ANSI MERGE raises on a
+    * multi-match; silently multiplying matched target rows is data
+    * corruption, not a merge): one partial-aggregated pass over the
+    * update batch — the small side of any sane merge — before the join.
+    * Callers whose batch is already uniqueness-proven (e.g. the output
+    * of a keyed aggregation) pass `requireUniqueUpdates = false` to skip
+    * the pass.
     */
-  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
+             requireUniqueUpdates: Boolean = true): DataFrame = {
+    if (requireUniqueUpdates) {
+      // limit(1): existence probe, not a full duplicate census.
+      val dup = updates.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"Merge.upsert: duplicate key in the update batch (ANSI MERGE " +
+          s"multi-match): ${keys.zipWithIndex.map { case (k, i) => s"$k=${dup.head.get(i)}" }.mkString(", ")}")
+    }
     val nonKeys = target.columns.filterNot(keys.contains).toSeq
     val u = updates.select(
       keys.map(col) ++ nonKeys.map(c => col(c).as(s"_u_$c")) :+

@@ -118,8 +118,9 @@ object ScaleOps {
     */
   def ensureDatePartitionedEvents(spark: SparkSession, srcDir: String): String =
     partitionedEventsDirs.getOrElseUpdate(srcDir, {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_events_bydate_").toString + "/events"
+      // registered for shutdown-hook deletion: the layout is reused across
+      // queries within one JVM but must not accumulate across runs.
+      val dir = graft.TempDirs.create("graft_events_bydate_").toString + "/events"
       graft.Tables.events(spark, srcDir)
         .withColumn("event_date", to_date(col("ts")))
         .withColumn("ts_ms", unix_millis(col("ts")))

@@ -37,7 +37,17 @@ object Pipeline {
   /** Build all silver + gold tables from the source dir and atomically
     * promote them under `warehouseDir`. Returns table names written.
     */
-  def runFullEtl(spark: SparkSession, srcDir: String, warehouseDir: String): Seq[String] = {
+  def runFullEtl(spark: SparkSession, srcDir: String, warehouseDir: String): Seq[String] =
+    runFullEtl(spark, srcDir, warehouseDir, failpoint = _ => ())
+
+  /** Test seam: `failpoint(tableName)` runs inside each table's write
+    * future before the write starts — PipelineSpec injects a failure to
+    * prove the error-path contract (original error surfaces, staging is
+    * cleaned only after every sibling settles).
+    */
+  private[graft] def runFullEtl(spark: SparkSession, srcDir: String,
+                                warehouseDir: String,
+                                failpoint: String => Unit): Seq[String] = {
     val nation = Tables.nation(spark, srcDir)
     val region = Tables.region(spark, srcDir)
     val customer = Tables.customer(spark, srcDir)
@@ -76,8 +86,10 @@ object Pipeline {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      def write(name: String, df: DataFrame): Unit =
+      def write(name: String, df: DataFrame): Unit = {
+        failpoint(name)
         df.write.mode("overwrite").parquet(staging.resolve(name).toString)
+      }
       def staged(name: String): DataFrame =
         Tables.spread(spark.read.parquet(staging.resolve(name).toString))
       val silverDone = silverTables.map { case (name, df) =>
@@ -95,8 +107,23 @@ object Pipeline {
           write("dm_popular_routes",
             Gold.popularRoutesFromStar(staged("fact_trips"), staged("dim_station")))
         })
-      Await.result(
-        Future.sequence(silverDone.values.toSeq ++ goldFutures), Duration.Inf)
+      // SETTLE every future (lift to Try — never fail-fast): the enclosing
+      // finally deletes the staging directory, and a fail-fast Await would
+      // reach it while sibling futures still write into staging — the
+      // delete races live writers and their confused IO errors can mask
+      // the original failure. Once all writers have settled, rethrow the
+      // first failure with the others attached as suppressed.
+      val settled = Await.result(
+        Future.sequence((silverDone.values.toSeq ++ goldFutures)
+          .map(_.transform(scala.util.Success(_)))), Duration.Inf)
+      val failures = settled.collect { case scala.util.Failure(e) => e }
+      failures.headOption.foreach { first =>
+        // reference-dedup: a failed silver future propagates the SAME
+        // exception object through the gold futures zipped on it, and
+        // addSuppressed(self) is an error.
+        failures.drop(1).distinct.filter(_ ne first).foreach(first.addSuppressed)
+        throw first
+      }
       // promote: swap each staged table in. The live copy is moved ASIDE
       // first (not deleted) and every aside is retained until the WHOLE
       // batch has promoted — if any swap fails, all earlier promotions

@@ -22,6 +22,20 @@ class MergeSpec extends AnyFunSuite {
       (4L, "d", 40.0)))         // insert
   }
 
+  test("upsert: a duplicate-key UPDATE batch raises (ANSI MERGE multi-match)") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
+    val dupUpdates = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k", "name", "v")
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(target, dupUpdates, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("duplicate key"))
+    // the documented escape hatch keeps the old (multiplying) behavior
+    val out = Merge.upsert(target, dupUpdates, Seq("k"),
+      requireUniqueUpdates = false).collect()
+    assert(out.length === 2, "unvalidated multi-match multiplies matched rows")
+  }
+
   test("upsert: an update carrying an intentional NULL wins over the target value") {
     import spark.implicits._
     val target = Seq((1L, Some("keep"))).toDF("k", "name")

@@ -23,6 +23,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("a failed table write surfaces ITS error, leaves the live warehouse intact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_fail").toString
+    Pipeline.runFullEtl(spark, sfDir, wh)
+    val before = spark.read.parquet(s"$wh/dm_daily_trip_summary").count()
+    val boom = new RuntimeException("injected: dim_user write failed")
+    val e = intercept[RuntimeException] {
+      Pipeline.runFullEtl(spark, sfDir, wh,
+        failpoint = name => if (name == "dim_user") throw boom)
+    }
+    // the INJECTED failure must surface — not a staging-cleanup IO error
+    // from a sibling future racing the deleted directory.
+    assert(e eq boom, s"expected the injected error, got: $e")
+    // staging is fully cleaned (no writer re-created it after the delete)
+    assert(!new java.io.File(wh).listFiles()
+      .exists(_.getName.startsWith(".staging")), "staging residue left behind")
+    // nothing was promoted: the live warehouse is byte-for-byte intact
+    assert(spark.read.parquet(s"$wh/dm_daily_trip_summary").count() === before)
+  }
+
   test("single-mart refresh matches the pipeline's version") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh2").toString
     Pipeline.refreshMart(spark, sfDir, wh, "dm_station_popularity")
