@@ -677,6 +677,69 @@ object SparkEntry {
             lit(100.0)).as("total_price"))
         .orderBy("c_mktsegment")),
 
+    "scale_compact_roundtrip" -> ((s, d) => {
+      // sink-MAINTENANCE end-to-end (reference MV-refresh analog,
+      // gold_ddl.sql:201-244), hash-checked like gold_pipeline_e2e:
+      // stage the events feed as a per-batch append sink (batch_id=N/
+      // Hive dirs, deliberately many small files per batch), EXPIRE the
+      // two oldest batches, COMPACT the survivors (partition layout
+      // preserved, one file per partition dir), and return an aggregate
+      // fingerprint of the READ-BACK. The oracle recomputes the
+      // surviving content straight from the source, so retention picked
+      // the right batches AND the rewrite preserved every row — the
+      // write paths the spec tests covered are now driver-visible.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-compact-").toString
+      val dataDir = s"$tmp/data"
+      Tables.events(s, d)
+        .withColumn("batch_id", (col("event_id") % 6).cast("int"))
+        .select(col("batch_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .repartition(8) // 8 small files per batch dir — what compact fixes
+        .write.partitionBy("batch_id").parquet(dataDir)
+      val expired = graft.operators.ScaleOps
+        .expireBatches(s, dataDir, keepLast = 4)
+      // the retention CONTRACT is part of the query: newest 4 of 6 kept.
+      require(expired.sorted == Seq(0L, 1L),
+        s"expected batches 0,1 expired, got: $expired")
+      graft.operators.ScaleOps.compact(s, dataDir)
+      val back = s.read.parquet(dataDir)
+      val files = back.select(input_file_name()).distinct().count()
+      require(files == 4, s"compacted layout must be 1 file per surviving " +
+        s"batch dir, found $files")
+      detachAndClean(
+        back.groupBy(col("batch_id").cast("int").as("batch_id"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("event_id")).as("id_sum"),
+            centsSum(col("value")).as("value_cents"))
+          .orderBy("batch_id", "event_type"),
+        tmp)
+    }),
+
+    "scale_zorder_roundtrip" -> ((s, d) => {
+      // the WRITE half of multi-dimensional data skipping, content-
+      // checked: Z-order-cluster the events feed on bucketed
+      // (user_id, event_id) into 8 range-partitioned files, then return
+      // the read-back rows. Clustering must be a pure REORDER — the
+      // oracle is a plain projection of the source — while the layout
+      // property (each file covers a small (x, y) rectangle whose
+      // min/max stats prune filters on either dimension) stays asserted
+      // in ScaleOpsSpec.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-zorder-").toString
+      val path = s"$tmp/events_z"
+      graft.operators.ScaleOps.writeZOrdered(
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_millis(col("ts")).as("ts_ms"))
+          .withColumn("zx", pmod(col("user_id"), lit(256)).cast("int"))
+          .withColumn("zy", pmod(col("event_id"), lit(256)).cast("int")),
+        "zx", "zy", path, numFiles = 8)
+      detachAndClean(
+        s.read.parquet(path).drop("zx", "zy").orderBy("event_id"), tmp)
+    }),
+
     "corpus_quality_gate" -> ((s, d) =>
       // batch admission control: every expectation evaluates in ONE
       // partial+final aggregation pass, unpivoted to a row per check.
@@ -1820,6 +1883,20 @@ object SparkEntry {
         |    ((((event_id % 256) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
         |FROM events WHERE event_id < 500
         |ORDER BY event_id""".stripMargin,
+
+    "scale_compact_roundtrip" ->
+      """SELECT CAST(event_id % 6 AS INTEGER) AS batch_id, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_id % 6 >= 2
+        |GROUP BY 1, 2
+        |ORDER BY batch_id, event_type""".stripMargin,
+
+    "scale_zorder_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "stream_session_window" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
