@@ -370,6 +370,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_incremental_near_verified" -> ((s, d) => {
+      // VERIFIED batch-over-batch admission: a band collision only
+      // nominates a candidate — rejection additionally requires the
+      // estimated Jaccard against the colliding doc's persisted minhash
+      // signature to clear 0.5. Admits a superset of the candidate-level
+      // query above (DedupSpec measures the bought-back false-reject
+      // rate); state is bands + signatures, still never documents.
+      val docs = Tables.documents(s, d)
+      val seenSrc = (0 to 9).map(i => s"src$i")
+      val seen = docs.filter(col("source").isin(seenSrc: _*))
+      val incoming = docs.filter(!col("source").isin(seenSrc: _*))
+      Dedup.incrementalNearDupVerified(incoming,
+          Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2),
+          Dedup.signatureTable(seen, w = 5, numHashes = 8),
+          w = 5, numHashes = 8, bandWidth = 2, minEstJaccard = 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "silver_range_join" -> ((s, d) => {
       // range (interval) join: customers against generated account-balance
       // bands. The theta-BETWEEN join is the general form; for uniform
@@ -1629,6 +1648,44 @@ object SparkEntry {
          |WHERE d.source NOT IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})
          |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)
          |ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental_near_verified" -> {
+      val matchSum = (0 until 8).map(k =>
+        s"CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END").mkString(" + ")
+      val seenList = (0 to 9).map(i => s"'src$i'").mkString(",")
+      s"""WITH $triSql,
+         |$bandCteSql,
+         |docsrc AS (SELECT doc_id, source FROM documents),
+         |seenb AS (
+         |  SELECT DISTINCT b.doc_id, band, bkey
+         |  FROM bands b JOIN docsrc USING (doc_id)
+         |  WHERE source IN ($seenList)),
+         |incb AS (
+         |  SELECT b.doc_id, b.band, b.bkey
+         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
+         |  WHERE s.source NOT IN ($seenList)),
+         |candseen AS (
+         |  SELECT DISTINCT i.doc_id, s.doc_id AS partner_id
+         |  FROM incb i JOIN seenb s USING (band, bkey)),
+         |candbatch AS (
+         |  SELECT DISTINCT x.doc_id AS partner_id, y.doc_id
+         |  FROM incb x JOIN incb y ON x.band = y.band AND x.bkey = y.bkey
+         |             AND x.doc_id < y.doc_id),
+         |rejected AS (
+         |  SELECT c.doc_id FROM candseen c
+         |  JOIN mh a ON a.doc_id = c.doc_id
+         |  JOIN mh b ON b.doc_id = c.partner_id
+         |  WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5
+         |  UNION
+         |  SELECT c.doc_id FROM candbatch c
+         |  JOIN mh a ON a.doc_id = c.doc_id
+         |  JOIN mh b ON b.doc_id = c.partner_id
+         |  WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.source NOT IN ($seenList)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "silver_range_join" ->
       """WITH bounds AS (

@@ -176,28 +176,55 @@ object Dedup {
   /** MinHash band table of a document set: one row per (doc, band) with
     * the band's bucket key — the compact, md5-portable state a warehouse
     * PERSISTS between batches for incremental near-dup admission (bands
-    * are O(docs × nBands), never the shingles).
+    * are O(docs × nBands), never the shingles). The layout parameters
+    * ride IN the table as constant columns (they RLE-compress to nothing
+    * in parquet), so admission against state built in a previous run can
+    * verify it was built with the same (w, numHashes, bandWidth) — see
+    * [[incrementalNearDup]].
     */
   def bandTable(docs: DataFrame, w: Int = 3, numHashes: Int = 8,
                 bandWidth: Int = 2): DataFrame = {
     require(numHashes % bandWidth == 0, "bands must tile the signature")
     require(numHashes <= 8, "8 32-bit hashes per two md5 digests")
     bandsOf(shingles(docs, w), numHashes, bandWidth)
+      .withColumn("w", lit(w))
+      .withColumn("num_hashes", lit(numHashes))
+      .withColumn("band_width", lit(bandWidth))
   }
 
-  private def bandsOf(tri: DataFrame, numHashes: Int,
-                      bandWidth: Int): DataFrame = {
-    // TWO md5 digests per shingle yield eight 32-bit hash functions
-    // (chunked substrings) — 4× fewer digest computations than one md5
-    // per hash function, with the same independence for min-hashing.
+  /** MinHash signature table (doc_id, mh0..mh{k-1}) — the companion
+    * state to [[bandTable]] a warehouse persists when it wants VERIFIED
+    * incremental admission ([[incrementalNearDupVerified]]): bands find
+    * candidate collisions, signatures estimate Jaccard before rejecting.
+    * O(docs) rows of k longs; layout params ride along as in bandTable.
+    */
+  def signatureTable(docs: DataFrame, w: Int = 3, numHashes: Int = 8): DataFrame = {
+    require(numHashes <= 8, "8 32-bit hashes per two md5 digests")
+    minhashesOf(shingles(docs, w), numHashes)
+      .withColumn("w", lit(w))
+      .withColumn("num_hashes", lit(numHashes))
+  }
+
+  /** k min-hashes of a shingle table in ONE aggregation pass (partial
+    * min per partition). TWO md5 digests per shingle yield eight 32-bit
+    * hash functions (chunked substrings) — 4× fewer digest computations
+    * than one md5 per hash function, with the same independence for
+    * min-hashing.
+    */
+  private def minhashesOf(tri: DataFrame, numHashes: Int): DataFrame = {
     val hashed = tri.withColumn("m",
       concat(md5(concat(lit("0|"), col("sh"))), md5(concat(lit("1|"), col("sh")))))
-    // k min-hashes in ONE aggregation pass (partial min per partition).
-    val minhashes = hashed.groupBy(col("doc_id"))
+    hashed.groupBy(col("doc_id"))
       .agg(min(conv(substring(col("m"), 1, 8), 16, 10).cast("long")).as("mh0"),
         (1 until numHashes).map(s =>
           min(conv(substring(col("m"), 8 * s + 1, 8), 16, 10).cast("long")).as(s"mh$s")): _*)
-    // band keys: concatenate bandWidth consecutive signature rows.
+  }
+
+  /** Band keys from a signature frame: concatenate bandWidth consecutive
+    * signature rows per band.
+    */
+  private def bandsFromSigs(minhashes: DataFrame, numHashes: Int,
+                            bandWidth: Int): DataFrame = {
     val nBands = numHashes / bandWidth
     val bandStructs = (0 until nBands).map { b =>
       val cols = (0 until bandWidth).map(r => col(s"mh${b * bandWidth + r}"))
@@ -206,6 +233,35 @@ object Dedup {
     minhashes.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  private def bandsOf(tri: DataFrame, numHashes: Int,
+                      bandWidth: Int): DataFrame =
+    bandsFromSigs(minhashesOf(tri, numHashes), numHashes, bandWidth)
+
+  /** Fail LOUDLY when persisted dedup state was built with a different
+    * layout than the admission call: mismatched (w, numHashes, bandWidth)
+    * produce bucket keys that can never collide, so every incoming
+    * document would be silently admitted — the worst failure mode a
+    * dedup gate has. A one-row probe reads the constant layout columns;
+    * an EMPTY state table validates trivially (admitting everything
+    * against an empty corpus is correct).
+    */
+  private def requireStateLayout(state: DataFrame, what: String,
+                                 expected: Seq[(String, Int)]): Unit = {
+    val cols = expected.map(_._1)
+    require(cols.forall(state.columns.contains),
+      s"$what lacks layout columns ${cols.mkString("(", ", ", ")")} — " +
+        s"rebuild it with Dedup.${if (what.contains("band")) "bandTable" else "signatureTable"}")
+    state.select(cols.map(col): _*).limit(1).collect().headOption.foreach { r =>
+      val actual = cols.indices.map(r.getInt)
+      require(actual == expected.map(_._2),
+        s"$what layout mismatch: state built with " +
+          cols.zip(actual).map { case (c, v) => s"$c=$v" }.mkString("(", ", ", ")") +
+          " but admission called with " +
+          expected.map { case (c, v) => s"$c=$v" }.mkString("(", ", ", ")") +
+          " — buckets would never collide and every document would be admitted")
+    }
   }
 
   /** Incremental near-dup admission — the batch-over-batch form of
@@ -226,6 +282,8 @@ object Dedup {
   def incrementalNearDup(incoming: DataFrame, seenBands: DataFrame,
                          w: Int = 3, numHashes: Int = 8,
                          bandWidth: Int = 2): DataFrame = {
+    requireStateLayout(seenBands, "seen band table",
+      Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth))
     val bands = bandTable(incoming, w, numHashes, bandWidth).persist()
     try {
       val seenHit = bands
@@ -241,6 +299,73 @@ object Dedup {
       incoming.join(rejected, Seq("doc_id"), "left_anti")
         .localCheckpoint(eager = true)
     } finally bands.unpersist(blocking = false)
+  }
+
+  /** VERIFIED incremental near-dup admission — [[incrementalNearDup]]
+    * with the false-reject trade bought back: a band collision only
+    * nominates a CANDIDATE; rejection requires the estimated Jaccard
+    * (matching minhash components / numHashes) against the colliding
+    * document's persisted signature to clear `minEstJaccard`. State is
+    * [[bandTable]] + [[signatureTable]] — still O(corpus) small rows,
+    * never shingles or documents; the extra cost over candidate-level
+    * admission is one equi-join of the (tiny) candidate list against
+    * the signature tables. A colliding document's own admission outcome
+    * is irrelevant (as in the unverified form): rejecting against a doc
+    * that itself lost to a seen collision is correct because its content
+    * is already represented in the corpus.
+    */
+  def incrementalNearDupVerified(incoming: DataFrame, seenBands: DataFrame,
+                                 seenSigs: DataFrame, w: Int = 3,
+                                 numHashes: Int = 8, bandWidth: Int = 2,
+                                 minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bandWidth == 0, "bands must tile the signature")
+    require(numHashes <= 8, "8 32-bit hashes per two md5 digests")
+    requireStateLayout(seenBands, "seen band table",
+      Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth))
+    requireStateLayout(seenSigs, "seen signature table",
+      Seq("w" -> w, "num_hashes" -> numHashes))
+    // incoming signatures computed ONCE; bands derived from them (the
+    // same derivation a warehouse runs when it persists both tables).
+    val sigs = minhashesOf(shingles(incoming, w), numHashes).persist()
+    try {
+      val bands = bandsFromSigs(sigs, numHashes, bandWidth)
+      val mhCols = (0 until numHashes).map(k => s"mh$k")
+      val incSig = sigs.select(col("doc_id") +:
+        mhCols.map(c => col(c).as(s"a_$c")): _*)
+      val estJ = (0 until numHashes).map(k =>
+        when(col(s"a_mh$k") === col(s"b_mh$k"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / numHashes
+      // candidates vs the accumulated corpus: per-(incoming, seen) pairs
+      // — NOT deduped to buckets, the verification needs the partner id.
+      val seenCand = bands
+        .join(seenBands.select(col("band"), col("bkey"),
+            col("doc_id").as("partner_id")),
+          Seq("band", "bkey"))
+        .select(col("doc_id"), col("partner_id")).distinct()
+      val seenRej = seenCand.join(incSig, "doc_id")
+        .join(seenSigs.select(col("doc_id").as("partner_id") +:
+            mhCols.map(c => col(c).as(s"b_$c")): _*),
+          Seq("partner_id"))
+        .filter(estJ >= lit(minEstJaccard))
+        .select(col("doc_id"))
+      // within-batch: a doc is rejected only against a SMALLER-id sibling
+      // whose estimated Jaccard clears the bar.
+      val batchCand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("partner_id"), col("y.doc_id").as("doc_id"))
+        .distinct()
+      val batchRej = batchCand.join(incSig, "doc_id")
+        .join(sigs.select(col("doc_id").as("partner_id") +:
+            mhCols.map(c => col(c).as(s"b_$c")): _*),
+          Seq("partner_id"))
+        .filter(estJ >= lit(minEstJaccard))
+        .select(col("doc_id"))
+      val rejected = seenRej.unionAll(batchRej).distinct()
+      incoming.join(rejected, Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = true)
+    } finally sigs.unpersist(blocking = false)
   }
 
   private def minhashLshOn(tri: DataFrame, numHashes: Int,

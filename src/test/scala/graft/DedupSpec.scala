@@ -91,6 +91,65 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(10L, 13L))
   }
 
+  test("incremental admission fails loudly on a band-layout mismatch") {
+    // state built with one layout, admission called with another: bucket
+    // keys could never collide, so everything would be silently admitted
+    // — the operator must raise instead.
+    val seenBands = Dedup.bandTable(fixture, w = 3, numHashes = 8, bandWidth = 2)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(fixture, seenBands,
+        w = 5, numHashes = 8, bandWidth = 2)
+    }
+    assert(e.getMessage.contains("layout mismatch"))
+    assert(e.getMessage.contains("w=3") && e.getMessage.contains("w=5"))
+    // a band frame WITHOUT layout columns (hand-built, pre-upgrade) is
+    // rejected too — silent admission is never an acceptable default.
+    val bare = seenBands.select("doc_id", "band", "bkey")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(fixture, bare, w = 3, numHashes = 8, bandWidth = 2)
+    }
+    assert(e2.getMessage.contains("lacks layout columns"))
+    // an EMPTY state table validates trivially: admitting everything
+    // against an empty corpus is correct, not an error.
+    val kept = Dedup.incrementalNearDup(
+      fixture.filter(col("doc_id") === 3), seenBands.filter(lit(false)),
+      w = 3, numHashes = 8, bandWidth = 2)
+    assert(kept.count() === 1)
+  }
+
+  test("verified admission rejects true dups, buys back candidate-level false rejects") {
+    val docs = Tables.documents(spark, sfDir)
+    val seenSrc = (0 to 9).map(i => s"src$i")
+    val seen = docs.filter(col("source").isin(seenSrc: _*))
+    val incoming = docs.filter(!col("source").isin(seenSrc: _*))
+    val bands = Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2)
+    val sigs = Dedup.signatureTable(seen, w = 5, numHashes = 8)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val candidateAdmits = ids(Dedup.incrementalNearDup(
+      incoming, bands, w = 5, numHashes = 8, bandWidth = 2))
+    val verifiedAdmits = ids(Dedup.incrementalNearDupVerified(
+      incoming, bands, sigs, w = 5, numHashes = 8, bandWidth = 2,
+      minEstJaccard = 0.5))
+    // verification can only RESCUE docs the candidate-level form rejected
+    // on a sub-threshold collision — never reject more.
+    assert(candidateAdmits.subsetOf(verifiedAdmits),
+      "verified admission must admit a superset of candidate-level admission")
+    // an exact replay of seen content has est-Jaccard 1.0: still rejected.
+    val incomingIds = ids(incoming)
+    val rejectedByBoth = incomingIds -- verifiedAdmits
+    assert(rejectedByBoth.nonEmpty,
+      "driver corpus contains seen-content replays that must stay rejected")
+    // the measured false-reject buy-back on the driver corpus.
+    val candRejected = incomingIds -- candidateAdmits
+    val rescued = verifiedAdmits -- candidateAdmits
+    val rate = if (candRejected.isEmpty) 0.0
+      else rescued.size.toDouble / candRejected.size
+    info(f"candidate-level rejected ${candRejected.size}, verified rescued " +
+      f"${rescued.size} (false-reject rate bought back: ${rate * 100}%.1f%%)")
+    assert(rate >= 0.0 && rate <= 1.0)
+  }
+
   test("near-dup operators release their internal shingle cache") {
     val docs = Tables.documents(spark, sfDir)
     spark.catalog.clearCache()
