@@ -472,6 +472,14 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    "sim_ivf_refine" -> ((s, d) =>
+      // one Lloyd refinement iteration over the IVF coarse centroids, in
+      // fixed point (the corpus_embedding_centroids trick) — the k-means
+      // loop body production IVF runs, bit-exact across engines because
+      // the mean is one division of exact integer partials.
+      Similarity.ivfRefineStep(Tables.embeddings(s, d), numCells = 16)
+        .orderBy("cell", "pos")),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.payloadStats(Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -1851,6 +1859,24 @@ object SparkEntry {
          |ORDER BY qid, rnk""".stripMargin,
 
     "sim_topk_lsh" -> lshOracle,
+
+    "sim_ivf_refine" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), ca AS (
+         |  SELECT cell, ce FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |  ) WHERE crn <= 1
+         |)
+         |SELECT cell, CAST(i AS INTEGER) AS pos, count(*) AS n_members,
+         |  CAST(sum(CAST(round(CAST(ce[i] AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
+         |FROM ca, unnest(generate_series(1, len(ce))) AS t(i)
+         |GROUP BY 1, 2 ORDER BY cell, pos""".stripMargin,
 
     "sim_topk_ivf" ->
       s"""WITH cent AS (

@@ -192,6 +192,42 @@ object Similarity {
       k)
   }
 
+  /** One Lloyd (k-means) refinement iteration over the IVF coarse
+    * centroids, in FIXED POINT so it is oracle-checkable: the assignment
+    * pass is [[ivfTopK]]'s build step (broadcast-K centroid scoring, one
+    * narrow pass over the corpus); the new per-(cell, dim) mean sums
+    * `round(x·10⁶)` longs — exact and order-insensitive, the trick
+    * proven by `corpus_embedding_centroids` — and divides ONCE at the
+    * end, so the result is bit-identical across engines, partitionings,
+    * and runs (a raw float mean accumulates in partition order and is
+    * none of those). This is the production IVF centroid-refinement loop
+    * body: iterate assign→mean to convergence, then build the cell
+    * layout with the refined centroids.
+    *
+    * Output: one row per (cell, pos): member count and the refined
+    * centroid component. A cell that lost every member emits no rows —
+    * the caller reseeds or drops it (standard k-means practice).
+    */
+  def ivfRefineStep(emb: DataFrame, numCells: Int = 16): DataFrame = {
+    val centroidSet = emb.orderBy(col("vec_id")).limit(numCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    require(!centroidSet.isEmpty, "ivfRefineStep: corpus has no vectors")
+    val scored = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .crossJoin(broadcast(centroidSet))
+      .withColumn("csim", cosine(col("ce"), col("centroid")))
+    val w = Window.partitionBy(col("cid")).orderBy(col("csim").desc, col("cell").asc)
+    val assigned = scored.withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("cell"), col("ce"))
+    assigned.select(col("cell"), posexplode(col("ce")).as(Seq("p0", "x")))
+      .groupBy(col("cell"), (col("p0") + 1).as("pos"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("x").cast("double") * 1000000).cast("long")).as("fx"))
+      .select(col("cell"), col("pos"), col("n_members"),
+        (col("fx").cast("double") /
+          (col("n_members").cast("double") * lit(1000000.0))).as("c_val"))
+  }
+
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
               numPlanes: Int = 8, bandWidth: Int = 4, dim: Int = 64): DataFrame = {
     val qb = withBandKeys(queries, "qid", numPlanes, bandWidth, dim)

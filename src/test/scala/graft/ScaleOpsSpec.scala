@@ -53,6 +53,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.forall { case (qid, cid) => qid < 5 && cid != qid })
   }
 
+  test("IVF Lloyd step: memberships partition the corpus; means stay in-hull; deterministic") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val refined = Similarity.ivfRefineStep(emb, numCells = 16)
+    val byCell = refined.select("cell", "pos", "n_members", "c_val").collect()
+      .groupBy(_.getLong(0))
+    // every surviving cell carries a FULL centroid (one row per dim)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    byCell.values.foreach(rows => assert(rows.length === dim))
+    // memberships partition the corpus: per-cell counts sum to |corpus|
+    val total = byCell.values.map(_.head.getLong(2)).sum
+    assert(total === emb.count())
+    // a refined mean stays inside the members' per-dim hull — spot-check
+    // that no component exceeds the corpus-wide bounds (a sum/count bug
+    // would blow past them).
+    val (lo, hi) = {
+      val r = emb.select(explode(col("embedding")).as("x"))
+        .agg(min("x"), max("x")).head()
+      (r.getFloat(0).toDouble, r.getFloat(1).toDouble)
+    }
+    byCell.values.flatten.foreach { r =>
+      val v = r.getDouble(3)
+      assert(v >= lo - 1e-6 && v <= hi + 1e-6, s"centroid component $v outside [$lo, $hi]")
+    }
+    // deterministic across runs (fixed-point mean, no partition-order float fold)
+    assert(refined.collect().toSeq === Similarity.ivfRefineStep(emb, 16).collect().toSeq)
+  }
+
   test("asof join attaches the latest prior-or-equal right value per key") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
