@@ -582,8 +582,7 @@ object SparkEntry {
       // warehouse, returning a mart read back FROM DISK. Oracle = the
       // same mart SQL, so the write→promote→read path itself is
       // hash-checked, not just the in-memory plan.
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-e2e-").toString
+      val wh = TempDirs.create("graft-e2e-").toString
       graft.plans.Pipeline.runFullEtl(s, d, wh)
       detachAndClean(
         s.read.parquet(s"$wh/dm_daily_trip_summary").orderBy("cal_date"), wh)
@@ -622,6 +621,26 @@ object SparkEntry {
           fallbackCategory = "ops", prepare = rebuildStreamTs)
         .awaitTermination()
       detachAndClean(sinkBelowHorizon(s, d, s"$tmp/out", "category"), tmp)
+    }),
+
+    "stream_exactly_once" -> ((s, d) => {
+      // the foreachBatch transactional-sink pattern LIVE on the oracle
+      // path: AvailableNow stream → per-batch-directory overwrite sink
+      // (batch_id=N/), read back and hash-checked against the source —
+      // every record lands exactly once, no loss, no duplication.
+      // (Replay idempotency — same batch id overwrites, never appends —
+      // is the StreamingSpec half of the contract.)
+      val (tmp, src) = stageEventsStreamDir(d)
+      val sch = s.read.parquet(src).schema
+      graft.streaming.Streams.exactlyOnceSink(
+          rebuildStreamTs(s.readStream.schema(sch).parquet(src))
+            .select(col("event_id"), col("event_type"), col("user_id"),
+              col("value"), unix_millis(col("ts")).as("ts_ms")),
+          s"$tmp/out", s"$tmp/ck")
+        .awaitTermination()
+      detachAndClean(
+        s.read.parquet(s"$tmp/out/data").drop("batch_id").orderBy("event_id"),
+        tmp)
     }),
 
     "gold_popular_routes_warehouse" -> ((s, d) => {
@@ -715,8 +734,7 @@ object SparkEntry {
       // surviving content straight from the source, so retention picked
       // the right batches AND the rewrite preserved every row — the
       // write paths the spec tests covered are now driver-visible.
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-compact-").toString
+      val tmp = TempDirs.create("graft-compact-").toString
       val dataDir = s"$tmp/data"
       Tables.events(s, d)
         .withColumn("batch_id", (col("event_id") % 6).cast("int"))
@@ -753,8 +771,7 @@ object SparkEntry {
       // property (each file covers a small (x, y) rectangle whose
       // min/max stats prune filters on either dimension) stays asserted
       // in ScaleOpsSpec.
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-zorder-").toString
+      val tmp = TempDirs.create("graft-zorder-").toString
       val path = s"$tmp/events_z"
       graft.operators.ScaleOps.writeZOrdered(
         Tables.events(s, d)
@@ -1002,8 +1019,7 @@ object SparkEntry {
     * temp dir per call: each run reprocesses from a clean checkpoint.
     */
   private def stageEventsStreamDir(d: String): (String, String) = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-stream-").toString
+    val tmp = TempDirs.create("graft-stream-").toString
     val srcPath = java.nio.file.Paths.get(tmp, "src")
     java.nio.file.Files.createDirectories(srcPath)
     // absolute target: a relative sf dir would otherwise resolve against
@@ -1025,6 +1041,9 @@ object SparkEntry {
     * directory: repeated bench/verify runs must not accumulate staged
     * warehouses and stream sinks under /tmp. The local checkpoint
     * detaches the returned frame's lineage from the deleted files.
+    * (Throwaway dirs are allocated via [[TempDirs.create]], so a run
+    * that dies between staging and this cleanup is still swept by the
+    * shutdown hook on any orderly JVM exit.)
     */
   private def detachAndClean(df: DataFrame, dirs: String*): DataFrame = {
     val out = df.localCheckpoint(eager = true)
@@ -1979,6 +1998,10 @@ object SparkEntry {
 
     "scale_zorder_roundtrip" ->
       """SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_exactly_once" ->
+      """SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
 
     "stream_session_window" ->
