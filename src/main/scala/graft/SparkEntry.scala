@@ -381,12 +381,18 @@ object SparkEntry {
       val seenSrc = (0 to 9).map(i => s"src$i")
       val seen = docs.filter(col("source").isin(seenSrc: _*))
       val incoming = docs.filter(!col("source").isin(seenSrc: _*))
-      Dedup.incrementalNearDupVerified(incoming,
-          Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2),
-          Dedup.signatureTable(seen, w = 5, numHashes = 8),
+      // the seen-side shingle→minhash pipeline runs ONCE: signatures are
+      // the state, bands a derived projection (what a warehouse persists
+      // vs recomputes); persist released after the eager checkpoint in
+      // the operator.
+      val sigs = Dedup.signatureTable(seen, w = 5, numHashes = 8).persist()
+      try Dedup.incrementalNearDupVerified(incoming,
+          Dedup.bandTableFromSignatures(sigs, bandWidth = 2),
+          sigs,
           w = 5, numHashes = 8, bandWidth = 2, minEstJaccard = 0.5)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+      finally sigs.unpersist(blocking = false)
     }),
 
     "silver_range_join" -> ((s, d) => {

@@ -205,6 +205,24 @@ object Dedup {
       .withColumn("num_hashes", lit(numHashes))
   }
 
+  /** Band table DERIVED from a signature table — the cheap projection a
+    * warehouse runs when it persists signatures and wants bands too
+    * (never re-shingle: bands are a pure function of the signature).
+    * Layout is read from the signature table's own metadata columns;
+    * numHashes is cross-checked against the mh columns present.
+    */
+  def bandTableFromSignatures(sigs: DataFrame, bandWidth: Int): DataFrame = {
+    val numHashes = sigs.columns.count(_.matches("mh\\d+"))
+    require(numHashes > 0, "not a signature table: no mh<k> columns")
+    require(numHashes % bandWidth == 0, "bands must tile the signature")
+    val meta = Seq("w", "num_hashes")
+    require(meta.forall(sigs.columns.contains),
+      "signature table lacks layout columns — build it with Dedup.signatureTable")
+    bandsFromSigs(sigs, numHashes, bandWidth)
+      .crossJoin(broadcast(sigs.select(col("w"), col("num_hashes")).limit(1)))
+      .withColumn("band_width", lit(bandWidth))
+  }
+
   /** k min-hashes of a shingle table in ONE aggregation pass (partial
     * min per partition). TWO md5 digests per shingle yield eight 32-bit
     * hash functions (chunked substrings) — 4× fewer digest computations

@@ -117,6 +117,16 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.count() === 1)
   }
 
+  test("bands derived from persisted signatures equal the direct band table") {
+    val direct = Dedup.bandTable(fixture, w = 3, numHashes = 8, bandWidth = 2)
+    val derived = Dedup.bandTableFromSignatures(
+      Dedup.signatureTable(fixture, w = 3, numHashes = 8), bandWidth = 2)
+    val cols = direct.columns.sorted.map(col).toSeq
+    assert(derived.columns.sorted === direct.columns.sorted)
+    assert(direct.select(cols: _*).exceptAll(derived.select(cols: _*)).count() === 0)
+    assert(derived.select(cols: _*).exceptAll(direct.select(cols: _*)).count() === 0)
+  }
+
   test("verified admission rejects true dups, buys back candidate-level false rejects") {
     val docs = Tables.documents(spark, sfDir)
     val seenSrc = (0 to 9).map(i => s"src$i")
