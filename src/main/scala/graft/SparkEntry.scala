@@ -796,34 +796,17 @@ object SparkEntry {
       ext.Quality.eventsGate(Tables.events(s, d))
         .orderBy("check_name")),
 
-    "gold_funnel" -> ((s, d) => {
-      // ordered conversion funnel (view → click after it → purchase after
-      // that) via RUNNING conditional minima: two window passes over ONE
-      // per-user sort (same spec), then one aggregation. Strict-< on the
-      // step timestamps makes same-instant steps non-qualifying, so tie
-      // order inside a timestamp can never change the result.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ms"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
-      val s1 = e.withColumn("fv",
-        min(when(col("event_type") === "view", col("ts_ms"))).over(w))
-      val s2 = s1.withColumn("fc",
-        min(when(col("event_type") === "click" && col("fv") < col("ts_ms"),
-          col("ts_ms"))).over(w))
-      val perUser = s2.groupBy(col("user_id")).agg(
-        max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
-        max(when(col("event_type") === "click" && col("fv") < col("ts_ms"), 1)
-          .otherwise(0)).as("c"),
-        max(when(col("event_type") === "purchase" && col("fc") < col("ts_ms"), 1)
-          .otherwise(0)).as("p"))
-      perUser.agg(count(lit(1)).as("n_users"),
-        sum(col("v")).cast("long").as("n_viewed"),
-        sum(col("c")).cast("long").as("n_clicked"),
-        sum(col("p")).cast("long").as("n_purchased"))
-    }),
+    "gold_funnel" -> ((s, d) =>
+      // ordered conversion funnel (view → click after it → purchase
+      // after that) — the N-step Funnel operator instantiated at N=3:
+      // running conditional minima over ONE per-user sort, then one
+      // aggregation; strict-< keeps same-instant steps non-qualifying.
+      graft.operators.Funnel.funnel(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"), col("event_id")),
+        "user_id", "event_type", Seq("ts_ms", "event_id"),
+        steps = Seq("view", "click", "purchase"),
+        stepAliases = Seq("viewed", "clicked", "purchased"))),
 
     "gold_cohort_retention" -> ((s, d) => {
       // weekly cohort retention: cohort = a user's first active day. The

@@ -318,6 +318,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ScaleOps.expireBatches(spark, dir, keepLast = 2) === Nil)
   }
 
+  test("cohort retention reuses the events exchange when the first-day agg cannot broadcast") {
+    // the query's scaladoc claims the at-scale shape: with the first-day
+    // aggregate too big to broadcast, both join sides hash on user_id and
+    // the duplicated events-scan exchange is DEDUPLICATED by exchange
+    // reuse — the events feed is shuffled once, not twice.
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("gold_cohort_retention")(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"expected the events exchange to be reused across the self-join:\n$plan")
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (the salting alternative)") {
     import spark.implicits._
     // one hot key dominating the probe side — the shape that strands one
