@@ -796,6 +796,28 @@ object SparkEntry {
       ext.Quality.eventsGate(Tables.events(s, d))
         .orderBy("check_name")),
 
+    "corpus_pack" -> ((s, d) =>
+      // sequence packing: stream-order block packing into 512-token
+      // training packs, one window per source shard — shards pack in
+      // parallel, no global sort.
+      ext.Corpus.packSequences(Tables.documents(s, d), maxTokens = 512)
+        .orderBy("source", "doc_id")),
+
+    "corpus_pack_global" -> ((s, d) => {
+      // GLOBAL pack ids with no shard key: the two-phase distributed
+      // scan (range partition + per-partition totals + offset pass)
+      // computes the exact global running token count — bit-identical to
+      // the oracle's single global window, without the single-partition
+      // sort bottleneck that window would cost at scale.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      graft.operators.ScaleOps
+        .withPrefixSum(docs, "doc_id", "n_tok", "tok_before")
+        .withColumn("pack_id",
+          floor(col("tok_before").cast("double") / 512).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     "gold_funnel" -> ((s, d) =>
       // ordered conversion funnel (view → click after it → purchase
       // after that) — the N-step Funnel operator instantiated at N=3:
@@ -2331,6 +2353,28 @@ object SparkEntry {
         |  array_to_string(list_slice(l, start1, start1 + 39), ' ') AS chunk_text
         |FROM c
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "corpus_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        |  CAST(floor(CAST(COALESCE(sum(n_tok) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    / 512) AS INTEGER) AS pack_id
+        |FROM t ORDER BY source, doc_id""".stripMargin,
+
+    "corpus_pack_global" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+        |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        |  CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before,
+        |  CAST(floor(CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    / 512) AS INTEGER) AS pack_id
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "corpus_contamination" ->
       """WITH toks AS (

@@ -163,4 +163,35 @@ object Corpus {
     }
     docs.filter(hashBucket(col(idCol), salt, 1000) < rate)
   }
+
+  /** Sequence packing — assign documents (in id order, within a shard)
+    * to fixed-token-budget training "packs" by stream-order block
+    * packing: pack_id = floor(tokens_before_this_doc / maxTokens). The
+    * greedy stream-order rule every packing loader uses, expressed as a
+    * running sum so it distributes: one window per shard, shards pack in
+    * parallel (the per-shard window key is what keeps a 100 TB corpus
+    * from serializing into a single global sort — for a corpus with no
+    * shard key, [[graft.operators.ScaleOps.withPrefixSum]] computes the
+    * same running sum with a two-phase scan instead).
+    *
+    * A document that straddles a boundary joins the pack its FIRST token
+    * falls in, so a pack overshoots by at most one document — the
+    * standard bound; exact bin packing is NP-hard and order-dependent,
+    * which would break determinism.
+    */
+  def packSequences(docs: DataFrame, maxTokens: Long,
+                    shardCol: String = "source",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens >= 1, "pack budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("tok_before",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        floor(col("tok_before").cast("double") / maxTokens).cast("int"))
+      .select(col(shardCol), col(idCol), col("n_tok"), col("pack_id"))
+  }
 }

@@ -158,6 +158,60 @@ object ScaleOps {
     }
   }
 
+  /** Exact EXCLUSIVE prefix sum of a numeric column in `orderCol` order
+    * — the scalable replacement for a global single-partition window
+    * (`Window.orderBy(...)` with no partition key serializes the whole
+    * relation through one task; at 100 TB that is the job). Classic
+    * two-phase scan instead:
+    *
+    *  1. range-partition by `orderCol` (partition i holds a contiguous
+    *     key range) and compute per-partition totals — one tiny row per
+    *     partition to the driver;
+    *  2. per-partition local running sums plus the exclusive offset of
+    *     the partition's predecessors. The range shuffle is computed
+    *     once — both passes read the same shuffle files.
+    *
+    * The result is BIT-IDENTICAL to the sequential scan (long addition
+    * is associative), which the `corpus_pack_global` oracle proves
+    * against DuckDB's global window. `orderCol` must be UNIQUE: a tie
+    * straddling a range boundary would make the running order
+    * partition-dependent. Null values count as 0.
+    */
+  def withPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                    outCol: String, numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val vName = "_prefix_sum_v"
+    require(!df.columns.contains(vName) && !df.columns.contains(outCol),
+      s"input already has a $vName/$outCol column")
+    val ranged = df.withColumn(vName, col(valueCol).cast("long"))
+      .repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    // ONE RDD value: both jobs below share its lineage, so the range
+    // shuffle runs once and the second pass reads the shuffle files.
+    val rangedRdd = ranged.rdd
+    val vIdx = ranged.schema.fieldIndex(vName)
+    def valueAt(r: org.apache.spark.sql.Row): Long =
+      if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+    val totals = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(s += valueAt(_)); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = sum of predecessors
+    val out = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        val before = acc
+        acc += valueAt(r)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.patch(vIdx, Nil, 1) :+ before)
+      }
+    }
+    val schema = StructType(ranged.schema.fields.patch(vIdx, Nil, 1) :+
+      StructField(outCol, LongType, nullable = false))
+    spark.createDataFrame(out, schema)
+  }
+
   /** Small-file compaction — the warehouse maintenance pass (OPTIMIZE
     * analog): rewrite a parquet directory into ~`targetBytes` files.
     * Incremental sinks (`Bronze.appendSink`, streaming) accrete small

@@ -304,6 +304,50 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("two-phase prefix sum equals the sequential window scan, any partitioning") {
+    import spark.implicits._
+    val df = spark.range(1000).select(col("id"),
+      (col("id") * 7 % 13).cast("int").as("v"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = df
+      .withColumn("ps", coalesce(sum(col("v")).over(w), lit(0L)))
+      .select("id", "ps").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- Seq(1, 3, 32)) {
+      val got = ScaleOps.withPrefixSum(df, "id", "v", "ps", numPartitions = n)
+        .select("id", "ps").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"numPartitions=$n diverged from the sequential scan")
+    }
+    // nulls count as zero; original columns survive, outCol appends
+    val withNull = Seq((1L, Some(5)), (2L, None), (3L, Some(7)))
+      .toDF("id", "v")
+    val gotN = ScaleOps.withPrefixSum(withNull, "id", "v", "ps", 2)
+      .orderBy("id").select("ps").collect().map(_.getLong(0))
+    assert(gotN.toSeq === Seq(0L, 5L, 5L))
+  }
+
+  test("sequence packing: budget respected up to one straddling doc, packs contiguous") {
+    import graft.ext.Corpus
+    val docs = Tables.documents(spark, sfDir)
+    val packed = Corpus.packSequences(docs, maxTokens = 512)
+    val perPack = packed.groupBy("source", "pack_id")
+      .agg(sum(col("n_tok")).as("tok"), max(col("n_tok")).as("biggest"),
+        count(lit(1)).as("n_docs"))
+      .collect()
+    perPack.foreach { r =>
+      // block packing's bound: a pack exceeds the budget only by the one
+      // document that straddles its boundary.
+      assert(r.getLong(2) < 512 + r.getInt(3),
+        s"pack ${r.get(0)}/${r.get(1)} holds ${r.getLong(2)} tokens")
+    }
+    // pack ids are contiguous from 0 within every shard
+    packed.groupBy("source").agg(min("pack_id").as("lo"),
+        max("pack_id").as("hi"), countDistinct("pack_id").as("n"))
+      .collect().foreach { r =>
+        assert(r.getInt(1) === 0 && r.getInt(2) === r.getLong(3).toInt - 1)
+      }
+  }
+
   test("batch retention keeps the newest batches and deletes the rest") {
     val dir = java.nio.file.Files.createTempDirectory("graft_expire").toString + "/data"
     val ev = Tables.events(spark, sfDir).select("event_id", "value").limit(10)
