@@ -478,6 +478,19 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    "text_repetition" -> ((s, d) =>
+      // Gopher-style repetition filter signal: duplicated-trigram
+      // fraction per document; threshold it to drop boilerplate/spam.
+      TextAnalysis.repetitionStats(Tables.documents(s, d), n = 3)
+        .orderBy("doc_id")),
+
+    "sim_quantize_int8" -> ((s, d) =>
+      // symmetric per-vector int8 quantization, exploded layout — the
+      // 4x memory/IO lever for a billion-vector ANN index; spec bounds
+      // the induced cosine error.
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .orderBy("vec_id", "pos")),
+
     "sim_ivf_refine" -> ((s, d) =>
       // one Lloyd refinement iteration over the IVF coarse centroids, in
       // fixed point (the corpus_embedding_centroids trick) — the k-means
@@ -1889,6 +1902,42 @@ object SparkEntry {
          |ORDER BY qid, rnk""".stripMargin,
 
     "sim_topk_lsh" -> lshOracle,
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(l)-2),
+        |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+        |  FROM toks WHERE len(l) >= 3
+        |), a AS (
+        |  SELECT doc_id, count(*) AS n_ngrams, count(DISTINCT sh) AS n_distinct
+        |  FROM g GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+        |  CASE WHEN a.n_ngrams IS NULL THEN 0.0
+        |       ELSE CAST(a.n_ngrams - a.n_distinct AS DOUBLE)
+        |            / CAST(a.n_ngrams AS DOUBLE) END AS dup_frac
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "sim_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale
+        |  FROM s
+        |)
+        |SELECT vec_id, CAST(i AS INTEGER) AS pos,
+        |  CAST(round(CAST(embedding[i] AS DOUBLE) * scale) AS INTEGER) AS q,
+        |  scale
+        |FROM sc, unnest(generate_series(1, len(embedding))) AS t(i)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "sim_ivf_refine" ->
       s"""WITH cent AS (

@@ -228,6 +228,30 @@ object Similarity {
           (col("n_members").cast("double") * lit(1000000.0))).as("c_val"))
   }
 
+  /** Symmetric per-vector int8 quantization — the 4× memory/IO lever a
+    * billion-vector ANN index pulls before anything else: scale =
+    * 127 / max|xᵢ| (row-local — no global pass, no clipping), qᵢ =
+    * round(xᵢ·scale) ∈ [−127, 127]; dequantize as qᵢ/scale. Per-row
+    * projection only — no shuffle, no state. Emitted in
+    * EXPLODED form (vec_id, pos, q, scale): element rows hash-compare
+    * engine-neutrally and the layout is what a columnar int8 index
+    * stores anyway. The dequantization error is ≤ 0.5/scale per
+    * component; the spec bounds the induced cosine error.
+    * All-zero vectors (scale undefined) quantize to q = 0 with scale 0 —
+    * callers treat scale 0 as "dequantizes to the zero vector".
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val amax = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    emb.select(col("vec_id"), col("embedding"),
+        when(amax > 0, lit(127.0) / amax).otherwise(lit(0.0)).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("p0", "x")))
+      .select(col("vec_id"), (col("p0") + 1).as("pos"),
+        round(col("x").cast("double") * col("scale")).cast("int").as("q"),
+        col("scale"))
+  }
+
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
               numPlanes: Int = 8, bandWidth: Int = 4, dim: Int = 64): DataFrame = {
     val qb = withBandKeys(queries, "qid", numPlanes, bandWidth, dim)

@@ -101,6 +101,40 @@ object TextAnalysis {
     * trim, md5. Identical normalization is SQL-expressible in any engine,
     * making the fingerprint portable across systems.
     */
+  /** Gopher-style repetition signal: the fraction of DUPLICATED word
+    * n-grams per document (`1 − distinct/total`) — natural text sits near
+    * 0, boilerplate/spam and degenerate generations spike, so thresholding
+    * this column is the standard repetition filter for training corpora.
+    * Shingles are generated WITH multiplicity (contrast [[Dedup.shingles]],
+    * which dedups for Jaccard) by the same typed flatMap (codegen-friendly,
+    * no interpreted array lambdas); then one partial+final aggregation and
+    * a zero-fill join for documents too short to have any n-gram.
+    * dup_frac is exact-int / exact-int — bit-identical across engines.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        if (t.length < n) Iterator.empty
+        else t.sliding(n).map(s => (id, s.mkString(" ")))
+      }
+      .toDF("doc_id", "sh")
+    val agg = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        countDistinct(col("sh")).as("n_distinct"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n_ngrams").isNull, lit(0.0))
+          .otherwise((col("n_ngrams") - col("n_distinct")).cast("double") /
+            col("n_ngrams").cast("double")).as("dup_frac"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

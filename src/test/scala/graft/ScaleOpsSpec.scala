@@ -81,6 +81,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(refined.collect().toSeq === Similarity.ivfRefineStep(emb, 16).collect().toSeq)
   }
 
+  test("int8 quantization: components in range, dequantized cosine stays close") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = Similarity.quantizeInt8(emb)
+    // every quantized component is a genuine int8 value
+    val bounds = q.agg(min("q"), max("q")).head()
+    assert(bounds.getInt(0) >= -127 && bounds.getInt(1) <= 127)
+    // reassemble dequantized vectors and compare pairwise cosine against
+    // the exact kernel: mean absolute error must be small (the property
+    // that makes int8 a usable index format).
+    val deq = q.withColumn("xq", col("q").cast("double") / col("scale"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("xq")))).as("s"))
+      .select(col("vec_id"), expr("transform(s, e -> cast(e.xq as float))").as("embedding"))
+    val exact = graft.ext.Dedup.embeddingCosinePairs(
+        emb.filter(col("vec_id") < 40), threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = graft.ext.Dedup.embeddingCosinePairs(
+        deq.filter(col("vec_id") < 40), threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    val errs = exact.map { case (k, v) => math.abs(approx(k) - v) }
+    val mae = errs.sum / errs.size
+    info(f"int8 dequantized cosine MAE over ${errs.size} pairs: $mae%.5f")
+    assert(mae < 0.01, f"int8 quantization noise too large: MAE $mae%.5f")
+    assert(errs.max < 0.05, f"worst-case cosine error ${errs.max}%.5f")
+  }
+
   test("asof join attaches the latest prior-or-equal right value per key") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
