@@ -354,6 +354,19 @@ object SparkEntry {
           bandWidth = 2, threshold = 0.5)
         .orderBy("d1", "d2")),
 
+    "dedup_keep_best" -> ((s, d) => {
+      // cluster retention by QUALITY: each near-dup cluster keeps its
+      // highest-quality member (n_chars as the quality proxy; ties to
+      // the smaller id) — the keep-the-best-copy policy, as a partial
+      // aggregation so only |clusters| rows shuffle.
+      val docs = Tables.documents(s, d)
+      Dedup.keepBestPerCluster(
+          Dedup.clusterPairs(Dedup.minhashLsh(docs, w = 5, numHashes = 8,
+            bandWidth = 2, threshold = 0.5)),
+          docs.select(col("doc_id"), col("n_chars")), "n_chars")
+        .orderBy("cluster_id")
+    }),
+
     "dedup_incremental_near" -> ((s, d) => {
       // batch-over-batch near-dup admission: src0-9 play the accumulated
       // corpus (its PERSISTED band table is the state), src10-19 the
@@ -768,9 +781,17 @@ object SparkEntry {
         s"expected batches 0,1 expired, got: $expired")
       graft.operators.ScaleOps.compact(s, dataDir)
       val back = s.read.parquet(dataDir)
+      // 4 surviving batch dirs at any SF; files-per-dir is SF-dependent
+      // (ceil(bytes/target)), so assert the compaction INVARIANTS — the
+      // partition layout survived and the file count actually shrank
+      // below the 32 the staging write produced — not a constant.
+      val dirs = new java.io.File(dataDir).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      require(dirs == 4, s"expected 4 surviving batch dirs, found $dirs")
       val files = back.select(input_file_name()).distinct().count()
-      require(files == 4, s"compacted layout must be 1 file per surviving " +
-        s"batch dir, found $files")
+      require(files >= 4 && files < 32,
+        s"compaction should leave >=1 file per dir and far fewer than the " +
+          s"staged small files, found $files")
       detachAndClean(
         back.groupBy(col("batch_id").cast("int").as("batch_id"),
             col("event_type"))
@@ -1675,6 +1696,34 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT d1, d2 FROM ($minhashPairsCoreSql) p
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION
+         |  SELECT d2, d1 FROM pairs
+         |), reach(node, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
+         |), cl AS (
+         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1
+         |), j AS (
+         |  SELECT cl.cluster_id, cl.doc_id, d.n_chars
+         |  FROM cl JOIN documents d USING (doc_id)
+         |), r AS (
+         |  SELECT cluster_id, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM j
+         |)
+         |SELECT cluster_id, doc_id AS keeper, n_chars AS keeper_quality,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
 
     "dedup_incremental_near" ->
       s"""WITH $triSql,

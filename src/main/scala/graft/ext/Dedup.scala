@@ -499,6 +499,29 @@ object Dedup {
     }
   }
 
+  /** Canonical representative per dedup cluster chosen by QUALITY, not
+    * by smallest id: the retention policy production pipelines actually
+    * want — when near-duplicates cluster, keep the best copy (longest,
+    * highest quality score, newest crawl) and drop the rest. Argmax is a
+    * partial-aggregated `max(struct(quality, −doc_id))` — map-side
+    * combine, only |clusters| rows shuffle (the same trick as
+    * silver_nearest), with the smaller doc_id winning quality ties so
+    * the choice is total and engine-portable.
+    *
+    * @param clusters (doc_id, cluster_id) from [[clusterPairs]]
+    * @param quality  (doc_id, <qualityCol>) — e.g. n_chars, a
+    *                 [[graft.ext.TextAnalysis.qualityScore]] column, or
+    *                 1 − dup_frac from repetitionStats
+    */
+  def keepBestPerCluster(clusters: DataFrame, quality: DataFrame,
+                         qualityCol: String): DataFrame =
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col(qualityCol).as("q"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("m.nid")).as("keeper"),
+        col("m.q").as("keeper_quality"), col("n_members"))
+
   /** 16-bit SimHash per document from token 32-bit hashes (with
     * multiplicity): bit b of the signature is the sign of
     * Σ_tokens (±1 by token-hash bit b). One explode + one aggregation.

@@ -91,6 +91,20 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(10L, 13L))
   }
 
+  test("keepBestPerCluster keeps the highest quality copy, ties to the smaller id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 10L), (2L, 50L), (3L, 50L), (7L, 5L), (9L, 5L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.keepBestPerCluster(clusters, quality, "n_chars")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cluster 1: docs 2 and 3 tie at quality 50 → smaller id 2 wins
+    assert(got(1L) === ((2L, 50L, 3L)))
+    // cluster 7: tie at 5 → doc 7
+    assert(got(7L) === ((7L, 5L, 2L)))
+  }
+
   test("incremental admission fails loudly on a band-layout mismatch") {
     // state built with one layout, admission called with another: bucket
     // keys could never collide, so everything would be silently admitted
