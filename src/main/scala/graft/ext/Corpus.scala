@@ -150,6 +150,21 @@ object Corpus {
     }
   }
 
+  /** APPLY a contamination sweep: drop every training document the
+    * sweep flagged (overlap with any benchmark doc at or above the
+    * sweep's threshold). The sweep result ([[contamination]]) is what a
+    * warehouse persists between releases; application is one anti-join
+    * of the corpus against that tiny flagged list — re-runnable against
+    * a grown corpus without re-sweeping unflagged documents.
+    * NULL-source documents are in neither bench nor train and are
+    * dropped, matching the sweep's population.
+    */
+  def decontaminate(docs: DataFrame, contamination: DataFrame,
+                    benchSources: Seq[String]): DataFrame =
+    docs.filter(!col("source").isin(benchSources: _*))
+      .join(contamination.select(col("train_doc").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+
   /** Weighted source mixing: per-source keep rates (per mille), the
     * hash-threshold form of the "sample each corpus at its mixing weight
     * then union" recipe used to balance training mixtures. Sources not in

@@ -49,6 +49,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.size > total * 0.1 && a.size < total * 0.3)
   }
 
+  test("decontaminate drops exactly the flagged training docs, keeps the rest") {
+    val docs = Tables.documents(spark, sfDir)
+    val bench = Seq("src0", "src1")
+    val sweep = Corpus.contamination(docs, bench, w = 5,
+      maxShingleFreq = 8, threshold = 0.3)
+    val flagged = sweep.select("train_doc").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "driver corpus must contain contamination")
+    val train = docs.filter(col("source").isNotNull &&
+        !col("source").isin(bench: _*))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = Corpus.decontaminate(docs, sweep, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === train -- flagged)
+    assert(kept.intersect(flagged).isEmpty)
+  }
+
   test("source mixing keeps only listed sources, at their rates") {
     val docs = Tables.documents(spark, sfDir)
     val kept = Corpus.mixSources(docs, "source", "doc_id",
