@@ -97,6 +97,25 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: two-phase prefix sum equals the sequential scan for arbitrary data") {
+    import spark.implicits._
+    val cases = samples(for {
+      n <- Gen.choose(1, 400)
+      parts <- Gen.choose(1, 40)
+      vals <- Gen.listOfN(n, Gen.choose(-1000, 1000))
+    } yield (parts, vals), 12)
+    assert(cases.nonEmpty)
+    cases.foreach { case (parts, vals) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val expected = vals.scanLeft(0L)(_ + _).dropRight(1)
+      val got = graft.operators.ScaleOps
+        .withPrefixSum(df, "id", "v", "ps", numPartitions = parts)
+        .orderBy("id").select("ps").collect().map(_.getLong(0)).toSeq
+      assert(got === expected, s"n=${vals.size} parts=$parts")
+    }
+  }
+
   test("property: chunks reassemble to the original document for arbitrary widths") {
     val docs = Tables.documents(spark, sfDir).limit(20).cache()
     samples(Gen.chooseNum(2, 60).flatMap(w =>
