@@ -512,6 +512,16 @@ object SparkEntry {
       Similarity.ivfRefineStep(Tables.embeddings(s, d), numCells = 16)
         .orderBy("cell", "pos")),
 
+    "sim_ivf_kmeans" -> ((s, d) =>
+      // the FULL k-means refinement loop: 3 Lloyd iterations (tol=0 so
+      // the count is a constant the oracle unrolls), every assignment an
+      // argmax partial agg, every mean exact fixed point — so N chained
+      // iterations stay bit-identical across engines. Empty-cell
+      // reseeding is deterministic (farthest point) but does not trigger
+      // on this corpus; SimilaritySpec exercises it directly.
+      Similarity.ivfKMeans(Tables.embeddings(s, d), numCells = 16, iters = 3)
+        .orderBy("cell", "pos")),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.payloadStats(Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -779,19 +789,22 @@ object SparkEntry {
       // the retention CONTRACT is part of the query: newest 4 of 6 kept.
       require(expired.sorted == Seq(0L, 1L),
         s"expected batches 0,1 expired, got: $expired")
+      // 4 surviving batch dirs at any SF; files-per-dir is SF-dependent
+      // (ceil(bytes/target)), so assert the compaction INVARIANTS against
+      // the MEASURED staged state — layout survives and the file count
+      // strictly shrinks — not against a constant that a large SF's
+      // legitimate multi-file output would trip.
+      val stagedFiles = s.read.parquet(dataDir)
+        .select(input_file_name()).distinct().count()
       graft.operators.ScaleOps.compact(s, dataDir)
       val back = s.read.parquet(dataDir)
-      // 4 surviving batch dirs at any SF; files-per-dir is SF-dependent
-      // (ceil(bytes/target)), so assert the compaction INVARIANTS — the
-      // partition layout survived and the file count actually shrank
-      // below the 32 the staging write produced — not a constant.
       val dirs = new java.io.File(dataDir).listFiles()
         .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
       require(dirs == 4, s"expected 4 surviving batch dirs, found $dirs")
       val files = back.select(input_file_name()).distinct().count()
-      require(files >= 4 && files < 32,
-        s"compaction should leave >=1 file per dir and far fewer than the " +
-          s"staged small files, found $files")
+      require(files >= 4 && files < stagedFiles,
+        s"compaction should leave >=1 file per dir and strictly fewer than " +
+          s"the $stagedFiles staged small files, found $files")
       detachAndClean(
         back.groupBy(col("batch_id").cast("int").as("batch_id"),
             col("event_type"))
@@ -2018,6 +2031,41 @@ object SparkEntry {
          |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
          |FROM ca, unnest(generate_series(1, len(ce))) AS t(i)
          |GROUP BY 1, 2 ORDER BY cell, pos""".stripMargin,
+
+    // 3 Lloyd iterations unrolled (the Spark side runs ivfKMeans with
+    // tol=0, so the count is this constant): each round re-assigns
+    // against the previous round's FIXED-POINT means (exact longs, one
+    // division — so the chained doubles stay bit-identical), then the
+    // final round's mean table is the result. Centroid lists after round
+    // 1 are DOUBLE lists; cosineSql casts both sides to double, matching
+    // the Spark kernel's mixed float×double accumulation.
+    "sim_ivf_kmeans" -> {
+      val rounds = (1 to 3).map { t =>
+        val prev = if (t == 1) "c0" else s"c${t - 1}"
+        s"""a$t AS (
+           |  SELECT cell, ce FROM (
+           |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+           |    FROM embeddings e CROSS JOIN $prev c
+           |  ) WHERE crn = 1
+           |), m$t AS (
+           |  SELECT cell, CAST(i AS INTEGER) AS pos, count(*) AS n_members,
+           |    CAST(sum(CAST(round(CAST(ce[i] AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+           |      / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
+           |  FROM a$t, unnest(generate_series(1, len(ce))) AS u$t(i)
+           |  GROUP BY 1, 2
+           |), c$t AS (
+           |  SELECT cell, list(c_val ORDER BY pos) AS centroid FROM m$t GROUP BY cell
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), $rounds
+         |SELECT cell, pos, n_members, c_val FROM m3
+         |ORDER BY cell, pos""".stripMargin
+    },
 
     "sim_topk_ivf" ->
       s"""WITH cent AS (

@@ -212,12 +212,27 @@ object Dedup {
     * numHashes is cross-checked against the mh columns present.
     */
   def bandTableFromSignatures(sigs: DataFrame, bandWidth: Int): DataFrame = {
-    val numHashes = sigs.columns.count(_.matches("mh\\d+"))
+    val mhCols = sigs.columns.filter(_.matches("mh\\d+"))
+    val numHashes = mhCols.length
     require(numHashes > 0, "not a signature table: no mh<k> columns")
+    require((0 until numHashes).forall(i => mhCols.contains(s"mh$i")),
+      s"signature table's mh columns ${mhCols.sorted.mkString("(", ", ", ")")} " +
+        s"do not span mh0..mh${numHashes - 1} — a projected/renamed table " +
+        "would band the wrong hash slots")
     require(numHashes % bandWidth == 0, "bands must tile the signature")
     val meta = Seq("w", "num_hashes")
     require(meta.forall(sigs.columns.contains),
       "signature table lacks layout columns — build it with Dedup.signatureTable")
+    // one-row probe: a projected sig table with STALE num_hashes metadata
+    // would otherwise yield bands built from a different hash count than
+    // the layout columns claim — the silent-admission failure mode
+    // requireStateLayout exists to prevent.
+    sigs.select(col("num_hashes")).limit(1).collect().headOption.foreach { r =>
+      require(!r.isNullAt(0) && r.getInt(0) == numHashes,
+        s"signature table metadata num_hashes=${r.get(0)} but $numHashes mh " +
+          "columns are present — the table was projected or its metadata is " +
+          "stale; rebuild it with Dedup.signatureTable")
+    }
     bandsFromSigs(sigs, numHashes, bandWidth)
       .crossJoin(broadcast(sigs.select(col("w"), col("num_hashes")).limit(1)))
       .withColumn("band_width", lit(bandWidth))

@@ -160,6 +160,26 @@ object Similarity {
     * stays with sampled centroids). Recall < 1 by design: a true
     * neighbor in an unprobed cell is missed — the standard IVF trade.
     */
+  /** Corpus-side nearest-cell assignment as a PARTIAL-AGG ARGMAX —
+    * `max(struct(csim, -cell, emb))` per vector — NOT a window: map-side
+    * combine collapses the K-expanded scored rows back to one row per
+    * vector BEFORE the exchange, so the one shuffle carries corpus-sized
+    * rows and there is no Sort of the K× expansion (the plan a window
+    * assignment pays). Tie-break matches the window form exactly:
+    * highest csim, then lowest cell (max of the negated cell id) — the
+    * idiom shared with `keepBestPerCluster` and `silver_nearest`.
+    * Output columns: (<id>, <embCol>, cell).
+    */
+  private def assignCells(df: DataFrame, id: String, embCol: String,
+                          centroids: DataFrame): DataFrame =
+    df.crossJoin(centroids)
+      .withColumn("csim", cosine(col(embCol), col("centroid")))
+      .groupBy(col(id))
+      .agg(max(struct(col("csim"), (-col("cell")).as("neg_cell"),
+        col(embCol).as("e"))).as("best"))
+      .select(col(id), col("best.e").as(embCol),
+        (-col("best.neg_cell")).as("cell"))
+
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
               numCells: Int = 16, nprobe: Int = 4): DataFrame = {
     // lowest vec_ids by GLOBAL ORDER, not `vec_id < numCells` — sparse or
@@ -171,7 +191,26 @@ object Similarity {
     // cheap-probe pattern as requireDim; an empty corpus fails with a
     // clear message instead of silently returning an empty result.
     require(!centroidSet.isEmpty, "ivfTopK: corpus has no vectors to use as centroids")
+    ivfSearch(emb, queries, k, centroidSet, nprobe)
+  }
+
+  /** [[ivfTopK]] against an EXPLICIT centroid table (cell, centroid) —
+    * e.g. [[ivfKMeans]]-refined centroids via [[centroidsFromRefinement]].
+    * Production IVF persists refined centroids and searches with them;
+    * this is that search path.
+    */
+  def ivfTopKWith(emb: DataFrame, queries: DataFrame, k: Int,
+                  centroids: DataFrame, nprobe: Int = 4): DataFrame = {
+    require(Seq("cell", "centroid").forall(centroids.columns.contains),
+      "centroid table needs (cell, centroid) columns")
+    ivfSearch(emb, queries, k, centroids.select(col("cell"), col("centroid")), nprobe)
+  }
+
+  private def ivfSearch(emb: DataFrame, queries: DataFrame, k: Int,
+                        centroidSet: DataFrame, nprobe: Int): DataFrame = {
     val centroids = broadcast(centroidSet)
+    // query side keeps the window: nprobe > 1 cells per query, and the
+    // query set is the SMALL side — its sort never touches corpus rows.
     def nearestCells(df: DataFrame, id: String, embCol: String,
                      probes: Int): DataFrame = {
       val scored = df.crossJoin(centroids)
@@ -181,8 +220,9 @@ object Similarity {
         .filter(col("crn") <= probes)
         .select(col(id), col(embCol), col("cell"))
     }
-    val cells = nearestCells(
-      emb.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid", "ce", 1)
+    val cells = assignCells(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      "cid", "ce", centroids)
     val probes = nearestCells(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid", "qe", nprobe)
     rankTopK(
@@ -212,12 +252,17 @@ object Similarity {
     val centroidSet = emb.orderBy(col("vec_id")).limit(numCells)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
     require(!centroidSet.isEmpty, "ivfRefineStep: corpus has no vectors")
-    val scored = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      .crossJoin(broadcast(centroidSet))
-      .withColumn("csim", cosine(col("ce"), col("centroid")))
-    val w = Window.partitionBy(col("cid")).orderBy(col("csim").desc, col("cell").asc)
-    val assigned = scored.withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
+    ivfRefineWith(emb, broadcast(centroidSet))
+  }
+
+  /** The Lloyd-step body against an EXPLICIT centroid table — shared by
+    * [[ivfRefineStep]] (sampled seeds) and [[ivfKMeans]] (the loop).
+    * `centroids` must have (cell, centroid) and be broadcast-sized.
+    */
+  private def ivfRefineWith(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = assignCells(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      "cid", "ce", centroids)
       .select(col("cell"), col("ce"))
     assigned.select(col("cell"), posexplode(col("ce")).as(Seq("p0", "x")))
       .groupBy(col("cell"), (col("p0") + 1).as("pos"))
@@ -227,6 +272,110 @@ object Similarity {
         (col("fx").cast("double") /
           (col("n_members").cast("double") * lit(1000000.0))).as("c_val"))
   }
+
+  /** K-means refinement of the IVF coarse centroids TO CONVERGENCE —
+    * the production composition of [[ivfRefineStep]] kernels
+    * (reference analog: the notebook's nearest-station argmin taken to
+    * its real use). Deterministic and oracle-checkable end to end:
+    *
+    *  - seeds = the first `numCells` corpus vectors by global vec_id
+    *    order (as [[ivfTopK]]), widened to double;
+    *  - each iteration = argmax cell assignment (one broadcast-K narrow
+    *    pass over the corpus + one partial-agg exchange of corpus-sized
+    *    rows) followed by the FIXED-POINT mean — exact longs, one
+    *    division, bit-identical across engines and partitionings;
+    *  - a cell that loses every member is RESEEDED deterministically
+    *    with the farthest corpus point: the vector minimizing its max
+    *    cosine to the surviving centroids (tie-break: lowest vec_id);
+    *    multiple empty cells take the m farthest points in ascending
+    *    cell order. Reseeds feed the NEXT assignment;
+    *  - stops after `iters` iterations, or earlier when no reseed
+    *    happened and no centroid component moved by `tol` or more.
+    *    `tol = 0` DISABLES early stop so the iteration count is a
+    *    constant an oracle can unroll (`sim_ivf_kmeans` runs exactly 3).
+    *
+    * Only K×dim doubles ever reach the driver per iteration — the
+    * per-iteration collect is the same centroid-sized driver hop every
+    * distributed k-means (including Spark MLlib's) makes; the corpus
+    * itself never leaves the executors. Output: the FINAL iteration's
+    * refinement table (cell, pos, n_members, c_val) — one row per
+    * surviving (cell, dim); a cell reseeded in the last iteration has no
+    * members yet and is absent, as in [[ivfRefineStep]].
+    */
+  def ivfKMeans(emb: DataFrame, numCells: Int = 16, iters: Int = 3,
+                tol: Double = 0.0): DataFrame = {
+    require(iters >= 1, "ivfKMeans: at least one Lloyd iteration")
+    val spark = emb.sparkSession
+    val seedRows = emb.orderBy(col("vec_id")).limit(numCells)
+      .select(col("vec_id"), col("embedding")).collect()
+    require(seedRows.nonEmpty, "ivfKMeans: corpus has no vectors")
+    var centroids: Map[Long, Array[Double]] = seedRows.map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toMap
+    var lastRefined: Array[org.apache.spark.sql.Row] = Array.empty
+    var outSchema: org.apache.spark.sql.types.StructType = null
+    var done = false
+    var it = 0
+    while (it < iters && !done) {
+      val refinedDf = ivfRefineWith(emb, centroidTable(spark, centroids))
+      outSchema = refinedDf.schema
+      lastRefined = refinedDf.collect()
+      val next: Map[Long, Array[Double]] = lastRefined.groupBy(_.getLong(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+        }
+      val empty = centroids.keySet.diff(next.keySet).toSeq.sorted
+      val moved = centroids.keySet.intersect(next.keySet).map { c =>
+        centroids(c).lazyZip(next(c)).map((o, n) => math.abs(n - o)).max
+      }.maxOption.getOrElse(0.0)
+      done = empty.isEmpty && tol > 0.0 && moved < tol
+      centroids = next ++ (if (empty.nonEmpty)
+        reseedFarthest(emb, next, empty) else Map.empty)
+      it += 1
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(lastRefined.toIndexedSeq), outSchema)
+  }
+
+  /** Deterministic empty-cell reseeding: the `emptyCells.size` corpus
+    * vectors FARTHEST from every surviving centroid (smallest max
+    * cosine; tie-break lowest vec_id), assigned to the empty cells in
+    * ascending cell order. One broadcast-K pass + a partial-agg argmin —
+    * the same plan shape as the assignment itself.
+    */
+  private def reseedFarthest(emb: DataFrame, surviving: Map[Long, Array[Double]],
+                             emptyCells: Seq[Long]): Map[Long, Array[Double]] = {
+    val far = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(centroidTable(emb.sparkSession, surviving))
+      .withColumn("csim", cosine(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("csim")).as("maxsim"), first(col("embedding")).as("e"))
+      .orderBy(col("maxsim").asc, col("vec_id").asc)
+      .limit(emptyCells.size)
+      .collect()
+    // a corpus smaller than the empty-cell count reseeds what it can
+    emptyCells.zip(far).map { case (cell, r) =>
+      cell -> r.getSeq[Float](2).map(_.toDouble).toArray
+    }.toMap
+  }
+
+  private def centroidTable(spark: org.apache.spark.sql.SparkSession,
+                            cents: Map[Long, Array[Double]]): DataFrame = {
+    import spark.implicits._
+    broadcast(cents.toSeq.sortBy(_._1).map { case (c, a) => (c, a.toSeq) }
+      .toDF("cell", "centroid"))
+  }
+
+  /** Collapse a refinement table (cell, pos, n_members, c_val) back into
+    * (cell, centroid array<double>) — the layout [[ivfTopKWith]] searches
+    * with. Sorted by pos inside the aggregation, so the array order never
+    * depends on collect_list's arrival order.
+    */
+  def centroidsFromRefinement(refined: DataFrame): DataFrame =
+    refined.groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c_val")))).as("pc"))
+      .select(col("cell"),
+        transform(col("pc"), x => x.getField("c_val")).as("centroid"))
 
   /** Symmetric per-vector int8 quantization — the 4× memory/IO lever a
     * billion-vector ANN index pulls before anything else: scale =

@@ -30,35 +30,46 @@ object KeyFunctions {
     java.nio.ByteBuffer.wrap(dig, 0, 8).getLong
   }
 
-  /** Double-precision dot product over two float arrays, index-ordered —
-    * bit-compatible with DuckDB's list_sum(list_transform(...)) and the
-    * zip_with/aggregate formulation. The hyperplane-signature kernel.
+  /** Double-precision dot product over two float/double arrays (the
+    * `aD`/`bD` flags select each side's element width — constants folded
+    * by the JIT), index-ordered — bit-compatible with DuckDB's
+    * list_sum(list_transform(...)) and the zip_with/aggregate
+    * formulation. The hyperplane-signature kernel; the double side
+    * appears when scoring against k-means-refined centroids, whose
+    * exact fixed-point means are doubles.
     */
-  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+  def dotData(a: ArrayData, b: ArrayData, aD: Boolean, bD: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var i = 0
     while (i < n) {
-      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      dot += (if (aD) a.getDouble(i) else a.getFloat(i).toDouble) *
+        (if (bD) b.getDouble(i) else b.getFloat(i).toDouble)
       i += 1
     }
     dot
   }
 
-  /** Double-precision cosine over two float arrays, index-ordered
+  def dotFloat(a: ArrayData, b: ArrayData): Double =
+    dotData(a, b, aD = false, bD = false)
+
+  /** Double-precision cosine over two float/double arrays, index-ordered
     * accumulation (bit-compatible with the zip_with/aggregate formulation
     * in [[graft.ext.Similarity.cosine]]).
     */
-  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+  def cosineData(a: ArrayData, b: ArrayData, aD: Boolean, bD: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aD) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bD) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  def cosineFloat(a: ArrayData, b: ArrayData): Double =
+    cosineData(a, b, aD = false, bD = false)
 }
 
 /** Native Catalyst expression for the reference's signed md5 key (F1).
@@ -77,35 +88,52 @@ case class SignedMd5Long(child: Expression)
     copy(child = newChild)
 }
 
-/** Native cosine similarity over array<float> columns: a single fused
-  * loop over primitive arrays — no intermediate product array, unlike the
-  * zip_with+aggregate formulation. Identical IEEE result (each
-  * accumulator sums in index order).
+/** Shared element-width dispatch for the vector kernels: each side may
+  * be array<float> (raw embeddings) or array<double> (refined
+  * centroids, exact fixed-point means). Resolved once at planning time
+  * and baked into the generated code as literal booleans.
+  */
+trait VectorKernelExpression { self: BinaryExpression =>
+  protected def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"${self.prettyName} expects array<float>/array<double>, got $t")
+  }
+  protected def aD: Boolean = elemIsDouble(self.left)
+  protected def bD: Boolean = elemIsDouble(self.right)
+}
+
+/** Native cosine similarity over array<float>/array<double> columns: a
+  * single fused loop over primitive arrays — no intermediate product
+  * array, unlike the zip_with+aggregate formulation. Identical IEEE
+  * result (each accumulator sums in index order).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with VectorKernelExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
-    KeyFunctions.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    KeyFunctions.cosineData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aD, bD)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.KeyFunctions$$.MODULE$$.cosineFloat($a, $b)")
+      s"graft.functions.KeyFunctions$$.MODULE$$.cosineData($a, $b, $aD, $bD)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
 }
 
-/** Native dot product over array<float> columns — one fused primitive
-  * loop, codegen'd. The LSH hyperplane-signature kernel: 16 of these per
-  * row as interpreted array lambdas dominated the banded-dedup profile.
+/** Native dot product over array<float>/array<double> columns — one
+  * fused primitive loop, codegen'd. The LSH hyperplane-signature kernel:
+  * 16 of these per row as interpreted array lambdas dominated the
+  * banded-dedup profile.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with VectorKernelExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
-    KeyFunctions.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    KeyFunctions.dotData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aD, bD)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.KeyFunctions$$.MODULE$$.dotFloat($a, $b)")
+      s"graft.functions.KeyFunctions$$.MODULE$$.dotData($a, $b, $aD, $bD)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
 }

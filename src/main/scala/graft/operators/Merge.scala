@@ -40,6 +40,14 @@ object Merge {
     * Callers whose batch is already uniqueness-proven (e.g. the output
     * of a keyed aggregation) pass `requireUniqueUpdates = false` to skip
     * the pass.
+    *
+    * NOTE: with the default guard on, this method is EAGER — the probe
+    * runs a Spark action at call time, and the `updates` lineage is
+    * evaluated twice (probe, then join). A heavy uncached update batch
+    * should be persisted (or checkpointed) by the caller before the
+    * call, or pass `requireUniqueUpdates = false`; persisting inside
+    * this method would leak the cache past the (lazy) returned plan's
+    * lifetime, so the trade is left to the caller.
     */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
              requireUniqueUpdates: Boolean = true): DataFrame = {

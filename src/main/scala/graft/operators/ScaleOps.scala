@@ -175,17 +175,24 @@ object ScaleOps {
     * is associative), which the `corpus_pack_global` oracle proves
     * against DuckDB's global window. `orderCol` must be UNIQUE: a tie
     * straddling a range boundary would make the running order
-    * partition-dependent. Null values count as 0.
+    * partition-dependent. Null values count as 0. `valueCol` must be an
+    * INTEGRAL type (byte/short/int/long): a fractional column would be
+    * silently floored by the long cast, so it is rejected instead —
+    * callers scale to fixed point first (the centsSum trick).
     */
   def withPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                     outCol: String, numPartitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
     val vName = "_prefix_sum_v"
     require(!df.columns.contains(vName) && !df.columns.contains(outCol),
       s"input already has a $vName/$outCol column")
+    val vType = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vType),
+      s"withPrefixSum: $valueCol is $vType — only integral types sum " +
+        "exactly; scale fractional values to fixed point (e.g. cents) first")
     val ranged = df.withColumn(vName, col(valueCol).cast("long"))
       .repartitionByRange(n, col(orderCol))
       .sortWithinPartitions(col(orderCol))

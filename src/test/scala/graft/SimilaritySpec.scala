@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Similarity
+
+/** The IVF/k-means surface: argmax assignment plan shape, the Lloyd loop,
+  * deterministic empty-cell reseeding, and refined-centroid search.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  private def embDf(rows: Seq[(Long, Seq[Float])]): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  test("IVF assignment is a partial-agg argmax: no window/sort over the scored corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val refined = Similarity.ivfRefineStep(emb, numCells = 16)
+    val plan = refined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the corpus-only path must carry ZERO window operators — nearest
+    // cell is max(struct(csim, -cell)) with map-side combine, so the one
+    // exchange ships corpus-sized rows, never the K-expanded scoring.
+    assert(!plan.contains("Window"),
+      s"corpus cell assignment regressed to a window plan:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"expected a partial-aggregated argmax in:\n$plan")
+  }
+
+  test("one ivfKMeans iteration is exactly the oracle-checked Lloyd step") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val one = Similarity.ivfKMeans(emb, numCells = 16, iters = 1)
+      .orderBy("cell", "pos").collect()
+    val step = Similarity.ivfRefineStep(emb, numCells = 16)
+      .orderBy("cell", "pos").collect()
+    assert(one.toSeq === step.toSeq)
+  }
+
+  test("k-means converges and early-stops under tol without changing the result") {
+    // two tight clusters, one seed lands in each (ids 0 and 1): Lloyd
+    // reaches its fixed point after two iterations, so a tol run and a
+    // long fixed run must return the same table bit for bit.
+    val e1 = Seq(1f, 0f, 0f, 0f); val e2 = Seq(0f, 1f, 0f, 0f)
+    val rows = (0L until 10L).map(i => (i * 2, e1)) ++
+      (0L until 10L).map(i => (i * 2 + 1, e2))
+    val emb = embDf(rows)
+    val fixed = Similarity.ivfKMeans(emb, numCells = 2, iters = 2)
+      .orderBy("cell", "pos").collect()
+    val early = Similarity.ivfKMeans(emb, numCells = 2, iters = 10, tol = 1e-12)
+      .orderBy("cell", "pos").collect()
+    assert(early.toSeq === fixed.toSeq)
+    // and the means recovered the true cluster centers
+    val byCell = fixed.groupBy(_.getLong(0)).view.mapValues(
+      _.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq).toMap
+    assert(byCell(0L) === Seq(1.0, 0.0, 0.0, 0.0))
+    assert(byCell(1L) === Seq(0.0, 1.0, 0.0, 0.0))
+  }
+
+  test("empty cells are reseeded deterministically with the farthest corpus points") {
+    // seeds 0,1,2 are IDENTICAL vectors in the large cluster: the argmax
+    // tie-break sends every vector to cell 0, cells 1 and 2 go empty and
+    // must be reseeded with the farthest points — the small cluster
+    // (which the skewed mean keeps far away), lowest vec_ids first.
+    val e1 = Seq(1f, 0f, 0f, 0f); val e2 = Seq(0f, 1f, 0f, 0f)
+    val rows = (0L until 15L).map((_, e1)) ++ (15L until 20L).map((_, e2))
+    val emb = embDf(rows)
+    val out = Similarity.ivfKMeans(emb, numCells = 3, iters = 2)
+      .orderBy("cell", "pos").collect()
+    val byCell = out.groupBy(_.getLong(0)).view.mapValues { rs =>
+      (rs.head.getLong(2), rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq)
+    }.toMap
+    // iteration 2 sees cell 0 = skewed mean, cells 1,2 = reseeded e2
+    // vectors: the e1 cluster stays on cell 0 (mean snaps back to e1),
+    // the e2 cluster ties between the two reseeds and takes cell 1.
+    assert(byCell.keySet === Set(0L, 1L))
+    assert(byCell(0L) === ((15L, Seq(1.0, 0.0, 0.0, 0.0))))
+    assert(byCell(1L) === ((5L, Seq(0.0, 1.0, 0.0, 0.0))))
+  }
+
+  test("refined centroids beat sampled seeds on clustered data (recall@k)") {
+    // 8 well-separated clusters in 16 dims, corpus ordered by cluster —
+    // so the first-8 sampled seeds all land in cluster 0 (the worst
+    // case sampling can hit) while k-means walks them onto the true
+    // centers. Deterministic noise from a fixed-seed PRNG.
+    val rnd = new scala.util.Random(42)
+    val dim = 16; val clusters = 8; val per = 25
+    val rows = for {
+      c <- 0 until clusters
+      i <- 0 until per
+    } yield {
+      val v = Array.tabulate(dim)(d =>
+        (if (d == 2 * c) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      ((c * per + i).toLong, v.toSeq)
+    }
+    val emb = embDf(rows)
+    emb.cache()
+    val q = emb.filter(col("vec_id") % 25 === 7) // one probe per cluster
+    val truth = Similarity.bruteForceTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(topk: DataFrame): Double = {
+      val got = topk.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val sampled = recall(
+      Similarity.ivfTopK(emb, q, k = 5, numCells = clusters, nprobe = 2))
+    val refined = recall(Similarity.ivfTopKWith(emb, q, k = 5,
+      Similarity.centroidsFromRefinement(
+        Similarity.ivfKMeans(emb, numCells = clusters, iters = 4)),
+      nprobe = 2))
+    info(f"recall@5 sampled=$sampled%.2f refined=$refined%.2f")
+    assert(refined > sampled,
+      s"k-means centroids should beat all-in-one-cluster seeds: $refined <= $sampled")
+    assert(refined >= 0.9, s"refined centroids should make IVF near-exact here: $refined")
+    emb.unpersist()
+  }
+
+  test("centroidsFromRefinement round-trips the refinement table") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val refined = Similarity.ivfRefineStep(emb, numCells = 4)
+    val cents = Similarity.centroidsFromRefinement(refined)
+      .orderBy("cell").collect()
+    val expect = refined.orderBy("cell", "pos").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(3)).toSeq).toMap
+    assert(cents.map(_.getLong(0)).toSet === expect.keySet)
+    cents.foreach { r =>
+      assert(r.getSeq[Double](1) === expect(r.getLong(0)))
+    }
+  }
+}
