@@ -40,7 +40,14 @@ object Bench {
     }
     // deterministic name order so per-query timings diff cleanly across
     // rounds (map hash order reshuffles whenever a query is added).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY (csv of names): dev-iteration filter to
+    // reproduce bench-context effects on a subset; the driver sets no
+    // such var, so its runs always time the full surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
