@@ -408,6 +408,46 @@ object SparkEntry {
       finally sigs.unpersist(blocking = false)
     }),
 
+    "dedup_state_retention" -> ((s, d) => {
+      // dedup-STATE lifecycle round-trip: build and PERSIST the band-table
+      // state for the accumulated corpus, remove a third of its documents
+      // (deleted / re-licensed out), run key-based retention over the
+      // state files (semi-join staged rewrite, ScaleOps.retainRows, via
+      // the object-store-safe POINTER promotion so resolve/migrate/prune
+      // are all driver-visible), then admit the incoming batch against the
+      // RETAINED state. The oracle computes admission against a seen-set
+      // that never contained the removed docs — pass ⟺ retention made
+      // them never-existed, which is exactly what a ghost state row (a
+      // rejection against a doc no longer in the corpus) would break.
+      val docs = Tables.documents(s, d)
+      val seenSrc = (0 to 9).map(i => s"src$i")
+      val seen = docs.filter(col("source").isin(seenSrc: _*))
+      val incoming = docs.filter(!col("source").isin(seenSrc: _*))
+      val tmp = TempDirs.create("graft-dedup-state-").toString
+      val stateDir = s"$tmp/bands"
+      Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2)
+        .repartition(8) // small state files — retention compacts them too
+        .write.parquet(stateDir)
+      val stagedFiles = s.read.parquet(stateDir)
+        .select(input_file_name()).distinct().count()
+      val survivors = seen.filter(col("doc_id") % 3 =!= 0)
+      graft.operators.ScaleOps.retainRows(s, stateDir,
+        survivors.select(col("doc_id")), Seq("doc_id"),
+        promotion = graft.operators.ScaleOps.PointerSwap)
+      val retained = graft.operators.ScaleOps.readMaintained(s, stateDir,
+        graft.operators.ScaleOps.PointerSwap)
+      val files = retained.select(input_file_name()).distinct().count()
+      require(files < stagedFiles,
+        s"retention rewrite should compact the $stagedFiles staged state " +
+          s"files, found $files")
+      detachAndClean(
+        Dedup.incrementalNearDup(incoming, retained,
+            w = 5, numHashes = 8, bandWidth = 2)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
     "silver_range_join" -> ((s, d) => {
       // range (interval) join: customers against generated account-balance
       // bands. The theta-BETWEEN join is the general form; for uniform
@@ -1807,6 +1847,35 @@ object SparkEntry {
          |  JOIN mh a ON a.doc_id = c.doc_id
          |  JOIN mh b ON b.doc_id = c.partner_id
          |  WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.source NOT IN ($seenList)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_state_retention" -> {
+      // admission against a seen-set that NEVER contained the removed
+      // docs: the Spark side gets the same answer only if retention truly
+      // erased their state rows.
+      val seenList = (0 to 9).map(i => s"'src$i'").mkString(",")
+      s"""WITH $triSql,
+         |$bandCteSql,
+         |docsrc AS (SELECT doc_id, source FROM documents),
+         |seenb AS (
+         |  SELECT DISTINCT band, bkey
+         |  FROM bands JOIN docsrc USING (doc_id)
+         |  WHERE source IN ($seenList) AND doc_id % 3 <> 0),
+         |incb AS (
+         |  SELECT b.doc_id, b.band, b.bkey
+         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
+         |  WHERE s.source NOT IN ($seenList)),
+         |rejected AS (
+         |  SELECT DISTINCT doc_id FROM incb
+         |  JOIN seenb k USING (band, bkey)
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM incb x
+         |  JOIN incb y ON x.band = y.band AND x.bkey = y.bkey
+         |             AND x.doc_id < y.doc_id)
          |SELECT d.doc_id, d.source, d.n_chars FROM documents d
          |WHERE d.source NOT IN ($seenList)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)

@@ -219,31 +219,158 @@ object ScaleOps {
     spark.createDataFrame(out, schema)
   }
 
-  /** Small-file compaction — the warehouse maintenance pass (OPTIMIZE
-    * analog): rewrite a parquet directory into ~`targetBytes` files.
-    * Incremental sinks (`Bronze.appendSink`, streaming) accrete small
-    * files whose per-file open/footer cost eventually dominates scans;
-    * compaction restores scan efficiency without changing content.
+  /** How a STAGED rewrite becomes the live table — the promotion step of
+    * the maintenance passes ([[compact]], [[retainRows]]), factored out
+    * because its atomicity is filesystem-dependent:
     *
-    *  - Hive partition layout (`col=value/` subdirectories, e.g. from
-    *    `Bronze.appendSink(partitionCols)`) is detected from the
-    *    directory names and PRESERVED: rows are hashed by the partition
-    *    columns so each partition directory compacts to one file.
-    *  - Requires a QUIESCED table: files appended between the snapshot
-    *    listing and the swap would be lost, so the swap aborts if the
-    *    source listing changed during the rewrite (a transactional table
-    *    format is the coordination layer for live writers at scale).
-    *  - The two-rename swap is atomic on local/HDFS metadata renames;
-    *    readers in the instant between them see a missing (never a
-    *    half-written) directory. On an object store, where rename is
-    *    copy+delete, route the swap through a catalog pointer instead.
+    *  - [[RenameSwap]]: two directory metadata renames. Atomic on
+    *    local/HDFS; on an object store, where directory rename is
+    *    copy+delete, a reader can observe a half-copied table.
+    *  - [[PointerSwap]]: versioned directories plus a one-line `current`
+    *    pointer file readers resolve through. The only mutation readers
+    *    can observe is the single-file pointer replacement — the
+    *    object-store-safe shape (a real deployment implements the pointer
+    *    write as one atomic object PUT / catalog CAS; here it is a
+    *    FileContext overwrite-rename, atomic on local/HDFS).
+    *
+    * `resolve` is the read side of the same contract: where the LIVE
+    * bytes of logical table `dir` currently are.
     */
-  def compact(spark: SparkSession, dir: String,
-              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+  sealed trait Promotion {
+    def resolve(fs: org.apache.hadoop.fs.FileSystem,
+                dir: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path
+    def promote(fs: org.apache.hadoop.fs.FileSystem,
+                dir: org.apache.hadoop.fs.Path,
+                staged: org.apache.hadoop.fs.Path): Unit
+  }
+
+  /** Two-rename swap: move live aside, move staged in, delete old.
+    * Readers in the instant between the renames see a missing (never a
+    * half-written) directory. Failure order is recoverable: if the second
+    * rename fails the original is restored before erroring.
+    */
+  case object RenameSwap extends Promotion {
+    def resolve(fs: org.apache.hadoop.fs.FileSystem,
+                dir: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = dir
+    def promote(fs: org.apache.hadoop.fs.FileSystem,
+                dir: org.apache.hadoop.fs.Path,
+                staged: org.apache.hadoop.fs.Path): Unit = {
+      val old = dir.suffix(".previous")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(dir, old)) sys.error(s"promote: cannot move $dir aside")
+      if (!fs.rename(staged, dir)) {
+        if (!fs.rename(old, dir))
+          sys.error(s"promote AND restore failed — data is intact at $old")
+        sys.error(s"promote: cannot promote $staged over $dir (original restored)")
+      }
+      fs.delete(old, true)
+    }
+  }
+
+  /** Pointer-file promotion: `dir` becomes a root of immutable version
+    * directories (`v-1/, v-2/, …`) plus a `current` file naming the live
+    * one. Promote = land the staged directory as `v-<n+1>`, atomically
+    * replace `current`, then prune versions older than the predecessor
+    * (kept so in-flight readers that resolved just before the swap finish
+    * their scan against intact bytes — the same grace window a snapshot
+    * catalog gives). A plain parquet directory is migrated in place on
+    * first promotion: its files move into `v-0` (promotion requires a
+    * quiesced table — [[stagedRewrite]] enforces it — so no reader is
+    * mid-scan across the migration).
+    */
+  case object PointerSwap extends Promotion {
+    private val Pointer = "current"
+    private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: org.apache.hadoop.fs.Path): Option[Int] = {
+      val p = new org.apache.hadoop.fs.Path(dir, Pointer)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          require(s.matches("v-\\d+"), s"corrupt pointer file $p: '$s'")
+          Some(s.stripPrefix("v-").toInt)
+        } finally in.close()
+      }
+    }
+    def resolve(fs: org.apache.hadoop.fs.FileSystem,
+                dir: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+      currentVersion(fs, dir) match {
+        case Some(v) => new org.apache.hadoop.fs.Path(dir, s"v-$v")
+        case None => dir // plain layout, pre-migration
+      }
+    def promote(fs: org.apache.hadoop.fs.FileSystem,
+                dir: org.apache.hadoop.fs.Path,
+                staged: org.apache.hadoop.fs.Path): Unit = {
+      import org.apache.hadoop.fs.Path
+      val cur = currentVersion(fs, dir)
+      if (cur.isEmpty && fs.exists(dir)) {
+        // migrate plain layout: root must hold only version dirs + pointer,
+        // or spark.read over a resolved version would be correct while a
+        // naive read of the root would see stale duplicates.
+        // list BEFORE creating v-0, and compare by name (listStatus
+        // returns fully-qualified paths, so Path equality would miss and
+        // v-0 would be moved into itself).
+        val plain = fs.listStatus(dir).toSeq
+          .filterNot(_.getPath.getName == "v-0")
+        val v0 = new Path(dir, "v-0")
+        fs.mkdirs(v0)
+        plain.foreach { s =>
+          if (!fs.rename(s.getPath, new Path(v0, s.getPath.getName)))
+            sys.error(s"promote: cannot migrate ${s.getPath} into $v0")
+        }
+      }
+      val next = cur.getOrElse(0) + 1
+      val target = new Path(dir, s"v-$next")
+      if (fs.exists(target)) fs.delete(target, true) // crashed prior attempt
+      fs.mkdirs(dir)
+      if (!fs.rename(staged, target))
+        sys.error(s"promote: cannot land $staged as $target")
+      // the ONLY reader-visible mutation: replace the one-line pointer.
+      val ptmp = new Path(dir, s".$Pointer.tmp")
+      val out = fs.create(ptmp, true)
+      try out.write(s"v-$next".getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, fs.getConf)
+        .rename(ptmp, new Path(dir, Pointer),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // prune: keep the predecessor for in-flight readers, drop older.
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v-\\d+"))
+        .map(s => s.getPath.getName.stripPrefix("v-").toInt -> s.getPath)
+        .filter(_._1 < next - 1)
+        .foreach { case (_, p) => fs.delete(p, true) }
+    }
+  }
+
+  /** Read a maintained table through its promotion strategy — for
+    * [[RenameSwap]] tables this is a plain read of `dir`; for
+    * [[PointerSwap]] tables it resolves `current` first.
+    */
+  def readMaintained(spark: SparkSession, dir: String,
+                     promotion: Promotion = RenameSwap): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(promotion.resolve(fs, path).toString)
+  }
+
+  /** Shared maintenance skeleton: snapshot the live listing, stage a
+    * transformed rewrite next to it, verify the table was QUIESCED (files
+    * appended between the snapshot and the swap would be silently lost,
+    * so the swap aborts instead — a transactional table format is the
+    * coordination layer for live writers at scale), then promote. Hive
+    * partition layout (`col=value/` subdirectories) is detected from the
+    * live directory and PRESERVED: rows are hashed by the partition
+    * columns so each partition directory compacts to one file.
+    */
+  private def stagedRewrite(spark: SparkSession, dir: String,
+                            targetBytes: Long, promotion: Promotion,
+                            stageSuffix: String)
+                           (transform: DataFrame => DataFrame): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = promotion.resolve(fs, root)
     def snapshot(): Set[(String, Long)] = {
-      val it = fs.listFiles(path, true)
+      val it = fs.listFiles(live, true)
       val b = Set.newBuilder[(String, Long)]
       while (it.hasNext) { val f = it.next(); b += ((f.getPath.toString, f.getLen)) }
       b.result()
@@ -252,12 +379,12 @@ object ScaleOps {
     val bytes = before.iterator.map(_._2).sum
     // ceiling division: files come out <= targetBytes, never up to 2x.
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val partitionCols = fs.listStatus(path).toSeq
+    val partitionCols = fs.listStatus(live).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .map(_.getPath.getName.takeWhile(_ != '=')).distinct
-    val tmp = path.suffix(".compacting")
+    val tmp = root.suffix(stageSuffix)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val df = spark.read.parquet(dir)
+    val df = transform(spark.read.parquet(live.toString))
     val writer =
       if (partitionCols.nonEmpty)
         // hash by the partition columns: each partition value lands in
@@ -268,16 +395,44 @@ object ScaleOps {
     writer.mode("overwrite").parquet(tmp.toString)
     if (snapshot() != before) {
       fs.delete(tmp, true)
-      sys.error(s"compact: $dir changed during the rewrite — writers must be quiesced")
+      sys.error(s"stagedRewrite: $dir changed during the rewrite — writers must be quiesced")
     }
-    val old = path.suffix(".precompact")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(path, old)) sys.error(s"compact: cannot move $dir aside")
-    if (!fs.rename(tmp, path)) {
-      if (!fs.rename(old, path))
-        sys.error(s"compact: promote AND restore failed — data is intact at $old")
-      sys.error(s"compact: cannot promote compacted $dir (original restored)")
-    }
-    fs.delete(old, true)
+    promotion.promote(fs, root, tmp)
+  }
+
+  /** Small-file compaction — the warehouse maintenance pass (OPTIMIZE
+    * analog): rewrite a parquet directory into ~`targetBytes` files.
+    * Incremental sinks (`Bronze.appendSink`, streaming) accrete small
+    * files whose per-file open/footer cost eventually dominates scans;
+    * compaction restores scan efficiency without changing content.
+    * Partition layout is preserved and the swap aborts on concurrent
+    * writes (see [[stagedRewrite]]); choose [[PointerSwap]] on stores
+    * where directory rename is copy+delete.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              promotion: Promotion = RenameSwap): Unit =
+    stagedRewrite(spark, dir, targetBytes, promotion, ".compacting")(identity)
+
+  /** Key-based retention — the DELETE-maintenance pass: rewrite the table
+    * keeping only rows whose `keys` value appears in `keep`, compacting
+    * files in the same staged pass. The lifecycle op persisted DEDUP
+    * STATE needs ([[graft.ext.Dedup.bandTable]] /
+    * [[graft.ext.Dedup.signatureTable]] grow with the corpus forever;
+    * when documents are deleted or re-licensed out, their state rows must
+    * go too or admission keeps rejecting against ghosts). `keep` is
+    * deduplicated and only its key columns are read, so passing the full
+    * surviving corpus table is fine — at scale this is one semi-join of
+    * the state against the (smaller) survivor key list plus the rewrite.
+    */
+  def retainRows(spark: SparkSession, dir: String, keep: DataFrame,
+                 keys: Seq[String],
+                 targetBytes: Long = 128L * 1024 * 1024,
+                 promotion: Promotion = RenameSwap): Unit = {
+    require(keys.nonEmpty, "retainRows needs at least one key column")
+    val keepKeys = keep.select(keys.map(org.apache.spark.sql.functions.col): _*)
+      .dropDuplicates(keys)
+    stagedRewrite(spark, dir, targetBytes, promotion, ".retaining")(
+      _.join(keepKeys, keys, "left_semi"))
   }
 }

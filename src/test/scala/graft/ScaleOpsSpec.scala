@@ -258,7 +258,81 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(parquetFiles === 1, "everything fits one target-sized file")
     assert(spark.read.parquet(dir).count() === rows)
     assert(!new java.io.File(dir + ".compacting").exists())
-    assert(!new java.io.File(dir + ".precompact").exists())
+    assert(!new java.io.File(dir + ".previous").exists())
+  }
+
+  test("pointer promotion: compact migrates a plain dir, resolves through `current`, prunes old versions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_ptr").toString + "/t"
+    val df = Tables.orders(spark, sfDir).repartition(12)
+    df.write.parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    // first maintenance pass: plain layout migrates to v-0, compacted
+    // output lands as v-1, pointer names it.
+    ScaleOps.compact(spark, dir, targetBytes = 512L * 1024 * 1024,
+      promotion = ScaleOps.PointerSwap)
+    val root = new java.io.File(dir)
+    assert(new java.io.File(root, "current").exists())
+    val ptr1 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "current").toPath), "UTF-8").trim
+    assert(ptr1 === "v-1")
+    // the root holds ONLY version dirs + pointer (no stale plain files a
+    // naive root read would double-count).
+    // ignore the local ChecksumFileSystem's hidden .crc sidecars — a
+    // local-fs artifact, not part of the layout contract.
+    def visible = root.listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(visible === Set("current", "v-0", "v-1"))
+    val back = ScaleOps.readMaintained(spark, dir, ScaleOps.PointerSwap)
+    assert(back.count() === rows)
+    assert(back.select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count() === 1, "compacted to one file")
+    // second pass: v-2 becomes current, v-0 is pruned, v-1 (the
+    // predecessor, for in-flight readers) survives.
+    ScaleOps.compact(spark, dir, targetBytes = 512L * 1024 * 1024,
+      promotion = ScaleOps.PointerSwap)
+    val ptr2 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "current").toPath), "UTF-8").trim
+    assert(ptr2 === "v-2")
+    assert(visible === Set("current", "v-1", "v-2"))
+    assert(ScaleOps.readMaintained(spark, dir, ScaleOps.PointerSwap).count() === rows)
+  }
+
+  test("maintenance passes chain through the pointer: retention reads/writes the live version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_ptr_q").toString + "/t"
+    Tables.orders(spark, sfDir).repartition(4).write.parquet(dir)
+    ScaleOps.compact(spark, dir, promotion = ScaleOps.PointerSwap)
+    assert(new java.io.File(dir, "v-1").isDirectory)
+    val before = ScaleOps.readMaintained(spark, dir, ScaleOps.PointerSwap).count()
+    // a keep-everything retention after a pointer compaction must resolve
+    // v-1 as its input (a root read would see stale v-0 bytes twice) and
+    // land v-2 with identical content.
+    ScaleOps.retainRows(spark, dir,
+      ScaleOps.readMaintained(spark, dir, ScaleOps.PointerSwap).select("o_orderkey"),
+      Seq("o_orderkey"), promotion = ScaleOps.PointerSwap)
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "current").toPath), "UTF-8").trim
+    assert(ptr === "v-2")
+    assert(ScaleOps.readMaintained(spark, dir, ScaleOps.PointerSwap).count() === before)
+  }
+
+  test("retainRows deletes state rows for removed keys and compacts the files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retain").toString + "/t"
+    val docs = Tables.documents(spark, sfDir)
+    graft.ext.Dedup.bandTable(docs, w = 5, numHashes = 8, bandWidth = 2)
+      .repartition(8).write.parquet(dir)
+    def files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 8)
+    val survivors = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+    ScaleOps.retainRows(spark, dir, survivors, Seq("doc_id"),
+      targetBytes = 512L * 1024 * 1024)
+    val back = spark.read.parquet(dir)
+    // exactly the survivors' rows remain — no ghosts, no over-deletion
+    assert(back.filter(col("doc_id") % 2 =!= 0).count() === 0L)
+    val expect = graft.ext.Dedup.bandTable(
+      docs.filter(col("doc_id") % 2 === 0), w = 5, numHashes = 8, bandWidth = 2)
+    assert(back.count() === expect.count())
+    assert(back.except(expect).count() === 0L)
+    assert(files === 1, "retention rewrite also compacts")
   }
 
   test("compaction preserves hive partition layout and its pruning") {
