@@ -98,7 +98,11 @@ object Bench {
       s""""$k":{"min":${f3(v)},"runs":[${f3(a)},${f3(b)}],"ok":$ok}"""
     }.mkString("{", ",", "}")
     val detailJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min","ingest_sec":${f3(ingestSec)},"sf":"$sfDir","queries":$detail}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson.getBytes("UTF-8"))
+    // SPARK_GRAFT_DETAIL_OUT: redirect the detail dump (dev ladder/subset
+    // runs must not clobber the committed full-surface BENCH_DETAIL.json;
+    // the driver sets no such var, so its runs keep the default path).
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath), detailJson.getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min"$errField,"ingest_sec":${f3(ingestSec)},"sf":"$sfName","detail":"BENCH_DETAIL.json","queries":$qs}""")
     spark.stop()

@@ -265,6 +265,15 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "corpus_sample_weighted" -> ((s, d) =>
+      // quality-proportional data selection: admission probability =
+      // n_chars / max(n_chars), decided by an exact integer hash compare
+      // (no floats) — better documents survive downsampling more often,
+      // membership is a pure (salt, id) function.
+      ext.Corpus.weightedSample(Tables.documents(s, d), "doc_id", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+
     "corpus_mix_sources" -> ((s, d) =>
       ext.Corpus.mixSources(Tables.documents(s, d), "source", "doc_id",
           Map("src0" -> 800, "src1" -> 500, "src2" -> 200, "src3" -> 100))
@@ -656,6 +665,24 @@ object SparkEntry {
       // be TRUE — a sketch out of bounds fails the hash match.
       ext.Sketches.profileBounds(Tables.events(s, d))
         .orderBy("event_type")),
+
+    "stats_cms_topk" -> ((s, d) => {
+      // Count-Min heavy hitters — the DETERMINISTIC sketch (md5 buckets,
+      // integer sums), so unlike HLL the sketch estimates themselves are
+      // oracle-checkable bit-exactly: build a 4×1024 CM sketch over the
+      // document token stream (only depth×width rows ever shuffle), then
+      // read point estimates for the exact top-20 tokens next to their
+      // true counts. CM never undercounts (n_est ≥ n_exact by
+      // construction); the overcount column is the collision inflation.
+      val docs = Tables.documents(s, d)
+      val tokens = docs.select(explode(split(col("text"), " ")).as("token"))
+      val cms = ext.Sketches.countMinBuild(tokens, "token")
+      val top = ext.TextAnalysis.topTokens(docs, 20)
+      ext.Sketches.countMinEstimate(cms, top, "token")
+        .select(col("token"), col("n").as("n_exact"), col("n_est"),
+          (col("n_est") - col("n")).as("overcount"))
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
 
     "gold_pipeline_e2e" -> ((s, d) => {
       // S5/S8 end-to-end: the FULL ETL (all silver + gold tables written
@@ -2014,6 +2041,13 @@ object SparkEntry {
         |FROM t LEFT JOIN s ON s.lang = t.lang
         |ORDER BY t.lang""".stripMargin,
 
+    "corpus_sample_weighted" ->
+      """WITH m AS (SELECT max(n_chars) AS wmax FROM documents)
+        |SELECT doc_id, source, n_chars FROM documents, m
+        |WHERE CAST('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) * wmax
+        |      < n_chars * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+
     "corpus_mix_sources" ->
       """WITH rates(src, rate) AS (VALUES ('src0', 800), ('src1', 500),
         |                                ('src2', 200), ('src3', 100))
@@ -2319,6 +2353,31 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS exact_users,
         |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stats_cms_topk" -> {
+      // identical md5-salted CM construction (4 rows × 1024 buckets): the
+      // sketch is deterministic, so the estimates hash-match bit-exactly.
+      def bucket(item: String, j: String) =
+        s"CAST('0x' || substr(md5(CAST($j AS VARCHAR) || '|' || $item), 1, 8) AS BIGINT) % 1024"
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |), js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         |cms AS (
+         |  SELECT j, ${bucket("token", "j")} AS bucket, count(*) AS total
+         |  FROM tok CROSS JOIN js GROUP BY 1, 2
+         |), top AS (
+         |  SELECT token, count(*) AS n FROM tok GROUP BY 1
+         |  ORDER BY n DESC, token LIMIT 20
+         |), est AS (
+         |  SELECT t.token, min(c.total) AS n_est
+         |  FROM top t CROSS JOIN js g
+         |  JOIN cms c ON c.j = g.j AND c.bucket = ${bucket("t.token", "g.j")}
+         |  GROUP BY 1
+         |)
+         |SELECT t.token, t.n AS n_exact, e.n_est, e.n_est - t.n AS overcount
+         |FROM top t JOIN est e USING (token)
+         |ORDER BY n_exact DESC, token""".stripMargin
+    },
 
     "gold_pivot" ->
       """SELECT CAST(ts AS DATE) AS event_date,

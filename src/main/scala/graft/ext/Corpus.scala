@@ -73,6 +73,35 @@ object Corpus {
                        keepPerMille: Int, salt: String = "sample"): DataFrame =
     docs.filter(hashBucket(col(idCol), salt, 1000) < keepPerMille)
 
+  /** QUALITY-WEIGHTED deterministic sample — admit each document with
+    * probability proportional to a non-negative integer weight column
+    * (quality-proportional data selection: better documents survive
+    * downsampling more often, the standard corpus-curation move). Admit
+    * iff hash32(salt|id) < (w / wmax) · 2³², evaluated as the exact
+    * integer cross-product `h · wmax < w · 2³²` — no floating point, so
+    * membership is bit-portable across engines (both factors stay far
+    * inside int64: h < 2³², and wmax is required < 2³¹). wmax is a
+    * data-derived global (A3-style one-row aggregate, broadcast — the
+    * top-quality document is admitted with probability 1). Like every
+    * sampler here it is a pure per-row filter: stable under retries and
+    * corpus growth, no shuffle of the corpus itself.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     salt: String = "wsample"): DataFrame = {
+    // the range guard rides ON the one-row aggregate (evaluated once,
+    // fails LOUDLY at runtime) — a wmax outside (0, 2³¹) would overflow
+    // the exact integer compare and silently mis-sample otherwise.
+    val wmax = docs.agg(max(col(weightCol)).cast("long").as("_wmax"))
+      .select(col("_wmax"), assert_true(
+        col("_wmax") > 0 && col("_wmax") < Int.MaxValue,
+        concat(lit(s"weightedSample: max($weightCol) out of (0, 2^31): "),
+          col("_wmax"))).as("_chk"))
+    val h = Dedup.hash32(concat(lit(salt + "|"), col(idCol).cast("string")))
+    docs.crossJoin(broadcast(wmax))
+      .filter(h * col("_wmax") < col(weightCol).cast("long") * lit(4294967296L))
+      .drop("_wmax", "_chk")
+  }
+
   /** Fixed-size overlapping token chunks — the window split every
     * training pipeline runs before tokenization (long documents become
     * `width`-token windows advancing by `stride = width − overlap`).

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch aggregations — the sublinear-state summaries a 100 TB profile
@@ -57,4 +57,53 @@ object Sketches {
           col("exact_users").cast("double") * 0.05).as("hll_ok"),
         (col("p50") >= col("ep25") && col("p50") <= col("ep75")).as("p50_ok"),
         (col("p95") >= col("ep90") && col("p95") <= col("emax")).as("p95_ok"))
+
+  /** Row j's bucket for an item: md5-derived 32-bit hash mod `width` —
+    * the same engine-portable hash family as [[graft.ext.Dedup.hash32]],
+    * salted per row, so the DuckDB oracle computes the identical sketch.
+    */
+  private def cmBucket(item: Column, j: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$j|"), item)), 1, 8), 16, 10)
+      .cast("long"), lit(width))
+
+  /** Count-Min sketch of an item stream — the heavy-hitter counting
+    * sketch: `depth`×`width` counters, item counted once per row at its
+    * salted-hash bucket. Unlike HLL/KLL state, the construction here is
+    * fully DETERMINISTIC (md5 buckets, integer sums), so the sketch —
+    * and every estimate read from it — is bit-exact reproducible across
+    * engines, partitionings and re-runs, and gets a real DuckDB oracle.
+    *
+    * Scale shape: the per-depth explode is map-side only — the
+    * aggregation combines partially to at most depth×width rows, so only
+    * the FIXED-SIZE sketch crosses the shuffle no matter how many
+    * trillions of tokens stream in (contrast an exact token count, which
+    * shuffles one row per distinct token).
+    */
+  def countMinBuild(items: DataFrame, itemCol: String,
+                    depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    items.select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), cmBucket(col(itemCol), j, width).as("bucket"))): _*))
+        .as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("total"))
+  }
+
+  /** Point estimates from a Count-Min sketch: for each queried item, the
+    * MIN of its `depth` bucket counters — an upper bound on the true
+    * count (CM never undercounts; collisions only inflate). The sketch
+    * side is at most depth×width rows, so the join broadcasts.
+    */
+  def countMinEstimate(cms: DataFrame, queries: DataFrame, itemCol: String,
+                       depth: Int = 4, width: Int = 1024): DataFrame = {
+    val expanded = queries.select(col(itemCol) +:
+      (0 until depth).map(j => cmBucket(col(itemCol), j, width).as(s"b$j")): _*)
+    val est = (0 until depth).map { j =>
+      expanded.select(col(itemCol), lit(j).as("j"), col(s"b$j").as("bucket"))
+    }.reduce(_.unionByName(_))
+      .join(broadcast(cms), Seq("j", "bucket"))
+      .groupBy(col(itemCol))
+      .agg(min(col("total")).as("n_est"))
+    queries.join(est, itemCol)
+  }
 }

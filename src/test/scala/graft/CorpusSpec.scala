@@ -49,6 +49,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.size > total * 0.1 && a.size < total * 0.3)
   }
 
+  test("weighted sample: rate tracks the weight, max-weight doc always admitted, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = Corpus.weightedSample(docs, "doc_id", "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Corpus.weightedSample(docs, "doc_id", "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // overall admission rate ≈ E[w] / wmax (hash is uniform on [0, 2³²))
+    val (sumW, maxW, n) = {
+      val r = docs.agg(sum("n_chars"), max("n_chars"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val expected = sumW.toDouble / (maxW * n)
+    val rate = kept.size.toDouble / n
+    assert(math.abs(rate - expected) < 0.1,
+      f"admission rate $rate%.3f vs expected ${expected}%.3f")
+    // a max-weight document is admitted with probability exactly 1
+    // (h·wmax < wmax·2³² always holds) — the boundary case is total.
+    val top = docs.orderBy(col("n_chars").desc).select("doc_id").head().getLong(0)
+    assert(kept.contains(top))
+    // admission frequency must rise with weight: compare the kept rate of
+    // the shortest vs longest tercile.
+    val byLen = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val lo = byLen.take(byLen.length / 3)
+    val hi = byLen.takeRight(byLen.length / 3)
+    def rateOf(xs: Array[(Long, Long)]) =
+      xs.count(x => kept.contains(x._1)).toDouble / xs.length
+    assert(rateOf(hi) > rateOf(lo),
+      s"longer docs must survive more often: hi=${rateOf(hi)} lo=${rateOf(lo)}")
+  }
+
   test("decontaminate drops exactly the flagged training docs, keeps the rest") {
     val docs = Tables.documents(spark, sfDir)
     val bench = Seq("src0", "src1")

@@ -26,4 +26,33 @@ class SketchesSpec extends AnyFunSuite {
         s"$et: p50 sketch $aP50 vs exact $p50")
     }
   }
+
+  test("Count-Min sketch: fixed state size, never undercounts, tight on heavy hitters") {
+    val docs = Tables.documents(spark, sfDir)
+    val tokens = docs.select(explode(split(col("text"), " ")).as("token"))
+    val cms = Sketches.countMinBuild(tokens, "token", depth = 4, width = 1024)
+    // state is bounded by depth x width REGARDLESS of stream size — the
+    // property that makes the sketch shippable at 100 TB.
+    assert(cms.count() <= 4L * 1024)
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("n"))
+    val est = Sketches.countMinEstimate(cms, exact, "token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // CM structural guarantee: min over salted rows can only OVERcount
+    est.foreach { case (t, n, e) =>
+      assert(e >= n, s"token '$t': estimate $e undercounts true $n")
+    }
+    // heavy hitters (the sketch's use case) estimate tightly: with
+    // ~vocab/width expected collisions per bucket, the top tokens'
+    // relative error stays small on this corpus.
+    val heavy = est.sortBy(-_._2).take(20)
+    heavy.foreach { case (t, n, e) =>
+      assert(e - n <= math.max(5L, n / 5),
+        s"heavy hitter '$t': estimate $e too loose vs exact $n")
+    }
+    // deterministic: an independently built sketch estimates identically
+    val cms2 = Sketches.countMinBuild(tokens, "token", depth = 4, width = 1024)
+    val est2 = Sketches.countMinEstimate(cms2, exact, "token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.sortBy(_._1).toSeq === est2.sortBy(_._1).toSeq)
+  }
 }
