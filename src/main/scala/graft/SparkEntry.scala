@@ -571,6 +571,19 @@ object SparkEntry {
       Similarity.ivfKMeans(Tables.embeddings(s, d), numCells = 16, iters = 3)
         .orderBy("cell", "pos")),
 
+    "sim_topk_pq" -> ((s, d) => {
+      // product-quantization ANN: vectors compress to m=4 code ids (the
+      // 100 TB index-size lever), queries score corpus codes through a
+      // broadcast per-query lookup table (ADC). Codebooks are sampled
+      // deterministically and every distance/estimate is an index-ordered
+      // double composition, so encoding AND the final ranking hash-match
+      // the oracle bit-exactly.
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.payloadStats(Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -2199,6 +2212,52 @@ object SparkEntry {
          |)
          |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_topk_pq" -> {
+      // identical PQ pipeline: sampled codebooks (first-16 subvector
+      // slices), L2 argmin encoding, ADC lookup-table scoring with the
+      // m partials summed in fixed column order (pivot, not a float sum
+      // aggregate) — every double composed index-ordered, so the ranking
+      // hash-matches bit-exactly.
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      s"""WITH base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cw AS (
+         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), sv AS (
+         |  SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+         |  FROM embeddings e CROSS JOIN subs s
+         |), enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT v.cid, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.cid, v.sub
+         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
+         |                 c.code ASC) AS rn
+         |    FROM sv v JOIN cw c ON c.sub = v.sub)
+         |  WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
+         |), est AS (
+         |  SELECT l.qid, e.cid,
+         |    MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+         |    + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
+         |  FROM est WHERE qid != cid
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin
+    },
 
     "multimodal_meta" ->
       """SELECT doc_id,

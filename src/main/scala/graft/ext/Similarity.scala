@@ -401,6 +401,103 @@ object Similarity {
         col("scale"))
   }
 
+  /** One row per (id, subspace): the `sub`-th length-`subDim` slice of
+    * the embedding — the shared decomposition step of the PQ operators.
+    */
+  private def subvectors(df: DataFrame, id: String, m: Int,
+                         subDim: Int): DataFrame =
+    df.select(col(id), explode(array((0 until m).map(mm =>
+        struct(lit(mm).as("sub"),
+          slice(col("embedding"), mm * subDim + 1, subDim).as("sv"))): _*)).as("s"))
+      .select(col(id), col("s.sub").as("sub"), col("s.sv").as("sv"))
+
+  /** Squared L2 distance via three fused native dot products — each an
+    * index-ordered double accumulation, composed in a fixed expression
+    * order, so the value (and therefore every argmin that consumes it)
+    * is bit-identical across engines.
+    */
+  private def l2sq(a: Column, b: Column): Column = {
+    val dot = graft.functions.KeyColumns.dot_native _
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+  }
+
+  /** Product-quantization codebooks, SAMPLED deterministically: subspace
+    * `sub`'s codewords are the corresponding slices of the first
+    * `numCodes` corpus vectors in global vec_id order (code ids 0..k−1 in
+    * that order) — the same sampled-seed convention as [[ivfTopK]], so
+    * the DuckDB oracle reproduces the codebook exactly. Production PQ
+    * refines each subspace codebook with k-means — the [[ivfKMeans]]
+    * fixed-point machinery applied per subspace (SimilaritySpec runs that
+    * composition); search is codebook-agnostic.
+    * Output: (sub, code, codeword).
+    */
+  def pqCodebooks(emb: DataFrame, m: Int = 4, numCodes: Int = 16,
+                  dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "subspaces must tile the dimension")
+    requireDim(emb, dim)
+    // the window runs over numCodes rows post-limit — not the corpus.
+    val w = Window.orderBy(col("vec_id"))
+    val base = emb.orderBy(col("vec_id")).limit(numCodes)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("code", row_number().over(w) - 1)
+    subvectors(base, "code", m, dim / m)
+      .select(col("sub"), col("code"), col("sv").as("codeword"))
+  }
+
+  /** PQ encoding: each vector compresses to `m` small code ids — nearest
+    * codeword per subspace by exact squared-L2 (argmin as the
+    * `min(struct(d2, code))` partial agg; ties to the lowest code id).
+    * This is the 100 TB lever: a 64-float embedding becomes m bytes
+    * (here 4×4 bits), a 64× reduction the index scan pays instead of
+    * reading raw vectors. One narrow pass against the broadcast
+    * codebooks; the only exchange carries (id, sub)-grain rows.
+    * Output: (<idCol>, sub, code).
+    */
+  def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int = 4,
+               dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "subspaces must tile the dimension")
+    subvectors(emb.select(col("vec_id"), col("embedding")), "vec_id", m, dim / m)
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2", l2sq(col("sv"), col("codeword")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("vec_id"), col("sub"), col("b.code").as("code"))
+  }
+
+  /** PQ ANN top-k by ASYMMETRIC distance computation (ADC): the query
+    * stays full-precision; each corpus vector is scored through its
+    * codes via a per-query lookup table of partial dot products —
+    * est(q,c) = Σ_sub dot(q_sub, codeword(sub, code(c,sub))). The LUT
+    * (queries × m × numCodes rows) broadcasts; corpus codes join it on
+    * (sub, code) and the per-(query, vector) estimate sums the m
+    * partials in FIXED column order (a pivot, not a float sum aggregate
+    * — bit-stable across partitionings and engines). Approximation
+    * error comes from quantization only; recall is measured against
+    * brute force in SimilaritySpec.
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+             numCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val cw = pqCodebooks(emb, m, numCodes, dim)
+    val codes = pqEncode(emb, cw, m, dim)
+      .select(col("vec_id").as("cid"), col("sub"), col("code"))
+    val lut = subvectors(
+        queries.select(col("vec_id").as("qid"), col("embedding")), "qid", m, dim / m)
+      .join(broadcast(cw), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        graft.functions.KeyColumns.dot_native(col("sv"), col("codeword")).as("pdot"))
+    val partials = (0 until m).map(mm =>
+      max(when(col("sub") === mm, col("pdot"))).as(s"s$mm"))
+    val est = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(partials.head, partials.tail: _*)
+      .withColumn("est", (0 until m).map(mm => col(s"s$mm")).reduce(_ + _))
+    val w = Window.partitionBy(col("qid")).orderBy(col("est").desc, col("cid").asc)
+    est.filter(col("qid") =!= col("cid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"))
+  }
+
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
               numPlanes: Int = 8, bandWidth: Int = 4, dim: Int = 64): DataFrame = {
     val qb = withBandKeys(queries, "qid", numPlanes, bandWidth, dim)

@@ -128,4 +128,63 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getSeq[Double](1) === expect(r.getLong(0)))
     }
   }
+
+  test("PQ encodes every vector to m in-range codes; ADC top-k recovers true neighbors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cw = Similarity.pqCodebooks(emb, m = 4, numCodes = 16)
+    // a full codebook: 4 subspaces x 16 codes, each codeword 16-dim
+    assert(cw.count() === 64)
+    assert(cw.select(size(col("codeword"))).distinct().head().getInt(0) === 16)
+    val codes = Similarity.pqEncode(emb, cw, m = 4)
+    // exactly m rows per vector, codes within [0, numCodes)
+    assert(codes.count() === emb.count() * 4)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() === 0L)
+    // the compression claim: the PQ index stores m small ints per vector
+    // vs 64 floats — the distinct-(sub, code) space is at most 64 cells.
+    assert(codes.select("sub", "code").distinct().count() <= 64L)
+    val q = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(emb, q, k = 10)
+    val got = pq.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    info(f"PQ ADC recall@10 vs brute force: $recall%.2f (random vectors — low is expected)")
+    assert(recall > 0.0, "ADC must recover at least some true neighbors")
+    // deterministic across runs (sampled codebooks, exact argmin, pivot sum)
+    assert(got === Similarity.pqTopK(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+  }
+
+  test("PQ composes with k-means: per-subspace refined codebooks cut quantization error") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val m = 4
+    val sampled = Similarity.pqCodebooks(emb, m = m, numCodes = 16)
+    // refine each subspace codebook with the fixed-point k-means loop:
+    // the subvector table IS an embedding table (vec_id, embedding).
+    val refined = (0 until m).map { mm =>
+      val subEmb = emb.select(col("vec_id"),
+        slice(col("embedding"), mm * 16 + 1, 16).as("embedding"))
+      Similarity.centroidsFromRefinement(
+          Similarity.ivfKMeans(subEmb, numCells = 16, iters = 2))
+        .select(lit(mm).as("sub"), col("cell").as("code"),
+          col("centroid").as("codeword"))
+    }.reduce(_.unionByName(_))
+    def meanD2(cb: DataFrame): Double = {
+      val codes = Similarity.pqEncode(emb, cb, m = m)
+      // re-score each (vector, sub) against its ASSIGNED codeword: the
+      // mean quantization error the encoder achieved with this codebook.
+      val sv = emb.select(col("vec_id"),
+        explode(array((0 until m).map(mm => struct(lit(mm).as("sub"),
+          slice(col("embedding"), mm * 16 + 1, 16).as("sv"))): _*)).as("s"))
+        .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+      sv.join(codes, Seq("vec_id", "sub")).join(cb, Seq("sub", "code"))
+        .select(((graft.functions.KeyColumns.dot_native(col("sv"), col("sv"))
+          - lit(2.0) * graft.functions.KeyColumns.dot_native(col("sv"), col("codeword")))
+          + graft.functions.KeyColumns.dot_native(col("codeword"), col("codeword"))).as("d2"))
+        .agg(avg(col("d2"))).head().getDouble(0)
+    }
+    val (eS, eR) = (meanD2(sampled), meanD2(refined))
+    info(f"mean subvector quantization error: sampled $eS%.4f -> refined $eR%.4f")
+    assert(eR < eS, "k-means-refined codebooks must reduce quantization error")
+  }
 }
