@@ -363,6 +363,18 @@ object SparkEntry {
           bandWidth = 2, threshold = 0.5)
         .orderBy("d1", "d2")),
 
+    "dedup_lsh_capped" -> ((s, d) =>
+      // the SKEW-GUARDED form of dedup_minhash_lsh: band buckets larger
+      // than 2 members are excluded from candidate generation — at
+      // corpus scale one boilerplate bucket can emit more pairs than
+      // the rest of the join combined and stall its reducer; capped
+      // members stay discoverable through their other bands. The cap
+      // BINDS on this corpus (size-3 buckets exist), so the oracle
+      // checks the exclusion semantics, not a no-op.
+      Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
+          bandWidth = 2, threshold = 0.5, maxBucketSize = 2)
+        .orderBy("d1", "d2")),
+
     "dedup_keep_best" -> ((s, d) => {
       // cluster retention by QUALITY: each near-dup cluster keeps its
       // highest-quality member (n_chars as the quality proxy; ties to
@@ -1309,12 +1321,23 @@ object SparkEntry {
   /** Banded-MinHash verified pairs, no ORDER BY — shared by the pair
     * oracle and the connected-components oracle built on it.
     */
-  private lazy val minhashPairsCoreSql: String = {
+  private lazy val minhashPairsCoreSql: String = minhashPairsSql(None)
+
+  /** Banded-MinHash verified pairs with an optional bucket-size cap —
+    * `cap` mirrors `Dedup.minhashLsh(maxBucketSize)`: buckets with more
+    * members are excluded from candidate generation.
+    */
+  private def minhashPairsSql(cap: Option[Int]): String = {
+    val capJoin = cap.map(c =>
+      s"""
+         |  JOIN (SELECT band, bkey FROM bands GROUP BY 1, 2
+         |        HAVING count(*) <= $c) ok
+         |    ON ok.band = x.band AND ok.bkey = x.bkey""".stripMargin).getOrElse("")
     s"""WITH $triSql,
        |$bandCteSql, cands AS (
        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id$capJoin
        |), sizes AS (
        |  SELECT doc_id, count(*) AS n FROM tri GROUP BY 1
        |), com AS (
@@ -1802,6 +1825,9 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
+
+    "dedup_lsh_capped" ->
+      s"${minhashPairsSql(Some(2))}\nORDER BY d1, d2",
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE pairs AS (

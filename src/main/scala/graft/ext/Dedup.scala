@@ -163,15 +163,43 @@ object Dedup {
     * @param numHashes signature length (k independent 32-bit min-hashes)
     * @param bandWidth rows per band; numHashes/bandWidth bands
     * @param threshold final exact-Jaccard verification threshold
+    * @param maxBucketSize skew guard: band buckets with MORE members are
+    *        excluded from candidate generation entirely. A hot bucket
+    *        (boilerplate headers/footers minhashing identically) grows
+    *        candidates quadratically IN THAT BUCKET — at corpus scale one
+    *        boilerplate key can emit more pairs than the rest of the
+    *        join combined and stall its reducer. Capping bounds the
+    *        per-bucket fanout at cap²; the members are still candidates
+    *        through their OTHER (informative) bands, so recall loss is
+    *        confined to pairs whose every collision is boilerplate —
+    *        the documented trade every production near-dup pipeline
+    *        makes. Default = no cap (exact LSH semantics).
     */
   def minhashLsh(docs: DataFrame, w: Int = 3, numHashes: Int = 8,
-                 bandWidth: Int = 2, threshold: Double = 0.5): DataFrame = {
+                 bandWidth: Int = 2, threshold: Double = 0.5,
+                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bandWidth == 0, "bands must tile the signature")
     require(numHashes <= 8, "8 32-bit hashes per two md5 digests")
+    require(maxBucketSize >= 2, "a cap below 2 suppresses every pair")
     val tri = shingles(docs, w).persist()
-    try minhashLshOn(tri, numHashes, bandWidth, threshold).localCheckpoint(eager = true)
+    try minhashLshOn(tri, numHashes, bandWidth, threshold, maxBucketSize)
+      .localCheckpoint(eager = true)
     finally tri.unpersist(blocking = false)
   }
+
+  /** Drop band-bucket memberships whose bucket exceeds `cap` members —
+    * the pre-join filter that bounds LSH candidate fanout under skew.
+    * One partial-agg count on the same (band, bkey) key the candidate
+    * join shuffles on, then a semi-join; no corpus-sized state.
+    */
+  private def capBuckets(bands: DataFrame, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) bands
+    else bands.join(
+      bands.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= cap)
+        .select(col("band"), col("bkey")),
+      Seq("band", "bkey"), "left_semi")
 
   /** MinHash band table of a document set: one row per (doc, band) with
     * the band's bucket key — the compact, md5-portable state a warehouse
@@ -402,8 +430,9 @@ object Dedup {
   }
 
   private def minhashLshOn(tri: DataFrame, numHashes: Int,
-                           bandWidth: Int, threshold: Double): DataFrame = {
-    val bands = bandsOf(tri, numHashes, bandWidth)
+                           bandWidth: Int, threshold: Double,
+                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val bands = capBuckets(bandsOf(tri, numHashes, bandWidth), maxBucketSize)
     // candidates: same band value in any band → LSH bucket join.
     val cands = bands.as("x")
       .join(bands.as("y"),

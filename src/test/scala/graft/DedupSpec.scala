@@ -45,6 +45,32 @@ class DedupSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getDouble(2) >= 0.9))
   }
 
+  test("bucket cap drops hot-bucket pairs only; uncapped pairs are a superset") {
+    import spark.implicits._
+    // a boilerplate corpus: five documents sharing one identical text
+    // (every band bucket they occupy has 5 members) plus one near-dup
+    // pair of distinct text (buckets of 2).
+    val boiler = (0L to 4L).map(i => (i, "common header text repeated across the site today"))
+    val pair = Seq(
+      (10L, "a unique sentence about distributed shuffles and joins"),
+      (11L, "a unique sentence about distributed shuffles and join"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLsh(docs, w = 3, numHashes = 8,
+      bandWidth = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLsh(docs, w = 3, numHashes = 8,
+      bandWidth = 2, threshold = 0.5, maxBucketSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate clique (10 pairs) is suppressed — that is the
+    // quadratic fanout the cap exists to bound...
+    assert(!capped.exists { case (a, b) => a <= 4 && b <= 4 })
+    // ...while the informative near-dup pair survives (its buckets are
+    // under the cap), and nothing NEW appears.
+    assert(capped.contains((10L, 11L)))
+    assert(capped.subsetOf(uncapped))
+    assert(uncapped.exists { case (a, b) => a <= 4 && b <= 4 })
+  }
+
   test("simhash: identical docs share a signature; near dups are close in hamming") {
     val sigs = Dedup.simhash16(fixture).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
