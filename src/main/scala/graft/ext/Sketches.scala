@@ -96,11 +96,13 @@ object Sketches {
     */
   def countMinEstimate(cms: DataFrame, queries: DataFrame, itemCol: String,
                        depth: Int = 4, width: Int = 1024): DataFrame = {
-    val expanded = queries.select(col(itemCol) +:
-      (0 until depth).map(j => cmBucket(col(itemCol), j, width).as(s"b$j")): _*)
-    val est = (0 until depth).map { j =>
-      expanded.select(col(itemCol), lit(j).as("j"), col(s"b$j").as("bucket"))
-    }.reduce(_.unionByName(_))
+    // explode, not a per-depth union: a union would re-evaluate the
+    // queries frame (often itself an aggregation) once per depth row.
+    val expanded = queries.select(col(itemCol),
+        explode(array((0 until depth).map(j =>
+          struct(lit(j).as("j"), cmBucket(col(itemCol), j, width).as("bucket"))): _*)).as("jb"))
+      .select(col(itemCol), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    val est = expanded
       .join(broadcast(cms), Seq("j", "bucket"))
       .groupBy(col(itemCol))
       .agg(min(col("total")).as("n_est"))
