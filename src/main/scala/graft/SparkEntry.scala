@@ -558,6 +558,16 @@ object SparkEntry {
       TextAnalysis.repetitionStats(Tables.documents(s, d), n = 3)
         .orderBy("doc_id")),
 
+    "text_bpe_merges" -> ((s, d) =>
+      // BPE tokenizer merge training, 4 rounds: each round counts
+      // adjacent symbol pairs (exact integer, weighted by word
+      // frequency), merges the argmax pair corpus-wide. The learned
+      // merge table is deterministic end to end (leftmost-nonoverlap
+      // literal replace, lexicographic tie-break), so the oracle
+      // unrolls the rounds like sim_ivf_kmeans.
+      TextAnalysis.bpeMerges(Tables.documents(s, d), rounds = 4)
+        .orderBy("round")),
+
     "sim_quantize_int8" -> ((s, d) =>
       // symmetric per-vector int8 quantization, exploded layout — the
       // 4x memory/IO lever for a billion-vector ANN index; spec bounds
@@ -690,6 +700,41 @@ object SparkEntry {
       // be TRUE — a sketch out of bounds fails the hash match.
       ext.Sketches.profileBounds(Tables.events(s, d))
         .orderBy("event_type")),
+
+    "stats_equidepth" -> ((s, d) => {
+      // equi-depth (quantile-bucket) histogram per event type: ntile(10)
+      // over a deterministic total order (value, then event_id as the
+      // unique tie-break). The window partitions by event_type — the
+      // per-group sort shape; a single group too large to sort in one
+      // partition graduates to percentile_approx (stats_sketches) or the
+      // two-phase rank machinery proven by corpus_pack_global.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+        .orderBy("event_type", "decile")
+    }),
+
+    "gold_transitions" -> ((s, d) => {
+      // event-type transition matrix (the path-analysis mart): each
+      // user's events in time order, lag(1) gives the predecessor, and
+      // the count of (prev, curr) pairs is the Markov transition table.
+      // One user-partitioned window (same exchange family as sessionize)
+      // + one partial-agg count.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy("prev_type", "event_type")
+    }),
 
     "stats_cms_topk" -> ((s, d) => {
       // Count-Min heavy hitters — the DETERMINISTIC sketch (md5 buckets,
@@ -2140,6 +2185,41 @@ object SparkEntry {
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "text_bpe_merges" -> {
+      // 4 unrolled BPE rounds: pair counting from the space-delimited
+      // symbol string, argmax with (count desc, pair asc) tie-break,
+      // leftmost-nonoverlapping space-anchored replace — identical
+      // semantics verified for both engines' replace().
+      val rounds = 4
+      val cte = (1 to rounds).map { r =>
+        s"""p$r AS (
+           |  SELECT l[i] AS p1, l[i+1] AS p2, CAST(sum(cnt) AS BIGINT) AS pc
+           |  FROM (SELECT string_split(trim(seq), ' ') AS l, cnt FROM s${r - 1}) t,
+           |       unnest(generate_series(1, len(l)-1)) AS u(i)
+           |  GROUP BY 1, 2
+           |), b$r AS (
+           |  SELECT p1, p2, pc FROM p$r ORDER BY pc DESC, p1 ASC, p2 ASC LIMIT 1
+           |), s$r AS (
+           |  SELECT replace(seq, ' '||b.p1||' '||b.p2||' ', ' '||b.p1||b.p2||' ') AS seq, cnt
+           |  FROM s${r - 1}, b$r b
+           |)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to rounds).map(r =>
+        s"SELECT $r AS round, p1 AS left_sym, p2 AS right_sym, pc AS pair_count FROM b$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY 1
+         |), s0 AS (
+         |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq, cnt
+         |  FROM w0
+         |),
+         |$cte
+         |$out
+         |ORDER BY round""".stripMargin
+    },
+
     "sim_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
@@ -2438,6 +2518,30 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS exact_users,
         |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stats_equidepth" ->
+      """WITH x AS (
+        |  SELECT event_type, value,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |                    ORDER BY value ASC, event_id ASC) AS decile
+        |  FROM events
+        |)
+        |SELECT event_type, CAST(decile AS INTEGER) AS decile,
+        |  count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM x GROUP BY 1, 2
+        |ORDER BY event_type, decile""".stripMargin,
+
+    "gold_transitions" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type, count(*) AS n_transitions
+        |FROM x WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY prev_type, event_type""".stripMargin,
 
     "stats_cms_topk" -> {
       // identical md5-salted CM construction (4 rows × 1024 buckets): the

@@ -175,4 +175,75 @@ object TextAnalysis {
           .as("pred_lang"),
         col("hits").as("best_hits"))
   }
+
+  /** Byte-pair-encoding MERGE TRAINING, distributed — the tokenizer-
+    * vocabulary step an LLM data pipeline runs over its corpus. Classic
+    * BPE on word frequencies: start from character symbols, then each
+    * round (1) count adjacent symbol pairs weighted by word frequency,
+    * (2) merge the globally most frequent pair (ties: lexicographically
+    * smallest) in every word. Returns the learned merge table —
+    * (round, left_sym, right_sym, pair_count) — which IS the tokenizer
+    * artifact BPE training exists to produce.
+    *
+    * Scale shape per round: one partial+final count over symbol-pair
+    * rows (key space ≈ vocabulary², map-side combined), ONE best-pair
+    * row to the driver (the same K-sized hop as ivfKMeans centroids),
+    * and a per-row string `replace` to apply the merge — no shuffle of
+    * the word table itself, which stays (distinct words × counts),
+    * never the corpus. Everything is exact integer counting plus
+    * leftmost-nonoverlapping literal replacement, with symbols
+    * space-delimited and the sequence space-padded so a pair match can
+    * never straddle a symbol boundary — Spark's `replace` and DuckDB's
+    * behave identically, so N chained rounds stay bit-identical and the
+    * oracle simply unrolls them.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "bpeMerges: at least one merge round")
+    val spark = docs.sparkSession
+    // word-frequency table: BPE's working set (distinct words, not the
+    // corpus). Empty tokens (double spaces) carry no symbols — dropped.
+    var words = docs.select(explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        array_join(split(col("word"), ""), " "), lit(" ")).as("seq"),
+        col("cnt"))
+      .persist()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    try {
+      for (r <- 1 to rounds) {
+        val l = split(trim(col("seq")), " ")
+        val pairs = words
+          .filter(size(l) >= 2) // sequence(1, 0) would DEscend — guard
+          .select(col("cnt"), explode(transform(sequence(lit(1), size(l) - 1),
+            i => struct(element_at(l, i).as("p1"),
+              element_at(l, i + 1).as("p2")))).as("p"))
+          .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+          .agg(sum(col("cnt")).as("pc"))
+        val best = pairs
+          .orderBy(col("pc").desc, col("p1").asc, col("p2").asc)
+          .limit(1).collect()
+        if (best.isEmpty) {
+          // every word is a single symbol — nothing left to merge
+          return merged(spark, merges.result())
+        }
+        val (p1, p2, pc) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((r, p1, p2, pc))
+        val next = words.withColumn("seq",
+          org.apache.spark.sql.functions.replace(col("seq"),
+            lit(s" $p1 $p2 "), lit(s" $p1$p2 "))).persist()
+        next.count() // materialize before releasing the predecessor
+        words.unpersist(blocking = false)
+        words = next
+      }
+      merged(spark, merges.result())
+    } finally words.unpersist(blocking = false)
+  }
+
+  private def merged(spark: SparkSession,
+                     ms: Seq[(Int, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    ms.toDF("round", "left_sym", "right_sym", "pair_count")
+  }
 }
