@@ -802,6 +802,36 @@ object SparkEntry {
       detachAndClean(sinkBelowHorizon(s, d, s"$tmp/out", "category"), tmp)
     }),
 
+    "stream_dedup" -> ((s, d) => {
+      // LIVE at-least-once ingest dedup on the oracle path: the staged
+      // source holds the events feed PLUS a replayed copy of 1/7 of its
+      // rows (the duplicate delivery every at-least-once transport
+      // produces); AvailableNow stream → watermark id-dedup → parquet
+      // sink. The read-back must equal the ORIGINAL feed exactly: every
+      // replayed id dropped, no original lost. First occurrences emit
+      // immediately (dedup holds no rows back), so no horizon filter.
+      val (tmp, src) = stageEventsStreamDir(d)
+      // replay rows read from the ORIGINAL feed path (never read-write
+      // the same directory), appended as one extra source file — the
+      // whole source stays below the file-source batch cap, so originals
+      // and replays share a micro-batch.
+      s.read.parquet(s"$d/events.parquet")
+        .filter(col("event_id") % 7 === 0)
+        .coalesce(1)
+        .write.mode("append").parquet(src)
+      val sch = s.read.parquet(src).schema
+      graft.streaming.Streams.dedupPipeline(
+          s, sch, src, s"$tmp/out", s"$tmp/ck", "event_id",
+          prepare = rebuildStreamTs)
+        .awaitTermination()
+      detachAndClean(
+        s.read.parquet(s"$tmp/out")
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            col("value"), unix_millis(col("ts")).as("ts_ms"))
+          .orderBy("event_id"),
+        tmp)
+    }),
+
     "stream_exactly_once" -> ((s, d) => {
       // the foreachBatch transactional-sink pattern LIVE on the oracle
       // path: AvailableNow stream → per-batch-directory overwrite sink
@@ -2439,6 +2469,11 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "stream_exactly_once" ->
+      """SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_dedup" ->
+      // the replayed 1/7 must vanish: sink == the original feed, exactly.
       """SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
 

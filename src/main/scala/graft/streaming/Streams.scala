@@ -94,6 +94,23 @@ object Streams {
   def dedupStream(events: DataFrame, idCol: String): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(idCol)
 
+  /** [[dedupStream]] as a LIVE pipeline: file stream → watermark id-dedup
+    * → parquet sink, AvailableNow — the at-least-once ingest front door
+    * (a replayed source file's rows are dropped on id, first occurrence
+    * emitted immediately; dedup state ages out past the watermark
+    * horizon, so state is bounded no matter how long the feed runs).
+    */
+  def dedupPipeline(spark: SparkSession, schema: StructType, srcDir: String,
+                    outDir: String, checkpointDir: String, idCol: String,
+                    prepare: DataFrame => DataFrame = identity): StreamingQuery =
+    dedupStream(prepare(spark.readStream.schema(schema).parquet(srcDir)), idCol)
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+
   /** Exactly-once `foreachBatch` sink via IDEMPOTENT per-batch writes —
     * the standard hardening of Structured Streaming's at-least-once
     * `foreachBatch` contract: a micro-batch can be REPLAYED after a
