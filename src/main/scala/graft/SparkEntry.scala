@@ -429,6 +429,37 @@ object SparkEntry {
       finally sigs.unpersist(blocking = false)
     }),
 
+    "dedup_state_append" -> ((s, d) => {
+      // the WRITE half of incremental admission, two batches deep: build
+      // and persist the seen corpus's band state, admit batch 1 against
+      // it, APPEND the admitted docs' bands to the state, then admit
+      // batch 2 against the UPDATED state. A batch-2 doc colliding with
+      // an ADMITTED batch-1 doc must be rejected — exactly what the
+      // append exists for; without it the state stops deduplicating
+      // against everything after the initial corpus.
+      val docs = Tables.documents(s, d)
+      val seenSrc = (0 to 9).map(i => s"src$i")
+      val b1Src = (10 to 14).map(i => s"src$i")
+      val seen = docs.filter(col("source").isin(seenSrc: _*))
+      val batch1 = docs.filter(col("source").isin(b1Src: _*))
+      val batch2 = docs.filter(!col("source").isin((seenSrc ++ b1Src): _*))
+      val tmp = TempDirs.create("graft-state-append-").toString
+      val stateDir = s"$tmp/bands"
+      Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2)
+        .write.parquet(stateDir)
+      val adm1 = Dedup.incrementalNearDup(batch1, s.read.parquet(stateDir),
+        w = 5, numHashes = 8, bandWidth = 2)
+      Dedup.appendBandState(s, stateDir, adm1,
+        w = 5, numHashes = 8, bandWidth = 2)
+      val adm2 = Dedup.incrementalNearDup(batch2, s.read.parquet(stateDir),
+        w = 5, numHashes = 8, bandWidth = 2)
+      detachAndClean(
+        adm1.unionByName(adm2)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
     "dedup_state_retention" -> ((s, d) => {
       // dedup-STATE lifecycle round-trip: build and PERSIST the band-table
       // state for the accumulated corpus, remove a third of its documents
@@ -979,6 +1010,48 @@ object SparkEntry {
             sum(col("event_id")).as("id_sum"),
             centsSum(col("value")).as("value_cents"))
           .orderBy("batch_id", "event_type"),
+        tmp)
+    }),
+
+    "scale_backfill_partition" -> ((s, d) => {
+      // partition backfill (INSERT OVERWRITE PARTITION analog): the
+      // initial load lands a CORRUPTED first day (values doubled — the
+      // bad-load event backfill exists to repair); the backfill rewrites
+      // exactly that day's partition via dynamic partition overwrite.
+      // The read-back must equal the clean feed (oracle), and the
+      // physical contract is asserted: an untouched day's file set is
+      // bit-identical before and after (cost ∝ backfilled partitions,
+      // never the table).
+      val tmp = TempDirs.create("graft-backfill-").toString
+      val dir = s"$tmp/events_bydate"
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("user_id"), col("value"), unix_millis(col("ts")).as("ts_ms"),
+        to_date(col("ts")).as("event_date"))
+      val day0 = ev.agg(min(col("event_date"))).head().getDate(0)
+      ev.withColumn("value",
+          when(col("event_date") === lit(day0), col("value") * 2)
+            .otherwise(col("value")))
+        .repartition(col("event_date"))
+        .write.partitionBy("event_date").parquet(dir)
+      def filesOf(p: String): Set[String] =
+        new java.io.File(dir, p).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName + ":" + f.length).toSet
+      val untouched = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+        .map(_.getName).filterNot(_ == s"event_date=$day0").sorted.head
+      val before = filesOf(untouched)
+      graft.operators.ScaleOps.backfillPartitions(
+        ev.filter(col("event_date") === lit(day0))
+          .repartition(col("event_date")),
+        dir, Seq("event_date"))
+      require(filesOf(untouched) == before,
+        s"backfill must not rewrite untouched partition $untouched")
+      detachAndClean(
+        s.read.parquet(dir)
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            col("value"), col("ts_ms"))
+          .orderBy("event_id"),
         tmp)
     }),
 
@@ -1994,6 +2067,54 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "dedup_state_append" -> {
+      // two-phase admission: batch 2's seen-set is the initial corpus
+      // PLUS batch 1's admitted docs — the Spark side gets this answer
+      // only if the state append really carried admitted bands forward.
+      val seenList = (0 to 9).map(i => s"'src$i'").mkString(",")
+      val b1List = (10 to 14).map(i => s"'src$i'").mkString(",")
+      s"""WITH $triSql,
+         |$bandCteSql,
+         |docsrc AS (SELECT doc_id, source FROM documents),
+         |seenb AS (
+         |  SELECT DISTINCT band, bkey FROM bands JOIN docsrc USING (doc_id)
+         |  WHERE source IN ($seenList)),
+         |b1 AS (
+         |  SELECT b.doc_id, b.band, b.bkey
+         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
+         |  WHERE s.source IN ($b1List)),
+         |rej1 AS (
+         |  SELECT DISTINCT doc_id FROM b1 JOIN seenb USING (band, bkey)
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM b1 x
+         |  JOIN b1 y ON x.band = y.band AND x.bkey = y.bkey
+         |             AND x.doc_id < y.doc_id),
+         |adm1 AS (
+         |  SELECT d.doc_id FROM docsrc d
+         |  WHERE d.source IN ($b1List)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM rej1)),
+         |seenb2 AS (
+         |  SELECT band, bkey FROM seenb
+         |  UNION
+         |  SELECT DISTINCT band, bkey FROM bands JOIN adm1 USING (doc_id)),
+         |b2 AS (
+         |  SELECT b.doc_id, b.band, b.bkey
+         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
+         |  WHERE s.source NOT IN ($seenList, $b1List)),
+         |rej2 AS (
+         |  SELECT DISTINCT doc_id FROM b2 JOIN seenb2 USING (band, bkey)
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM b2 x
+         |  JOIN b2 y ON x.band = y.band AND x.bkey = y.bkey
+         |             AND x.doc_id < y.doc_id)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE (d.source IN ($b1List)
+         |       AND d.doc_id NOT IN (SELECT doc_id FROM rej1))
+         |   OR (d.source NOT IN ($seenList, $b1List)
+         |       AND d.doc_id NOT IN (SELECT doc_id FROM rej2))
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "dedup_state_retention" -> {
       // admission against a seen-set that NEVER contained the removed
       // docs: the Spark side gets the same answer only if retention truly
@@ -2474,6 +2595,11 @@ object SparkEntry {
 
     "stream_dedup" ->
       // the replayed 1/7 must vanish: sink == the original feed, exactly.
+      """SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "scale_backfill_partition" ->
+      // the corrupted day was repaired in place: read-back == clean feed.
       """SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
 

@@ -300,6 +300,26 @@ object Dedup {
                       bandWidth: Int): DataFrame =
     bandsFromSigs(minhashesOf(tri, numHashes), numHashes, bandWidth)
 
+  /** The WRITE half of the incremental-admission lifecycle: extend a
+    * persisted band table with the bands of newly ADMITTED documents, so
+    * the next batch is deduplicated against them too (admission without
+    * state append silently stops deduplicating against everything after
+    * the initial corpus). Validates the existing state's layout columns
+    * against the append's parameters first — appending bands built with
+    * a different (w, numHashes, bandWidth) would poison every later
+    * admission. A plain parquet append: one new file set, no rewrite of
+    * existing state (the retention pass, [[graft.operators.ScaleOps
+    * .retainRows]], is where state files get compacted).
+    */
+  def appendBandState(spark: org.apache.spark.sql.SparkSession,
+                      stateDir: String, admitted: DataFrame, w: Int = 3,
+                      numHashes: Int = 8, bandWidth: Int = 2): Unit = {
+    requireStateLayout(spark.read.parquet(stateDir), "seen band table",
+      Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth))
+    bandTable(admitted, w, numHashes, bandWidth)
+      .write.mode("append").parquet(stateDir)
+  }
+
   /** Fail LOUDLY when persisted dedup state was built with a different
     * layout than the admission call: mismatched (w, numHashes, bandWidth)
     * produce bucket keys that can never collide, so every incoming

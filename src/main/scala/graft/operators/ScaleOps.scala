@@ -435,4 +435,23 @@ object ScaleOps {
     stagedRewrite(spark, dir, targetBytes, promotion, ".retaining")(
       _.join(keepKeys, keys, "left_semi"))
   }
+
+  /** Partition BACKFILL — the `INSERT OVERWRITE PARTITION` maintenance
+    * op: rewrite exactly the Hive partitions present in `df`, leaving
+    * every other partition's files untouched (dynamic partition
+    * overwrite). This is how a warehouse repairs one bad load day inside
+    * a years-deep table without rewriting — or even listing — the rest:
+    * the write cost is proportional to the backfilled partitions, never
+    * the table. The caller's frame must contain ONLY the rows of the
+    * partitions being repaired; a full-table frame would (correctly but
+    * expensively) rewrite everything.
+    */
+  def backfillPartitions(df: DataFrame, dir: String,
+                         partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "backfill needs partition columns")
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+  }
 }
