@@ -637,6 +637,19 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    "sim_topk_ivfpq" -> ((s, d) => {
+      // the production ANN composition: IVF cells restrict candidates to
+      // the query's nprobe nearest cells, PQ codes score them through
+      // the broadcast ADC lookup table — scan cost = (probed fraction) ×
+      // (m-byte codes), never raw vectors. Deterministic end to end, so
+      // the oracle composes the two pipelines and the ranking
+      // hash-matches bit-exactly.
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.payloadStats(Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -2469,6 +2482,72 @@ object SparkEntry {
          |)
          |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_topk_ivfpq" -> {
+      // IVF candidate restriction (cent/ca/qp from the sim_topk_ivf
+      // oracle) composed with PQ ADC scoring (cw/enc/lut from the
+      // sim_topk_pq oracle), estimates summed in fixed pivot order.
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), ca AS (
+         |  SELECT cid, cell FROM (
+         |    SELECT e.vec_id AS cid, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |  ) WHERE crn <= 1
+         |), qp AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT e.vec_id AS qid, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id < 5
+         |  ) WHERE crn <= 4
+         |), cands AS (
+         |  SELECT q.qid, a.cid FROM qp q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid
+         |), base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cw AS (
+         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), sv AS (
+         |  SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+         |  FROM embeddings e CROSS JOIN subs s
+         |), enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT v.cid, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.cid, v.sub
+         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
+         |                 c.code ASC) AS rn
+         |    FROM sv v JOIN cw c ON c.sub = v.sub)
+         |  WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
+         |), est AS (
+         |  SELECT n.qid, n.cid,
+         |    MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+         |    + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+         |  FROM cands n
+         |  JOIN enc e ON e.cid = n.cid
+         |  JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
+         |  FROM est
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    },
 
     "sim_topk_pq" -> {
       // identical PQ pipeline: sampled codebooks (first-16 subvector

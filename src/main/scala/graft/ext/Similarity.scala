@@ -498,6 +498,60 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"))
   }
 
+  /** IVF-PQ ANN — the composition production vector stores actually
+    * ship: the IVF coarse quantizer restricts candidates to the query's
+    * `nprobe` nearest cells (corpus fraction touched ≈ nprobe/numCells),
+    * and PQ codes score those candidates through the broadcast ADC
+    * lookup table instead of reading raw vectors — so the scan cost is
+    * (probed fraction) × (m-byte codes), the shape that serves
+    * billion-vector indexes from RAM. Candidates join codes on cid, the
+    * LUT on (qid, sub, code); the per-pair estimate is the same
+    * fixed-order pivot sum as [[pqTopK]], so the whole pipeline stays
+    * bit-exact and oracle-checkable.
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                numCells: Int = 16, nprobe: Int = 4, m: Int = 4,
+                numCodes: Int = 16, dim: Int = 64): DataFrame = {
+    // the IVF cell machinery inline: assignment by argmax partial agg,
+    // query probes by the small-side window.
+    val centroids = broadcast(emb.orderBy(col("vec_id")).limit(numCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
+    require(!centroids.isEmpty, "ivfPqTopK: corpus has no vectors")
+    val cells = assignCells(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      "cid", "ce", centroids)
+      .select(col("cid"), col("cell"))
+    val scoredQ = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(centroids)
+      .withColumn("csim", cosine(col("qe"), col("centroid")))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell").asc)
+    val probes = scoredQ.withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("cell"))
+    val cands = probes.join(cells, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+    val cw = pqCodebooks(emb, m, numCodes, dim)
+    val codes = pqEncode(emb, cw, m, dim)
+      .select(col("vec_id").as("cid"), col("sub"), col("code"))
+    val lut = subvectors(
+        queries.select(col("vec_id").as("qid"), col("embedding")), "qid", m, dim / m)
+      .join(broadcast(cw), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        graft.functions.KeyColumns.dot_native(col("sv"), col("codeword")).as("pdot"))
+    val partials = (0 until m).map(mm =>
+      max(when(col("sub") === mm, col("pdot"))).as(s"s$mm"))
+    val est = cands.join(codes, Seq("cid"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(partials.head, partials.tail: _*)
+      .withColumn("est", (0 until m).map(mm => col(s"s$mm")).reduce(_ + _))
+    val w = Window.partitionBy(col("qid")).orderBy(col("est").desc, col("cid").asc)
+    est.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"))
+  }
+
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
               numPlanes: Int = 8, bandWidth: Int = 4, dim: Int = 64): DataFrame = {
     val qb = withBandKeys(queries, "qid", numPlanes, bandWidth, dim)

@@ -155,6 +155,27 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
   }
 
+  test("IVF-PQ: candidates come from probed cells only; ADC ranks within them") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 5)
+    val out = Similarity.ivfPqTopK(emb, q, k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (qid, cid) => qid < 5 && cid != qid })
+    // the IVF restriction is real: every returned neighbor also appears
+    // in plain IVF's candidate set at the same (numCells, nprobe) when
+    // ranked exactly — i.e. IVF-PQ returns a subset of IVF's reachable
+    // candidates, never something outside the probed cells.
+    val reachable = Similarity.ivfTopK(emb, q, k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got.forall(reachable.contains))
+    // deterministic across runs
+    assert(got.toSeq === Similarity.ivfPqTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq)
+  }
+
   test("PQ composes with k-means: per-subspace refined codebooks cut quantization error") {
     val emb = Tables.embeddings(spark, sfDir)
     val m = 4
