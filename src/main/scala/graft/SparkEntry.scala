@@ -780,6 +780,25 @@ object SparkEntry {
         .orderBy("prev_type", "event_type")
     }),
 
+    "stats_exact_quantiles" -> ((s, d) => {
+      // exact global quartiles + p90 WITHOUT a global sort or a
+      // single-partition window: distributed selection (range partition
+      // → per-partition counts → read only the partitions holding the
+      // requested ranks). The oracle computes the same ranks with a
+      // global window — the point is the SPARK plan never pays one.
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val n = ev.count()
+      val qs = Seq(0.25, 0.5, 0.75, 0.9)
+      val ranks = qs.map(q =>
+        math.min(n, math.max(1L, math.floor(q * (n + 1)).toLong)))
+      val sel = graft.operators.ScaleOps.exactRanks(
+        ev.select(col("value"), col("event_id")), "value", "event_id", ranks)
+      qs.zip(ranks).toDF("q", "rank").join(sel, "rank")
+        .select(col("q"), col("rank"), col("value"))
+        .orderBy("q")
+    }),
+
     "stats_cms_topk" -> ((s, d) => {
       // Count-Min heavy hitters — the DETERMINISTIC sketch (md5 buckets,
       // integer sums), so unlike HLL the sketch estimates themselves are
@@ -2758,6 +2777,19 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS exact_users,
         |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stats_exact_quantiles" ->
+      """WITH n AS (SELECT count(*) AS n FROM events),
+        |r AS (
+        |  SELECT q, LEAST(GREATEST(CAST(floor(q*(n+1)) AS BIGINT), 1), n) AS rank
+        |  FROM n, (VALUES (0.25), (0.5), (0.75), (0.9)) t(q)
+        |), s AS (
+        |  SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT r.q, r.rank, s.value
+        |FROM r JOIN s ON s.rn = r.rank
+        |ORDER BY q""".stripMargin,
 
     "stats_equidepth" ->
       """WITH x AS (

@@ -436,6 +436,79 @@ object ScaleOps {
       _.join(keepKeys, keys, "left_semi"))
   }
 
+  /** Exact ORDER STATISTICS by distributed selection — the scalable
+    * form of "the element at global rank k" (exact median, quartiles):
+    * a global `Window.orderBy` serializes the relation through one task;
+    * a full `orderBy` sorts everything to read back a handful of rows.
+    * Selection needs neither:
+    *
+    *  1. range-partition by (value, id) — partition i holds a contiguous
+    *     range of the total order — and count each partition (one tiny
+    *     row per partition to the driver, the [[withPrefixSum]] shape);
+    *  2. cumulative counts locate each requested rank's partition and
+    *     local offset; ONE more pass over only the partitions that hold
+    *     requested ranks reads the rows out. Both passes share the range
+    *     shuffle's files.
+    *
+    * `idCol` must be a unique tie-break so the total order — and
+    * therefore every selected value — is deterministic and
+    * engine-portable. Ranks are 1-based in (value, id) order. Returns
+    * (rank, value double) with one row per distinct requested rank.
+    */
+  def exactRanks(df: DataFrame, valueCol: String, idCol: String,
+                 ranks: Seq[Long], numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    require(ranks.nonEmpty && ranks.forall(_ >= 1), "ranks are 1-based")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val ranged = df.select(col(valueCol).cast("double"), col(idCol))
+      .repartitionByRange(n, col(valueCol), col(idCol))
+      .sortWithinPartitions(col(valueCol), col(idCol))
+    // one RDD value: the counting pass and the selection pass share the
+    // range shuffle's lineage (files), as in withPrefixSum.
+    val rdd = ranged.rdd
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L; it.foreach(_ => c += 1); Iterator((pid, c))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    require(ranks.max <= total,
+      s"rank ${ranks.max} beyond the $total rows present")
+    // rank r lives in the last partition whose cumulative start < r
+    val byPart: Map[Int, Seq[(Long, Long)]] = ranks.distinct
+      .map { r =>
+        val p = offsets.lastIndexWhere(_ < r)
+        (p, (r - offsets(p), r)) // (1-based local offset, global rank)
+      }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      byPart.get(pid) match {
+        case None => Iterator.empty
+        case Some(ws) =>
+          val needs = ws.sortBy(_._1)
+          val out = Seq.newBuilder[(Long, Double)]
+          var i = 0L
+          var ni = 0
+          while (it.hasNext && ni < needs.length) {
+            val row = it.next(); i += 1
+            while (ni < needs.length && needs(ni)._1 == i) {
+              out += ((needs(ni)._2, row.getDouble(0)))
+              ni += 1
+            }
+          }
+          out.result().iterator
+      }
+    }.collect() // result-sized: one row per requested rank
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq.map {
+        case (r, v) => org.apache.spark.sql.Row(r, v)
+      }),
+      StructType(Seq(StructField("rank", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = false))))
+  }
+
   /** Partition BACKFILL — the `INSERT OVERWRITE PARTITION` maintenance
     * op: rewrite exactly the Hive partitions present in `df`, leaving
     * every other partition's files untouched (dynamic partition

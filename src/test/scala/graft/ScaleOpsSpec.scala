@@ -314,6 +314,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ScaleOps.readMaintained(spark, dir, ScaleOps.PointerSwap).count() === before)
   }
 
+  test("exactRanks equals the sequential order statistic at every requested rank") {
+    val ev = Tables.events(spark, sfDir).select(col("value"), col("event_id"))
+    val n = ev.count()
+    // a spread of ranks including both boundaries and an interior run
+    val ranks = Seq(1L, 2L, n / 3, n / 2, n - 1, n).distinct
+    val got = ScaleOps.exactRanks(ev, "value", "event_id", ranks)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sorted = ev.orderBy(col("value"), col("event_id"))
+      .select(col("value").cast("double")).collect().map(_.getDouble(0))
+    assert(got.keySet === ranks.toSet)
+    ranks.foreach { r =>
+      assert(got(r) === sorted((r - 1).toInt), s"rank $r")
+    }
+    // deterministic under a different partitioning of the same data
+    val got2 = ScaleOps.exactRanks(ev.repartition(7), "value", "event_id",
+      ranks, numPartitions = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2 === got)
+    // out-of-range rank fails loudly, not silently empty
+    intercept[IllegalArgumentException] {
+      ScaleOps.exactRanks(ev, "value", "event_id", Seq(n + 1))
+    }
+  }
+
   test("retainRows deletes state rows for removed keys and compacts the files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_retain").toString + "/t"
     val docs = Tables.documents(spark, sfDir)
