@@ -45,23 +45,43 @@ object Bench {
     // such var, so its runs always time the full surface.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val surface = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        release()
-        (dt, ok)
-      }
-      // two isolated runs, report the min: a stray GC pause or JIT
-      // recompile can inflate either single run; the min of two clean-state
-      // runs is the reproducible steady-state cost of the plan itself.
-      val (a, okA) = once(); val (b, okB) = once()
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      release()
+      (dt, ok)
+    }
+    // two isolated runs per query, report the min — but INTERLEAVED
+    // (A-pass over the whole surface, then B-pass), not back-to-back:
+    // back-to-back pairs share whatever transient JVM state (JIT tier,
+    // heap shape, page cache) the moment imposes, so their min tracked
+    // the drift instead of suppressing it — three rounds of cross-round
+    // archaeology traced to exactly this. With ~an hour between a
+    // query's two runs, the min of two INDEPENDENT samples is a far
+    // tighter estimator of the plan's steady-state cost, and the A/B
+    // spread itself is measurable as the run's noise floor (emitted
+    // below), so future rounds compare totals against a known error bar.
+    val passA = surface.map { case (name, fn) => name -> once(fn) }.toMap
+    val passB = surface.map { case (name, fn) => name -> once(fn) }.toMap
+    val results = surface.map { case (name, _) =>
+      val (a, okA) = passA(name); val (b, okB) = passB(name)
       (name, math.min(a, b), okA && okB, (a, b))
     }
+    // noise floor: median over queries of max(a,b)/min(a,b) — the
+    // within-run cross-pass disagreement of identical code on identical
+    // data. A cross-round total delta inside this band is weather.
+    val ratios = results.collect { case (_, _, true, (a, b)) if math.min(a, b) > 0 =>
+      math.max(a, b) / math.min(a, b)
+    }.sorted
+    val noiseFloor =
+      if (ratios.isEmpty) 1.0
+      else if (ratios.length % 2 == 1) ratios(ratios.length / 2)
+      else (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2
     // ONE compact JSON line. The harness keeps only the LAST 2000 chars of
     // the run's output (r4 evidence: the recorded tail began mid-map — the
     // HEAD of the line is what truncation removes), and sbt's trailing
@@ -97,14 +117,14 @@ object Bench {
     val detail = results.map { case (k, v, ok, (a, b)) =>
       s""""$k":{"min":${f3(v)},"runs":[${f3(a)},${f3(b)}],"ok":$ok}"""
     }.mkString("{", ",", "}")
-    val detailJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min","ingest_sec":${f3(ingestSec)},"sf":"$sfDir","queries":$detail}"""
+    val detailJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min","interleaved":true,"noise_floor":${f3(noiseFloor)},"ingest_sec":${f3(ingestSec)},"sf":"$sfDir","queries":$detail}"""
     // SPARK_GRAFT_DETAIL_OUT: redirect the detail dump (dev ladder/subset
     // runs must not clobber the committed full-surface BENCH_DETAIL.json;
     // the driver sets no such var, so its runs keep the default path).
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath), detailJson.getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min"$errField,"ingest_sec":${f3(ingestSec)},"sf":"$sfName","detail":"BENCH_DETAIL.json","queries":$qs}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min","interleaved":true,"noise_floor":${f3(noiseFloor)}$errField,"ingest_sec":${f3(ingestSec)},"sf":"$sfName","detail":"$detailPath","queries":$qs}""")
     spark.stop()
   }
 }

@@ -418,8 +418,13 @@ object SparkEntry {
       // the seen-side shingle→minhash pipeline runs ONCE: signatures are
       // the state, bands a derived projection (what a warehouse persists
       // vs recomputes); persist released after the eager checkpoint in
-      // the operator.
+      // the operator. MATERIALIZE the cache before anything reads it:
+      // bandTableFromSignatures and the operator's layout validation each
+      // run one-row probe jobs, and against a lazily-cached frame every
+      // probe re-ran a partial shingle→minhash pipeline (the r7 bench
+      // doubling) — one count() up front turns them all into cache reads.
       val sigs = Dedup.signatureTable(seen, w = 5, numHashes = 8).persist()
+      sigs.count()
       try Dedup.incrementalNearDupVerified(incoming,
           Dedup.bandTableFromSignatures(sigs, bandWidth = 2),
           sigs,

@@ -88,18 +88,19 @@ object Corpus {
     */
   def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
                      salt: String = "wsample"): DataFrame = {
-    // the range guard rides ON the one-row aggregate (evaluated once,
-    // fails LOUDLY at runtime) — a wmax outside (0, 2³¹) would overflow
-    // the exact integer compare and silently mis-sample otherwise.
-    val wmax = docs.agg(max(col(weightCol)).cast("long").as("_wmax"))
-      .select(col("_wmax"), assert_true(
-        col("_wmax") > 0 && col("_wmax") < Int.MaxValue,
-        concat(lit(s"weightedSample: max($weightCol) out of (0, 2^31): "),
-          col("_wmax"))).as("_chk"))
+    // the range guard runs on the DRIVER against the one-row aggregate —
+    // a wmax outside (0, 2³¹) would overflow the exact integer compare
+    // and silently mis-sample. (An assert_true attached to a dropped
+    // column is NOT a guard: Catalyst prunes unreferenced columns, so the
+    // assertion would never evaluate.) The collected max then rides as a
+    // literal — one fewer join than broadcasting the aggregate.
+    val row = docs.agg(max(col(weightCol)).cast("long")).head()
+    if (row.isNullAt(0)) return docs.filter(lit(false)) // empty corpus
+    val wmax = row.getLong(0)
+    require(wmax > 0 && wmax < Int.MaxValue,
+      s"weightedSample: max($weightCol) out of (0, 2^31): $wmax")
     val h = Dedup.hash32(concat(lit(salt + "|"), col(idCol).cast("string")))
-    docs.crossJoin(broadcast(wmax))
-      .filter(h * col("_wmax") < col(weightCol).cast("long") * lit(4294967296L))
-      .drop("_wmax", "_chk")
+    docs.filter(h * lit(wmax) < col(weightCol).cast("long") * lit(4294967296L))
   }
 
   /** Fixed-size overlapping token chunks — the window split every

@@ -83,12 +83,21 @@ object ScaleUp {
     replicate(spark, r) { i =>
       if (i == 0) emb
       else {
+        // rotate: same norm/marginals, ~orthogonal to other replicas.
+        // rot wraps at dim (replica dim would repeat replica 0's vectors
+        // exactly, reintroducing the cross-replica duplicates this tool
+        // exists to avoid), so each wrap also flips the sign — distinct
+        // transforms for r up to 2*dim, enforced below.
+        require(i < 2 * dim,
+          s"replica $i: rotation+flip transforms are distinct only for r <= ${2 * dim}")
         val rot = i % dim
+        val rotated = concat(slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot))
+        val flipped = if ((i / dim) % 2 == 1)
+          transform(rotated, x => -x) else rotated
         emb.select(
           (col("vec_id") + lit(i * Offset)).as("vec_id"),
-          // rotate: same norm/marginals, ~orthogonal to other replicas.
-          concat(slice(col("embedding"), rot + 1, dim - rot),
-            slice(col("embedding"), 1, rot)).as("embedding"),
+          flipped.as("embedding"),
           col("label"))
       }
     } match { case df => writeSingleFile(df, out, "embeddings") }
