@@ -604,6 +604,15 @@ object SparkEntry {
       TextAnalysis.bpeMerges(Tables.documents(s, d), rounds = 4)
         .orderBy("round")),
 
+    "text_bpe_encode" -> ((s, d) =>
+      // the APPLY step of BPE: train 4 merges, then tokenize every
+      // document with them — per-doc token counts are what the trained
+      // table exists to produce. Encoding runs over the distinct-word
+      // vocab, never the corpus; the oracle unrolls the same 4 training
+      // rounds and the same replace chain.
+      TextAnalysis.bpeEncode(Tables.documents(s, d), rounds = 4)
+        .orderBy("doc_id")),
+
     "sim_quantize_int8" -> ((s, d) =>
       // symmetric per-vector int8 quantization, exploded layout — the
       // 4x memory/IO lever for a billion-vector ANN index; spec bounds
@@ -820,6 +829,26 @@ object SparkEntry {
         .select(col("token"), col("n").as("n_exact"), col("n_est"),
           (col("n_est") - col("n")).as("overcount"))
         .orderBy(col("n_exact").desc, col("token"))
+    }),
+
+    "stats_cms_merge" -> ((s, d) => {
+      // CMS MERGEABILITY, bit-exact: split the token stream by document
+      // parity, build one sketch per batch (the per-shard/per-day shape
+      // an incremental pipeline persists), MERGE them cell-wise, and
+      // emit the merged sketch itself. The oracle builds the SINGLE-PASS
+      // sketch over the union — hash equality IS the proof that
+      // build(A) ⊕ build(B) == build(A∪B) cell for cell, which is what
+      // makes the sketch accumulable state rather than a query-local
+      // artifact. Only depth×width rows ever shuffle on either path.
+      val docs = Tables.documents(s, d)
+      val tokens = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val a = tokens.filter(col("doc_id") % 2 === 0).select(col("token"))
+      val b = tokens.filter(col("doc_id") % 2 =!= 0).select(col("token"))
+      ext.Sketches.countMinMerge(
+          ext.Sketches.countMinBuild(a, "token"),
+          ext.Sketches.countMinBuild(b, "token"))
+        .orderBy("j", "bucket")
     }),
 
     "gold_pipeline_e2e" -> ((s, d) => {
@@ -2408,6 +2437,60 @@ object SparkEntry {
          |ORDER BY round""".stripMargin
     },
 
+    "text_bpe_encode" -> {
+      // the same 4 unrolled training rounds as text_bpe_merges, then the
+      // encode chain: each distinct word's symbol sequence through the 4
+      // replaces in round order (b1..b4 are single-row CTEs), symbol
+      // counts joined back onto the doc word stream, zero-fill for
+      // wordless documents.
+      val rounds = 4
+      val cte = (1 to rounds).map { r =>
+        s"""p$r AS (
+           |  SELECT l[i] AS p1, l[i+1] AS p2, CAST(sum(cnt) AS BIGINT) AS pc
+           |  FROM (SELECT string_split(trim(seq), ' ') AS l, cnt FROM s${r - 1}) t,
+           |       unnest(generate_series(1, len(l)-1)) AS u(i)
+           |  GROUP BY 1, 2
+           |), b$r AS (
+           |  SELECT p1, p2, pc FROM p$r ORDER BY pc DESC, p1 ASC, p2 ASC LIMIT 1
+           |), s$r AS (
+           |  SELECT replace(seq, ' '||b.p1||' '||b.p2||' ', ' '||b.p1||b.p2||' ') AS seq, cnt
+           |  FROM s${r - 1}, b$r b
+           |)""".stripMargin
+      }.mkString(",\n")
+      val applied = (1 to rounds).foldLeft(
+        "' ' || array_to_string(string_split(v.word, ''), ' ') || ' '") {
+        (acc, r) =>
+          s"replace($acc, ' '||b$r.p1||' '||b$r.p2||' ', ' '||b$r.p1||b$r.p2||' ')"
+      }
+      val bs = (1 to rounds).map(r => s"b$r").mkString(", ")
+      s"""WITH w0 AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY 1
+         |), s0 AS (
+         |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq, cnt
+         |  FROM w0
+         |),
+         |$cte,
+         |wt AS (
+         |  SELECT v.word,
+         |         len(string_split(trim($applied), ' ')) AS n_sym
+         |  FROM (SELECT word FROM w0) v, $bs
+         |), dw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN wt USING (word)
+         |  WHERE len(word) > 0 GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "sim_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
@@ -2843,6 +2926,20 @@ object SparkEntry {
          |SELECT t.token, t.n AS n_exact, e.n_est, e.n_est - t.n AS overcount
          |FROM top t JOIN est e USING (token)
          |ORDER BY n_exact DESC, token""".stripMargin
+    },
+
+    "stats_cms_merge" -> {
+      // single-pass sketch over the FULL token stream: the Spark side
+      // merged two batch sketches, so hash equality proves ⊕ == 1-pass.
+      def bucket(item: String, j: String) =
+        s"CAST('0x' || substr(md5(CAST($j AS VARCHAR) || '|' || $item), 1, 8) AS BIGINT) % 1024"
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |), js AS (SELECT unnest(generate_series(0, 3)) AS j)
+         |SELECT CAST(j AS INTEGER) AS j, ${bucket("token", "j")} AS bucket,
+         |       CAST(count(*) AS BIGINT) AS total
+         |FROM tok CROSS JOIN js GROUP BY 1, 2
+         |ORDER BY j, bucket""".stripMargin
     },
 
     "gold_pivot" ->

@@ -89,6 +89,37 @@ object Sketches {
       .agg(count(lit(1)).as("total"))
   }
 
+  /** MERGE of Count-Min sketches: cell-wise sum over (row, bucket) —
+    * the property that makes CM a PIPELINE operator rather than a
+    * query-local one: batch sketches built independently (per day, per
+    * shard, per source) combine into exactly the sketch a single pass
+    * over the union would build, because counting commutes with
+    * addition cell by cell. With this engine's deterministic md5
+    * buckets the equivalence is BIT-exact, not just error-bound —
+    * `stats_cms_merge` oracle-checks build(A) ⊕ build(B) == build(A∪B)
+    * cell for cell. A bucket present in only one input keeps its count
+    * (the union is the outer form of the cell-wise sum).
+    *
+    * All inputs MUST be built with the same (depth, width) — the same
+    * caller contract [[countMinEstimate]] already carries (layout is a
+    * parameter of this sketch family, not per-row metadata; sketches
+    * persisted as long-lived state should ride their layout alongside,
+    * as the dedup band state does). Scale shape: each input is at most
+    * depth×width rows, so the merge aggregation is sketch-sized no
+    * matter how many trillions of items the inputs summarize.
+    */
+  def countMinMerge(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "countMinMerge: at least one sketch")
+    parts.foreach(p =>
+      require(Seq("j", "bucket", "total").forall(p.columns.contains),
+        "countMinMerge: not a Count-Min sketch — need (j, bucket, total) " +
+          "columns as built by countMinBuild"))
+    parts.map(_.select(col("j"), col("bucket"), col("total")))
+      .reduce(_ unionByName _)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("total")).as("total"))
+  }
+
   /** Point estimates from a Count-Min sketch: for each queried item, the
     * MIN of its `depth` bucket counters — an upper bound on the true
     * count (CM never undercounts; collisions only inflate). The sketch

@@ -196,6 +196,17 @@ object TextAnalysis {
     * never straddle a symbol boundary — Spark's `replace` and DuckDB's
     * behave identically, so N chained rounds stay bit-identical and the
     * oracle simply unrolls them.
+    *
+    * DOCUMENTED DEVIATION from classic BPE on repeated-symbol runs: the
+    * space-anchored replace consumes the boundary space shared by
+    * adjacent matches, so a run of ≥4 identical symbols merges only its
+    * leftmost occurrence per round (" a a a a " → " aa a a ", where
+    * classic leftmost-nonoverlapping pairing yields " aa aa "). The
+    * merge TABLE (which pair wins each round) is unaffected unless
+    * counts tie at exactly this margin; [[bpeEncode]] applies merges
+    * with the identical single-pass semantics, so train and encode
+    * always agree with each other and with the oracle, which replicates
+    * the same replace behavior.
     */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "bpeMerges: at least one merge round")
@@ -245,5 +256,57 @@ object TextAnalysis {
                      ms: Seq[(Int, String, String, Long)]): DataFrame = {
     import spark.implicits._
     ms.toDF("round", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** BPE ENCODE — the apply step that makes the learned merge table a
+    * tokenizer rather than an artifact: train `rounds` merges
+    * ([[bpeMerges]]), then tokenize every document with them and return
+    * per-document token counts. The merge list is collected to the
+    * driver (≤ `rounds` rows — the same K-sized hop as the k-means
+    * centroids) and applied as a chain of literal replaces in ROUND
+    * ORDER, each with the identical single-pass leftmost-nonoverlap
+    * semantics training used — so an encoded word's final symbol
+    * sequence is exactly the training loop's final state for that word,
+    * by construction, and the oracle unrolls the same chain.
+    *
+    * Scale shape: encoding runs over the DISTINCT-word table (vocab-
+    * sized, never the corpus — the working-set reduction BPE training
+    * already exploits), then one equi-join maps per-word symbol counts
+    * back onto the corpus word stream and a partial+final agg rolls
+    * them up per document. Documents with no words zero-fill.
+    * Output: (doc_id, n_words, n_bpe_tokens).
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+    val ms = bpeMerges(docs, rounds).orderBy(col("round"))
+      .select(col("left_sym"), col("right_sym")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    bpeEncodeWith(docs, ms)
+  }
+
+  /** [[bpeEncode]] against an EXPLICIT merge list — the deployed-
+    * tokenizer path: merges are trained once, persisted, and applied to
+    * every later corpus without retraining.
+    */
+  def bpeEncodeWith(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val baseSeq = concat(lit(" "),
+      array_join(split(col("word"), ""), " "), lit(" "))
+    val encoded = merges.foldLeft(baseSeq) { case (c, (p1, p2)) =>
+      org.apache.spark.sql.functions.replace(c,
+        lit(s" $p1 $p2 "), lit(s" $p1$p2 "))
+    }
+    val vocab = docs.select(explode(toks).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(col("word"), size(split(trim(encoded), " ")).as("n_sym"))
+    val perDoc = docs.select(col("doc_id"), explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(vocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 }

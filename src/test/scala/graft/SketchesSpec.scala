@@ -55,4 +55,30 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(est.sortBy(_._1).toSeq === est2.sortBy(_._1).toSeq)
   }
+
+  test("Count-Min merge: batch-split build ⊕ merge == single-pass build, cell for cell") {
+    val docs = Tables.documents(spark, sfDir)
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // three-way split (odd arity exercises the varargs reduce)
+    val parts = (0 until 3).map(i =>
+      Sketches.countMinBuild(
+        tokens.filter(col("doc_id") % 3 === i).select(col("token")), "token"))
+    val merged = cells(Sketches.countMinMerge(parts: _*))
+    val single = cells(Sketches.countMinBuild(tokens.select(col("token")), "token"))
+    assert(merged === single)
+    // a bucket present in only one input keeps its count: merge a
+    // disjoint-vocabulary sketch and check totals are the outer sum.
+    val extra = Sketches.countMinBuild(
+      spark.range(5).select(concat(lit("zz_unique_"), col("id")).as("token")),
+      "token")
+    val outer = cells(Sketches.countMinMerge(
+      Sketches.countMinBuild(tokens.select(col("token")), "token"), extra))
+    val extraCells = cells(extra)
+    outer.foreach { case (k, v) =>
+      assert(v === single.getOrElse(k, 0L) + extraCells.getOrElse(k, 0L)) }
+    assert(outer.keySet === single.keySet ++ extraCells.keySet)
+  }
 }

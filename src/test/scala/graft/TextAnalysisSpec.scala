@@ -52,4 +52,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a === b)
     assert(a.size === 3)
   }
+
+  test("BPE encode: zero merges = one token per char; trained merges shrink counts") {
+    // textbook corpus again: with no merges every character is a symbol,
+    // so n_bpe_tokens == non-space char count; after the 4 learned
+    // merges, "low"→1 symbol, "lower"→2 ("lowe","r" — wait: rounds
+    // (l,o)(lo,w)(low,e)(lowe,r) make "lower" 1), "lowest"→3.
+    val docs = Seq((1L, "low low lower lowest"), (2L, ""))
+      .toDF("doc_id", "text")
+    val none = TextAnalysis.bpeEncodeWith(docs, Nil).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(none.toSeq === Seq((1L, 4L, 17L), (2L, 0L, 0L)))
+    val enc = TextAnalysis.bpeEncode(docs, rounds = 4).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // merges learned on THIS corpus: (l,o),(lo,w),(low,e),(lowe,r) →
+    // low=1 sym ×2, lower=1 sym ("lower"), lowest: ' lowe s t ' → 3.
+    assert(enc.toSeq === Seq((1L, 4L, 2L + 1L + 3L), (2L, 0L, 0L)))
+  }
+
+  test("BPE encode on real documents: counts bounded by chars below and words above") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val base = TextAnalysis.bpeEncodeWith(docs, Nil)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).head().getLong(0)
+    val enc = TextAnalysis.bpeEncode(docs, rounds = 4)
+    import org.apache.spark.sql.functions.{col, sum}
+    val row = enc.agg(sum("n_bpe_tokens"), sum("n_words")).head()
+    val (tokens, words) = (row.getLong(0), row.getLong(1))
+    assert(tokens < base, s"4 merges should shrink $base")
+    assert(tokens >= words, "a word is at least one token")
+    // every doc individually respects the word lower bound
+    assert(enc.filter(col("n_bpe_tokens") < col("n_words")).count() === 0L)
+  }
 }
