@@ -929,6 +929,46 @@ object SparkEntry {
         tmp)
     }),
 
+    "stream_dedup_restart" -> ((s, d) => {
+      // dedup state SURVIVES a restart — the crash-recovery half of the
+      // ingest-dedup contract: two AvailableNow passes against the SAME
+      // checkpoint. Pass 1 ingests the feed; the source then grows by
+      // (a) REPLAYS of feed rows from inside the watermark horizon (the
+      // redelivery a crash-restart produces — ids whose dedup state the
+      // checkpoint must still hold) and (b) genuinely NEW events above
+      // the old max event time. Pass 2 must drop every replay (state
+      // restored from the checkpoint, not rebuilt from scratch) and
+      // emit every new row — the sink equals feed ∪ new, exactly.
+      val (tmp, src) = stageEventsStreamDir(d)
+      val sch = s.read.parquet(src).schema
+      def runPass(): Unit =
+        graft.streaming.Streams.dedupPipeline(
+          s, sch, src, s"$tmp/out", s"$tmp/ck", "event_id",
+          prepare = rebuildStreamTs).awaitTermination()
+      runPass()
+      // grow the source only AFTER pass 1 committed its checkpoint.
+      // Replays: the last 50 min of the feed — inside the 1 h watermark
+      // horizon on both sides (state still alive, rows not late), so
+      // the drop decision is forced to come from RESTORED state.
+      val feed = s.read.parquet(s"$d/events.parquet")
+      val maxNs = feed.agg(max(col("ts"))).head().getLong(0)
+      val replays = feed.filter(col("ts") > lit(maxNs - 3000000000000L))
+      // new rows: ids offset far past the feed, event times strictly
+      // above the old max so none is late behind the restored watermark.
+      val fresh = feed.filter(col("event_id") % 7 === 3)
+        .withColumn("event_id", col("event_id") + lit(10000000L))
+        .withColumn("ts",
+          lit(maxNs) + (col("event_id") % 1000 + 1) * lit(1000000000L))
+      replays.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+      runPass()
+      detachAndClean(
+        s.read.parquet(s"$tmp/out")
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            col("value"), unix_millis(col("ts")).as("ts_ms"))
+          .orderBy("event_id"),
+        tmp)
+    }),
+
     "stream_exactly_once" -> ((s, d) => {
       // the foreachBatch transactional-sink pattern LIVE on the oracle
       // path: AvailableNow stream → per-batch-directory overwrite sink
@@ -2783,6 +2823,20 @@ object SparkEntry {
       // the replayed 1/7 must vanish: sink == the original feed, exactly.
       """SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_dedup_restart" ->
+      // sink across both passes == feed ∪ new rows: every replay dropped
+      // by state RESTORED from the checkpoint, every new row admitted.
+      // (10000000 is a multiple of 1000, so the id offset cancels in the
+      // % 1000 event-time spread — mirror of the Spark construction.)
+      """WITH m AS (SELECT epoch_ms(max(ts)) AS mx_ms FROM events)
+        |SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |UNION ALL
+        |SELECT event_id + 10000000, event_type, user_id, value,
+        |       m.mx_ms + (event_id % 1000 + 1) * 1000
+        |FROM events, m WHERE event_id % 7 = 3
+        |ORDER BY event_id""".stripMargin,
 
     "scale_backfill_partition" ->
       // the corrupted day was repaired in place: read-back == clean feed.

@@ -132,6 +132,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup state survives a restart: replays across checkpoints still drop") {
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(minOff: Int) = new java.sql.Timestamp(t0.getTime + minOff * 60000L)
+    val schema = Seq((1L, t0)).toDF("event_id", "ts").schema
+    // pass 1: ids 1..3 spread over 20 minutes
+    Seq((1L, ts(0)), (2L, ts(10)), (3L, ts(20)))
+      .toDF("event_id", "ts").coalesce(1).write.mode("append").parquet(src)
+    Streams.dedupPipeline(spark, schema, src, out, ckpt, "event_id")
+      .awaitTermination()
+    assert(spark.read.parquet(out).count() === 3L)
+    // restart: a NEW query instance on the same checkpoint sees a grown
+    // source — id 2 replayed (inside the 1 h horizon of the restored
+    // watermark) plus new ids 10, 11. Without restored state, id 2
+    // would be re-emitted.
+    Seq((2L, ts(10)), (10L, ts(30)), (11L, ts(40)))
+      .toDF("event_id", "ts").coalesce(1).write.mode("append").parquet(src)
+    Streams.dedupPipeline(spark, schema, src, out, ckpt, "event_id")
+      .awaitTermination()
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 10L, 11L),
+      s"restored state must drop the replayed id 2 exactly once: ${ids.mkString(",")}")
+  }
+
   test("exactly-once sink: a replayed micro-batch idempotently overwrites its own batch directory") {
     val base = java.nio.file.Files.createTempDirectory("graft_eos").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
