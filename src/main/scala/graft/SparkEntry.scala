@@ -664,6 +664,51 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    "sim_index_roundtrip" -> ((s, d) => {
+      // the PERSISTED ANN index lifecycle, end to end on disk: build an
+      // IVF-PQ index over ¾ of the corpus (centroids + codebooks frozen,
+      // cells + codes bucketed by cell), search the PERSISTED index both
+      // ways (flat re-rank and ADC), APPEND the remaining ¼ against the
+      // frozen quantizers, and search again — four phases, one result.
+      // The oracle unrolls the same pipeline with the same frozen seeds,
+      // so a search that recomputed instead of reading persisted state,
+      // an append that retrained, or a stale-layout read would all
+      // hash-mismatch. Pre-phase results are eagerly materialized BEFORE
+      // the append mutates the index under their lazy plans.
+      val emb = Tables.embeddings(s, d)
+      val initial = emb.filter(col("vec_id") % 4 =!= 3)
+      val delta = emb.filter(col("vec_id") % 4 === 3)
+      val queries = emb.filter(col("vec_id") < 5)
+      val tmp = TempDirs.create("graft-vindex-").toString
+      val dir = s"$tmp/index"
+      ext.VectorIndex.build(initial, dir)
+      def phase(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("phase"), col("qid"),
+          col("rank").cast("int").as("rnk"), col("cid"))
+          .localCheckpoint(eager = true)
+      val preF = phase("1_pre_flat",
+        ext.VectorIndex.searchFlat(s, dir, queries, k = 5))
+      val preA = phase("2_pre_adc",
+        ext.VectorIndex.searchAdc(s, dir, queries, k = 5))
+      val cellFiles = s.read.parquet(s"$dir/cells")
+        .select(input_file_name()).distinct().count()
+      ext.VectorIndex.append(s, dir, delta)
+      // physical proof the append extended state in place: more cell
+      // files, frozen quantizers untouched.
+      val cellFiles2 = s.read.parquet(s"$dir/cells")
+        .select(input_file_name()).distinct().count()
+      require(cellFiles2 > cellFiles,
+        s"append should add cell files ($cellFiles -> $cellFiles2)")
+      val postF = phase("3_post_flat",
+        ext.VectorIndex.searchFlat(s, dir, queries, k = 5))
+      val postA = phase("4_post_adc",
+        ext.VectorIndex.searchAdc(s, dir, queries, k = 5))
+      detachAndClean(
+        preF.unionByName(preA).unionByName(postF).unionByName(postA)
+          .orderBy("phase", "qid", "rnk"),
+        tmp)
+    }),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.payloadStats(Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -2694,6 +2739,86 @@ object SparkEntry {
          |)
          |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin
+    },
+
+    "sim_index_roundtrip" -> {
+      // the persisted-index lifecycle unrolled: centroids and codebooks
+      // FROZEN from the initial ¾ corpus (vec_id % 4 != 3), searched
+      // flat and ADC first over the initial corpus (pre phases), then —
+      // after the append — over the full corpus with the SAME frozen
+      // quantizers (post phases). Query probes and the ADC LUT depend
+      // only on the frozen tables, so they are shared across phases.
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      val corpora = Seq("pre" -> "e.vec_id % 4 != 3", "post" -> "TRUE")
+      val perCorpus = corpora.map { case (p, where) =>
+        s"""ca_$p AS (
+           |  SELECT cid, ce, cell FROM (
+           |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+           |    FROM embeddings e CROSS JOIN cent c WHERE $where
+           |  ) WHERE crn <= 1
+           |), enc_$p AS (
+           |  SELECT cid, sub, code FROM (
+           |    SELECT v.cid, v.sub, c.code,
+           |      row_number() OVER (PARTITION BY v.cid, v.sub
+           |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
+           |                 c.code ASC) AS rn
+           |    FROM (SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+           |          FROM embeddings e CROSS JOIN subs s WHERE $where) v
+           |    JOIN cw c ON c.sub = v.sub)
+           |  WHERE rn = 1
+           |), flat_$p AS (
+           |  SELECT qid, cid,
+           |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+           |  FROM (SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
+           |        FROM qp q JOIN ca_$p a ON a.cell = q.cell AND a.cid != q.qid)
+           |), adc_$p AS (
+           |  SELECT qid, cid,
+           |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
+           |  FROM (
+           |    SELECT n.qid, n.cid,
+           |      MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+           |      + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+           |    FROM (SELECT q.qid, a.cid FROM qp q
+           |          JOIN ca_$p a ON a.cell = q.cell AND a.cid != q.qid) n
+           |    JOIN enc_$p e ON e.cid = n.cid
+           |    JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
+           |    GROUP BY 1, 2)
+           |)""".stripMargin
+      }.mkString(",\n")
+      val out = Seq(("1_pre_flat", "flat_pre"), ("2_pre_adc", "adc_pre"),
+          ("3_post_flat", "flat_post"), ("4_post_adc", "adc_post"))
+        .map { case (label, src) =>
+          s"SELECT '$label' AS phase, qid, CAST(rnk AS INTEGER) AS rnk, cid FROM $src WHERE rnk <= 5"
+        }.mkString("\nUNION ALL\n")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  WHERE vec_id % 4 != 3 ORDER BY vec_id LIMIT 16
+         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings WHERE vec_id % 4 != 3 ORDER BY vec_id LIMIT 16
+         |), cw AS (
+         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), qp AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+         |  ) WHERE crn <= 4
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
+         |),
+         |$perCorpus
+         |$out
+         |ORDER BY phase, qid, rnk""".stripMargin
     },
 
     "sim_topk_pq" -> {

@@ -58,7 +58,7 @@ object Similarity {
     * ONE definition so the (sim desc, cid asc) tie-break — which every
     * DuckDB oracle mirrors — cannot drift between paths.
     */
-  private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
+  private[ext] def rankTopK(cands: DataFrame, k: Int): DataFrame = {
     val scored = cands.withColumn("sim", cosine(col("qe"), col("ce")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -147,7 +147,8 @@ object Similarity {
     *     `numCells` centroids — one narrow pass over the corpus against a
     *     broadcast centroid table (K rows), shuffle only on the cell id.
     *     At warehouse scale the cell assignment is persisted (bucketed by
-    *     cell), not recomputed per query.
+    *     cell), not recomputed per query — that lifecycle is
+    *     [[VectorIndex]] (build / searchFlat / searchAdc / append).
     *  2. PROBE: each query scores the same centroids, takes its `nprobe`
     *     nearest cells, and exact-cosine re-ranks ONLY those cells'
     *     members — the corpus fraction touched is ~nprobe/numCells.
@@ -170,8 +171,8 @@ object Similarity {
     * idiom shared with `keepBestPerCluster` and `silver_nearest`.
     * Output columns: (<id>, <embCol>, cell).
     */
-  private def assignCells(df: DataFrame, id: String, embCol: String,
-                          centroids: DataFrame): DataFrame =
+  private[ext] def assignCells(df: DataFrame, id: String, embCol: String,
+                               centroids: DataFrame): DataFrame =
     df.crossJoin(centroids)
       .withColumn("csim", cosine(col(embCol), col("centroid")))
       .groupBy(col(id))
@@ -206,25 +207,31 @@ object Similarity {
     ivfSearch(emb, queries, k, centroids.select(col("cell"), col("centroid")), nprobe)
   }
 
+  /** Query-side probe step shared by every IVF search (in-memory and
+    * persisted-index): each query's `nprobe` nearest cells by the same
+    * (csim desc, cell asc) window the oracles mirror. The window is on
+    * the SMALL query side — its sort never touches corpus rows.
+    * Input (qid, qe); output (qid, qe, cell).
+    */
+  private[ext] def probeCells(queries: DataFrame, centroids: DataFrame,
+                              nprobe: Int): DataFrame = {
+    val scored = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qe"), col("centroid")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell").asc)
+    scored.withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cell"))
+  }
+
   private def ivfSearch(emb: DataFrame, queries: DataFrame, k: Int,
                         centroidSet: DataFrame, nprobe: Int): DataFrame = {
     val centroids = broadcast(centroidSet)
-    // query side keeps the window: nprobe > 1 cells per query, and the
-    // query set is the SMALL side — its sort never touches corpus rows.
-    def nearestCells(df: DataFrame, id: String, embCol: String,
-                     probes: Int): DataFrame = {
-      val scored = df.crossJoin(centroids)
-        .withColumn("csim", cosine(col(embCol), col("centroid")))
-      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell").asc)
-      scored.withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= probes)
-        .select(col(id), col(embCol), col("cell"))
-    }
     val cells = assignCells(
       emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
       "cid", "ce", centroids)
-    val probes = nearestCells(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid", "qe", nprobe)
+    val probes = probeCells(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      centroids, nprobe)
     rankTopK(
       probes.join(cells, Seq("cell"))
         .filter(col("qid") =!= col("cid"))
@@ -498,6 +505,41 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"))
   }
 
+  /** Per-query ADC lookup table: partial dot products of each query's
+    * subvectors against every codeword — (queries × m × numCodes) rows,
+    * broadcast-sized. Shared by [[ivfPqTopK]] and the persisted-index
+    * search ([[VectorIndex.searchAdc]]). Input queries: (qid, embedding).
+    * Output: (qid, sub, code, pdot).
+    */
+  private[ext] def adcLut(queries: DataFrame, codebooks: DataFrame,
+                          m: Int, dim: Int): DataFrame =
+    subvectors(queries.select(col("qid"), col("embedding")), "qid", m, dim / m)
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        graft.functions.KeyColumns.dot_native(col("sv"), col("codeword")).as("pdot"))
+
+  /** ADC scoring + ranking tail shared by the IVF-PQ compositions:
+    * candidate (qid, cid) pairs score through their codes joined to the
+    * broadcast LUT; the per-pair estimate sums the m partials in FIXED
+    * column order (a pivot, not a float sum aggregate — bit-stable
+    * across partitionings and engines); ranking is the query-partitioned
+    * window over candidate-sized rows. `codes`: (cid, sub, code).
+    */
+  private[ext] def adcRank(cands: DataFrame, codes: DataFrame,
+                           lut: DataFrame, m: Int, k: Int): DataFrame = {
+    val partials = (0 until m).map(mm =>
+      max(when(col("sub") === mm, col("pdot"))).as(s"s$mm"))
+    val est = cands.join(codes, Seq("cid"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(partials.head, partials.tail: _*)
+      .withColumn("est", (0 until m).map(mm => col(s"s$mm")).reduce(_ + _))
+    val w = Window.partitionBy(col("qid")).orderBy(col("est").desc, col("cid").asc)
+    est.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"))
+  }
+
   /** IVF-PQ ANN — the composition production vector stores actually
     * ship: the IVF coarse quantizer restricts candidates to the query's
     * `nprobe` nearest cells (corpus fraction touched ≈ nprobe/numCells),
@@ -521,12 +563,9 @@ object Similarity {
       emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
       "cid", "ce", centroids)
       .select(col("cid"), col("cell"))
-    val scoredQ = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .crossJoin(centroids)
-      .withColumn("csim", cosine(col("qe"), col("centroid")))
-    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell").asc)
-    val probes = scoredQ.withColumn("crn", row_number().over(wq))
-      .filter(col("crn") <= nprobe)
+    val probes = probeCells(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      centroids, nprobe)
       .select(col("qid"), col("cell"))
     val cands = probes.join(cells, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
@@ -534,22 +573,9 @@ object Similarity {
     val cw = pqCodebooks(emb, m, numCodes, dim)
     val codes = pqEncode(emb, cw, m, dim)
       .select(col("vec_id").as("cid"), col("sub"), col("code"))
-    val lut = subvectors(
-        queries.select(col("vec_id").as("qid"), col("embedding")), "qid", m, dim / m)
-      .join(broadcast(cw), Seq("sub"))
-      .select(col("qid"), col("sub"), col("code"),
-        graft.functions.KeyColumns.dot_native(col("sv"), col("codeword")).as("pdot"))
-    val partials = (0 until m).map(mm =>
-      max(when(col("sub") === mm, col("pdot"))).as(s"s$mm"))
-    val est = cands.join(codes, Seq("cid"))
-      .join(broadcast(lut), Seq("qid", "sub", "code"))
-      .groupBy(col("qid"), col("cid"))
-      .agg(partials.head, partials.tail: _*)
-      .withColumn("est", (0 until m).map(mm => col(s"s$mm")).reduce(_ + _))
-    val w = Window.partitionBy(col("qid")).orderBy(col("est").desc, col("cid").asc)
-    est.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"))
+    val lut = adcLut(
+      queries.select(col("vec_id").as("qid"), col("embedding")), cw, m, dim)
+    adcRank(cands, codes, lut, m, k)
   }
 
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Similarity, VectorIndex}
+
+class VectorIndexSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_vidx").toString + "/index"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("persisted flat search == in-memory IVF search with the same frozen centroids") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = freshDir()
+    VectorIndex.build(emb, dir)
+    val centroids = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    assert(rows(VectorIndex.searchFlat(spark, dir, queries, k = 5)) ===
+      rows(Similarity.ivfTopKWith(emb, queries, k = 5, centroids)))
+  }
+
+  test("persisted ADC search == in-memory IVF-PQ on the same corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = freshDir()
+    VectorIndex.build(emb, dir)
+    assert(rows(VectorIndex.searchAdc(spark, dir, queries, k = 5)) ===
+      rows(Similarity.ivfPqTopK(emb, queries, k = 5)))
+  }
+
+  test("append against frozen quantizers: searches see the delta, quantizers untouched") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val initial = emb.filter(col("vec_id") % 4 =!= 3)
+    val delta = emb.filter(col("vec_id") % 4 === 3)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = freshDir()
+    VectorIndex.build(initial, dir)
+    val centBefore = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell")).collect().map(_.getLong(0)).sorted.toSeq
+    VectorIndex.append(spark, dir, delta)
+    // quantizers frozen: the centroid set is still the INITIAL corpus's
+    val centAfter = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(centAfter === centBefore)
+    // the cells table now holds the full corpus, assigned against the
+    // frozen centroids — search equals in-memory search of the full
+    // corpus with those centroids
+    val frozen = initial.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    assert(rows(VectorIndex.searchFlat(spark, dir, queries, k = 5)) ===
+      rows(Similarity.ivfTopKWith(emb, queries, k = 5, frozen)))
+    // a delta member is actually findable: some result cid is from delta
+    val cids = VectorIndex.searchFlat(spark, dir, queries, k = 5)
+      .select(col("cid")).collect().map(_.getLong(0)).toSet
+    val deltaIds = delta.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(cids.exists(deltaIds.contains),
+      "appended vectors never surface in search results")
+  }
+
+  test("layout self-validation fails loudly on geometry mismatch and foreign tables") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = freshDir()
+    VectorIndex.build(emb, dir, numCells = 16, m = 4, numCodes = 16, dim = 64)
+    // overwrite the codebooks with a DIFFERENT geometry (m = 2): every
+    // consumer that touches codebooks must refuse
+    val dir2 = freshDir()
+    VectorIndex.build(emb, dir2, numCells = 16, m = 2, numCodes = 16, dim = 64)
+    val fs = java.nio.file.Paths.get(dir, "codebooks")
+    graft.plans.Pipeline.deleteRecursively(fs)
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir2, "codebooks"), fs)
+    val queries = emb.filter(col("vec_id") < 2)
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.searchAdc(spark, dir, queries, k = 3)
+    }
+    assert(e1.getMessage.contains("layout mismatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.append(spark, dir, emb.limit(3))
+    }
+    assert(e2.getMessage.contains("layout mismatch"))
+    // a table with no layout columns at all is rejected as foreign
+    emb.limit(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val e3 = intercept[IllegalArgumentException] {
+      VectorIndex.searchFlat(spark, dir, queries, k = 3)
+    }
+    assert(e3.getMessage.contains("lacks layout columns"))
+  }
+
+  test("append validates the delta's dimension against the frozen index") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = freshDir()
+    VectorIndex.build(emb, dir)
+    val short = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.append(spark, dir, short)
+    }
+    assert(e.getMessage.contains("embedding length"))
+  }
+}
