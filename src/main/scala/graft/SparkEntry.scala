@@ -651,6 +651,20 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    "sim_topk_pq_refined" -> ((s, d) => {
+      // PQ with TRAINED codebooks on the shipped path: 2 per-subspace
+      // k-means iterations in fixed point (all subspaces in one job per
+      // iteration, no driver hops), then the same ADC search as
+      // sim_topk_pq — proving the production-quality quantizer, not
+      // just the sampled seed, is oracle-checkable end to end.
+      // SimilaritySpec measures the recall gain over sampled codebooks.
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopKWith(emb, emb.filter(col("vec_id") < 5), k = 10,
+          Similarity.pqCodebooksTrained(emb, iters = 2))
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
     "sim_topk_ivfpq" -> ((s, d) => {
       // the production ANN composition: IVF cells restrict candidates to
       // the query's nprobe nearest cells, PQ codes score them through
@@ -2674,6 +2688,83 @@ object SparkEntry {
          |)
          |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_topk_pq_refined" -> {
+      // 2 unrolled per-subspace k-means iterations over the sampled
+      // codebook seeds (widened to double), mirroring the fixed-point
+      // Lloyd chain of the sim_ivf_kmeans oracle at (sub, code) grain:
+      // argmin assignment (d2 asc, code asc), exact-long mean per
+      // (sub, code, pos), codes with no members carried forward by
+      // anti-join — then the standard ADC search with the final
+      // codebooks.
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      def d2(a: String, b: String) =
+        s"${dot(a, a)} - 2*${dot(a, b)} + ${dot(b, b)}"
+      val iters = (1 to 2).map { t =>
+        val prev = s"cb${t - 1}"
+        s"""e$t AS (
+           |  SELECT cid, sub, code FROM (
+           |    SELECT v.cid, v.sub, c.code,
+           |      row_number() OVER (PARTITION BY v.cid, v.sub
+           |        ORDER BY ${d2("v.sv", "c.codeword")} ASC, c.code ASC) AS rn
+           |    FROM sv v JOIN $prev c ON c.sub = v.sub)
+           |  WHERE rn = 1
+           |), m$t AS (
+           |  SELECT e.sub, e.code, CAST(i AS INTEGER) AS pos,
+           |    CAST(sum(CAST(round(CAST(v.sv[i] AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+           |      / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
+           |  FROM e$t e JOIN sv v ON v.cid = e.cid AND v.sub = e.sub,
+           |       unnest(generate_series(1, len(v.sv))) AS u$t(i)
+           |  GROUP BY 1, 2, 3
+           |), cb$t AS (
+           |  SELECT sub, code, list(c_val ORDER BY pos) AS codeword
+           |  FROM m$t GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT p.sub, p.code, p.codeword FROM $prev p
+           |  WHERE NOT EXISTS (SELECT 1 FROM m$t m
+           |                    WHERE m.sub = p.sub AND m.code = p.code)
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), cb0 AS (
+         |  SELECT s.sub, b.code,
+         |    list_transform(${sl("b.embedding", "s.sub")}, x -> CAST(x AS DOUBLE)) AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), sv AS (
+         |  SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+         |  FROM embeddings e CROSS JOIN subs s
+         |),
+         |$iters,
+         |enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT v.cid, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.cid, v.sub
+         |        ORDER BY ${d2("v.sv", "c.codeword")} ASC, c.code ASC) AS rn
+         |    FROM sv v JOIN cb2 c ON c.sub = v.sub)
+         |  WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cb2 c WHERE q.vec_id < 5
+         |), est AS (
+         |  SELECT l.qid, e.cid,
+         |    MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+         |    + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
+         |  FROM est WHERE qid != cid
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin
+    },
 
     "sim_topk_ivfpq" -> {
       // IVF candidate restriction (cent/ca/qp from the sim_topk_ivf

@@ -451,6 +451,62 @@ object Similarity {
       .select(col("sub"), col("code"), col("sv").as("codeword"))
   }
 
+  /** TRAINED PQ codebooks — per-subspace k-means over the sampled seeds,
+    * in the same FIXED POINT as [[ivfKMeans]] so the shipped path (not
+    * just a spec) carries refined codebooks and stays oracle-checkable:
+    *
+    *  - seeds = [[pqCodebooks]] widened to double (exact float→double);
+    *  - each iteration assigns every (vector, subspace) slice to its
+    *    nearest codeword by exact squared-L2 — ALL m subspaces in ONE
+    *    job (the (id, sub)-grain argmin partial agg [[pqEncode]] runs),
+    *    not m driver loops — then recomputes each codeword as the
+    *    fixed-point mean of its members per (sub, code, pos): exact
+    *    `round(x·10⁶)` longs, ONE division, bit-identical across
+    *    engines and partitionings;
+    *  - a codeword that lost every member keeps its previous value
+    *    (deterministic; the oracle mirrors with an anti-join).
+    *
+    * The whole refinement is a chained declarative plan — no per-
+    * iteration driver hop at all (unlike [[ivfKMeans]], which reseeds
+    * from collected centroids): `iters` is small and constant, so the
+    * oracle unrolls it. Scale shape per iteration: one broadcast join of
+    * (corpus × m) slice rows against the m×k codebook, one partial-agg
+    * argmin, one partial-agg mean of (m × k × dim) cells.
+    * Output: (sub, code, codeword array<double>).
+    */
+  def pqCodebooksTrained(emb: DataFrame, m: Int = 4, numCodes: Int = 16,
+                         dim: Int = 64, iters: Int = 2): DataFrame = {
+    require(iters >= 0, "pqCodebooksTrained: iters must be non-negative")
+    val sv = subvectors(emb.select(col("vec_id"), col("embedding")),
+      "vec_id", m, dim / m)
+    var cb = pqCodebooks(emb, m, numCodes, dim)
+      .select(col("sub"), col("code"),
+        transform(col("codeword"), x => x.cast("double")).as("codeword"))
+    for (_ <- 1 to iters) {
+      val enc = sv.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", l2sq(col("sv"), col("codeword")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("code"))).as("b"))
+        .select(col("vec_id"), col("sub"), col("b.code").as("code"))
+      val means = enc.join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("p0", "x")))
+        .groupBy(col("sub"), col("code"), (col("p0") + 1).as("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x").cast("double") * 1000000).cast("long")).as("fx"))
+        .select(col("sub"), col("code"), col("pos"),
+          (col("fx").cast("double") /
+            (col("n").cast("double") * lit(1000000.0))).as("c_val"))
+      val refreshed = means.groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c_val")))).as("pc"))
+        .select(col("sub"), col("code"),
+          transform(col("pc"), x => x.getField("c_val")).as("codeword"))
+      cb = refreshed.unionByName(
+        cb.join(refreshed.select(col("sub"), col("code")),
+          Seq("sub", "code"), "left_anti"))
+    }
+    cb
+  }
+
   /** PQ encoding: each vector compresses to `m` small code ids — nearest
     * codeword per subspace by exact squared-L2 (argmin as the
     * `min(struct(d2, code))` partial agg; ties to the lowest code id).
@@ -483,15 +539,20 @@ object Similarity {
     * brute force in SimilaritySpec.
     */
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
-             numCodes: Int = 16, dim: Int = 64): DataFrame = {
-    val cw = pqCodebooks(emb, m, numCodes, dim)
-    val codes = pqEncode(emb, cw, m, dim)
+             numCodes: Int = 16, dim: Int = 64): DataFrame =
+    pqTopKWith(emb, queries, k, pqCodebooks(emb, m, numCodes, dim), m, dim)
+
+  /** [[pqTopK]] against an EXPLICIT codebook table (sub, code, codeword)
+    * — e.g. [[pqCodebooksTrained]]. The search is codebook-agnostic;
+    * this is the path a deployment with trained codebooks ships.
+    */
+  def pqTopKWith(emb: DataFrame, queries: DataFrame, k: Int,
+                 codebooks: DataFrame, m: Int = 4, dim: Int = 64): DataFrame = {
+    val codes = pqEncode(emb, codebooks, m, dim)
       .select(col("vec_id").as("cid"), col("sub"), col("code"))
-    val lut = subvectors(
-        queries.select(col("vec_id").as("qid"), col("embedding")), "qid", m, dim / m)
-      .join(broadcast(cw), Seq("sub"))
-      .select(col("qid"), col("sub"), col("code"),
-        graft.functions.KeyColumns.dot_native(col("sv"), col("codeword")).as("pdot"))
+    val lut = adcLut(
+      queries.select(col("vec_id").as("qid"), col("embedding")),
+      codebooks, m, dim)
     val partials = (0 until m).map(mm =>
       max(when(col("sub") === mm, col("pdot"))).as(s"s$mm"))
     val est = codes.join(broadcast(lut), Seq("sub", "code"))

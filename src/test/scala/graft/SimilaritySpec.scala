@@ -208,4 +208,47 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"mean subvector quantization error: sampled $eS%.4f -> refined $eR%.4f")
     assert(eR < eS, "k-means-refined codebooks must reduce quantization error")
   }
+
+  test("trained codebooks on the shipped path: recall vs brute force >= sampled PQ") {
+    // clustered corpus ordered by cluster — the first-16 sampled
+    // codebook seeds all come from cluster 0 (the worst case sampling
+    // can hit), so training must recover recall. (On ISOTROPIC random
+    // vectors, k-means means shrink codeword norms and ADC inner-product
+    // ranking can lose discrimination even as quantization error falls —
+    // the structured-data case here is what PQ training is for.)
+    val rnd = new scala.util.Random(7)
+    val dim = 16; val clusters = 8; val per = 25
+    val rows = for {
+      c <- 0 until clusters
+      i <- 0 until per
+    } yield {
+      val v = Array.tabulate(dim)(d =>
+        (if (d == 2 * c) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      ((c * per + i).toLong, v.toSeq)
+    }
+    val emb = embDf(rows)
+    emb.cache()
+    val queries = emb.filter(col("vec_id") % 25 === 7)
+    def hits(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = hits(Similarity.bruteForceTopK(emb, queries, k = 10))
+    def recall(df: DataFrame): Double = {
+      val h = hits(df)
+      truth.map { case (q, t) =>
+        h.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val rSampled = recall(
+      Similarity.pqTopK(emb, queries, k = 10, m = 4, numCodes = 16, dim = dim))
+    val rTrained = recall(Similarity.pqTopKWith(emb, queries, k = 10,
+      Similarity.pqCodebooksTrained(emb, m = 4, numCodes = 16, dim = dim,
+        iters = 2), m = 4, dim = dim))
+    info(f"recall@10: sampled $rSampled%.3f -> trained $rTrained%.3f")
+    assert(rTrained >= rSampled,
+      s"trained codebooks should not lose recall: $rTrained < $rSampled")
+    assert(rTrained >= 0.6,
+      s"trained codebooks should make PQ usable on clustered data: $rTrained")
+    emb.unpersist()
+  }
 }
