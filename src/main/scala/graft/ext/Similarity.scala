@@ -500,9 +500,14 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("c_val")))).as("pc"))
         .select(col("sub"), col("code"),
           transform(col("pc"), x => x.getField("c_val")).as("codeword"))
+      // the codebook is m×k rows; checkpointing it each iteration keeps
+      // the chained plan linear (each cb is referenced 3× downstream —
+      // assignment broadcast, mean join, carry-forward anti-join — and
+      // without the cut the recompute tree doubles per iteration).
       cb = refreshed.unionByName(
         cb.join(refreshed.select(col("sub"), col("code")),
           Seq("sub", "code"), "left_anti"))
+        .localCheckpoint(eager = true)
     }
     cb
   }
