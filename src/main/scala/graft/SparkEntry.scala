@@ -723,6 +723,40 @@ object SparkEntry {
         tmp)
     }),
 
+    "sim_index_retain" -> ((s, d) => {
+      // the DELETE half of the index lifecycle: build over the full
+      // corpus, RETAIN ¾ of it (vec_id % 4 == 3 removed — deleted or
+      // re-licensed out), search the retained index both ways. The
+      // oracle assigns/encodes only the surviving corpus against the
+      // FULL corpus's frozen quantizers — pass ⟺ retention made the
+      // removed vectors never-searchable (a ghost row would surface a
+      // removed cid and hash-mismatch), while the quantizers stay the
+      // trained artifacts retention must NOT touch. Row-count asserts
+      // prove the physical rewrite hit both state tables.
+      val emb = Tables.embeddings(s, d)
+      val keep = emb.filter(col("vec_id") % 4 =!= 3)
+      val queries = emb.filter(col("vec_id") < 5)
+      val tmp = TempDirs.create("graft-vretain-").toString
+      val dir = s"$tmp/index"
+      ext.VectorIndex.build(emb, dir)
+      ext.VectorIndex.retain(s, dir, keep)
+      val nKeep = keep.count()
+      val nCells = s.read.parquet(s"$dir/cells").count()
+      val nCodes = s.read.parquet(s"$dir/codes").count()
+      require(nCells == nKeep && nCodes == nKeep * 4,
+        s"retention must rewrite both state tables: cells $nCells vs $nKeep, " +
+          s"codes $nCodes vs ${nKeep * 4}")
+      def phase(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("phase"), col("qid"),
+          col("rank").cast("int").as("rnk"), col("cid"))
+      detachAndClean(
+        phase("1_flat", ext.VectorIndex.searchFlat(s, dir, queries, k = 5))
+          .unionByName(
+            phase("2_adc", ext.VectorIndex.searchAdc(s, dir, queries, k = 5)))
+          .orderBy("phase", "qid", "rnk"),
+        tmp)
+    }),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.payloadStats(Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -2909,6 +2943,75 @@ object SparkEntry {
          |),
          |$perCorpus
          |$out
+         |ORDER BY phase, qid, rnk""".stripMargin
+    },
+
+    "sim_index_retain" -> {
+      // quantizers frozen from the FULL corpus (first-16 by vec_id);
+      // assignment/encoding over the SURVIVORS only — exactly what the
+      // retained index must contain.
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), cw AS (
+         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), qp AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+         |  ) WHERE crn <= 4
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
+         |), ca AS (
+         |  SELECT cid, ce, cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 4 != 3
+         |  ) WHERE crn <= 1
+         |), enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT v.cid, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.cid, v.sub
+         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
+         |                 c.code ASC) AS rn
+         |    FROM (SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+         |          FROM embeddings e CROSS JOIN subs s WHERE e.vec_id % 4 != 3) v
+         |    JOIN cw c ON c.sub = v.sub)
+         |  WHERE rn = 1
+         |), flat AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |  FROM (SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
+         |        FROM qp q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid)
+         |), adc AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
+         |  FROM (
+         |    SELECT n.qid, n.cid,
+         |      MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+         |      + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+         |    FROM (SELECT q.qid, a.cid FROM qp q
+         |          JOIN ca a ON a.cell = q.cell AND a.cid != q.qid) n
+         |    JOIN enc e ON e.cid = n.cid
+         |    JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
+         |    GROUP BY 1, 2)
+         |)
+         |SELECT '1_flat' AS phase, qid, CAST(rnk AS INTEGER) AS rnk, cid FROM flat WHERE rnk <= 5
+         |UNION ALL
+         |SELECT '2_adc' AS phase, qid, CAST(rnk AS INTEGER) AS rnk, cid FROM adc WHERE rnk <= 5
          |ORDER BY phase, qid, rnk""".stripMargin
     },
 

@@ -139,12 +139,39 @@ object VectorIndex {
     val assigned = Similarity.assignCells(
       vecs.select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", broadcast(centroids))
+    // cluster by cell before the partitioned write: each write batch
+    // lands ~one file per cell directory instead of one per (task ×
+    // cell) — the small-file blowup a partitioned sink otherwise pays.
     stamp(assigned.select(col("vec_id"), col("embedding"), col("cell")), l)
+      .repartition(l.numCells, col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(s"$dir/cells")
     val codes = Similarity.pqEncode(vecs, codebooks, l.m, l.dim)
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
     stamp(codes.select(col("vec_id"), col("sub"), col("code"), col("cell")), l)
+      .repartition(l.numCells, col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** RETENTION — the delete half of the lifecycle ([[append]]'s dual,
+    * and the vector-side analog of dedup-state retention via
+    * [[graft.operators.ScaleOps.retainRows]], which it reuses): rewrite
+    * cells and codes keeping only vectors whose `vec_id` appears in
+    * `keep`, compacting files in the same staged pass. Centroids and
+    * codebooks stay FROZEN — quantizers are trained artifacts, not
+    * per-vector state, so a removed vector that seeded a centroid keeps
+    * its (now empty-able) cell; re-training them is [[build]] again.
+    * Without retention, deleted/re-licensed vectors remain searchable
+    * ghosts — the exact failure mode dedup-state retention exists for.
+    * Uses the in-place [[graft.operators.ScaleOps.RenameSwap]]
+    * promotion so the searches' plain directory reads stay valid.
+    */
+  def retain(spark: SparkSession, dir: String, keep: DataFrame): Unit = {
+    require(keep.columns.contains("vec_id"),
+      "retain: keep frame needs a vec_id column")
+    centroidsOf(spark, dir) // validates this IS an index before rewriting
+    val keys = keep.select(col("vec_id"))
+    graft.operators.ScaleOps.retainRows(spark, s"$dir/cells", keys, Seq("vec_id"))
+    graft.operators.ScaleOps.retainRows(spark, s"$dir/codes", keys, Seq("vec_id"))
   }
 
   /** FLAT search of the persisted index: probe the frozen centroids,

@@ -63,6 +63,35 @@ class VectorIndexSpec extends AnyFunSuite {
       "appended vectors never surface in search results")
   }
 
+  test("retain removes ghosts, keeps frozen quantizers, rewrites both state tables") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val keep = emb.filter(col("vec_id") % 4 =!= 3)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = freshDir()
+    VectorIndex.build(emb, dir)
+    VectorIndex.retain(spark, dir, keep)
+    val removed = emb.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // no removed id is searchable from either path
+    val gotF = VectorIndex.searchFlat(spark, dir, queries, k = 5)
+    val gotA = VectorIndex.searchAdc(spark, dir, queries, k = 5)
+    (gotF.collect() ++ gotA.collect()).foreach(r =>
+      assert(!removed.contains(r.getLong(2)),
+        s"removed vector ${r.getLong(2)} still searchable — ghost state"))
+    // quantizers untouched: centroid cells still the FULL corpus's seeds
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(cents === emb.orderBy(col("vec_id")).limit(16)
+      .collect().map(_.getLong(0)).sorted.toSeq)
+    // search equals in-memory IVF over the survivors with those centroids
+    val frozen = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    assert(rows(gotF) === rows(Similarity.ivfTopKWith(keep, queries, k = 5, frozen)))
+    // both state tables physically rewritten
+    assert(spark.read.parquet(s"$dir/cells").count() === keep.count())
+    assert(spark.read.parquet(s"$dir/codes").count() === keep.count() * 4)
+  }
+
   test("layout self-validation fails loudly on geometry mismatch and foreign tables") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = freshDir()
