@@ -223,10 +223,16 @@ object VectorIndex {
       .join(cells.select(col("cell"), col("vec_id").as("cid")), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"))
+    // restrict the CODES scan to probed cells the same way (broadcast
+    // semi-join on the partition column → dynamic partition pruning):
+    // adcRank's join on cid would drop unprobed cells' codes anyway,
+    // but only after scanning them — this stops them at the file level.
+    val probedCells = probes.select(col("cell")).distinct()
+    val prunedCodes = codes
+      .join(broadcast(probedCells), Seq("cell"), "left_semi")
+      .select(col("vec_id").as("cid"), col("sub"), col("code"))
     val lut = Similarity.adcLut(q,
       cw.select(col("sub"), col("code"), col("codeword")), l.m, l.dim)
-    Similarity.adcRank(cands,
-      codes.select(col("vec_id").as("cid"), col("sub"), col("code")),
-      lut, l.m, k)
+    Similarity.adcRank(cands, prunedCodes, lut, l.m, k)
   }
 }

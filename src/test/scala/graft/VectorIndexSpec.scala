@@ -120,6 +120,28 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("lacks layout columns"))
   }
 
+  test("searches dynamically prune the bucketed state to probed cells") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = freshDir()
+    VectorIndex.build(emb, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    // the cells/codes scans must carry a dynamic-pruning partition
+    // filter fed by the broadcast probe side — the file-level skip that
+    // makes nprobe/numCells the actual IO fraction, not just the
+    // logical candidate fraction.
+    val flatPlan = VectorIndex.searchFlat(spark, dir, q, 5)
+      .queryExecution.executedPlan.toString
+    assert(flatPlan.contains("dynamicpruning"),
+      "flat search lost dynamic partition pruning on the cells scan")
+    val adcPlan = VectorIndex.searchAdc(spark, dir, q, 5)
+      .queryExecution.executedPlan.toString
+    val pruned = "dynamicpruning".r.findAllIn(adcPlan).size
+    assert(pruned >= 2,
+      s"ADC search should prune BOTH the cells and codes scans, found $pruned")
+    assert(!flatPlan.contains("SortMergeJoin") && !adcPlan.contains("SortMergeJoin"),
+      "probe-side joins must broadcast, never sort-merge the state tables")
+  }
+
   test("append validates the delta's dimension against the frozen index") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = freshDir()
