@@ -924,6 +924,34 @@ object SparkEntry {
         .orderBy(col("n_exact").desc, col("token"))
     }),
 
+    "stats_bloom" -> ((s, d) => {
+      // deterministic Bloom-filter membership prefilter — the sublinear
+      // gate a decontamination pass runs before paying an exact join:
+      // build the filter over the benchmark docs' tokens (fixed ≤8192
+      // rows of state), probe every distinct corpus token, and emit the
+      // confusion matrix against exact membership. The md5 positions
+      // make the filter bit-exact, so the oracle reproduces it and the
+      // hash check proves BOTH the exact FP count AND the structural
+      // no-false-negative guarantee (a (false, true) row can exist on
+      // neither side).
+      // items are 3-gram shingles — the domain real benchmark
+      // decontamination filters on (corpus_contamination's exact join
+      // is what this prefilter gates at scale).
+      val docs = Tables.documents(s, d)
+      val bench = Dedup.shingles(docs.filter(col("doc_id") % 10 === 0), w = 3)
+        .select(col("sh"))
+      val probe = Dedup.shingles(docs.filter(col("doc_id") % 10 =!= 0), w = 3)
+        .select(col("sh")).distinct()
+      val bloom = ext.Sketches.bloomBuild(bench, "sh", numBits = 32768)
+      val exact = bench.distinct().withColumn("exact_in", lit(true))
+      ext.Sketches.bloomMightContain(bloom, probe, "sh", numBits = 32768)
+        .join(exact, Seq("sh"), "left")
+        .withColumn("exact_in", coalesce(col("exact_in"), lit(false)))
+        .groupBy(col("might_contain"), col("exact_in"))
+        .agg(count(lit(1)).as("n_shingles"))
+        .orderBy("might_contain", "exact_in")
+    }),
+
     "stats_cms_merge" -> ((s, d) => {
       // CMS MERGEABILITY, bit-exact: split the token stream by document
       // parity, build one sketch per batch (the per-shard/per-day shape
@@ -3299,6 +3327,36 @@ object SparkEntry {
          |SELECT t.token, t.n AS n_exact, e.n_est, e.n_est - t.n AS overcount
          |FROM top t JOIN est e USING (token)
          |ORDER BY n_exact DESC, token""".stripMargin
+    },
+
+    "stats_bloom" -> {
+      // identical md5-salted bit positions (salt 'b<j>|', 8192 bits,
+      // 4 hashes): the filter, the probe verdicts, and therefore the
+      // confusion matrix reproduce bit-exactly.
+      def pos(item: String) =
+        s"CAST('0x' || substr(md5('b' || j || '|' || $item), 1, 8) AS BIGINT) % 32768"
+      s"""WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |sh AS (
+         |  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+         |  FROM d, unnest(generate_series(1, len(l)-2)) AS u(i)
+         |  WHERE len(l) >= 3
+         |), bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+         |psh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 != 0),
+         |bloom AS (
+         |  SELECT DISTINCT ${pos("sh")} AS pos FROM bsh CROSS JOIN js
+         |), ppos AS (
+         |  SELECT DISTINCT sh, ${pos("sh")} AS pos FROM psh CROSS JOIN js
+         |), mc AS (
+         |  SELECT p.sh, count(*) AS need, count(b.pos) AS have
+         |  FROM ppos p LEFT JOIN bloom b ON b.pos = p.pos GROUP BY 1
+         |), ex AS (SELECT sh FROM bsh)
+         |SELECT (m.need = m.have) AS might_contain,
+         |       (e.sh IS NOT NULL) AS exact_in,
+         |       CAST(count(*) AS BIGINT) AS n_shingles
+         |FROM mc m LEFT JOIN ex e USING (sh)
+         |GROUP BY 1, 2
+         |ORDER BY might_contain, exact_in""".stripMargin
     },
 
     "stats_cms_merge" -> {

@@ -120,6 +120,57 @@ object Sketches {
       .agg(sum(col("total")).as("total"))
   }
 
+  /** Bit position `j` of an item in a Bloom filter: md5-derived 32-bit
+    * hash mod `numBits` — the same engine-portable salted family as
+    * [[cmBucket]] (distinct salt prefix), so the filter is bit-exact
+    * reproducible and the DuckDB oracle computes the identical one.
+    */
+  private def bloomPos(item: Column, j: Int, numBits: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"b$j|"), item)), 1, 8), 16, 10)
+      .cast("long"), lit(numBits))
+
+  /** DETERMINISTIC Bloom filter over an item stream — the membership
+    * prefilter a decontamination / blocklist pass runs before paying an
+    * exact join: each item sets `numHashes` salted-md5 bit positions;
+    * state is the SET-BIT LIST (≤ numBits rows of one long — fixed size
+    * no matter how many trillions of items stream in, and the distinct
+    * aggregation map-side combines to at most numBits rows per
+    * partition before the exchange). Mergeable by construction: the
+    * union of two filters' set bits IS the filter of the union stream
+    * (bitwise OR), same argument as [[countMinMerge]].
+    */
+  def bloomBuild(items: DataFrame, itemCol: String, numBits: Int = 8192,
+                 numHashes: Int = 4): DataFrame = {
+    require(numBits >= 2 && numHashes >= 1)
+    items.select(explode(array((0 until numHashes).map(j =>
+        bloomPos(col(itemCol), j, numBits)): _*)).as("pos"))
+      .distinct()
+  }
+
+  /** Membership probe: an item MIGHT be in the set iff every one of its
+    * bit positions is set (no false negatives, by construction — the
+    * guarantee `stats_bloom` hash-checks); a false positive needs all
+    * `numHashes` positions collided. The filter is ≤ numBits rows, so
+    * the probe join broadcasts; per-item positions are deduplicated
+    * before counting (two hash functions can collide on one position).
+    */
+  def bloomMightContain(bloom: DataFrame, queries: DataFrame, itemCol: String,
+                        numBits: Int = 8192, numHashes: Int = 4): DataFrame = {
+    val positions = queries.select(col(itemCol),
+        explode(array((0 until numHashes).map(j =>
+          bloomPos(col(itemCol), j, numBits)): _*)).as("pos"))
+      .distinct()
+    val counts = positions
+      .join(broadcast(bloom.select(col("pos")).withColumn("_set", lit(1))),
+        Seq("pos"), "left")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("_need"), count(col("_set")).as("_have"))
+    queries.join(counts, Seq(itemCol), "left")
+      .withColumn("might_contain",
+        coalesce(col("_need") === col("_have"), lit(false)))
+      .drop("_need", "_have")
+  }
+
   /** Point estimates from a Count-Min sketch: for each queried item, the
     * MIN of its `depth` bucket counters — an upper bound on the true
     * count (CM never undercounts; collisions only inflate). The sketch

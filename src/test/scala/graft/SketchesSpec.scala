@@ -81,4 +81,34 @@ class SketchesSpec extends AnyFunSuite {
       assert(v === single.getOrElse(k, 0L) + extraCells.getOrElse(k, 0L)) }
     assert(outer.keySet === single.keySet ++ extraCells.keySet)
   }
+
+  test("Bloom filter: fixed state, zero false negatives, mergeable by union") {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = graft.ext.Dedup.shingles(docs, w = 3).select(col("sh"))
+    val bloom = Sketches.bloomBuild(sh, "sh", numBits = 1 << 18)
+    // state bounded by the bit count no matter the stream size
+    assert(bloom.count() <= (1L << 18))
+    // structural guarantee: every MEMBER is might_contain (no false
+    // negatives, the property that makes a Bloom prefilter sound)
+    val members = sh.distinct()
+    val verdicts = Sketches.bloomMightContain(bloom, members, "sh",
+      numBits = 1 << 18)
+    assert(verdicts.filter(!col("might_contain")).count() === 0L)
+    // mergeable: union of two half-corpus filters == one-pass filter
+    val a = Sketches.bloomBuild(
+      graft.ext.Dedup.shingles(docs.filter(col("doc_id") % 2 === 0), w = 3)
+        .select(col("sh")), "sh", numBits = 1 << 18)
+    val b = Sketches.bloomBuild(
+      graft.ext.Dedup.shingles(docs.filter(col("doc_id") % 2 =!= 0), w = 3)
+        .select(col("sh")), "sh", numBits = 1 << 18)
+    val merged = a.unionByName(b).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(merged === bloom.collect().map(_.getLong(0)).toSet)
+    // non-members mostly rejected (the filter is useful, not saturated)
+    val foreign = spark.range(1000)
+      .select(concat(lit("zz foreign shingle "), col("id")).as("sh"))
+    val fp = Sketches.bloomMightContain(bloom, foreign, "sh", numBits = 1 << 18)
+      .filter(col("might_contain")).count()
+    assert(fp < 200, s"false-positive rate implausibly high for a 262k-bit filter: $fp / 1000")
+  }
 }
