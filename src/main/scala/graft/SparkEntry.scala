@@ -1000,6 +1000,37 @@ object SparkEntry {
       detachAndClean(sinkBelowHorizon(s, d, s"$tmp/out", "event_type"), tmp)
     }),
 
+    "stream_pipeline_restart" -> ((s, d) => {
+      // windowed-aggregation state survives a restart: the feed split at
+      // its midpoint into two AvailableNow passes on ONE checkpoint. The
+      // boundary hour has events on both sides of the restart, and its
+      // window is NOT finalized by pass 1 (its end sits above pass-1's
+      // watermark), so only the CHECKPOINTED window state can aggregate
+      // it correctly in pass 2 — a fresh-state restart would emit a
+      // partial count and hash-mismatch. Windows below pass-1's horizon
+      // emit in pass 1 and are never re-emitted (append-mode finalize-
+      // once). Oracle = the batch aggregation below the final horizon,
+      // exactly as stream_pipeline.
+      val tmp = TempDirs.create("graft-stream-restart-").toString
+      val src = s"$tmp/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      val feed = s.read.parquet(s"$d/events.parquet")
+      val bounds = feed.agg(min(col("ts")), max(col("ts"))).head()
+      val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+      feed.filter(col("ts") < lit(mid)).coalesce(1)
+        .write.mode("append").parquet(src)
+      val sch = s.read.parquet(src).schema
+      def runPass(): Unit =
+        graft.streaming.Streams.incrementalPipeline(
+          s, sch, src, s"$tmp/out", s"$tmp/ck",
+          prepare = rebuildStreamTs).awaitTermination()
+      runPass()
+      feed.filter(col("ts") >= lit(mid)).coalesce(1)
+        .write.mode("append").parquet(src)
+      runPass()
+      detachAndClean(sinkBelowHorizon(s, d, s"$tmp/out", "event_type"), tmp)
+    }),
+
     "stream_enrich" -> ((s, d) => {
       // LIVE stream-static enrichment: each micro-batch joins the
       // broadcast category dim statelessly (the join adds nothing to the
@@ -1752,6 +1783,20 @@ object SparkEntry {
   /** Double-precision cosine in the same index-ordered shape as
     * [[Similarity.cosine]].
     */
+  /** Finalized-window batch equivalent shared by stream_pipeline (fresh
+    * checkpoint) and stream_pipeline_restart (two passes, one
+    * checkpoint): the restart must be invisible in the result.
+    */
+  private val streamPipelineOracle: String =
+    """WITH m AS (SELECT epoch_ms(max(ts)) AS mx_ms FROM events)
+      |SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events, m
+      |WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 < mx_ms - 3600000
+      |GROUP BY 1, 2
+      |ORDER BY window_start_ms, event_type""".stripMargin
+
   private def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
@@ -3249,15 +3294,11 @@ object SparkEntry {
     "gold_popular_routes_warehouse" ->
       s"$popularRoutesCoreSql\nORDER BY route_id",
 
-    "stream_pipeline" ->
-      """WITH m AS (SELECT epoch_ms(max(ts)) AS mx_ms FROM events)
-        |SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
-        |  event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events, m
-        |WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 < mx_ms - 3600000
-        |GROUP BY 1, 2
-        |ORDER BY window_start_ms, event_type""".stripMargin,
+    "stream_pipeline" -> streamPipelineOracle,
+
+    // identical oracle: the restart must be INVISIBLE in the result —
+    // same finalized windows whether the feed arrived in one pass or two.
+    "stream_pipeline_restart" -> streamPipelineOracle,
 
     // exact companions reproduced by DuckDB; the *_ok sketch-bound flags
     // are TRUE by expectation — a sketch out of bounds hash-mismatches.

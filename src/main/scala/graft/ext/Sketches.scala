@@ -147,6 +147,18 @@ object Sketches {
       .distinct()
   }
 
+  /** MERGE of Bloom filters: the union of set bits — build(A) ∪ build(B)
+    * == build(A∪B) exactly (bitwise OR), the same accumulable-state
+    * argument as [[countMinMerge]]. Inputs must share (numBits,
+    * numHashes) — the caller contract the whole family carries.
+    */
+  def bloomMerge(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "bloomMerge: at least one filter")
+    parts.foreach(p => require(p.columns.contains("pos"),
+      "bloomMerge: not a Bloom filter — need the pos column bloomBuild emits"))
+    parts.map(_.select(col("pos"))).reduce(_ unionByName _).distinct()
+  }
+
   /** Membership probe: an item MIGHT be in the set iff every one of its
     * bit positions is set (no false negatives, by construction — the
     * guarantee `stats_bloom` hash-checks); a false positive needs all

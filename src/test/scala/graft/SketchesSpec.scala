@@ -101,7 +101,7 @@ class SketchesSpec extends AnyFunSuite {
     val b = Sketches.bloomBuild(
       graft.ext.Dedup.shingles(docs.filter(col("doc_id") % 2 =!= 0), w = 3)
         .select(col("sh")), "sh", numBits = 1 << 18)
-    val merged = a.unionByName(b).distinct()
+    val merged = Sketches.bloomMerge(a, b)
       .collect().map(_.getLong(0)).toSet
     assert(merged === bloom.collect().map(_.getLong(0)).toSet)
     // non-members mostly rejected (the filter is useful, not saturated)
