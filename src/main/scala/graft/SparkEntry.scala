@@ -1560,6 +1560,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "corpus_decontaminate_bloom" -> ((s, d) => {
+      // the TWO-STAGE decontamination gate: the bench shingle set's
+      // Bloom filter drops train shingles before the exact join pays
+      // for them. Shares corpus_decontaminate's oracle — pass ⟺ the
+      // prefilter changed NOTHING (no false negatives, false positives
+      // killed by the exact join), which is the soundness property a
+      // prefilter must prove before it ships.
+      val docs = Tables.documents(s, d)
+      ext.Corpus.decontaminate(docs,
+          ext.Corpus.contaminationBloomGated(docs,
+            benchSources = Seq("src0", "src1"),
+            w = 5, maxShingleFreq = 8, threshold = 0.3),
+          benchSources = Seq("src0", "src1"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "scale_partition_pruning" -> ((s, d) => {
       // dynamic partition pruning over the date-partitioned layout: the
       // dim side (first week of each month) is broadcast, and its values
@@ -1783,6 +1800,38 @@ object SparkEntry {
   /** Double-precision cosine in the same index-ordered shape as
     * [[Similarity.cosine]].
     */
+  /** Exact decontamination oracle shared by corpus_decontaminate and its
+    * Bloom-prefiltered twin (the gate is provably invisible).
+    */
+  private val corpusDecontaminateOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5
+      |), tri AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         unnest(list_transform(generate_series(1, len(l)-4),
+      |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
+      |  FROM toks
+      |), freq AS (
+      |  SELECT sh, count(*) AS f FROM tri
+      |  WHERE source IS NOT NULL GROUP BY 1),
+      |keep AS (SELECT t.* FROM tri t JOIN freq f ON f.sh = t.sh AND f.f <= 8),
+      |bench AS (SELECT doc_id, sh FROM keep WHERE source IN ('src0','src1')),
+      |train AS (SELECT doc_id, sh FROM keep WHERE source NOT IN ('src0','src1')),
+      |bsize AS (SELECT doc_id, count(*) AS n FROM bench GROUP BY 1),
+      |shared AS (
+      |  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc,
+      |         count(*) AS n_shared
+      |  FROM bench b JOIN train t ON b.sh = t.sh GROUP BY 1, 2),
+      |flagged AS (
+      |  SELECT DISTINCT train_doc FROM shared
+      |  JOIN bsize ON bsize.doc_id = bench_doc
+      |  WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3)
+      |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+      |WHERE d.source NOT IN ('src0','src1')
+      |  AND d.doc_id NOT IN (SELECT train_doc FROM flagged)
+      |ORDER BY doc_id""".stripMargin
+
   /** Finalized-window batch equivalent shared by stream_pipeline (fresh
     * checkpoint) and stream_pipeline_restart (two passes, one
     * checkpoint): the restart must be invisible in the result.
@@ -3726,34 +3775,11 @@ object SparkEntry {
         |WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3
         |ORDER BY bench_doc, train_doc""".stripMargin,
 
-    "corpus_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 5
-        |), tri AS (
-        |  SELECT DISTINCT doc_id, source,
-        |         unnest(list_transform(generate_series(1, len(l)-4),
-        |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
-        |  FROM toks
-        |), freq AS (
-        |  SELECT sh, count(*) AS f FROM tri
-        |  WHERE source IS NOT NULL GROUP BY 1),
-        |keep AS (SELECT t.* FROM tri t JOIN freq f ON f.sh = t.sh AND f.f <= 8),
-        |bench AS (SELECT doc_id, sh FROM keep WHERE source IN ('src0','src1')),
-        |train AS (SELECT doc_id, sh FROM keep WHERE source NOT IN ('src0','src1')),
-        |bsize AS (SELECT doc_id, count(*) AS n FROM bench GROUP BY 1),
-        |shared AS (
-        |  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc,
-        |         count(*) AS n_shared
-        |  FROM bench b JOIN train t ON b.sh = t.sh GROUP BY 1, 2),
-        |flagged AS (
-        |  SELECT DISTINCT train_doc FROM shared
-        |  JOIN bsize ON bsize.doc_id = bench_doc
-        |  WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3)
-        |SELECT d.doc_id, d.source, d.n_chars FROM documents d
-        |WHERE d.source NOT IN ('src0','src1')
-        |  AND d.doc_id NOT IN (SELECT train_doc FROM flagged)
-        |ORDER BY doc_id""".stripMargin,
+    "corpus_decontaminate" -> corpusDecontaminateOracle,
+
+    // identical oracle: the Bloom prefilter must be invisible in the
+    // result (no false negatives; false positives die in the exact join).
+    "corpus_decontaminate_bloom" -> corpusDecontaminateOracle,
 
     // the oracle sees no partition layout — pruning must be invisible in
     // the result, visible only in the plan.

@@ -147,7 +147,32 @@ object Corpus {
     */
   def contamination(docs: DataFrame, benchSources: Seq[String],
                     w: Int = 5, maxShingleFreq: Long = 8,
-                    threshold: Double = 0.3): DataFrame = {
+                    threshold: Double = 0.3): DataFrame =
+    contaminationImpl(docs, benchSources, w, maxShingleFreq, threshold, None)
+
+  /** [[contamination]] with a BLOOM PREFILTER on the training side — the
+    * two-stage gate a 100 TB sweep actually ships: the bench shingle
+    * set's Bloom filter (fixed ≤ numBits rows, broadcast) drops every
+    * train shingle that cannot possibly collide BEFORE the exact
+    * equi-join, so the join's big side shrinks from the whole train
+    * shingle table to the might-contain sliver. The result is IDENTICAL
+    * to the exact sweep — a Bloom filter has no false negatives, and
+    * false positives are eliminated by the exact join they fail —
+    * which is exactly what `corpus_decontaminate_bloom` proves by
+    * sharing the ungated oracle.
+    */
+  def contaminationBloomGated(docs: DataFrame, benchSources: Seq[String],
+                              w: Int = 5, maxShingleFreq: Long = 8,
+                              threshold: Double = 0.3,
+                              numBits: Int = 1 << 18,
+                              numHashes: Int = 4): DataFrame =
+    contaminationImpl(docs, benchSources, w, maxShingleFreq, threshold,
+      Some((numBits, numHashes)))
+
+  private def contaminationImpl(docs: DataFrame, benchSources: Seq[String],
+                                w: Int, maxShingleFreq: Long,
+                                threshold: Double,
+                                bloomGate: Option[(Int, Int)]): DataFrame = {
     val bsh = Dedup.shingles(
       docs.filter(col("source").isin(benchSources: _*)), w).persist()
     val tsh = Dedup.shingles(
@@ -159,8 +184,16 @@ object Corpus {
         .select(col("sh"))
       val bkeep = bsh.join(keep, Seq("sh"), "left_semi")
         .withColumnRenamed("doc_id", "bench_doc").persist()
-      val tkeep = tsh.join(keep, Seq("sh"), "left_semi")
+      val tkeepAll = tsh.join(keep, Seq("sh"), "left_semi")
         .withColumnRenamed("doc_id", "train_doc")
+      val tkeep = bloomGate match {
+        case Some((bits, hashes)) =>
+          val bloom = Sketches.bloomBuild(bkeep.select(col("sh")), "sh",
+            bits, hashes)
+          Sketches.bloomMightContain(bloom, tkeepAll, "sh", bits, hashes)
+            .filter(col("might_contain")).drop("might_contain")
+        case None => tkeepAll
+      }
       try {
         val bsize = bkeep.groupBy(col("bench_doc")).agg(count(lit(1)).as("n"))
         bkeep.join(tkeep, Seq("sh"))

@@ -105,4 +105,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(srcs === Set("src0")) // rate 1000 keeps all, rate 0 and unlisted drop all
     assert(kept.count() === docs.filter(col("source") === "src0").count())
   }
+
+  test("Bloom-gated contamination sweep is row-identical to the exact sweep") {
+    // soundness of the prefilter: no false negatives means the gate can
+    // only drop shingles that would have failed the exact join anyway —
+    // a SMALLER-than-the-filter bit count would still be correct, just
+    // slower; a broken hash would lose flagged pairs and fail here.
+    val docs = Tables.documents(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val exact = rows(graft.ext.Corpus.contamination(
+      docs, Seq("src0", "src1"), w = 5, maxShingleFreq = 8, threshold = 0.3))
+    val gated = rows(graft.ext.Corpus.contaminationBloomGated(
+      docs, Seq("src0", "src1"), w = 5, maxShingleFreq = 8, threshold = 0.3))
+    assert(gated === exact)
+    assert(exact.nonEmpty, "sweep found nothing — the invariant check is vacuous")
+    // a deliberately TINY filter saturates (every probe might_contain)
+    // but must still be correct — the gate degrades to a no-op, never
+    // to a wrong answer.
+    val saturated = rows(graft.ext.Corpus.contaminationBloomGated(
+      docs, Seq("src0", "src1"), w = 5, maxShingleFreq = 8, threshold = 0.3,
+      numBits = 16, numHashes = 2))
+    assert(saturated === exact)
+  }
 }
