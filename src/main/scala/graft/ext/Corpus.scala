@@ -188,10 +188,12 @@ object Corpus {
         .withColumnRenamed("doc_id", "train_doc")
       val tkeep = bloomGate match {
         case Some((bits, hashes)) =>
+          // the packed-bitmap per-row gate: a pure predicate on the
+          // train side — no shuffle, no join, partitioning untouched.
           val bloom = Sketches.bloomBuild(bkeep.select(col("sh")), "sh",
             bits, hashes)
-          Sketches.bloomMightContain(bloom, tkeepAll, "sh", bits, hashes)
-            .filter(col("might_contain")).drop("might_contain")
+          tkeepAll.filter(
+            Sketches.bloomGateColumn(bloom, col("sh"), bits, hashes))
         case None => tkeepAll
       }
       try {

@@ -147,6 +147,36 @@ object Sketches {
       .distinct()
   }
 
+  /** Per-row Bloom membership GATE — the no-shuffle form of
+    * [[bloomMightContain]] for use as a predicate inside a larger plan:
+    * the filter's set bits are collected once (≤ numBits rows — the
+    * broadcast-sized artifact itself, ~2 MB at 2¹⁸ bits) and PACKED
+    * into a 64-bit-word bitmap literal; membership is then a pure
+    * projection — k md5s and k bit tests per row — adding NO shuffle,
+    * NO join, and no repartitioning to the gated side. (The join-based
+    * [[bloomMightContain]] shuffles the probe stream twice to produce
+    * its verdict TABLE; as an inline prefilter that would cost the same
+    * order as the exact join it gates, which defeats the point — this
+    * column is the shape a 100 TB prefilter actually ships.)
+    */
+  def bloomGateColumn(bloom: DataFrame, item: Column, numBits: Int = 8192,
+                      numHashes: Int = 4): Column = {
+    val words = new Array[Long]((numBits + 63) / 64)
+    bloom.select(col("pos")).collect().foreach { r =>
+      val p = r.getLong(0)
+      words((p >> 6).toInt) |= (1L << (p & 63).toInt)
+    }
+    val arr = typedLit(words.toSeq)
+    (0 until numHashes).map { j =>
+      val pos = bloomPos(item, j, numBits)
+      val word = element_at(arr,
+        call_function("shiftright", pos, lit(6)).cast("int") + 1)
+      word.bitwiseAND(
+        call_function("shiftleft", lit(1L),
+          pos.bitwiseAND(lit(63L)).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
   /** MERGE of Bloom filters: the union of set bits — build(A) ∪ build(B)
     * == build(A∪B) exactly (bitwise OR), the same accumulable-state
     * argument as [[countMinMerge]]. Inputs must share (numBits,

@@ -110,5 +110,15 @@ class SketchesSpec extends AnyFunSuite {
     val fp = Sketches.bloomMightContain(bloom, foreign, "sh", numBits = 1 << 18)
       .filter(col("might_contain")).count()
     assert(fp < 200, s"false-positive rate implausibly high for a 262k-bit filter: $fp / 1000")
+    // the packed-bitmap per-row gate agrees with the join-based probe
+    // verdict for verdict (same hashes, different physical shape)
+    val probeItems = members.unionByName(foreign)
+    val viaJoin = Sketches.bloomMightContain(bloom, probeItems, "sh",
+        numBits = 1 << 18).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val viaGate = probeItems.withColumn("mc",
+        Sketches.bloomGateColumn(bloom, col("sh"), numBits = 1 << 18))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(viaGate === viaJoin)
   }
 }
