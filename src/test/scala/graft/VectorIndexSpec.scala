@@ -120,6 +120,28 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("lacks layout columns"))
   }
 
+  test("buildWith persists k-means-refined centroids: the trained-quantizer index") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val refined = Similarity.centroidsFromRefinement(
+      Similarity.ivfKMeans(emb, numCells = 16, iters = 2))
+    refined.cache()
+    val dir = freshDir()
+    VectorIndex.buildWith(emb, dir, refined, numCells = 16)
+    // the persisted centroid table IS the refined one (values round-trip)
+    val persisted = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val expected = refined.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(persisted === expected)
+    // and searching the persisted index == in-memory search with the
+    // refined centroids — the production trained-IVF read path
+    assert(rows(VectorIndex.searchFlat(spark, dir, queries, k = 5)) ===
+      rows(Similarity.ivfTopKWith(emb, queries, k = 5, refined)))
+    refined.unpersist()
+  }
+
   test("searches dynamically prune the bucketed state to probed cells") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = freshDir()
