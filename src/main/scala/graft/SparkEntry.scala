@@ -924,6 +924,47 @@ object SparkEntry {
         .orderBy(col("n_exact").desc, col("token"))
     }),
 
+    "stats_kmv" -> ((s, d) => {
+      // KMV distinct-cardinality sketch, with the merge proof in the
+      // same rows: the k=256 smallest distinct shingle hashes (the
+      // sketch the oracle reproduces bit for bit), joined rank-by-rank
+      // against the MERGE of two batch sketches — merge_ok must be true
+      // on every row (k smallest of the union == k smallest of the
+      // batch bottom-k's, the property that makes KMV accumulable
+      // pipeline state). Per-partition state is a k-bounded TreeSet;
+      // only partitions×k rows ever reach the final sort.
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.shingles(docs, w = 3).select(col("sh"))
+      val a = Dedup.shingles(docs.filter(col("doc_id") % 2 === 0), w = 3)
+        .select(col("sh"))
+      val b = Dedup.shingles(docs.filter(col("doc_id") % 2 =!= 0), w = 3)
+        .select(col("sh"))
+      val single = ext.Sketches.kmvBuild(sh, "sh", k = 256)
+      val merged = ext.Sketches.kmvMerge(256,
+        ext.Sketches.kmvBuild(a, "sh", k = 256),
+        ext.Sketches.kmvBuild(b, "sh", k = 256))
+      single.join(merged.withColumnRenamed("h", "h2"), Seq("rank"))
+        .select(col("rank"), col("h"), (col("h") === col("h2")).as("merge_ok"))
+        .orderBy("rank")
+    }),
+
+    "stats_kmv_estimate" -> ((s, d) => {
+      // the KMV estimator next to the exact answer: (k−1)·2³²/h_k is
+      // one IEEE division of exact integers, so even the ESTIMATE
+      // hash-matches the oracle bit-exactly (contrast HLL, whose state
+      // no other engine can reproduce); err_ok bounds it against the
+      // exact distinct count at 2.4σ for k=256.
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.shingles(docs, w = 3).select(col("sh"))
+      val est = ext.Sketches.kmvEstimate(
+        ext.Sketches.kmvBuild(sh, "sh", k = 256), k = 256)
+      val exact = sh.agg(countDistinct(col("sh")).as("n_exact"))
+      est.crossJoin(exact)
+        .select(col("n_sketch"), col("h_k"), col("n_est"), col("n_exact"),
+          (abs(col("n_est") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double") < 0.15).as("err_ok"))
+    }),
+
     "stats_bloom" -> ((s, d) => {
       // deterministic Bloom-filter membership prefilter — the sublinear
       // gate a decontamination pass runs before paying an exact join:
@@ -3418,6 +3459,44 @@ object SparkEntry {
          |FROM top t JOIN est e USING (token)
          |ORDER BY n_exact DESC, token""".stripMargin
     },
+
+    "stats_kmv" ->
+      // the single-pass bottom-256 distinct hash list; merge_ok TRUE by
+      // expectation — a broken merge hash-mismatches.
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+        |  FROM d, unnest(generate_series(1, len(l)-2)) AS u(i)
+        |  WHERE len(l) >= 3
+        |), h AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h FROM sh
+        |), sk AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rank FROM h
+        |  ORDER BY h LIMIT 256
+        |)
+        |SELECT CAST(rank AS INTEGER) AS rank, h, TRUE AS merge_ok FROM sk
+        |ORDER BY rank""".stripMargin,
+
+    "stats_kmv_estimate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+        |  FROM d, unnest(generate_series(1, len(l)-2)) AS u(i)
+        |  WHERE len(l) >= 3
+        |), h AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h FROM sh
+        |), sk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS h_k FROM sk
+        |), ex AS (SELECT CAST(count(DISTINCT sh) AS BIGINT) AS n_exact FROM sh)
+        |SELECT n_sketch, h_k,
+        |  CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+        |       ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END AS n_est,
+        |  n_exact,
+        |  abs((CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+        |            ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END)
+        |      - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) < 0.15 AS err_ok
+        |FROM agg, ex""".stripMargin,
 
     "stats_bloom" -> {
       // identical md5-salted bit positions (salt 'b<j>|', 8192 bits,

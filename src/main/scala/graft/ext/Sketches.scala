@@ -147,6 +147,72 @@ object Sketches {
       .distinct()
   }
 
+  /** KMV (k-minimum-values) DISTINCT-CARDINALITY sketch — the third leg
+    * of the deterministic sketch family (counts = Count-Min, membership
+    * = Bloom, cardinality = this): the k smallest distinct md5-derived
+    * hashes of the item stream. Unlike HLL state (engine-specific,
+    * no bit-match possible), KMV state is a plain sorted hash list the
+    * DuckDB oracle reproduces EXACTLY, and it is mergeable by
+    * construction: the k smallest of (A's sketch ∪ B's sketch) are the
+    * k smallest of A∪B, because any hash in the true global bottom-k is
+    * in its own batch's bottom-k ([[kmvMerge]]).
+    *
+    * Scale shape: a bounded TreeSet per partition caps in-flight state
+    * at k hashes no matter how many trillions of items stream through;
+    * only partitions×k rows reach the final distinct+sort, which is
+    * sketch-sized. The estimator is the standard unbiased KMV form
+    * (k−1)·2³²/h_k ([[kmvEstimate]]) — one IEEE division of exact
+    * integers, bit-identical across engines.
+    * Output: (rank, h), rank 1..min(k, distinct).
+    */
+  def kmvBuild(items: DataFrame, itemCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, "kmvBuild: need k >= 2 for the estimator")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val hashed = items.select(Dedup.hash32(col(itemCol)).as("h")).as[Long]
+    val partial = hashed.mapPartitions { it =>
+      val set = scala.collection.mutable.TreeSet.empty[Long]
+      it.foreach { h =>
+        if (set.size < k) set += h
+        else if (h < set.last && set.add(h)) set -= set.last
+      }
+      set.iterator
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+    // the rank window runs over at most k post-limit rows — never data.
+    partial.toDF("h").distinct().orderBy(col("h")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("h"))
+  }
+
+  /** Merge KMV sketches: k smallest distinct hashes of the union of the
+    * inputs' hash lists == the single-pass sketch of the union stream,
+    * bit for bit. All inputs must share k (the family's caller
+    * contract); pass the same k used at build time.
+    */
+  def kmvMerge(k: Int, parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "kmvMerge: at least one sketch")
+    parts.foreach(p => require(p.columns.contains("h"),
+      "kmvMerge: not a KMV sketch — need the h column kmvBuild emits"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+    parts.map(_.select(col("h"))).reduce(_ unionByName _)
+      .distinct().orderBy(col("h")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("h"))
+  }
+
+  /** Distinct-count estimate from a KMV sketch: (k−1)·2³²/h_k when the
+    * sketch is full (h_k = the k-th smallest hash), or the sketch size
+    * itself when fewer than k distinct hashes exist (the sketch IS the
+    * exact distinct hash set then). One row: (n_sketch, h_k, n_est).
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int = 256): DataFrame =
+    sketch.agg(count(lit(1)).as("n_sketch"), max(col("h")).as("h_k"))
+      .select(col("n_sketch"), col("h_k"),
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            col("h_k").cast("double")).as("n_est"))
+
   /** Per-row Bloom membership GATE — the no-shuffle form of
     * [[bloomMightContain]] for use as a predicate inside a larger plan:
     * the filter's set bits are collected once (≤ numBits rows — the

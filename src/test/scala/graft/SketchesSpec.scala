@@ -82,6 +82,38 @@ class SketchesSpec extends AnyFunSuite {
     assert(outer.keySet === single.keySet ++ extraCells.keySet)
   }
 
+  test("KMV sketch: exact bottom-k hashes, bounded state, mergeable, sane estimator") {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = graft.ext.Dedup.shingles(docs, w = 3).select(col("sh"))
+    val k = 256
+    val sketch = Sketches.kmvBuild(sh, "sh", k)
+    // the sketch IS the exact bottom-k of the distinct hash set — no
+    // approximation in the state itself, only in the estimator
+    val brute = sh.select(graft.ext.Dedup.hash32(col("sh")).as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    val got = sketch.orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(got === brute)
+    assert(got.length <= k)
+    // merge: three batch sketches == the single-pass sketch, bit for bit
+    val parts = (0 until 3).map(i => Sketches.kmvBuild(
+      graft.ext.Dedup.shingles(docs.filter(col("doc_id") % 3 === i), w = 3)
+        .select(col("sh")), "sh", k))
+    val merged = Sketches.kmvMerge(k, parts: _*)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(merged === got)
+    // estimator lands near the exact distinct count (2.4 sigma bound)
+    val est = Sketches.kmvEstimate(sketch, k).head()
+    val exact = sh.distinct().count().toDouble
+    assert(math.abs(est.getDouble(2) - exact) / exact < 0.15,
+      s"KMV estimate ${est.getDouble(2)} too far from exact $exact")
+    // under-full sketch: the estimate IS the exact distinct hash count
+    import spark.implicits._
+    val tiny = Seq("a", "b", "c", "a").toDF("sh")
+    val tinyEst = Sketches.kmvEstimate(Sketches.kmvBuild(tiny, "sh", k), k).head()
+    assert(tinyEst.getLong(0) === 3L && tinyEst.getDouble(2) === 3.0)
+  }
+
   test("Bloom filter: fixed state, zero false negatives, mergeable by union") {
     val docs = Tables.documents(spark, sfDir)
     val sh = graft.ext.Dedup.shingles(docs, w = 3).select(col("sh"))
