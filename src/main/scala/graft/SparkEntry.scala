@@ -1072,6 +1072,42 @@ object SparkEntry {
       detachAndClean(sinkBelowHorizon(s, d, s"$tmp/out", "event_type"), tmp)
     }),
 
+    "stream_join_restart" -> ((s, d) => {
+      // the JOIN-BUFFER leg of crash recovery — with stream_dedup_restart
+      // (dedup state) and stream_pipeline_restart (window state) this
+      // completes the stateful-operator restart triple: feed split at
+      // its midpoint, two AvailableNow passes of the LIVE stream-stream
+      // interval join on ONE checkpoint. A pass-2 click can match a
+      // pass-1 purchase only through the right-side join buffer RESTORED
+      // from the checkpoint (pass-1 purchases within the horizon of the
+      // boundary are exactly the rows the watermark keeps alive); a
+      // fresh-state restart would silently drop those pairs and
+      // hash-mismatch. Oracle = the batch join over the whole feed: the
+      // restart must be invisible.
+      val tmp = TempDirs.create("graft-join-restart-").toString
+      val src = s"$tmp/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      val feed = s.read.parquet(s"$d/events.parquet")
+      val bounds = feed.agg(min(col("ts")), max(col("ts"))).head()
+      val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+      feed.filter(col("ts") < lit(mid)).coalesce(1)
+        .write.mode("append").parquet(src)
+      val sch = s.read.parquet(src).schema
+      def runPass(): Unit =
+        graft.streaming.Streams.intervalJoinPipeline(
+          s, sch, src, s"$tmp/out", s"$tmp/ck",
+          prepare = rebuildStreamTs).awaitTermination()
+      runPass()
+      feed.filter(col("ts") >= lit(mid)).coalesce(1)
+        .write.mode("append").parquet(src)
+      runPass()
+      detachAndClean(
+        s.read.parquet(s"$tmp/out")
+          .select(col("event_id"), col("user_id"), col("pid"), col("value_cents"))
+          .orderBy("event_id", "pid"),
+        tmp)
+    }),
+
     "stream_enrich" -> ((s, d) => {
       // LIVE stream-static enrichment: each micro-batch joins the
       // broadcast category dim statelessly (the join adds nothing to the
@@ -3357,6 +3393,22 @@ object SparkEntry {
         | AND p.pts >= c.ts - INTERVAL 1 HOUR AND p.pts <= c.ts
         |GROUP BY 1, 2
         |ORDER BY c.event_id""".stripMargin,
+
+    "stream_join_restart" ->
+      // every in-horizon (click, purchase) pair exactly once, whether
+      // the two sides arrived in the same pass or across the restart.
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT event_id AS pid, user_id, ts AS pts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT c.event_id, c.user_id, p.pid,
+        |       CAST(round(p.value*100) AS BIGINT) AS value_cents
+        |FROM clicks c JOIN purch p
+        |  ON p.user_id = c.user_id
+        | AND p.pts >= c.ts - INTERVAL 1 HOUR AND p.pts <= c.ts
+        |ORDER BY event_id, pid""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),

@@ -165,6 +165,40 @@ object Streams {
       joinType)
   }
 
+  /** [[intervalJoin]] as a LIVE pipeline over ONE event feed: the stream
+    * is split by event_type into a click side and a purchase side (a
+    * stream self-join — each side buffers independently in the state
+    * store, bounded by the watermark horizon), inner-joined on
+    * user within `[click − horizon, click]`, one row per matched pair
+    * to a parquet sink. Inner join emits matches as both sides arrive —
+    * no watermark-closure wait — and a buffered row outlives its
+    * micro-batch (and its RUN: the buffer is checkpointed state, which
+    * is what `stream_join_restart` proves) until the watermark says no
+    * future partner can match.
+    */
+  def intervalJoinPipeline(spark: SparkSession, schema: StructType,
+                           srcDir: String, outDir: String,
+                           checkpointDir: String,
+                           prepare: DataFrame => DataFrame = identity): StreamingQuery = {
+    val stream = prepare(spark.readStream.schema(schema).parquet(srcDir))
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("pts"), col("value"))
+    intervalJoin(clicks, purchases, "user_id", "ts", "pts",
+        horizon = "1 hour", joinType = "inner")
+      .select(col("l.event_id").as("event_id"), col("l.user_id").as("user_id"),
+        col("r.pid").as("pid"),
+        round(col("r.value") * 100).cast("long").as("value_cents"))
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+  }
+
   case class SessionEvent(user_id: Long, ts_ms: Long)
   case class UserSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
   private case class SessionState(start_ms: Long, end_ms: Long, n: Int)

@@ -157,6 +157,37 @@ class StreamingSpec extends AnyFunSuite {
       s"restored state must drop the replayed id 2 exactly once: ${ids.mkString(",")}")
   }
 
+  test("interval-join buffers survive a restart: cross-pass pairs still match") {
+    val base = java.nio.file.Files.createTempDirectory("graft_jrestart").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(minOff: Int) = new java.sql.Timestamp(t0.getTime + minOff * 60000L)
+    def rows(r: (Long, Long, java.sql.Timestamp, String, Double)*) =
+      r.toSeq.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val schema = rows((1L, 1L, t0, "click", 0.0)).schema
+    // pass 1: a purchase and one click that matches it in-pass
+    rows((100L, 1L, ts(50), "purchase", 2.0), (10L, 1L, ts(55), "click", 0.0))
+      .coalesce(1).write.mode("append").parquet(src)
+    Streams.intervalJoinPipeline(spark, schema, src, out, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(out).count() === 1L)
+    // pass 2, same checkpoint: clicks at 70 and 80 min can match the
+    // pass-1 purchase (50 min) ONLY through the restored join buffer;
+    // plus a fresh pass-2 purchase for an in-pass match.
+    rows((11L, 1L, ts(70), "click", 0.0), (101L, 1L, ts(65), "purchase", 3.0),
+        (12L, 1L, ts(80), "click", 0.0))
+      .coalesce(1).write.mode("append").parquet(src)
+    Streams.intervalJoinPipeline(spark, schema, src, out, ckpt)
+      .awaitTermination()
+    val pairs = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // (11,100) and (12,100) are the cross-pass pairs only the restored
+    // buffer can supply; (11,101) and (12,101) are pass-2-internal.
+    assert(pairs === Set((10L, 100L), (11L, 100L), (11L, 101L),
+      (12L, 100L), (12L, 101L)),
+      s"restored buffer must supply the cross-pass matches: $pairs")
+  }
+
   test("exactly-once sink: a replayed micro-batch idempotently overwrites its own batch directory") {
     val base = java.nio.file.Files.createTempDirectory("graft_eos").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
