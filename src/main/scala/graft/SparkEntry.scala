@@ -1087,6 +1087,10 @@ object SparkEntry {
       val tmp = TempDirs.create("graft-join-restart-").toString
       val src = s"$tmp/src"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      // cost note (PLANS.md round 8): this query's ~16 s at sf0.1 is
+      // ~entirely fixed two-pass stateful-harness machinery (4 state
+      // stores × partitions × checkpoint IO) — measured invariant to a
+      // 3× data slice — so it prices crash recovery, not the join.
       val feed = s.read.parquet(s"$d/events.parquet")
       val bounds = feed.agg(min(col("ts")), max(col("ts"))).head()
       val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
