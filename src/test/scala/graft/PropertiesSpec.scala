@@ -137,4 +137,63 @@ class PropertiesSpec extends AnyFunSuite {
     }
     docs.unpersist()
   }
+
+  test("property: sketch merges equal single-pass builds for arbitrary stream splits") {
+    // the accumulable-state law all three deterministic sketches claim:
+    // build(A) ⊕ build(B) == build(A∪B), for ARBITRARY (even empty or
+    // heavily skewed) splits of the stream — not just the doc-parity
+    // split the oracle queries use.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(120).cache()
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t")).cache()
+    val single = graft.ext.Sketches
+      .countMinBuild(tokens.select(col("t")), "t", depth = 2, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val kmvSingle = graft.ext.Sketches.kmvBuild(tokens.select(col("t")), "t", k = 32)
+      .collect().map(_.getLong(1)).toSeq
+    val bloomSingle = graft.ext.Sketches
+      .bloomBuild(tokens.select(col("t")), "t", numBits = 512, numHashes = 2)
+      .collect().map(_.getLong(0)).toSet
+    samples(Gen.choose(2, 7), 4).foreach { m =>
+      val parts = (0 until m).map(i => tokens.filter(col("doc_id") % m === i)
+        .select(col("t")))
+      val cms = graft.ext.Sketches.countMinMerge(
+          parts.map(p => graft.ext.Sketches.countMinBuild(p, "t",
+            depth = 2, width = 64)): _*)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(cms === single, s"CMS merge diverged at split m=$m")
+      val kmv = graft.ext.Sketches.kmvMerge(32,
+          parts.map(p => graft.ext.Sketches.kmvBuild(p, "t", k = 32)): _*)
+        .collect().map(_.getLong(1)).toSeq
+      assert(kmv === kmvSingle, s"KMV merge diverged at split m=$m")
+      val bloom = graft.ext.Sketches.bloomMerge(
+          parts.map(p => graft.ext.Sketches.bloomBuild(p, "t",
+            numBits = 512, numHashes = 2)): _*)
+        .collect().map(_.getLong(0)).toSet
+      assert(bloom === bloomSingle, s"Bloom merge diverged at split m=$m")
+    }
+    tokens.unpersist(); docs.unpersist()
+  }
+
+  test("property: Bloom has no false negatives for arbitrary item sets and sizes") {
+    import spark.implicits._
+    val gens = for {
+      nBits <- Gen.oneOf(64, 512, 4096)
+      nHash <- Gen.choose(1, 5)
+    } yield (nBits, nHash)
+    val strs = samples(Gen.nonEmptyListOf(Gen.asciiPrintableStr), 3)
+    samples(gens, 3).zip(strs).foreach { case ((nBits, nHash), items) =>
+      val df = items.toDF("t")
+      val bloom = graft.ext.Sketches.bloomBuild(df, "t", nBits, nHash)
+      val verdicts = graft.ext.Sketches
+        .bloomMightContain(bloom, df.distinct(), "t", nBits, nHash)
+      assert(verdicts.filter(!col("might_contain")).count() === 0L,
+        s"false negative at numBits=$nBits numHashes=$nHash")
+      // and the packed-bitmap gate agrees exactly
+      val gated = df.distinct().filter(
+        graft.ext.Sketches.bloomGateColumn(bloom, col("t"), nBits, nHash))
+      assert(gated.count() === df.distinct().count())
+    }
+  }
 }
