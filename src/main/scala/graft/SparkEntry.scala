@@ -3555,7 +3555,7 @@ object SparkEntry {
         |FROM agg, ex""".stripMargin,
 
     "stats_bloom" -> {
-      // identical md5-salted bit positions (salt 'b<j>|', 8192 bits,
+      // identical md5-salted bit positions (salt 'b<j>|', 32768 bits,
       // 4 hashes): the filter, the probe verdicts, and therefore the
       // confusion matrix reproduce bit-exactly.
       def pos(item: String) =

@@ -477,12 +477,18 @@ object Similarity {
   def pqCodebooksTrained(emb: DataFrame, m: Int = 4, numCodes: Int = 16,
                          dim: Int = 64, iters: Int = 2): DataFrame = {
     require(iters >= 0, "pqCodebooksTrained: iters must be non-negative")
+    // sv is referenced three times per iteration (assignment, then twice
+    // in the mean join's two lineages); persisted so the corpus explode
+    // runs once, not 3×iters times. Each iteration's jobs run eagerly
+    // (the codebook localCheckpoint below), so the cache is exercised
+    // inside this call and released before returning.
     val sv = subvectors(emb.select(col("vec_id"), col("embedding")),
       "vec_id", m, dim / m)
+    if (iters >= 1) sv.persist()
     var cb = pqCodebooks(emb, m, numCodes, dim)
       .select(col("sub"), col("code"),
         transform(col("codeword"), x => x.cast("double")).as("codeword"))
-    for (_ <- 1 to iters) {
+    try for (_ <- 1 to iters) {
       val enc = sv.join(broadcast(cb), Seq("sub"))
         .withColumn("d2", l2sq(col("sv"), col("codeword")))
         .groupBy(col("vec_id"), col("sub"))
@@ -508,7 +514,7 @@ object Similarity {
         cb.join(refreshed.select(col("sub"), col("code")),
           Seq("sub", "code"), "left_anti"))
         .localCheckpoint(eager = true)
-    }
+    } finally if (iters >= 1) sv.unpersist(blocking = false)
     cb
   }
 

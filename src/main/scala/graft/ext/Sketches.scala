@@ -82,7 +82,12 @@ object Sketches {
   def countMinBuild(items: DataFrame, itemCol: String,
                     depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth >= 1 && width >= 2)
-    items.select(explode(array((0 until depth).map(j =>
+    // null items carry no information and are DROPPED — the one null
+    // policy shared by every build in the sketch family (counting nulls
+    // into a null bucket here while kmv/bloom crashed on them was a
+    // three-way inconsistency).
+    items.filter(col(itemCol).isNotNull)
+      .select(explode(array((0 until depth).map(j =>
         struct(lit(j).as("j"), cmBucket(col(itemCol), j, width).as("bucket"))): _*))
         .as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
@@ -142,7 +147,10 @@ object Sketches {
   def bloomBuild(items: DataFrame, itemCol: String, numBits: Int = 8192,
                  numHashes: Int = 4): DataFrame = {
     require(numBits >= 2 && numHashes >= 1)
-    items.select(explode(array((0 until numHashes).map(j =>
+    // family-wide null policy: null items dropped (a null pos row would
+    // NPE the packed-bitmap gate's driver-side collect)
+    items.filter(col(itemCol).isNotNull)
+      .select(explode(array((0 until numHashes).map(j =>
         bloomPos(col(itemCol), j, numBits)): _*)).as("pos"))
       .distinct()
   }
@@ -169,7 +177,10 @@ object Sketches {
     require(k >= 2, "kmvBuild: need k >= 2 for the estimator")
     val spark = items.sparkSession
     import spark.implicits._
-    val hashed = items.select(Dedup.hash32(col(itemCol)).as("h")).as[Long]
+    // family-wide null policy: null items dropped (a null hash would
+    // otherwise fail the non-nullable Long deserialization opaquely)
+    val hashed = items.filter(col(itemCol).isNotNull)
+      .select(Dedup.hash32(col(itemCol)).as("h")).as[Long]
     val partial = hashed.mapPartitions { it =>
       val set = scala.collection.mutable.TreeSet.empty[Long]
       it.foreach { h =>

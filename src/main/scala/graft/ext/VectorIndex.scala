@@ -108,10 +108,13 @@ object VectorIndex {
     Similarity.requireDim(emb, dim)
     val l = Layout(numCells, m, numCodes, dim)
     val cw = Similarity.pqCodebooks(emb, m, numCodes, dim)
-    stamp(centroids.select(col("cell"), col("centroid")), l)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // project to exactly (cell, centroid): a caller frame carrying extra
+    // columns (e.g. vec_id/embedding from its derivation) would make
+    // assignCells' cross join ambiguous.
+    val cent = centroids.select(col("cell"), col("centroid"))
+    stamp(cent, l).write.mode("overwrite").parquet(s"$dir/centroids")
     stamp(cw, l).write.mode("overwrite").parquet(s"$dir/codebooks")
-    writeVectors(emb, dir, centroids, cw, l, overwrite = true)
+    writeVectors(emb, dir, cent, cw, l, overwrite = true)
   }
 
   /** APPEND: extend a persisted index with new vectors, assigned and
@@ -120,6 +123,17 @@ object VectorIndex {
     * valid and the write is a plain file append into the per-cell
     * directories. Validates the delta's dimension and the index layout
     * first (a mismatched append would poison every later search).
+    *
+    * INSERT-IF-ABSENT, like its reference analog: vec_ids already in
+    * the index are anti-joined away, so retrying a failed/timed-out
+    * append is idempotent instead of duplicating candidates (a
+    * duplicated cid would occupy two top-k slots). Crash safety comes
+    * from the write ORDER: codes first, cells second. Candidates are
+    * drawn from the cells table on both search paths, so a crash
+    * between the writes leaves orphan code rows that are invisible to
+    * search (and harmless on retry: duplicate (cid, sub, code) rows
+    * collapse in the ADC pivot's max), while the moment cells commits,
+    * both tables are complete.
     */
   def append(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
     val (cent, l) = centroidsOf(spark, dir)
@@ -127,7 +141,9 @@ object VectorIndex {
     requireSameLayout(l, layoutOf(cw, "index codebook table"),
       "index codebook table")
     Similarity.requireDim(delta, l.dim)
-    writeVectors(delta, dir, cent.select(col("cell"), col("centroid")),
+    val existing = spark.read.parquet(s"$dir/cells").select(col("vec_id"))
+    val fresh = delta.join(existing, Seq("vec_id"), "left_anti")
+    writeVectors(fresh, dir, cent.select(col("cell"), col("centroid")),
       cw.select(col("sub"), col("code"), col("codeword")), l,
       overwrite = false)
   }
@@ -138,18 +154,23 @@ object VectorIndex {
     val mode = if (overwrite) "overwrite" else "append"
     val assigned = Similarity.assignCells(
       vecs.select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", broadcast(centroids))
-    // cluster by cell before the partitioned write: each write batch
-    // lands ~one file per cell directory instead of one per (task ×
-    // cell) — the small-file blowup a partitioned sink otherwise pays.
-    stamp(assigned.select(col("vec_id"), col("embedding"), col("cell")), l)
-      .repartition(l.numCells, col("cell"))
-      .write.mode(mode).partitionBy("cell").parquet(s"$dir/cells")
-    val codes = Similarity.pqEncode(vecs, codebooks, l.m, l.dim)
-      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    stamp(codes.select(col("vec_id"), col("sub"), col("code"), col("cell")), l)
-      .repartition(l.numCells, col("cell"))
-      .write.mode(mode).partitionBy("cell").parquet(s"$dir/codes")
+      "vec_id", "embedding", broadcast(centroids)).persist()
+    try {
+      // cluster by cell before the partitioned write: each write batch
+      // lands ~one file per cell directory instead of one per (task ×
+      // cell) — the small-file blowup a partitioned sink otherwise pays.
+      // CODES before CELLS: candidates come from cells, so a crash
+      // between the two writes leaves only search-invisible code rows
+      // (see [[append]]'s crash-safety note).
+      val codes = Similarity.pqEncode(vecs, codebooks, l.m, l.dim)
+        .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      stamp(codes.select(col("vec_id"), col("sub"), col("code"), col("cell")), l)
+        .repartition(l.numCells, col("cell"))
+        .write.mode(mode).partitionBy("cell").parquet(s"$dir/codes")
+      stamp(assigned.select(col("vec_id"), col("embedding"), col("cell")), l)
+        .repartition(l.numCells, col("cell"))
+        .write.mode(mode).partitionBy("cell").parquet(s"$dir/cells")
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** RETENTION — the delete half of the lifecycle ([[append]]'s dual,
@@ -211,6 +232,7 @@ object VectorIndex {
     val codes = spark.read.parquet(s"$dir/codes")
     requireSameLayout(l, layoutOf(codes, "index code table"), "index code table")
     val cells = spark.read.parquet(s"$dir/cells")
+    requireSameLayout(l, layoutOf(cells, "index cell table"), "index cell table")
     val q = queries.select(col("vec_id").as("qid"), col("embedding"))
     val probes = Similarity.probeCells(
       q.select(col("qid"), col("embedding").as("qe")),

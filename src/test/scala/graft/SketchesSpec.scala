@@ -82,6 +82,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(outer.keySet === single.keySet ++ extraCells.keySet)
   }
 
+  test("sketch family drops null items consistently — no null buckets, no NPEs") {
+    import spark.implicits._
+    val df = Seq(Option("a"), None, Option("b"), Option("a")).toDF("t")
+    val cms = Sketches.countMinBuild(df, "t", depth = 2, width = 16)
+    assert(cms.filter(col("bucket").isNull).count() === 0L)
+    // 3 non-null items counted per depth row
+    assert(cms.groupBy(col("j")).sum("total").collect()
+      .forall(_.getLong(1) === 3L))
+    val kmv = Sketches.kmvBuild(df, "t", k = 8) // would NPE pre-fix
+    assert(kmv.count() === 2L)
+    val bloom = Sketches.bloomBuild(df, "t", numBits = 64, numHashes = 2)
+    assert(bloom.filter(col("pos").isNull).count() === 0L)
+    // gate packs without NPE and admits the members
+    val gated = df.filter(col("t").isNotNull).distinct()
+      .filter(Sketches.bloomGateColumn(bloom, col("t"), 64, 2))
+    assert(gated.count() === 2L)
+    // a null QUERY row is a graceful non-member, not a crash
+    val verdicts = Sketches.bloomMightContain(bloom, df.distinct(), "t", 64, 2)
+      .collect().map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    assert(verdicts(Some("a")) && verdicts(Some("b")) && !verdicts(None))
+  }
+
   test("KMV sketch: exact bottom-k hashes, bounded state, mergeable, sane estimator") {
     val docs = Tables.documents(spark, sfDir)
     val sh = graft.ext.Dedup.shingles(docs, w = 3).select(col("sh"))

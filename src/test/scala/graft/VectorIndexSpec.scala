@@ -120,6 +120,30 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("lacks layout columns"))
   }
 
+  test("append is insert-if-absent: retrying the same delta changes nothing") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val initial = emb.filter(col("vec_id") % 4 =!= 3)
+    val delta = emb.filter(col("vec_id") % 4 === 3)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = freshDir()
+    VectorIndex.build(initial, dir)
+    VectorIndex.append(spark, dir, delta)
+    val cells1 = spark.read.parquet(s"$dir/cells").count()
+    val codes1 = spark.read.parquet(s"$dir/codes").count()
+    val res1 = rows(VectorIndex.searchFlat(spark, dir, queries, k = 5))
+    // the retry a failed/timed-out job issues: must be a no-op, not a
+    // duplication that hands one cid two top-k slots
+    VectorIndex.append(spark, dir, delta)
+    assert(spark.read.parquet(s"$dir/cells").count() === cells1)
+    assert(spark.read.parquet(s"$dir/codes").count() === codes1)
+    assert(rows(VectorIndex.searchFlat(spark, dir, queries, k = 5)) === res1)
+    assert(rows(VectorIndex.searchAdc(spark, dir, queries, k = 5)) ===
+      rows(VectorIndex.searchAdc(spark, dir, queries, k = 5)))
+    // a mixed batch appends only its genuinely new vectors
+    VectorIndex.append(spark, dir, emb) // all already present
+    assert(spark.read.parquet(s"$dir/cells").count() === cells1)
+  }
+
   test("buildWith persists k-means-refined centroids: the trained-quantizer index") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)
