@@ -757,6 +757,28 @@ object SparkEntry {
         tmp)
     }),
 
+    "sim_index_search_refined" -> ((s, d) => {
+      // the production READ path of the persisted index: an ADC pass
+      // over the DPP-pruned compressed codes shortlists each query's
+      // top-10, then ONLY those rows' raw vectors are re-read from the
+      // bucketed cells table (broadcast (cell, cid) join — partition
+      // column keeps the re-read file-pruned) for the exact-cosine cut
+      // to top-5. The oracle unrolls both stages with the same
+      // deterministic tie-breaks, so a re-rank that read beyond the
+      // shortlist, or a shortlist cut at the wrong boundary, would
+      // hash-mismatch.
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val tmp = TempDirs.create("graft-vrefine-").toString
+      val dir = s"$tmp/index"
+      ext.VectorIndex.build(emb, dir)
+      detachAndClean(
+        ext.VectorIndex.searchRefined(s, dir, queries, k = 5, shortlist = 10)
+          .select(col("qid"), col("rank").cast("int").as("rnk"), col("cid"))
+          .orderBy("qid", "rnk"),
+        tmp)
+    }),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.payloadStats(Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -1011,6 +1033,60 @@ object SparkEntry {
           ext.Sketches.countMinBuild(a, "token"),
           ext.Sketches.countMinBuild(b, "token"))
         .orderBy("j", "bucket")
+    }),
+
+    "stats_sketch_state" -> ((s, d) => {
+      // the PERSISTED sketch-state lifecycle, all three deterministic
+      // families in one run: day-1 sketches written with their geometry
+      // STAMPED (countMinWrite / bloomWrite / kmvWrite), the day-2 batch
+      // merged against the LOADED state (stamps cross-validated), the
+      // merged state persisted back, and every answer read from THAT —
+      // CMS point estimates for the exact top-10 tokens, the KMV
+      // cardinality estimate with k taken from the stamp (not
+      // re-supplied), Bloom membership for present and absent probes.
+      // Oracle = the same deterministic sketches in ONE pass over the
+      // union stream: pass ⟺ persist → load → merge → persist → read is
+      // indistinguishable from never having split the stream.
+      val docs = Tables.documents(s, d)
+      val tokens = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val day1 = tokens.filter(col("doc_id") % 2 === 0).select(col("token"))
+      val day2 = tokens.filter(col("doc_id") % 2 =!= 0).select(col("token"))
+      val tmp = TempDirs.create("graft-sketchstate-").toString
+      ext.Sketches.countMinWrite(
+        ext.Sketches.countMinBuild(day1, "token"), s"$tmp/cms1")
+      ext.Sketches.bloomWrite(
+        ext.Sketches.bloomBuild(day1, "token"), s"$tmp/bloom1")
+      ext.Sketches.kmvWrite(
+        ext.Sketches.kmvBuild(day1, "token", k = 256), s"$tmp/kmv1")
+      ext.Sketches.countMinWrite(ext.Sketches.countMinMerge(
+          s.read.parquet(s"$tmp/cms1"),
+          ext.Sketches.countMinBuild(day2, "token")), s"$tmp/cms2")
+      ext.Sketches.bloomWrite(ext.Sketches.bloomMerge(
+          s.read.parquet(s"$tmp/bloom1"),
+          ext.Sketches.bloomBuild(day2, "token")), s"$tmp/bloom2")
+      ext.Sketches.kmvWrite(ext.Sketches.kmvMerge(256,
+          s.read.parquet(s"$tmp/kmv1"),
+          ext.Sketches.kmvBuild(day2, "token", k = 256)), s"$tmp/kmv2")
+      val top = ext.TextAnalysis.topTokens(docs, 10).select(col("token"))
+      val absent = s.range(10)
+        .select(concat(lit("__absent_"), col("id")).as("token"))
+      val cmsEst = ext.Sketches.countMinEstimate(
+          s.read.parquet(s"$tmp/cms2"), top, "token")
+        .select(lit("cms").as("family"), col("token").as("item"),
+          col("n_est").cast("double").as("est"),
+          lit(null).cast("boolean").as("flag"))
+      val kmvEst = ext.Sketches.kmvEstimateStated(s.read.parquet(s"$tmp/kmv2"))
+        .select(lit("kmv").as("family"), lit("_cardinality").as("item"),
+          col("n_est").as("est"), lit(null).cast("boolean").as("flag"))
+      val bloomRes = ext.Sketches.bloomMightContain(
+          s.read.parquet(s"$tmp/bloom2"), top.unionByName(absent), "token")
+        .select(lit("bloom").as("family"), col("token").as("item"),
+          lit(null).cast("double").as("est"), col("might_contain").as("flag"))
+      detachAndClean(
+        cmsEst.unionByName(kmvEst).unionByName(bloomRes)
+          .orderBy("family", "item"),
+        tmp)
     }),
 
     "gold_pipeline_e2e" -> ((s, d) => {
@@ -3218,6 +3294,79 @@ object SparkEntry {
          |ORDER BY phase, qid, rnk""".stripMargin
     },
 
+    "sim_index_search_refined" -> {
+      // two-stage read path unrolled: ADC estimate ranking cut at the
+      // shortlist boundary (est DESC, cid ASC), then exact cosine over
+      // ONLY the shortlisted (qid, cid) pairs, cut at k (sim DESC, cid
+      // ASC) — same frozen quantizers as the index build (first-16 by
+      // vec_id over the full corpus).
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), cw AS (
+         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), qp AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+         |  ) WHERE crn <= 4
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
+         |), ca AS (
+         |  SELECT cid, ce, cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |  ) WHERE crn <= 1
+         |), enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT v.cid, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.cid, v.sub
+         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
+         |                 c.code ASC) AS rn
+         |    FROM (SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+         |          FROM embeddings e CROSS JOIN subs s) v
+         |    JOIN cw c ON c.sub = v.sub)
+         |  WHERE rn = 1
+         |), shortlist AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS srn
+         |    FROM (
+         |      SELECT n.qid, n.cid,
+         |        MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+         |        + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+         |      FROM (SELECT q.qid, a.cid FROM qp q
+         |            JOIN ca a ON a.cell = q.cell AND a.cid != q.qid) n
+         |      JOIN enc e ON e.cid = n.cid
+         |      JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
+         |      GROUP BY 1, 2)
+         |  ) WHERE srn <= 10
+         |), rr AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |  FROM (SELECT s.qid, s.cid, ${cosineSql("q.embedding", "e.embedding")} AS sim
+         |        FROM shortlist s
+         |        JOIN embeddings q ON q.vec_id = s.qid
+         |        JOIN embeddings e ON e.vec_id = s.cid)
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM rr WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    },
+
     "sim_topk_pq" -> {
       // identical PQ pipeline: sampled codebooks (first-16 subvector
       // slices), L2 argmin encoding, ADC lookup-table scoring with the
@@ -3596,6 +3745,57 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS total
          |FROM tok CROSS JOIN js GROUP BY 1, 2
          |ORDER BY j, bucket""".stripMargin
+    },
+
+    "stats_sketch_state" -> {
+      // one pass over the UNION token stream for all three families —
+      // what persist → load → merge → persist → read must equal.
+      def bucket(item: String, j: String) =
+        s"CAST('0x' || substr(md5(CAST($j AS VARCHAR) || '|' || $item), 1, 8) AS BIGINT) % 1024"
+      def bpos(item: String) =
+        s"CAST('0x' || substr(md5('b' || j || '|' || $item), 1, 8) AS BIGINT) % 8192"
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |), js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         |top AS (
+         |  SELECT token FROM (
+         |    SELECT token, count(*) AS n FROM tok GROUP BY 1
+         |    ORDER BY n DESC, token ASC LIMIT 10)
+         |), cms AS (
+         |  SELECT j, ${bucket("token", "j")} AS bucket, count(*) AS total
+         |  FROM tok CROSS JOIN js GROUP BY 1, 2
+         |), cms_est AS (
+         |  SELECT 'cms' AS family, q.token AS item,
+         |         CAST(min(c.total) AS DOUBLE) AS est, CAST(NULL AS BOOLEAN) AS flag
+         |  FROM (SELECT token, j, ${bucket("token", "j")} AS bucket
+         |        FROM top CROSS JOIN js) q
+         |  JOIN cms c ON c.j = q.j AND c.bucket = q.bucket
+         |  GROUP BY 2
+         |), h AS (
+         |  SELECT DISTINCT CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM tok
+         |), sk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+         |kmv AS (
+         |  SELECT 'kmv' AS family, '_cardinality' AS item,
+         |    CASE WHEN (SELECT count(*) FROM sk) < 256
+         |         THEN CAST((SELECT count(*) FROM sk) AS DOUBLE)
+         |         ELSE 255.0 * 4294967296.0 / CAST((SELECT max(h) FROM sk) AS DOUBLE)
+         |    END AS est, CAST(NULL AS BOOLEAN) AS flag
+         |), probes AS (
+         |  SELECT token FROM top
+         |  UNION ALL
+         |  SELECT '__absent_' || CAST(i AS VARCHAR) AS token
+         |  FROM unnest(generate_series(0, 9)) AS t(i)
+         |), bloom AS (
+         |  SELECT DISTINCT ${bpos("token")} AS pos FROM tok CROSS JOIN js
+         |), ppos AS (
+         |  SELECT DISTINCT token, ${bpos("token")} AS pos FROM probes CROSS JOIN js
+         |), bl AS (
+         |  SELECT 'bloom' AS family, p.token AS item, CAST(NULL AS DOUBLE) AS est,
+         |         (count(*) = count(b.pos)) AS flag
+         |  FROM ppos p LEFT JOIN bloom b ON b.pos = p.pos GROUP BY 2
+         |)
+         |SELECT * FROM cms_est UNION ALL SELECT * FROM kmv UNION ALL SELECT * FROM bl
+         |ORDER BY family, item""".stripMargin
     },
 
     "gold_pivot" ->

@@ -160,6 +160,17 @@ object Corpus {
     * false positives are eliminated by the exact join they fail —
     * which is exactly what `corpus_decontaminate_bloom` proves by
     * sharing the ungated oracle.
+    *
+    * NOT lazy: building the packed-bitmap gate EXECUTES the whole bench
+    * shingle pipeline and collects its filter to the driver AT CALL
+    * TIME (the [[Sketches.bloomGateColumn]] collect), before the
+    * returned frame is ever acted on. That is the right trade only when
+    * the train side dwarfs the filter-build cost — at toy scale the
+    * gate measurably LOSES to [[contamination]] (r8 bench: ~6.1 s vs
+    * ~3.3 s at sf0.1), because the bench pipeline runs eagerly and the
+    * per-row gate buys back too little join input. Call it when the
+    * train shingle table is orders of magnitude bigger than the bench
+    * set; do not compose it expecting plan-time laziness.
     */
   def contaminationBloomGated(docs: DataFrame, benchSources: Seq[String],
                               w: Int = 5, maxShingleFreq: Long = 8,

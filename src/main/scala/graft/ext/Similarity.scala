@@ -597,19 +597,27 @@ object Similarity {
     * across partitionings and engines); ranking is the query-partitioned
     * window over candidate-sized rows. `codes`: (cid, sub, code).
     */
+  /** ADC ranking of a candidate frame. `cands` must carry (qid, cid);
+    * any EXTRA columns (e.g. the candidate's `cell` — functionally
+    * dependent on cid, so grouping by it costs nothing) ride through the
+    * aggregation and come back after (qid, rank, cid) in the output —
+    * [[VectorIndex.searchRefined]] uses that to keep the partition
+    * column available for its pruned exact re-rank.
+    */
   private[ext] def adcRank(cands: DataFrame, codes: DataFrame,
                            lut: DataFrame, m: Int, k: Int): DataFrame = {
+    val keyCols = cands.columns.toSeq
     val partials = (0 until m).map(mm =>
       max(when(col("sub") === mm, col("pdot"))).as(s"s$mm"))
     val est = cands.join(codes, Seq("cid"))
       .join(broadcast(lut), Seq("qid", "sub", "code"))
-      .groupBy(col("qid"), col("cid"))
+      .groupBy(keyCols.map(col): _*)
       .agg(partials.head, partials.tail: _*)
       .withColumn("est", (0 until m).map(mm => col(s"s$mm")).reduce(_ + _))
     val w = Window.partitionBy(col("qid")).orderBy(col("est").desc, col("cid").asc)
     est.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"))
+      .select((Seq("qid", "rank") ++ keyCols.filterNot(_ == "qid")).map(col): _*)
   }
 
   /** IVF-PQ ANN — the composition production vector stores actually

@@ -19,6 +19,132 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  // ===== persisted sketch state (layout-stamped, fail-loudly) =====
+  //
+  // The deterministic sketch family (Count-Min / Bloom / KMV) is
+  // PIPELINE state: built per day/shard, persisted, merged with later
+  // batches, estimated/probed from the merged state. A sketch read back
+  // with the wrong geometry is the family's worst failure mode — CMS
+  // buckets that never line up, Bloom positions past the bitmap, a KMV
+  // estimator with the wrong (k−1) numerator — all SILENT skew. So
+  // persisted sketch tables carry their geometry as constant columns
+  // (they RLE-compress to nothing), exactly like the vector index's
+  // layout stamp and the dedup band state's (w, num_hashes, band_width)
+  // columns, and every merge/estimate/probe that sees a stamped frame
+  // cross-validates it before computing. Un-stamped (in-flight) frames
+  // skip the probe — zero cost on the query-local paths.
+
+  private def stamped(df: DataFrame, cols: Seq[String]): Boolean =
+    cols.forall(df.columns.contains)
+
+  /** One-row probe of a stamped frame's layout columns (a parquet
+    * footer read on persisted state). Empty state validates trivially —
+    * merging/probing an empty sketch is correct and yields no rows.
+    */
+  private def requireStamp(df: DataFrame, what: String,
+                           expected: Seq[(String, Int)]): Unit = {
+    val cols = expected.map(_._1)
+    if (stamped(df, cols))
+      df.select(cols.map(col): _*).limit(1).collect().headOption.foreach { r =>
+        val actual = cols.indices.map(r.getInt)
+        require(actual == expected.map(_._2),
+          s"$what layout mismatch: state stamped with " +
+            cols.zip(actual).map { case (c, v) => s"$c=$v" }.mkString("(", ", ", ")") +
+            " but the operation was called with " +
+            expected.map { case (c, v) => s"$c=$v" }.mkString("(", ", ", ")") +
+            " — estimates/probes from mismatched geometry are silently wrong")
+      }
+  }
+
+  /** All stamped inputs of one merge must agree pairwise — merging
+    * sketches of different geometry is meaningless (CMS cells don't
+    * line up, Bloom bit positions don't, KMV ks differ).
+    */
+  private def requireAgreeingStamps(parts: Seq[DataFrame], what: String,
+                                    cols: Seq[String]): Unit = {
+    val stamps = parts.filter(stamped(_, cols)).flatMap(p =>
+      p.select(cols.map(col): _*).limit(1).collect().headOption
+        .map(r => cols.indices.map(r.getInt)))
+    require(stamps.distinct.size <= 1,
+      s"$what: inputs stamped with different geometries " +
+        stamps.distinct.map(s => cols.zip(s).map { case (c, v) => s"$c=$v" }
+          .mkString("(", ", ", ")")).mkString(" vs ") +
+        " — sketches of different geometry cannot be merged")
+  }
+
+  /** Persist a Count-Min sketch with its geometry stamped. Validates
+    * the sketch actually FITS the declared geometry first (a one-job
+    * max probe over sketch-sized state) — writing a 4×4096 sketch as
+    * 4×1024 would corrupt every later estimate.
+    */
+  def countMinWrite(cms: DataFrame, dir: String,
+                    depth: Int = 4, width: Int = 1024): Unit = {
+    require(Seq("j", "bucket", "total").forall(cms.columns.contains),
+      "countMinWrite: not a Count-Min sketch — need (j, bucket, total)")
+    requireStamp(cms, "countMinWrite input", Seq("depth" -> depth, "width" -> width))
+    val mx = cms.agg(max(col("j")), max(col("bucket"))).collect()(0)
+    if (!mx.isNullAt(0))
+      require(mx.getInt(0) < depth && mx.getLong(1) < width,
+        s"countMinWrite: sketch has rows up to (j=${mx.getInt(0)}, " +
+          s"bucket=${mx.getLong(1)}) — outside the declared ${depth}x$width geometry")
+    cms.select(col("j"), col("bucket"), col("total"))
+      .withColumn("depth", lit(depth)).withColumn("width", lit(width))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Persist a Bloom filter with its geometry stamped. Positions are
+    * range-checked against the declared numBits (max probe) — the
+    * failure [[bloomGateColumn]] would otherwise hit as an opaque
+    * ArrayIndexOutOfBounds on the driver.
+    */
+  def bloomWrite(bloom: DataFrame, dir: String,
+                 numBits: Int = 8192, numHashes: Int = 4): Unit = {
+    require(bloom.columns.contains("pos"),
+      "bloomWrite: not a Bloom filter — need the pos column bloomBuild emits")
+    requireStamp(bloom, "bloomWrite input",
+      Seq("num_bits" -> numBits, "num_hashes" -> numHashes))
+    val mx = bloom.agg(max(col("pos"))).collect()(0)
+    if (!mx.isNullAt(0))
+      require(mx.getLong(0) < numBits,
+        s"bloomWrite: set bit at position ${mx.getLong(0)} — outside the " +
+          s"declared $numBits-bit geometry")
+    bloom.select(col("pos"))
+      .withColumn("num_bits", lit(numBits)).withColumn("num_hashes", lit(numHashes))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Persist a KMV sketch with k stamped — the estimator's (k−1)
+    * numerator and under-full cutoff ride WITH the state instead of
+    * being re-supplied (possibly wrong, silently skewing the estimate)
+    * at read time; [[kmvEstimateStated]] reads them back.
+    */
+  def kmvWrite(sketch: DataFrame, dir: String, k: Int = 256): Unit = {
+    require(Seq("rank", "h").forall(sketch.columns.contains),
+      "kmvWrite: not a KMV sketch — need (rank, h) as built by kmvBuild")
+    requireStamp(sketch, "kmvWrite input", Seq("k" -> k))
+    val mx = sketch.agg(max(col("rank"))).collect()(0)
+    if (!mx.isNullAt(0))
+      require(mx.getInt(0) <= k,
+        s"kmvWrite: sketch holds ${mx.getInt(0)} ranks — more than the " +
+          s"declared k=$k; it was built with a larger k")
+    sketch.select(col("rank"), col("h")).withColumn("k", lit(k))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Distinct-count estimate from a STAMPED (persisted) KMV sketch: k
+    * comes from the state itself, so a caller cannot skew the estimate
+    * by re-supplying the wrong k — the gap [[kmvEstimate]]'s free
+    * parameter leaves open.
+    */
+  def kmvEstimateStated(sketch: DataFrame): DataFrame = {
+    require(stamped(sketch, Seq("k")),
+      "kmvEstimateStated: sketch carries no k stamp — persist it with " +
+        "kmvWrite, or pass k explicitly to kmvEstimate")
+    val r = sketch.select(col("k")).limit(1).collect()
+    require(r.nonEmpty, "kmvEstimateStated: sketch is empty — no layout to read")
+    kmvEstimate(sketch.select(col("rank"), col("h")), r(0).getInt(0))
+  }
+
   /** Per-event-type profile: approximate distinct users (2% target rsd)
     * and approximate value quantiles, next to the exact row count.
     */
@@ -106,10 +232,10 @@ object Sketches {
     * (the union is the outer form of the cell-wise sum).
     *
     * All inputs MUST be built with the same (depth, width) — the same
-    * caller contract [[countMinEstimate]] already carries (layout is a
-    * parameter of this sketch family, not per-row metadata; sketches
-    * persisted as long-lived state should ride their layout alongside,
-    * as the dedup band state does). Scale shape: each input is at most
+    * caller contract [[countMinEstimate]] carries. Sketches persisted as
+    * long-lived state ride their layout alongside ([[countMinWrite]]'s
+    * stamp), and any stamped input here is cross-validated before the
+    * union. Scale shape: each input is at most
     * depth×width rows, so the merge aggregation is sketch-sized no
     * matter how many trillions of items the inputs summarize.
     */
@@ -119,6 +245,7 @@ object Sketches {
       require(Seq("j", "bucket", "total").forall(p.columns.contains),
         "countMinMerge: not a Count-Min sketch — need (j, bucket, total) " +
           "columns as built by countMinBuild"))
+    requireAgreeingStamps(parts, "countMinMerge", Seq("depth", "width"))
     parts.map(_.select(col("j"), col("bucket"), col("total")))
       .reduce(_ unionByName _)
       .groupBy(col("j"), col("bucket"))
@@ -205,6 +332,7 @@ object Sketches {
     require(parts.nonEmpty, "kmvMerge: at least one sketch")
     parts.foreach(p => require(p.columns.contains("h"),
       "kmvMerge: not a KMV sketch — need the h column kmvBuild emits"))
+    parts.foreach(requireStamp(_, "kmvMerge input", Seq("k" -> k)))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
     parts.map(_.select(col("h"))).reduce(_ unionByName _)
       .distinct().orderBy(col("h")).limit(k)
@@ -217,12 +345,14 @@ object Sketches {
     * itself when fewer than k distinct hashes exist (the sketch IS the
     * exact distinct hash set then). One row: (n_sketch, h_k, n_est).
     */
-  def kmvEstimate(sketch: DataFrame, k: Int = 256): DataFrame =
+  def kmvEstimate(sketch: DataFrame, k: Int = 256): DataFrame = {
+    requireStamp(sketch, "kmvEstimate sketch", Seq("k" -> k))
     sketch.agg(count(lit(1)).as("n_sketch"), max(col("h")).as("h_k"))
       .select(col("n_sketch"), col("h_k"),
         when(col("n_sketch") < k, col("n_sketch").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
             col("h_k").cast("double")).as("n_est"))
+  }
 
   /** Per-row Bloom membership GATE — the no-shuffle form of
     * [[bloomMightContain]] for use as a predicate inside a larger plan:
@@ -238,9 +368,16 @@ object Sketches {
     */
   def bloomGateColumn(bloom: DataFrame, item: Column, numBits: Int = 8192,
                       numHashes: Int = 4): Column = {
+    requireStamp(bloom, "bloomGateColumn filter",
+      Seq("num_bits" -> numBits, "num_hashes" -> numHashes))
     val words = new Array[Long]((numBits + 63) / 64)
     bloom.select(col("pos")).collect().foreach { r =>
       val p = r.getLong(0)
+      // an un-stamped filter built with a larger geometry would
+      // otherwise surface as an opaque ArrayIndexOutOfBounds here
+      require(p >= 0 && p < numBits,
+        s"bloom position $p exceeds numBits=$numBits — the filter was " +
+          "built with a different geometry")
       words((p >> 6).toInt) |= (1L << (p & 63).toInt)
     }
     val arr = typedLit(words.toSeq)
@@ -263,6 +400,7 @@ object Sketches {
     require(parts.nonEmpty, "bloomMerge: at least one filter")
     parts.foreach(p => require(p.columns.contains("pos"),
       "bloomMerge: not a Bloom filter — need the pos column bloomBuild emits"))
+    requireAgreeingStamps(parts, "bloomMerge", Seq("num_bits", "num_hashes"))
     parts.map(_.select(col("pos"))).reduce(_ unionByName _).distinct()
   }
 
@@ -275,6 +413,8 @@ object Sketches {
     */
   def bloomMightContain(bloom: DataFrame, queries: DataFrame, itemCol: String,
                         numBits: Int = 8192, numHashes: Int = 4): DataFrame = {
+    requireStamp(bloom, "bloomMightContain filter",
+      Seq("num_bits" -> numBits, "num_hashes" -> numHashes))
     val positions = queries.select(col(itemCol),
         explode(array((0 until numHashes).map(j =>
           bloomPos(col(itemCol), j, numBits)): _*)).as("pos"))
@@ -295,8 +435,11 @@ object Sketches {
     * count (CM never undercounts; collisions only inflate). The sketch
     * side is at most depth×width rows, so the join broadcasts.
     */
-  def countMinEstimate(cms: DataFrame, queries: DataFrame, itemCol: String,
+  def countMinEstimate(cms0: DataFrame, queries: DataFrame, itemCol: String,
                        depth: Int = 4, width: Int = 1024): DataFrame = {
+    requireStamp(cms0, "countMinEstimate sketch",
+      Seq("depth" -> depth, "width" -> width))
+    val cms = cms0.select(col("j"), col("bucket"), col("total"))
     // explode, not a per-depth union: a union would re-evaluate the
     // queries frame (often itself an aggregation) once per depth row.
     val expanded = queries.select(col(itemCol),

@@ -131,9 +131,13 @@ object VectorIndex {
     * from the write ORDER: codes first, cells second. Candidates are
     * drawn from the cells table on both search paths, so a crash
     * between the writes leaves orphan code rows that are invisible to
-    * search (and harmless on retry: duplicate (cid, sub, code) rows
-    * collapse in the ADC pivot's max), while the moment cells commits,
-    * both tables are complete.
+    * search, while the moment cells commits, both tables are complete.
+    * The insert-if-absent check runs PER TABLE (the cells delta
+    * anti-joins cells' ids, the codes delta anti-joins codes' ids), so
+    * the retry after that crash appends only the missing cells rows and
+    * skips the already-written codes — restoring the exact
+    * m-rows-per-vector invariant instead of leaving permanent duplicate
+    * (cid, sub, code) rows that every later codes scan would pay for.
     */
   def append(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
     val (cent, l) = centroidsOf(spark, dir)
@@ -162,8 +166,17 @@ object VectorIndex {
       // CODES before CELLS: candidates come from cells, so a crash
       // between the two writes leaves only search-invisible code rows
       // (see [[append]]'s crash-safety note).
-      val codes = Similarity.pqEncode(vecs, codebooks, l.m, l.dim)
+      val codesDelta = Similarity.pqEncode(vecs, codebooks, l.m, l.dim)
         .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      // per-table insert-if-absent: on the retry after a crash between
+      // the two writes, the codes rows already committed — anti-join
+      // them away so the retry cannot double them (the caller's cells
+      // anti-join can't see them; see [[append]]).
+      val codes =
+        if (overwrite) codesDelta
+        else codesDelta.join(
+          vecs.sparkSession.read.parquet(s"$dir/codes").select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
       stamp(codes.select(col("vec_id"), col("sub"), col("code"), col("cell")), l)
         .repartition(l.numCells, col("cell"))
         .write.mode(mode).partitionBy("cell").parquet(s"$dir/codes")
@@ -225,6 +238,22 @@ object VectorIndex {
     */
   def searchAdc(spark: SparkSession, dir: String, queries: DataFrame,
                 k: Int, nprobe: Int = 4): DataFrame = {
+    val s = adcSetup(spark, dir, queries, nprobe)
+    Similarity.adcRank(s.cands.select(col("qid"), col("cid")),
+      s.prunedCodes, s.lut, s.layout.m, k)
+  }
+
+  /** Everything the compressed-domain search paths share: validated
+    * index tables, query probes, candidate ids (WITH their cell — the
+    * partition column the refined re-rank prunes on), DPP-pruned codes,
+    * and the broadcast ADC lookup table.
+    */
+  private final case class AdcSetup(q: DataFrame, cands: DataFrame,
+                                    prunedCodes: DataFrame, lut: DataFrame,
+                                    cells: DataFrame, layout: Layout)
+
+  private def adcSetup(spark: SparkSession, dir: String, queries: DataFrame,
+                       nprobe: Int): AdcSetup = {
     val (cent, l) = centroidsOf(spark, dir)
     val cw = spark.read.parquet(s"$dir/codebooks")
     requireSameLayout(l, layoutOf(cw, "index codebook table"),
@@ -244,7 +273,7 @@ object VectorIndex {
     val cands = probes
       .join(cells.select(col("cell"), col("vec_id").as("cid")), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"))
+      .select(col("qid"), col("cid"), col("cell"))
     // restrict the CODES scan to probed cells the same way (broadcast
     // semi-join on the partition column → dynamic partition pruning):
     // adcRank's join on cid would drop unprobed cells' codes anyway,
@@ -255,6 +284,38 @@ object VectorIndex {
       .select(col("vec_id").as("cid"), col("sub"), col("code"))
     val lut = Similarity.adcLut(q,
       cw.select(col("sub"), col("code"), col("codeword")), l.m, l.dim)
-    Similarity.adcRank(cands, prunedCodes, lut, l.m, k)
+    AdcSetup(q, cands, prunedCodes, lut, cells, l)
+  }
+
+  /** TWO-STAGE REFINED search — the production read path of a persisted
+    * IVF-PQ index: an ADC pass over the DPP-pruned compressed codes
+    * shortlists each query's top `shortlist` candidates, then ONLY those
+    * rows' raw vectors are re-read from the bucketed cells table
+    * (broadcast shortlist joined on (cell, cid) — the partition column
+    * keeps the re-read file-pruned, the id narrows it to shortlist rows)
+    * for an exact-cosine re-rank to top `k`. IO shape: (probed
+    * fraction) × m-byte codes + (queries × shortlist) raw vectors —
+    * neither the recall cap of compressed-only [[searchAdc]] nor the
+    * probed-cells-worth of raw-vector reads [[searchFlat]] pays.
+    * Deterministic at both stages (est desc/cid asc shortlist cut, sim
+    * desc/cid asc final cut), so the whole composition is
+    * oracle-checkable. Output: (qid, rank, cid).
+    */
+  def searchRefined(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int, shortlist: Int = 20, nprobe: Int = 4): DataFrame = {
+    require(shortlist >= k,
+      s"searchRefined: shortlist ($shortlist) must be >= k ($k) — " +
+        "the re-rank can only return rows the ADC stage shortlisted")
+    val s = adcSetup(spark, dir, queries, nprobe)
+    val short = Similarity.adcRank(s.cands, s.prunedCodes, s.lut,
+      s.layout.m, shortlist) // (qid, rank, cid, cell)
+    val reread = broadcast(short.select(col("qid"), col("cid"), col("cell")))
+      .join(s.cells.select(col("cell"), col("vec_id").as("cid"),
+        col("embedding").as("ce")), Seq("cell", "cid"))
+    Similarity.rankTopK(
+      reread.join(broadcast(s.q.select(col("qid"), col("embedding").as("qe"))),
+          Seq("qid"))
+        .select(col("qid"), col("qe"), col("cid"), col("ce")),
+      k)
   }
 }

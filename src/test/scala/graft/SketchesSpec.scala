@@ -175,4 +175,83 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(viaGate === viaJoin)
   }
+
+  test("persisted sketch state: stamps round-trip, and mismatched geometry fails loudly") {
+    val docs = Tables.documents(spark, sfDir)
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val day1 = tokens.filter(col("doc_id") % 2 === 0).select(col("token"))
+    val day2 = tokens.filter(col("doc_id") % 2 =!= 0).select(col("token"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sketch_state").toString
+
+    // CMS: persist day-1, merge loaded state with day-2, compare with
+    // the single-pass sketch — persistence must be invisible
+    Sketches.countMinWrite(Sketches.countMinBuild(day1, "token"), s"$tmp/cms")
+    val merged = Sketches.countMinMerge(
+        spark.read.parquet(s"$tmp/cms"), Sketches.countMinBuild(day2, "token"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val onePass = Sketches.countMinBuild(tokens.select(col("token")), "token")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === onePass)
+    // merging sketches stamped with DIFFERENT geometries must refuse
+    Sketches.countMinWrite(
+      Sketches.countMinBuild(day2, "token", width = 2048), s"$tmp/cms_w2",
+      width = 2048)
+    val e1 = intercept[IllegalArgumentException] {
+      Sketches.countMinMerge(spark.read.parquet(s"$tmp/cms"),
+        spark.read.parquet(s"$tmp/cms_w2"))
+    }
+    assert(e1.getMessage.contains("different geometries"))
+    // writing a sketch under a geometry it doesn't fit must refuse
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.countMinWrite(
+        Sketches.countMinBuild(day1, "token", width = 2048), s"$tmp/bad")
+    }
+    assert(e2.getMessage.contains("outside the declared"))
+    // estimating through a stamped sketch with the wrong caller
+    // geometry must refuse (the silent-skew gap the stamp closes)
+    val e3 = intercept[IllegalArgumentException] {
+      Sketches.countMinEstimate(spark.read.parquet(s"$tmp/cms_w2"),
+        day1.limit(1), "token")
+    }
+    assert(e3.getMessage.contains("layout mismatch"))
+
+    // KMV: k rides with the state; the stated estimator reads it back
+    Sketches.kmvWrite(Sketches.kmvBuild(day1, "token", k = 128), s"$tmp/kmv", k = 128)
+    val loaded = spark.read.parquet(s"$tmp/kmv")
+    val stated = Sketches.kmvEstimateStated(loaded).collect()(0).getDouble(2)
+    val explicit = Sketches.kmvEstimate(
+      loaded.select(col("rank"), col("h")), k = 128).collect()(0).getDouble(2)
+    assert(stated === explicit)
+    // re-supplying the WRONG k against stamped state must refuse
+    // (previously it silently skewed the estimate)
+    val e4 = intercept[IllegalArgumentException] {
+      Sketches.kmvEstimate(loaded, k = 256)
+    }
+    assert(e4.getMessage.contains("layout mismatch"))
+    val e5 = intercept[IllegalArgumentException] {
+      Sketches.kmvMerge(256, loaded, Sketches.kmvBuild(day2, "token", k = 256))
+    }
+    assert(e5.getMessage.contains("layout mismatch"))
+
+    // Bloom: gate against stamped state with the wrong geometry must
+    // refuse loudly, not ArrayIndexOutOfBounds on the driver
+    Sketches.bloomWrite(
+      Sketches.bloomBuild(day1, "token", numBits = 16384), s"$tmp/bloom",
+      numBits = 16384)
+    val e6 = intercept[IllegalArgumentException] {
+      Sketches.bloomGateColumn(spark.read.parquet(s"$tmp/bloom"),
+        col("token"), numBits = 8192)
+    }
+    assert(e6.getMessage.contains("layout mismatch"))
+    // un-stamped filter built bigger than the gate's bitmap: the loud
+    // self-describing range check, not an opaque AIOOBE
+    val e7 = intercept[IllegalArgumentException] {
+      Sketches.bloomGateColumn(
+        Sketches.bloomBuild(day1, "token", numBits = 16384),
+        col("token"), numBits = 8192)
+    }
+    assert(e7.getMessage.contains("exceeds numBits"))
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
 }

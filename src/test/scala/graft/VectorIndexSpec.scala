@@ -188,6 +188,80 @@ class VectorIndexSpec extends AnyFunSuite {
       "probe-side joins must broadcast, never sort-merge the state tables")
   }
 
+  test("refined search == flat search when the shortlist covers every candidate") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = freshDir()
+    VectorIndex.build(emb, dir)
+    // shortlist >= corpus size: the ADC stage cannot cut anyone the
+    // exact re-rank would have kept, so the two-stage path must equal
+    // the flat (exact within probed cells) path bit-for-bit
+    val n = emb.count().toInt
+    assert(rows(VectorIndex.searchRefined(spark, dir, queries, k = 5, shortlist = n)) ===
+      rows(VectorIndex.searchFlat(spark, dir, queries, k = 5)))
+  }
+
+  test("refined search re-ranks ONLY the ADC shortlist and stays DPP-pruned") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = freshDir()
+    VectorIndex.build(emb, dir)
+    val refined = VectorIndex.searchRefined(spark, dir, queries, k = 5, shortlist = 8)
+    // behavioral proof the exact stage saw only shortlist rows: every
+    // refined result id must come from the ADC top-8 of its query
+    val short = VectorIndex.searchAdc(spark, dir, queries, k = 8)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    refined.collect().foreach { r =>
+      assert(short.contains((r.getLong(0), r.getLong(2))),
+        s"refined returned (${r.getLong(0)}, ${r.getLong(2)}) outside the ADC shortlist " +
+          "— the re-rank read raw vectors beyond the shortlist")
+    }
+    // physical proof: the codes scan AND both cells touches keep
+    // dynamic partition pruning, and no state table is sort-merged
+    val plan = refined.queryExecution.executedPlan.toString
+    val pruned = "dynamicpruning".r.findAllIn(plan).size
+    assert(pruned >= 3,
+      s"refined search should prune codes + candidate cells + re-rank cells, found $pruned")
+    assert(!plan.contains("SortMergeJoin"),
+      "probe/shortlist joins must broadcast, never sort-merge the state tables")
+    // shortlist >= k is a hard precondition, not a silent truncation
+    intercept[IllegalArgumentException] {
+      VectorIndex.searchRefined(spark, dir, queries, k = 5, shortlist = 3)
+    }
+  }
+
+  test("append retry after a crash between the codes and cells writes restores m-rows-per-vector") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val initial = emb.filter(col("vec_id") % 4 =!= 3)
+    val delta = emb.filter(col("vec_id") % 4 === 3)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = freshDir()
+    VectorIndex.build(initial, dir)
+    // simulate the crash window: a full append, then the delta's CELLS
+    // rows removed again — leaving exactly the on-disk state a crash
+    // between the codes write (committed) and the cells write leaves
+    VectorIndex.append(spark, dir, delta)
+    graft.operators.ScaleOps.retainRows(spark, s"$dir/cells",
+      initial.select(col("vec_id")), Seq("vec_id"))
+    val codesAfterCrash = spark.read.parquet(s"$dir/codes").count()
+    assert(codesAfterCrash === emb.count() * 4, "crash simulation should keep delta codes")
+    // the retry a production job issues: must complete the cells side
+    // WITHOUT doubling the already-committed codes rows
+    VectorIndex.append(spark, dir, delta)
+    val nCells = spark.read.parquet(s"$dir/cells").count()
+    val nCodes = spark.read.parquet(s"$dir/codes").count()
+    assert(nCells === emb.count())
+    assert(nCodes === nCells * 4,
+      s"m-rows-per-vector broken after retry: $nCodes codes for $nCells cells")
+    // and the recovered index searches exactly like a clean append
+    val clean = freshDir()
+    VectorIndex.build(initial, clean)
+    VectorIndex.append(spark, clean, delta)
+    assert(rows(VectorIndex.searchAdc(spark, dir, queries, k = 5)) ===
+      rows(VectorIndex.searchAdc(spark, clean, queries, k = 5)))
+  }
+
   test("append validates the delta's dimension against the frozen index") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = freshDir()
