@@ -613,6 +613,31 @@ object SparkEntry {
       TextAnalysis.bpeEncode(Tables.documents(s, d), rounds = 4)
         .orderBy("doc_id")),
 
+    "text_bpe_tokenize" -> ((s, d) => {
+      // the full deployed-tokenizer lifecycle: train 4 merges, build the
+      // deterministic vocab (lexicographic stable ids), PERSIST it with
+      // the merge count stamped, then tokenize every document into its
+      // token-ID SEQUENCE against the loaded vocab. The sequence is
+      // serialized to a space-joined string for the compare (the driver
+      // sorts rows by column values — arrays don't sort); the oracle
+      // unrolls the same merges, the same id assignment, and the same
+      // (word pos, symbol pos) reassembly, so a wrong id, a dropped
+      // token, or an out-of-order sequence all hash-mismatch.
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.bpeMergeList(docs, rounds = 4)
+      val tmp = TempDirs.create("graft-bpevocab-").toString
+      TextAnalysis.bpeVocabWrite(
+        TextAnalysis.bpeVocab(docs, merges), s"$tmp/vocab", merges.length)
+      detachAndClean(
+        TextAnalysis.bpeTokenizeWith(docs, merges, s.read.parquet(s"$tmp/vocab"))
+          .select(col("doc_id"),
+            size(col("token_ids")).as("n_tokens"),
+            array_join(transform(col("token_ids"), _.cast("string")), " ")
+              .as("token_ids"))
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
     "sim_quantize_int8" -> ((s, d) =>
       // symmetric per-vector int8 quantization, exploded layout — the
       // 4x memory/IO lever for a billion-vector ANN index; spec bounds
@@ -2899,6 +2924,69 @@ object SparkEntry {
          |SELECT d.doc_id,
          |  CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
          |  CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "text_bpe_tokenize" -> {
+      // same 4 unrolled training rounds, then: vocab ids by
+      // lexicographic rank over the distinct encoded symbols, per-word
+      // id lists in symbol order, per-doc flattening in word order.
+      val rounds = 4
+      val cte = (1 to rounds).map { r =>
+        s"""p$r AS (
+           |  SELECT l[i] AS p1, l[i+1] AS p2, CAST(sum(cnt) AS BIGINT) AS pc
+           |  FROM (SELECT string_split(trim(seq), ' ') AS l, cnt FROM s${r - 1}) t,
+           |       unnest(generate_series(1, len(l)-1)) AS u(i)
+           |  GROUP BY 1, 2
+           |), b$r AS (
+           |  SELECT p1, p2, pc FROM p$r ORDER BY pc DESC, p1 ASC, p2 ASC LIMIT 1
+           |), s$r AS (
+           |  SELECT replace(seq, ' '||b.p1||' '||b.p2||' ', ' '||b.p1||b.p2||' ') AS seq, cnt
+           |  FROM s${r - 1}, b$r b
+           |)""".stripMargin
+      }.mkString(",\n")
+      val applied = (1 to rounds).foldLeft(
+        "' ' || array_to_string(string_split(v.word, ''), ' ') || ' '") {
+        (acc, r) =>
+          s"replace($acc, ' '||b$r.p1||' '||b$r.p2||' ', ' '||b$r.p1||b$r.p2||' ')"
+      }
+      val bs = (1 to rounds).map(r => s"b$r").mkString(", ")
+      s"""WITH w0 AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY 1
+         |), s0 AS (
+         |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq, cnt
+         |  FROM w0
+         |),
+         |$cte,
+         |vw AS (
+         |  SELECT v.word, string_split(trim($applied), ' ') AS syms
+         |  FROM (SELECT word FROM w0) v, $bs
+         |), vocab AS (
+         |  SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS INTEGER) AS id
+         |  FROM (SELECT DISTINCT unnest(syms) AS token FROM vw)
+         |), wsym AS (
+         |  SELECT w.word, u.i, w.syms[u.i] AS token
+         |  FROM vw w, unnest(generate_series(1, len(w.syms))) AS u(i)
+         |), wid AS (
+         |  SELECT word, list(v.id ORDER BY s.i) AS ids
+         |  FROM wsym s JOIN vocab v USING (token)
+         |  GROUP BY word
+         |), dw AS (
+         |  SELECT doc_id, l[i] AS word, i AS wpos
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+         |       unnest(generate_series(1, len(l))) AS u(i)
+         |  WHERE len(l[i]) > 0
+         |), agg AS (
+         |  SELECT d.doc_id, flatten(list(w.ids ORDER BY d.wpos)) AS ids
+         |  FROM dw d JOIN wid w USING (word)
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(len(a.ids), 0) AS INTEGER) AS n_tokens,
+         |  COALESCE(array_to_string(a.ids, ' '), '') AS token_ids
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },

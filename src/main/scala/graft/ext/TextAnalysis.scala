@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -276,11 +276,29 @@ object TextAnalysis {
     * them up per document. Documents with no words zero-fill.
     * Output: (doc_id, n_words, n_bpe_tokens).
     */
-  def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
-    val ms = bpeMerges(docs, rounds).orderBy(col("round"))
+  def bpeEncode(docs: DataFrame, rounds: Int): DataFrame =
+    bpeEncodeWith(docs, bpeMergeList(docs, rounds))
+
+  /** Train [[bpeMerges]] and collect the merge list in round order —
+    * the ≤ `rounds`-row driver hop every apply-side entry point shares.
+    */
+  def bpeMergeList(docs: DataFrame, rounds: Int): Seq[(String, String)] =
+    bpeMerges(docs, rounds).orderBy(col("round"))
       .select(col("left_sym"), col("right_sym")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    bpeEncodeWith(docs, ms)
+
+  /** A word's space-delimited symbol sequence after the merge chain —
+    * the single definition of "apply the tokenizer" shared by encode,
+    * vocab construction and tokenization (train/apply agreement is by
+    * construction, see [[bpeMerges]]'s replace-semantics note).
+    */
+  private def bpeSeq(merges: Seq[(String, String)]): Column = {
+    val baseSeq = concat(lit(" "),
+      array_join(split(col("word"), ""), " "), lit(" "))
+    merges.foldLeft(baseSeq) { case (c, (p1, p2)) =>
+      org.apache.spark.sql.functions.replace(c,
+        lit(s" $p1 $p2 "), lit(s" $p1$p2 "))
+    }
   }
 
   /** [[bpeEncode]] against an EXPLICIT merge list — the deployed-
@@ -288,15 +306,9 @@ object TextAnalysis {
     * every later corpus without retraining.
     */
   def bpeEncodeWith(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val baseSeq = concat(lit(" "),
-      array_join(split(col("word"), ""), " "), lit(" "))
-    val encoded = merges.foldLeft(baseSeq) { case (c, (p1, p2)) =>
-      org.apache.spark.sql.functions.replace(c,
-        lit(s" $p1 $p2 "), lit(s" $p1$p2 "))
-    }
     val vocab = docs.select(explode(toks).as("word"))
       .filter(length(col("word")) > 0).distinct()
-      .select(col("word"), size(split(trim(encoded), " ")).as("n_sym"))
+      .select(col("word"), size(split(trim(bpeSeq(merges)), " ")).as("n_sym"))
     val perDoc = docs.select(col("doc_id"), explode(toks).as("word"))
       .filter(length(col("word")) > 0)
       .join(vocab, Seq("word"))
@@ -308,5 +320,86 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** Deterministic BPE VOCAB for a trained merge list: the distinct
+    * symbols the encoded distinct-word table produces, with STABLE ids
+    * assigned by lexicographic token order — a pure function of (corpus,
+    * merges), identical across engines, partitionings and re-runs, so
+    * persisted token-id sequences stay comparable forever (the property
+    * a training corpus's tokenizer must have; hash-assigned or
+    * first-seen ids have neither). The rank window runs over the
+    * vocab-sized distinct-symbol table, never the corpus.
+    * Output: (token STRING, id INT), ids 0..|vocab|-1.
+    */
+  def bpeVocab(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val w = Window.orderBy(col("token"))
+    docs.select(explode(toks).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(explode(split(trim(bpeSeq(merges)), " ")).as("token"))
+      .distinct()
+      .withColumn("id", (row_number().over(w) - 1).cast("int"))
+  }
+
+  /** Persist a BPE vocab with its merge count stamped — the tokenizer
+    * artifact a training pipeline trains once and applies to every
+    * later corpus. Same layout-stamp discipline as the sketch family
+    * ([[Sketches.countMinWrite]]) and the vector index: ids produced
+    * under a different merge chain do not correspond, so the apply side
+    * cross-validates the stamp before tokenizing.
+    */
+  def bpeVocabWrite(vocab: DataFrame, dir: String, nMerges: Int): Unit = {
+    require(Seq("token", "id").forall(vocab.columns.contains),
+      "bpeVocabWrite: not a BPE vocab — need (token, id) as built by bpeVocab")
+    vocab.select(col("token"), col("id"))
+      .withColumn("n_merges", lit(nMerges))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** TOKENIZE — documents to token-ID SEQUENCES against a persisted
+    * vocab: each word runs through the merge chain once (over the
+    * DISTINCT-word table, never the corpus), its symbols map to ids via
+    * the broadcast vocab, and per-document sequences reassemble in
+    * (word position, symbol position) order. Out-of-vocab symbols (a
+    * corpus the vocab wasn't built from) map to -1 — the UNK id — so
+    * drift is visible in the output instead of silently dropped.
+    * Validates the vocab's n_merges stamp against the supplied merge
+    * list when present; mismatched ids would not correspond to any
+    * tokenizer. Output: (doc_id, token_ids ARRAY<INT>), empty array for
+    * wordless documents.
+    */
+  def bpeTokenizeWith(docs: DataFrame, merges: Seq[(String, String)],
+                      vocab0: DataFrame): DataFrame = {
+    if (vocab0.columns.contains("n_merges"))
+      vocab0.select(col("n_merges")).limit(1).collect().headOption.foreach(r =>
+        require(r.getInt(0) == merges.length,
+          s"vocab stamped with n_merges=${r.getInt(0)} but tokenize called " +
+            s"with ${merges.length} merges — token ids would not correspond"))
+    require(Seq("token", "id").forall(vocab0.columns.contains),
+      "bpeTokenizeWith: not a BPE vocab — need (token, id) as built by bpeVocab")
+    val vocab = vocab0.select(col("token"), col("id"))
+    // distinct-word grain: encode once per word, ids in symbol order
+    val wordIds = docs.select(explode(toks).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(col("word"),
+        posexplode(split(trim(bpeSeq(merges)), " ")).as(Seq("spos", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(struct(col("spos"),
+        coalesce(col("id"), lit(-1)).as("id")))).as("sid"))
+      .select(col("word"), transform(col("sid"), s => s.getField("id")).as("ids"))
+    // corpus grain: one equi-join word→ids, reassemble in word order
+    val perDoc = docs.select(col("doc_id"), posexplode(toks).as(Seq("wpos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(wordIds, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("wpos"), col("ids")))),
+        w => w.getField("ids"))).as("token_ids"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("token_ids"),
+          array().cast("array<int>")).as("token_ids"))
   }
 }

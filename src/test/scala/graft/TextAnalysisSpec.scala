@@ -83,4 +83,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     // every doc individually respects the word lower bound
     assert(enc.filter(col("n_bpe_tokens") < col("n_words")).count() === 0L)
   }
+
+  test("BPE tokenize: stable vocab ids, sequences consistent with encode, stamp validated, UNK = -1") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val merges = TextAnalysis.bpeMergeList(docs, rounds = 4)
+    val vocab = TextAnalysis.bpeVocab(docs, merges)
+    // ids are a dense 0..n-1 ranking in lexicographic token order —
+    // stable across runs by construction
+    val vs = vocab.orderBy("id").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(vs.map(_._2).toSeq === vs.indices.toSeq)
+    assert(vs.map(_._1).toSeq === vs.map(_._1).sorted.toSeq)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_vocab").toString
+    TextAnalysis.bpeVocabWrite(vocab, s"$tmp/vocab", merges.length)
+    val loaded = spark.read.parquet(s"$tmp/vocab")
+    // per-doc sequence length == bpeEncode's per-doc token count (two
+    // independent paths over the same merge chain)
+    val seqLens = TextAnalysis.bpeTokenizeWith(docs, merges, loaded)
+      .select(col("doc_id"), size(col("token_ids")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val encCounts = TextAnalysis.bpeEncodeWith(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2).toInt).toMap
+    assert(seqLens === encCounts)
+    // no UNK on the training corpus; every id within vocab range
+    val ids = TextAnalysis.bpeTokenizeWith(docs, merges, loaded)
+      .select(explode(col("token_ids")).as("id")).distinct()
+      .collect().map(_.getInt(0))
+    assert(ids.forall(i => i >= 0 && i < vs.length))
+    // a FOREIGN corpus (symbols the vocab never saw) surfaces as -1,
+    // not silently dropped
+    import spark.implicits._
+    val foreign = Seq((1L, "zzzz qqqq")).toDF("doc_id", "text")
+    val fIds = TextAnalysis.bpeTokenizeWith(foreign, merges, loaded)
+      .select(explode(col("token_ids")).as("id"))
+      .collect().map(_.getInt(0))
+    assert(fIds.nonEmpty && fIds.contains(-1))
+    // tokenizing with a merge list the vocab wasn't stamped for refuses
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTokenizeWith(docs, merges.take(2), loaded)
+    }
+    assert(e.getMessage.contains("would not correspond"))
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
 }
