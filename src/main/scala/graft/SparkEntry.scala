@@ -1173,6 +1173,77 @@ object SparkEntry {
       detachAndClean(sinkBelowHorizon(s, d, s"$tmp/out", "event_type"), tmp)
     }),
 
+    "stream_session_restart" -> ((s, d) => {
+      // SESSION-WINDOW state survives a restart — the FOURTH stateful
+      // class, completing the restart quad (dedup ids / window aggs /
+      // join buffers / session windows): two AvailableNow passes of the
+      // live session_window pipeline on ONE checkpoint, the feed split
+      // INSIDE a real session (a global midpoint split never straddles
+      // one on this feed — sessions are minutes long, the feed a
+      // month): the cut lands in the WIDEST in-session event gap, so
+      // that session provably has events on both sides of the restart.
+      // Only the checkpointed session state pass 2 restores can MERGE
+      // the two halves — a fresh-state restart emits two half-sessions
+      // and hash-mismatches; the require below additionally pins the
+      // merged session in the sink. Oracle = batch sessionization of
+      // the WHOLE feed (the restart must be invisible), both sides
+      // restricted to sessions finalized strictly below the final
+      // watermark horizon so the edge session's emit-or-hold never
+      // decides the comparison.
+      val tmp = TempDirs.create("graft-session-restart-").toString
+      val src = s"$tmp/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      val feed = s.read.parquet(s"$d/events.parquet")
+      val gapMs = 30L * 60 * 1000
+      val maxNs = feed.agg(max(col("ts"))).head().getLong(0)
+      // widest same-session gap, well below the final horizon (3 h
+      // margin: sessions are < 1 h long, so the session the cut splits
+      // is finalized in pass 2 and survives the horizon filter)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val pick = feed.select(col("user_id"), col("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull && col("ts") > col("prev") &&
+          col("ts") - col("prev") <= lit(gapMs * 1000000L) &&
+          col("ts") < lit(maxNs - 3 * 3600000000000L))
+        .orderBy((col("ts") - col("prev")).desc, col("user_id").asc,
+          col("ts").asc)
+        .limit(1).collect()
+      require(pick.nonEmpty,
+        "stream_session_restart: feed has no multi-event session to split")
+      val (uid, prevNs, nextNs) =
+        (pick(0).getLong(0), pick(0).getLong(2), pick(0).getLong(1))
+      val mid = prevNs + 1
+      feed.filter(col("ts") < lit(mid)).coalesce(1)
+        .write.mode("append").parquet(src)
+      val sch = s.read.parquet(src).schema
+      def runPass(): Unit =
+        graft.streaming.Streams.sessionPipeline(
+          s, sch, src, s"$tmp/out", s"$tmp/ck", gapMs,
+          prepare = rebuildStreamTs).awaitTermination()
+      runPass()
+      feed.filter(col("ts") >= lit(mid)).coalesce(1)
+        .write.mode("append").parquet(src)
+      runPass()
+      val sink = s.read.parquet(s"$tmp/out")
+      // the split session was MERGED: one emitted session for that user
+      // covers both the pass-1 and the pass-2 event — impossible from
+      // fresh state, which never saw the pass-1 half
+      require(sink.filter(col("user_id") === uid &&
+          col("start_ms") <= lit(prevNs / 1000000L) &&
+          col("end_ms") >= lit(nextNs / 1000000L)).count() == 1,
+        "restart failed to merge the session split across the checkpoint")
+      val mx = Tables.events(s, d).agg(max(unix_millis(col("ts"))).as("mx_ms"))
+      detachAndClean(
+        sink
+          .crossJoin(mx) // 1-row broadcast
+          .filter(col("end_ms") + lit(gapMs + 1) < col("mx_ms") - lit(3600000L))
+          .select(col("user_id"), col("start_ms"), col("end_ms"),
+            col("n_events"))
+          .orderBy("user_id", "start_ms"),
+        tmp)
+    }),
+
     "stream_join_restart" -> ((s, d) => {
       // the JOIN-BUFFER leg of crash recovery — with stream_dedup_restart
       // (dedup state) and stream_pipeline_restart (window state) this
@@ -3682,6 +3753,34 @@ object SparkEntry {
     // identical oracle: the restart must be INVISIBLE in the result —
     // same finalized windows whether the feed arrived in one pass or two.
     "stream_pipeline_restart" -> streamPipelineOracle,
+
+    "stream_session_restart" ->
+      // batch sessionization of the whole feed — identical whether the
+      // events arrived in one pass or two — kept to sessions finalized
+      // strictly below the final watermark horizon (session window end
+      // = last event + gap + 1 ms; horizon = max event time − 1 h).
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |mx AS (SELECT max(ts_ms) AS mx_ms FROM e),
+        |x AS (SELECT user_id, ts_ms,
+        |        lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev_ts
+        |      FROM e),
+        |y AS (SELECT user_id, ts_ms,
+        |        CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM x),
+        |z AS (SELECT user_id, ts_ms,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |                               ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM y),
+        |sess AS (
+        |  SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+        |         CAST(count(*) AS INTEGER) AS n_events
+        |  FROM z GROUP BY user_id, session_seq
+        |)
+        |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events
+        |FROM sess s, mx
+        |WHERE s.end_ms + 1800001 < mx.mx_ms - 3600000
+        |ORDER BY user_id, start_ms""".stripMargin,
 
     // exact companions reproduced by DuckDB; the *_ok sketch-bound flags
     // are TRUE by expectation — a sketch out of bounds hash-mismatches.

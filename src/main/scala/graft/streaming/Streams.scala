@@ -266,6 +266,30 @@ object Streams {
         (unix_millis(col("sw.end")) - (gapMs + 1)).as("end_ms"),
         col("n_events"))
 
+  /** [[sessionWindows]] as a LIVE pipeline: file stream → watermarked
+    * session windows → parquet sink, AvailableNow — the scheduled-batch
+    * form of streaming sessionization. Session state (one open window
+    * per active user) lives in the checkpoint between runs, so a
+    * session whose events span two runs is MERGED by the restored
+    * state — the crash-recovery property `stream_session_restart`
+    * proves: a fresh-state restart would emit two half-sessions.
+    * Append mode emits a session only once the watermark passes its
+    * window end (last event + gap), finalize-once.
+    */
+  def sessionPipeline(spark: SparkSession, schema: StructType,
+                      srcDir: String, outDir: String, checkpointDir: String,
+                      gapMs: Long,
+                      prepare: DataFrame => DataFrame = identity): StreamingQuery =
+    sessionWindows(
+        prepare(spark.readStream.schema(schema).parquet(srcDir))
+          .select(col("user_id"), col("ts")), gapMs)
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+
   /** Batch sessionization with identical semantics (used to cross-check
     * the stateful path in tests, and as the backfill job at scale —
     * window lag over (user, ts) then a running session id).

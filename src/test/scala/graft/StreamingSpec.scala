@@ -188,6 +188,35 @@ class StreamingSpec extends AnyFunSuite {
       s"restored buffer must supply the cross-pass matches: $pairs")
   }
 
+  test("session-window state survives a restart: the split session merges into one") {
+    val base = java.nio.file.Files.createTempDirectory("graft_srestart").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minOff: Int) = new java.sql.Timestamp(t0.getTime + minOff * 60000L)
+    val gapMs = 30L * 60 * 1000
+    val schema = Seq((1L, t0)).toDF("user_id", "ts").schema
+    // pass 1: two events of user 1's session; its window end (10:10 +
+    // gap) is above pass-1's watermark, so the session stays OPEN in
+    // checkpointed state, not emitted
+    Seq((1L, ts(0)), (1L, ts(10)))
+      .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(src)
+    Streams.sessionPipeline(spark, schema, src, out, ckpt, gapMs)
+      .awaitTermination()
+    assert(spark.read.parquet(out).count() === 0L, "open session must not emit")
+    // pass 2, same checkpoint: a third event within the gap extends the
+    // RESTORED session; a far-future event pushes the watermark past its
+    // window end so it finalizes. Fresh state would emit (10:00,10:10,2)
+    // and (10:25,...) as two halves — or nothing mergeable at all.
+    Seq((1L, ts(25)), (99L, ts(8 * 60)))
+      .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(src)
+    Streams.sessionPipeline(spark, schema, src, out, ckpt, gapMs)
+      .awaitTermination()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.toSeq === Seq((1L, ts(0).getTime, ts(25).getTime, 3)),
+      s"restored state must merge the split session: ${rows.mkString(",")}")
+  }
+
   test("exactly-once sink: a replayed micro-batch idempotently overwrites its own batch directory") {
     val base = java.nio.file.Files.createTempDirectory("graft_eos").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
