@@ -1127,6 +1127,29 @@ object SparkEntry {
         s.read.parquet(s"$wh/dm_daily_trip_summary").orderBy("cal_date"), wh)
     }),
 
+    "corpus_pipeline_e2e" -> ((s, d) => {
+      // the corpus-release CAPSTONE: quality gate → exact dedup → near
+      // dedup (MinHash bands → connected components → keep best) →
+      // Bloom-gated decontamination vs the RAW bench sources → packing
+      // → split, one staged run atomically PROMOTED into a throwaway
+      // warehouse (the extension-surface analog of gold_pipeline_e2e's
+      // transactional ETL), and the released table read back FROM DISK.
+      // The pipeline cleans the TRAIN side only — bench docs are the
+      // external eval sets the sweep protects, not corpus — so every
+      // stage binds (PipelineSpec asserts it). Oracle = the unrolled
+      // chain, so every stage's keep/drop decision, the pack boundaries
+      // and the split labels are all hash-checked through the
+      // write→promote→read path.
+      val wh = TempDirs.create("graft-corpus-e2e-").toString
+      graft.plans.Pipeline.runCorpusEtl(s, d, wh)
+      detachAndClean(
+        s.read.parquet(s"$wh/corpus_release")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("n_tok"), col("pack_id"), col("split"))
+          .orderBy("doc_id"),
+        wh)
+    }),
+
     "stream_pipeline" -> ((s, d) => {
       // the LIVE streaming path (not the batch twin): AvailableNow
       // file-stream over the events source → watermarked hourly windows →
@@ -4296,6 +4319,94 @@ object SparkEntry {
         |FROM shared JOIN bsize ON bsize.doc_id = bench_doc
         |WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3
         |ORDER BY bench_doc, train_doc""".stripMargin,
+
+    "corpus_pipeline_e2e" ->
+      // the chain unrolled: integer-exact quality gate, md5 exact-dedup
+      // keepers, full-corpus MinHash pairs RESTRICTED to the surviving
+      // set (signatures/bands/Jaccard are per-doc / per-pair, so
+      // restriction commutes with the pipeline — no cap in play),
+      // recursive connected components, keep-best by n_chars, the
+      // contamination sweep RECOMPUTED over the survivors (the shingle
+      // frequency cap does NOT commute with restriction), then pack and
+      // split over the clean set.
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
+         |           len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+         |  WHERE n_tok >= 5 AND n_stop >= 1 AND 4*n_dis >= n_tok
+         |), gated AS (
+         |  SELECT d.* FROM documents d JOIN q USING (doc_id)
+         |  WHERE d.source NOT IN ('src0','src1')
+         |),
+         |ek AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |ekd AS (SELECT g.* FROM gated g JOIN ek USING (doc_id)),
+         |pairs AS (
+         |  SELECT d1, d2 FROM ($minhashPairsCoreSql) p
+         |  WHERE d1 IN (SELECT doc_id FROM ekd)
+         |    AND d2 IN (SELECT doc_id FROM ekd)
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION
+         |  SELECT d2, d1 FROM pairs
+         |), reach(node, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
+         |), cl AS (
+         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1
+         |), kb AS (
+         |  SELECT cluster_id, doc_id AS keeper FROM (
+         |    SELECT cl.cluster_id, cl.doc_id,
+         |           row_number() OVER (PARTITION BY cl.cluster_id
+         |             ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+         |    FROM cl JOIN ekd d USING (doc_id))
+         |  WHERE rn = 1
+         |), losers AS (
+         |  SELECT cl.doc_id FROM cl JOIN kb USING (cluster_id)
+         |  WHERE cl.doc_id != kb.keeper
+         |), nk AS (
+         |  SELECT * FROM ekd WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |), sw AS (
+         |  SELECT * FROM documents WHERE source IN ('src0','src1')
+         |  UNION ALL
+         |  SELECT * FROM nk
+         |), ctoks AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS l FROM sw
+         |  WHERE len(string_split(text, ' ')) >= 5
+         |), ctri AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         unnest(list_transform(generate_series(1, len(l)-4),
+         |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
+         |  FROM ctoks
+         |), cfreq AS (
+         |  SELECT sh, count(*) AS f FROM ctri WHERE source IS NOT NULL GROUP BY 1
+         |), ckeep AS (SELECT t.* FROM ctri t JOIN cfreq f ON f.sh = t.sh AND f.f <= 8),
+         |cbench AS (SELECT doc_id, sh FROM ckeep WHERE source IN ('src0','src1')),
+         |ctrain AS (SELECT doc_id, sh FROM ckeep WHERE source NOT IN ('src0','src1')),
+         |cbsize AS (SELECT doc_id, count(*) AS n FROM cbench GROUP BY 1),
+         |cshared AS (
+         |  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc, count(*) AS n_shared
+         |  FROM cbench b JOIN ctrain t ON b.sh = t.sh GROUP BY 1, 2
+         |), flags AS (
+         |  SELECT DISTINCT train_doc AS doc_id
+         |  FROM cshared JOIN cbsize ON cbsize.doc_id = bench_doc
+         |  WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3
+         |), clean AS (
+         |  SELECT * FROM nk
+         |  WHERE source NOT IN ('src0','src1')
+         |    AND doc_id NOT IN (SELECT doc_id FROM flags)
+         |)
+         |SELECT doc_id, source, n_chars,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+         |  CAST(floor(CAST(COALESCE(sum(len(string_split(text, ' '))) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+         |    / 512) AS INTEGER) AS pack_id,
+         |  CASE WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM clean ORDER BY doc_id""".stripMargin,
 
     "corpus_decontaminate" -> corpusDecontaminateOracle,
 

@@ -124,52 +124,132 @@ object Pipeline {
         failures.drop(1).distinct.filter(_ ne first).foreach(first.addSuppressed)
         throw first
       }
-      // promote: swap each staged table in. The live copy is moved ASIDE
-      // first (not deleted) and every aside is retained until the WHOLE
-      // batch has promoted — if any swap fails, all earlier promotions
-      // roll back from their asides, so observers never see a mixed
-      // warehouse (the reference's transaction-rollback behavior). Only
-      // after the last table is in place are the asides removed.
-      case class Promoted(live: Path, aside: Path, hadLive: Boolean)
-      val done = scala.collection.mutable.ListBuffer.empty[Promoted]
-      try {
-        tableNames.foreach { name =>
-          val live = Paths.get(warehouseDir, name)
-          val aside = Paths.get(warehouseDir, s".old-$name-${java.util.UUID.randomUUID}")
-          val hadLive = Files.exists(live)
-          if (hadLive) Files.move(live, aside, StandardCopyOption.ATOMIC_MOVE)
-          try Files.move(staging.resolve(name), live, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case e: Throwable =>
-              if (hadLive) Files.move(aside, live, StandardCopyOption.ATOMIC_MOVE)
-              throw e
-          }
-          done += Promoted(live, aside, hadLive)
-        }
-      } catch {
-        case e: Throwable =>
-          // restore every table promoted before the failure. The fresh
-          // copy is MOVED aside (atomic) — never deleted first — so no
-          // instant exists where a table has neither old nor new data;
-          // restores are best-effort across all tables (one failed move
-          // must not strand the rest mid-rollback).
-          done.toList.reverse.foreach { p =>
-            try {
-              val failed = Paths.get(warehouseDir,
-                s".failed-${p.live.getFileName}-${java.util.UUID.randomUUID}")
-              Files.move(p.live, failed, StandardCopyOption.ATOMIC_MOVE)
-              if (p.hadLive)
-                Files.move(p.aside, p.live, StandardCopyOption.ATOMIC_MOVE)
-              deleteRecursively(failed)
-            } catch {
-              case re: Throwable => e.addSuppressed(re)
-            }
-          }
-          throw e
-      }
-      done.foreach(p => if (p.hadLive) deleteRecursively(p.aside))
+      promoteStaged(warehouseDir, staging, tableNames)
       tableNames
     } finally deleteRecursively(staging)
+  }
+
+  /** Promote: swap each staged table in. The live copy is moved ASIDE
+    * first (not deleted) and every aside is retained until the WHOLE
+    * batch has promoted — if any swap fails, all earlier promotions
+    * roll back from their asides, so observers never see a mixed
+    * warehouse (the reference's transaction-rollback behavior). Only
+    * after the last table is in place are the asides removed.
+    */
+  private def promoteStaged(warehouseDir: String, staging: Path,
+                            tableNames: Seq[String]): Unit = {
+    case class Promoted(live: Path, aside: Path, hadLive: Boolean)
+    val done = scala.collection.mutable.ListBuffer.empty[Promoted]
+    try {
+      tableNames.foreach { name =>
+        val live = Paths.get(warehouseDir, name)
+        val aside = Paths.get(warehouseDir, s".old-$name-${java.util.UUID.randomUUID}")
+        val hadLive = Files.exists(live)
+        if (hadLive) Files.move(live, aside, StandardCopyOption.ATOMIC_MOVE)
+        try Files.move(staging.resolve(name), live, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case e: Throwable =>
+            if (hadLive) Files.move(aside, live, StandardCopyOption.ATOMIC_MOVE)
+            throw e
+        }
+        done += Promoted(live, aside, hadLive)
+      }
+    } catch {
+      case e: Throwable =>
+        // restore every table promoted before the failure. The fresh
+        // copy is MOVED aside (atomic) — never deleted first — so no
+        // instant exists where a table has neither old nor new data;
+        // restores are best-effort across all tables (one failed move
+        // must not strand the rest mid-rollback).
+        done.toList.reverse.foreach { p =>
+          try {
+            val failed = Paths.get(warehouseDir,
+              s".failed-${p.live.getFileName}-${java.util.UUID.randomUUID}")
+            Files.move(p.live, failed, StandardCopyOption.ATOMIC_MOVE)
+            if (p.hadLive)
+              Files.move(p.aside, p.live, StandardCopyOption.ATOMIC_MOVE)
+            deleteRecursively(failed)
+          } catch {
+            case re: Throwable => e.addSuppressed(re)
+          }
+        }
+        throw e
+    }
+    done.foreach(p => if (p.hadLive) deleteRecursively(p.aside))
+  }
+
+  /** The training-corpus RELEASE pipeline — the extension-surface analog
+    * of [[runFullEtl]] (reference: the transactional silver orchestrator,
+    * /root/reference/include/sql/silver/silver_load.sql:285-308): one
+    * staged-then-promoted run composing the corpus operators end to end,
+    *
+    *   quality gate → exact dedup → near dedup (banded MinHash →
+    *   connected components → keep best per cluster) → Bloom-gated
+    *   decontamination vs the benchmark sources → sequence packing →
+    *   train/val/test split
+    *
+    * `corpus_release` (the shippable table) and `corpus_flags` (the
+    * contamination audit list the release is justified by) land together
+    * or not at all, under the same aside/rollback promotion as the
+    * warehouse ETL. The quality gate is integer-exact (length, stopword
+    * presence, 4·distinct ≥ tokens) so every keep/drop decision is
+    * bit-portable to the oracle.
+    */
+  def runCorpusEtl(spark: SparkSession, srcDir: String,
+                   warehouseDir: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Corpus, Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, srcDir)
+    val benchSrc = Seq("src0", "src1")
+    // the pipeline runs on the TRAIN side only — the bench sources are
+    // the external eval sets decontamination protects, not corpus to
+    // clean (deduplicating them INTO the corpus would silently do the
+    // sweep's job on cross-side near-dups and leave it nothing to find)
+    val train = docs.filter(!col("source").isin(benchSrc: _*))
+    val gated = train.join(
+      TextAnalysis.qualityScore(train)
+        .filter(col("n_tokens") >= 5 && col("n_stopwords") >= 1 &&
+          col("n_distinct_tokens") * 4 >= col("n_tokens"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val exactKept = gated.join(
+      Dedup.exact(gated).select(col("keeper").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val clusters = Dedup.clusterPairs(
+      Dedup.minhashLsh(exactKept, w = 5, numHashes = 8, bandWidth = 2,
+        threshold = 0.5))
+    val keepers = Dedup.keepBestPerCluster(clusters,
+      exactKept.select(col("doc_id"), col("n_chars")), "n_chars")
+    val losers = clusters
+      .join(keepers.select(col("cluster_id"), col("keeper")), Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    val nearKept = exactKept.join(losers, Seq("doc_id"), "left_anti")
+    // sweep = raw bench docs ∪ surviving train docs; the result is read
+    // twice (apply + audit table) — keep the sweep result, not the
+    // documents, in memory
+    val flags = Corpus.contaminationBloomGated(
+      docs.filter(col("source").isin(benchSrc: _*)).unionByName(nearKept),
+      benchSrc, w = 5, maxShingleFreq = 8, threshold = 0.3).persist()
+    try {
+      val clean = Corpus.decontaminate(nearKept, flags, benchSrc)
+      val released = Corpus.splitAssign(
+        clean.select(col("doc_id"), col("source"), col("n_chars"))
+          .join(Corpus.packSequences(clean, maxTokens = 512)
+            .select(col("doc_id"), col("n_tok"), col("pack_id")),
+            Seq("doc_id")))
+      val staging = Paths.get(warehouseDir, s".staging-${java.util.UUID.randomUUID}")
+      Files.createDirectories(staging)
+      val tables = Seq("corpus_release", "corpus_flags")
+      try {
+        released.write.mode("overwrite")
+          .parquet(staging.resolve("corpus_release").toString)
+        flags.write.mode("overwrite")
+          .parquet(staging.resolve("corpus_flags").toString)
+        promoteStaged(warehouseDir, staging, tables)
+        tables
+      } finally deleteRecursively(staging)
+    } finally flags.unpersist(blocking = false)
   }
 
   /** S8: recompute-and-overwrite mart refresh (`REFRESH MATERIALIZED

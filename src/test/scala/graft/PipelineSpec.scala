@@ -23,6 +23,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus ETL: every stage binds, release is self-consistent, re-release replaces atomically") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft_corpus_wh").toString
+    val written = Pipeline.runCorpusEtl(spark, sfDir, wh)
+    assert(written === Seq("corpus_release", "corpus_flags"))
+    val docs = Tables.documents(spark, sfDir)
+    val release = spark.read.parquet(s"$wh/corpus_release")
+    val flags = spark.read.parquet(s"$wh/corpus_flags")
+    // the chain BINDS: every stage dropped something — a release equal
+    // to the raw corpus means a stage silently no-opped
+    val total = docs.filter(!col("source").isin("src0", "src1")).count()
+    assert(release.count() > 0 && release.count() < total,
+      s"release ${release.count()} vs train corpus $total — no stage bound")
+    assert(flags.count() > 0, "contamination sweep found nothing — not binding")
+    // self-consistency: no bench sources, no flagged doc, no exact-dup
+    // content, every pack/split column populated
+    assert(release.filter(col("source").isin("src0", "src1")).count() === 0)
+    assert(release.join(flags.select(col("train_doc").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi").count() === 0)
+    val texts = docs.join(release.select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(texts.groupBy(md5(col("text"))).count().filter(col("count") > 1).count() === 0,
+      "exact duplicates survived the release")
+    assert(release.filter(col("pack_id").isNull || col("split").isNull).count() === 0)
+    // re-release (the idempotent re-run) fully replaces both tables
+    val c1 = release.count()
+    Pipeline.runCorpusEtl(spark, sfDir, wh)
+    assert(spark.read.parquet(s"$wh/corpus_release").count() === c1)
+    assert(!new java.io.File(wh).listFiles().exists(_.getName.startsWith(".staging")))
+  }
+
   test("a failed table write surfaces ITS error, leaves the live warehouse intact") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_fail").toString
     Pipeline.runFullEtl(spark, sfDir, wh)
