@@ -816,6 +816,15 @@ object SparkEntry {
       Multimodal.frameSample(Tables.documents(s, d), frameBytes = 16, stride = 4)
         .orderBy("doc_id")),
 
+    "multimodal_frame_dedup" -> ((s, d) =>
+      // the multimodal JOIN path: frame fingerprints equi-joined within
+      // modality buckets, boilerplate frames capped, pairs aggregated by
+      // shared-frame count — video/image near-dup on the same corpus
+      // text dedup runs MinHash over. The join never goes doc×doc.
+      Multimodal.frameDedup(Tables.documents(s, d), frameBytes = 16,
+          minShared = 2, maxFrameFreq = 64)
+        .orderBy("modality", "d1", "d2")),
+
     // batch/stream-agnostic transforms (graft.streaming) run here in
     // batch mode — identical code drives the AvailableNow streaming jobs.
     "stream_windowed_counts" -> ((s, d) =>
@@ -3613,6 +3622,32 @@ object SparkEntry {
         |  CAST((octet_length(encode(text)) + 15) // 16 AS INTEGER) AS n_frames,
         |  CAST((CAST((octet_length(encode(text)) + 15) // 16 AS INTEGER) + 3) // 4 AS INTEGER) AS n_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frame_dedup" ->
+      // byte-slicing == char-slicing here (the corpus is ASCII — checked,
+      // not assumed: a non-ASCII corpus would shift frame boundaries and
+      // hash-mismatch loudly), so substr reproduces the payload frames.
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS modality,
+        |    substr(text, (i-1)*16 + 1, 16) AS frame
+        |  FROM documents,
+        |       unnest(generate_series(1, CAST(ceil(length(text)/16.0) AS BIGINT))) AS u(i)
+        |  WHERE length(text) > 0
+        |), fp AS (SELECT DISTINCT doc_id, modality, md5(frame) AS fp FROM f),
+        |keep AS (
+        |  SELECT p.* FROM fp p
+        |  JOIN (SELECT modality, fp FROM fp GROUP BY 1, 2
+        |        HAVING count(*) <= 64) q
+        |    ON q.modality = p.modality AND q.fp = p.fp
+        |)
+        |SELECT a.modality, a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM keep a JOIN keep b
+        |  ON a.modality = b.modality AND a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY a.modality, d1, d2""".stripMargin,
 
     "stream_windowed_counts" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,

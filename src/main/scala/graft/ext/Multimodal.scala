@@ -77,6 +77,57 @@ object Multimodal {
   def fakeResize(payload: Array[Byte], targetLen: Int): Array[Byte] =
     java.util.Arrays.copyOf(payload, targetLen)
 
+  /** Modality-bucketed FRAME-level near-dup — the multimodal JOIN/AGG
+    * path (not a projection): payloads chunk into fixed-width frames
+    * (the [[frameSample]] chunking), each frame fingerprints to
+    * md5(bytes), and two documents OF THE SAME MODALITY sharing at
+    * least `minShared` distinct fingerprints pair as near-dup
+    * candidates — the video/image dedup a training pipeline runs where
+    * text dedup runs MinHash (a re-encoded copy shares exact frames
+    * even when container bytes differ; with real media the fingerprint
+    * is a perceptual hash, same plumbing).
+    *
+    * Scale design: the pair search is an EQUI-join on (modality,
+    * fingerprint) — never doc×doc — so candidates are bounded by
+    * fingerprint collisions; the modality column BUCKETS the join
+    * (image frames never compare against audio windows), and frames
+    * appearing in more than `maxFrameFreq` documents (black frames,
+    * silence, boilerplate intros) are excluded before the join —
+    * the same boilerplate-cap lever as [[Corpus.contamination]]: one
+    * such frame would otherwise emit cap² pair rows and its matches
+    * are noise, not signal. Output: (modality, d1, d2, n_shared).
+    */
+  def frameDedup(docs: DataFrame, frameBytes: Int = 16, minShared: Int = 2,
+                 maxFrameFreq: Long = 64): DataFrame = {
+    require(frameBytes >= 1 && minShared >= 1 && maxFrameFreq >= 2)
+    val modality = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val fp = asBinary(docs)
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"), modality.as("modality"), col("payload"),
+        explode(sequence(lit(0),
+          floor((octet_length(col("payload")) - 1) / frameBytes).cast("int")))
+          .as("fpos"))
+      .select(col("doc_id"), col("modality"),
+        md5(expr(s"substring(payload, fpos * $frameBytes + 1, $frameBytes)"))
+          .as("fp"))
+      .distinct()
+    val keep = fp.join(
+      fp.groupBy(col("modality"), col("fp"))
+        .agg(count(lit(1)).as("nf"))
+        .filter(col("nf") <= maxFrameFreq)
+        .select(col("modality"), col("fp")),
+      Seq("modality", "fp"), "left_semi")
+    keep.select(col("modality"), col("fp"), col("doc_id").as("d1"))
+      .join(keep.select(col("modality"), col("fp"), col("doc_id").as("d2")),
+        Seq("modality", "fp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("modality"), col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Decode/feature-extract over binary payloads. mapPartitions keeps
     * decoder initialization per-partition (NOT per-row) and processes an
     * iterator — the exact shape a native decoder or an inference batch
