@@ -1021,6 +1021,37 @@ object SparkEntry {
             col("n_exact").cast("double") < 0.15).as("err_ok"))
     }),
 
+    "stats_kmv_setops" -> ((s, d) => {
+      // KMV SET ALGEBRA — the estimator the sketch family exists for
+      // beyond single-set counting: |A∪B|, Jaccard and |A∩B| of the
+      // even-doc vs odd-doc shingle sets, read off two 256-hash
+      // sketches without touching the sets (Beyer et al., SIGMOD'07:
+      // the union sketch's hashes are a uniform sample of A∪B, so the
+      // in-both fraction estimates Jaccard). Every column is exact
+      // integers + IEEE division, so even the ESTIMATES hash-match the
+      // oracle bit for bit; the exact companions ride along and err_ok
+      // bounds the Jaccard estimate at 35% relative (k=256 puts ~66
+      // union-sample hits in the intersection at these SFs).
+      val docs = Tables.documents(s, d)
+      val a = Dedup.shingles(docs.filter(col("doc_id") % 2 === 0), w = 3)
+        .select(col("sh"))
+      val b = Dedup.shingles(docs.filter(col("doc_id") % 2 =!= 0), w = 3)
+        .select(col("sh"))
+      val ops = ext.Sketches.kmvSetOps(
+        ext.Sketches.kmvBuild(a, "sh", k = 256),
+        ext.Sketches.kmvBuild(b, "sh", k = 256), k = 256)
+      val exact = a.intersect(b).agg(count(lit(1)).as("n_inter_exact"))
+        .crossJoin(a.union(b).agg(countDistinct(col("sh")).as("n_union_exact")))
+      ops.crossJoin(exact)
+        .select(col("n_union_sketch"), col("h_k"), col("n_common"),
+          col("union_est"), col("jaccard"), col("inter_est"),
+          col("n_inter_exact"), col("n_union_exact"),
+          (abs(col("jaccard") - col("n_inter_exact").cast("double") /
+            col("n_union_exact").cast("double")) /
+            (col("n_inter_exact").cast("double") /
+              col("n_union_exact").cast("double")) < 0.35).as("err_ok"))
+    }),
+
     "stats_bloom" -> ((s, d) => {
       // deterministic Bloom-filter membership prefilter — the sublinear
       // gate a decontamination pass runs before paying an exact join:
@@ -3947,6 +3978,53 @@ object SparkEntry {
         |            ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END)
         |      - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) < 0.15 AS err_ok
         |FROM agg, ex""".stripMargin,
+
+    "stats_kmv_setops" ->
+      // the union sketch is the bottom-256 of (ska ∪ skb); the in-both
+      // fraction over it is the Jaccard estimator; all estimates are
+      // exact-integer + IEEE-division, hence bit-matchable.
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+        |  FROM d, unnest(generate_series(1, len(l)-2)) AS u(i)
+        |  WHERE len(l) >= 3
+        |), ha AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h
+        |  FROM sh WHERE doc_id % 2 = 0
+        |), hb AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h
+        |  FROM sh WHERE doc_id % 2 = 1
+        |), ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |u AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+        |      ORDER BY h LIMIT 256),
+        |f AS (
+        |  SELECT u.h,
+        |    (u.h IN (SELECT h FROM ska) AND u.h IN (SELECT h FROM skb)) AS inboth
+        |  FROM u
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_union_sketch, max(h) AS h_k,
+        |         CAST(sum(CASE WHEN inboth THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+        |  FROM f
+        |), ex AS (
+        |  SELECT CAST((SELECT count(*) FROM (
+        |           SELECT sh FROM sh WHERE doc_id % 2 = 0
+        |           INTERSECT SELECT sh FROM sh WHERE doc_id % 2 = 1)) AS BIGINT)
+        |         AS n_inter_exact,
+        |         CAST((SELECT count(DISTINCT sh) FROM sh) AS BIGINT) AS n_union_exact
+        |), est AS (
+        |  SELECT n_union_sketch, h_k, n_common,
+        |    CASE WHEN n_union_sketch < 256 THEN CAST(n_union_sketch AS DOUBLE)
+        |         ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END AS union_est,
+        |    CAST(n_common AS DOUBLE) / CAST(n_union_sketch AS DOUBLE) AS jaccard
+        |  FROM agg
+        |)
+        |SELECT n_union_sketch, h_k, n_common, union_est, jaccard,
+        |  jaccard * union_est AS inter_est, n_inter_exact, n_union_exact,
+        |  abs(jaccard - CAST(n_inter_exact AS DOUBLE) / CAST(n_union_exact AS DOUBLE))
+        |    / (CAST(n_inter_exact AS DOUBLE) / CAST(n_union_exact AS DOUBLE))
+        |    < 0.35 AS err_ok
+        |FROM est, ex""".stripMargin,
 
     "stats_bloom" -> {
       // identical md5-salted bit positions (salt 'b<j>|', 32768 bits,

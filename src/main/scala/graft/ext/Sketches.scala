@@ -354,6 +354,52 @@ object Sketches {
             col("h_k").cast("double")).as("n_est"))
   }
 
+  /** SET ALGEBRA on two KMV sketches — the estimator family's reason to
+    * exist beyond single-set counting: |A∪B|, Jaccard(A, B) and |A∩B|
+    * from two k-hash lists, WITHOUT touching the underlying sets. The
+    * union sketch is [[kmvMerge]] (exact by the bottom-k property); the
+    * standard KMV set-op estimator (Beyer et al., SIGMOD'07) then reads
+    * Jaccard off the union sketch directly: the union's k hashes are a
+    * uniform sample of A∪B, so the fraction of them present in BOTH
+    * input sketches estimates |A∩B|/|A∪B|, and |A∩B| ≈ ρ·|A∪B|.
+    *
+    * Every step is deterministic — set membership of exact integers,
+    * one integer ratio and two IEEE multiplications/divisions — so the
+    * whole row is bit-reproducible by the DuckDB oracle (contrast theta
+    * /HLL intersections, which no second engine can re-derive). Both
+    * membership probes are sketch-sized joins (≤ k rows a side, ≤ 2k
+    * state total) — the driver never sees the data, and the same row
+    * works on day-30 persisted sketches ([[kmvWrite]] stamps validate
+    * here through [[kmvMerge]]'s requireStamp).
+    *
+    * When the union holds fewer than k distinct hashes the sketches ARE
+    * the exact sets, so n_common/ρ/estimates all turn exact — the same
+    * under-full degeneracy [[kmvEstimate]] handles.
+    * One row: (n_union_sketch, h_k, n_common, union_est, jaccard,
+    * inter_est).
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    val u = kmvMerge(k, a, b) // validates both stamps against k
+    val flagged = u
+      .join(a.select(col("h"), lit(1).as("in_a")), Seq("h"), "left")
+      .join(b.select(col("h"), lit(1).as("in_b")), Seq("h"), "left")
+    val unionEst =
+      when(col("n_union_sketch") < k, col("n_union_sketch").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+          col("h_k").cast("double"))
+    flagged.agg(
+        count(lit(1)).as("n_union_sketch"),
+        max(col("h")).as("h_k"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_common"))
+      .select(col("n_union_sketch"), col("h_k"), col("n_common"),
+        unionEst.as("union_est"),
+        (col("n_common").cast("double") /
+          col("n_union_sketch").cast("double")).as("jaccard"),
+        (col("n_common").cast("double") /
+          col("n_union_sketch").cast("double") * unionEst).as("inter_est"))
+  }
+
   /** Per-row Bloom membership GATE — the no-shuffle form of
     * [[bloomMightContain]] for use as a predicate inside a larger plan:
     * the filter's set bits are collected once (≤ numBits rows — the

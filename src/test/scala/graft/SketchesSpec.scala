@@ -136,6 +136,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(tinyEst.getLong(0) === 3L && tinyEst.getDouble(2) === 3.0)
   }
 
+  test("KMV set algebra: under-full sketches turn exact; full sketches bound Jaccard") {
+    import spark.implicits._
+    val k = 256
+    // under-full: the sketches ARE the sets, so every output is exact
+    val a = Sketches.kmvBuild(Seq("a", "b", "c", "d").toDF("t"), "t", k)
+    val b = Sketches.kmvBuild(Seq("c", "d", "e").toDF("t"), "t", k)
+    val r = Sketches.kmvSetOps(a, b, k).head()
+    assert(r.getLong(0) === 5L)                  // |A∪B| sketch = exact union
+    assert(r.getLong(2) === 2L)                  // n_common = |{c,d}|
+    assert(r.getDouble(3) === 5.0)               // union_est exact
+    assert(r.getDouble(4) === 2.0 / 5.0)         // jaccard exact
+    assert(r.getDouble(5) === 2.0 / 5.0 * 5.0)   // inter_est exact
+    // full sketches on real data: estimates land within the documented band
+    val docs = Tables.documents(spark, sfDir)
+    def side(m: Int) = graft.ext.Dedup.shingles(
+      docs.filter(col("doc_id") % 2 === m), w = 3).select(col("sh"))
+    val full = Sketches.kmvSetOps(
+      Sketches.kmvBuild(side(0), "sh", k),
+      Sketches.kmvBuild(side(1), "sh", k), k).head()
+    val exactJac = side(0).intersect(side(1)).count().toDouble /
+      side(0).union(side(1)).distinct().count().toDouble
+    assert(math.abs(full.getDouble(4) - exactJac) / exactJac < 0.35,
+      s"KMV Jaccard ${full.getDouble(4)} too far from exact $exactJac")
+  }
+
   test("Bloom filter: fixed state, zero false negatives, mergeable by union") {
     val docs = Tables.documents(spark, sfDir)
     val sh = graft.ext.Dedup.shingles(docs, w = 3).select(col("sh"))
