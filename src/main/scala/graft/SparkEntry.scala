@@ -825,6 +825,23 @@ object SparkEntry {
           minShared = 2, maxFrameFreq = 64)
         .orderBy("modality", "d1", "d2")),
 
+    "multimodal_embed_ann" -> ((s, d) => {
+      // modality-bucketed embedding retrieval: docs pair with their
+      // embedding vectors (doc_id = vec_id), and each of the six query
+      // docs (two per modality) retrieves top-10 neighbors WITHIN its
+      // modality — modality is the leading join key, so image queries
+      // never score audio vectors and the scored-pair count is the
+      // bucket fraction of doc×query. The physical analog at 100 TB is
+      // a vector table partitioned by modality, each bucket its own
+      // ANN index.
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      Multimodal.modalityAnn(docs, emb,
+          docs.filter(col("doc_id") < 6).select(col("doc_id")), k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
     // batch/stream-agnostic transforms (graft.streaming) run here in
     // batch mode — identical code drives the AvailableNow streaming jobs.
     "stream_windowed_counts" -> ((s, d) =>
@@ -3679,6 +3696,28 @@ object SparkEntry {
         |  ON a.modality = b.modality AND a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2, 3 HAVING count(*) >= 2
         |ORDER BY a.modality, d1, d2""".stripMargin,
+
+    "multimodal_embed_ann" ->
+      s"""WITH p AS (
+         |  SELECT d.doc_id,
+         |    CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |         ELSE 'video' END AS modality,
+         |    e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), q AS (
+         |  SELECT doc_id AS qid, modality, embedding AS qe FROM p WHERE doc_id < 6
+         |), s AS (
+         |  SELECT q.modality, q.qid, c.doc_id AS cid,
+         |         ${cosineSql("q.qe", "c.embedding")} AS sim
+         |  FROM q JOIN p c ON c.modality = q.modality AND c.doc_id != q.qid
+         |), r AS (
+         |  SELECT modality, qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |  FROM s
+         |)
+         |SELECT modality, qid, CAST(rnk AS INTEGER) AS rnk, cid
+         |FROM r WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
 
     "stream_windowed_counts" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -97,12 +97,17 @@ object Multimodal {
     * such frame would otherwise emit cap² pair rows and its matches
     * are noise, not signal. Output: (modality, d1, d2, n_shared).
     */
+  /** Deterministic modality assignment for the synthetic corpus — the
+    * stand-in for the `meta.modality` tag real media rows carry.
+    */
+  def modalityOf(docId: Column): Column = element_at(
+    array(lit("image"), lit("audio"), lit("video")),
+    (pmod(docId, lit(3)) + 1).cast("int"))
+
   def frameDedup(docs: DataFrame, frameBytes: Int = 16, minShared: Int = 2,
                  maxFrameFreq: Long = 64): DataFrame = {
     require(frameBytes >= 1 && minShared >= 1 && maxFrameFreq >= 2)
-    val modality = element_at(
-      array(lit("image"), lit("audio"), lit("video")),
-      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val modality = modalityOf(col("doc_id"))
     val fp = asBinary(docs)
       .filter(octet_length(col("payload")) > 0)
       .select(col("doc_id"), modality.as("modality"), col("payload"),
@@ -126,6 +131,45 @@ object Multimodal {
       .groupBy(col("modality"), col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Modality-bucketed EMBEDDING search — the multimodal retrieval path:
+    * media rows pair with their embedding vectors (the output of a
+    * CLIP-style encoder; here the `embeddings` table keyed by doc_id),
+    * and each query retrieves its top-k nearest neighbors WITHIN ITS
+    * MODALITY — image queries never score against audio vectors, the
+    * invariant every multimodal store enforces because cross-modality
+    * cosine is meaningless unless the encoder was trained for it.
+    *
+    * Scale design: modality is the leading JOIN KEY, not a post-filter —
+    * candidates meet only same-modality queries, cutting the scored
+    * pairs to the bucket fraction, and the physical layout analog is
+    * partitioning the vector table BY MODALITY (each bucket is then an
+    * independent ANN problem for [[VectorIndex]]; this operator is the
+    * exact/bruteforce form of that bucketed search). Queries broadcast
+    * (query sets are small); the candidate side never shuffles.
+    * Output: (modality, qid, rank, cid) — same rank contract as
+    * [[Similarity.bruteForceTopK]] (sim desc, cid asc tie-break).
+    */
+  def modalityAnn(docs: DataFrame, emb: DataFrame, queries: DataFrame,
+                  k: Int): DataFrame = {
+    require(k >= 1)
+    val paired = docs.select(col("doc_id"), modalityOf(col("doc_id")).as("modality"))
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("modality"), col("embedding"))
+    val c = paired.select(col("doc_id").as("cid"), col("modality"),
+      col("embedding").as("ce"))
+    val q = paired.join(queries, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("qid"), col("modality"),
+        col("embedding").as("qe"))
+    val scored = c.join(broadcast(q), Seq("modality"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", Similarity.cosine(col("qe"), col("ce")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("modality"), col("qid"), col("rank"), col("cid"))
   }
 
   /** Decode/feature-extract over binary payloads. mapPartitions keeps

@@ -42,4 +42,29 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(t === Seq((0L, 3L, 2L)))
   }
+
+  test("modalityAnn buckets retrieval by modality and broadcasts the query side") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = docs.filter(col("doc_id") < 6).select(col("doc_id"))
+    val res = Multimodal.modalityAnn(docs, emb, queries, k = 10)
+    val rows = res.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // six queries (two per modality), each with a full contiguous top-10
+    assert(rows.map(_._2).distinct.sorted.toSeq === (0L until 6L).toSeq)
+    rows.groupBy(_._2).foreach { case (qid, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to 10).toSeq, s"ranks for $qid")
+    }
+    // the bucketing invariant: every neighbor shares the query's modality
+    rows.foreach { case (m, qid, _, cid) =>
+      assert(qid % 3 === cid % 3, s"cross-modality pair $qid -> $cid")
+      assert(m === Seq("image", "audio", "video")((qid % 3).toInt))
+    }
+    // queries are never their own neighbor
+    assert(rows.forall { case (_, qid, _, cid) => qid != cid })
+    // physical shape: the query side broadcasts — no shuffle on candidates
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "modality join should broadcast the query side")
+  }
 }
