@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.silver.Silver
 import graft.gold.Gold
@@ -1454,6 +1454,38 @@ object SparkEntry {
         tmp)
     }),
 
+    "stream_corpus_clean" -> ((s, d) => {
+      // the corpus release pipeline's LIVE front door: a document feed
+      // carrying at-least-once replays (1/7 of the docs re-delivered)
+      // streams through quality gate → bench-Bloom decontamination gate
+      // (packed-bitmap projection, built pre-stream from the bench
+      // shingle set) → watermarked delivery dedup, AvailableNow into a
+      // parquet sink. The two gates are stateless projections and the
+      // only state is surviving doc_ids — the stream-side split of
+      // corpus_pipeline_e2e's batch chain. The oracle unrolls the same
+      // three decisions (bloom positions are md5-exact), so every
+      // admit/drop is hash-checked through the sink.
+      val (tmp, src) = stageDocsStreamDir(d)
+      s.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") % 7 === 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      val bench = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+      val bloom = ext.Sketches.bloomBuild(
+        Dedup.shingles(bench, w = 5).select(col("sh")), "sh",
+        numBits = 1 << 18, numHashes = 4)
+      val gate = (sh: Column) =>
+        ext.Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18,
+          numHashes = 4)
+      val sch = s.read.parquet(src).schema
+      graft.streaming.Streams.corpusCleanPipeline(
+          s, sch, src, s"$tmp/out", s"$tmp/ck", gate,
+          benchSources = Seq("src0", "src1"), threshold = 0.3)
+        .awaitTermination()
+      detachAndClean(
+        s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
+    }),
+
     "stream_exactly_once" -> ((s, d) => {
       // the foreachBatch transactional-sink pattern LIVE on the oracle
       // path: AvailableNow stream → per-batch-directory overwrite sink
@@ -1937,15 +1969,21 @@ object SparkEntry {
     * production shape is streaming an arrival directory anyway. Fresh
     * temp dir per call: each run reprocesses from a clean checkpoint.
     */
-  private def stageEventsStreamDir(d: String): (String, String) = {
+  private def stageEventsStreamDir(d: String): (String, String) =
+    stageTableStreamDir(d, "events.parquet")
+
+  private def stageDocsStreamDir(d: String): (String, String) =
+    stageTableStreamDir(d, "documents.parquet")
+
+  private def stageTableStreamDir(d: String, table: String): (String, String) = {
     val tmp = TempDirs.create("graft-stream-").toString
     val srcPath = java.nio.file.Paths.get(tmp, "src")
     java.nio.file.Files.createDirectories(srcPath)
     // absolute target: a relative sf dir would otherwise resolve against
     // the temp src/ directory and dangle.
     java.nio.file.Files.createSymbolicLink(
-      srcPath.resolve("events.parquet"),
-      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+      srcPath.resolve(table),
+      java.nio.file.Paths.get(d, table).toAbsolutePath)
     (tmp, srcPath.toString)
   }
 
@@ -3781,6 +3819,58 @@ object SparkEntry {
       // the replayed 1/7 must vanish: sink == the original feed, exactly.
       """SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_corpus_clean" ->
+      // the three admission decisions unrolled in batch: the quality
+      // predicate, the per-doc might-contain fraction against the bench
+      // shingle Bloom (identical salted-md5 positions, 2^18 bits, 4
+      // hashes), and replay removal (one row per surviving doc_id).
+      """WITH q AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
+        |           len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+        |  WHERE n_tok >= 5 AND n_stop >= 1 AND 4*n_dis >= n_tok
+        |), train AS (
+        |  SELECT d.* FROM documents d JOIN q USING (doc_id)
+        |  WHERE d.source NOT IN ('src0','src1')
+        |), bt AS (
+        |  SELECT string_split(text, ' ') AS l FROM documents
+        |  WHERE source IN ('src0','src1') AND len(string_split(text, ' ')) >= 5
+        |), bsh AS (
+        |  SELECT DISTINCT
+        |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+        |  FROM bt, unnest(generate_series(1, len(l)-4)) AS u(i)
+        |), bits AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substr(md5('b' || j || '|' || sh), 1, 8) AS BIGINT) % 262144 AS pos
+        |  FROM bsh, unnest(generate_series(0, 3)) AS js(j)
+        |), tsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM train),
+        |       unnest(generate_series(1, len(l)-4)) AS u(i)
+        |), probe AS (
+        |  SELECT doc_id, sh,
+        |    (CAST('0x' || substr(md5('b0|' || sh), 1, 8) AS BIGINT) % 262144
+        |       IN (SELECT pos FROM bits)
+        |     AND CAST('0x' || substr(md5('b1|' || sh), 1, 8) AS BIGINT) % 262144
+        |       IN (SELECT pos FROM bits)
+        |     AND CAST('0x' || substr(md5('b2|' || sh), 1, 8) AS BIGINT) % 262144
+        |       IN (SELECT pos FROM bits)
+        |     AND CAST('0x' || substr(md5('b3|' || sh), 1, 8) AS BIGINT) % 262144
+        |       IN (SELECT pos FROM bits)) AS might
+        |  FROM tsh
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_sh,
+        |         sum(CASE WHEN might THEN 1 ELSE 0 END) AS n_hit
+        |  FROM probe GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.source, t.n_chars,
+        |  CAST(a.n_sh AS INTEGER) AS n_sh, CAST(a.n_hit AS INTEGER) AS n_hit
+        |FROM train t JOIN agg a USING (doc_id)
+        |WHERE CAST(a.n_hit AS DOUBLE) < 0.3 * CAST(a.n_sh AS DOUBLE)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "stream_dedup_restart" ->
       // sink across both passes == feed ∪ new rows: every replay dropped

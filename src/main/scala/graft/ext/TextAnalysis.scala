@@ -71,6 +71,20 @@ object TextAnalysis {
         col("stopword_ratio") * lit(0.5) + col("diversity") * lit(0.5))
   }
 
+  /** The corpus-ETL admission predicate ([[qualityScore]]'s stats
+    * thresholded the way `Pipeline.runCorpusEtl` gates) applied as a
+    * pure PROJECTION FILTER that keeps the input row intact — the form
+    * a STREAMING stage needs (no self-join back onto the stream, no
+    * state; identical keep/drop set to the batch semi-join).
+    */
+  def qualityGateDocs(docs: DataFrame): DataFrame = {
+    val stopArr = array(qualityStopwords.map(lit): _*)
+    docs.filter(
+      size(toks) >= 5 &&
+        size(filter(toks, t => array_contains(stopArr, t))) >= 1 &&
+        size(array_distinct(toks)) * 4 >= size(toks))
+  }
+
   /** TF-IDF-style salient terms per document: tf = in-doc frequency,
     * idf = N/df (rational inverse document frequency — no logarithm, so
     * every score is a fixed sequence of exact-int IEEE divisions and one

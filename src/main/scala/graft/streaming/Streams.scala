@@ -111,6 +111,75 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start(outDir)
 
+  /** STREAMING corpus admission — the live front door of the corpus
+    * release pipeline (`Pipeline.runCorpusEtl`'s first stages re-expressed
+    * for a document FEED): quality gate → Bloom decontamination gate →
+    * at-least-once delivery dedup, in the order that keeps per-row cost
+    * and state smallest.
+    *
+    *  - QUALITY GATE: [[graft.ext.TextAnalysis.qualityGateDocs]] — a pure
+    *    projection filter, no state, identical keep/drop set to the batch
+    *    semi-join form.
+    *  - DECONTAMINATION GATE: each surviving doc's distinct 5-shingles are
+    *    probed against the BENCH set's Bloom filter (`shingleGate`, a
+    *    packed-bitmap [[graft.ext.Sketches.bloomGateColumn]] — pure
+    *    projection, no shuffle, no join), and docs whose might-contain
+    *    fraction reaches `threshold` are dropped. This is the
+    *    RECALL-FIRST admission form of the sweep: Bloom false positives
+    *    can only over-drop (never leak bench text into the stream), and
+    *    the batch sweep (`corpus_decontaminate`) remains the
+    *    publication-grade pass with the frequency cap — which needs
+    *    global shingle frequencies no streaming stage can know.
+    *  - DELIVERY DEDUP: watermarked [[dedupStream]] semantics on doc_id —
+    *    a replayed delivery inside the horizon is dropped, state ages out
+    *    beyond it. The only stateful stage, holding ids (not documents),
+    *    and only for docs that SURVIVED both gates.
+    *
+    * Event time is synthesized from doc_id (one doc per minute) the same
+    * way the batch oracle does, so the output is deterministic and
+    * hash-comparable. Batch/stream agnostic like every transform here.
+    */
+  def corpusCleanStream(docs: DataFrame,
+                        shingleGate: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                        benchSources: Seq[String],
+                        threshold: Double): DataFrame = {
+    val gated = graft.ext.TextAnalysis.qualityGateDocs(
+      docs.filter(!col("source").isin(benchSources: _*)))
+    val t = split(col("text"), " ", -1)
+    val shArr = array_distinct(transform(
+      sequence(lit(0), size(t) - lit(5)),
+      i => array_join(slice(t, i + lit(1), lit(5)), " ")))
+    gated
+      .withColumn("n_sh", size(shArr))
+      .withColumn("n_hit", size(filter(shArr, shingleGate)))
+      .filter(col("n_hit").cast("double") <
+        lit(threshold) * col("n_sh").cast("double"))
+      .withColumn("ts",
+        timestamp_micros(col("doc_id").cast("long") * lit(60000000L)))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("n_sh"), col("n_hit"))
+  }
+
+  /** [[corpusCleanStream]] as a LIVE pipeline: file stream over a staged
+    * document directory → the three admission stages → parquet sink,
+    * AvailableNow.
+    */
+  def corpusCleanPipeline(spark: SparkSession, schema: StructType,
+                          srcDir: String, outDir: String, checkpointDir: String,
+                          shingleGate: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                          benchSources: Seq[String],
+                          threshold: Double): StreamingQuery =
+    corpusCleanStream(spark.readStream.schema(schema).parquet(srcDir),
+        shingleGate, benchSources, threshold)
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+
   /** Exactly-once `foreachBatch` sink via IDEMPOTENT per-batch writes —
     * the standard hardening of Structured Streaming's at-least-once
     * `foreachBatch` contract: a micro-batch can be REPLAYED after a

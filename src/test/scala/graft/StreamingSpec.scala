@@ -157,6 +157,41 @@ class StreamingSpec extends AnyFunSuite {
       s"restored state must drop the replayed id 2 exactly once: ${ids.mkString(",")}")
   }
 
+  test("streaming corpus admission: quality gate, bloom decontamination, replay dedup") {
+    val base = java.nio.file.Files.createTempDirectory("graft_scc").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def doc(id: Long, srcName: String, text: String) =
+      (id, text, "en", srcName, text.length)
+    val bench = doc(0L, "src0", "alpha beta gamma delta epsilon")
+    val feed = Seq(
+      bench,                                                    // bench side: never in the output
+      // train, quality-pass, CONTAMINATED: 1 of its 2 shingles is the
+      // bench shingle → fraction 0.5 ≥ 0.3 → dropped
+      doc(1L, "src2", "the alpha beta gamma delta epsilon"),
+      // train, quality-pass, clean → the single survivor
+      doc(2L, "src2", "the quick brown fox jumps over dog"),
+      // train, quality-FAIL: no stopword, diversity 1/6 < 1/4
+      doc(3L, "src2", "word word word word word word"),
+      // train, quality-FAIL: under 5 tokens
+      doc(4L, "src2", "too short text"))
+    val df = feed.toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.coalesce(1).write.mode("append").parquet(src)
+    // replayed delivery of the survivor — must still emit exactly once
+    df.filter(col("doc_id") === 2L).coalesce(1)
+      .write.mode("append").parquet(src)
+    val bloom = graft.ext.Sketches.bloomBuild(
+      graft.ext.Dedup.shingles(df.filter(col("source") === "src0"), w = 5)
+        .select(col("sh")), "sh", numBits = 1 << 18, numHashes = 4)
+    Streams.corpusCleanPipeline(spark, df.schema, src, out, ckpt,
+        sh => graft.ext.Sketches.bloomGateColumn(bloom, sh, 1 << 18, 4),
+        benchSources = Seq("src0", "src1"), threshold = 0.3)
+      .awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getInt(4))).toSeq
+    assert(got === Seq((2L, "src2", 3, 0)),
+      s"exactly the clean quality-passing doc, once: $got")
+  }
+
   test("interval-join buffers survive a restart: cross-pass pairs still match") {
     val base = java.nio.file.Files.createTempDirectory("graft_jrestart").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
