@@ -588,6 +588,33 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    "sim_recall_eval" -> ((s, d) => {
+      // ANN QUALITY as a first-class query — "measure, don't guess" for
+      // the recall trade every approximate index makes: recall@5 of the
+      // LSH path against the exact brute-force ranks, per query. This
+      // is the monitoring query a production vector store runs on a
+      // sampled query set after every index rebuild; both paths and the
+      // join are existing operators, so the metric is oracle-checkable
+      // end to end (the LSH misses are deterministic given the plane
+      // matrix — recall here is a REPRODUCIBLE number, not a vibe).
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("qid"), col("cid"))
+      val lsh = Similarity.lshTopK(emb, q, k = 5)
+        .select(col("qid").as("lq"), col("cid").as("lc"))
+      val hits = brute
+        .join(lsh, col("qid") === col("lq") && col("cid") === col("lc"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0))
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
     "text_repetition" -> ((s, d) =>
       // Gopher-style repetition filter signal: duplicated-trigram
       // fraction per document; threshold it to drop boilerplate/spam.
@@ -1484,6 +1511,44 @@ object SparkEntry {
         .awaitTermination()
       detachAndClean(
         s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
+    }),
+
+    "stream_sketch_maintain" -> ((s, d) => {
+      // LIVE sketch-state lifecycle: the events feed staged as THREE
+      // source files, streamed one file per micro-batch, each batch's
+      // KMV folded into layout-stamped persisted state (merge
+      // idempotency = replay safety — the foreachBatch exactly-once
+      // argument carried by the operator's algebra). The merge law
+      // (k smallest of unions, oracle-proven in stats_kmv) makes the
+      // final state BIT-IDENTICAL to a single pass over the whole
+      // feed, so the estimate row hash-checks exactly; the in-query
+      // require pins that multiple batches actually folded.
+      val tmp = TempDirs.create("graft-sketch-maint-").toString
+      val src = s"$tmp/src"
+      val feed = s.read.parquet(s"$d/events.parquet")
+      (0 until 3).foreach(i =>
+        feed.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src))
+      val sch = s.read.parquet(src).schema
+      val item = concat(col("user_id").cast("string"), lit("|"),
+        col("event_type"))
+      val q = graft.streaming.Streams.sketchMaintainPipeline(
+        s, sch, src, s"$tmp/state", s"$tmp/ck", "item", 256,
+        prepare = _.withColumn("item", item))
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
+      require(nBatches >= 2,
+        s"sketch maintenance folded $nBatches micro-batches — need >= 2 " +
+          "to prove incrementality, not a single-batch rebuild")
+      val est = ext.Sketches.kmvEstimateStated(s.read.parquet(s"$tmp/state"))
+      val exact = feed.select(item.as("item")).filter(col("item").isNotNull)
+        .agg(countDistinct(col("item")).as("n_exact"))
+      detachAndClean(
+        est.crossJoin(exact)
+          .select(col("n_sketch"), col("h_k"), col("n_est"), col("n_exact"),
+            (abs(col("n_est") - col("n_exact").cast("double")) /
+              col("n_exact").cast("double") < 0.15).as("err_ok")),
+        tmp)
     }),
 
     "stream_exactly_once" -> ((s, d) => {
@@ -3008,6 +3073,30 @@ object SparkEntry {
 
     "sim_topk_lsh" -> lshOracle,
 
+    "sim_recall_eval" ->
+      // exact top-5 (brute) vs the LSH oracle embedded as a derived
+      // table (memory of misses is shared with sim_topk_lsh bit for bit)
+      s"""WITH b AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |    FROM (
+         |      SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |             ${cosineSql("q.embedding", "c.embedding")} AS sim
+         |      FROM embeddings q, embeddings c
+         |      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id))
+         |  WHERE rnk <= 5
+         |), l AS (SELECT qid, cid FROM ($lshOracle) t),
+         |h AS (
+         |  SELECT b.qid, count(*) AS n_hit
+         |  FROM b JOIN l ON l.qid = b.qid AND l.cid = b.cid GROUP BY 1
+         |)
+         |SELECT q.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5) q
+         |LEFT JOIN h USING (qid)
+         |ORDER BY qid""".stripMargin,
+
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |g AS (
@@ -3871,6 +3960,30 @@ object SparkEntry {
         |FROM train t JOIN agg a USING (doc_id)
         |WHERE CAST(a.n_hit AS DOUBLE) < 0.3 * CAST(a.n_sh AS DOUBLE)
         |ORDER BY t.doc_id""".stripMargin,
+
+    "stream_sketch_maintain" ->
+      // batch-folded state == one pass over the whole feed (the KMV
+      // merge law), so the single-pass sketch reproduces the stream's
+      // final persisted state bit for bit.
+      """WITH it AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' || event_type AS item
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), h AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(item), 1, 8) AS BIGINT) AS h
+        |  FROM it
+        |), sk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS h_k FROM sk
+        |), ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM it)
+        |SELECT n_sketch, h_k,
+        |  CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+        |       ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END AS n_est,
+        |  n_exact,
+        |  abs((CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+        |            ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END)
+        |      - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) < 0.15 AS err_ok
+        |FROM agg, ex""".stripMargin,
 
     "stream_dedup_restart" ->
       // sink across both passes == feed ∪ new rows: every replay dropped

@@ -162,6 +162,56 @@ object Streams {
         col("n_sh"), col("n_hit"))
   }
 
+  /** LIVE incremental maintenance of persisted, layout-stamped KMV
+    * sketch state — the day-N lifecycle of the sketch family run BY A
+    * STREAM instead of a nightly batch: each micro-batch builds its own
+    * k-hash sketch and folds it into the persisted state with
+    * [[graft.ext.Sketches.kmvMerge]] (state stamps cross-validated on
+    * every fold), so the distinct-cardinality estimate is always
+    * current without any stage ever seeing more than sketch-sized data.
+    *
+    * Correctness under the at-least-once `foreachBatch` contract comes
+    * from ALGEBRA, not coordination: KMV merge is IDEMPOTENT (bottom-k
+    * of a hash-set union — folding the same batch twice is a no-op), so
+    * a micro-batch replayed after a crash between state write and
+    * checkpoint commit converges to the identical state. That is the
+    * same exactly-once-by-idempotency argument as [[exactlyOnceSink]],
+    * carried by the operator's merge law instead of per-batch
+    * directories — the reason mergeable sketches are THE streaming
+    * statistics shape at 100 TB (state is ≤k rows forever; the merge
+    * law is oracle-proven in stats_kmv; restart recovery is
+    * StreamingSpec-proven on a grown source).
+    *
+    * The per-batch state rewrite materializes the merged ≤k rows
+    * (sketch-sized, never data) before overwriting; a production
+    * deployment would stage-and-promote the state table like
+    * `Pipeline.promoteStaged` — the overwrite here is already safe to
+    * REPLAY (idempotent merge), which is the property that matters.
+    */
+  def sketchMaintainPipeline(spark: SparkSession, schema: StructType,
+                             srcDir: String, stateDir: String,
+                             checkpointDir: String, itemCol: String, k: Int,
+                             prepare: DataFrame => DataFrame = identity,
+                             maxFilesPerTrigger: Int = 1): StreamingQuery =
+    prepare(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = graft.ext.Sketches.kmvBuild(batch.select(col(itemCol)), itemCol, k)
+        val merged =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir)))
+            graft.ext.Sketches.kmvMerge(k, b,
+              batch.sparkSession.read.parquet(stateDir))
+          else b
+        // detach the ≤k merged rows from the state files they were read
+        // from before the overwrite deletes those files
+        graft.ext.Sketches.kmvWrite(merged.localCheckpoint(eager = true),
+          stateDir, k)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** [[corpusCleanStream]] as a LIVE pipeline: file stream over a staged
     * document directory → the three admission stages → parquet sink,
     * AvailableNow.

@@ -192,6 +192,48 @@ class StreamingSpec extends AnyFunSuite {
       s"exactly the clean quality-passing doc, once: $got")
   }
 
+  test("sketch-maintain: state survives restart and batch replay is a merge no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft_skm").toString
+    val src = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    def write(items: String*) =
+      items.toDF("item").coalesce(1).write.mode("append").parquet(src)
+    write("a", "b", "c")
+    write("c", "d")
+    val schema = Seq("x").toDF("item").schema
+    val k = 8
+    Streams.sketchMaintainPipeline(spark, schema, src, state, ckpt, "item", k)
+      .awaitTermination()
+    def stateHashes() = spark.read.parquet(state)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    val afterP1 = stateHashes()
+    // restart on a grown source: only the NEW file folds (checkpoint
+    // skips processed files), but the state must already hold a,b,c,d
+    write("d", "e")
+    Streams.sketchMaintainPipeline(spark, schema, src, state, ckpt, "item", k)
+      .awaitTermination()
+    val afterP2 = stateHashes()
+    // final state == single-pass sketch of everything, bit for bit
+    val oneShot = graft.ext.Sketches.kmvBuild(
+        Seq("a", "b", "c", "d", "e").toDF("item"), "item", k)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(afterP2 === oneShot)
+    assert(afterP1.toSet.subsetOf(afterP2.toSet))
+    // replay safety by ALGEBRA: re-folding an already-folded batch's
+    // sketch into the state changes nothing
+    val st = spark.read.parquet(state)
+    val refold = graft.ext.Sketches.kmvMerge(k,
+        graft.ext.Sketches.kmvBuild(Seq("c", "d").toDF("item"), "item", k), st)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(refold === afterP2, "idempotent merge: replayed fold must be a no-op")
+    // a restart with a MISMATCHED k refuses loudly instead of corrupting
+    write("f")
+    val err = intercept[Exception] {
+      Streams.sketchMaintainPipeline(spark, schema, src, state, s"$base/ck2",
+        "item", k + 1).awaitTermination()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("interval-join buffers survive a restart: cross-pass pairs still match") {
     val base = java.nio.file.Files.createTempDirectory("graft_jrestart").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
