@@ -588,6 +588,34 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    "sim_ivf_nprobe_sweep" -> ((s, d) => {
+      // the IVF TUNING CURVE: recall@5 vs nprobe (1, 2, 4 of 16 cells)
+      // per query — the table a deployment builds to pick the
+      // IO-fraction/recall trade before setting the index's search
+      // parameter (nprobe/numCells IS the fraction of the corpus
+      // touched; the persisted-index analog is the DPP-pruned cell
+      // scan). Monotone in nprobe by construction; every point is
+      // deterministic and oracle-checked like sim_recall_eval.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("qid"), col("cid"))
+      val base = q.select(col("vec_id").as("qid"))
+      Seq(1, 2, 4).map { np =>
+        val ivf = Similarity.ivfTopK(emb, q, k = 5, numCells = 16, nprobe = np)
+          .select(col("qid").as("iq"), col("cid").as("ic"))
+        val hits = brute
+          .join(ivf, col("qid") === col("iq") && col("cid") === col("ic"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        base.join(hits, Seq("qid"), "left")
+          .select(lit(np).as("nprobe"), col("qid"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0))
+              .as("recall"))
+      }.reduce(_ unionByName _)
+        .orderBy("nprobe", "qid")
+    }),
+
     "sim_recall_eval" -> ((s, d) => {
       // ANN QUALITY as a first-class query — "measure, don't guess" for
       // the recall trade every approximate index makes: recall@5 of the
@@ -3072,6 +3100,64 @@ object SparkEntry {
          |ORDER BY qid, rnk""".stripMargin,
 
     "sim_topk_lsh" -> lshOracle,
+
+    "sim_ivf_nprobe_sweep" -> {
+      // the sim_topk_ivf oracle parameterized by nprobe (crn <= n),
+      // joined per point against the exact brute top-5
+      def ivfSql(np: Int) =
+        s"""SELECT qid, cid FROM (
+           |  SELECT qid, cid,
+           |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+           |  FROM (
+           |    SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
+           |    FROM (
+           |      SELECT qid, qe, cell FROM (
+           |        SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+           |               row_number() OVER (PARTITION BY e.vec_id
+           |                 ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+           |        FROM embeddings e CROSS JOIN cent c
+           |        WHERE e.vec_id < 5
+           |      ) WHERE crn <= $np
+           |    ) q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid))
+           |WHERE rnk <= 5""".stripMargin
+      def point(np: Int) =
+        s"""SELECT CAST($np AS INTEGER) AS nprobe, q.qid,
+           |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+           |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5) q
+           |LEFT JOIN (
+           |  SELECT b.qid, count(*) AS n_hit
+           |  FROM b JOIN (${ivfSql(np)}) i ON i.qid = b.qid AND i.cid = b.cid
+           |  GROUP BY 1) h USING (qid)""".stripMargin
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), ca AS (
+         |  SELECT cid, ce, cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |  ) WHERE crn <= 1
+         |), b AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |    FROM (
+         |      SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |             ${cosineSql("q.embedding", "c.embedding")} AS sim
+         |      FROM embeddings q, embeddings c
+         |      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id))
+         |  WHERE rnk <= 5
+         |)
+         |SELECT * FROM (
+         |${point(1)}
+         |UNION ALL
+         |${point(2)}
+         |UNION ALL
+         |${point(4)})
+         |ORDER BY nprobe, qid""".stripMargin
+    },
 
     "sim_recall_eval" ->
       // exact top-5 (brute) vs the LSH oracle embedded as a derived
