@@ -1541,6 +1541,50 @@ object SparkEntry {
         s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
     }),
 
+    "stream_corpus_clean_restart" -> ((s, d) => {
+      // the admission front door is CRASH-SAFE end to end: two
+      // AvailableNow passes on one checkpoint. Pass 2's source grows by
+      // (a) REPLAYS of feed docs from inside the watermark horizon —
+      // their gate decisions recompute statelessly, but the drop of
+      // already-ADMITTED replays can only come from dedup state
+      // RESTORED from the checkpoint — and (b) genuinely NEW docs
+      // (offset ids just above the feed, so their synthesized event
+      // times extend the timeline without making the replays late).
+      // Sink == the batch chain over feed ∪ new, exactly: a fresh-state
+      // restart double-emits replayed admits and hash-mismatches.
+      val (tmp, src) = stageDocsStreamDir(d)
+      val bench = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+      val bloom = ext.Sketches.bloomBuild(
+        Dedup.shingles(bench, w = 5).select(col("sh")), "sh",
+        numBits = 1 << 18, numHashes = 4)
+      val gate = (sh: Column) =>
+        ext.Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18,
+          numHashes = 4)
+      val sch = s.read.parquet(src).schema
+      def runPass(): Unit =
+        graft.streaming.Streams.corpusCleanPipeline(
+          s, sch, src, s"$tmp/out", s"$tmp/ck", gate,
+          benchSources = Seq("src0", "src1"), threshold = 0.3)
+          .awaitTermination()
+      runPass()
+      // grow the source only AFTER pass 1 committed its checkpoint
+      val feed = s.read.parquet(s"$d/documents.parquet")
+      val maxId = feed.agg(max(col("doc_id"))).head().getLong(0)
+      // replays: the last 50 minutes of synthesized event time — inside
+      // the 1 h horizon, so admitted ones are dropped by RESTORED state
+      val replays = feed.filter(col("doc_id") > maxId - 50)
+      // new docs: copies with ids (and thus event times) just above the
+      // feed — bench-source copies are filtered by the stateless source
+      // gate, train copies re-run the gates under their new ids
+      val fresh = feed.filter(col("doc_id") % 13 === 5)
+        .withColumn("doc_id", col("doc_id") + lit(maxId + 1))
+      replays.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+      runPass()
+      detachAndClean(
+        s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
+    }),
+
     "stream_sketch_maintain" -> ((s, d) => {
       // LIVE sketch-state lifecycle: the events feed staged as THREE
       // source files, streamed one file per micro-batch, each batch's
@@ -2309,6 +2353,61 @@ object SparkEntry {
       |WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 < mx_ms - 3600000
       |GROUP BY 1, 2
       |ORDER BY window_start_ms, event_type""".stripMargin
+
+  /** The streaming corpus-admission chain unrolled in batch over `rel`
+    * (the body after WITH — callers prepend their own leading CTEs):
+    * quality predicate, per-doc might-contain fraction against the
+    * bench shingle Bloom (salted-md5 positions, 2^18 bits, 4 hashes),
+    * one row per surviving doc_id. Shared by stream_corpus_clean and
+    * its restart form so the gate semantics cannot drift between them.
+    */
+  private def corpusCleanChainSql(rel: String): String =
+    s"""q AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
+       |           len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM $rel))
+       |  WHERE n_tok >= 5 AND n_stop >= 1 AND 4*n_dis >= n_tok
+       |), train AS (
+       |  SELECT d.* FROM $rel d JOIN q USING (doc_id)
+       |  WHERE d.source NOT IN ('src0','src1')
+       |), bt AS (
+       |  SELECT string_split(text, ' ') AS l FROM $rel
+       |  WHERE source IN ('src0','src1') AND len(string_split(text, ' ')) >= 5
+       |), bsh AS (
+       |  SELECT DISTINCT
+       |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+       |  FROM bt, unnest(generate_series(1, len(l)-4)) AS u(i)
+       |), bits AS (
+       |  SELECT DISTINCT
+       |    CAST('0x' || substr(md5('b' || j || '|' || sh), 1, 8) AS BIGINT) % 262144 AS pos
+       |  FROM bsh, unnest(generate_series(0, 3)) AS js(j)
+       |), tsh AS (
+       |  SELECT DISTINCT doc_id,
+       |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM train),
+       |       unnest(generate_series(1, len(l)-4)) AS u(i)
+       |), probe AS (
+       |  SELECT doc_id, sh,
+       |    (CAST('0x' || substr(md5('b0|' || sh), 1, 8) AS BIGINT) % 262144
+       |       IN (SELECT pos FROM bits)
+       |     AND CAST('0x' || substr(md5('b1|' || sh), 1, 8) AS BIGINT) % 262144
+       |       IN (SELECT pos FROM bits)
+       |     AND CAST('0x' || substr(md5('b2|' || sh), 1, 8) AS BIGINT) % 262144
+       |       IN (SELECT pos FROM bits)
+       |     AND CAST('0x' || substr(md5('b3|' || sh), 1, 8) AS BIGINT) % 262144
+       |       IN (SELECT pos FROM bits)) AS might
+       |  FROM tsh
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_sh,
+       |         sum(CASE WHEN might THEN 1 ELSE 0 END) AS n_hit
+       |  FROM probe GROUP BY 1
+       |)
+       |SELECT t.doc_id, t.source, t.n_chars,
+       |  CAST(a.n_sh AS INTEGER) AS n_sh, CAST(a.n_hit AS INTEGER) AS n_hit
+       |FROM train t JOIN agg a USING (doc_id)
+       |WHERE CAST(a.n_hit AS DOUBLE) < 0.3 * CAST(a.n_sh AS DOUBLE)
+       |ORDER BY t.doc_id""".stripMargin
 
   private def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
@@ -4000,52 +4099,22 @@ object SparkEntry {
       // predicate, the per-doc might-contain fraction against the bench
       // shingle Bloom (identical salted-md5 positions, 2^18 bits, 4
       // hashes), and replay removal (one row per surviving doc_id).
-      """WITH q AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
-        |           len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
-        |  WHERE n_tok >= 5 AND n_stop >= 1 AND 4*n_dis >= n_tok
-        |), train AS (
-        |  SELECT d.* FROM documents d JOIN q USING (doc_id)
-        |  WHERE d.source NOT IN ('src0','src1')
-        |), bt AS (
-        |  SELECT string_split(text, ' ') AS l FROM documents
-        |  WHERE source IN ('src0','src1') AND len(string_split(text, ' ')) >= 5
-        |), bsh AS (
-        |  SELECT DISTINCT
-        |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
-        |  FROM bt, unnest(generate_series(1, len(l)-4)) AS u(i)
-        |), bits AS (
-        |  SELECT DISTINCT
-        |    CAST('0x' || substr(md5('b' || j || '|' || sh), 1, 8) AS BIGINT) % 262144 AS pos
-        |  FROM bsh, unnest(generate_series(0, 3)) AS js(j)
-        |), tsh AS (
-        |  SELECT DISTINCT doc_id,
-        |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM train),
-        |       unnest(generate_series(1, len(l)-4)) AS u(i)
-        |), probe AS (
-        |  SELECT doc_id, sh,
-        |    (CAST('0x' || substr(md5('b0|' || sh), 1, 8) AS BIGINT) % 262144
-        |       IN (SELECT pos FROM bits)
-        |     AND CAST('0x' || substr(md5('b1|' || sh), 1, 8) AS BIGINT) % 262144
-        |       IN (SELECT pos FROM bits)
-        |     AND CAST('0x' || substr(md5('b2|' || sh), 1, 8) AS BIGINT) % 262144
-        |       IN (SELECT pos FROM bits)
-        |     AND CAST('0x' || substr(md5('b3|' || sh), 1, 8) AS BIGINT) % 262144
-        |       IN (SELECT pos FROM bits)) AS might
-        |  FROM tsh
-        |), agg AS (
-        |  SELECT doc_id, count(*) AS n_sh,
-        |         sum(CASE WHEN might THEN 1 ELSE 0 END) AS n_hit
-        |  FROM probe GROUP BY 1
-        |)
-        |SELECT t.doc_id, t.source, t.n_chars,
-        |  CAST(a.n_sh AS INTEGER) AS n_sh, CAST(a.n_hit AS INTEGER) AS n_hit
-        |FROM train t JOIN agg a USING (doc_id)
-        |WHERE CAST(a.n_hit AS DOUBLE) < 0.3 * CAST(a.n_sh AS DOUBLE)
-        |ORDER BY t.doc_id""".stripMargin,
+      s"WITH ${corpusCleanChainSql("documents")}",
+
+    "stream_corpus_clean_restart" ->
+      // the same chain over feed ∪ new-doc copies: replays contribute
+      // nothing (one row per doc_id — the restored-state drop), the
+      // offset copies re-run the identical gate decisions under their
+      // new ids (bench-source copies fall to the source filter; the
+      // bench shingle SET is unchanged because copies add no new text).
+      s"""WITH alldocs AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+         |         text, lang, source, n_chars
+         |  FROM documents WHERE doc_id % 13 = 5
+         |), ${corpusCleanChainSql("alldocs")}""".stripMargin,
+
 
     "stream_sketch_maintain" ->
       // batch-folded state == one pass over the whole feed (the KMV
