@@ -880,6 +880,22 @@ object SparkEntry {
           minShared = 2, maxFrameFreq = 64)
         .orderBy("modality", "d1", "d2")),
 
+    "multimodal_feature_stats" -> ((s, d) =>
+      // AGGREGATION over the decode path: per-modality statistics of
+      // the mapPartitions-extracted features — the post-decode rollup
+      // (mean feature values, payload-size spread, count) a media
+      // pipeline runs to monitor decoder drift. Exercises shuffle+agg
+      // over the iterator-shaped extract output, not just projection.
+      Multimodal.extractFeatures(s,
+          Multimodal.asBinary(Tables.documents(s, d)))
+        .withColumn("modality", Multimodal.modalityOf(col("doc_id")))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f0").cast("long")).as("sum_f0"),
+          sum(col("f1").cast("long")).as("sum_f1"),
+          min(col("f2")).as("min_f2"), max(col("f2")).as("max_f2"))
+        .orderBy("modality")),
+
     "multimodal_embed_ann" -> ((s, d) => {
       // modality-bucketed embedding retrieval: docs pair with their
       // embedding vectors (doc_id = vec_id), and each of the six query
@@ -4008,6 +4024,18 @@ object SparkEntry {
         |  ON a.modality = b.modality AND a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2, 3 HAVING count(*) >= 2
         |ORDER BY a.modality, d1, d2""".stripMargin,
+
+    "multimodal_feature_stats" ->
+      """SELECT
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ascii(substr(text, 1, 1))) AS BIGINT) AS sum_f0,
+        |  CAST(sum(ascii(substr(text, 2, 1))) AS BIGINT) AS sum_f1,
+        |  CAST(min(octet_length(encode(text)) % 256) AS INTEGER) AS min_f2,
+        |  CAST(max(octet_length(encode(text)) % 256) AS INTEGER) AS max_f2
+        |FROM documents
+        |GROUP BY 1 ORDER BY modality""".stripMargin,
 
     "multimodal_embed_ann" ->
       s"""WITH p AS (
