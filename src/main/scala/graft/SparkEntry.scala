@@ -2078,6 +2078,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "corpus_decontaminate_embedding" -> ((s, d) =>
+      // SEMANTIC decontamination: train docs whose EMBEDDING cosine-
+      // matches any bench doc's at >= 0.42 are swept, via the banded
+      // LSH equi-join (train×bench only, never train×train) + exact
+      // cosine verification — the sweep that catches paraphrased bench
+      // leakage the n-gram sweep misses. Complements
+      // corpus_decontaminate; both flags union in a real release.
+      ext.Corpus.decontaminateEmbedding(
+          Tables.documents(s, d), Tables.embeddings(s, d),
+          benchSources = Seq("src0", "src1"), threshold = 0.42)
+        .orderBy("doc_id")),
+
     "corpus_decontaminate_bloom" -> ((s, d) => {
       // the TWO-STAGE decontamination gate: the bench shingle set's
       // Bloom filter drops train shingles before the exact join pays
@@ -4951,6 +4963,48 @@ object SparkEntry {
     // identical oracle: the Bloom prefilter must be invisible in the
     // result (no false negatives; false positives die in the exact join).
     "corpus_decontaminate_bloom" -> corpusDecontaminateOracle,
+
+    "corpus_decontaminate_embedding" -> {
+      // identical ±1 planes and band layout as the embedding-LSH dedup
+      // oracle, restricted to train×bench candidate pairs
+      val planes = Similarity.planeMatrix(16, 64)
+      def planeLit(p: Int): String =
+        planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val bitCols = (0 until 16).map { p =>
+        s"""    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+           |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])) >= 0
+           |      THEN 1 ELSE 0 END AS b$p""".stripMargin
+      }.mkString(",\n")
+      def bkey(bits: Seq[Int]) =
+        bits.map(b => s"CAST(b$b AS VARCHAR)").mkString(" || ',' || ")
+      val bandSelects = (0 until 4).map(b =>
+        s"  SELECT doc_id, source, n_chars, embedding, $b AS band, ${bkey(b * 4 until (b + 1) * 4)} AS bkey FROM sig")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH p AS (
+         |  SELECT d.doc_id, d.source, d.n_chars, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), sig AS (
+         |  SELECT doc_id, source, n_chars, embedding,
+         |$bitCols
+         |  FROM p
+         |), banded AS (
+         |$bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS tid, x.embedding AS te,
+         |                  y.doc_id AS bid, y.embedding AS be
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bkey = y.bkey
+         |  WHERE x.source NOT IN ('src0','src1')
+         |    AND y.source IN ('src0','src1')
+         |), bad AS (
+         |  SELECT DISTINCT tid FROM cand
+         |  WHERE ${cosineSql("te", "be")} >= 0.42
+         |)
+         |SELECT doc_id, source, n_chars FROM p
+         |WHERE source NOT IN ('src0','src1')
+         |  AND doc_id NOT IN (SELECT tid FROM bad)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the oracle sees no partition layout — pruning must be invisible in
     // the result, visible only in the plan.

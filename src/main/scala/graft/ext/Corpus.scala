@@ -241,6 +241,52 @@ object Corpus {
       .join(contamination.select(col("train_doc").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
 
+  /** EMBEDDING-level decontamination — the SEMANTIC sweep that catches
+    * what the n-gram sweep cannot: a train document whose text was
+    * paraphrased/translated/reformatted from a benchmark document shares
+    * no 5-shingles with it but sits next to it in embedding space. This
+    * is the published practice for modern eval protection (cosine
+    * near-match of train vs bench embeddings); it COMPLEMENTS
+    * [[contamination]] — ship both sweeps, union the flags.
+    *
+    * Scale shape: bench and train sides are banded separately by
+    * hyperplane signature ([[Similarity.withBandKeys]] — same planes,
+    * so co-bucketing is consistent), and candidates come from the
+    * (band, bkey) EQUI-join of train against bench — never train×train,
+    * never a cross product; the bench side is the eval-set corpus
+    * (small by construction) and per-bucket fanout is bounded by
+    * signature collisions. Exact cosine verifies candidates only.
+    * Recall < 1 by LSH design — the trade every production sweep makes;
+    * the banding is deterministic so the oracle reproduces the missed
+    * pairs too.
+    */
+  def decontaminateEmbedding(docs: DataFrame, emb: DataFrame,
+                             benchSources: Seq[String],
+                             threshold: Double = 0.42,
+                             numPlanes: Int = 16, bandWidth: Int = 4,
+                             dim: Int = 64): DataFrame = {
+    val paired = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+    def banded(side: DataFrame, idAs: String, embAs: String) =
+      Similarity.withBandKeys(
+          side.select(col("doc_id").as("vec_id"), col("embedding")),
+          idAs, numPlanes, bandWidth, dim)
+        .withColumnRenamed("embedding", embAs)
+    val bench = banded(
+      paired.filter(col("source").isin(benchSources: _*)), "bid", "be")
+    val train = paired.filter(!col("source").isin(benchSources: _*))
+    val trainB = banded(train, "tid", "te")
+    val contaminated = trainB.join(bench, Seq("band", "bkey"))
+      .dropDuplicates("tid", "bid")
+      .withColumn("sim",
+        graft.functions.KeyColumns.cosine_native(col("te"), col("be")))
+      .filter(col("sim") >= threshold)
+      .select(col("tid").as("doc_id")).distinct()
+    train.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Weighted source mixing: per-source keep rates (per mille), the
     * hash-threshold form of the "sample each corpus at its mixing weight
     * then union" recipe used to balance training mixtures. Sources not in

@@ -97,6 +97,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept.intersect(flagged).isEmpty)
   }
 
+  test("embedding decontamination sweeps semantic matches, keeps orthogonal docs") {
+    // bench doc 0; train doc 1 carries the IDENTICAL embedding (a
+    // paraphrase in the real world — no shared shingles needed); train
+    // doc 2 is orthogonal. Only doc 1 must be swept.
+    val v = Array.tabulate(64)(i => if (i < 32) 1.0f else 0.0f)
+    val u = Array.tabulate(64)(i => if (i >= 32) 1.0f else 0.0f)
+    val docs = Seq(
+      (0L, "bench text", "en", "src0", 10),
+      (1L, "totally different words", "en", "src2", 23),
+      (2L, "unrelated content", "en", "src2", 17))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb = Seq((0L, v), (1L, v), (2L, u))
+      .toDF("vec_id", "embedding")
+    val kept = Corpus.decontaminateEmbedding(docs, emb,
+        benchSources = Seq("src0", "src1"), threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L),
+      s"identical-embedding train doc must sweep, orthogonal must stay: $kept")
+    // and the real corpus: the sweep output is exactly train minus the
+    // cosine-verified banded matches (no bench doc ever in the output)
+    val real = Corpus.decontaminateEmbedding(
+      Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir),
+      benchSources = Seq("src0", "src1"))
+    assert(real.filter(col("source").isin("src0", "src1")).count() === 0L)
+  }
+
   test("source mixing keeps only listed sources, at their rates") {
     val docs = Tables.documents(spark, sfDir)
     val kept = Corpus.mixSources(docs, "source", "doc_id",
