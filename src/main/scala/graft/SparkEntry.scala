@@ -280,6 +280,14 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
 
+    "corpus_domain_cap" -> ((s, d) =>
+      // per-domain cap: each source keeps its 15 BEST documents by
+      // quality score — exact two-phase top-N (salt-bucket pre-rank
+      // bounds every window to cap-bounded data, killing the
+      // dominant-source reducer skew the cap itself exists to fight).
+      ext.Corpus.capPerSource(Tables.documents(s, d), cap = 15)
+        .orderBy("source", "q_rank")),
+
     "bronze_clean_events" -> ((s, d) =>
       Bronze.cleanEvents(Tables.events(s, d)).drop("ts")
         .orderBy("event_id")),
@@ -346,6 +354,13 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), w = 5, threshold = 0.8)
         .orderBy("d1", "d2")),
+
+    "dedup_repeated_spans" -> ((s, d) =>
+      // exact-substring-style span dedup at 8-token granularity: which
+      // tokens of each document are cross-corpus boilerplate. Localizes
+      // shared spans that whole-doc similarity (jaccard/minhash) cannot.
+      Dedup.repeatedSpans(Tables.documents(s, d), w = 8, minDocs = 2)
+        .orderBy("doc_id")),
 
     "dedup_clusters" -> ((s, d) =>
       // pairwise matches → dedup clusters (cluster id = canonical keeper).
@@ -1639,6 +1654,47 @@ object SparkEntry {
         tmp)
     }),
 
+    "stream_index_maintain" -> ((s, d) => {
+      // LIVE ANN-index lifecycle: the embedding corpus staged as three
+      // source files, streamed one file per micro-batch; the first
+      // batch BUILDS the persisted index (quantizer trained, then
+      // frozen), every later batch APPENDs against the frozen
+      // quantizer — replay-safe by the lifecycle's own idempotency
+      // (atomic-overwrite build / per-table insert-if-absent append).
+      // Searched FLAT at nprobe = numCells the maintained index must
+      // reproduce brute-force cosine top-k EXACTLY: one vector lost,
+      // doubled, or mis-assigned anywhere in the stream breaks the
+      // hash. The in-query requires pin that >= 2 batches actually
+      // folded (append path exercised, not one big build) and that the
+      // index holds every corpus vector exactly once.
+      val tmp = TempDirs.create("graft-idx-maint-").toString
+      val src = s"$tmp/src"
+      val emb = Tables.embeddings(s, d)
+      (0 until 3).foreach(i =>
+        emb.filter(col("vec_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src))
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.Streams.indexMaintainPipeline(
+        s, sch, src, s"$tmp/index", s"$tmp/ck")
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
+      require(nBatches >= 2,
+        s"index maintenance folded $nBatches micro-batches — need >= 2 " +
+          "to prove append-on-frozen-quantizer, not a single-batch build")
+      val nIndexed = s.read.parquet(s"$tmp/index/cells")
+        .agg(countDistinct(col("vec_id"))).collect()(0).getLong(0)
+      val nCorpus = emb.count()
+      require(nIndexed == nCorpus,
+        s"index holds $nIndexed distinct vectors, corpus has $nCorpus — " +
+          "streamed maintenance lost or doubled vectors")
+      detachAndClean(
+        ext.VectorIndex.searchFlat(s, s"$tmp/index",
+            emb.filter(col("vec_id") < 5), k = 10, nprobe = 16)
+          .select(col("qid"), col("rank").cast("int").as("rnk"), col("cid"))
+          .orderBy("qid", "rnk"),
+        tmp)
+    }),
+
     "stream_exactly_once" -> ((s, d) => {
       // the foreachBatch transactional-sink pattern LIVE on the oracle
       // path: AvailableNow stream → per-batch-directory overwrite sink
@@ -2231,6 +2287,24 @@ object SparkEntry {
   /** Prefix-filtered exact-Jaccard pairs, no ORDER BY — shared by the
     * pair oracle and the connected-components oracle built on it.
     */
+  /** Exact brute-force cosine top-10 for queries vec_id < 5 — the
+    * oracle of sim_topk_bruteforce, and of stream_index_maintain (a
+    * complete index searched at nprobe = numCells is exhaustive).
+    */
+  private lazy val bruteTop10OracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+       |s AS (
+       |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS sim
+       |  FROM q, c WHERE qid != cid
+       |), r AS (
+       |  SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+       |  FROM s
+       |)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+
   private lazy val ngramPairsCoreSql: String =
     s"""WITH $triSql,
        |freq AS (SELECT sh, count(*) AS f FROM tri GROUP BY 1),
@@ -2868,6 +2942,42 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> s"$ngramPairsCoreSql\nORDER BY d1, d2",
 
+    "dedup_repeated_spans" ->
+      """WITH rtoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), rpos AS (
+        |  SELECT doc_id, u.i AS s, array_to_string(t[u.i:u.i+7], ' ') AS sh
+        |  FROM rtoks, UNNEST(range(1, len(t)-8+2)) AS u(i)
+        |), rdup AS (
+        |  SELECT sh FROM rpos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+        |), rstarts AS (
+        |  SELECT doc_id, s FROM rpos JOIN rdup USING (sh)
+        |), rflag AS (
+        |  SELECT doc_id, s,
+        |         CASE WHEN s > coalesce(max(s + 7) OVER (
+        |             PARTITION BY doc_id ORDER BY s
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |           THEN 1 ELSE 0 END AS new_span
+        |  FROM rstarts
+        |), rspan AS (
+        |  SELECT doc_id, s,
+        |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY s) AS span_id
+        |  FROM rflag
+        |), ragg AS (
+        |  SELECT doc_id, span_id, max(s) + 7 - min(s) + 1 AS covered,
+        |         count(*) AS nw
+        |  FROM rspan GROUP BY doc_id, span_id
+        |), rper AS (
+        |  SELECT doc_id, CAST(sum(nw) AS BIGINT) AS dup_windows,
+        |         count(*) AS dup_spans,
+        |         CAST(sum(covered) AS BIGINT) AS covered_tokens
+        |  FROM ragg GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+        |       p.dup_windows, p.dup_spans, p.covered_tokens
+        |FROM rper p JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |  SELECT d1, d2 FROM ($minhashPairsCoreSql) p
@@ -3203,6 +3313,28 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < r.rate
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "corpus_domain_cap" ->
+      // quality score expressions copied from the text_quality oracle
+      // so the ordering doubles are bit-identical
+      """WITH ct AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+        |), cq AS (
+        |  SELECT doc_id, source,
+        |    (CAST(len(list_filter(l, x -> list_contains(['the','a','of','and','in'], x))) AS DOUBLE)
+        |       / CAST(len(l) AS DOUBLE)) * 0.5 +
+        |    (CAST(len(list_distinct(l)) AS DOUBLE)
+        |       / CAST(len(l) AS DOUBLE)) * 0.5 AS qs
+        |  FROM ct
+        |), cr AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY qs DESC, doc_id ASC) AS q_rank
+        |  FROM cq
+        |)
+        |SELECT source, doc_id, CAST(q_rank AS INTEGER) AS q_rank
+        |FROM cr WHERE q_rank <= 15
+        |ORDER BY source, q_rank""".stripMargin,
+
     "dedup_embedding_cosine" ->
       s"""WITH p AS (
          |  SELECT a.vec_id AS i, b.vec_id AS j,
@@ -3212,19 +3344,12 @@ object SparkEntry {
          |SELECT i, j, sim FROM p WHERE sim >= 0.42
          |ORDER BY i, j""".stripMargin,
 
-    "sim_topk_bruteforce" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-         |s AS (
-         |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS sim
-         |  FROM q, c WHERE qid != cid
-         |), r AS (
-         |  SELECT qid, cid,
-         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-         |  FROM s
-         |)
-         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 10
-         |ORDER BY qid, rnk""".stripMargin,
+    "sim_topk_bruteforce" -> bruteTop10OracleSql,
+
+    // the maintained index searched flat at nprobe = numCells IS
+    // brute-force cosine top-k — same oracle; the lifecycle (stream
+    // build + appends, no loss/dup/re-encode) is what the hash buys.
+    "stream_index_maintain" -> bruteTop10OracleSql,
 
     "sim_topk_lsh" -> lshOracle,
 

@@ -331,4 +331,44 @@ object Corpus {
         floor(col("tok_before").cast("double") / maxTokens).cast("int"))
       .select(col(shardCol), col(idCol), col("n_tok"), col("pack_id"))
   }
+
+  /** Per-source document cap — keep each source's `cap` best documents
+    * by quality score (the standard per-domain cap of corpus curation:
+    * no single domain may dominate the mix, and what survives the cap
+    * is the domain's BEST, not a random subset — the ranked complement
+    * of [[stratifiedSample]]'s hash-random downsampling). Ordering is
+    * (quality desc, doc_id asc), so the selection is deterministic and
+    * engine-portable (the score is a fixed sequence of exact-int IEEE
+    * divisions — the text_quality discipline).
+    *
+    * Exact TWO-PHASE top-N, not a single per-source window: a global
+    * window partitioned by source puts an entire source on one task,
+    * which is precisely the skew a domain cap exists to fight (the
+    * dominant source would stall its reducer at corpus scale). Phase 1
+    * ranks within (source, salt-bucket) — a row outside its bucket's
+    * top-cap cannot be in the source's top-cap, so each bucket forwards
+    * at most `cap` survivors. Phase 2 ranks the ≤ buckets × cap
+    * survivors per source — a window over cap-bounded, not
+    * corpus-bounded, data. Results are identical to the single-window
+    * form; only the shuffle skew changes.
+    *
+    * Returns (source, doc_id, q_rank), q_rank in [1, cap].
+    */
+  def capPerSource(docs: DataFrame, cap: Int, buckets: Int = 8): DataFrame = {
+    require(cap >= 1, "capPerSource: cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+    val local = w.partitionBy(col("source"), hashBucket(col("doc_id"), "cap", buckets))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val global = w.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    scored
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= cap)
+      .withColumn("q_rank", row_number().over(global))
+      .filter(col("q_rank") <= cap)
+      .select(col("source"), col("doc_id"), col("q_rank"))
+  }
 }

@@ -602,4 +602,93 @@ object Dedup {
       .reduce(_ + _)
     bitSums.select(col("doc_id"), sig.cast("int").as("simhash"))
   }
+
+  /** Positional w-token windows: (doc_id, s, sh) with s the 1-based
+    * start token of the window. NOT distinct-per-document — positions
+    * are the point (interval union needs every start). Same tokenizer
+    * contract as [[shingles]] (split keeps trailing empties).
+    */
+  def positionalShingles(docs: DataFrame, w: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        if (t.length < w) Iterator.empty
+        else t.sliding(w).zipWithIndex.map { case (s, i) =>
+          (id, (i + 1).toLong, s.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "s", "sh")
+  }
+
+  /** Cross-document repeated-span detection with per-document duplicate
+    * coverage — the word-n-gram form of exact-substring training-data
+    * dedup: any w-token window whose text occurs in ≥ minDocs distinct
+    * documents is a duplicated window; overlapping duplicated windows
+    * within one document merge into maximal spans (gaps-and-islands
+    * interval union), and the covered-token count per document is the
+    * curation signal (documents dominated by cross-corpus boilerplate).
+    * Complements [[ngramJaccard]]/[[minhashLsh]]: those score whole-doc
+    * similarity; this localizes WHICH tokens are shared, catching
+    * boilerplate blocks inside otherwise-unique documents that no
+    * whole-document similarity threshold reaches.
+    *
+    * Returns (doc_id, n_tokens, dup_windows, dup_spans, covered_tokens)
+    * for documents containing at least one duplicated window.
+    *
+    * Scale shape: positional windows are Σ tokens rows; the duplicated
+    * set comes from one count-distinct groupBy (map-side partials
+    * apply); the join back is an equi-join on the window text; the
+    * interval union is a window function over each document's
+    * duplicated starts only. No doc×doc pair term anywhere — cost is
+    * linear in corpus tokens plus join volume on duplicated windows.
+    * At warehouse scale the join/group key would be a 128-bit hash of
+    * the window rather than its text (same grouping, ~4× smaller
+    * shuffle); the text key is kept here for oracle bit-parity.
+    */
+  def repeatedSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // materialized once, reused by the duplicated-set groupBy and the
+    // join back (at warehouse scale: a staging table); the per-doc
+    // result is tiny next to the window table, so eagerly materialize
+    // it and drop the cache before returning — the ngramJaccard
+    // discipline.
+    val pos = positionalShingles(docs, w).persist()
+    try repeatedSpansOn(docs, pos, w, minDocs).localCheckpoint(eager = true)
+    finally pos.unpersist(blocking = false)
+  }
+
+  private def repeatedSpansOn(docs: DataFrame, pos: DataFrame, w: Int,
+                              minDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = pos.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("sh"))
+    val starts = pos.join(dup, Seq("sh")).select(col("doc_id"), col("s"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    // a window starting at s covers tokens [s, s+w-1]; a new span opens
+    // when s clears the running max end of all earlier windows
+    val prevEnd = max(col("s") + lit(w - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = starts
+      .withColumn("new_span",
+        when(col("s") > coalesce(prevEnd, lit(-1L)), 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(byDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg((max(col("s")) + lit(w - 1) - min(col("s")) + lit(1)).as("covered"),
+        count(lit(1)).as("nw"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(sum(col("nw")).as("dup_windows"),
+        count(lit(1)).as("dup_spans"),
+        sum(col("covered")).as("covered_tokens"))
+    perDoc.join(
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_windows"),
+        col("dup_spans"), col("covered_tokens"))
+  }
 }

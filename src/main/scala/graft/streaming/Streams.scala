@@ -212,6 +212,48 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** LIVE maintenance of the persisted ANN index
+    * ([[graft.ext.VectorIndex]]): each micro-batch of new vectors folds
+    * into the on-disk index — the FIRST non-empty batch BUILDS it
+    * (trains and freezes the coarse quantizer + PQ codebooks), every
+    * later batch APPENDs against those frozen artifacts, exactly the
+    * grow-only discipline a production vector store runs between
+    * periodic re-trains.
+    *
+    * Correctness under the at-least-once `foreachBatch` contract comes
+    * from the index lifecycle's own idempotency, the same argument as
+    * [[sketchMaintainPipeline]]'s merge law: build is an atomic
+    * overwrite (a replayed build rewrites the identical tables — the
+    * quantizer is a pure function of the batch), and append is
+    * per-table INSERT-IF-ABSENT with a crash-safe write order
+    * (`VectorIndex.append` — a replayed or half-crashed append restores
+    * the exact m-rows-per-vector invariant instead of duplicating
+    * candidates). State is the four index tables; no vector is ever
+    * lost, doubled, or re-encoded.
+    */
+  def indexMaintainPipeline(spark: SparkSession, schema: StructType,
+                            srcDir: String, indexDir: String,
+                            checkpointDir: String, numCells: Int = 16,
+                            m: Int = 4, numCodes: Int = 16, dim: Int = 64,
+                            maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val vecs = batch.select(col("vec_id"), col("embedding"))
+        if (!vecs.isEmpty) {
+          if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"$indexDir/centroids")))
+            graft.ext.VectorIndex.append(batch.sparkSession, indexDir, vecs)
+          else
+            graft.ext.VectorIndex.build(vecs, indexDir, numCells, m,
+              numCodes, dim)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** [[corpusCleanStream]] as a LIVE pipeline: file stream over a staged
     * document directory → the three admission stages → parquet sink,
     * AvailableNow.

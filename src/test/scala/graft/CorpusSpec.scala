@@ -155,4 +155,30 @@ class CorpusSpec extends AnyFunSuite {
       numBits = 16, numHashes = 2))
     assert(saturated === exact)
   }
+
+  test("capPerSource: two-phase top-N equals the single-window form and binds") {
+    val docs = Tables.documents(spark, sfDir)
+    val cap = 10
+    val got = Corpus.capPerSource(docs, cap = cap, buckets = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    // naive single-window reference (the form the two-phase plan must
+    // reproduce exactly)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val ref = docs.select(col("doc_id"), col("source"))
+      .join(graft.ext.TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+      .withColumn("q_rank", row_number().over(w))
+      .filter(col("q_rank") <= cap)
+      .select(col("source"), col("doc_id"), col("q_rank")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    assert(got.nonEmpty)
+    assert(got.toSeq === ref.toSeq)
+    // the cap BINDS: every source has exactly cap survivors (sf0.001
+    // has ~25 docs per source), so the test exercises the cut, not a
+    // pass-through
+    val bySource = got.groupBy(_._1).view.mapValues(_.length)
+    bySource.foreach { case (s, n) => assert(n === cap, s"source $s") }
+  }
 }

@@ -227,4 +227,43 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "banded dedup should surface at least one pair")
     got.foreach { case (k, sim) => assert(all.get(k).contains(sim)) }
   }
+
+  test("repeated spans: overlapping duplicated windows merge, coverage is exact") {
+    val docs = Seq(
+      (10L, "a b c d e f g h i j unique1 unique2 unique3"),
+      (11L, "a b c d e f g h i j other4 other5"),
+      (12L, "totally different text with no shared span at all xyz qq")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, w = 8, minDocs = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 10-token shared run -> 8-token windows at starts 1..3, all
+    // duplicated, merging into ONE span covering tokens 1..10
+    assert(out.keySet === Set(10L, 11L))
+    assert(out(10L) === ((13L, 3L, 1L, 10L)))
+    assert(out(11L) === ((12L, 3L, 1L, 10L)))
+  }
+
+  test("repeated spans: disjoint duplicated regions stay separate spans") {
+    val docs = Seq(
+      (20L, "s1 s2 s3 s4 s5 s6 s7 s8 mid1 mid2 mid3 t1 t2 t3 t4 t5 t6 t7 t8"),
+      (21L, "s1 s2 s3 s4 s5 s6 s7 s8 zot1 zot2 zot3 t1 t2 t3 t4 t5 t6 t7 t8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, w = 8, minDocs = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // two shared 8-token blocks with non-shared middles: windows at
+    // s=1 and s=12 only -> two spans, 16 covered tokens of 19
+    assert(out(20L) === ((19L, 2L, 2L, 16L)))
+    assert(out(21L) === ((19L, 2L, 2L, 16L)))
+  }
+
+  test("repeated spans leaves no cache entries behind") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"), (1L, "a b c d e f g h i j")
+    ).toDF("doc_id", "text")
+    Dedup.repeatedSpans(docs, w = 8).count()
+    assert(org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark),
+      "repeatedSpans left a cache entry behind")
+  }
 }

@@ -234,6 +234,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
+  test("index-maintain: streamed build+appends reproduce brute-force search, restart folds only new files") {
+    val base = java.nio.file.Files.createTempDirectory("graft_idxm").toString
+    val src = s"$base/src"; val idx = s"$base/index"; val ckpt = s"$base/ckpt"
+    // deterministic tiny corpus: 30 vectors, dim 4
+    def vec(i: Int) = Array.tabulate(4)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)
+    def write(ids: Range) =
+      ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(src)
+    write(0 until 10)
+    write(10 until 20)
+    val schema = spark.read.parquet(src).schema
+    Streams.indexMaintainPipeline(spark, schema, src, idx, ckpt,
+        numCells = 4, m = 2, numCodes = 4, dim = 4)
+      .awaitTermination()
+    // quantizer FROZEN from the first batch: all centroid cells are
+    // first-file vec_ids (build seeds cells from the first numCells ids)
+    val cells0 = spark.read.parquet(s"$idx/centroids")
+      .select("cell").collect().map(_.getLong(0)).sorted.toSeq
+    assert(cells0 === Seq(0L, 1L, 2L, 3L))
+    // restart on a grown source: checkpoint skips processed files, the
+    // new file APPENDs against the frozen quantizer
+    write(20 until 30)
+    Streams.indexMaintainPipeline(spark, schema, src, idx, ckpt,
+        numCells = 4, m = 2, numCodes = 4, dim = 4)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$idx/centroids")
+      .select("cell").collect().map(_.getLong(0)).sorted.toSeq === cells0,
+      "append must never retrain the quantizer")
+    val emb = (0 until 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    // searched flat at nprobe = numCells, the maintained index IS
+    // brute force — any lost/doubled vector across the three batches
+    // would break the equality
+    val got = rows(graft.ext.VectorIndex.searchFlat(spark, idx,
+      emb.filter(col("vec_id") < 3), k = 5, nprobe = 4)
+      .select(col("qid"), col("rank").cast("int"), col("cid")))
+    val want = rows(graft.ext.Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 3), k = 5)
+      .select(col("qid"), col("rank").cast("int"), col("cid")))
+    assert(got === want)
+  }
+
   test("interval-join buffers survive a restart: cross-pass pairs still match") {
     val base = java.nio.file.Files.createTempDirectory("graft_jrestart").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
