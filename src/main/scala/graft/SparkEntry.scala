@@ -1887,6 +1887,58 @@ object SparkEntry {
         tmp)
     }),
 
+    "scale_incremental_refresh" -> ((s, d) => {
+      // incremental MV maintenance — the partition-overwrite refresh
+      // loop of a warehouse mart: a daily aggregate built from the
+      // initial fact load, then a delta batch (two NEW days + LATE
+      // rows for the first day) folds in by appending to the fact and
+      // recomputing ONLY the three affected date partitions from the
+      // partition-pruned fact. Physical contract asserted in-query: an
+      // untouched day's mart files are bit-identical across the
+      // refresh. Oracle = full recompute over the whole feed — the
+      // incremental path must land on exactly the one-shot answer,
+      // count-distinct included (recompute-pruning keeps non-additive
+      // measures exact where aggregate-merge algebra could not).
+      val tmp = TempDirs.create("graft-increfresh-").toString
+      val factDir = s"$tmp/fact"; val martDir = s"$tmp/mart"
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("user_id"), col("value"), to_date(col("ts")).as("event_date"))
+      val r0 = ev.agg(min(col("event_date")), max(col("event_date"))).head()
+      val (minD, maxD) = (r0.getDate(0), r0.getDate(1))
+      val inDelta = (col("event_date") >= date_sub(lit(maxD), 1)) ||
+        (col("event_date") === lit(minD) && col("event_id") % 7 === 0)
+      def agg(fact: DataFrame): DataFrame =
+        fact.groupBy(col("event_date"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            centsSum(col("value")).as("value_cents"),
+            countDistinct(col("user_id")).as("unique_users"))
+      ev.filter(!inDelta).repartition(col("event_date"))
+        .write.partitionBy("event_date").parquet(factDir)
+      agg(s.read.parquet(factDir)).repartition(col("event_date"))
+        .write.partitionBy("event_date").parquet(martDir)
+      val probe = s"event_date=${java.time.LocalDate.ofEpochDay(
+        minD.toLocalDate.toEpochDay + 3)}"
+      def filesOf(p: String): Set[String] =
+        new java.io.File(martDir, p).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName + ":" + f.length).toSet
+      val before = filesOf(probe)
+      val affected = graft.operators.ScaleOps.incrementalRefresh(
+        s, factDir, martDir, ev.filter(inDelta), "event_date", agg)
+      require(affected.size == 3,
+        s"delta touches day0 + last two days — expected 3 affected " +
+          s"partitions, got ${affected.size}")
+      require(filesOf(probe) == before,
+        s"untouched mart partition $probe was rewritten — refresh cost " +
+          "must be proportional to affected partitions only")
+      detachAndClean(
+        s.read.parquet(martDir)
+          .select(col("event_date"), col("event_type"), col("n_events"),
+            col("value_cents"), col("unique_users"))
+          .orderBy("event_date", "event_type"),
+        tmp)
+    }),
+
     "scale_zorder_roundtrip" -> ((s, d) => {
       // the WRITE half of multi-dimensional data skipping, content-
       // checked: Z-order-cluster the events feed on bucketed
@@ -4323,6 +4375,17 @@ object SparkEntry {
       // the corrupted day was repaired in place: read-back == clean feed.
       """SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "scale_incremental_refresh" ->
+      // the incrementally-maintained mart must equal a one-shot full
+      // recompute over the whole feed, count-distinct included.
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |       count(DISTINCT user_id) AS unique_users
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_date, event_type""".stripMargin,
 
     "stream_session_window" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),

@@ -527,4 +527,38 @@ object ScaleOps {
       .partitionBy(partitionCols: _*)
       .parquet(dir)
   }
+
+  /** Incremental refresh of a partition-keyed AGGREGATE table — the
+    * maintenance loop of every warehouse mart: append the delta batch to
+    * the partitioned fact, recompute the aggregate for ONLY the
+    * partitions the delta touched (a partition-pruned scan of the fact),
+    * and dynamically overwrite exactly those mart partitions
+    * ([[backfillPartitions]]). Untouched partitions are never read,
+    * recomputed, or rewritten — cost ∝ affected partitions, never the
+    * table. Because affected partitions are recomputed FROM THE FACT
+    * rather than merged aggregate-to-aggregate, non-additive measures
+    * (count-distinct, exact quantiles) stay exact — recompute-pruning
+    * instead of merge-algebra, the trade that keeps the mart's schema
+    * unrestricted. Handles both delta shapes in one pass: brand-new
+    * partitions (new days) and late-arriving rows folding into
+    * partitions the mart already holds.
+    *
+    * Returns the affected partition values — driver-sized (one per
+    * touched partition), the same O(partitions) class as the two-phase
+    * selection totals.
+    */
+  def incrementalRefresh(spark: SparkSession, factDir: String,
+                         martDir: String, delta: DataFrame, partCol: String,
+                         aggregate: DataFrame => DataFrame): Seq[Any] = {
+    delta.repartition(col(partCol))
+      .write.mode("append").partitionBy(partCol).parquet(factDir)
+    val affected = delta.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    require(affected.nonEmpty, "incrementalRefresh: empty delta")
+    val pruned = spark.read.parquet(factDir)
+      .filter(col(partCol).isInCollection(affected))
+    backfillPartitions(aggregate(pruned).repartition(col(partCol)),
+      martDir, Seq(partCol))
+    affected
+  }
 }

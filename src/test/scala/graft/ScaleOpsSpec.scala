@@ -536,6 +536,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental refresh recomputes only touched partitions, late rows fold in exactly") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_incref").toString
+    val fact = s"$base/fact"; val mart = s"$base/mart"
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("day")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("uid")).as("u"))
+    // initial load: days 1..3
+    Seq((1, 10L), (1, 10L), (2, 20L), (2, 21L), (3, 30L))
+      .toDF("day", "uid").repartition(col("day"))
+      .write.partitionBy("day").parquet(fact)
+    agg(spark.read.parquet(fact)).repartition(col("day"))
+      .write.partitionBy("day").parquet(mart)
+    def files(p: String) = new java.io.File(mart, p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName + ":" + f.length).toSet
+    val day2Before = files("day=2")
+    // delta: late rows for day 1 (one NEW uid, one replayed uid) + new day 4
+    val affected = ScaleOps.incrementalRefresh(spark, fact, mart,
+      Seq((1, 10L), (1, 11L), (4, 40L)).toDF("day", "uid"), "day", agg)
+    assert(affected.toSet === Set(1, 4))
+    assert(files("day=2") === day2Before, "untouched partition rewritten")
+    val out = spark.read.parquet(mart).collect()
+      .map(r => r.getAs[Int]("day") -> ((r.getLong(0), r.getLong(1)))).toMap
+    // day 1: 2 base + 2 late = 4 rows; distinct uids {10, 11} — the
+    // non-additive measure is exact because the partition RECOMPUTED
+    assert(out(1) === ((4L, 2L)))
+    assert(out(2) === ((2L, 2L)))
+    assert(out(3) === ((1L, 1L)))
+    assert(out(4) === ((1L, 1L)))
+    // empty delta refuses loudly rather than silently no-opping
+    val err = intercept[IllegalArgumentException] {
+      ScaleOps.incrementalRefresh(spark, fact, mart,
+        Seq.empty[(Int, Long)].toDF("day", "uid"), "day", agg)
+    }
+    assert(err.getMessage.contains("empty delta"))
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     ScaleOps.writeBucketed(
       Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
