@@ -280,6 +280,14 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
 
+    "corpus_shuffle_shards" -> ((s, d) =>
+      // reproducible training shuffle: dense global positions in salted-
+      // hash order via the two-phase prefix-sum scan (no single-task
+      // global window), packed into 64-doc shards.
+      ext.Corpus.shuffleShards(Tables.documents(s, d), "doc_id",
+          salt = "epoch0", shardSize = 64)
+        .orderBy("position")),
+
     "corpus_domain_cap" -> ((s, d) =>
       // per-domain cap: each source keeps its 15 BEST documents by
       // quality score — exact two-phase top-N (salt-bucket pre-rank
@@ -3364,6 +3372,20 @@ object SparkEntry {
         |FROM documents d JOIN rates r ON d.source = r.src
         |WHERE CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < r.rate
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_shuffle_shards" ->
+      """WITH sk AS (
+        |  SELECT doc_id,
+        |         substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |           || '|' || CAST(doc_id AS VARCHAR) AS skey
+        |  FROM documents
+        |), rs AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (ORDER BY skey) - 1 AS position
+        |  FROM sk
+        |)
+        |SELECT CAST(position // 64 AS INTEGER) AS shard_id, position, doc_id
+        |FROM rs ORDER BY position""".stripMargin,
 
     "corpus_domain_cap" ->
       // quality score expressions copied from the text_quality oracle

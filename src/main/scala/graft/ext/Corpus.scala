@@ -332,6 +332,38 @@ object Corpus {
       .select(col(shardCol), col(idCol), col("n_tok"), col("pack_id"))
   }
 
+  /** Deterministic global training order + shard assignment — the
+    * reproducible form of "shuffle the corpus before training": every
+    * document gets a dense 0-based `position` in the order of a salted
+    * portable hash (re-runs, engines, and partitionings all agree), and
+    * `shard_id` = position / shardSize packs the order into
+    * fixed-size training shards. Changing the salt is a fresh epoch's
+    * reshuffle; keeping it reproduces the exact byte order of the run
+    * being debugged — the property a training pipeline needs from its
+    * shuffle, which `ORDER BY random()` cannot give.
+    *
+    * The order key is hash-prefix + "|" + id: globally unique (the id
+    * suffix breaks hash-collision ties deterministically) and
+    * identically ordered in any engine comparing strings bytewise.
+    * Positions come from [[graft.operators.ScaleOps.withPrefixSum]]'s
+    * two-phase range scan — dense global enumeration WITHOUT the
+    * single-partition global window that would serialize the corpus
+    * through one task at scale.
+    */
+  def shuffleShards(docs: DataFrame, idCol: String, salt: String,
+                    shardSize: Int): DataFrame = {
+    require(shardSize >= 1, "shuffleShards: shardSize must be positive")
+    val key = concat(
+      substring(md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 15),
+      lit("|"), col(idCol).cast("string"))
+    graft.operators.ScaleOps.withPrefixSum(
+        docs.select(col(idCol)).withColumn("skey", key)
+          .withColumn("one", lit(1)),
+        "skey", "one", "position")
+      .select(floor(col("position") / shardSize).cast("int").as("shard_id"),
+        col("position"), col(idCol))
+  }
+
   /** Per-source document cap — keep each source's `cap` best documents
     * by quality score (the standard per-domain cap of corpus curation:
     * no single domain may dominate the mix, and what survives the cap

@@ -156,6 +156,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(saturated === exact)
   }
 
+  test("shuffleShards: dense permutation, partitioning-invariant, full shards") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val out = Corpus.shuffleShards(docs, "doc_id", salt = "s1", shardSize = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // dense 0-based permutation of every document
+    assert(out.map(_._2).sorted.toSeq === (0L until n))
+    assert(out.map(_._3).distinct.length === n.toInt)
+    // the order is a pure function of (salt, id): physical partitioning
+    // of the input must not change a single position
+    val re = Corpus.shuffleShards(docs.repartition(7), "doc_id",
+        salt = "s1", shardSize = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(re.sortBy(_._2).toSeq === out.sortBy(_._2).toSeq)
+    // a different salt is a genuinely different epoch order
+    val other = Corpus.shuffleShards(docs, "doc_id", salt = "s2", shardSize = 32)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    val same = out.count { case (_, pos, id) => other(id) == pos }
+    assert(same < n / 4, s"salts s1/s2 agree on $same of $n positions")
+    // every shard except the last is exactly full
+    val sizes = out.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.length)
+    assert(sizes.init.forall(_ === 32) && sizes.last <= 32)
+  }
+
   test("capPerSource: two-phase top-N equals the single-window form and binds") {
     val docs = Tables.documents(spark, sfDir)
     val cap = 10
