@@ -1662,6 +1662,36 @@ object SparkEntry {
         tmp)
     }),
 
+    "sim_index_compact" -> ((s, d) => {
+      // index COMPACTION: two appends fragment the per-cell file layout
+      // (one file per touched cell per batch); the staged compaction
+      // pass restores ~one file per cell without changing a byte of
+      // content — searched flat at nprobe = numCells afterwards, the
+      // compacted index must still reproduce brute-force top-k exactly.
+      // The physical contract is asserted in-query: strictly fewer
+      // cell-table files after compaction.
+      val tmp = TempDirs.create("graft-idx-compact-").toString
+      val dir = s"$tmp/index"
+      val emb = Tables.embeddings(s, d)
+      ext.VectorIndex.build(emb.filter(col("vec_id") % 4 < 2), dir)
+      ext.VectorIndex.append(s, dir, emb.filter(col("vec_id") % 4 === 2))
+      ext.VectorIndex.append(s, dir, emb.filter(col("vec_id") % 4 === 3))
+      def nFiles(sub: String): Long =
+        s.read.parquet(s"$dir/$sub").select(input_file_name())
+          .distinct().count()
+      val before = nFiles("cells")
+      ext.VectorIndex.compact(s, dir)
+      val after = nFiles("cells")
+      require(after < before,
+        s"compaction must shrink the cells file count ($before -> $after)")
+      detachAndClean(
+        ext.VectorIndex.searchFlat(s, dir, emb.filter(col("vec_id") < 5),
+            k = 10, nprobe = 16)
+          .select(col("qid"), col("rank").cast("int").as("rnk"), col("cid"))
+          .orderBy("qid", "rnk"),
+        tmp)
+    }),
+
     "stream_index_maintain" -> ((s, d) => {
       // LIVE ANN-index lifecycle: the embedding corpus staged as three
       // source files, streamed one file per micro-batch; the first
@@ -3424,6 +3454,10 @@ object SparkEntry {
     // brute-force cosine top-k — same oracle; the lifecycle (stream
     // build + appends, no loss/dup/re-encode) is what the hash buys.
     "stream_index_maintain" -> bruteTop10OracleSql,
+
+    // compaction changes the file layout, never a byte of content:
+    // the same exhaustive-search oracle must hold after the rewrite.
+    "sim_index_compact" -> bruteTop10OracleSql,
 
     "sim_topk_lsh" -> lshOracle,
 

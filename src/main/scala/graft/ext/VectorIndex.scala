@@ -208,6 +208,25 @@ object VectorIndex {
     graft.operators.ScaleOps.retainRows(spark, s"$dir/codes", keys, Seq("vec_id"))
   }
 
+  /** COMPACTION — the maintenance pass a long-lived appended index
+    * needs: every [[append]] (and every micro-batch of
+    * [[graft.streaming.Streams.indexMaintainPipeline]]) lands ~one new
+    * file per touched cell directory, so per-cell file counts grow ∝
+    * appends and scans pay per-file open/footer cost that eventually
+    * dominates the probed-cell reads. Rewrites cells and codes through
+    * the staged compaction pass ([[graft.operators.ScaleOps.compact]]:
+    * partition layout preserved, concurrent writers abort the swap,
+    * promotion pluggable); content and quantizers are untouched, so
+    * every search answer is byte-identical before and after — only the
+    * file count changes.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    centroidsOf(spark, dir) // validates this IS an index before rewriting
+    graft.operators.ScaleOps.compact(spark, s"$dir/cells", targetBytes)
+    graft.operators.ScaleOps.compact(spark, s"$dir/codes", targetBytes)
+  }
+
   /** FLAT search of the persisted index: probe the frozen centroids,
     * read ONLY the probed cells' raw vectors (partition pruning on the
     * bucketed cells table), exact-cosine re-rank — IVF-Flat, the

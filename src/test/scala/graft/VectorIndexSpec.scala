@@ -262,6 +262,28 @@ class VectorIndexSpec extends AnyFunSuite {
       rows(VectorIndex.searchAdc(spark, clean, queries, k = 5)))
   }
 
+  test("compaction shrinks both state tables' files, changes no answer on either search path") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = freshDir()
+    VectorIndex.build(emb.filter(col("vec_id") % 4 < 2), dir)
+    VectorIndex.append(spark, dir, emb.filter(col("vec_id") % 4 === 2))
+    VectorIndex.append(spark, dir, emb.filter(col("vec_id") % 4 === 3))
+    def nFiles(sub: String): Long =
+      spark.read.parquet(s"$dir/$sub").select(input_file_name())
+        .distinct().count()
+    val flatBefore = rows(VectorIndex.searchFlat(spark, dir, queries, k = 5))
+    val adcBefore = rows(VectorIndex.searchAdc(spark, dir, queries, k = 5))
+    val (cellsBefore, codesBefore) = (nFiles("cells"), nFiles("codes"))
+    VectorIndex.compact(spark, dir)
+    assert(nFiles("cells") < cellsBefore, "cells files must shrink")
+    assert(nFiles("codes") < codesBefore, "codes files must shrink")
+    // content and layout untouched: both search paths (the ADC one
+    // re-validates layout stamps on read) answer byte-identically
+    assert(rows(VectorIndex.searchFlat(spark, dir, queries, k = 5)) === flatBefore)
+    assert(rows(VectorIndex.searchAdc(spark, dir, queries, k = 5)) === adcBefore)
+  }
+
   test("append validates the delta's dimension against the frozen index") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = freshDir()
