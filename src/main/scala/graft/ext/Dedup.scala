@@ -660,7 +660,7 @@ object Dedup {
     finally pos.unpersist(blocking = false)
   }
 
-  private def repeatedSpansOn(docs: DataFrame, pos: DataFrame, w: Int,
+  private[graft] def repeatedSpansOn(docs: DataFrame, pos: DataFrame, w: Int,
                               minDocs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dup = pos.groupBy(col("sh"))

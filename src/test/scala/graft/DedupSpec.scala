@@ -258,6 +258,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out(21L) === ((19L, 2L, 2L, 16L)))
   }
 
+  test("repeated spans: equi-joins only — no pair blow-up in the plan") {
+    val docs = Seq(
+      (10L, "a b c d e f g h i j unique1 unique2 unique3"),
+      (11L, "a b c d e f g h i j other4 other5")
+    ).toDF("doc_id", "text")
+    // audit the PRE-checkpoint plan (repeatedSpans truncates lineage on
+    // return): the duplicated-set groupBy must flow into an equi-join
+    // back to positions — never a nested-loop/cartesian pair join.
+    val pos = Dedup.positionalShingles(docs, 8)
+    val plan = Dedup.repeatedSpansOn(docs, pos, 8, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span candidates must come from an equi-join:\n$plan")
+  }
+
   test("repeated spans leaves no cache entries behind") {
     val docs = Seq(
       (0L, "a b c d e f g h i j"), (1L, "a b c d e f g h i j")
