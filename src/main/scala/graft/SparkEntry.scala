@@ -1265,6 +1265,103 @@ object SparkEntry {
         tmp)
     }),
 
+    "stats_quantile_sketch" -> ((s, d) => {
+      // the QUANTILE leg of the persisted sketch family, full lifecycle:
+      // day-1 hash-ranked bottom-k sample written with k STAMPED, the
+      // day-2 batch merged against the LOADED state (bottom-k of the
+      // union — exact by the KMV argument on (h, v) pairs), merged state
+      // persisted back, and the quantiles read from THAT next to the
+      // exact answers (distributed selection — no global sort) and the
+      // exact CDF at each estimate. Everything is deterministic (md5
+      // ranks, integer counts, IEEE division), so even the SAMPLE is
+      // oracle-checked bit for bit — the property KLL/t-digest state
+      // can never have. err_ok bounds the CDF deviation at 0.1, ~4.5σ
+      // of the k=512 binomial rank error.
+      import s.implicits._
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val day1 = ev.filter(col("event_id") % 2 === 0)
+      val day2 = ev.filter(col("event_id") % 2 =!= 0)
+      val tmp = TempDirs.create("graft-qsample-").toString
+      ext.Sketches.quantileSampleWrite(
+        ext.Sketches.quantileSampleBuild(day1, "event_id", "value", k = 512),
+        s"$tmp/day1", k = 512)
+      ext.Sketches.quantileSampleWrite(
+        ext.Sketches.quantileSampleMerge(512,
+          s.read.parquet(s"$tmp/day1"),
+          ext.Sketches.quantileSampleBuild(day2, "event_id", "value", k = 512)),
+        s"$tmp/day2", k = 512)
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val est = ext.Sketches.quantileEstimateStated(
+        s.read.parquet(s"$tmp/day2"), qs)
+      val n = ev.count()
+      val ranks = qs.map(q => math.min(n, math.max(1L, math.floor(q * (n + 1)).toLong)))
+      val sel = graft.operators.ScaleOps.exactRanks(
+        ev.select(col("value"), col("event_id")), "value", "event_id", ranks)
+      val exact = qs.zip(ranks).toDF("q", "rank").join(sel, "rank")
+        .select(col("q"), col("value").as("v_exact"))
+      val cdf = ev.crossJoin(broadcast(est.select(col("q"), col("v_est"))))
+        .groupBy(col("q"), col("v_est"))
+        .agg(count(when(col("value") <= col("v_est"), 1)).as("n_le"))
+        .select(col("q"),
+          (col("n_le").cast("double") / lit(n.toDouble)).as("cdf_at_est"))
+      detachAndClean(
+        est.join(exact, Seq("q")).join(cdf, Seq("q"))
+          .withColumn("err_ok", abs(col("cdf_at_est") - col("q")) <= lit(0.1))
+          .select(col("q"), col("n_s"), col("rank_s"), col("v_est"),
+            col("v_exact"), col("cdf_at_est"), col("err_ok"))
+          .orderBy("q"),
+        tmp)
+    }),
+
+    "stats_drift" -> ((s, d) => {
+      // distribution-DRIFT monitor: the value histograms of two cohorts
+      // (click vs view events) full-outer joined on fixed-width bins,
+      // per-bin exact counts + shares + L1/symmetric-χ² terms, and one
+      // total row whose l1_term is the total-variation distance computed
+      // EXACTLY from integer counts (decimal Σ|n_a·tot_b − n_b·tot_a|,
+      // one final division — no order-dependent float Σ). The admission
+      // check a pipeline runs when a batch's schema passes but its
+      // values shifted; bins ≪ data, so beyond the two histogram
+      // groupBys nothing data-sized moves.
+      val ev = Tables.events(s, d)
+      ext.Quality.drift(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"),
+          "value", binWidth = 25.0)
+        .orderBy(col("section"), col("bin").asc_nulls_last)
+    }),
+
+    "stats_drift_state" -> ((s, d) => {
+      // the drift monitor as PIPELINE state: the day-1 click histogram
+      // persisted with its bin width STAMPED, the day-2 click batch
+      // additively merged into the LOADED baseline (build(A) ⊕ build(B)
+      // == build(A∪B) — histogram counts are the simplest mergeable
+      // sketch), merged state persisted back, and the drift-vs-view
+      // comparison run over TWO loaded states with both stamps
+      // cross-validated (driftStated). Oracle = stats_drift's one-pass
+      // SQL: pass ⟺ persist → load → merge → persist → compare is
+      // indistinguishable from never having split the stream.
+      val ev = Tables.events(s, d)
+      val click = ev.filter(col("event_type") === "click")
+      val tmp = TempDirs.create("graft-driftstate-").toString
+      ext.Quality.histWrite(
+        ext.Quality.histBuild(click.filter(col("event_id") % 2 === 0),
+          "value", 25.0), s"$tmp/base", binWidth = 25.0)
+      ext.Quality.histWrite(
+        ext.Quality.histMerge(25.0,
+          s.read.parquet(s"$tmp/base"),
+          ext.Quality.histBuild(click.filter(col("event_id") % 2 =!= 0),
+            "value", 25.0)), s"$tmp/base2", binWidth = 25.0)
+      ext.Quality.histWrite(
+        ext.Quality.histBuild(ev.filter(col("event_type") === "view"),
+          "value", 25.0), s"$tmp/cur", binWidth = 25.0)
+      detachAndClean(
+        ext.Quality.driftStated(
+            s.read.parquet(s"$tmp/base2"), s.read.parquet(s"$tmp/cur"))
+          .orderBy(col("section"), col("bin").asc_nulls_last),
+        tmp)
+    }),
+
     "gold_pipeline_e2e" -> ((s, d) => {
       // S5/S8 end-to-end: the FULL ETL (all silver + gold tables written
       // to staging, then atomically promoted — reference
@@ -4801,6 +4898,121 @@ object SparkEntry {
          |SELECT * FROM cms_est UNION ALL SELECT * FROM kmv UNION ALL SELECT * FROM bl
          |ORDER BY family, item""".stripMargin
     },
+
+    // one pass over the UNION stream: the bottom-512 (h, v) sample of
+    // all events — what persist → load → merge → persist → read must
+    // equal bit for bit (the KMV merge argument on pairs).
+    "stats_quantile_sketch" ->
+      """WITH ev AS (
+        |  SELECT event_id, value FROM events WHERE value IS NOT NULL
+        |), hv AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
+        |         value AS v
+        |  FROM ev
+        |), sk AS (SELECT h, v FROM hv ORDER BY h, v LIMIT 512),
+        |ns AS (SELECT count(*) AS n_s FROM sk),
+        |sr AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rv FROM sk),
+        |n AS (SELECT count(*) AS n FROM ev),
+        |qs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q),
+        |est AS (
+        |  SELECT q, n_s,
+        |         LEAST(GREATEST(CAST(floor(q*(n_s+1)) AS BIGINT), 1), n_s) AS rank_s
+        |  FROM qs, ns
+        |), est2 AS (
+        |  SELECT e.q, e.n_s, e.rank_s, s.v AS v_est
+        |  FROM est e JOIN sr s ON s.rv = e.rank_s
+        |), ex AS (
+        |  SELECT r.q, s.value AS v_exact
+        |  FROM (SELECT q, LEAST(GREATEST(CAST(floor(q*(n+1)) AS BIGINT), 1), n) AS rank
+        |        FROM qs, n) r
+        |  JOIN (SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
+        |        FROM ev) s ON s.rn = r.rank
+        |), cdf AS (
+        |  SELECT e.q,
+        |         CAST(count(*) FILTER (WHERE ev.value <= e.v_est) AS DOUBLE)
+        |           / CAST((SELECT n FROM n) AS DOUBLE) AS cdf_at_est
+        |  FROM est2 e CROSS JOIN ev GROUP BY e.q, e.v_est
+        |)
+        |SELECT e.q, e.n_s, e.rank_s, e.v_est, x.v_exact, c.cdf_at_est,
+        |       (abs(c.cdf_at_est - e.q) <= 0.1) AS err_ok
+        |FROM est2 e JOIN ex x USING (q) JOIN cdf c USING (q)
+        |ORDER BY q""".stripMargin,
+
+    // TVD from exact integer counts (HUGEINT sum), one final division —
+    // the same order-independent arithmetic the Spark side uses.
+    "stats_drift" ->
+      """WITH a AS (
+        |  SELECT CAST(floor(value/25.0) AS BIGINT) AS bin, count(*) AS n_a
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1
+        |), b AS (
+        |  SELECT CAST(floor(value/25.0) AS BIGINT) AS bin, count(*) AS n_b
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1
+        |), j AS (
+        |  SELECT COALESCE(a.bin, b.bin) AS bin,
+        |         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.bin = b.bin
+        |), t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM j),
+        |p AS (
+        |  SELECT bin, n_a, n_b,
+        |         CAST(n_a AS DOUBLE)/CAST(tot_a AS DOUBLE) AS p_a,
+        |         CAST(n_b AS DOUBLE)/CAST(tot_b AS DOUBLE) AS p_b
+        |  FROM j, t
+        |), bins AS (
+        |  SELECT 'bin' AS section, bin, n_a, n_b, p_a, p_b,
+        |         abs(p_a - p_b) AS l1_term,
+        |         CASE WHEN p_a + p_b > 0
+        |              THEN (p_a - p_b) * (p_a - p_b) * 2.0 / (p_a + p_b)
+        |              ELSE 0.0 END AS chi2_term
+        |  FROM p
+        |), tot AS (
+        |  SELECT 'total' AS section, CAST(NULL AS BIGINT) AS bin,
+        |         CAST(tot_a AS BIGINT) AS n_a, CAST(tot_b AS BIGINT) AS n_b,
+        |         CAST(NULL AS DOUBLE) AS p_a, CAST(NULL AS DOUBLE) AS p_b,
+        |         CAST(sum(abs(n_a*tot_b - n_b*tot_a)) AS DOUBLE)
+        |           / (2.0 * CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)) AS l1_term,
+        |         CAST(NULL AS DOUBLE) AS chi2_term
+        |  FROM j, t GROUP BY tot_a, tot_b
+        |)
+        |SELECT * FROM bins UNION ALL SELECT * FROM tot
+        |ORDER BY section, bin NULLS LAST""".stripMargin,
+
+    // same one-pass SQL as stats_drift: the persisted/merged histogram
+    // lifecycle must be invisible in the comparison.
+    "stats_drift_state" ->
+      """WITH a AS (
+        |  SELECT CAST(floor(value/25.0) AS BIGINT) AS bin, count(*) AS n_a
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1
+        |), b AS (
+        |  SELECT CAST(floor(value/25.0) AS BIGINT) AS bin, count(*) AS n_b
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1
+        |), j AS (
+        |  SELECT COALESCE(a.bin, b.bin) AS bin,
+        |         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.bin = b.bin
+        |), t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM j),
+        |p AS (
+        |  SELECT bin, n_a, n_b,
+        |         CAST(n_a AS DOUBLE)/CAST(tot_a AS DOUBLE) AS p_a,
+        |         CAST(n_b AS DOUBLE)/CAST(tot_b AS DOUBLE) AS p_b
+        |  FROM j, t
+        |), bins AS (
+        |  SELECT 'bin' AS section, bin, n_a, n_b, p_a, p_b,
+        |         abs(p_a - p_b) AS l1_term,
+        |         CASE WHEN p_a + p_b > 0
+        |              THEN (p_a - p_b) * (p_a - p_b) * 2.0 / (p_a + p_b)
+        |              ELSE 0.0 END AS chi2_term
+        |  FROM p
+        |), tot AS (
+        |  SELECT 'total' AS section, CAST(NULL AS BIGINT) AS bin,
+        |         CAST(tot_a AS BIGINT) AS n_a, CAST(tot_b AS BIGINT) AS n_b,
+        |         CAST(NULL AS DOUBLE) AS p_a, CAST(NULL AS DOUBLE) AS p_b,
+        |         CAST(sum(abs(n_a*tot_b - n_b*tot_a)) AS DOUBLE)
+        |           / (2.0 * CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)) AS l1_term,
+        |         CAST(NULL AS DOUBLE) AS chi2_term
+        |  FROM j, t GROUP BY tot_a, tot_b
+        |)
+        |SELECT * FROM bins UNION ALL SELECT * FROM tot
+        |ORDER BY section, bin NULLS LAST""".stripMargin,
 
     "gold_pivot" ->
       """SELECT CAST(ts AS DATE) AS event_date,

@@ -476,6 +476,125 @@ object Sketches {
       .drop("_need", "_have")
   }
 
+  /** QUANTILE sample sketch — the fourth leg of the deterministic
+    * family (counts = Count-Min, membership = Bloom, cardinality = KMV,
+    * quantiles = this): a uniform k-row sample selected as the k
+    * lexicographically smallest (h, v) pairs, h = the md5-derived
+    * 32-bit hash of the row's UNIQUE key. Hash-rank selection makes the
+    * sample a pure function of the data — no RNG, no seed plumbing, no
+    * partition-order dependence — so the DuckDB oracle reproduces the
+    * state bit for bit (contrast KLL/t-digest/GK, whose compactor state
+    * no second engine can re-derive), and the merge law is exact by the
+    * same bottom-k argument as [[kmvMerge]]: the k smallest pairs of
+    * (A's sample ∪ B's sample) ARE the k smallest of A∪B, because any
+    * pair in the global bottom-k is in its own batch's bottom-k.
+    * Replayed batches collapse under distinct — re-merging the same
+    * batch is a no-op, the same exactly-once-by-algebra argument the
+    * streamed KMV maintenance rides.
+    *
+    * Scale shape: a k-bounded TreeSet per partition caps in-flight
+    * state at k pairs no matter how many rows stream through; only
+    * partitions×k pairs reach the final distinct+sort, and every later
+    * window runs over ≤ k rows — never data. CDF rank error of the
+    * q-quantile read is the standard uniform-sample binomial bound
+    * O(√(q(1−q)/k)).
+    * Output: (rank, h, v), rank 1..min(k, rows) in (h, v) order.
+    */
+  def quantileSampleBuild(items: DataFrame, keyCol: String, valueCol: String,
+                          k: Int = 512): DataFrame = {
+    require(k >= 2, "quantileSampleBuild: need k >= 2")
+    val spark = items.sparkSession
+    import spark.implicits._
+    // family-wide null policy: null keys/values dropped up front
+    val hashed = items
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(Dedup.hash32(col(keyCol).cast("string")).as("h"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Double)]
+    val partial = hashed.mapPartitions { it =>
+      val ord = implicitly[Ordering[(Long, Double)]]
+      val set = scala.collection.mutable.TreeSet.empty[(Long, Double)](ord)
+      it.foreach { p =>
+        if (set.size < k) set += p
+        else if (ord.lt(p, set.last) && set.add(p)) set -= set.last
+      }
+      set.iterator
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("v"))
+    // the rank window runs over at most k post-limit rows — never data.
+    partial.toDF("h", "v").distinct().orderBy(col("h"), col("v")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("h"), col("v"))
+  }
+
+  /** Merge quantile samples: bottom-k of the union of the inputs' pair
+    * lists == the single-pass sample of the union stream, bit for bit
+    * (the [[kmvMerge]] argument on (h, v) pairs). Stamped (persisted)
+    * inputs are cross-validated against the declared k.
+    */
+  def quantileSampleMerge(k: Int, parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "quantileSampleMerge: at least one sample")
+    parts.foreach(p => require(Seq("h", "v").forall(p.columns.contains),
+      "quantileSampleMerge: not a quantile sample — need the (h, v) " +
+        "columns quantileSampleBuild emits"))
+    parts.foreach(requireStamp(_, "quantileSampleMerge input", Seq("k" -> k)))
+    requireAgreeingStamps(parts, "quantileSampleMerge", Seq("k"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("v"))
+    parts.map(_.select(col("h"), col("v"))).reduce(_ unionByName _)
+      .distinct().orderBy(col("h"), col("v")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("h"), col("v"))
+  }
+
+  /** Persist a quantile sample with k stamped — same state discipline
+    * as [[kmvWrite]]: the selection cutoff rides WITH the state, so a
+    * day-30 merge against day-1 state cannot silently re-truncate at
+    * the wrong k.
+    */
+  def quantileSampleWrite(sketch: DataFrame, dir: String, k: Int = 512): Unit = {
+    require(Seq("rank", "h", "v").forall(sketch.columns.contains),
+      "quantileSampleWrite: not a quantile sample — need (rank, h, v) " +
+        "as built by quantileSampleBuild")
+    requireStamp(sketch, "quantileSampleWrite input", Seq("k" -> k))
+    val mx = sketch.agg(max(col("rank"))).collect()(0)
+    if (!mx.isNullAt(0))
+      require(mx.getInt(0) <= k,
+        s"quantileSampleWrite: sample holds ${mx.getInt(0)} ranks — more " +
+          s"than the declared k=$k; it was built with a larger k")
+    sketch.select(col("rank"), col("h"), col("v")).withColumn("k", lit(k))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Quantile reads from a STAMPED (persisted) sample: for each q, the
+    * value at rank clamp(⌊q·(n_s+1)⌋, 1, n_s) of the sample in (v, h)
+    * order — the SAME rank definition `stats_exact_quantiles` applies
+    * to full data, so estimate and exact answer are comparable
+    * rank-for-rank. Every window here runs over ≤ k post-limit rows;
+    * an under-full sample (fewer than k rows survived) IS the exact
+    * dataset, so the reads turn exact — the [[kmvEstimate]] degeneracy.
+    * One row per q: (q, n_s, rank_s, v_est).
+    */
+  def quantileEstimateStated(sketch: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "quantileEstimateStated: need at least one q")
+    qs.foreach(q => require(q > 0 && q < 1,
+      s"quantileEstimateStated: q=$q outside (0, 1)"))
+    require(stamped(sketch, Seq("k")),
+      "quantileEstimateStated: sample carries no k stamp — persist it " +
+        "with quantileSampleWrite")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val wv = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("h"))
+    val ranked = sketch.select(col("h"), col("v"))
+      .withColumn("rv", row_number().over(wv))
+    qs.toDF("q")
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n_s"))))
+      .withColumn("rank_s",
+        least(greatest(floor(col("q") * (col("n_s") + 1)).cast("long"),
+          lit(1L)), col("n_s")))
+      .join(broadcast(ranked), col("rank_s") === col("rv"))
+      .select(col("q"), col("n_s"), col("rank_s"), col("v").as("v_est"))
+  }
+
   /** Point estimates from a Count-Min sketch: for each queried item, the
     * MIN of its `depth` bucket counters — an upper bound on the true
     * count (CM never undercounts; collisions only inflate). The sketch

@@ -279,4 +279,113 @@ class SketchesSpec extends AnyFunSuite {
     assert(e7.getMessage.contains("exceeds numBits"))
     graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
+
+  test("quantile sample: exact merge law, replay no-op, under-full exactness, stamp refusal") {
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+    val day1 = ev.filter(col("event_id") % 2 === 0)
+    val day2 = ev.filter(col("event_id") % 2 =!= 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("rank"), col("h"), col("v")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    // merge law: bottom-k of (sample(A) ∪ sample(B)) == sample(A∪B),
+    // bit for bit — the property that makes the sample pipeline state
+    val whole = Sketches.quantileSampleBuild(ev, "event_id", "value", k = 128)
+    val merged = Sketches.quantileSampleMerge(128,
+      Sketches.quantileSampleBuild(day1, "event_id", "value", k = 128),
+      Sketches.quantileSampleBuild(day2, "event_id", "value", k = 128))
+    assert(pairs(whole) === pairs(merged))
+    // replayed batch collapses under distinct: merge(s, s) == s —
+    // exactly-once by algebra, no dedup bookkeeping needed
+    assert(pairs(Sketches.quantileSampleMerge(128, whole, whole)) === pairs(whole))
+    // state is k-bounded regardless of input size
+    assert(whole.count() === 128)
+    // under-full sample IS the data: every quantile read turns exact
+    val tiny = ev.limit(40)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qsample").toString
+    Sketches.quantileSampleWrite(
+      Sketches.quantileSampleBuild(tiny, "event_id", "value", k = 512),
+      s"$tmp/tiny", k = 512)
+    val est = Sketches.quantileEstimateStated(
+        spark.read.parquet(s"$tmp/tiny"), Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    val vals = tiny.select(col("value"), col("event_id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(identity).map(_._1)
+    val n = vals.length
+    Seq(0.25, 0.5, 0.75).foreach { q =>
+      val rank = math.min(n, math.max(1, math.floor(q * (n + 1)).toInt))
+      assert(est(q) === vals(rank - 1),
+        s"q=$q: under-full estimate ${est(q)} != exact ${vals(rank - 1)}")
+    }
+    // k rides with the state: merging against the wrong declared k and
+    // estimating from an un-stamped frame both refuse loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Sketches.quantileSampleMerge(256, spark.read.parquet(s"$tmp/tiny"), whole)
+    }
+    assert(e1.getMessage.contains("layout mismatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.quantileEstimateStated(whole, Seq(0.5))
+    }
+    assert(e2.getMessage.contains("no k stamp"))
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
+  test("drift monitor: zero on identical slices, one on disjoint, counts conserved") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+    // identical slices: every per-bin term and the TVD are exactly 0.0
+    // (integer-count arithmetic — no float-noise epsilon needed)
+    val same = graft.ext.Quality.drift(ev, ev, "value", binWidth = 25.0).collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getDouble(6) === 0.0, s"l1_term nonzero on identical slices: $r")
+    }
+    // disjoint supports: TVD is exactly 1
+    val lo = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "value")
+    val hi = Seq((4L, 210.0), (5L, 220.0)).toDF("id", "value")
+    val disj = graft.ext.Quality.drift(lo, hi, "value", binWidth = 50.0)
+    val totalRow = disj.filter(col("section") === "total").collect()(0)
+    assert(totalRow.getDouble(6) === 1.0)
+    // histogram counts are conserved: Σ n_a over bins == tot_a
+    val binsA = disj.filter(col("section") === "bin")
+      .agg(sum(col("n_a")), sum(col("n_b"))).collect()(0)
+    assert(binsA.getLong(0) === 3L && binsA.getLong(1) === 2L)
+    assert(totalRow.getLong(2) === 3L && totalRow.getLong(3) === 2L)
+  }
+
+  test("histogram state: persisted merge == one-pass build; mismatched widths refuse") {
+    val Q = graft.ext.Quality
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+    val day1 = ev.filter(col("event_id") % 2 === 0)
+    val day2 = ev.filter(col("event_id") % 2 =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hist_state").toString
+    // persist day-1, merge loaded state with day-2 — additivity makes
+    // the persisted lifecycle invisible vs the one-pass histogram
+    Q.histWrite(Q.histBuild(day1, "value", 25.0), s"$tmp/base", binWidth = 25.0)
+    val merged = Q.histMerge(25.0,
+        spark.read.parquet(s"$tmp/base"), Q.histBuild(day2, "value", 25.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val onePass = Q.histBuild(ev, "value", 25.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === onePass)
+    // merging against the wrong declared width must refuse loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Q.histMerge(50.0, spark.read.parquet(s"$tmp/base"),
+        Q.histBuild(day2, "value", 50.0))
+    }
+    assert(e1.getMessage.contains("bin-width mismatch"))
+    // drift over two stamped states with DIFFERENT widths must refuse
+    Q.histWrite(Q.histBuild(day2, "value", 50.0), s"$tmp/w50", binWidth = 50.0)
+    val e2 = intercept[IllegalArgumentException] {
+      Q.driftStated(spark.read.parquet(s"$tmp/base"),
+        spark.read.parquet(s"$tmp/w50"))
+    }
+    assert(e2.getMessage.contains("different bin widths"))
+    // driftStated on an un-stamped frame must refuse (use drift() instead)
+    val e3 = intercept[IllegalArgumentException] {
+      Q.driftStated(Q.histBuild(day1, "value", 25.0),
+        spark.read.parquet(s"$tmp/base"))
+    }
+    assert(e3.getMessage.contains("no bin_width stamp"))
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
 }
