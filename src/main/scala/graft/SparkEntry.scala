@@ -1005,17 +1005,16 @@ object SparkEntry {
             .cast("long").as("zkey"))
         .orderBy("event_id")),
 
-    "stats_sketches" -> ((s, d) =>
-      // sketch outputs are engine-specific → no DuckDB oracle (driver
-      // records the rows-only check); bounded-error agreement with exact
-      // answers is asserted in SketchesSpec.
-      ext.Sketches.eventTypeProfile(Tables.events(s, d))
-        .orderBy("event_type")),
-
     "stats_sketches_bounds" -> ((s, d) =>
-      // the oracle-checked corroboration of stats_sketches: exact
-      // companions plus bounded-error verdict flags the oracle expects to
-      // be TRUE — a sketch out of bounds fails the hash match.
+      // the raw sketch profile (Sketches.eventTypeProfile) is
+      // engine-specific — no DuckDB restatement exists, so it is NOT
+      // registered as a driver query (round 10: the unverifiable
+      // rows-only variant was dropped so the driver surface is
+      // 100% hash-checkable; SketchesSpec still pins the raw profile's
+      // bounded-error agreement with exact answers). This bounds form
+      // carries the oracle contract: exact companions plus
+      // bounded-error verdict flags the oracle expects to be TRUE — a
+      // sketch out of bounds fails the hash match.
       ext.Sketches.profileBounds(Tables.events(s, d))
         .orderBy("event_type")),
 
@@ -1427,7 +1426,7 @@ object SparkEntry {
       val tmp = TempDirs.create("graft-stream-restart-").toString
       val src = s"$tmp/src"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-      val feed = s.read.parquet(s"$d/events.parquet")
+      val feed = eventsFeedNanos(s, d)
       val bounds = feed.agg(min(col("ts")), max(col("ts"))).head()
       val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
       feed.filter(col("ts") < lit(mid)).coalesce(1)
@@ -1464,7 +1463,7 @@ object SparkEntry {
       val tmp = TempDirs.create("graft-session-restart-").toString
       val src = s"$tmp/src"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-      val feed = s.read.parquet(s"$d/events.parquet")
+      val feed = eventsFeedNanos(s, d)
       val gapMs = 30L * 60 * 1000
       val maxNs = feed.agg(max(col("ts"))).head().getLong(0)
       // widest same-session gap, well below the final horizon (3 h
@@ -1534,7 +1533,7 @@ object SparkEntry {
       // ~entirely fixed two-pass stateful-harness machinery (4 state
       // stores × partitions × checkpoint IO) — measured invariant to a
       // 3× data slice — so it prices crash recovery, not the join.
-      val feed = s.read.parquet(s"$d/events.parquet")
+      val feed = eventsFeedNanos(s, d)
       val bounds = feed.agg(min(col("ts")), max(col("ts"))).head()
       val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
       feed.filter(col("ts") < lit(mid)).coalesce(1)
@@ -1588,7 +1587,7 @@ object SparkEntry {
       // the same directory), appended as one extra source file — the
       // whole source stays below the file-source batch cap, so originals
       // and replays share a micro-batch.
-      s.read.parquet(s"$d/events.parquet")
+      Tables.loadEvents(s, d)
         .filter(col("event_id") % 7 === 0)
         .coalesce(1)
         .write.mode("append").parquet(src)
@@ -1626,15 +1625,21 @@ object SparkEntry {
       // Replays: the last 50 min of the feed — inside the 1 h watermark
       // horizon on both sides (state still alive, rows not late), so
       // the drop decision is forced to come from RESTORED state.
-      val feed = s.read.parquet(s"$d/events.parquet")
-      val maxNs = feed.agg(max(col("ts"))).head().getLong(0)
-      val replays = feed.filter(col("ts") > lit(maxNs - 3000000000000L))
+      // appended rows must type-match the SYMLINKED original file (one
+      // declared stream schema covers both), so the nanos split/synth
+      // arithmetic runs on a converted expression and the synthetic ts
+      // is rendered back in the feed's own encoding.
+      val feed = Tables.loadEvents(s, d)
+      val feedTsNs = tsNanosCol(feed)
+      val maxNs = feed.agg(max(feedTsNs)).head().getLong(0)
+      val replays = feed.filter(feedTsNs > lit(maxNs - 3000000000000L))
       // new rows: ids offset far past the feed, event times strictly
       // above the old max so none is late behind the restored watermark.
       val fresh = feed.filter(col("event_id") % 7 === 3)
         .withColumn("event_id", col("event_id") + lit(10000000L))
         .withColumn("ts",
-          lit(maxNs) + (col("event_id") % 1000 + 1) * lit(1000000000L))
+          nanosToFeedTs(feed.schema("ts").dataType,
+            lit(maxNs) + (col("event_id") % 1000 + 1) * lit(1000000000L)))
       replays.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
       runPass()
       detachAndClean(
@@ -1733,7 +1738,7 @@ object SparkEntry {
       // require pins that multiple batches actually folded.
       val tmp = TempDirs.create("graft-sketch-maint-").toString
       val src = s"$tmp/src"
-      val feed = s.read.parquet(s"$d/events.parquet")
+      val feed = Tables.loadEvents(s, d)
       (0 until 3).foreach(i =>
         feed.filter(col("event_id") % 3 === i).coalesce(1)
           .write.mode("append").parquet(src))
@@ -2395,12 +2400,58 @@ object SparkEntry {
     (tmp, srcPath.toString)
   }
 
-  /** Schema read under the session's nanosAsLong conf delivers ts as raw
-    * nanos LONG; rebuild the micro-precision timestamp INSIDE the stream
-    * exactly as Tables.events does for batch.
+  /** Normalize a stream's ts to TimestampType INSIDE the stream exactly
+    * as Tables.events does for batch — same adaptive branching, because
+    * a staged source directory carries whatever physical encoding the
+    * testdata (or a restart harness's own re-write) shipped: raw-nanos
+    * LONG, TIMESTAMP_NTZ micros, or TimestampType (round-9 postmortem —
+    * the encoding is environment-controlled and has changed under us).
     */
-  private val rebuildStreamTs: DataFrame => DataFrame =
-    _.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private val rebuildStreamTs: DataFrame => DataFrame = Tables.normalizeTs
+
+  /** ts of a raw events frame as an epoch-NANOS expression, whatever the
+    * physical encoding — the restart harnesses split feeds and place
+    * synthetic rows with nanos arithmetic.
+    */
+  private def tsNanosCol(df: DataFrame): Column = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType           => col("ts")
+      case TimestampNTZType   =>
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+      case TimestampType      => unix_micros(col("ts")) * lit(1000L)
+      case other => throw new IllegalStateException(
+        s"events ts has unsupported physical type $other")
+    }
+  }
+
+  /** Raw events feed with ts coerced to epoch-nanos LONG regardless of
+    * the file's encoding: harnesses that restage their own source dir
+    * from this frame keep their nanos split arithmetic unchanged, and
+    * the staged LongType ts takes [[rebuildStreamTs]]'s nanos branch —
+    * byte-identical behavior to the original nanos testdata.
+    */
+  private def eventsFeedNanos(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.loadEvents(s, d)
+    raw.withColumn("ts", tsNanosCol(raw))
+  }
+
+  /** Inverse of [[tsNanosCol]]: render an epoch-nanos Column in the
+    * staged source's ts encoding, so rows APPENDED to a symlinked
+    * original file type-match the declared stream schema.
+    */
+  private def nanosToFeedTs(dt: org.apache.spark.sql.types.DataType,
+                            nanos: Column): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType         => nanos
+      case TimestampNTZType =>
+        timestamp_micros((nanos / 1000).cast(LongType)).cast(TimestampNTZType)
+      case TimestampType    => timestamp_micros((nanos / 1000).cast(LongType))
+      case other => throw new IllegalStateException(
+        s"events ts has unsupported physical type $other")
+    }
+  }
 
   /** Eagerly materialize a throwaway-directory result, then delete the
     * directory: repeated bench/verify runs must not accumulate staged
@@ -2429,8 +2480,8 @@ object SparkEntry {
     ev.crossJoin(broadcast(b))
       .withColumn("bucket",
         when(col("hi") === col("lo"), lit(0))
-          .otherwise(least(floor((col("value") - col("lo")) /
-            ((col("hi") - col("lo")) / 20)), lit(19.0)))
+          .otherwise(least(ext.Quality.binExpr(col("value"),
+            (col("hi") - col("lo")) / 20, col("lo")), lit(19L)))
           .cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_events"),

@@ -40,27 +40,56 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy long mode) and rebuild a
-    * proper TimestampType at microsecond precision — the testdata nanos
-    * are all micro-aligned, so the conversion is lossless and matches what
-    * DuckDB reads natively.
+  /** `events.ts` has shipped under THREE physical encodings across
+    * testdata rebuilds: parquet TIMESTAMP(NANOS) (read as BIGINT under
+    * `nanosAsLong`), plain TIMESTAMP_NTZ(micros), and session-local
+    * TIMESTAMP. A loader pinned to one encoding detonates the entire
+    * events-reading surface when the environment regenerates the files
+    * (round-9 postmortem: 43 queries + 9 suites lost to an unconditional
+    * `ts div 1000` rebuild). So: branch on the ACTUAL read schema and
+    * normalize each variant to session-zoned TimestampType at micro
+    * precision — identical values in a UTC session, which Bench/Verify/
+    * tests all pin. Unknown types fail fast with a named diagnosis
+    * rather than an opaque analysis error downstream.
     */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nanos; micro-aligned in testdata
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // plain micros, no zone: lossless cast in a UTC session
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.parquet ts has unsupported physical type $other — " +
+          "expected TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP; " +
+          "teach Tables.normalizeTs the new encoding")
+    }
+  }
+
   /** events with ts normalized but WITHOUT the parallelism repartition —
     * for operators that must run inside the scan stage (e.g.
     * `input_file_name()`, which returns '' after any exchange).
     */
   def eventsRaw(s: SparkSession, d: String): DataFrame =
-    loadEventsNanos(s, d)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(loadEvents(s, d))
 
   def events(s: SparkSession, d: String): DataFrame =
-    spread(loadEventsNanos(s, d))
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(spread(loadEvents(s, d)))
+
+  /** Plain read first; only if the file is actually TIMESTAMP(NANOS)
+    * (schema conversion rejects it eagerly at `read.parquet`) fall back
+    * to the legacy nanos-as-long mode. The conf mutation and the
+    * explicit-false fail-fast are scoped to that fallback — a micros
+    * file never touches session conf.
+    */
+  private[graft] def loadEvents(s: SparkSession, d: String): DataFrame =
+    try load(s, d, "events")
+    catch {
+      case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+        loadEventsNanos(s, d)
+    }
 
   /** The nanos-as-long switch belongs at SESSION CONSTRUCTION
     * (`.config("spark.sql.legacy.parquet.nanosAsLong", "true")` — all of

@@ -84,6 +84,19 @@ object Quality {
     driftFromHists(histBuild(a, valueCol, binWidth),
       histBuild(b, valueCol, binWidth))
 
+  /** THE fixed-width binning expression — the single definition every
+    * equi-width histogram in the engine derives from (round-10
+    * unification): the drift monitor's [[histBuild]] uses origin 0 and a
+    * declared width; the bounds-derived 20-bucket profile
+    * (`SparkEntry.histogram20`, oracle `stats_histogram`) uses origin =
+    * data min and width = range/20 with a clamp on top. One formula, so
+    * the two families cannot round differently at bin edges. (The
+    * equi-depth histogram is rank-based by definition — ntile has no
+    * width and deliberately does NOT route through this.)
+    */
+  def binExpr(value: Column, width: Column, origin: Column): Column =
+    floor((value - origin) / width).cast("long")
+
   /** Fixed-width histogram as PIPELINE state: (bin, n). Bin counts are
     * the simplest mergeable sketch of all — build(A) ⊕ build(B) ==
     * build(A∪B) by additivity — so a baseline histogram persists on
@@ -94,7 +107,7 @@ object Quality {
   def histBuild(df: DataFrame, valueCol: String, binWidth: Double): DataFrame = {
     require(binWidth > 0, s"histBuild: binWidth must be positive, got $binWidth")
     df.filter(col(valueCol).isNotNull)
-      .groupBy(floor(col(valueCol) / lit(binWidth)).cast("long").as("bin"))
+      .groupBy(binExpr(col(valueCol), lit(binWidth), lit(0.0)).as("bin"))
       .agg(count(lit(1)).as("n"))
   }
 
