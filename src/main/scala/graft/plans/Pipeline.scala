@@ -196,7 +196,8 @@ object Pipeline {
     * bit-portable to the oracle.
     */
   def runCorpusEtl(spark: SparkSession, srcDir: String,
-                   warehouseDir: String): Seq[String] = {
+                   warehouseDir: String,
+                   probe: (String, DataFrame) => Unit = (_, _) => ()): Seq[String] = {
     import org.apache.spark.sql.functions._
     import graft.ext.{Corpus, Dedup, TextAnalysis}
     val docs = Tables.documents(spark, srcDir)
@@ -206,32 +207,49 @@ object Pipeline {
     // clean (deduplicating them INTO the corpus would silently do the
     // sweep's job on cross-side near-dups and leave it nothing to find)
     val train = docs.filter(!col("source").isin(benchSrc: _*))
-    val gated = train.join(
-      TextAnalysis.qualityScore(train)
-        .filter(col("n_tokens") >= 5 && col("n_stopwords") >= 1 &&
-          col("n_distinct_tokens") * 4 >= col("n_tokens"))
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val exactKept = gated.join(
-      Dedup.exact(gated).select(col("keeper").as("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val clusters = Dedup.clusterPairs(
-      Dedup.minhashLsh(exactKept, w = 5, numHashes = 8, bandWidth = 2,
-        threshold = 0.5))
-    val keepers = Dedup.keepBestPerCluster(clusters,
-      exactKept.select(col("doc_id"), col("n_chars")), "n_chars")
-    val losers = clusters
-      .join(keepers.select(col("cluster_id"), col("keeper")), Seq("cluster_id"))
-      .filter(col("doc_id") =!= col("keeper"))
-      .select(col("doc_id"))
-    val nearKept = exactKept.join(losers, Seq("doc_id"), "left_anti")
-    // sweep = raw bench docs ∪ surviving train docs; the result is read
-    // twice (apply + audit table) — keep the sweep result, not the
-    // documents, in memory
-    val flags = Corpus.contaminationBloomGated(
-      docs.filter(col("source").isin(benchSrc: _*)).unionByName(nearKept),
-      benchSrc, w = 5, maxShingleFreq = 8, threshold = 0.3).persist()
+    // Each stage's DECISION (which ids survive) persists as an ID-SIZED
+    // frame; the document frame is re-derived per use as one documents
+    // scan ⋈ cached ids. Before this (round-10 audit), lazy lineage
+    // recomputed nearKept twice and its MinHash/LSH/CC ancestry up to
+    // four times through the downstream reuses. Ids are orders of
+    // magnitude below the corpus bytes at 100 TB (persist spills to
+    // disk if not); the TEXT is never persisted. `probe` observes each
+    // pivot for stage pricing (Profile --corpusetl); default no-op.
+    val gatedIds = TextAnalysis.qualityScore(train)
+      .filter(col("n_tokens") >= 5 && col("n_stopwords") >= 1 &&
+        col("n_distinct_tokens") * 4 >= col("n_tokens"))
+      .select(col("doc_id")).persist()
+    val pivots = scala.collection.mutable.ListBuffer[DataFrame](gatedIds)
     try {
+      probe("quality_gate_ids", gatedIds)
+      val gated = train.join(gatedIds, Seq("doc_id"), "left_semi")
+      val exactIds = Dedup.exact(gated).select(col("keeper").as("doc_id")).persist()
+      pivots += exactIds
+      probe("exact_dedup_ids", exactIds)
+      val exactKept = train.join(exactIds, Seq("doc_id"), "left_semi")
+      val clusters = Dedup.clusterPairs(
+        Dedup.minhashLsh(exactKept, w = 5, numHashes = 8, bandWidth = 2,
+          threshold = 0.5)).persist()
+      pivots += clusters
+      probe("near_dup_clusters", clusters)
+      val keepers = Dedup.keepBestPerCluster(clusters,
+        exactKept.select(col("doc_id"), col("n_chars")), "n_chars")
+      val losers = clusters
+        .join(keepers.select(col("cluster_id"), col("keeper")), Seq("cluster_id"))
+        .filter(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"))
+      val survivorIds = exactIds.join(losers, Seq("doc_id"), "left_anti").persist()
+      pivots += survivorIds
+      probe("near_dedup_survivor_ids", survivorIds)
+      val nearKept = train.join(survivorIds, Seq("doc_id"), "left_semi")
+      // sweep = raw bench docs ∪ surviving train docs; the result is read
+      // twice (apply + audit table) — keep the sweep result, not the
+      // documents, in memory
+      val flags = Corpus.contaminationBloomGated(
+        docs.filter(col("source").isin(benchSrc: _*)).unionByName(nearKept),
+        benchSrc, w = 5, maxShingleFreq = 8, threshold = 0.3).persist()
+      pivots += flags
+      probe("contamination_flags", flags)
       val clean = Corpus.decontaminate(nearKept, flags, benchSrc)
       val released = Corpus.splitAssign(
         clean.select(col("doc_id"), col("source"), col("n_chars"))
@@ -249,7 +267,7 @@ object Pipeline {
         promoteStaged(warehouseDir, staging, tables)
         tables
       } finally deleteRecursively(staging)
-    } finally flags.unpersist(blocking = false)
+    } finally pivots.foreach(_.unpersist(blocking = false))
   }
 
   /** S8: recompute-and-overwrite mart refresh (`REFRESH MATERIALIZED

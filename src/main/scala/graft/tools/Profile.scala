@@ -95,6 +95,34 @@ object Profile {
       time(s"getInstance x$n")(loop(perCall))
       spark.stop(); return
     }
+    if (args.contains("--corpusetl")) {
+      // per-stage pricing of the corpus release chain (VERDICT r9 item
+      // 5): the probe forces each persisted id-sized pivot at its
+      // boundary, so the stage walls are attributable AND the forced
+      // materialization is exactly what later stages reuse — the total
+      // stays honest. Written bytes per table close the IO-floor vs
+      // plan-waste question.
+      val wh = java.nio.file.Files.createTempDirectory("graft-corpusetl-prof-").toString
+      val t0 = System.nanoTime()
+      var last = t0
+      graft.plans.Pipeline.runCorpusEtl(spark, sfDir, wh,
+        probe = (stage, df) => {
+          val n = df.count()
+          val now = System.nanoTime()
+          println(f"[profile] stage $stage%-26s ${(now - last) / 1e9}%8.2f s  ($n rows)")
+          last = now
+        })
+      println(f"[profile] stage pack_split_stage_promote ${(System.nanoTime() - last) / 1e9}%8.2f s")
+      println(f"[profile] corpus etl total          ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      for (t <- Seq("corpus_release", "corpus_flags")) {
+        val p = java.nio.file.Paths.get(wh, t)
+        val bytes = java.nio.file.Files.walk(p).filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        println(s"[profile] written $t: $bytes bytes")
+      }
+      graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(wh))
+      spark.stop(); return
+    }
     if (args.contains("--stages")) {
       import graft.ext.Dedup
       val docs = Tables.documents(spark, sfDir)
