@@ -2027,6 +2027,43 @@ object SparkEntry {
         tmp)
     }),
 
+    "scale_schema_evolution" -> ((s, d) => {
+      // ADDITIVE SCHEMA EVOLUTION across ingest batches — the warehouse
+      // half of this round's drift story (the loader hardening handles a
+      // SOURCE changing type under the engine; this handles the engine's
+      // OWN tables growing columns over time, which every long-lived
+      // table does). Batch 1 lands the v1 schema; batch 2 lands v2 with
+      // a new column; the mergeSchema scan unions schemas BY NAME (v1
+      // rows null-fill the new column — never positional matching),
+      // normalization gives the v1 era an explicit default, and the
+      // rollup aggregates both generations as one table. Scale shape:
+      // mergeSchema pays one parquet-footer read per file at PLAN time,
+      // no data pass — production pins the merged schema in a catalog
+      // and the scan itself is identical.
+      val tmp = TempDirs.create("graft-schemaevo-").toString
+      val dir = s"$tmp/orders_evolved"
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (col("o_orderkey") % 5).cast("int").as("o_priority_bucket"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      val merged = s.read.option("mergeSchema", "true").parquet(dir)
+      require(merged.schema.fieldNames.contains("o_priority_bucket"),
+        "mergeSchema read lost the evolved column")
+      detachAndClean(
+        merged
+          .withColumn("o_priority_bucket",
+            coalesce(col("o_priority_bucket"), lit(-1)))
+          .groupBy(col("o_priority_bucket"))
+          .agg(count(lit(1)).as("n_orders"),
+            centsSum(col("o_totalprice")).as("price_cents"))
+          .orderBy("o_priority_bucket"),
+        tmp)
+    }),
+
     "scale_incremental_refresh" -> ((s, d) => {
       // incremental MV maintenance — the partition-overwrite refresh
       // loop of a warehouse mart: a daily aggregate built from the
@@ -4579,6 +4616,21 @@ object SparkEntry {
       // the corrupted day was repaired in place: read-back == clean feed.
       """SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "scale_schema_evolution" ->
+      // both ingest eras unrolled: v1 rows carry NULL for the evolved
+      // column (mergeSchema null-fill), normalized to the explicit -1.
+      """WITH evolved AS (
+        |  SELECT o_orderkey, o_totalprice, CAST(NULL AS INTEGER) AS o_priority_bucket
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, CAST(o_orderkey % 5 AS INTEGER)
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |)
+        |SELECT COALESCE(o_priority_bucket, -1) AS o_priority_bucket,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM evolved GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "scale_incremental_refresh" ->
       // the incrementally-maintained mart must equal a one-shot full

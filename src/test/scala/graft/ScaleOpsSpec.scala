@@ -611,4 +611,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mergeSchema read unions evolved batch schemas by name with null-fill") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("scaleops-evo-").toString
+    try {
+      // v1 era: two columns; v2 era: adds a third. The merged scan must
+      // resolve BY NAME (v1 rows null in the new column) — positional
+      // matching would silently misalign v1's b into v2's c.
+      spark.range(0, 5).select(col("id"), (col("id") * 2).as("b"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      spark.range(5, 8).select(col("id"), (col("id") * 2).as("b"),
+          lit("era2").as("c"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(merged.columns.toSet === Set("id", "b", "c"))
+      assert(merged.count() === 8)
+      assert(merged.filter(col("c").isNull).count() === 5,
+        "v1-era rows must null-fill the evolved column")
+      val v2 = merged.filter(col("c") === "era2")
+      assert(v2.count() === 3)
+      // by-name resolution: b survives with its own values in both eras
+      assert(merged.agg(sum(col("b"))).head().getLong(0) === (0 until 8).map(_ * 2).sum)
+    } finally graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
