@@ -1726,6 +1726,61 @@ object SparkEntry {
         s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
     }),
 
+    "stream_near_dedup" -> ((s, d) => {
+      // STREAMING NEAR-DUP admission — content-level dedup joins the
+      // live front door (stream_corpus_clean's delivery dedup is
+      // id-level; this rejects on MinHash band collision with the
+      // accumulated corpus): the document corpus staged as THREE source
+      // files (doc_id mod 3), streamed one file per micro-batch in a
+      // PINNED order (explicit ascending mtimes — admission is
+      // order-dependent: whichever side of a near-dup pair streams
+      // first wins, and the oracle must replay the same order). Each
+      // batch admits against persisted band state + smaller-id
+      // same-batch siblings, appends admitted bands insert-if-absent,
+      // lands admitted docs in a per-batch overwrite sink. Oracle =
+      // the three admission rounds unrolled with the band state
+      // threaded through; the in-query requires pin that >= 2 batches
+      // actually folded and that the state holds exactly the admitted
+      // documents' bands.
+      val tmp = TempDirs.create("graft-near-dedup-").toString
+      val src = s"$tmp/src"
+      val docs = Tables.documents(s, d)
+      val staged = scala.collection.mutable.Set[String]()
+      (0 until 3).foreach { i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src)
+        new java.io.File(src).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !staged.contains(f.getName))
+          .foreach { f =>
+            f.setLastModified(1700000000000L + i * 60000L)
+            staged += f.getName
+          }
+      }
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.Streams.nearDedupPipeline(
+        s, sch, src, s"$tmp/state", s"$tmp/out", s"$tmp/ck",
+        w = 5, numHashes = 8, bandWidth = 2)
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
+      require(nBatches >= 2,
+        s"near-dedup admission folded $nBatches micro-batches — need >= 2 " +
+          "to prove state-carried admission, not a single-batch LSH run")
+      val sink = s.read.parquet(s"$tmp/out")
+      // state ids ⊆ admitted ids (equality minus short docs, which have
+      // no shingles and therefore no bands): a rejected doc's bands in
+      // the state would poison every future admission decision.
+      val leaked = s.read.parquet(s"$tmp/state").select(col("doc_id"))
+        .distinct()
+        .join(sink.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .count()
+      require(leaked == 0,
+        s"$leaked rejected documents leaked their bands into the state")
+      detachAndClean(
+        sink.select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
     "stream_sketch_maintain" -> ((s, d) => {
       // LIVE sketch-state lifecycle: the events feed staged as THREE
       // source files, streamed one file per micro-batch, each batch's
@@ -4573,6 +4628,52 @@ object SparkEntry {
          |  FROM documents WHERE doc_id % 13 = 5
          |), ${corpusCleanChainSql("alldocs")}""".stripMargin,
 
+
+    "stream_near_dedup" ->
+      // the three micro-batch admission rounds unrolled, band state
+      // threaded through: round r admits a doc iff none of its band
+      // buckets collides with the admitted-so-far state or with a
+      // smaller-id sibling of its own round. Docs under 5 tokens have
+      // no shingles → no bands → always admitted (both engines).
+      s"""WITH $triSql,
+         |$bandCteSql,
+         |g0 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 0),
+         |g1 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 1),
+         |g2 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 2),
+         |rej0 AS (
+         |  SELECT DISTINCT y.doc_id FROM g0 x
+         |  JOIN g0 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |adm0 AS (SELECT DISTINCT doc_id FROM g0
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM rej0)),
+         |st0 AS (SELECT DISTINCT band, bkey FROM g0
+         |        WHERE doc_id IN (SELECT doc_id FROM adm0)),
+         |rej1 AS (
+         |  SELECT DISTINCT b.doc_id FROM g1 b
+         |  JOIN st0 k ON k.band = b.band AND k.bkey = b.bkey
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM g1 x
+         |  JOIN g1 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |adm1 AS (SELECT DISTINCT doc_id FROM g1
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+         |st1 AS (SELECT band, bkey FROM st0
+         |        UNION
+         |        SELECT DISTINCT band, bkey FROM g1
+         |        WHERE doc_id IN (SELECT doc_id FROM adm1)),
+         |rej2 AS (
+         |  SELECT DISTINCT b.doc_id FROM g2 b
+         |  JOIN st1 k ON k.band = b.band AND k.bkey = b.bkey
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM g2 x
+         |  JOIN g2 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |adm2 AS (SELECT DISTINCT doc_id FROM g2
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM rej2)),
+         |adm AS (SELECT doc_id FROM adm0
+         |        UNION SELECT doc_id FROM adm1
+         |        UNION SELECT doc_id FROM adm2)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM adm)
+         |   OR d.doc_id NOT IN (SELECT doc_id FROM bands)
+         |ORDER BY doc_id""".stripMargin,
 
     "stream_sketch_maintain" ->
       // batch-folded state == one pass over the whole feed (the KMV

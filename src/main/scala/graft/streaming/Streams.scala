@@ -212,6 +212,73 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING NEAR-DUP admission — the near-duplicate leg of the live
+    * corpus front door ([[corpusCleanPipeline]] carries only ID-level
+    * delivery dedup; this admits on CONTENT): each micro-batch runs
+    * [[graft.ext.Dedup.incrementalNearDup]] against the PERSISTED band
+    * state (reject on any LSH bucket collision with the accumulated
+    * corpus, or with a smaller-id sibling in the same batch), appends
+    * the admitted documents' bands to the state, and lands the admitted
+    * documents in a per-batch sink directory. State is the band table —
+    * O(docs × nBands) small rows, never shingles or text.
+    *
+    * Replay safety under the at-least-once `foreachBatch` contract, leg
+    * by leg (the sketch/index-maintain idempotency argument):
+    *  - ADMISSION reads the state MINUS the batch's own doc ids. First
+    *    delivery: no batch doc is in the committed state, so the
+    *    subtraction is the identity. Replay after a crash between state
+    *    append and checkpoint commit: the subtraction removes exactly
+    *    the rows the crashed attempt appended, so admission recomputes
+    *    the ORIGINAL answer — without it, every doc would collide with
+    *    its own persisted bands and the replayed batch would emit empty.
+    *  - STATE APPEND is insert-if-absent at (doc_id, band) granularity
+    *    (anti-join against the live state, one bkey per band per doc):
+    *    a replayed append is a no-op, and a crash that committed only
+    *    part of a doc's bands COMPLETES on replay instead of
+    *    duplicating — the VectorIndex.append discipline.
+    *  - SINK write overwrites its own `batch_id=<id>` directory
+    *    ([[exactlyOnceSink]]'s pattern): a replay rewrites identical
+    *    content, never appends a second copy.
+    * AvailableNow processes batches sequentially, so "state minus own
+    * ids" is exactly the committed prefix's state — the property the
+    * subtraction relies on.
+    */
+  def nearDedupPipeline(spark: SparkSession, schema: StructType,
+                        srcDir: String, stateDir: String, outDir: String,
+                        checkpointDir: String, w: Int = 5,
+                        numHashes: Int = 8, bandWidth: Int = 2,
+                        maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val ids = batch.select(col("doc_id"))
+        val stateExists =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir))
+        val seen =
+          if (stateExists)
+            s.read.parquet(stateDir).join(ids, Seq("doc_id"), "left_anti")
+          else // empty stamped state: within-batch admission only
+            graft.ext.Dedup.bandTable(batch.limit(0), w, numHashes, bandWidth)
+        // eagerly checkpointed by the operator — stable across the two
+        // writes below (no lineage recompute drift between state & sink)
+        val admitted =
+          graft.ext.Dedup.incrementalNearDup(batch, seen, w, numHashes, bandWidth)
+        val newBands = graft.ext.Dedup.bandTable(admitted, w, numHashes, bandWidth)
+        val delta =
+          if (stateExists)
+            newBands.join(
+              s.read.parquet(stateDir).select(col("doc_id"), col("band")),
+              Seq("doc_id", "band"), "left_anti")
+          else newBands
+        delta.write.mode("append").parquet(stateDir)
+        admitted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** LIVE maintenance of the persisted ANN index
     * ([[graft.ext.VectorIndex]]): each micro-batch of new vectors folds
     * into the on-disk index — the FIRST non-empty batch BUILDS it

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Dedup
 import graft.streaming.Streams
 
 class StreamingSpec extends AnyFunSuite {
@@ -417,5 +418,56 @@ class StreamingSpec extends AnyFunSuite {
     val ev = Tables.events(spark, sfDir)
     val agg = Streams.windowedCounts(ev)
     assert(agg.agg(sum("n_events")).head().getLong(0) === ev.count())
+  }
+
+  test("near-dedup stream: admission matches the sequential batch simulation; replay legs are no-ops") {
+    val base = java.nio.file.Files.createTempDirectory("graft_neardedup").toString
+    val src = s"$base/src"; val state = s"$base/state"
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = Tables.documents(spark, sfDir)
+    val (w, nh, bw) = (5, 8, 2)
+    // two batches in pinned mtime order (admission is order-dependent)
+    val staged = scala.collection.mutable.Set[String]()
+    (0 until 2).foreach { i =>
+      docs.filter(col("doc_id") % 2 === i).coalesce(1)
+        .write.mode("append").parquet(src)
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !staged.contains(f.getName))
+        .foreach { f => f.setLastModified(1700000000000L + i * 60000L); staged += f.getName }
+    }
+    val sch = spark.read.parquet(src).schema
+    val q = Streams.nearDedupPipeline(spark, sch, src, state, out, ckpt,
+      w = w, numHashes = nh, bandWidth = bw)
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) === 2)
+    val sinkIds = spark.read.parquet(out).select(col("doc_id"))
+      .as[Long].collect().toSet
+    // sequential simulation with the BATCH operators: the stream must be
+    // exactly incrementalNearDup threaded through appended state
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    val adm0 = Dedup.incrementalNearDup(b0,
+      Dedup.bandTable(b0.limit(0), w, nh, bw), w, nh, bw)
+    val adm1 = Dedup.incrementalNearDup(b1,
+      Dedup.bandTable(adm0, w, nh, bw), w, nh, bw)
+    val simIds = (adm0.select(col("doc_id")).as[Long].collect() ++
+      adm1.select(col("doc_id")).as[Long].collect()).toSet
+    assert(sinkIds === simIds,
+      "streamed admission diverged from the sequential batch simulation")
+    // replay leg 1: batch-2 admission against (final state − own ids)
+    // reproduces the original decision — the subtraction that makes a
+    // replayed foreachBatch recompute its first-delivery answer
+    val finalState = spark.read.parquet(state)
+    val replayAdm = Dedup.incrementalNearDup(b1,
+      finalState.join(b1.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+      w, nh, bw)
+    assert(replayAdm.select(col("doc_id")).as[Long].collect().toSet ===
+      adm1.select(col("doc_id")).as[Long].collect().toSet)
+    // replay leg 2: the insert-if-absent delta of a replayed append is empty
+    val delta = Dedup.bandTable(replayAdm, w, nh, bw)
+      .join(finalState.select(col("doc_id"), col("band")),
+        Seq("doc_id", "band"), "left_anti")
+    assert(delta.count() === 0, "replayed state append must be a no-op")
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(base))
   }
 }
