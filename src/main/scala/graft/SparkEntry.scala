@@ -1781,6 +1781,52 @@ object SparkEntry {
         tmp)
     }),
 
+    "stream_near_dedup_restart" -> ((s, d) => {
+      // the persisted band state survives a RESTART — the fifth
+      // stateful class joins the restart family (dedup ids / window
+      // aggs / join buffers / session windows / near-dup band state):
+      // pass 1 ingests the first two staged files on one checkpoint,
+      // the third file arrives, pass 2 re-runs the SAME pipeline on the
+      // SAME checkpoint and state. The checkpoint skips the committed
+      // files, so batch 3 admits against the state PASS 1 WROTE — a
+      // fresh-state restart would re-admit every cross-pass near-dup
+      // and hash-mismatch. Oracle = stream_near_dedup's three unrolled
+      // rounds verbatim: the restart must be invisible.
+      val tmp = TempDirs.create("graft-near-dedup-restart-").toString
+      val src = s"$tmp/src"
+      val docs = Tables.documents(s, d)
+      val staged = scala.collection.mutable.Set[String]()
+      def stage(i: Int): Unit = {
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src)
+        new java.io.File(src).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !staged.contains(f.getName))
+          .foreach { f =>
+            f.setLastModified(1700000000000L + i * 60000L)
+            staged += f.getName
+          }
+      }
+      stage(0); stage(1)
+      val sch = s.read.parquet(src).schema
+      def runPass(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val q = graft.streaming.Streams.nearDedupPipeline(
+          s, sch, src, s"$tmp/state", s"$tmp/out", s"$tmp/ck",
+          w = 5, numHashes = 8, bandWidth = 2)
+        q.awaitTermination(); q
+      }
+      runPass()
+      stage(2) // arrives only AFTER pass 1 committed its checkpoint
+      val q2 = runPass()
+      require(q2.recentProgress.count(p => p.numInputRows > 0) == 1,
+        "pass 2 must process exactly the one new file — a checkpoint " +
+          "replay of pass-1 files would void the restart argument")
+      detachAndClean(
+        s.read.parquet(s"$tmp/out")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
     "stream_sketch_maintain" -> ((s, d) => {
       // LIVE sketch-state lifecycle: the events feed staged as THREE
       // source files, streamed one file per micro-batch, each batch's
@@ -2680,6 +2726,55 @@ object SparkEntry {
        |$bandSelects
        |)""".stripMargin
   }
+
+  /** Streaming near-dup admission unrolled: three rounds (doc_id mod 3,
+    * the pinned micro-batch order), band state threaded through — round
+    * r admits a doc iff none of its band buckets collides with the
+    * admitted-so-far state or a smaller-id sibling of its own round;
+    * docs under 5 tokens have no shingles → no bands → always admitted.
+    * Shared verbatim by stream_near_dedup and its restart variant (the
+    * restart must be invisible).
+    */
+  private lazy val nearDedupAdmissionSql: String =
+    s"""WITH $triSql,
+       |$bandCteSql,
+       |g0 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 0),
+       |g1 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 1),
+       |g2 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 2),
+       |rej0 AS (
+       |  SELECT DISTINCT y.doc_id FROM g0 x
+       |  JOIN g0 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |adm0 AS (SELECT DISTINCT doc_id FROM g0
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej0)),
+       |st0 AS (SELECT DISTINCT band, bkey FROM g0
+       |        WHERE doc_id IN (SELECT doc_id FROM adm0)),
+       |rej1 AS (
+       |  SELECT DISTINCT b.doc_id FROM g1 b
+       |  JOIN st0 k ON k.band = b.band AND k.bkey = b.bkey
+       |  UNION
+       |  SELECT DISTINCT y.doc_id FROM g1 x
+       |  JOIN g1 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |adm1 AS (SELECT DISTINCT doc_id FROM g1
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+       |st1 AS (SELECT band, bkey FROM st0
+       |        UNION
+       |        SELECT DISTINCT band, bkey FROM g1
+       |        WHERE doc_id IN (SELECT doc_id FROM adm1)),
+       |rej2 AS (
+       |  SELECT DISTINCT b.doc_id FROM g2 b
+       |  JOIN st1 k ON k.band = b.band AND k.bkey = b.bkey
+       |  UNION
+       |  SELECT DISTINCT y.doc_id FROM g2 x
+       |  JOIN g2 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |adm2 AS (SELECT DISTINCT doc_id FROM g2
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej2)),
+       |adm AS (SELECT doc_id FROM adm0
+       |        UNION SELECT doc_id FROM adm1
+       |        UNION SELECT doc_id FROM adm2)
+       |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+       |WHERE d.doc_id IN (SELECT doc_id FROM adm)
+       |   OR d.doc_id NOT IN (SELECT doc_id FROM bands)
+       |ORDER BY doc_id""".stripMargin
 
   /** Banded-MinHash verified pairs, no ORDER BY — shared by the pair
     * oracle and the connected-components oracle built on it.
@@ -4629,51 +4724,15 @@ object SparkEntry {
          |), ${corpusCleanChainSql("alldocs")}""".stripMargin,
 
 
-    "stream_near_dedup" ->
-      // the three micro-batch admission rounds unrolled, band state
-      // threaded through: round r admits a doc iff none of its band
-      // buckets collides with the admitted-so-far state or with a
-      // smaller-id sibling of its own round. Docs under 5 tokens have
-      // no shingles → no bands → always admitted (both engines).
-      s"""WITH $triSql,
-         |$bandCteSql,
-         |g0 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 0),
-         |g1 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 1),
-         |g2 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 2),
-         |rej0 AS (
-         |  SELECT DISTINCT y.doc_id FROM g0 x
-         |  JOIN g0 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |adm0 AS (SELECT DISTINCT doc_id FROM g0
-         |         WHERE doc_id NOT IN (SELECT doc_id FROM rej0)),
-         |st0 AS (SELECT DISTINCT band, bkey FROM g0
-         |        WHERE doc_id IN (SELECT doc_id FROM adm0)),
-         |rej1 AS (
-         |  SELECT DISTINCT b.doc_id FROM g1 b
-         |  JOIN st0 k ON k.band = b.band AND k.bkey = b.bkey
-         |  UNION
-         |  SELECT DISTINCT y.doc_id FROM g1 x
-         |  JOIN g1 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |adm1 AS (SELECT DISTINCT doc_id FROM g1
-         |         WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
-         |st1 AS (SELECT band, bkey FROM st0
-         |        UNION
-         |        SELECT DISTINCT band, bkey FROM g1
-         |        WHERE doc_id IN (SELECT doc_id FROM adm1)),
-         |rej2 AS (
-         |  SELECT DISTINCT b.doc_id FROM g2 b
-         |  JOIN st1 k ON k.band = b.band AND k.bkey = b.bkey
-         |  UNION
-         |  SELECT DISTINCT y.doc_id FROM g2 x
-         |  JOIN g2 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |adm2 AS (SELECT DISTINCT doc_id FROM g2
-         |         WHERE doc_id NOT IN (SELECT doc_id FROM rej2)),
-         |adm AS (SELECT doc_id FROM adm0
-         |        UNION SELECT doc_id FROM adm1
-         |        UNION SELECT doc_id FROM adm2)
-         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
-         |WHERE d.doc_id IN (SELECT doc_id FROM adm)
-         |   OR d.doc_id NOT IN (SELECT doc_id FROM bands)
-         |ORDER BY doc_id""".stripMargin,
+    // the three micro-batch admission rounds unrolled, band state
+    // threaded through: round r admits a doc iff none of its band
+    // buckets collides with the admitted-so-far state or with a
+    // smaller-id sibling of its own round. Docs under 5 tokens have
+    // no shingles → no bands → always admitted (both engines). The
+    // restart variant shares it VERBATIM: splitting the three batches
+    // across two checkpointed runs must be invisible.
+    "stream_near_dedup" -> nearDedupAdmissionSql,
+    "stream_near_dedup_restart" -> nearDedupAdmissionSql,
 
     "stream_sketch_maintain" ->
       // batch-folded state == one pass over the whole feed (the KMV
