@@ -1752,7 +1752,8 @@ object SparkEntry {
         new java.io.File(src).listFiles()
           .filter(f => f.getName.endsWith(".parquet") && !staged.contains(f.getName))
           .foreach { f =>
-            f.setLastModified(1700000000000L + i * 60000L)
+            require(f.setLastModified(1700000000000L + i * 60000L),
+              s"could not pin mtime for $f — staged batch order would be undefined")
             staged += f.getName
           }
       }
@@ -1802,7 +1803,8 @@ object SparkEntry {
         new java.io.File(src).listFiles()
           .filter(f => f.getName.endsWith(".parquet") && !staged.contains(f.getName))
           .foreach { f =>
-            f.setLastModified(1700000000000L + i * 60000L)
+            require(f.setLastModified(1700000000000L + i * 60000L),
+              s"could not pin mtime for $f — staged batch order would be undefined")
             staged += f.getName
           }
       }
@@ -2583,9 +2585,15 @@ object SparkEntry {
     import org.apache.spark.sql.types._
     dt match {
       case LongType         => nanos
+      // `/` on integral Columns is DOUBLE division; at epoch-nanos
+      // magnitude (~2^60) the double ULP is 256 ns, so the quotient can
+      // round below the exact integer and the long cast would truncate
+      // the feed ts 1 µs low. Decimal division keeps it exact.
       case TimestampNTZType =>
-        timestamp_micros((nanos / 1000).cast(LongType)).cast(TimestampNTZType)
-      case TimestampType    => timestamp_micros((nanos / 1000).cast(LongType))
+        timestamp_micros((nanos.cast(DecimalType(38, 0)) / 1000).cast(LongType))
+          .cast(TimestampNTZType)
+      case TimestampType    =>
+        timestamp_micros((nanos.cast(DecimalType(38, 0)) / 1000).cast(LongType))
       case other => throw new IllegalStateException(
         s"events ts has unsupported physical type $other")
     }

@@ -94,7 +94,13 @@ object Tables {
   private[graft] def loadEvents(s: SparkSession, d: String): DataFrame =
     try load(s, d, "events")
     catch {
-      case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+      // Match only the schema-conversion rejection of a nanosecond
+      // timestamp column ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,
+      // ...))"), not any error that happens to mention NANOS — an
+      // unrelated failure must surface, not silently divert into the
+      // legacy loader and mutate session conf mid-run.
+      case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("TIMESTAMP(NANOS") =>
         loadEventsNanos(s, d)
     }
 

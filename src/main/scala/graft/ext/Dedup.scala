@@ -201,6 +201,24 @@ object Dedup {
         .select(col("band"), col("bkey")),
       Seq("band", "bkey"), "left_semi")
 
+  /** Keep only the `cap` smallest partner_ids per (band, bkey) bucket —
+    * the admission-side skew guard (see incrementalNearDupVerified's
+    * `maxPartners` doc for why admission caps PARTNERS where pair
+    * listing excludes BUCKETS). Identity at the default cap, so the
+    * exact path pays no window exchange; with a finite cap the window
+    * is one shuffle on the same (band, bkey) key the candidate join
+    * uses, and a hot bucket is a single partition sort — O(k log k),
+    * not k².
+    */
+  private def capPartners(partners: DataFrame, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) partners
+    else {
+      val byBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bkey")).orderBy(col("partner_id"))
+      partners.withColumn("_rn", row_number().over(byBucket))
+        .filter(col("_rn") <= cap).drop("_rn")
+    }
+
   /** MinHash band table of a document set: one row per (doc, band) with
     * the band's bucket key — the compact, md5-portable state a warehouse
     * PERSISTS between batches for incremental near-dup admission (bands
@@ -371,11 +389,19 @@ object Dedup {
         .join(seenBands.select(col("band"), col("bkey")).dropDuplicates("band", "bkey"),
           Seq("band", "bkey"), "left_semi")
         .select(col("doc_id"))
-      val batchHit = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("y.doc_id").as("doc_id"))
+      // "collides with a smaller-id sibling of its own batch" is exactly
+      // `doc_id > min(doc_id)` within the bucket — a partial-agg groupBy
+      // plus a 1:1 lookup join, O(n) in batch band rows. The former
+      // pairwise bucket self-join enumerated all (smaller, larger) pairs
+      // and went quadratic on a boilerplate-heavy increment (one hot
+      // bucket of k near-identical docs → k²/2 pairs); the min-based
+      // form reduces the same hot bucket to one aggregated row.
+      val batchHit = bands
+        .join(bands.groupBy(col("band"), col("bkey"))
+            .agg(min(col("doc_id")).as("_min_id")),
+          Seq("band", "bkey"))
+        .filter(col("doc_id") > col("_min_id"))
+        .select(col("doc_id"))
       val rejected = seenHit.unionAll(batchHit).distinct()
       incoming.join(rejected, Seq("doc_id"), "left_anti")
         .localCheckpoint(eager = true)
@@ -394,11 +420,27 @@ object Dedup {
     * is irrelevant (as in the unverified form): rejecting against a doc
     * that itself lost to a seen collision is correct because its content
     * is already represented in the corpus.
+    *
+    * @param maxPartners skew guard on candidate fanout: each band bucket
+    *        nominates at most this many partners — the `maxPartners`
+    *        SMALLEST doc_ids of the bucket (batch and seen side alike) —
+    *        so pair volume is O(rows × maxPartners) instead of quadratic
+    *        in the hottest bucket. This deliberately differs from
+    *        [[minhashLsh]]'s `maxBucketSize` (which EXCLUDES hot buckets
+    *        from candidate generation): exclusion is the right trade for
+    *        pair LISTING, but for ADMISSION a hot bucket is precisely a
+    *        boilerplate flood that must be REJECTED, not waved through.
+    *        Under a flood the sampled partners are themselves
+    *        near-identical to every bucket member, so verification still
+    *        rejects the flood; recall loss is confined to docs whose only
+    *        qualifying partner ranks below the cap in every shared
+    *        bucket. Default = no cap (exact semantics).
     */
   def incrementalNearDupVerified(incoming: DataFrame, seenBands: DataFrame,
                                  seenSigs: DataFrame, w: Int = 3,
                                  numHashes: Int = 8, bandWidth: Int = 2,
-                                 minEstJaccard: Double = 0.5): DataFrame = {
+                                 minEstJaccard: Double = 0.5,
+                                 maxPartners: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bandWidth == 0, "bands must tile the signature")
     require(numHashes <= 8, "8 32-bit hashes per two md5 digests")
     requireStateLayout(seenBands, "seen band table",
@@ -418,9 +460,14 @@ object Dedup {
         .reduce(_ + _).cast("double") / numHashes
       // candidates vs the accumulated corpus: per-(incoming, seen) pairs
       // — NOT deduped to buckets, the verification needs the partner id.
+      // Partner sides are capped to the maxPartners smallest ids per
+      // bucket (see @param maxPartners); capPartners is identity at the
+      // default, so the exact-semantics path adds no window exchange.
       val seenCand = bands
-        .join(seenBands.select(col("band"), col("bkey"),
-            col("doc_id").as("partner_id")),
+        .join(capPartners(
+            seenBands.select(col("band"), col("bkey"),
+              col("doc_id").as("partner_id")),
+            maxPartners),
           Seq("band", "bkey"))
         .select(col("doc_id"), col("partner_id")).distinct()
       val seenRej = seenCand.join(incSig, "doc_id")
@@ -430,12 +477,16 @@ object Dedup {
         .filter(estJ >= lit(minEstJaccard))
         .select(col("doc_id"))
       // within-batch: a doc is rejected only against a SMALLER-id sibling
-      // whose estimated Jaccard clears the bar.
-      val batchCand = bands.as("x")
+      // whose estimated Jaccard clears the bar. Only the partner (x)
+      // side is capped — every incoming doc still gets its admission
+      // decision, against a bounded partner set.
+      val batchCand = capPartners(
+          bands.select(col("band"), col("bkey"), col("doc_id").as("partner_id")),
+          maxPartners).as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("partner_id"), col("y.doc_id").as("doc_id"))
+            col("x.partner_id") < col("y.doc_id"))
+        .select(col("x.partner_id").as("partner_id"), col("y.doc_id").as("doc_id"))
         .distinct()
       val batchRej = batchCand.join(incSig, "doc_id")
         .join(sigs.select(col("doc_id").as("partner_id") +:

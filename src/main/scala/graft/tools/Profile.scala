@@ -116,8 +116,11 @@ object Profile {
       println(f"[profile] corpus etl total          ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       for (t <- Seq("corpus_release", "corpus_flags")) {
         val p = java.nio.file.Paths.get(wh, t)
-        val bytes = java.nio.file.Files.walk(p).filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(java.nio.file.Files.size(_)).sum()
+        val st = java.nio.file.Files.walk(p)
+        val bytes =
+          try st.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally st.close()
         println(s"[profile] written $t: $bytes bytes")
       }
       graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(wh))

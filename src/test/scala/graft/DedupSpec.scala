@@ -282,4 +282,80 @@ class DedupSpec extends AnyFunSuite {
     assert(org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark),
       "repeatedSpans left a cache entry behind")
   }
+
+  // ---- adversarial skew: a boilerplate flood (N identical docs in ONE
+  // batch) is the workload incremental admission exists for. Every
+  // band bucket is maximally hot; a pairwise bucket self-join would
+  // enumerate ~N²/2 pairs per band in a single partition.
+
+  private def floodDocs(n: Int) =
+    spark.range(n).select(col("id").as("doc_id"),
+      lit("the same boilerplate sentence repeated in every flooded doc").as("text"))
+
+  private def emptyState =
+    Dedup.bandTable(fixture.limit(0), w = 3, numHashes = 8, bandWidth = 2)
+
+  test("within-batch admission stays linear under a boilerplate flood") {
+    // The within-batch leg is a groupBy-min + lookup join (O(n)); the
+    // flood's hot buckets reduce to one aggregated row each. Pin the
+    // linearity by wall-clock RATIO at two N (linear ≈ 4×, quadratic
+    // ≈ 16× in pair volume — and the pairs land in one partition, so
+    // quadratic also single-threads) plus an absolute ceiling the old
+    // pairwise form could not meet at this N. Small run goes first:
+    // JIT warmup inflates t1, which only SHRINKS the ratio — the
+    // conservative direction.
+    def timeAdmit(n: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val admitted = Dedup.incrementalNearDup(floodDocs(n), emptyState,
+        w = 3, numHashes = 8, bandWidth = 2)
+      val ids = admitted.select("doc_id").collect().map(_.getLong(0))
+      assert(ids.toSeq === Seq(0L),
+        s"flood of $n identical docs must admit exactly the min id")
+      (n.toLong, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, t1) = timeAdmit(12500)
+    val (_, t2) = timeAdmit(50000)
+    info(f"flood admission: 12.5k in $t1%.1f s, 50k in $t2%.1f s (ratio ${t2 / t1}%.1f)")
+    assert(t2 / t1 < 8.0,
+      f"4x the flood cost ${t2 / t1}%.1fx the time — admission is not linear")
+    assert(t2 < 120.0,
+      f"50k-doc flood took $t2%.1f s — the quadratic pairwise leg is back")
+  }
+
+  test("verified admission: maxPartners bounds fanout and still REJECTS the flood") {
+    // maxPartners caps each bucket's partner nominations to the cap
+    // smallest ids — unlike bucket EXCLUSION, the flood is still
+    // verified against real partners (est-Jaccard 1.0) and rejected.
+    val emptySigs = Dedup.signatureTable(fixture.limit(0), w = 3, numHashes = 8)
+    val t0 = System.nanoTime()
+    val admitted = Dedup.incrementalNearDupVerified(
+      floodDocs(50000), emptyState, emptySigs,
+      w = 3, numHashes = 8, bandWidth = 2, minEstJaccard = 0.5,
+      maxPartners = 4)
+    val ids = admitted.select("doc_id").collect().map(_.getLong(0))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"verified flood admission (cap 4): $secs%.1f s")
+    assert(ids.toSeq === Seq(0L),
+      "a capped verified flood must still reject everything but the min id")
+    assert(secs < 120.0,
+      f"capped verified flood took $secs%.1f s — pair generation is not bounded")
+  }
+
+  test("maxPartners at a cap >= every bucket equals the exact default") {
+    val docs = Tables.documents(spark, sfDir)
+    val seenSrc = (0 to 9).map(i => s"src$i")
+    val seen = docs.filter(col("source").isin(seenSrc: _*))
+    val incoming = docs.filter(!col("source").isin(seenSrc: _*))
+    val bands = Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2)
+    val sigs = Dedup.signatureTable(seen, w = 5, numHashes = 8)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.incrementalNearDupVerified(
+      incoming, bands, sigs, w = 5, numHashes = 8, bandWidth = 2))
+    val capped = ids(Dedup.incrementalNearDupVerified(
+      incoming, bands, sigs, w = 5, numHashes = 8, bandWidth = 2,
+      maxPartners = 1 << 20))
+    assert(capped === exact,
+      "an un-binding cap must not change any admission decision")
+  }
 }

@@ -433,7 +433,11 @@ class StreamingSpec extends AnyFunSuite {
         .write.mode("append").parquet(src)
       new java.io.File(src).listFiles()
         .filter(f => f.getName.endsWith(".parquet") && !staged.contains(f.getName))
-        .foreach { f => f.setLastModified(1700000000000L + i * 60000L); staged += f.getName }
+        .foreach { f =>
+          require(f.setLastModified(1700000000000L + i * 60000L),
+            s"could not pin mtime for $f — staged batch order would be undefined")
+          staged += f.getName
+        }
     }
     val sch = spark.read.parquet(src).schema
     val q = Streams.nearDedupPipeline(spark, sch, src, state, out, ckpt,
