@@ -18,7 +18,92 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    conform(spark.read.parquet(s"$dir/$name.parquet"), name)
+
+  /** Declared logical column types per table — the contract the rest of
+    * the engine programs against. The testdata environment has
+    * re-encoded physical types across regenerations twice (`events.ts`:
+    * round-9 postmortem lost 43 queries to one such drift); `conform`
+    * generalizes `normalizeTs`'s lesson to EVERY loaded table, so the
+    * next regeneration that ships `embedding` as `array<double>` or an
+    * integral key at a different width degrades to a cast instead of a
+    * red surface. `events.ts` is deliberately absent — [[normalizeTs]]
+    * owns its three known encodings (including nanos-as-long, which is
+    * not a plain cast).
+    */
+  private val declared: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "region"   -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation"   -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+                        "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+                        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+                        "c_mktsegment" -> StringType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+                        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part"     -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+                        "p_brand" -> StringType, "p_type" -> StringType,
+                        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders"   -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+                        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+                        "o_orderdate" -> TimestampNTZType,
+                        "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+                        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+                        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+                        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+                        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+                        "l_shipdate" -> TimestampNTZType),
+      "events"   -> Seq("event_id" -> LongType, "user_id" -> LongType,
+                        "event_type" -> StringType, "value" -> DoubleType,
+                        "props" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+                        "lang" -> StringType, "source" -> StringType,
+                        "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+                        "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
+    )
+  }
+
+  /** Cast class-compatible physical drift back to the declared type;
+    * identity when the file already matches (the normal case — no plan
+    * noise). Numeric↔numeric, timestamp-family↔timestamp-family, and
+    * element-wise array drift are casts; anything else (a string where a
+    * numeric is declared, a dropped column) fails fast NAMING the table,
+    * column, and both types — the diagnosis the round-9 drift cost a
+    * debugging session to reach. Extra physical columns pass through
+    * untouched (schema evolution adds columns; it must not hide them).
+    */
+  private[graft] def conform(df: DataFrame, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    def castable(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (_: NumericType, _: NumericType) => true
+      case (TimestampNTZType | TimestampType | DateType,
+            TimestampNTZType | TimestampType | DateType) => true
+      case (ArrayType(f, _), ArrayType(t, _)) => castable(f, t)
+      case _ => false
+    }
+    declared.get(table) match {
+      case None => df
+      case Some(cols) =>
+        val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val casts = cols.flatMap { case (c, want) =>
+          actual.get(c) match {
+            case None => throw new IllegalStateException(
+              s"$table.parquet lacks declared column $c — a regeneration " +
+                "dropped or renamed it; update Tables.declared if intentional")
+            case Some(got) if got == want => None
+            case Some(got) if castable(got, want) => Some(c -> want)
+            case Some(got) => throw new IllegalStateException(
+              s"$table.parquet column $c drifted to incompatible physical " +
+                s"type $got (declared $want) — teach Tables.conform the new encoding")
+          }
+        }
+        casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+    }
+  }
 
   /** Raise a scan's parallelism to the session default when the source
     * has too few files to split (the small-SF testdata is one file per

@@ -123,4 +123,74 @@ class TablesSpec extends AnyFunSuite {
       s"testdata drift: embeddings.embedding is " +
         s"${emb.schema("embedding").dataType.simpleString}, expected array")
   }
+
+  // ---- conform: the round-9 ts drift, generalized to every table
+  // (VERDICT r10 item 2). Each test WRITES a synthetically re-encoded
+  // fixture and loads it through the same Tables.load the surface uses.
+
+  private def reencode(table: String)(recast: org.apache.spark.sql.DataFrame
+      => org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-").toString
+    recast(spark.read.parquet(s"$sfDir/$table.parquet"))
+      .coalesce(1).write.parquet(s"$dir/$table.parquet")
+    dir
+  }
+
+  test("conform is the identity on the current testdata encodings") {
+    for (t <- Seq("documents", "embeddings", "lineitem", "orders", "nation")) {
+      val raw = spark.read.parquet(s"$sfDir/$t.parquet")
+      assert(Tables.load(spark, sfDir, t).schema === raw.schema,
+        s"conform rewrote $t although the file already matches the declared types")
+    }
+  }
+
+  test("documents: narrowed integral keys conform back to declared widths") {
+    import org.apache.spark.sql.functions.col
+    val dir = reencode("documents")(df => df
+      .withColumn("doc_id", col("doc_id").cast(IntegerType))
+      .withColumn("n_chars", col("n_chars").cast(IntegerType)))
+    val got = Tables.load(spark, dir, "documents")
+    assert(got.schema("doc_id").dataType === LongType)
+    assert(got.schema("n_chars").dataType === LongType)
+    val orig = Tables.load(spark, sfDir, "documents")
+    assert(got.exceptAll(orig).count() === 0 && orig.exceptAll(got).count() === 0,
+      "re-encoded documents must conform to value-identical rows")
+  }
+
+  test("embeddings: array<double> + resized keys conform to the declared schema") {
+    import org.apache.spark.sql.functions.col
+    val dir = reencode("embeddings")(df => df
+      .withColumn("embedding", col("embedding").cast(ArrayType(DoubleType)))
+      .withColumn("vec_id", col("vec_id").cast(IntegerType))
+      .withColumn("label", col("label").cast(LongType)))
+    val got = Tables.load(spark, dir, "embeddings")
+    assert(got.schema("embedding").dataType === ArrayType(FloatType, containsNull = true))
+    assert(got.schema("vec_id").dataType === LongType)
+    assert(got.schema("label").dataType === IntegerType)
+    // float→double→float round-trips exactly (double holds every float)
+    val orig = Tables.load(spark, sfDir, "embeddings")
+    assert(got.exceptAll(orig).count() === 0 && orig.exceptAll(got).count() === 0,
+      "re-encoded embeddings must conform to value-identical rows")
+  }
+
+  test("incompatible drift and dropped columns fail fast with a named diagnosis") {
+    import org.apache.spark.sql.functions.col
+    val badType = reencode("documents")(df =>
+      df.withColumn("text", col("n_chars"))) // numeric where string declared
+    val e = intercept[IllegalStateException](Tables.load(spark, badType, "documents"))
+    assert(e.getMessage.contains("documents") && e.getMessage.contains("text"),
+      s"diagnosis must name the table and column: ${e.getMessage}")
+    val dropped = reencode("documents")(_.drop("lang"))
+    val e2 = intercept[IllegalStateException](Tables.load(spark, dropped, "documents"))
+    assert(e2.getMessage.contains("lang"), s"diagnosis must name the lost column: ${e2.getMessage}")
+  }
+
+  test("schema evolution: extra physical columns pass through conform") {
+    import org.apache.spark.sql.functions.lit
+    val dir = reencode("documents")(_.withColumn("extra_flag", lit(1)))
+    val got = Tables.load(spark, dir, "documents")
+    assert(got.schema.fieldNames.contains("extra_flag"),
+      "conform must not hide columns a regeneration added")
+    assert(got.schema("doc_id").dataType === LongType)
+  }
 }
