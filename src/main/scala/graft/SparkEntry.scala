@@ -473,13 +473,19 @@ object SparkEntry {
       val batch2 = docs.filter(!col("source").isin((seenSrc ++ b1Src): _*))
       val tmp = TempDirs.create("graft-state-append-").toString
       val stateDir = s"$tmp/bands"
-      Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2)
-        .write.parquet(stateDir)
-      val adm1 = Dedup.incrementalNearDup(batch1, s.read.parquet(stateDir),
+      // PARTITIONED state (band/bpfx cells): both admissions below read
+      // the state pruned to the cells their batch probes — the
+      // VectorIndex nprobe discipline applied to dedup state. Values
+      // are identical to a flat-state run (pruning is exact); the flat
+      // legacy path stays covered by dedup_state_retention.
+      Dedup.writeBandState(
+        Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2),
+        stateDir, mode = "errorifexists")
+      val adm1 = Dedup.incrementalNearDupFromState(s, batch1, stateDir,
         w = 5, numHashes = 8, bandWidth = 2)
       Dedup.appendBandState(s, stateDir, adm1,
         w = 5, numHashes = 8, bandWidth = 2)
-      val adm2 = Dedup.incrementalNearDup(batch2, s.read.parquet(stateDir),
+      val adm2 = Dedup.incrementalNearDupFromState(s, batch2, stateDir,
         w = 5, numHashes = 8, bandWidth = 2)
       detachAndClean(
         adm1.unionByName(adm2)

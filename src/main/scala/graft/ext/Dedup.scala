@@ -334,8 +334,73 @@ object Dedup {
                       numHashes: Int = 8, bandWidth: Int = 2): Unit = {
     requireStateLayout(spark.read.parquet(stateDir), "seen band table",
       Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth))
-    bandTable(admitted, w, numHashes, bandWidth)
-      .write.mode("append").parquet(stateDir)
+    appendBandsLayoutMatched(spark, stateDir,
+      bandTable(admitted, w, numHashes, bandWidth))
+  }
+
+  /** Default band-state partition fan-out: nBands × this many bucket-key
+    * prefixes. Sized so a micro-batch's probe set underfills the cell
+    * space (pruning bites) without fragmenting the state into tiny
+    * files — the same trade [[VectorIndex]] makes with IVF cells.
+    */
+  val defaultStatePrefixes = 16
+
+  private def bpfxOf(prefixes: Int): Column =
+    pmod(hash(col("bkey")), lit(prefixes))
+
+  /** Write a band table as PARTITIONED state: directory layout
+    * `band=<b>/bpfx=<hash(bkey) mod P>/`, with the fan-out P stamped in
+    * the rows (`state_prefixes`) so readers prune with the same modulus
+    * the writer used — a mismatched modulus would prune away colliding
+    * rows, the silent-admission failure mode [[requireStateLayout]]
+    * guards the hash layout against.
+    */
+  def writeBandState(bands: DataFrame, stateDir: String,
+                     mode: String = "append",
+                     prefixes: Int = defaultStatePrefixes): Unit = {
+    require(prefixes >= 1, "state needs at least one bucket-key prefix")
+    bands.withColumn("state_prefixes", lit(prefixes))
+      .withColumn("bpfx", bpfxOf(prefixes))
+      .write.partitionBy("band", "bpfx").mode(mode).parquet(stateDir)
+  }
+
+  /** Read persisted band state restricted to the cells `probe` (a band
+    * table) can collide with. Partitioned layouts prune at the file
+    * index via an `isin` over the partition columns — the probe's
+    * distinct cell list is collected driver-side, bounded by
+    * nBands × state_prefixes (the probe is cached by every caller, so
+    * the collect reuses, not recomputes, the shingle work). Flat legacy
+    * layouts return the full state — same semantics, no pruning.
+    */
+  def readBandState(spark: org.apache.spark.sql.SparkSession,
+                    stateDir: String, probe: DataFrame): DataFrame = {
+    val st = spark.read.parquet(stateDir)
+    if (!st.columns.contains("bpfx") || !st.columns.contains("state_prefixes")) st
+    else st.select(col("state_prefixes")).limit(1).collect().headOption match {
+      case None => st // empty partitioned state: nothing to prune
+      case Some(r) =>
+        val p = r.getInt(0)
+        val cells = probe
+          .select((col("band") * p + bpfxOf(p)).cast("int").as("_cell"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        st.filter((col("band") * p + col("bpfx")).cast("int").isin(cells: _*))
+    }
+  }
+
+  /** Append band rows to existing state IN ITS OWN layout: partitioned
+    * states get a partitioned append with the stamped fan-out, flat
+    * legacy states get a flat append — mixing layouts in one directory
+    * would break partition discovery for every later reader.
+    */
+  private[graft] def appendBandsLayoutMatched(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, bands: DataFrame): Unit = {
+    val st = spark.read.parquet(stateDir)
+    if (st.columns.contains("state_prefixes")) {
+      val p = st.select(col("state_prefixes")).limit(1).collect()
+        .headOption.fold(defaultStatePrefixes)(_.getInt(0))
+      writeBandState(bands, stateDir, "append", p)
+    } else bands.write.mode("append").parquet(stateDir)
   }
 
   /** Fail LOUDLY when persisted dedup state was built with a different
@@ -384,27 +449,71 @@ object Dedup {
     requireStateLayout(seenBands, "seen band table",
       Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth))
     val bands = bandTable(incoming, w, numHashes, bandWidth).persist()
+    try admitCore(incoming, bands, seenBands)
+    finally bands.unpersist(blocking = false)
+  }
+
+  /** The admission decision given precomputed incoming bands: reject on
+    * any bucket collision with the seen state or with a smaller-id
+    * sibling of the batch. `bands` must be persisted by the caller (it
+    * is consumed three times).
+    */
+  private def admitCore(incoming: DataFrame, bands: DataFrame,
+                        seenBands: DataFrame): DataFrame = {
+    val seenHit = bands
+      .join(seenBands.select(col("band"), col("bkey")).dropDuplicates("band", "bkey"),
+        Seq("band", "bkey"), "left_semi")
+      .select(col("doc_id"))
+    // "collides with a smaller-id sibling of its own batch" is exactly
+    // `doc_id > min(doc_id)` within the bucket — a partial-agg groupBy
+    // plus a 1:1 lookup join, O(n) in batch band rows. The former
+    // pairwise bucket self-join enumerated all (smaller, larger) pairs
+    // and went quadratic on a boilerplate-heavy increment (one hot
+    // bucket of k near-identical docs → k²/2 pairs); the min-based
+    // form reduces the same hot bucket to one aggregated row.
+    val batchHit = bands
+      .join(bands.groupBy(col("band"), col("bkey"))
+          .agg(min(col("doc_id")).as("_min_id")),
+        Seq("band", "bkey"))
+      .filter(col("doc_id") > col("_min_id"))
+      .select(col("doc_id"))
+    val rejected = seenHit.unionAll(batchHit).distinct()
+    incoming.join(rejected, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true)
+  }
+
+  /** Admission against a PERSISTED, partition-pruned band state: the
+    * state-directory form of [[incrementalNearDup]]. When the state was
+    * written by [[writeBandState]] (partitioned by `band`/`bpfx`), the
+    * read is pruned to the cells the incoming batch actually probes —
+    * ≤ nBands × statePrefixes cells, typically far fewer for a
+    * micro-batch — so each admission scans O(batch-cell) state files
+    * instead of the whole accumulated corpus state (the
+    * [[VectorIndex]] nprobe-pruning discipline applied to dedup state).
+    * Pruning is exact, not approximate: a state row in a cell the batch
+    * never probes shares no (band, bkey) with the batch by construction
+    * and so could never collide. Legacy flat-layout states fall back to
+    * a full read with identical semantics.
+    *
+    * @param excludeIds replay-safety subtraction for at-least-once
+    *        callers (see [[graft.streaming.Streams.nearDedupPipeline]]):
+    *        state rows with these doc_ids are ignored. A replayed doc's
+    *        own persisted bands hash into exactly the cells it probes,
+    *        so the subtraction composes correctly with pruning.
+    */
+  def incrementalNearDupFromState(spark: org.apache.spark.sql.SparkSession,
+                                  incoming: DataFrame, stateDir: String,
+                                  w: Int = 3, numHashes: Int = 8,
+                                  bandWidth: Int = 2,
+                                  excludeIds: Option[DataFrame] = None): DataFrame = {
+    val bands = bandTable(incoming, w, numHashes, bandWidth).persist()
     try {
-      val seenHit = bands
-        .join(seenBands.select(col("band"), col("bkey")).dropDuplicates("band", "bkey"),
-          Seq("band", "bkey"), "left_semi")
-        .select(col("doc_id"))
-      // "collides with a smaller-id sibling of its own batch" is exactly
-      // `doc_id > min(doc_id)` within the bucket — a partial-agg groupBy
-      // plus a 1:1 lookup join, O(n) in batch band rows. The former
-      // pairwise bucket self-join enumerated all (smaller, larger) pairs
-      // and went quadratic on a boilerplate-heavy increment (one hot
-      // bucket of k near-identical docs → k²/2 pairs); the min-based
-      // form reduces the same hot bucket to one aggregated row.
-      val batchHit = bands
-        .join(bands.groupBy(col("band"), col("bkey"))
-            .agg(min(col("doc_id")).as("_min_id")),
-          Seq("band", "bkey"))
-        .filter(col("doc_id") > col("_min_id"))
-        .select(col("doc_id"))
-      val rejected = seenHit.unionAll(batchHit).distinct()
-      incoming.join(rejected, Seq("doc_id"), "left_anti")
-        .localCheckpoint(eager = true)
+      val seen0 = readBandState(spark, stateDir, bands)
+      requireStateLayout(seen0, "seen band table",
+        Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth))
+      val seen = excludeIds.fold(seen0)(ids =>
+        seen0.join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      admitCore(incoming, bands, seen)
     } finally bands.unpersist(blocking = false)
   }
 

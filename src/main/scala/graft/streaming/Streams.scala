@@ -257,23 +257,31 @@ object Streams {
         val ids = batch.select(col("doc_id"))
         val stateExists =
           java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir))
-        val seen =
-          if (stateExists)
-            s.read.parquet(stateDir).join(ids, Seq("doc_id"), "left_anti")
-          else // empty stamped state: within-batch admission only
-            graft.ext.Dedup.bandTable(batch.limit(0), w, numHashes, bandWidth)
         // eagerly checkpointed by the operator — stable across the two
-        // writes below (no lineage recompute drift between state & sink)
+        // writes below (no lineage recompute drift between state & sink).
+        // The state read is PRUNED to the cells the batch probes
+        // (Dedup.readBandState): admission scans O(batch-cells) state
+        // files per micro-batch, not the whole accumulated corpus state.
         val admitted =
-          graft.ext.Dedup.incrementalNearDup(batch, seen, w, numHashes, bandWidth)
+          if (stateExists)
+            graft.ext.Dedup.incrementalNearDupFromState(s, batch, stateDir,
+              w, numHashes, bandWidth, excludeIds = Some(ids))
+          else // empty stamped state: within-batch admission only
+            graft.ext.Dedup.incrementalNearDup(batch,
+              graft.ext.Dedup.bandTable(batch.limit(0), w, numHashes, bandWidth),
+              w, numHashes, bandWidth)
         val newBands = graft.ext.Dedup.bandTable(admitted, w, numHashes, bandWidth)
+          .localCheckpoint(eager = true) // consumed by anti-join probe + write
         val delta =
           if (stateExists)
             newBands.join(
-              s.read.parquet(stateDir).select(col("doc_id"), col("band")),
+              graft.ext.Dedup.readBandState(s, stateDir, newBands)
+                .select(col("doc_id"), col("band")),
               Seq("doc_id", "band"), "left_anti")
           else newBands
-        delta.write.mode("append").parquet(stateDir)
+        if (stateExists)
+          graft.ext.Dedup.appendBandsLayoutMatched(s, stateDir, delta)
+        else graft.ext.Dedup.writeBandState(delta, stateDir, "append")
         admitted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .trigger(Trigger.AvailableNow())

@@ -341,6 +341,62 @@ class DedupSpec extends AnyFunSuite {
       f"capped verified flood took $secs%.1f s — pair generation is not bounded")
   }
 
+  test("partitioned band state: admission scans only the batch's probed cells") {
+    val docs = Tables.documents(spark, sfDir)
+    val seen = docs.filter(col("doc_id") % 4 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 4 === 0 && col("doc_id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft-band-state-").toString + "/bands"
+    Dedup.writeBandState(
+      Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2),
+      dir, mode = "errorifexists")
+    val totalFiles = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    val probe = Dedup.bandTable(incoming, w = 5, numHashes = 8, bandWidth = 2)
+    val readFiles = Dedup.readBandState(spark, dir, probe)
+      .select(input_file_name()).distinct().count()
+    info(s"admission scan read $readFiles of $totalFiles state files")
+    assert(readFiles < totalFiles,
+      s"a ${incoming.count()}-doc micro-batch read all $totalFiles state files — " +
+        "the band/bpfx partition layout is not pruning")
+    // pruning is EXACT: state-dir admission equals admission against the
+    // full state read — no colliding row may be pruned away.
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val pruned = ids(Dedup.incrementalNearDupFromState(spark, incoming, dir,
+      w = 5, numHashes = 8, bandWidth = 2))
+    val full = ids(Dedup.incrementalNearDup(incoming, spark.read.parquet(dir),
+      w = 5, numHashes = 8, bandWidth = 2))
+    assert(pruned === full, "pruned-state admission diverged from full-state admission")
+    // layout-matched append: after appending the incoming docs' own
+    // bands, re-admitting the same docs (no excludeIds) must reject
+    // every doc that HAS bands — its state rows now collide with it.
+    Dedup.appendBandState(spark, dir, incoming, w = 5, numHashes = 8, bandWidth = 2)
+    val after = ids(Dedup.incrementalNearDupFromState(spark, incoming, dir,
+      w = 5, numHashes = 8, bandWidth = 2))
+    val banded = ids(probe.select("doc_id").distinct())
+    assert(after.intersect(banded).isEmpty,
+      s"docs ${after.intersect(banded)} were re-admitted although their own " +
+        "bands are in the appended state — the append is invisible to pruned reads")
+    assert(spark.read.parquet(dir).columns.contains("bpfx"),
+      "append flattened a partitioned state")
+  }
+
+  test("legacy flat band state still reads fully and appends flat") {
+    val docs = Tables.documents(spark, sfDir)
+    val seen = docs.filter(col("doc_id") % 4 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 4 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-band-flat-").toString + "/bands"
+    Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2).write.parquet(dir)
+    val probe = Dedup.bandTable(incoming, w = 5, numHashes = 8, bandWidth = 2)
+    assert(Dedup.readBandState(spark, dir, probe).count() ===
+      spark.read.parquet(dir).count(),
+      "flat legacy state must fall back to a full read")
+    Dedup.appendBandState(spark, dir, incoming.limit(2),
+      w = 5, numHashes = 8, bandWidth = 2)
+    assert(!spark.read.parquet(dir).columns.contains("bpfx"),
+      "append must not mix partitioned files into a flat state")
+  }
+
   test("maxPartners at a cap >= every bucket equals the exact default") {
     val docs = Tables.documents(spark, sfDir)
     val seenSrc = (0 to 9).map(i => s"src$i")
