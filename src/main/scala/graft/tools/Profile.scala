@@ -50,6 +50,51 @@ object Profile {
       time("cached count")(tri.count())
       spark.stop(); return
     }
+    if (args.contains("--joinrestart")) {
+      // per-pass pricing of stream_join_restart (VERDICT r10 item 4):
+      // the restart harness decomposed into stage-data / pass-1 / stage /
+      // pass-2 / read-back walls, with Structured Streaming's own
+      // per-batch durationMs + state-store metrics attributing each
+      // pass's time to source IO (getBatch/latestOffset), execution
+      // (addBatch), planning, and checkpoint IO (walCommit +
+      // commitOffsets + state commits).
+      val tmp = java.nio.file.Files.createTempDirectory("graft-joinrestart-prof-").toString
+      val src = s"$tmp/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      val feed = Tables.eventsRaw(spark, sfDir)
+      val b = feed.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      def pass(label: String, sch: org.apache.spark.sql.types.StructType): Unit = {
+        val t0 = System.nanoTime()
+        val q = graft.streaming.Streams.intervalJoinPipeline(
+          spark, sch, src, s"$tmp/out", s"$tmp/ck", prepare = Tables.normalizeTs)
+        q.awaitTermination()
+        println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        q.recentProgress.foreach { p =>
+          val d = p.durationMs
+          println(s"[profile]   batch=${p.batchId} rows=${p.numInputRows} " +
+            s"addBatch=${d.get("addBatch")}ms getBatch=${d.get("getBatch")}ms " +
+            s"latestOffset=${d.get("latestOffset")}ms planning=${d.get("queryPlanning")}ms " +
+            s"walCommit=${d.get("walCommit")}ms commitOffsets=${d.get("commitOffsets")}ms " +
+            s"trigger=${d.get("triggerExecution")}ms")
+          p.stateOperators.foreach(so =>
+            println(s"[profile]     state rows=${so.numRowsTotal} " +
+              s"updated=${so.numRowsUpdated} updateMs=${so.allUpdatesTimeMs} " +
+              s"removeMs=${so.allRemovalsTimeMs} commitMs=${so.commitTimeMs}"))
+        }
+      }
+      time("stage pass1 data")(feed.filter(unix_micros(col("ts")) < mid)
+        .coalesce(1).write.mode("append").parquet(src))
+      val sch = spark.read.parquet(src).schema
+      pass("pass1 (cold checkpoint)", sch)
+      time("stage pass2 data")(feed.filter(unix_micros(col("ts")) >= mid)
+        .coalesce(1).write.mode("append").parquet(src))
+      pass("pass2 (restored state)", sch)
+      time("readback sink")(println("[profile] sink rows=" +
+        spark.read.parquet(s"$tmp/out").count()))
+      graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
+      spark.stop(); return
+    }
     time(s"$name run1")(SparkEntry.queries(name)(spark, sfDir).count())
     time(s"$name run2")(SparkEntry.queries(name)(spark, sfDir).count())
     if (args.contains("--explain"))
