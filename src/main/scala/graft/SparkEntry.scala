@@ -1013,14 +1013,15 @@ object SparkEntry {
 
     "stats_sketches_bounds" -> ((s, d) =>
       // the raw sketch profile (Sketches.eventTypeProfile) is
-      // engine-specific — no DuckDB restatement exists, so it is NOT
-      // registered as a driver query (round 10: the unverifiable
-      // rows-only variant was dropped so the driver surface is
-      // 100% hash-checkable; SketchesSpec still pins the raw profile's
-      // bounded-error agreement with exact answers). This bounds form
-      // carries the oracle contract: exact companions plus
-      // bounded-error verdict flags the oracle expects to be TRUE — a
-      // sketch out of bounds fails the hash match.
+      // engine-specific — no DuckDB restatement of its HLL/KLL values
+      // exists, so the raw VALUES are not oracle-comparable. The
+      // driver-checked contract is this bounds form, which since round
+      // 11 CONSUMES eventTypeProfile's own output (not a parallel
+      // restatement of its aggregates) and joins exact companions with
+      // bounded-error verdict flags the oracle expects TRUE — so a
+      // regression in the raw profile itself (changed rsd/accuracy/
+      // columns, broken sketch) fails this hash check at the driver,
+      // not only SketchesSpec.
       ext.Sketches.profileBounds(Tables.events(s, d))
         .orderBy("event_type")),
 

@@ -166,23 +166,27 @@ object Sketches {
     * within the exact inter-quartile / p90–max brackets — generous for
     * n/2000 rank error, tight enough to catch a broken sketch.
     */
-  def profileBounds(events: DataFrame): DataFrame =
-    events.groupBy(col("event_type"))
+  def profileBounds(events: DataFrame): DataFrame = {
+    // The sketch columns come from the RAW profile itself — the exact
+    // function users call — not from a parallel restatement of its agg
+    // expressions, so the driver's hash check covers eventTypeProfile:
+    // a regression in the raw profile (changed rsd, accuracy, column)
+    // fails THIS query, not only a ScalaTest bound (VERDICT r10 item 5).
+    val raw = eventTypeProfile(events)
+    val exact = events.groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
-        percentile_approx(col("value"), lit(0.5), lit(2000)).as("p50"),
-        percentile_approx(col("value"), lit(0.95), lit(2000)).as("p95"),
         expr("percentile(value, 0.25)").as("ep25"),
         expr("percentile(value, 0.75)").as("ep75"),
         expr("percentile(value, 0.90)").as("ep90"),
         max(col("value")).as("emax"))
+    raw.join(exact, Seq("event_type"))
       .select(col("event_type"), col("n_events"), col("exact_users"),
-        (abs(col("au") - col("exact_users")).cast("double") <=
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
           col("exact_users").cast("double") * 0.05).as("hll_ok"),
-        (col("p50") >= col("ep25") && col("p50") <= col("ep75")).as("p50_ok"),
-        (col("p95") >= col("ep90") && col("p95") <= col("emax")).as("p95_ok"))
+        (col("p50_value") >= col("ep25") && col("p50_value") <= col("ep75")).as("p50_ok"),
+        (col("p95_value") >= col("ep90") && col("p95_value") <= col("emax")).as("p95_ok"))
+  }
 
   /** Row j's bucket for an item: md5-derived 32-bit hash mod `width` —
     * the same engine-portable hash family as [[graft.ext.Dedup.hash32]],
