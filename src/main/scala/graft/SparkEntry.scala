@@ -1,5757 +1,47 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.silver.Silver
-import graft.gold.Gold
-import graft.bronze.Bronze
-import graft.enrich.Enrich
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every query returns a deterministically ORDER BY-ed result whose
   * fractional columns are derived from exact integer partials (SURVEY §7
   * oracle-parity discipline), so the DuckDB comparison is bit-exact.
+  *
+  * The registry itself lives in per-family objects under
+  * [[graft.registry]] (split in round 11 for maintainability); this
+  * object merges them and guards against a silent key collision — `++`
+  * would otherwise let one family's entry shadow another's.
   */
 object SparkEntry {
-
-  /** Exact-cents money partial — SUM of per-row round(x*100) longs, the
-    * oracle-parity discipline (integer partials; any fractional output is
-    * ONE final division of exact ints). Single definition for every
-    * query that aggregates money.
-    */
-  private def centsSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(round(c * 100).cast("long"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("gold_daily_summary")(spark, "/root/testdata/sf0.001")
 
-  // ---- shared oracle SQL fragments -------------------------------------
-
-  /** dim_date as a DuckDB CTE body (reference load_dim_date,
-    * silver_load.sql:137-183). Kept as one string so every mart oracle
-    * inlines the identical definition.
-    */
-  private val dimDateSql =
-    """bounds AS (
-      |  SELECT least((SELECT CAST(min(o_orderdate) AS DATE) FROM orders),
-      |               (SELECT CAST(min(l_shipdate) AS DATE) FROM lineitem)) AS lo,
-      |         greatest((SELECT CAST(max(o_orderdate) AS DATE) FROM orders),
-      |                  (SELECT CAST(max(l_shipdate) AS DATE) FROM lineitem)) AS hi
-      |), days AS (
-      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS cal_date FROM bounds
-      |), dim_date AS (
-      |  SELECT CAST(year(cal_date)*10000 + month(cal_date)*100 + day(cal_date) AS INTEGER) AS date_id,
-      |         cal_date,
-      |         CAST(year(cal_date) AS INTEGER) AS year,
-      |         CAST(month(cal_date) AS INTEGER) AS month,
-      |         monthname(cal_date) AS month_name,
-      |         CAST(day(cal_date) AS INTEGER) AS day,
-      |         CAST(quarter(cal_date) AS INTEGER) AS quarter,
-      |         CAST(dayofweek(cal_date) AS INTEGER) AS day_of_week,
-      |         dayname(cal_date) AS day_name,
-      |         dayofweek(cal_date) IN (0,6) AS is_weekend
-      |  FROM days
-      |)""".stripMargin
-
-  // ---- queries ---------------------------------------------------------
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "silver_dim_station" -> ((s, d) =>
-      Silver.dimStation(Tables.nation(s, d), Tables.region(s, d),
-          Tables.customer(s, d), Tables.supplier(s, d))
-        .orderBy("nationkey")),
-
-    "silver_dim_user" -> ((s, d) =>
-      Silver.dimUser(Tables.customer(s, d), Tables.orders(s, d))
-        .orderBy(col("mktsegment"), col("orderstatus"),
-          col("priority_rank").asc_nulls_last)),
-
-    "silver_dim_date" -> ((s, d) =>
-      Silver.dimDate(Tables.orders(s, d), Tables.lineitem(s, d))
-        .orderBy("date_id")),
-
-    "silver_fact_trips" -> ((s, d) =>
-      Silver.factTrips(Tables.lineitem(s, d), Tables.orders(s, d),
-          Tables.customer(s, d), Tables.supplier(s, d))
-        .orderBy("trip_id")),
-
-    "gold_daily_summary" -> ((s, d) =>
-      Gold.dailyTripSummary(Tables.lineitem(s, d), Tables.orders(s, d),
-          Silver.dimDate(Tables.orders(s, d), Tables.lineitem(s, d)))
-        .orderBy("cal_date")),
-
-    "gold_station_popularity" -> ((s, d) =>
-      Gold.stationPopularity(Tables.lineitem(s, d), Tables.orders(s, d),
-          Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))
-        .orderBy("nationkey")),
-
-    "gold_popular_routes" -> ((s, d) =>
-      Gold.popularRoutes(Tables.lineitem(s, d), Tables.orders(s, d),
-          Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))
-        .orderBy("route_id")),
-
-    "gold_rollup_summary" -> ((s, d) =>
-      // hierarchical totals beyond the reference surface: ROLLUP over
-      // (year, month) with grouping markers — subtotal rows null-fill the
-      // rolled-up keys, exactly as in ANSI SQL.
-      Tables.orders(s, d)
-        .select(year(col("o_orderdate")).as("o_year"),
-          month(col("o_orderdate")).as("o_month"),
-          col("o_totalprice"))
-        .rollup(col("o_year"), col("o_month"))
-        .agg(count(lit(1)).as("n_orders"),
-          grouping(col("o_year")).cast("int").as("g_year"),
-          grouping(col("o_month")).cast("int").as("g_month"),
-          (centsSum(col("o_totalprice")).cast("double") /
-            lit(100.0)).as("total_price"))
-        .orderBy(col("g_year"), col("g_month"),
-          col("o_year").asc_nulls_last, col("o_month").asc_nulls_last)),
-
-    "silver_set_ops" -> ((s, d) => {
-      // INTERSECT / EXCEPT (absent from the reference — completing the
-      // relational surface): customers with both pending and final
-      // orders, and customers with final but never pending.
-      val o = Tables.orders(s, d)
-      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
-      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
-      p.intersect(f).withColumn("tag", lit("both"))
-        .union(f.except(p).withColumn("tag", lit("f_only")))
-        .orderBy("tag", "o_custkey")
-    }),
-
-    "gold_hourly_summary" -> ((s, d) =>
-      // the reference mart's hour dimension (gold_ddl.sql:13 EXTRACT hour)
-      // plus the TIME-of-day representation decided in SURVEY §7:
-      // seconds since midnight as an int.
-      Tables.events(s, d)
-        .withColumn("event_date", to_date(col("ts")))
-        .withColumn("start_hour", hour(col("ts")))
-        .withColumn("tod_sec",
-          hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts")))
-        .groupBy(col("event_date"), col("start_hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("tod_sec")).as("first_tod_sec"),
-          max(col("tod_sec")).as("last_tod_sec"),
-          (centsSum(col("value")).cast("double") /
-            lit(100.0)).as("total_value"))
-        .orderBy("event_date", "start_hour", "event_type")),
-
-    "gold_user_behavior" -> ((s, d) =>
-      Gold.userBehavior(Tables.orders(s, d), Tables.customer(s, d))
-        .orderBy("c_mktsegment", "o_orderstatus", "order_age_years")),
-
-    "gold_station_view" -> ((s, d) =>
-      Gold.stationPopularityView(
-          Gold.stationPopularity(Tables.lineitem(s, d), Tables.orders(s, d),
-            Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d)))
-        .orderBy("station_code")),
-
-    "gold_daily_view" -> ((s, d) =>
-      Gold.dailySummaryView(
-          Gold.dailyTripSummary(Tables.lineitem(s, d), Tables.orders(s, d),
-            Silver.dimDate(Tables.orders(s, d), Tables.lineitem(s, d))))
-        .orderBy("trip_date")),
-
-    "gold_routes_view" -> ((s, d) =>
-      Gold.popularRoutesView(
-          Gold.popularRoutes(Tables.lineitem(s, d), Tables.orders(s, d),
-            Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d)))
-        .orderBy("route")),
-
-    "gold_user_view" -> ((s, d) =>
-      Gold.userBehaviorView(
-          Gold.userBehavior(Tables.orders(s, d), Tables.customer(s, d)))
-        .orderBy("segment", "status", "age_years")),
-
-    "gold_daily_summary_warehouse" -> ((s, d) => {
-      // the same mart off the PERSISTED star: rolls up from the stored
-      // fact (NO join at refresh beyond the broadcast calendar — the
-      // l⋈o shuffle was paid once, into fact_trips) and a stored
-      // calendar instead of two per-refresh full-bounds scans. Same rows
-      // as gold_daily_summary.
-      val star = graft.plans.Warehouse.ensure(s, d)
-      Gold.dailySummaryFromStar(star.factTrips, star.dimDate)
-        .orderBy("cal_date")
-    }),
-
-    "bronze_csv_ingest" -> ((s, d) => {
-      // S3/S5 end-to-end over a checked-in CSV fixture: header scan with
-      // an explicit schema (never inference — that is a full extra pass),
-      // filename-derived period column inside the scan stage, then the
-      // usual cents-exact aggregation. The DuckDB oracle reads the same
-      // files with read_csv(filename=true).
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("trip_id", LongType), StructField("station", StringType),
-        StructField("qty", IntegerType), StructField("price", DoubleType)))
-      Bronze.scanCsvWithPeriod(s, schema, "/root/repo/fixtures/trips_*.csv")
-        .groupBy(col("period"), col("station"))
-        .agg(count(lit(1)).as("n_trips"),
-          sum(col("qty")).cast("long").as("total_qty"),
-          (centsSum(col("price")).cast("double") /
-            lit(100.0)).as("total_price"))
-        .orderBy("period", "station")
-    }),
-
-    "enrich_geocode_json" -> ((s, d) => {
-      // the reference's geocode table round trip (get_locations.py:71-107
-      // + silver_load.sql:42-44): raw JSON response per user → from_json
-      // struct → insert-if-absent against the already-geocoded set → the
-      // full dim joined back to an events aggregate.
-      val ev = Tables.events(s, d)
-      val users = ev.select(col("user_id")).distinct()
-      val code = Enrich.syntheticGeoCodeCol(col("user_id"))
-      val raw = users.withColumn("payload", concat(
-        lit("{\"place_id\": "), col("user_id"),
-        lit(", \"display_name\": \"geo_"), code,
-        lit("\", \"address\": {\"city\": \"city_"), code % 10,
-        lit("\", \"country\": \"country_"), code % 5,
-        lit("\"}}")))
-      val parsed = Enrich.parseGeocode(raw)
-      val existing = parsed.filter(col("user_id") % 3 === 0)
-      val inserted = Enrich.insertIfAbsent(parsed, existing, Seq("user_id"))
-      val dim = existing.unionByName(inserted)
-      ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-        .join(dim, Seq("user_id"))
-        .select(col("user_id"), col("n_events"), col("geo_name"),
-          col("city"), col("country"))
-        .orderBy("user_id")
-    }),
-
-    "dedup_embedding_lsh" -> ((s, d) =>
-      Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, d), threshold = 0.42)
-        .orderBy("i", "j")),
-
-    "dedup_incremental" -> ((s, d) => {
-      // batch-over-batch dedup: replays of already-seen content are
-      // anti-joined out against the persisted hash set; in-batch copies
-      // collapse to the smallest doc_id.
-      val docs = Tables.documents(s, d)
-      val firstHalf = docs.filter(col("doc_id") < 250)
-      val secondHalf = docs.filter(col("doc_id") >= 250)
-      val incoming = secondHalf
-        .unionByName(firstHalf.withColumn("doc_id", col("doc_id") + 10000))
-        .unionByName(secondHalf.withColumn("doc_id", col("doc_id") + 20000))
-      val seen = firstHalf.select(md5(col("text")).as("content_hash"))
-      Dedup.incrementalExact(incoming, seen)
-        .select(col("doc_id"), col("content_hash"))
-        .orderBy("doc_id")
-    }),
-
-    "corpus_split_assign" -> ((s, d) =>
-      // deterministic hash-bucket train/val/test assignment — stable per
-      // document across runs/cluster sizes, never rand().
-      ext.Corpus.splitAssign(Tables.documents(s, d))
-        .select(col("doc_id"), col("bucket"), col("split"))
-        .orderBy("doc_id")),
-
-    "corpus_redact" -> ((s, d) =>
-      ext.Corpus.redact(Tables.documents(s, d))
-        .select(col("doc_id"), col("clean_text"), col("was_redacted"))
-        .orderBy("doc_id")),
-
-    "corpus_sample_stratified" -> ((s, d) => {
-      // 20% per-language deterministic sample, reported against totals.
-      val docs = Tables.documents(s, d)
-      val sampled = ext.Corpus.stratifiedSample(docs, "doc_id", keepPerMille = 200)
-        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
-      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
-        .join(sampled, Seq("lang"), "left")
-        .select(col("lang"), col("n_total"),
-          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
-        .orderBy("lang")
-    }),
-
-    "corpus_sample_weighted" -> ((s, d) =>
-      // quality-proportional data selection: admission probability =
-      // n_chars / max(n_chars), decided by an exact integer hash compare
-      // (no floats) — better documents survive downsampling more often,
-      // membership is a pure (salt, id) function.
-      ext.Corpus.weightedSample(Tables.documents(s, d), "doc_id", "n_chars")
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")),
-
-    "corpus_mix_sources" -> ((s, d) =>
-      ext.Corpus.mixSources(Tables.documents(s, d), "source", "doc_id",
-          Map("src0" -> 800, "src1" -> 500, "src2" -> 200, "src3" -> 100))
-        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-        .orderBy("source")),
-
-    "corpus_shuffle_shards" -> ((s, d) =>
-      // reproducible training shuffle: dense global positions in salted-
-      // hash order via the two-phase prefix-sum scan (no single-task
-      // global window), packed into 64-doc shards.
-      ext.Corpus.shuffleShards(Tables.documents(s, d), "doc_id",
-          salt = "epoch0", shardSize = 64)
-        .orderBy("position")),
-
-    "corpus_domain_cap" -> ((s, d) =>
-      // per-domain cap: each source keeps its 15 BEST documents by
-      // quality score — exact two-phase top-N (salt-bucket pre-rank
-      // bounds every window to cap-bounded data, killing the
-      // dominant-source reducer skew the cap itself exists to fight).
-      ext.Corpus.capPerSource(Tables.documents(s, d), cap = 15)
-        .orderBy("source", "q_rank")),
-
-    "bronze_clean_events" -> ((s, d) =>
-      Bronze.cleanEvents(Tables.events(s, d)).drop("ts")
-        .orderBy("event_id")),
-
-    "bronze_upsert_anti" -> ((s, d) =>
-      // insert-if-absent: customers with no pending order yet — the rows
-      // an upsert would insert (reference ON CONFLICT DO NOTHING, S7/J11).
-      Enrich.insertIfAbsent(
-          Tables.customer(s, d).select(col("c_custkey")),
-          Tables.orders(s, d).filter(col("o_orderstatus") === "P")
-            .select(col("o_custkey").as("c_custkey")),
-          Seq("c_custkey"))
-        .orderBy("c_custkey")),
-
-    "bronze_incremental" -> ((s, d) =>
-      Bronze.newSince(Tables.events(s, d), "ts", "2024-01-15 00:00:00")
-        .groupBy(to_date(col("ts")).as("event_date"))
-        .agg(count(lit(1)).as("n_events"),
-          (centsSum(col("value")).cast("double") /
-            lit(100.0)).as("total_value"))
-        .orderBy("event_date")),
-
-    "enrich_props_json" -> ((s, d) =>
-      Enrich.propsStats(Tables.events(s, d))
-        .orderBy("event_type")),
-
-    "bronze_file_source" -> ((s, d) =>
-      // file-name derivation must stay inside the scan stage: eventsRaw,
-      // not the repartitioned events (input_file_name() is '' post-shuffle).
-      Bronze.withSourceFile(Tables.eventsRaw(s, d))
-        .groupBy(col("source_file"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("source_file")),
-
-    "enrich_geocode" -> ((s, d) =>
-      Enrich.geocodeUsers(s, Tables.events(s, d).select(col("user_id")).distinct())
-        .orderBy("user_id")),
-
-    "text_token_stats" -> ((s, d) =>
-      TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy("doc_id")),
-
-    "text_top_tokens" -> ((s, d) =>
-      TextAnalysis.topTokens(Tables.documents(s, d), 20)),
-
-    "text_quality" -> ((s, d) =>
-      TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id")),
-
-    "text_fingerprint" -> ((s, d) =>
-      TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
-
-    "text_tfidf" -> ((s, d) =>
-      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
-        .orderBy("doc_id", "rnk")),
-
-    "text_langid" -> ((s, d) =>
-      TextAnalysis.languageId(s, Tables.documents(s, d)).orderBy("doc_id")),
-
-    "text_simhash" -> ((s, d) =>
-      Dedup.simhash16(Tables.documents(s, d)).orderBy("doc_id")),
-
-    "dedup_exact" -> ((s, d) =>
-      Dedup.exact(Tables.documents(s, d)).orderBy("keeper")),
-
-    "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(Tables.documents(s, d), w = 5, threshold = 0.8)
-        .orderBy("d1", "d2")),
-
-    "dedup_repeated_spans" -> ((s, d) =>
-      // exact-substring-style span dedup at 8-token granularity: which
-      // tokens of each document are cross-corpus boilerplate. Localizes
-      // shared spans that whole-doc similarity (jaccard/minhash) cannot.
-      Dedup.repeatedSpans(Tables.documents(s, d), w = 8, minDocs = 2)
-        .orderBy("doc_id")),
-
-    "dedup_clusters" -> ((s, d) =>
-      // pairwise matches → dedup clusters (cluster id = canonical keeper).
-      // Pairs come from the CHEAP banded MinHash path (already eagerly
-      // materialized by minhashLsh, so the CC loop never re-runs the pair
-      // pipeline); at warehouse scale the pair list is a staged table and
-      // this operator reads it back — the API takes any pairs frame.
-      Dedup.clusterPairs(
-          Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
-            bandWidth = 2, threshold = 0.5))
-        .orderBy("doc_id")),
-
-    "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
-          bandWidth = 2, threshold = 0.5)
-        .orderBy("d1", "d2")),
-
-    "dedup_lsh_capped" -> ((s, d) =>
-      // the SKEW-GUARDED form of dedup_minhash_lsh: band buckets larger
-      // than 2 members are excluded from candidate generation — at
-      // corpus scale one boilerplate bucket can emit more pairs than
-      // the rest of the join combined and stall its reducer; capped
-      // members stay discoverable through their other bands. The cap
-      // BINDS on this corpus (size-3 buckets exist), so the oracle
-      // checks the exclusion semantics, not a no-op.
-      Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
-          bandWidth = 2, threshold = 0.5, maxBucketSize = 2)
-        .orderBy("d1", "d2")),
-
-    "dedup_keep_best" -> ((s, d) => {
-      // cluster retention by QUALITY: each near-dup cluster keeps its
-      // highest-quality member (n_chars as the quality proxy; ties to
-      // the smaller id) — the keep-the-best-copy policy, as a partial
-      // aggregation so only |clusters| rows shuffle.
-      val docs = Tables.documents(s, d)
-      Dedup.keepBestPerCluster(
-          Dedup.clusterPairs(Dedup.minhashLsh(docs, w = 5, numHashes = 8,
-            bandWidth = 2, threshold = 0.5)),
-          docs.select(col("doc_id"), col("n_chars")), "n_chars")
-        .orderBy("cluster_id")
-    }),
-
-    "dedup_incremental_near" -> ((s, d) => {
-      // batch-over-batch near-dup admission: src0-9 play the accumulated
-      // corpus (its PERSISTED band table is the state), src10-19 the
-      // incoming batch; an incoming doc colliding with any seen band
-      // bucket is rejected. Candidate-level by design (see scaladoc).
-      val docs = Tables.documents(s, d)
-      val seenSrc = (0 to 9).map(i => s"src$i")
-      val seen = docs.filter(col("source").isin(seenSrc: _*))
-      val incoming = docs.filter(!col("source").isin(seenSrc: _*))
-      Dedup.incrementalNearDup(incoming,
-          Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2),
-          w = 5, numHashes = 8, bandWidth = 2)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
-    }),
-
-    "dedup_incremental_near_verified" -> ((s, d) => {
-      // VERIFIED batch-over-batch admission: a band collision only
-      // nominates a candidate — rejection additionally requires the
-      // estimated Jaccard against the colliding doc's persisted minhash
-      // signature to clear 0.5. Admits a superset of the candidate-level
-      // query above (DedupSpec measures the bought-back false-reject
-      // rate); state is bands + signatures, still never documents.
-      val docs = Tables.documents(s, d)
-      val seenSrc = (0 to 9).map(i => s"src$i")
-      val seen = docs.filter(col("source").isin(seenSrc: _*))
-      val incoming = docs.filter(!col("source").isin(seenSrc: _*))
-      // the seen-side shingle→minhash pipeline runs ONCE: signatures are
-      // the state, bands a derived projection (what a warehouse persists
-      // vs recomputes); persist released after the eager checkpoint in
-      // the operator. MATERIALIZE the cache before anything reads it:
-      // bandTableFromSignatures and the operator's layout validation each
-      // run one-row probe jobs, and against a lazily-cached frame every
-      // probe re-ran a partial shingle→minhash pipeline (the r7 bench
-      // doubling) — one count() up front turns them all into cache reads.
-      val sigs = Dedup.signatureTable(seen, w = 5, numHashes = 8).persist()
-      sigs.count()
-      try Dedup.incrementalNearDupVerified(incoming,
-          Dedup.bandTableFromSignatures(sigs, bandWidth = 2),
-          sigs,
-          w = 5, numHashes = 8, bandWidth = 2, minEstJaccard = 0.5)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
-      finally sigs.unpersist(blocking = false)
-    }),
-
-    "dedup_state_append" -> ((s, d) => {
-      // the WRITE half of incremental admission, two batches deep: build
-      // and persist the seen corpus's band state, admit batch 1 against
-      // it, APPEND the admitted docs' bands to the state, then admit
-      // batch 2 against the UPDATED state. A batch-2 doc colliding with
-      // an ADMITTED batch-1 doc must be rejected — exactly what the
-      // append exists for; without it the state stops deduplicating
-      // against everything after the initial corpus.
-      val docs = Tables.documents(s, d)
-      val seenSrc = (0 to 9).map(i => s"src$i")
-      val b1Src = (10 to 14).map(i => s"src$i")
-      val seen = docs.filter(col("source").isin(seenSrc: _*))
-      val batch1 = docs.filter(col("source").isin(b1Src: _*))
-      val batch2 = docs.filter(!col("source").isin((seenSrc ++ b1Src): _*))
-      val tmp = TempDirs.create("graft-state-append-").toString
-      val stateDir = s"$tmp/bands"
-      // PARTITIONED state (band/bpfx cells): both admissions below read
-      // the state pruned to the cells their batch probes — the
-      // VectorIndex nprobe discipline applied to dedup state. Values
-      // are identical to a flat-state run (pruning is exact); the flat
-      // legacy path stays covered by dedup_state_retention.
-      Dedup.writeBandState(
-        Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2),
-        stateDir, mode = "errorifexists")
-      val adm1 = Dedup.incrementalNearDupFromState(s, batch1, stateDir,
-        w = 5, numHashes = 8, bandWidth = 2)
-      Dedup.appendBandState(s, stateDir, adm1,
-        w = 5, numHashes = 8, bandWidth = 2)
-      val adm2 = Dedup.incrementalNearDupFromState(s, batch2, stateDir,
-        w = 5, numHashes = 8, bandWidth = 2)
-      detachAndClean(
-        adm1.unionByName(adm2)
-          .select(col("doc_id"), col("source"), col("n_chars"))
-          .orderBy("doc_id"),
-        tmp)
-    }),
-
-    "dedup_state_retention" -> ((s, d) => {
-      // dedup-STATE lifecycle round-trip: build and PERSIST the band-table
-      // state for the accumulated corpus, remove a third of its documents
-      // (deleted / re-licensed out), run key-based retention over the
-      // state files (semi-join staged rewrite, ScaleOps.retainRows, via
-      // the object-store-safe POINTER promotion so resolve/migrate/prune
-      // are all driver-visible), then admit the incoming batch against the
-      // RETAINED state. The oracle computes admission against a seen-set
-      // that never contained the removed docs — pass ⟺ retention made
-      // them never-existed, which is exactly what a ghost state row (a
-      // rejection against a doc no longer in the corpus) would break.
-      val docs = Tables.documents(s, d)
-      val seenSrc = (0 to 9).map(i => s"src$i")
-      val seen = docs.filter(col("source").isin(seenSrc: _*))
-      val incoming = docs.filter(!col("source").isin(seenSrc: _*))
-      val tmp = TempDirs.create("graft-dedup-state-").toString
-      val stateDir = s"$tmp/bands"
-      Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2)
-        .repartition(8) // small state files — retention compacts them too
-        .write.parquet(stateDir)
-      val stagedFiles = s.read.parquet(stateDir)
-        .select(input_file_name()).distinct().count()
-      val survivors = seen.filter(col("doc_id") % 3 =!= 0)
-      graft.operators.ScaleOps.retainRows(s, stateDir,
-        survivors.select(col("doc_id")), Seq("doc_id"),
-        promotion = graft.operators.ScaleOps.PointerSwap)
-      val retained = graft.operators.ScaleOps.readMaintained(s, stateDir,
-        graft.operators.ScaleOps.PointerSwap)
-      val files = retained.select(input_file_name()).distinct().count()
-      require(files < stagedFiles,
-        s"retention rewrite should compact the $stagedFiles staged state " +
-          s"files, found $files")
-      detachAndClean(
-        Dedup.incrementalNearDup(incoming, retained,
-            w = 5, numHashes = 8, bandWidth = 2)
-          .select(col("doc_id"), col("source"), col("n_chars"))
-          .orderBy("doc_id"),
-        tmp)
-    }),
-
-    "silver_range_join" -> ((s, d) => {
-      // range (interval) join: customers against generated account-balance
-      // bands. The theta-BETWEEN join is the general form; for uniform
-      // bands the scale path rewrites it to an equi-join on
-      // floor(acctbal/width) — same result, no nested loop. Both sides
-      // derive the band table from the data (A3-style global bounds).
-      val cust = Tables.customer(s, d)
-      val bounds = cust.agg(
-        floor(min(col("c_acctbal")) / 1000).cast("long").as("lo"),
-        floor(max(col("c_acctbal")) / 1000).cast("long").as("hi"))
-      val bands = bounds.select(explode(sequence(col("lo"), col("hi"))).as("band"))
-        .select(col("band"), (col("band") * 1000).cast("double").as("band_lo"),
-          ((col("band") + 1) * 1000).cast("double").as("band_hi"))
-      cust.join(broadcast(bands),
-          col("c_acctbal") >= col("band_lo") && col("c_acctbal") < col("band_hi"))
-        .groupBy(col("band"), col("band_lo"), col("band_hi"))
-        .agg(count(lit(1)).as("n_customers"))
-        .orderBy("band")
-    }),
-
-    "silver_nearest" -> ((s, d) => {
-      // J12/F14: nearest-neighbor via cross join + argmin with a
-      // deterministic tie-break (the reference notebook's nearest-station).
-      // The cartesian is the reference's semantics (scale-safe ANN forms
-      // live in ext.Similarity); the ARGMIN, though, is a partial
-      // aggregation — min(struct(d2, key)) combines map-side, so only
-      // |suppliers| rows reach the shuffle instead of the former window
-      // sort moving every cross-join row.
-      // spread the STREAMED side: the planner broadcasts the smaller
-      // supplier relation, so the cross join's parallelism is the
-      // customer scan's — and single-row-group files give one task.
-      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
-      val cust = Tables.spread(
-        Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")))
-      sup.crossJoin(cust)
-        .withColumn("d2",
-          (col("s_acctbal") - col("c_acctbal")) * (col("s_acctbal") - col("c_acctbal")))
-        .groupBy(col("s_suppkey"))
-        // lexicographic struct min = (min d2, then min custkey): exactly
-        // the old row_number(ORDER BY d2, c_custkey) = 1 row.
-        .agg(min(struct(col("d2"), col("c_custkey"))).as("m"))
-        .select(col("s_suppkey"), col("m.c_custkey").as("nearest_custkey"),
-          col("m.d2").as("d2"))
-        .orderBy("s_suppkey")
-    }),
-
-    "bronze_domain_unnest" -> ((s, d) =>
-      // G3: literal-array unnest joined against observed counts, with a
-      // domain value absent from the data exercising the zero-fill path.
-      s.range(1).select(explode(array(
-          lit("click"), lit("error"), lit("purchase"), lit("refund"),
-          lit("signup"), lit("view"))).as("event_type"))
-        .join(Tables.events(s, d).groupBy(col("event_type"))
-            .agg(count(lit(1)).as("n")),
-          Seq("event_type"), "left")
-        .select(col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
-        .orderBy("event_type")),
-
-    "dedup_embedding_cosine" -> ((s, d) =>
-      Dedup.embeddingCosinePairs(Tables.embeddings(s, d), threshold = 0.42)
-        .orderBy("i", "j")),
-
-    "sim_topk_bruteforce" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy("qid", "rnk")
-    }),
-
-    "sim_topk_ivf" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy("qid", "rnk")
-    }),
-
-    "sim_topk_lsh" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy("qid", "rnk")
-    }),
-
-    "sim_ivf_nprobe_sweep" -> ((s, d) => {
-      // the IVF TUNING CURVE: recall@5 vs nprobe (1, 2, 4 of 16 cells)
-      // per query — the table a deployment builds to pick the
-      // IO-fraction/recall trade before setting the index's search
-      // parameter (nprobe/numCells IS the fraction of the corpus
-      // touched; the persisted-index analog is the DPP-pruned cell
-      // scan). Monotone in nprobe by construction; every point is
-      // deterministic and oracle-checked like sim_recall_eval.
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 5)
-      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
-        .select(col("qid"), col("cid"))
-      val base = q.select(col("vec_id").as("qid"))
-      Seq(1, 2, 4).map { np =>
-        val ivf = Similarity.ivfTopK(emb, q, k = 5, numCells = 16, nprobe = np)
-          .select(col("qid").as("iq"), col("cid").as("ic"))
-        val hits = brute
-          .join(ivf, col("qid") === col("iq") && col("cid") === col("ic"))
-          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-        base.join(hits, Seq("qid"), "left")
-          .select(lit(np).as("nprobe"), col("qid"),
-            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0))
-              .as("recall"))
-      }.reduce(_ unionByName _)
-        .orderBy("nprobe", "qid")
-    }),
-
-    "sim_recall_eval" -> ((s, d) => {
-      // ANN QUALITY as a first-class query — "measure, don't guess" for
-      // the recall trade every approximate index makes: recall@5 of the
-      // LSH path against the exact brute-force ranks, per query. This
-      // is the monitoring query a production vector store runs on a
-      // sampled query set after every index rebuild; both paths and the
-      // join are existing operators, so the metric is oracle-checkable
-      // end to end (the LSH misses are deterministic given the plane
-      // matrix — recall here is a REPRODUCIBLE number, not a vibe).
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 5)
-      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
-        .select(col("qid"), col("cid"))
-      val lsh = Similarity.lshTopK(emb, q, k = 5)
-        .select(col("qid").as("lq"), col("cid").as("lc"))
-      val hits = brute
-        .join(lsh, col("qid") === col("lq") && col("cid") === col("lc"))
-        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-      q.select(col("vec_id").as("qid"))
-        .join(hits, Seq("qid"), "left")
-        .select(col("qid"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0))
-            .as("recall"))
-        .orderBy("qid")
-    }),
-
-    "text_repetition" -> ((s, d) =>
-      // Gopher-style repetition filter signal: duplicated-trigram
-      // fraction per document; threshold it to drop boilerplate/spam.
-      TextAnalysis.repetitionStats(Tables.documents(s, d), n = 3)
-        .orderBy("doc_id")),
-
-    "text_bpe_merges" -> ((s, d) =>
-      // BPE tokenizer merge training, 4 rounds: each round counts
-      // adjacent symbol pairs (exact integer, weighted by word
-      // frequency), merges the argmax pair corpus-wide. The learned
-      // merge table is deterministic end to end (leftmost-nonoverlap
-      // literal replace, lexicographic tie-break), so the oracle
-      // unrolls the rounds like sim_ivf_kmeans.
-      TextAnalysis.bpeMerges(Tables.documents(s, d), rounds = 4)
-        .orderBy("round")),
-
-    "text_bpe_encode" -> ((s, d) =>
-      // the APPLY step of BPE: train 4 merges, then tokenize every
-      // document with them — per-doc token counts are what the trained
-      // table exists to produce. Encoding runs over the distinct-word
-      // vocab, never the corpus; the oracle unrolls the same 4 training
-      // rounds and the same replace chain.
-      TextAnalysis.bpeEncode(Tables.documents(s, d), rounds = 4)
-        .orderBy("doc_id")),
-
-    "text_bpe_tokenize" -> ((s, d) => {
-      // the full deployed-tokenizer lifecycle: train 4 merges, build the
-      // deterministic vocab (lexicographic stable ids), PERSIST it with
-      // the merge count stamped, then tokenize every document into its
-      // token-ID SEQUENCE against the loaded vocab. The sequence is
-      // serialized to a space-joined string for the compare (the driver
-      // sorts rows by column values — arrays don't sort); the oracle
-      // unrolls the same merges, the same id assignment, and the same
-      // (word pos, symbol pos) reassembly, so a wrong id, a dropped
-      // token, or an out-of-order sequence all hash-mismatch.
-      val docs = Tables.documents(s, d)
-      val merges = TextAnalysis.bpeMergeList(docs, rounds = 4)
-      val tmp = TempDirs.create("graft-bpevocab-").toString
-      TextAnalysis.bpeVocabWrite(
-        TextAnalysis.bpeVocab(docs, merges), s"$tmp/vocab", merges.length)
-      detachAndClean(
-        TextAnalysis.bpeTokenizeWith(docs, merges, s.read.parquet(s"$tmp/vocab"))
-          .select(col("doc_id"),
-            size(col("token_ids")).as("n_tokens"),
-            array_join(transform(col("token_ids"), _.cast("string")), " ")
-              .as("token_ids"))
-          .orderBy("doc_id"),
-        tmp)
-    }),
-
-    "sim_quantize_int8" -> ((s, d) =>
-      // symmetric per-vector int8 quantization, exploded layout — the
-      // 4x memory/IO lever for a billion-vector ANN index; spec bounds
-      // the induced cosine error.
-      Similarity.quantizeInt8(Tables.embeddings(s, d))
-        .orderBy("vec_id", "pos")),
-
-    "sim_ivf_refine" -> ((s, d) =>
-      // one Lloyd refinement iteration over the IVF coarse centroids, in
-      // fixed point (the corpus_embedding_centroids trick) — the k-means
-      // loop body production IVF runs, bit-exact across engines because
-      // the mean is one division of exact integer partials.
-      Similarity.ivfRefineStep(Tables.embeddings(s, d), numCells = 16)
-        .orderBy("cell", "pos")),
-
-    "sim_ivf_kmeans" -> ((s, d) =>
-      // the FULL k-means refinement loop: 3 Lloyd iterations (tol=0 so
-      // the count is a constant the oracle unrolls), every assignment an
-      // argmax partial agg, every mean exact fixed point — so N chained
-      // iterations stay bit-identical across engines. Empty-cell
-      // reseeding is deterministic (farthest point) but does not trigger
-      // on this corpus; SimilaritySpec exercises it directly.
-      Similarity.ivfKMeans(Tables.embeddings(s, d), numCells = 16, iters = 3)
-        .orderBy("cell", "pos")),
-
-    "sim_topk_pq" -> ((s, d) => {
-      // product-quantization ANN: vectors compress to m=4 code ids (the
-      // 100 TB index-size lever), queries score corpus codes through a
-      // broadcast per-query lookup table (ADC). Codebooks are sampled
-      // deterministically and every distance/estimate is an index-ordered
-      // double composition, so encoding AND the final ranking hash-match
-      // the oracle bit-exactly.
-      val emb = Tables.embeddings(s, d)
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy("qid", "rnk")
-    }),
-
-    "sim_topk_pq_refined" -> ((s, d) => {
-      // PQ with TRAINED codebooks on the shipped path: 2 per-subspace
-      // k-means iterations in fixed point (all subspaces in one job per
-      // iteration, no driver hops), then the same ADC search as
-      // sim_topk_pq — proving the production-quality quantizer, not
-      // just the sampled seed, is oracle-checkable end to end.
-      // SimilaritySpec measures the recall gain over sampled codebooks.
-      val emb = Tables.embeddings(s, d)
-      Similarity.pqTopKWith(emb, emb.filter(col("vec_id") < 5), k = 10,
-          Similarity.pqCodebooksTrained(emb, iters = 2))
-        .withColumnRenamed("rank", "rnk")
-        .orderBy("qid", "rnk")
-    }),
-
-    "sim_topk_ivfpq" -> ((s, d) => {
-      // the production ANN composition: IVF cells restrict candidates to
-      // the query's nprobe nearest cells, PQ codes score them through
-      // the broadcast ADC lookup table — scan cost = (probed fraction) ×
-      // (m-byte codes), never raw vectors. Deterministic end to end, so
-      // the oracle composes the two pipelines and the ranking
-      // hash-matches bit-exactly.
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy("qid", "rnk")
-    }),
-
-    "sim_index_roundtrip" -> ((s, d) => {
-      // the PERSISTED ANN index lifecycle, end to end on disk: build an
-      // IVF-PQ index over ¾ of the corpus (centroids + codebooks frozen,
-      // cells + codes bucketed by cell), search the PERSISTED index both
-      // ways (flat re-rank and ADC), APPEND the remaining ¼ against the
-      // frozen quantizers, and search again — four phases, one result.
-      // The oracle unrolls the same pipeline with the same frozen seeds,
-      // so a search that recomputed instead of reading persisted state,
-      // an append that retrained, or a stale-layout read would all
-      // hash-mismatch. Pre-phase results are eagerly materialized BEFORE
-      // the append mutates the index under their lazy plans.
-      val emb = Tables.embeddings(s, d)
-      val initial = emb.filter(col("vec_id") % 4 =!= 3)
-      val delta = emb.filter(col("vec_id") % 4 === 3)
-      val queries = emb.filter(col("vec_id") < 5)
-      val tmp = TempDirs.create("graft-vindex-").toString
-      val dir = s"$tmp/index"
-      ext.VectorIndex.build(initial, dir)
-      def phase(name: String, df: DataFrame): DataFrame =
-        df.select(lit(name).as("phase"), col("qid"),
-          col("rank").cast("int").as("rnk"), col("cid"))
-          .localCheckpoint(eager = true)
-      val preF = phase("1_pre_flat",
-        ext.VectorIndex.searchFlat(s, dir, queries, k = 5))
-      val preA = phase("2_pre_adc",
-        ext.VectorIndex.searchAdc(s, dir, queries, k = 5))
-      val cellFiles = s.read.parquet(s"$dir/cells")
-        .select(input_file_name()).distinct().count()
-      ext.VectorIndex.append(s, dir, delta)
-      // physical proof the append extended state in place: more cell
-      // files, frozen quantizers untouched.
-      val cellFiles2 = s.read.parquet(s"$dir/cells")
-        .select(input_file_name()).distinct().count()
-      require(cellFiles2 > cellFiles,
-        s"append should add cell files ($cellFiles -> $cellFiles2)")
-      val postF = phase("3_post_flat",
-        ext.VectorIndex.searchFlat(s, dir, queries, k = 5))
-      val postA = phase("4_post_adc",
-        ext.VectorIndex.searchAdc(s, dir, queries, k = 5))
-      detachAndClean(
-        preF.unionByName(preA).unionByName(postF).unionByName(postA)
-          .orderBy("phase", "qid", "rnk"),
-        tmp)
-    }),
-
-    "sim_index_retain" -> ((s, d) => {
-      // the DELETE half of the index lifecycle: build over the full
-      // corpus, RETAIN ¾ of it (vec_id % 4 == 3 removed — deleted or
-      // re-licensed out), search the retained index both ways. The
-      // oracle assigns/encodes only the surviving corpus against the
-      // FULL corpus's frozen quantizers — pass ⟺ retention made the
-      // removed vectors never-searchable (a ghost row would surface a
-      // removed cid and hash-mismatch), while the quantizers stay the
-      // trained artifacts retention must NOT touch. Row-count asserts
-      // prove the physical rewrite hit both state tables.
-      val emb = Tables.embeddings(s, d)
-      val keep = emb.filter(col("vec_id") % 4 =!= 3)
-      val queries = emb.filter(col("vec_id") < 5)
-      val tmp = TempDirs.create("graft-vretain-").toString
-      val dir = s"$tmp/index"
-      ext.VectorIndex.build(emb, dir)
-      ext.VectorIndex.retain(s, dir, keep)
-      val nKeep = keep.count()
-      val nCells = s.read.parquet(s"$dir/cells").count()
-      val nCodes = s.read.parquet(s"$dir/codes").count()
-      require(nCells == nKeep && nCodes == nKeep * 4,
-        s"retention must rewrite both state tables: cells $nCells vs $nKeep, " +
-          s"codes $nCodes vs ${nKeep * 4}")
-      def phase(name: String, df: DataFrame): DataFrame =
-        df.select(lit(name).as("phase"), col("qid"),
-          col("rank").cast("int").as("rnk"), col("cid"))
-      detachAndClean(
-        phase("1_flat", ext.VectorIndex.searchFlat(s, dir, queries, k = 5))
-          .unionByName(
-            phase("2_adc", ext.VectorIndex.searchAdc(s, dir, queries, k = 5)))
-          .orderBy("phase", "qid", "rnk"),
-        tmp)
-    }),
-
-    "sim_index_search_refined" -> ((s, d) => {
-      // the production READ path of the persisted index: an ADC pass
-      // over the DPP-pruned compressed codes shortlists each query's
-      // top-10, then ONLY those rows' raw vectors are re-read from the
-      // bucketed cells table (broadcast (cell, cid) join — partition
-      // column keeps the re-read file-pruned) for the exact-cosine cut
-      // to top-5. The oracle unrolls both stages with the same
-      // deterministic tie-breaks, so a re-rank that read beyond the
-      // shortlist, or a shortlist cut at the wrong boundary, would
-      // hash-mismatch.
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(col("vec_id") < 5)
-      val tmp = TempDirs.create("graft-vrefine-").toString
-      val dir = s"$tmp/index"
-      ext.VectorIndex.build(emb, dir)
-      detachAndClean(
-        ext.VectorIndex.searchRefined(s, dir, queries, k = 5, shortlist = 10)
-          .select(col("qid"), col("rank").cast("int").as("rnk"), col("cid"))
-          .orderBy("qid", "rnk"),
-        tmp)
-    }),
-
-    "multimodal_meta" -> ((s, d) =>
-      Multimodal.payloadStats(Tables.documents(s, d)).orderBy("doc_id")),
-
-    "multimodal_features" -> ((s, d) =>
-      Multimodal.extractFeatures(s,
-          Multimodal.asBinary(Tables.documents(s, d)))
-        .orderBy("doc_id")),
-
-    "multimodal_frame_sample" -> ((s, d) =>
-      Multimodal.frameSample(Tables.documents(s, d), frameBytes = 16, stride = 4)
-        .orderBy("doc_id")),
-
-    "multimodal_frame_dedup" -> ((s, d) =>
-      // the multimodal JOIN path: frame fingerprints equi-joined within
-      // modality buckets, boilerplate frames capped, pairs aggregated by
-      // shared-frame count — video/image near-dup on the same corpus
-      // text dedup runs MinHash over. The join never goes doc×doc.
-      Multimodal.frameDedup(Tables.documents(s, d), frameBytes = 16,
-          minShared = 2, maxFrameFreq = 64)
-        .orderBy("modality", "d1", "d2")),
-
-    "multimodal_feature_stats" -> ((s, d) =>
-      // AGGREGATION over the decode path: per-modality statistics of
-      // the mapPartitions-extracted features — the post-decode rollup
-      // (mean feature values, payload-size spread, count) a media
-      // pipeline runs to monitor decoder drift. Exercises shuffle+agg
-      // over the iterator-shaped extract output, not just projection.
-      Multimodal.extractFeatures(s,
-          Multimodal.asBinary(Tables.documents(s, d)))
-        .withColumn("modality", Multimodal.modalityOf(col("doc_id")))
-        .groupBy(col("modality"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("f0").cast("long")).as("sum_f0"),
-          sum(col("f1").cast("long")).as("sum_f1"),
-          min(col("f2")).as("min_f2"), max(col("f2")).as("max_f2"))
-        .orderBy("modality")),
-
-    "multimodal_embed_ann" -> ((s, d) => {
-      // modality-bucketed embedding retrieval: docs pair with their
-      // embedding vectors (doc_id = vec_id), and each of the six query
-      // docs (two per modality) retrieves top-10 neighbors WITHIN its
-      // modality — modality is the leading join key, so image queries
-      // never score audio vectors and the scored-pair count is the
-      // bucket fraction of doc×query. The physical analog at 100 TB is
-      // a vector table partitioned by modality, each bucket its own
-      // ANN index.
-      val docs = Tables.documents(s, d)
-      val emb = Tables.embeddings(s, d)
-      Multimodal.modalityAnn(docs, emb,
-          docs.filter(col("doc_id") < 6).select(col("doc_id")), k = 10)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy("qid", "rnk")
-    }),
-
-    // batch/stream-agnostic transforms (graft.streaming) run here in
-    // batch mode — identical code drives the AvailableNow streaming jobs.
-    "stream_windowed_counts" -> ((s, d) =>
-      graft.streaming.Streams.windowedCounts(Tables.events(s, d))
-        .withColumn("window_start_ms", unix_millis(col("window_start")))
-        .drop("window_start")
-        .orderBy("window_start_ms", "event_type")),
-
-    "stream_asof_join" -> ((s, d) => {
-      // point-in-time join: each click picks up the user's most recent
-      // prior-or-equal purchase value (leakage-free feature join).
-      val ev = Tables.events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id").as("pid"), col("value"))
-      graft.operators.AsofJoin
-        .asofJoin(clicks, purchases, Seq("user_id"), "ts", "pid", Seq("value"))
-        .select(col("event_id"), col("user_id"), col("asof_value"))
-        .orderBy("event_id")
-    }),
-
-    "stream_sessionize" -> ((s, d) =>
-      graft.streaming.Streams.sessionizeBatch(
-          Tables.events(s, d).select(col("user_id"),
-            unix_millis(col("ts")).as("ts_ms")),
-          gapMs = 30L * 60 * 1000)
-        .orderBy("user_id", "start_ms")),
-
-    "stream_session_window" -> ((s, d) =>
-      // the built-in session_window operator; oracle = the identical
-      // gap-session semantics in the lag/cumsum SQL formulation, so the
-      // declarative, stateful and batch session forms all agree.
-      graft.streaming.Streams.sessionWindows(
-          Tables.events(s, d).select(col("user_id"), col("ts")),
-          gapMs = 30L * 60 * 1000)
-        .orderBy("user_id", "start_ms")),
-
-    "stream_interval_join" -> ((s, d) => {
-      // recent-context attachment: purchases in the hour before each
-      // click, via the watermark-bounded stream-stream interval join
-      // (batch form of the same code; state bounded by the horizon).
-      val ev = Tables.events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("pts"), col("value"))
-      graft.streaming.Streams
-        .intervalJoin(clicks, purchases, "user_id", "ts", "pts",
-          horizon = "1 hour", joinType = "left")
-        .groupBy(col("l.event_id").as("event_id"),
-          col("l.user_id").as("user_id"))
-        .agg(count(col("r.pts")).as("n_recent_purchases"),
-          coalesce(centsSum(col("r.value")), lit(0L))
-            .as("recent_value_cents"))
-        .orderBy("event_id")
-    }),
-
-    "scale_zorder_key" -> ((s, d) =>
-      // the Morton interleave behind Z-order clustered writes
-      // (ScaleOps.writeZOrdered) — plain shift/mask arithmetic both
-      // engines fold identically.
-      Tables.events(s, d).filter(col("event_id") < 500)
-        .select(col("event_id"),
-          graft.operators.ScaleOps
-            .zorderKey(col("user_id") % 256, col("event_id") % 256)
-            .cast("long").as("zkey"))
-        .orderBy("event_id")),
-
-    "stats_sketches_bounds" -> ((s, d) =>
-      // the raw sketch profile (Sketches.eventTypeProfile) is
-      // engine-specific — no DuckDB restatement of its HLL/KLL values
-      // exists, so the raw VALUES are not oracle-comparable. The
-      // driver-checked contract is this bounds form, which since round
-      // 11 CONSUMES eventTypeProfile's own output (not a parallel
-      // restatement of its aggregates) and joins exact companions with
-      // bounded-error verdict flags the oracle expects TRUE — so a
-      // regression in the raw profile itself (changed rsd/accuracy/
-      // columns, broken sketch) fails this hash check at the driver,
-      // not only SketchesSpec.
-      ext.Sketches.profileBounds(Tables.events(s, d))
-        .orderBy("event_type")),
-
-    "stats_equidepth" -> ((s, d) => {
-      // equi-depth (quantile-bucket) histogram per event type: ntile(10)
-      // over a deterministic total order (value, then event_id as the
-      // unique tie-break). The window partitions by event_type — the
-      // per-group sort shape; a single group too large to sort in one
-      // partition graduates to percentile_approx (stats_sketches) or the
-      // two-phase rank machinery proven by corpus_pack_global.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
-        .orderBy(col("value").asc, col("event_id").asc)
-      Tables.events(s, d)
-        .withColumn("decile", ntile(10).over(w))
-        .groupBy(col("event_type"), col("decile"))
-        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
-          max(col("value")).as("hi"))
-        .orderBy("event_type", "decile")
-    }),
-
-    "gold_transitions" -> ((s, d) => {
-      // event-type transition matrix (the path-analysis mart): each
-      // user's events in time order, lag(1) gives the predecessor, and
-      // the count of (prev, curr) pairs is the Markov transition table.
-      // One user-partitioned window (same exchange family as sessionize)
-      // + one partial-agg count.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      Tables.events(s, d)
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_type").isNotNull)
-        .groupBy(col("prev_type"), col("event_type"))
-        .agg(count(lit(1)).as("n_transitions"))
-        .orderBy("prev_type", "event_type")
-    }),
-
-    "stats_exact_quantiles" -> ((s, d) => {
-      // exact global quartiles + p90 WITHOUT a global sort or a
-      // single-partition window: distributed selection (range partition
-      // → per-partition counts → read only the partitions holding the
-      // requested ranks). The oracle computes the same ranks with a
-      // global window — the point is the SPARK plan never pays one.
-      import s.implicits._
-      val ev = Tables.events(s, d)
-      val n = ev.count()
-      val qs = Seq(0.25, 0.5, 0.75, 0.9)
-      val ranks = qs.map(q =>
-        math.min(n, math.max(1L, math.floor(q * (n + 1)).toLong)))
-      val sel = graft.operators.ScaleOps.exactRanks(
-        ev.select(col("value"), col("event_id")), "value", "event_id", ranks)
-      qs.zip(ranks).toDF("q", "rank").join(sel, "rank")
-        .select(col("q"), col("rank"), col("value"))
-        .orderBy("q")
-    }),
-
-    "stats_cms_topk" -> ((s, d) => {
-      // Count-Min heavy hitters — the DETERMINISTIC sketch (md5 buckets,
-      // integer sums), so unlike HLL the sketch estimates themselves are
-      // oracle-checkable bit-exactly: build a 4×1024 CM sketch over the
-      // document token stream (only depth×width rows ever shuffle), then
-      // read point estimates for the exact top-20 tokens next to their
-      // true counts. CM never undercounts (n_est ≥ n_exact by
-      // construction); the overcount column is the collision inflation.
-      val docs = Tables.documents(s, d)
-      val tokens = docs.select(explode(split(col("text"), " ")).as("token"))
-      val cms = ext.Sketches.countMinBuild(tokens, "token")
-      val top = ext.TextAnalysis.topTokens(docs, 20)
-      ext.Sketches.countMinEstimate(cms, top, "token")
-        .select(col("token"), col("n").as("n_exact"), col("n_est"),
-          (col("n_est") - col("n")).as("overcount"))
-        .orderBy(col("n_exact").desc, col("token"))
-    }),
-
-    "stats_kmv" -> ((s, d) => {
-      // KMV distinct-cardinality sketch, with the merge proof in the
-      // same rows: the k=256 smallest distinct shingle hashes (the
-      // sketch the oracle reproduces bit for bit), joined rank-by-rank
-      // against the MERGE of two batch sketches — merge_ok must be true
-      // on every row (k smallest of the union == k smallest of the
-      // batch bottom-k's, the property that makes KMV accumulable
-      // pipeline state). Per-partition state is a k-bounded TreeSet;
-      // only partitions×k rows ever reach the final sort.
-      val docs = Tables.documents(s, d)
-      val sh = Dedup.shingles(docs, w = 3).select(col("sh"))
-      val a = Dedup.shingles(docs.filter(col("doc_id") % 2 === 0), w = 3)
-        .select(col("sh"))
-      val b = Dedup.shingles(docs.filter(col("doc_id") % 2 =!= 0), w = 3)
-        .select(col("sh"))
-      val single = ext.Sketches.kmvBuild(sh, "sh", k = 256)
-      val merged = ext.Sketches.kmvMerge(256,
-        ext.Sketches.kmvBuild(a, "sh", k = 256),
-        ext.Sketches.kmvBuild(b, "sh", k = 256))
-      single.join(merged.withColumnRenamed("h", "h2"), Seq("rank"))
-        .select(col("rank"), col("h"), (col("h") === col("h2")).as("merge_ok"))
-        .orderBy("rank")
-    }),
-
-    "stats_kmv_estimate" -> ((s, d) => {
-      // the KMV estimator next to the exact answer: (k−1)·2³²/h_k is
-      // one IEEE division of exact integers, so even the ESTIMATE
-      // hash-matches the oracle bit-exactly (contrast HLL, whose state
-      // no other engine can reproduce); err_ok bounds it against the
-      // exact distinct count at 2.4σ for k=256.
-      val docs = Tables.documents(s, d)
-      val sh = Dedup.shingles(docs, w = 3).select(col("sh"))
-      val est = ext.Sketches.kmvEstimate(
-        ext.Sketches.kmvBuild(sh, "sh", k = 256), k = 256)
-      val exact = sh.agg(countDistinct(col("sh")).as("n_exact"))
-      est.crossJoin(exact)
-        .select(col("n_sketch"), col("h_k"), col("n_est"), col("n_exact"),
-          (abs(col("n_est") - col("n_exact").cast("double")) /
-            col("n_exact").cast("double") < 0.15).as("err_ok"))
-    }),
-
-    "stats_kmv_setops" -> ((s, d) => {
-      // KMV SET ALGEBRA — the estimator the sketch family exists for
-      // beyond single-set counting: |A∪B|, Jaccard and |A∩B| of the
-      // even-doc vs odd-doc shingle sets, read off two 256-hash
-      // sketches without touching the sets (Beyer et al., SIGMOD'07:
-      // the union sketch's hashes are a uniform sample of A∪B, so the
-      // in-both fraction estimates Jaccard). Every column is exact
-      // integers + IEEE division, so even the ESTIMATES hash-match the
-      // oracle bit for bit; the exact companions ride along and err_ok
-      // bounds the Jaccard estimate at 35% relative (k=256 puts ~66
-      // union-sample hits in the intersection at these SFs).
-      val docs = Tables.documents(s, d)
-      val a = Dedup.shingles(docs.filter(col("doc_id") % 2 === 0), w = 3)
-        .select(col("sh"))
-      val b = Dedup.shingles(docs.filter(col("doc_id") % 2 =!= 0), w = 3)
-        .select(col("sh"))
-      val ops = ext.Sketches.kmvSetOps(
-        ext.Sketches.kmvBuild(a, "sh", k = 256),
-        ext.Sketches.kmvBuild(b, "sh", k = 256), k = 256)
-      val exact = a.intersect(b).agg(count(lit(1)).as("n_inter_exact"))
-        .crossJoin(a.union(b).agg(countDistinct(col("sh")).as("n_union_exact")))
-      ops.crossJoin(exact)
-        .select(col("n_union_sketch"), col("h_k"), col("n_common"),
-          col("union_est"), col("jaccard"), col("inter_est"),
-          col("n_inter_exact"), col("n_union_exact"),
-          (abs(col("jaccard") - col("n_inter_exact").cast("double") /
-            col("n_union_exact").cast("double")) /
-            (col("n_inter_exact").cast("double") /
-              col("n_union_exact").cast("double")) < 0.35).as("err_ok"))
-    }),
-
-    "stats_bloom" -> ((s, d) => {
-      // deterministic Bloom-filter membership prefilter — the sublinear
-      // gate a decontamination pass runs before paying an exact join:
-      // build the filter over the benchmark docs' tokens (fixed ≤8192
-      // rows of state), probe every distinct corpus token, and emit the
-      // confusion matrix against exact membership. The md5 positions
-      // make the filter bit-exact, so the oracle reproduces it and the
-      // hash check proves BOTH the exact FP count AND the structural
-      // no-false-negative guarantee (a (false, true) row can exist on
-      // neither side).
-      // items are 3-gram shingles — the domain real benchmark
-      // decontamination filters on (corpus_contamination's exact join
-      // is what this prefilter gates at scale).
-      val docs = Tables.documents(s, d)
-      val bench = Dedup.shingles(docs.filter(col("doc_id") % 10 === 0), w = 3)
-        .select(col("sh"))
-      val probe = Dedup.shingles(docs.filter(col("doc_id") % 10 =!= 0), w = 3)
-        .select(col("sh")).distinct()
-      val bloom = ext.Sketches.bloomBuild(bench, "sh", numBits = 32768)
-      val exact = bench.distinct().withColumn("exact_in", lit(true))
-      ext.Sketches.bloomMightContain(bloom, probe, "sh", numBits = 32768)
-        .join(exact, Seq("sh"), "left")
-        .withColumn("exact_in", coalesce(col("exact_in"), lit(false)))
-        .groupBy(col("might_contain"), col("exact_in"))
-        .agg(count(lit(1)).as("n_shingles"))
-        .orderBy("might_contain", "exact_in")
-    }),
-
-    "stats_cms_merge" -> ((s, d) => {
-      // CMS MERGEABILITY, bit-exact: split the token stream by document
-      // parity, build one sketch per batch (the per-shard/per-day shape
-      // an incremental pipeline persists), MERGE them cell-wise, and
-      // emit the merged sketch itself. The oracle builds the SINGLE-PASS
-      // sketch over the union — hash equality IS the proof that
-      // build(A) ⊕ build(B) == build(A∪B) cell for cell, which is what
-      // makes the sketch accumulable state rather than a query-local
-      // artifact. Only depth×width rows ever shuffle on either path.
-      val docs = Tables.documents(s, d)
-      val tokens = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("token"))
-      val a = tokens.filter(col("doc_id") % 2 === 0).select(col("token"))
-      val b = tokens.filter(col("doc_id") % 2 =!= 0).select(col("token"))
-      ext.Sketches.countMinMerge(
-          ext.Sketches.countMinBuild(a, "token"),
-          ext.Sketches.countMinBuild(b, "token"))
-        .orderBy("j", "bucket")
-    }),
-
-    "stats_sketch_state" -> ((s, d) => {
-      // the PERSISTED sketch-state lifecycle, all three deterministic
-      // families in one run: day-1 sketches written with their geometry
-      // STAMPED (countMinWrite / bloomWrite / kmvWrite), the day-2 batch
-      // merged against the LOADED state (stamps cross-validated), the
-      // merged state persisted back, and every answer read from THAT —
-      // CMS point estimates for the exact top-10 tokens, the KMV
-      // cardinality estimate with k taken from the stamp (not
-      // re-supplied), Bloom membership for present and absent probes.
-      // Oracle = the same deterministic sketches in ONE pass over the
-      // union stream: pass ⟺ persist → load → merge → persist → read is
-      // indistinguishable from never having split the stream.
-      val docs = Tables.documents(s, d)
-      val tokens = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("token"))
-      val day1 = tokens.filter(col("doc_id") % 2 === 0).select(col("token"))
-      val day2 = tokens.filter(col("doc_id") % 2 =!= 0).select(col("token"))
-      val tmp = TempDirs.create("graft-sketchstate-").toString
-      ext.Sketches.countMinWrite(
-        ext.Sketches.countMinBuild(day1, "token"), s"$tmp/cms1")
-      ext.Sketches.bloomWrite(
-        ext.Sketches.bloomBuild(day1, "token"), s"$tmp/bloom1")
-      ext.Sketches.kmvWrite(
-        ext.Sketches.kmvBuild(day1, "token", k = 256), s"$tmp/kmv1")
-      ext.Sketches.countMinWrite(ext.Sketches.countMinMerge(
-          s.read.parquet(s"$tmp/cms1"),
-          ext.Sketches.countMinBuild(day2, "token")), s"$tmp/cms2")
-      ext.Sketches.bloomWrite(ext.Sketches.bloomMerge(
-          s.read.parquet(s"$tmp/bloom1"),
-          ext.Sketches.bloomBuild(day2, "token")), s"$tmp/bloom2")
-      ext.Sketches.kmvWrite(ext.Sketches.kmvMerge(256,
-          s.read.parquet(s"$tmp/kmv1"),
-          ext.Sketches.kmvBuild(day2, "token", k = 256)), s"$tmp/kmv2")
-      val top = ext.TextAnalysis.topTokens(docs, 10).select(col("token"))
-      val absent = s.range(10)
-        .select(concat(lit("__absent_"), col("id")).as("token"))
-      val cmsEst = ext.Sketches.countMinEstimate(
-          s.read.parquet(s"$tmp/cms2"), top, "token")
-        .select(lit("cms").as("family"), col("token").as("item"),
-          col("n_est").cast("double").as("est"),
-          lit(null).cast("boolean").as("flag"))
-      val kmvEst = ext.Sketches.kmvEstimateStated(s.read.parquet(s"$tmp/kmv2"))
-        .select(lit("kmv").as("family"), lit("_cardinality").as("item"),
-          col("n_est").as("est"), lit(null).cast("boolean").as("flag"))
-      val bloomRes = ext.Sketches.bloomMightContain(
-          s.read.parquet(s"$tmp/bloom2"), top.unionByName(absent), "token")
-        .select(lit("bloom").as("family"), col("token").as("item"),
-          lit(null).cast("double").as("est"), col("might_contain").as("flag"))
-      detachAndClean(
-        cmsEst.unionByName(kmvEst).unionByName(bloomRes)
-          .orderBy("family", "item"),
-        tmp)
-    }),
-
-    "stats_quantile_sketch" -> ((s, d) => {
-      // the QUANTILE leg of the persisted sketch family, full lifecycle:
-      // day-1 hash-ranked bottom-k sample written with k STAMPED, the
-      // day-2 batch merged against the LOADED state (bottom-k of the
-      // union — exact by the KMV argument on (h, v) pairs), merged state
-      // persisted back, and the quantiles read from THAT next to the
-      // exact answers (distributed selection — no global sort) and the
-      // exact CDF at each estimate. Everything is deterministic (md5
-      // ranks, integer counts, IEEE division), so even the SAMPLE is
-      // oracle-checked bit for bit — the property KLL/t-digest state
-      // can never have. err_ok bounds the CDF deviation at 0.1, ~4.5σ
-      // of the k=512 binomial rank error.
-      import s.implicits._
-      val ev = Tables.events(s, d).filter(col("value").isNotNull)
-      val day1 = ev.filter(col("event_id") % 2 === 0)
-      val day2 = ev.filter(col("event_id") % 2 =!= 0)
-      val tmp = TempDirs.create("graft-qsample-").toString
-      ext.Sketches.quantileSampleWrite(
-        ext.Sketches.quantileSampleBuild(day1, "event_id", "value", k = 512),
-        s"$tmp/day1", k = 512)
-      ext.Sketches.quantileSampleWrite(
-        ext.Sketches.quantileSampleMerge(512,
-          s.read.parquet(s"$tmp/day1"),
-          ext.Sketches.quantileSampleBuild(day2, "event_id", "value", k = 512)),
-        s"$tmp/day2", k = 512)
-      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
-      val est = ext.Sketches.quantileEstimateStated(
-        s.read.parquet(s"$tmp/day2"), qs)
-      val n = ev.count()
-      val ranks = qs.map(q => math.min(n, math.max(1L, math.floor(q * (n + 1)).toLong)))
-      val sel = graft.operators.ScaleOps.exactRanks(
-        ev.select(col("value"), col("event_id")), "value", "event_id", ranks)
-      val exact = qs.zip(ranks).toDF("q", "rank").join(sel, "rank")
-        .select(col("q"), col("value").as("v_exact"))
-      val cdf = ev.crossJoin(broadcast(est.select(col("q"), col("v_est"))))
-        .groupBy(col("q"), col("v_est"))
-        .agg(count(when(col("value") <= col("v_est"), 1)).as("n_le"))
-        .select(col("q"),
-          (col("n_le").cast("double") / lit(n.toDouble)).as("cdf_at_est"))
-      detachAndClean(
-        est.join(exact, Seq("q")).join(cdf, Seq("q"))
-          .withColumn("err_ok", abs(col("cdf_at_est") - col("q")) <= lit(0.1))
-          .select(col("q"), col("n_s"), col("rank_s"), col("v_est"),
-            col("v_exact"), col("cdf_at_est"), col("err_ok"))
-          .orderBy("q"),
-        tmp)
-    }),
-
-    "stats_drift" -> ((s, d) => {
-      // distribution-DRIFT monitor: the value histograms of two cohorts
-      // (click vs view events) full-outer joined on fixed-width bins,
-      // per-bin exact counts + shares + L1/symmetric-χ² terms, and one
-      // total row whose l1_term is the total-variation distance computed
-      // EXACTLY from integer counts (decimal Σ|n_a·tot_b − n_b·tot_a|,
-      // one final division — no order-dependent float Σ). The admission
-      // check a pipeline runs when a batch's schema passes but its
-      // values shifted; bins ≪ data, so beyond the two histogram
-      // groupBys nothing data-sized moves.
-      val ev = Tables.events(s, d)
-      ext.Quality.drift(
-          ev.filter(col("event_type") === "click"),
-          ev.filter(col("event_type") === "view"),
-          "value", binWidth = 25.0)
-        .orderBy(col("section"), col("bin").asc_nulls_last)
-    }),
-
-    "stats_drift_state" -> ((s, d) => {
-      // the drift monitor as PIPELINE state: the day-1 click histogram
-      // persisted with its bin width STAMPED, the day-2 click batch
-      // additively merged into the LOADED baseline (build(A) ⊕ build(B)
-      // == build(A∪B) — histogram counts are the simplest mergeable
-      // sketch), merged state persisted back, and the drift-vs-view
-      // comparison run over TWO loaded states with both stamps
-      // cross-validated (driftStated). Oracle = stats_drift's one-pass
-      // SQL: pass ⟺ persist → load → merge → persist → compare is
-      // indistinguishable from never having split the stream.
-      val ev = Tables.events(s, d)
-      val click = ev.filter(col("event_type") === "click")
-      val tmp = TempDirs.create("graft-driftstate-").toString
-      ext.Quality.histWrite(
-        ext.Quality.histBuild(click.filter(col("event_id") % 2 === 0),
-          "value", 25.0), s"$tmp/base", binWidth = 25.0)
-      ext.Quality.histWrite(
-        ext.Quality.histMerge(25.0,
-          s.read.parquet(s"$tmp/base"),
-          ext.Quality.histBuild(click.filter(col("event_id") % 2 =!= 0),
-            "value", 25.0)), s"$tmp/base2", binWidth = 25.0)
-      ext.Quality.histWrite(
-        ext.Quality.histBuild(ev.filter(col("event_type") === "view"),
-          "value", 25.0), s"$tmp/cur", binWidth = 25.0)
-      detachAndClean(
-        ext.Quality.driftStated(
-            s.read.parquet(s"$tmp/base2"), s.read.parquet(s"$tmp/cur"))
-          .orderBy(col("section"), col("bin").asc_nulls_last),
-        tmp)
-    }),
-
-    "gold_pipeline_e2e" -> ((s, d) => {
-      // S5/S8 end-to-end: the FULL ETL (all silver + gold tables written
-      // to staging, then atomically promoted — reference
-      // silver_load.sql:285-308 + gold_dag.py) into a throwaway
-      // warehouse, returning a mart read back FROM DISK. Oracle = the
-      // same mart SQL, so the write→promote→read path itself is
-      // hash-checked, not just the in-memory plan.
-      val wh = TempDirs.create("graft-e2e-").toString
-      graft.plans.Pipeline.runFullEtl(s, d, wh)
-      detachAndClean(
-        s.read.parquet(s"$wh/dm_daily_trip_summary").orderBy("cal_date"), wh)
-    }),
-
-    "corpus_pipeline_e2e" -> ((s, d) => {
-      // the corpus-release CAPSTONE: quality gate → exact dedup → near
-      // dedup (MinHash bands → connected components → keep best) →
-      // Bloom-gated decontamination vs the RAW bench sources → packing
-      // → split, one staged run atomically PROMOTED into a throwaway
-      // warehouse (the extension-surface analog of gold_pipeline_e2e's
-      // transactional ETL), and the released table read back FROM DISK.
-      // The pipeline cleans the TRAIN side only — bench docs are the
-      // external eval sets the sweep protects, not corpus — so every
-      // stage binds (PipelineSpec asserts it). Oracle = the unrolled
-      // chain, so every stage's keep/drop decision, the pack boundaries
-      // and the split labels are all hash-checked through the
-      // write→promote→read path.
-      val wh = TempDirs.create("graft-corpus-e2e-").toString
-      graft.plans.Pipeline.runCorpusEtl(s, d, wh)
-      detachAndClean(
-        s.read.parquet(s"$wh/corpus_release")
-          .select(col("doc_id"), col("source"), col("n_chars"),
-            col("n_tok"), col("pack_id"), col("split"))
-          .orderBy("doc_id"),
-        wh)
-    }),
-
-    "stream_pipeline" -> ((s, d) => {
-      // the LIVE streaming path (not the batch twin): AvailableNow
-      // file-stream over the events source → watermarked hourly windows →
-      // parquet sink, then the sink contents read back. Append mode only
-      // emits windows FINALIZED by the watermark (end ≤ max event time −
-      // 1 h); both sides filter strictly below that line so the edge
-      // window's emit-or-hold never decides the comparison.
-      val (tmp, src) = stageEventsStreamDir(d)
-      val sch = s.read.parquet(src).schema
-      graft.streaming.Streams.incrementalPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", prepare = rebuildStreamTs)
-        .awaitTermination()
-      detachAndClean(sinkBelowHorizon(s, d, s"$tmp/out", "event_type"), tmp)
-    }),
-
-    "stream_pipeline_restart" -> ((s, d) => {
-      // windowed-aggregation state survives a restart: the feed split at
-      // its midpoint into two AvailableNow passes on ONE checkpoint. The
-      // boundary hour has events on both sides of the restart, and its
-      // window is NOT finalized by pass 1 (its end sits above pass-1's
-      // watermark), so only the CHECKPOINTED window state can aggregate
-      // it correctly in pass 2 — a fresh-state restart would emit a
-      // partial count and hash-mismatch. Windows below pass-1's horizon
-      // emit in pass 1 and are never re-emitted (append-mode finalize-
-      // once). Oracle = the batch aggregation below the final horizon,
-      // exactly as stream_pipeline.
-      val tmp = TempDirs.create("graft-stream-restart-").toString
-      val src = s"$tmp/src"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-      val feed = eventsFeedNanos(s, d)
-      val bounds = feed.agg(min(col("ts")), max(col("ts"))).head()
-      val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
-      feed.filter(col("ts") < lit(mid)).coalesce(1)
-        .write.mode("append").parquet(src)
-      val sch = s.read.parquet(src).schema
-      def runPass(): Unit =
-        graft.streaming.Streams.incrementalPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck",
-          prepare = rebuildStreamTs).awaitTermination()
-      runPass()
-      feed.filter(col("ts") >= lit(mid)).coalesce(1)
-        .write.mode("append").parquet(src)
-      runPass()
-      detachAndClean(sinkBelowHorizon(s, d, s"$tmp/out", "event_type"), tmp)
-    }),
-
-    "stream_session_restart" -> ((s, d) => {
-      // SESSION-WINDOW state survives a restart — the FOURTH stateful
-      // class, completing the restart quad (dedup ids / window aggs /
-      // join buffers / session windows): two AvailableNow passes of the
-      // live session_window pipeline on ONE checkpoint, the feed split
-      // INSIDE a real session (a global midpoint split never straddles
-      // one on this feed — sessions are minutes long, the feed a
-      // month): the cut lands in the WIDEST in-session event gap, so
-      // that session provably has events on both sides of the restart.
-      // Only the checkpointed session state pass 2 restores can MERGE
-      // the two halves — a fresh-state restart emits two half-sessions
-      // and hash-mismatches; the require below additionally pins the
-      // merged session in the sink. Oracle = batch sessionization of
-      // the WHOLE feed (the restart must be invisible), both sides
-      // restricted to sessions finalized strictly below the final
-      // watermark horizon so the edge session's emit-or-hold never
-      // decides the comparison.
-      val tmp = TempDirs.create("graft-session-restart-").toString
-      val src = s"$tmp/src"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-      val feed = eventsFeedNanos(s, d)
-      val gapMs = 30L * 60 * 1000
-      val maxNs = feed.agg(max(col("ts"))).head().getLong(0)
-      // widest same-session gap, well below the final horizon (3 h
-      // margin: sessions are < 1 h long, so the session the cut splits
-      // is finalized in pass 2 and survives the horizon filter)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"))
-      val pick = feed.select(col("user_id"), col("ts"))
-        .withColumn("prev", lag(col("ts"), 1).over(w))
-        .filter(col("prev").isNotNull && col("ts") > col("prev") &&
-          col("ts") - col("prev") <= lit(gapMs * 1000000L) &&
-          col("ts") < lit(maxNs - 3 * 3600000000000L))
-        .orderBy((col("ts") - col("prev")).desc, col("user_id").asc,
-          col("ts").asc)
-        .limit(1).collect()
-      require(pick.nonEmpty,
-        "stream_session_restart: feed has no multi-event session to split")
-      val (uid, prevNs, nextNs) =
-        (pick(0).getLong(0), pick(0).getLong(2), pick(0).getLong(1))
-      val mid = prevNs + 1
-      feed.filter(col("ts") < lit(mid)).coalesce(1)
-        .write.mode("append").parquet(src)
-      val sch = s.read.parquet(src).schema
-      def runPass(): Unit =
-        graft.streaming.Streams.sessionPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", gapMs,
-          prepare = rebuildStreamTs).awaitTermination()
-      runPass()
-      feed.filter(col("ts") >= lit(mid)).coalesce(1)
-        .write.mode("append").parquet(src)
-      runPass()
-      val sink = s.read.parquet(s"$tmp/out")
-      // the split session was MERGED: one emitted session for that user
-      // covers both the pass-1 and the pass-2 event — impossible from
-      // fresh state, which never saw the pass-1 half
-      require(sink.filter(col("user_id") === uid &&
-          col("start_ms") <= lit(prevNs / 1000000L) &&
-          col("end_ms") >= lit(nextNs / 1000000L)).count() == 1,
-        "restart failed to merge the session split across the checkpoint")
-      val mx = Tables.events(s, d).agg(max(unix_millis(col("ts"))).as("mx_ms"))
-      detachAndClean(
-        sink
-          .crossJoin(mx) // 1-row broadcast
-          .filter(col("end_ms") + lit(gapMs + 1) < col("mx_ms") - lit(3600000L))
-          .select(col("user_id"), col("start_ms"), col("end_ms"),
-            col("n_events"))
-          .orderBy("user_id", "start_ms"),
-        tmp)
-    }),
-
-    "stream_join_restart" -> ((s, d) => {
-      // the JOIN-BUFFER leg of crash recovery — with stream_dedup_restart
-      // (dedup state) and stream_pipeline_restart (window state) this
-      // completes the stateful-operator restart triple: feed split at
-      // its midpoint, two AvailableNow passes of the LIVE stream-stream
-      // interval join on ONE checkpoint. A pass-2 click can match a
-      // pass-1 purchase only through the right-side join buffer RESTORED
-      // from the checkpoint (pass-1 purchases within the horizon of the
-      // boundary are exactly the rows the watermark keeps alive); a
-      // fresh-state restart would silently drop those pairs and
-      // hash-mismatch. Oracle = the batch join over the whole feed: the
-      // restart must be invisible.
-      val tmp = TempDirs.create("graft-join-restart-").toString
-      val src = s"$tmp/src"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-      // cost note (PLANS.md round 8): this query's ~16 s at sf0.1 is
-      // ~entirely fixed two-pass stateful-harness machinery (4 state
-      // stores × partitions × checkpoint IO) — measured invariant to a
-      // 3× data slice — so it prices crash recovery, not the join.
-      val feed = eventsFeedNanos(s, d)
-      val bounds = feed.agg(min(col("ts")), max(col("ts"))).head()
-      val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
-      feed.filter(col("ts") < lit(mid)).coalesce(1)
-        .write.mode("append").parquet(src)
-      val sch = s.read.parquet(src).schema
-      def runPass(): Unit =
-        graft.streaming.Streams.intervalJoinPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck",
-          prepare = rebuildStreamTs).awaitTermination()
-      runPass()
-      feed.filter(col("ts") >= lit(mid)).coalesce(1)
-        .write.mode("append").parquet(src)
-      runPass()
-      detachAndClean(
-        s.read.parquet(s"$tmp/out")
-          .select(col("event_id"), col("user_id"), col("pid"), col("value_cents"))
-          .orderBy("event_id", "pid"),
-        tmp)
-    }),
-
-    "stream_enrich" -> ((s, d) => {
-      // LIVE stream-static enrichment: each micro-batch joins the
-      // broadcast category dim statelessly (the join adds nothing to the
-      // state store), then the watermarked window agg finalizes — the
-      // streaming form of the dim-join enrichment every feed needs.
-      import s.implicits._
-      val (tmp, src) = stageEventsStreamDir(d)
-      val sch = s.read.parquet(src).schema
-      val dim = Seq(
-        "click" -> "engagement", "view" -> "engagement",
-        "purchase" -> "revenue", "signup" -> "lifecycle",
-        "error" -> "ops").toDF("event_type", "category")
-      graft.streaming.Streams.enrichedPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", dim,
-          dimKey = "event_type", categoryCol = "category",
-          fallbackCategory = "ops", prepare = rebuildStreamTs)
-        .awaitTermination()
-      detachAndClean(sinkBelowHorizon(s, d, s"$tmp/out", "category"), tmp)
-    }),
-
-    "stream_dedup" -> ((s, d) => {
-      // LIVE at-least-once ingest dedup on the oracle path: the staged
-      // source holds the events feed PLUS a replayed copy of 1/7 of its
-      // rows (the duplicate delivery every at-least-once transport
-      // produces); AvailableNow stream → watermark id-dedup → parquet
-      // sink. The read-back must equal the ORIGINAL feed exactly: every
-      // replayed id dropped, no original lost. First occurrences emit
-      // immediately (dedup holds no rows back), so no horizon filter.
-      val (tmp, src) = stageEventsStreamDir(d)
-      // replay rows read from the ORIGINAL feed path (never read-write
-      // the same directory), appended as one extra source file — the
-      // whole source stays below the file-source batch cap, so originals
-      // and replays share a micro-batch.
-      Tables.loadEvents(s, d)
-        .filter(col("event_id") % 7 === 0)
-        .coalesce(1)
-        .write.mode("append").parquet(src)
-      val sch = s.read.parquet(src).schema
-      graft.streaming.Streams.dedupPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", "event_id",
-          prepare = rebuildStreamTs)
-        .awaitTermination()
-      detachAndClean(
-        s.read.parquet(s"$tmp/out")
-          .select(col("event_id"), col("event_type"), col("user_id"),
-            col("value"), unix_millis(col("ts")).as("ts_ms"))
-          .orderBy("event_id"),
-        tmp)
-    }),
-
-    "stream_dedup_restart" -> ((s, d) => {
-      // dedup state SURVIVES a restart — the crash-recovery half of the
-      // ingest-dedup contract: two AvailableNow passes against the SAME
-      // checkpoint. Pass 1 ingests the feed; the source then grows by
-      // (a) REPLAYS of feed rows from inside the watermark horizon (the
-      // redelivery a crash-restart produces — ids whose dedup state the
-      // checkpoint must still hold) and (b) genuinely NEW events above
-      // the old max event time. Pass 2 must drop every replay (state
-      // restored from the checkpoint, not rebuilt from scratch) and
-      // emit every new row — the sink equals feed ∪ new, exactly.
-      val (tmp, src) = stageEventsStreamDir(d)
-      val sch = s.read.parquet(src).schema
-      def runPass(): Unit =
-        graft.streaming.Streams.dedupPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", "event_id",
-          prepare = rebuildStreamTs).awaitTermination()
-      runPass()
-      // grow the source only AFTER pass 1 committed its checkpoint.
-      // Replays: the last 50 min of the feed — inside the 1 h watermark
-      // horizon on both sides (state still alive, rows not late), so
-      // the drop decision is forced to come from RESTORED state.
-      // appended rows must type-match the SYMLINKED original file (one
-      // declared stream schema covers both), so the nanos split/synth
-      // arithmetic runs on a converted expression and the synthetic ts
-      // is rendered back in the feed's own encoding.
-      val feed = Tables.loadEvents(s, d)
-      val feedTsNs = tsNanosCol(feed)
-      val maxNs = feed.agg(max(feedTsNs)).head().getLong(0)
-      val replays = feed.filter(feedTsNs > lit(maxNs - 3000000000000L))
-      // new rows: ids offset far past the feed, event times strictly
-      // above the old max so none is late behind the restored watermark.
-      val fresh = feed.filter(col("event_id") % 7 === 3)
-        .withColumn("event_id", col("event_id") + lit(10000000L))
-        .withColumn("ts",
-          nanosToFeedTs(feed.schema("ts").dataType,
-            lit(maxNs) + (col("event_id") % 1000 + 1) * lit(1000000000L)))
-      replays.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
-      runPass()
-      detachAndClean(
-        s.read.parquet(s"$tmp/out")
-          .select(col("event_id"), col("event_type"), col("user_id"),
-            col("value"), unix_millis(col("ts")).as("ts_ms"))
-          .orderBy("event_id"),
-        tmp)
-    }),
-
-    "stream_corpus_clean" -> ((s, d) => {
-      // the corpus release pipeline's LIVE front door: a document feed
-      // carrying at-least-once replays (1/7 of the docs re-delivered)
-      // streams through quality gate → bench-Bloom decontamination gate
-      // (packed-bitmap projection, built pre-stream from the bench
-      // shingle set) → watermarked delivery dedup, AvailableNow into a
-      // parquet sink. The two gates are stateless projections and the
-      // only state is surviving doc_ids — the stream-side split of
-      // corpus_pipeline_e2e's batch chain. The oracle unrolls the same
-      // three decisions (bloom positions are md5-exact), so every
-      // admit/drop is hash-checked through the sink.
-      val (tmp, src) = stageDocsStreamDir(d)
-      s.read.parquet(s"$d/documents.parquet")
-        .filter(col("doc_id") % 7 === 0)
-        .coalesce(1).write.mode("append").parquet(src)
-      val bench = Tables.documents(s, d)
-        .filter(col("source").isin("src0", "src1"))
-      val bloom = ext.Sketches.bloomBuild(
-        Dedup.shingles(bench, w = 5).select(col("sh")), "sh",
-        numBits = 1 << 18, numHashes = 4)
-      val gate = (sh: Column) =>
-        ext.Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18,
-          numHashes = 4)
-      val sch = s.read.parquet(src).schema
-      graft.streaming.Streams.corpusCleanPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", gate,
-          benchSources = Seq("src0", "src1"), threshold = 0.3)
-        .awaitTermination()
-      detachAndClean(
-        s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
-    }),
-
-    "stream_corpus_clean_restart" -> ((s, d) => {
-      // the admission front door is CRASH-SAFE end to end: two
-      // AvailableNow passes on one checkpoint. Pass 2's source grows by
-      // (a) REPLAYS of feed docs from inside the watermark horizon —
-      // their gate decisions recompute statelessly, but the drop of
-      // already-ADMITTED replays can only come from dedup state
-      // RESTORED from the checkpoint — and (b) genuinely NEW docs
-      // (offset ids just above the feed, so their synthesized event
-      // times extend the timeline without making the replays late).
-      // Sink == the batch chain over feed ∪ new, exactly: a fresh-state
-      // restart double-emits replayed admits and hash-mismatches.
-      val (tmp, src) = stageDocsStreamDir(d)
-      val bench = Tables.documents(s, d)
-        .filter(col("source").isin("src0", "src1"))
-      val bloom = ext.Sketches.bloomBuild(
-        Dedup.shingles(bench, w = 5).select(col("sh")), "sh",
-        numBits = 1 << 18, numHashes = 4)
-      val gate = (sh: Column) =>
-        ext.Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18,
-          numHashes = 4)
-      val sch = s.read.parquet(src).schema
-      def runPass(): Unit =
-        graft.streaming.Streams.corpusCleanPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", gate,
-          benchSources = Seq("src0", "src1"), threshold = 0.3)
-          .awaitTermination()
-      runPass()
-      // grow the source only AFTER pass 1 committed its checkpoint
-      val feed = s.read.parquet(s"$d/documents.parquet")
-      val maxId = feed.agg(max(col("doc_id"))).head().getLong(0)
-      // replays: the last 50 minutes of synthesized event time — inside
-      // the 1 h horizon, so admitted ones are dropped by RESTORED state
-      val replays = feed.filter(col("doc_id") > maxId - 50)
-      // new docs: copies with ids (and thus event times) just above the
-      // feed — bench-source copies are filtered by the stateless source
-      // gate, train copies re-run the gates under their new ids
-      val fresh = feed.filter(col("doc_id") % 13 === 5)
-        .withColumn("doc_id", col("doc_id") + lit(maxId + 1))
-      replays.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
-      runPass()
-      detachAndClean(
-        s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
-    }),
-
-    "stream_near_dedup" -> ((s, d) => {
-      // STREAMING NEAR-DUP admission — content-level dedup joins the
-      // live front door (stream_corpus_clean's delivery dedup is
-      // id-level; this rejects on MinHash band collision with the
-      // accumulated corpus): the document corpus staged as THREE source
-      // files (doc_id mod 3), streamed one file per micro-batch in a
-      // PINNED order (explicit ascending mtimes — admission is
-      // order-dependent: whichever side of a near-dup pair streams
-      // first wins, and the oracle must replay the same order). Each
-      // batch admits against persisted band state + smaller-id
-      // same-batch siblings, appends admitted bands insert-if-absent,
-      // lands admitted docs in a per-batch overwrite sink. Oracle =
-      // the three admission rounds unrolled with the band state
-      // threaded through; the in-query requires pin that >= 2 batches
-      // actually folded and that the state holds exactly the admitted
-      // documents' bands.
-      val tmp = TempDirs.create("graft-near-dedup-").toString
-      val src = s"$tmp/src"
-      val docs = Tables.documents(s, d)
-      val staged = scala.collection.mutable.Set[String]()
-      (0 until 3).foreach { i =>
-        docs.filter(col("doc_id") % 3 === i).coalesce(1)
-          .write.mode("append").parquet(src)
-        new java.io.File(src).listFiles()
-          .filter(f => f.getName.endsWith(".parquet") && !staged.contains(f.getName))
-          .foreach { f =>
-            require(f.setLastModified(1700000000000L + i * 60000L),
-              s"could not pin mtime for $f — staged batch order would be undefined")
-            staged += f.getName
-          }
-      }
-      val sch = s.read.parquet(src).schema
-      val q = graft.streaming.Streams.nearDedupPipeline(
-        s, sch, src, s"$tmp/state", s"$tmp/out", s"$tmp/ck",
-        w = 5, numHashes = 8, bandWidth = 2)
-      q.awaitTermination()
-      val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
-      require(nBatches >= 2,
-        s"near-dedup admission folded $nBatches micro-batches — need >= 2 " +
-          "to prove state-carried admission, not a single-batch LSH run")
-      val sink = s.read.parquet(s"$tmp/out")
-      // state ids ⊆ admitted ids (equality minus short docs, which have
-      // no shingles and therefore no bands): a rejected doc's bands in
-      // the state would poison every future admission decision.
-      val leaked = s.read.parquet(s"$tmp/state").select(col("doc_id"))
-        .distinct()
-        .join(sink.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-        .count()
-      require(leaked == 0,
-        s"$leaked rejected documents leaked their bands into the state")
-      detachAndClean(
-        sink.select(col("doc_id"), col("source"), col("n_chars"))
-          .orderBy("doc_id"),
-        tmp)
-    }),
-
-    "stream_near_dedup_restart" -> ((s, d) => {
-      // the persisted band state survives a RESTART — the fifth
-      // stateful class joins the restart family (dedup ids / window
-      // aggs / join buffers / session windows / near-dup band state):
-      // pass 1 ingests the first two staged files on one checkpoint,
-      // the third file arrives, pass 2 re-runs the SAME pipeline on the
-      // SAME checkpoint and state. The checkpoint skips the committed
-      // files, so batch 3 admits against the state PASS 1 WROTE — a
-      // fresh-state restart would re-admit every cross-pass near-dup
-      // and hash-mismatch. Oracle = stream_near_dedup's three unrolled
-      // rounds verbatim: the restart must be invisible.
-      val tmp = TempDirs.create("graft-near-dedup-restart-").toString
-      val src = s"$tmp/src"
-      val docs = Tables.documents(s, d)
-      val staged = scala.collection.mutable.Set[String]()
-      def stage(i: Int): Unit = {
-        docs.filter(col("doc_id") % 3 === i).coalesce(1)
-          .write.mode("append").parquet(src)
-        new java.io.File(src).listFiles()
-          .filter(f => f.getName.endsWith(".parquet") && !staged.contains(f.getName))
-          .foreach { f =>
-            require(f.setLastModified(1700000000000L + i * 60000L),
-              s"could not pin mtime for $f — staged batch order would be undefined")
-            staged += f.getName
-          }
-      }
-      stage(0); stage(1)
-      val sch = s.read.parquet(src).schema
-      def runPass(): org.apache.spark.sql.streaming.StreamingQuery = {
-        val q = graft.streaming.Streams.nearDedupPipeline(
-          s, sch, src, s"$tmp/state", s"$tmp/out", s"$tmp/ck",
-          w = 5, numHashes = 8, bandWidth = 2)
-        q.awaitTermination(); q
-      }
-      runPass()
-      stage(2) // arrives only AFTER pass 1 committed its checkpoint
-      val q2 = runPass()
-      require(q2.recentProgress.count(p => p.numInputRows > 0) == 1,
-        "pass 2 must process exactly the one new file — a checkpoint " +
-          "replay of pass-1 files would void the restart argument")
-      detachAndClean(
-        s.read.parquet(s"$tmp/out")
-          .select(col("doc_id"), col("source"), col("n_chars"))
-          .orderBy("doc_id"),
-        tmp)
-    }),
-
-    "stream_sketch_maintain" -> ((s, d) => {
-      // LIVE sketch-state lifecycle: the events feed staged as THREE
-      // source files, streamed one file per micro-batch, each batch's
-      // KMV folded into layout-stamped persisted state (merge
-      // idempotency = replay safety — the foreachBatch exactly-once
-      // argument carried by the operator's algebra). The merge law
-      // (k smallest of unions, oracle-proven in stats_kmv) makes the
-      // final state BIT-IDENTICAL to a single pass over the whole
-      // feed, so the estimate row hash-checks exactly; the in-query
-      // require pins that multiple batches actually folded.
-      val tmp = TempDirs.create("graft-sketch-maint-").toString
-      val src = s"$tmp/src"
-      val feed = Tables.loadEvents(s, d)
-      (0 until 3).foreach(i =>
-        feed.filter(col("event_id") % 3 === i).coalesce(1)
-          .write.mode("append").parquet(src))
-      val sch = s.read.parquet(src).schema
-      val item = concat(col("user_id").cast("string"), lit("|"),
-        col("event_type"))
-      val q = graft.streaming.Streams.sketchMaintainPipeline(
-        s, sch, src, s"$tmp/state", s"$tmp/ck", "item", 256,
-        prepare = _.withColumn("item", item))
-      q.awaitTermination()
-      val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
-      require(nBatches >= 2,
-        s"sketch maintenance folded $nBatches micro-batches — need >= 2 " +
-          "to prove incrementality, not a single-batch rebuild")
-      val est = ext.Sketches.kmvEstimateStated(s.read.parquet(s"$tmp/state"))
-      val exact = feed.select(item.as("item")).filter(col("item").isNotNull)
-        .agg(countDistinct(col("item")).as("n_exact"))
-      detachAndClean(
-        est.crossJoin(exact)
-          .select(col("n_sketch"), col("h_k"), col("n_est"), col("n_exact"),
-            (abs(col("n_est") - col("n_exact").cast("double")) /
-              col("n_exact").cast("double") < 0.15).as("err_ok")),
-        tmp)
-    }),
-
-    "sim_index_compact" -> ((s, d) => {
-      // index COMPACTION: two appends fragment the per-cell file layout
-      // (one file per touched cell per batch); the staged compaction
-      // pass restores ~one file per cell without changing a byte of
-      // content — searched flat at nprobe = numCells afterwards, the
-      // compacted index must still reproduce brute-force top-k exactly.
-      // The physical contract is asserted in-query: strictly fewer
-      // cell-table files after compaction.
-      val tmp = TempDirs.create("graft-idx-compact-").toString
-      val dir = s"$tmp/index"
-      val emb = Tables.embeddings(s, d)
-      ext.VectorIndex.build(emb.filter(col("vec_id") % 4 < 2), dir)
-      ext.VectorIndex.append(s, dir, emb.filter(col("vec_id") % 4 === 2))
-      ext.VectorIndex.append(s, dir, emb.filter(col("vec_id") % 4 === 3))
-      def nFiles(sub: String): Long =
-        s.read.parquet(s"$dir/$sub").select(input_file_name())
-          .distinct().count()
-      val before = nFiles("cells")
-      ext.VectorIndex.compact(s, dir)
-      val after = nFiles("cells")
-      require(after < before,
-        s"compaction must shrink the cells file count ($before -> $after)")
-      detachAndClean(
-        ext.VectorIndex.searchFlat(s, dir, emb.filter(col("vec_id") < 5),
-            k = 10, nprobe = 16)
-          .select(col("qid"), col("rank").cast("int").as("rnk"), col("cid"))
-          .orderBy("qid", "rnk"),
-        tmp)
-    }),
-
-    "stream_index_maintain" -> ((s, d) => {
-      // LIVE ANN-index lifecycle: the embedding corpus staged as three
-      // source files, streamed one file per micro-batch; the first
-      // batch BUILDS the persisted index (quantizer trained, then
-      // frozen), every later batch APPENDs against the frozen
-      // quantizer — replay-safe by the lifecycle's own idempotency
-      // (atomic-overwrite build / per-table insert-if-absent append).
-      // Searched FLAT at nprobe = numCells the maintained index must
-      // reproduce brute-force cosine top-k EXACTLY: one vector lost,
-      // doubled, or mis-assigned anywhere in the stream breaks the
-      // hash. The in-query requires pin that >= 2 batches actually
-      // folded (append path exercised, not one big build) and that the
-      // index holds every corpus vector exactly once.
-      val tmp = TempDirs.create("graft-idx-maint-").toString
-      val src = s"$tmp/src"
-      val emb = Tables.embeddings(s, d)
-      (0 until 3).foreach(i =>
-        emb.filter(col("vec_id") % 3 === i).coalesce(1)
-          .write.mode("append").parquet(src))
-      val sch = s.read.parquet(src).schema
-      val q = graft.streaming.Streams.indexMaintainPipeline(
-        s, sch, src, s"$tmp/index", s"$tmp/ck")
-      q.awaitTermination()
-      val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
-      require(nBatches >= 2,
-        s"index maintenance folded $nBatches micro-batches — need >= 2 " +
-          "to prove append-on-frozen-quantizer, not a single-batch build")
-      val nIndexed = s.read.parquet(s"$tmp/index/cells")
-        .agg(countDistinct(col("vec_id"))).collect()(0).getLong(0)
-      val nCorpus = emb.count()
-      require(nIndexed == nCorpus,
-        s"index holds $nIndexed distinct vectors, corpus has $nCorpus — " +
-          "streamed maintenance lost or doubled vectors")
-      detachAndClean(
-        ext.VectorIndex.searchFlat(s, s"$tmp/index",
-            emb.filter(col("vec_id") < 5), k = 10, nprobe = 16)
-          .select(col("qid"), col("rank").cast("int").as("rnk"), col("cid"))
-          .orderBy("qid", "rnk"),
-        tmp)
-    }),
-
-    "stream_exactly_once" -> ((s, d) => {
-      // the foreachBatch transactional-sink pattern LIVE on the oracle
-      // path: AvailableNow stream → per-batch-directory overwrite sink
-      // (batch_id=N/), read back and hash-checked against the source —
-      // every record lands exactly once, no loss, no duplication.
-      // (Replay idempotency — same batch id overwrites, never appends —
-      // is the StreamingSpec half of the contract.)
-      val (tmp, src) = stageEventsStreamDir(d)
-      val sch = s.read.parquet(src).schema
-      graft.streaming.Streams.exactlyOnceSink(
-          rebuildStreamTs(s.readStream.schema(sch).parquet(src))
-            .select(col("event_id"), col("event_type"), col("user_id"),
-              col("value"), unix_millis(col("ts")).as("ts_ms")),
-          s"$tmp/out", s"$tmp/ck")
-        .awaitTermination()
-      detachAndClean(
-        s.read.parquet(s"$tmp/out/data").drop("batch_id").orderBy("event_id"),
-        tmp)
-    }),
-
-    "gold_popular_routes_warehouse" -> ((s, d) => {
-      // the fact-joining mart off the PERSISTED star: the l⋈o join was
-      // paid once at ingest; grouping keys include fact_trips' bucket
-      // column, so the aggregation below starts with zero exchange.
-      val star = graft.plans.Warehouse.ensure(s, d)
-      Gold.popularRoutesFromStar(star.factTrips, star.dimStation)
-        .orderBy("route_id")
-    }),
-
-    "gold_pivot" -> ((s, d) =>
-      // pivot with an EXPLICIT value list — never values-discovery, which
-      // costs an extra distinct scan and makes the output schema
-      // data-dependent (a schema change at 100 TB is an outage, not a
-      // feature). Missing cells are zero-filled to match the oracle's
-      // FILTER counts.
-      Tables.events(s, d)
-        .withColumn("event_date", to_date(col("ts")))
-        .groupBy(col("event_date"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))
-        .select(col("event_date"),
-          coalesce(col("click"), lit(0L)).as("n_click"),
-          coalesce(col("error"), lit(0L)).as("n_error"),
-          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
-          coalesce(col("signup"), lit(0L)).as("n_signup"),
-          coalesce(col("view"), lit(0L)).as("n_view"))
-        .orderBy("event_date")),
-
-    "gold_window_funcs" -> ((s, d) => {
-      // the analytic-function family over a per-customer order timeline:
-      // sequence, quartile, neighbors, running total, rank-with-ties.
-      // ONE shuffle on o_custkey serves all five window specs (same
-      // partition key; Spark plans a single Exchange, then two sorts).
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val wy = Window.partitionBy(col("o_custkey"))
-        .orderBy(year(col("o_orderdate")))
-      Tables.orders(s, d).select(
-          col("o_orderkey"), col("o_custkey"),
-          row_number().over(w).as("rn"),
-          ntile(4).over(w).as("q4"),
-          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
-          lead(col("o_totalprice"), 1).over(w).as("next_price"),
-          centsSum(col("o_totalprice"))
-            .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_cents"),
-          rank().over(wy).as("rnk_year"),
-          dense_rank().over(wy).as("drnk_year"))
-        .orderBy("o_orderkey")
-    }),
-
-    "gold_cube_summary" -> ((s, d) =>
-      // CUBE over (segment, status) with the grouping_id bitmask —
-      // completes the grouping-sets family next to gold_rollup_summary.
-      Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .cube(col("c_mktsegment"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_orders"),
-          grouping_id().cast("int").as("gid"),
-          (centsSum(col("o_totalprice")).cast("double") /
-            lit(100.0)).as("total_price"))
-        .orderBy(col("gid"),
-          col("c_mktsegment").asc_nulls_last,
-          col("o_orderstatus").asc_nulls_last)),
-
-    "scale_salted_join" -> ((s, d) =>
-      // the skew-salting operator on the oracle path: results must be
-      // IDENTICAL to the plain join for any salt (the oracle is the
-      // unsalted SQL), while the hot key spreads over `salt` reducers.
-      graft.operators.ScaleOps.saltedJoin(
-          Tables.orders(s, d),
-          Tables.customer(s, d)
-            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
-          Seq("o_custkey"), salt = 8)
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"),
-          (centsSum(col("o_totalprice")).cast("double") /
-            lit(100.0)).as("total_price"))
-        .orderBy("c_mktsegment")),
-
-    "scale_compact_roundtrip" -> ((s, d) => {
-      // sink-MAINTENANCE end-to-end (reference MV-refresh analog,
-      // gold_ddl.sql:201-244), hash-checked like gold_pipeline_e2e:
-      // stage the events feed as a per-batch append sink (batch_id=N/
-      // Hive dirs, deliberately many small files per batch), EXPIRE the
-      // two oldest batches, COMPACT the survivors (partition layout
-      // preserved, one file per partition dir), and return an aggregate
-      // fingerprint of the READ-BACK. The oracle recomputes the
-      // surviving content straight from the source, so retention picked
-      // the right batches AND the rewrite preserved every row — the
-      // write paths the spec tests covered are now driver-visible.
-      val tmp = TempDirs.create("graft-compact-").toString
-      val dataDir = s"$tmp/data"
-      Tables.events(s, d)
-        .withColumn("batch_id", (col("event_id") % 6).cast("int"))
-        .select(col("batch_id"), col("event_id"), col("event_type"),
-          col("value"))
-        .repartition(8) // 8 small files per batch dir — what compact fixes
-        .write.partitionBy("batch_id").parquet(dataDir)
-      val expired = graft.operators.ScaleOps
-        .expireBatches(s, dataDir, keepLast = 4)
-      // the retention CONTRACT is part of the query: newest 4 of 6 kept.
-      require(expired.sorted == Seq(0L, 1L),
-        s"expected batches 0,1 expired, got: $expired")
-      // 4 surviving batch dirs at any SF; files-per-dir is SF-dependent
-      // (ceil(bytes/target)), so assert the compaction INVARIANTS against
-      // the MEASURED staged state — layout survives and the file count
-      // strictly shrinks — not against a constant that a large SF's
-      // legitimate multi-file output would trip.
-      val stagedFiles = s.read.parquet(dataDir)
-        .select(input_file_name()).distinct().count()
-      graft.operators.ScaleOps.compact(s, dataDir)
-      val back = s.read.parquet(dataDir)
-      val dirs = new java.io.File(dataDir).listFiles()
-        .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      require(dirs == 4, s"expected 4 surviving batch dirs, found $dirs")
-      val files = back.select(input_file_name()).distinct().count()
-      require(files >= 4 && files < stagedFiles,
-        s"compaction should leave >=1 file per dir and strictly fewer than " +
-          s"the $stagedFiles staged small files, found $files")
-      detachAndClean(
-        back.groupBy(col("batch_id").cast("int").as("batch_id"),
-            col("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("event_id")).as("id_sum"),
-            centsSum(col("value")).as("value_cents"))
-          .orderBy("batch_id", "event_type"),
-        tmp)
-    }),
-
-    "scale_backfill_partition" -> ((s, d) => {
-      // partition backfill (INSERT OVERWRITE PARTITION analog): the
-      // initial load lands a CORRUPTED first day (values doubled — the
-      // bad-load event backfill exists to repair); the backfill rewrites
-      // exactly that day's partition via dynamic partition overwrite.
-      // The read-back must equal the clean feed (oracle), and the
-      // physical contract is asserted: an untouched day's file set is
-      // bit-identical before and after (cost ∝ backfilled partitions,
-      // never the table).
-      val tmp = TempDirs.create("graft-backfill-").toString
-      val dir = s"$tmp/events_bydate"
-      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
-        col("user_id"), col("value"), unix_millis(col("ts")).as("ts_ms"),
-        to_date(col("ts")).as("event_date"))
-      val day0 = ev.agg(min(col("event_date"))).head().getDate(0)
-      ev.withColumn("value",
-          when(col("event_date") === lit(day0), col("value") * 2)
-            .otherwise(col("value")))
-        .repartition(col("event_date"))
-        .write.partitionBy("event_date").parquet(dir)
-      def filesOf(p: String): Set[String] =
-        new java.io.File(dir, p).listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-          .map(f => f.getName + ":" + f.length).toSet
-      val untouched = new java.io.File(dir).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
-        .map(_.getName).filterNot(_ == s"event_date=$day0").sorted.head
-      val before = filesOf(untouched)
-      graft.operators.ScaleOps.backfillPartitions(
-        ev.filter(col("event_date") === lit(day0))
-          .repartition(col("event_date")),
-        dir, Seq("event_date"))
-      require(filesOf(untouched) == before,
-        s"backfill must not rewrite untouched partition $untouched")
-      detachAndClean(
-        s.read.parquet(dir)
-          .select(col("event_id"), col("event_type"), col("user_id"),
-            col("value"), col("ts_ms"))
-          .orderBy("event_id"),
-        tmp)
-    }),
-
-    "scale_schema_evolution" -> ((s, d) => {
-      // ADDITIVE SCHEMA EVOLUTION across ingest batches — the warehouse
-      // half of this round's drift story (the loader hardening handles a
-      // SOURCE changing type under the engine; this handles the engine's
-      // OWN tables growing columns over time, which every long-lived
-      // table does). Batch 1 lands the v1 schema; batch 2 lands v2 with
-      // a new column; the mergeSchema scan unions schemas BY NAME (v1
-      // rows null-fill the new column — never positional matching),
-      // normalization gives the v1 era an explicit default, and the
-      // rollup aggregates both generations as one table. Scale shape:
-      // mergeSchema pays one parquet-footer read per file at PLAN time,
-      // no data pass — production pins the merged schema in a catalog
-      // and the scan itself is identical.
-      val tmp = TempDirs.create("graft-schemaevo-").toString
-      val dir = s"$tmp/orders_evolved"
-      val o = Tables.orders(s, d)
-      o.filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .coalesce(1).write.mode("append").parquet(dir)
-      o.filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-          (col("o_orderkey") % 5).cast("int").as("o_priority_bucket"))
-        .coalesce(1).write.mode("append").parquet(dir)
-      val merged = s.read.option("mergeSchema", "true").parquet(dir)
-      require(merged.schema.fieldNames.contains("o_priority_bucket"),
-        "mergeSchema read lost the evolved column")
-      detachAndClean(
-        merged
-          .withColumn("o_priority_bucket",
-            coalesce(col("o_priority_bucket"), lit(-1)))
-          .groupBy(col("o_priority_bucket"))
-          .agg(count(lit(1)).as("n_orders"),
-            centsSum(col("o_totalprice")).as("price_cents"))
-          .orderBy("o_priority_bucket"),
-        tmp)
-    }),
-
-    "scale_incremental_refresh" -> ((s, d) => {
-      // incremental MV maintenance — the partition-overwrite refresh
-      // loop of a warehouse mart: a daily aggregate built from the
-      // initial fact load, then a delta batch (two NEW days + LATE
-      // rows for the first day) folds in by appending to the fact and
-      // recomputing ONLY the three affected date partitions from the
-      // partition-pruned fact. Physical contract asserted in-query: an
-      // untouched day's mart files are bit-identical across the
-      // refresh. Oracle = full recompute over the whole feed — the
-      // incremental path must land on exactly the one-shot answer,
-      // count-distinct included (recompute-pruning keeps non-additive
-      // measures exact where aggregate-merge algebra could not).
-      val tmp = TempDirs.create("graft-increfresh-").toString
-      val factDir = s"$tmp/fact"; val martDir = s"$tmp/mart"
-      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
-        col("user_id"), col("value"), to_date(col("ts")).as("event_date"))
-      val r0 = ev.agg(min(col("event_date")), max(col("event_date"))).head()
-      val (minD, maxD) = (r0.getDate(0), r0.getDate(1))
-      val inDelta = (col("event_date") >= date_sub(lit(maxD), 1)) ||
-        (col("event_date") === lit(minD) && col("event_id") % 7 === 0)
-      def agg(fact: DataFrame): DataFrame =
-        fact.groupBy(col("event_date"), col("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-            centsSum(col("value")).as("value_cents"),
-            countDistinct(col("user_id")).as("unique_users"))
-      ev.filter(!inDelta).repartition(col("event_date"))
-        .write.partitionBy("event_date").parquet(factDir)
-      agg(s.read.parquet(factDir)).repartition(col("event_date"))
-        .write.partitionBy("event_date").parquet(martDir)
-      val probe = s"event_date=${java.time.LocalDate.ofEpochDay(
-        minD.toLocalDate.toEpochDay + 3)}"
-      def filesOf(p: String): Set[String] =
-        new java.io.File(martDir, p).listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-          .map(f => f.getName + ":" + f.length).toSet
-      val before = filesOf(probe)
-      val affected = graft.operators.ScaleOps.incrementalRefresh(
-        s, factDir, martDir, ev.filter(inDelta), "event_date", agg)
-      require(affected.size == 3,
-        s"delta touches day0 + last two days — expected 3 affected " +
-          s"partitions, got ${affected.size}")
-      require(filesOf(probe) == before,
-        s"untouched mart partition $probe was rewritten — refresh cost " +
-          "must be proportional to affected partitions only")
-      detachAndClean(
-        s.read.parquet(martDir)
-          .select(col("event_date"), col("event_type"), col("n_events"),
-            col("value_cents"), col("unique_users"))
-          .orderBy("event_date", "event_type"),
-        tmp)
-    }),
-
-    "scale_zorder_roundtrip" -> ((s, d) => {
-      // the WRITE half of multi-dimensional data skipping, content-
-      // checked: Z-order-cluster the events feed on bucketed
-      // (user_id, event_id) into 8 range-partitioned files, then return
-      // the read-back rows. Clustering must be a pure REORDER — the
-      // oracle is a plain projection of the source — while the layout
-      // property (each file covers a small (x, y) rectangle whose
-      // min/max stats prune filters on either dimension) stays asserted
-      // in ScaleOpsSpec.
-      val tmp = TempDirs.create("graft-zorder-").toString
-      val path = s"$tmp/events_z"
-      graft.operators.ScaleOps.writeZOrdered(
-        Tables.events(s, d)
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value"), unix_millis(col("ts")).as("ts_ms"))
-          .withColumn("zx", pmod(col("user_id"), lit(256)).cast("int"))
-          .withColumn("zy", pmod(col("event_id"), lit(256)).cast("int")),
-        "zx", "zy", path, numFiles = 8)
-      detachAndClean(
-        s.read.parquet(path).drop("zx", "zy").orderBy("event_id"), tmp)
-    }),
-
-    "corpus_quality_gate" -> ((s, d) =>
-      // batch admission control: every expectation evaluates in ONE
-      // partial+final aggregation pass, unpivoted to a row per check.
-      ext.Quality.eventsGate(Tables.events(s, d))
-        .orderBy("check_name")),
-
-    "corpus_pack" -> ((s, d) =>
-      // sequence packing: stream-order block packing into 512-token
-      // training packs, one window per source shard — shards pack in
-      // parallel, no global sort.
-      ext.Corpus.packSequences(Tables.documents(s, d), maxTokens = 512)
-        .orderBy("source", "doc_id")),
-
-    "corpus_pack_global" -> ((s, d) => {
-      // GLOBAL pack ids with no shard key: the two-phase distributed
-      // scan (range partition + per-partition totals + offset pass)
-      // computes the exact global running token count — bit-identical to
-      // the oracle's single global window, without the single-partition
-      // sort bottleneck that window would cost at scale.
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
-      graft.operators.ScaleOps
-        .withPrefixSum(docs, "doc_id", "n_tok", "tok_before")
-        .withColumn("pack_id",
-          floor(col("tok_before").cast("double") / 512).cast("int"))
-        .orderBy("doc_id")
-    }),
-
-    "gold_funnel" -> ((s, d) =>
-      // ordered conversion funnel (view → click after it → purchase
-      // after that) — the N-step Funnel operator instantiated at N=3:
-      // running conditional minima over ONE per-user sort, then one
-      // aggregation; strict-< keeps same-instant steps non-qualifying.
-      graft.operators.Funnel.funnel(
-        Tables.events(s, d).select(col("user_id"), col("event_type"),
-          unix_millis(col("ts")).as("ts_ms"), col("event_id")),
-        "user_id", "event_type", Seq("ts_ms", "event_id"),
-        steps = Seq("view", "click", "purchase"),
-        stepAliases = Seq("viewed", "clicked", "purchased"))),
-
-    "gold_cohort_retention" -> ((s, d) => {
-      // weekly cohort retention: cohort = a user's first active day. The
-      // first-day aggregate is ≤|users| rows; AQE broadcasts it back over
-      // the events scan at this SF, and at scale — where it no longer
-      // fits — both join sides hash on user_id and the identical
-      // scan-side exchange is deduplicated by exchange reuse.
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-      ev.join(first, "user_id")
-        // floor-division, not cast-truncation: DuckDB's CAST rounds while
-        // Spark's truncates — floor() agrees everywhere (days are >= 0).
-        .groupBy(col("cohort_day"),
-          floor(datediff(col("day"), col("cohort_day")) / 7).cast("int")
-            .as("week_n"))
-        .agg(countDistinct(col("user_id")).as("n_active"))
-        .orderBy("cohort_day", "week_n")
-    }),
-
-    "gold_unpivot" -> ((s, d) =>
-      // wide-to-long: the pivoted daily counts melted back to one row per
-      // (date, type) — zero-count cells survive as explicit zeros, which
-      // a plain GROUP BY cannot produce. Pure projection over the pivot.
-      queries("gold_pivot")(s, d)
-        .unpivot(Array(col("event_date")),
-          Array(col("n_click"), col("n_error"), col("n_purchase"),
-            col("n_signup"), col("n_view")),
-          "metric", "n_events")
-        .withColumn("event_type", regexp_replace(col("metric"), "^n_", ""))
-        .select(col("event_date"), col("event_type"), col("n_events"))
-        .orderBy("event_date", "event_type")),
-
-    "silver_merge_upsert" -> ((s, d) => {
-      // SCD-1 MERGE: every %10 customer gets an updated balance, every %7
-      // customer key is re-inserted negated as a new row — updates
-      // replace, inserts append, untouched rows survive.
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-          col("c_mktsegment"))
-      // key 0 is excluded from the negated-insert arm: -0 == 0 would
-      // collide with the %10 update arm and violate the key-unique batch
-      // precondition upsert now enforces (ANSI MERGE raises there).
-      val updates = cust.filter(col("c_custkey") % 10 === 0)
-        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
-        .unionByName(cust.filter(col("c_custkey") % 7 === 0 &&
-            col("c_custkey") =!= 0)
-          .select((-col("c_custkey")).as("c_custkey"), col("c_name"),
-            lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
-      graft.operators.Merge.upsert(cust, updates, Seq("c_custkey"))
-        .orderBy("c_custkey")
-    }),
-
-    "silver_scd2" -> ((s, d) =>
-      // SCD-2 history from the order feed as a status-change stream:
-      // consecutive same-status rows collapse, each surviving change
-      // opens a version bounded by the next one.
-      graft.operators.Merge.scd2(
-          Tables.orders(s, d).select(col("o_custkey"),
-            to_date(col("o_orderdate")).as("ts"),
-            col("o_orderstatus").as("status"),
-            col("o_orderkey").as("change_id")),
-          keyCol = "o_custkey", tsCol = "ts", attrCol = "status",
-          tieCol = "change_id")
-        .orderBy("o_custkey", "valid_from", "change_id")),
-
-    "bronze_schema_evolution" -> ((s, d) => {
-      // two feed generations (one predates user_id) merged BY NAME, the
-      // missing column null-filled — the bronze read path of any
-      // long-lived feed. Batches staged once per JVM.
-      val (b1, b2) = Bronze.ensureEvolvedBatches(s, d)
-      Bronze.readEvolved(s, b1, b2)
-        .select(col("event_id"), col("event_type"), col("value"),
-          col("user_id"))
-        .orderBy("event_id")
-    }),
-
-    "stats_histogram" -> ((s, d) => histogram20(Tables.events(s, d))),
-
-    "corpus_embedding_centroids" -> ((s, d) =>
-      // per-label centroids in FIXED POINT: summing round(x*1e6) longs is
-      // order-insensitive and exact, so the centroid is a plain
-      // distributed aggregation — no ordered float fold, no collect — and
-      // still bit-identical across engines. One row per (label, dim).
-      Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("p0", "x")))
-        .groupBy(col("label"), (col("p0") + 1).as("pos"))
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(round(col("x").cast("double") * 1000000).cast("long")).as("fx"))
-        .select(col("label"), col("pos"), col("n_vecs"),
-          (col("fx").cast("double") /
-            (col("n_vecs").cast("double") * lit(1000000.0))).as("centroid"))
-        .orderBy("label", "pos")),
-
-    "silver_gapfill" -> ((s, d) => {
-      // resample the sparse high-value purchase feed onto the dense
-      // hourly spine: zero-filled counts + last-observation-carried-
-      // forward values. One groupBy shuffle (union trick — no spine
-      // left-join chain) plus the per-key window sort.
-      val ev = Tables.events(s, d)
-        .withColumn("hour_ms", unix_millis(date_trunc("hour", col("ts"))))
-      val raw = ev.filter(col("value") > 99)
-        .select(col("event_type"), col("hour_ms"),
-          round(col("value") * 100).cast("long").as("cents"))
-      val keys = ev.select(col("event_type")).distinct()
-      val bounds = ev.agg(min(col("hour_ms")).as("lo"),
-        max(col("hour_ms")).as("hi"))
-      graft.operators.TimeSeries.gapFillLocf(raw, keys, bounds,
-          "event_type", "hour_ms", "cents", step = 3600000L)
-        .select(col("event_type"), col("hour_ms"), col("n_obs"),
-          col("value_sum"), col("locf_value"))
-        .orderBy("event_type", "hour_ms")
-    }),
-
-    "gold_topn_per_group" -> ((s, d) => {
-      // top-5 orders by price within every priority class: the rank
-      // filter is planned as WindowGroupLimit, so each partition keeps a
-      // 5-row heap during the sort instead of ranking all rows
-      // (plan-asserted in GoldViewsSpec).
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w).cast("int"))
-        .filter(col("rn") <= 5)
-        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
-          col("o_totalprice"))
-        .orderBy("o_orderpriority", "rn")
-    }),
-
-    "gold_moving_avg" -> ((s, d) => {
-      // 7-day trailing moving average over the daily revenue series —
-      // RANGE frame on the day number, so missing days shrink the window
-      // (calendar semantics), unlike a ROWS frame which would span gaps.
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.orders(s, d)
-        .groupBy(col("o_orderpriority"),
-          to_date(col("o_orderdate")).as("o_orderdate"))
-        .agg(count(lit(1)).as("n_orders"),
-          centsSum(col("o_totalprice")).as("day_cents"))
-        .withColumn("day_nr", unix_date(col("o_orderdate")).cast("long"))
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("day_nr")).rangeBetween(-6, 0)
-      daily.select(col("o_orderpriority"), col("o_orderdate"),
-          col("n_orders"), col("day_cents"),
-          (sum(col("day_cents")).over(w).cast("double") /
-            count(col("day_cents")).over(w).cast("double")).as("ma7_cents"))
-        .orderBy("o_orderpriority", "o_orderdate")
-    }),
-
-    "text_ngram_freq" -> ((s, d) =>
-      // corpus bigram document frequencies: one explode + one agg, top-30
-      // with a full deterministic tie-break.
-      Dedup.shingles(Tables.documents(s, d), w = 2)
-        .groupBy(col("sh").as("bigram"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("n_docs").desc, col("bigram").asc)
-        .limit(30)),
-
-    "corpus_chunk" -> ((s, d) =>
-      // 40-token windows advancing by 30 (10-token overlap) — narrow
-      // per-row emit, chunk ids stable under corpus growth.
-      ext.Corpus.chunk(Tables.documents(s, d), width = 40, overlap = 10)
-        .orderBy("doc_id", "chunk_id")),
-
-    "corpus_contamination" -> ((s, d) =>
-      // train/eval contamination sweep: src0+src1 play the benchmark,
-      // the rest the training corpus; rare-shingle collisions only.
-      ext.Corpus.contamination(Tables.documents(s, d),
-          benchSources = Seq("src0", "src1"), w = 5, maxShingleFreq = 8,
-          threshold = 0.3)
-        .orderBy("bench_doc", "train_doc")),
-
-    "corpus_decontaminate" -> ((s, d) => {
-      // sweep → APPLY: the training corpus minus every document the
-      // contamination sweep flagged — one anti-join against the (tiny)
-      // persisted flag list, the release-time step after the sweep.
-      val docs = Tables.documents(s, d)
-      ext.Corpus.decontaminate(docs,
-          ext.Corpus.contamination(docs, benchSources = Seq("src0", "src1"),
-            w = 5, maxShingleFreq = 8, threshold = 0.3),
-          benchSources = Seq("src0", "src1"))
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
-    }),
-
-    "corpus_decontaminate_embedding" -> ((s, d) =>
-      // SEMANTIC decontamination: train docs whose EMBEDDING cosine-
-      // matches any bench doc's at >= 0.42 are swept, via the banded
-      // LSH equi-join (train×bench only, never train×train) + exact
-      // cosine verification — the sweep that catches paraphrased bench
-      // leakage the n-gram sweep misses. Complements
-      // corpus_decontaminate; both flags union in a real release.
-      ext.Corpus.decontaminateEmbedding(
-          Tables.documents(s, d), Tables.embeddings(s, d),
-          benchSources = Seq("src0", "src1"), threshold = 0.42)
-        .orderBy("doc_id")),
-
-    "corpus_decontaminate_bloom" -> ((s, d) => {
-      // the TWO-STAGE decontamination gate: the bench shingle set's
-      // Bloom filter drops train shingles before the exact join pays
-      // for them. Shares corpus_decontaminate's oracle — pass ⟺ the
-      // prefilter changed NOTHING (no false negatives, false positives
-      // killed by the exact join), which is the soundness property a
-      // prefilter must prove before it ships.
-      val docs = Tables.documents(s, d)
-      ext.Corpus.decontaminate(docs,
-          ext.Corpus.contaminationBloomGated(docs,
-            benchSources = Seq("src0", "src1"),
-            w = 5, maxShingleFreq = 8, threshold = 0.3),
-          benchSources = Seq("src0", "src1"))
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
-    }),
-
-    "scale_partition_pruning" -> ((s, d) => {
-      // dynamic partition pruning over the date-partitioned layout: the
-      // dim side (first week of each month) is broadcast, and its values
-      // reach the fact scan as a RUNTIME partition filter — unselected
-      // day directories are never opened (plan-asserted in ScaleOpsSpec).
-      // The layout build is staged once per JVM, like the warehouse.
-      val dir = graft.operators.ScaleOps.ensureDatePartitionedEvents(s, d)
-      val fact = s.read.parquet(dir)
-      val dim = Tables.events(s, d)
-        .select(to_date(col("ts")).as("event_date")).distinct()
-        .filter(dayofmonth(col("event_date")) <= 7)
-      fact.join(broadcast(dim), Seq("event_date"))
-        .groupBy(col("event_date"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          centsSum(col("value")).as("value_cents"))
-        .orderBy("event_date", "event_type")
-    }),
-  )
-
-  // ---- live-streaming query plumbing -----------------------------------
-
-  /** Stage the events table as a file-stream SOURCE directory: the
-    * file-stream source monitors a DIRECTORY; the testdata table is a
-    * single parquet file, so stage it as a symlink (no data copy) — the
-    * production shape is streaming an arrival directory anyway. Fresh
-    * temp dir per call: each run reprocesses from a clean checkpoint.
-    */
-  private def stageEventsStreamDir(d: String): (String, String) =
-    stageTableStreamDir(d, "events.parquet")
-
-  private def stageDocsStreamDir(d: String): (String, String) =
-    stageTableStreamDir(d, "documents.parquet")
-
-  private def stageTableStreamDir(d: String, table: String): (String, String) = {
-    val tmp = TempDirs.create("graft-stream-").toString
-    val srcPath = java.nio.file.Paths.get(tmp, "src")
-    java.nio.file.Files.createDirectories(srcPath)
-    // absolute target: a relative sf dir would otherwise resolve against
-    // the temp src/ directory and dangle.
-    java.nio.file.Files.createSymbolicLink(
-      srcPath.resolve(table),
-      java.nio.file.Paths.get(d, table).toAbsolutePath)
-    (tmp, srcPath.toString)
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = registry.WarehouseRegistry.queries ++
+      registry.DedupRegistry.queries ++
+      registry.SimilarityRegistry.queries ++
+      registry.TextRegistry.queries ++
+      registry.CorpusRegistry.queries ++
+      registry.StreamRegistry.queries ++
+      registry.ScaleStatsRegistry.queries
+    require(merged.size == registry.WarehouseRegistry.queries.size + registry.DedupRegistry.queries.size + registry.SimilarityRegistry.queries.size + registry.TextRegistry.queries.size + registry.CorpusRegistry.queries.size + registry.StreamRegistry.queries.size + registry.ScaleStatsRegistry.queries.size,
+      "duplicate query key across family registries — one entry is shadowing another")
+    merged
   }
 
-  /** Normalize a stream's ts to TimestampType INSIDE the stream exactly
-    * as Tables.events does for batch — same adaptive branching, because
-    * a staged source directory carries whatever physical encoding the
-    * testdata (or a restart harness's own re-write) shipped: raw-nanos
-    * LONG, TIMESTAMP_NTZ micros, or TimestampType (round-9 postmortem —
-    * the encoding is environment-controlled and has changed under us).
-    */
-  private val rebuildStreamTs: DataFrame => DataFrame = Tables.normalizeTs
-
-  /** ts of a raw events frame as an epoch-NANOS expression, whatever the
-    * physical encoding — the restart harnesses split feeds and place
-    * synthetic rows with nanos arithmetic.
-    */
-  private def tsNanosCol(df: DataFrame): Column = {
-    import org.apache.spark.sql.types._
-    df.schema("ts").dataType match {
-      case LongType           => col("ts")
-      case TimestampNTZType   =>
-        unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
-      case TimestampType      => unix_micros(col("ts")) * lit(1000L)
-      case other => throw new IllegalStateException(
-        s"events ts has unsupported physical type $other")
-    }
+  lazy val oracleSql: Map[String, String] = {
+    val merged = registry.WarehouseRegistry.oracleSql ++
+      registry.DedupRegistry.oracleSql ++
+      registry.SimilarityRegistry.oracleSql ++
+      registry.TextRegistry.oracleSql ++
+      registry.CorpusRegistry.oracleSql ++
+      registry.StreamRegistry.oracleSql ++
+      registry.ScaleStatsRegistry.oracleSql
+    require(merged.size == registry.WarehouseRegistry.oracleSql.size + registry.DedupRegistry.oracleSql.size + registry.SimilarityRegistry.oracleSql.size + registry.TextRegistry.oracleSql.size + registry.CorpusRegistry.oracleSql.size + registry.StreamRegistry.oracleSql.size + registry.ScaleStatsRegistry.oracleSql.size,
+      "duplicate oracle key across family registries — one entry is shadowing another")
+    merged
   }
-
-  /** Raw events feed with ts coerced to epoch-nanos LONG regardless of
-    * the file's encoding: harnesses that restage their own source dir
-    * from this frame keep their nanos split arithmetic unchanged, and
-    * the staged LongType ts takes [[rebuildStreamTs]]'s nanos branch —
-    * byte-identical behavior to the original nanos testdata.
-    */
-  private def eventsFeedNanos(s: SparkSession, d: String): DataFrame = {
-    val raw = Tables.loadEvents(s, d)
-    raw.withColumn("ts", tsNanosCol(raw))
-  }
-
-  /** Inverse of [[tsNanosCol]]: render an epoch-nanos Column in the
-    * staged source's ts encoding, so rows APPENDED to a symlinked
-    * original file type-match the declared stream schema.
-    */
-  private def nanosToFeedTs(dt: org.apache.spark.sql.types.DataType,
-                            nanos: Column): Column = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case LongType         => nanos
-      // `/` on integral Columns is DOUBLE division; at epoch-nanos
-      // magnitude (~2^60) the double ULP is 256 ns, so the quotient can
-      // round below the exact integer and the long cast would truncate
-      // the feed ts 1 µs low. Decimal division keeps it exact.
-      case TimestampNTZType =>
-        timestamp_micros((nanos.cast(DecimalType(38, 0)) / 1000).cast(LongType))
-          .cast(TimestampNTZType)
-      case TimestampType    =>
-        timestamp_micros((nanos.cast(DecimalType(38, 0)) / 1000).cast(LongType))
-      case other => throw new IllegalStateException(
-        s"events ts has unsupported physical type $other")
-    }
-  }
-
-  /** Eagerly materialize a throwaway-directory result, then delete the
-    * directory: repeated bench/verify runs must not accumulate staged
-    * warehouses and stream sinks under /tmp. The local checkpoint
-    * detaches the returned frame's lineage from the deleted files.
-    * (Throwaway dirs are allocated via [[TempDirs.create]], so a run
-    * that dies between staging and this cleanup is still swept by the
-    * shutdown hook on any orderly JVM exit.)
-    */
-  private def detachAndClean(df: DataFrame, dirs: String*): DataFrame = {
-    val out = df.localCheckpoint(eager = true)
-    dirs.foreach(dir =>
-      graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(dir)))
-    out
-  }
-
-  /** Fixed-width 20-bucket histogram with data-derived bounds (A3 style):
-    * one bounds pass + one aggregation; the max value is clamped into the
-    * last bucket. hi==lo guard: a constant column has width 0 and the
-    * divide yields NaN — degenerate input collapses into bucket 0 instead
-    * (the oracle CASE mirrors it). Extracted so the guard is unit-testable
-    * on injected input (the query reads the events table).
-    */
-  private[graft] def histogram20(ev: DataFrame): DataFrame = {
-    val b = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    ev.crossJoin(broadcast(b))
-      .withColumn("bucket",
-        when(col("hi") === col("lo"), lit(0))
-          .otherwise(least(ext.Quality.binExpr(col("value"),
-            (col("hi") - col("lo")) / 20, col("lo")), lit(19L)))
-          .cast("int"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_events"),
-        centsSum(col("value")).as("value_cents"))
-      .orderBy("bucket")
-  }
-
-  /** Read a streaming sink back deterministically: only windows strictly
-    * below the watermark horizon on BOTH sides, so the edge window's
-    * emit-or-hold never decides the comparison.
-    */
-  private def sinkBelowHorizon(s: SparkSession, d: String, outDir: String,
-                               categoryCol: String): DataFrame = {
-    val horizonMs = 3600000L
-    val mx = Tables.events(s, d)
-      .agg(max(unix_millis(col("ts"))).as("mx_ms"))
-    s.read.parquet(outDir)
-      .withColumn("window_start_ms", unix_millis(col("window_start")))
-      .crossJoin(mx) // 1-row broadcast
-      .filter(col("window_start_ms") + horizonMs < col("mx_ms") - horizonMs)
-      .select(col("window_start_ms"), col(categoryCol),
-        col("n_events"), col("value_cents"))
-      .orderBy("window_start_ms", categoryCol)
-  }
-
-  // ---- generated oracle fragments (identical constants as the Spark
-  //      plans: hash seeds, band layout, hyperplane matrix) --------------
-
-  /** toks+tri CTE bodies shared by the shingle-based dedup oracles. */
-  private val triSql =
-    """toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 5
-      |), tri AS (
-      |  SELECT DISTINCT doc_id,
-      |         unnest(list_transform(generate_series(1, len(l)-4),
-      |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
-      |  FROM toks
-      |)""".stripMargin
-
-  /** Prefix-filtered exact-Jaccard pairs, no ORDER BY — shared by the
-    * pair oracle and the connected-components oracle built on it.
-    */
-  /** Exact brute-force cosine top-10 for queries vec_id < 5 — the
-    * oracle of sim_topk_bruteforce, and of stream_index_maintain (a
-    * complete index searched at nprobe = numCells is exhaustive).
-    */
-  private lazy val bruteTop10OracleSql: String =
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-       |s AS (
-       |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS sim
-       |  FROM q, c WHERE qid != cid
-       |), r AS (
-       |  SELECT qid, cid,
-       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-       |  FROM s
-       |)
-       |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 10
-       |ORDER BY qid, rnk""".stripMargin
-
-  private lazy val ngramPairsCoreSql: String =
-    s"""WITH $triSql,
-       |freq AS (SELECT sh, count(*) AS f FROM tri GROUP BY 1),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
-       |ranked AS (
-       |  SELECT t.doc_id, t.sh, s.n,
-       |         row_number() OVER (PARTITION BY t.doc_id
-       |                            ORDER BY fr.f ASC, t.sh ASC) AS rn
-       |  FROM tri t JOIN freq fr ON fr.sh = t.sh JOIN sizes s ON s.doc_id = t.doc_id
-       |), prefix AS (
-       |  SELECT doc_id, sh FROM ranked WHERE rn <= n - floor(0.8 * n) + 1
-       |), cands AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |), com AS (
-       |  SELECT c.d1, c.d2, count(*) AS common
-       |  FROM cands c
-       |  JOIN tri a ON a.doc_id = c.d1
-       |  JOIN tri b ON b.doc_id = c.d2 AND b.sh = a.sh
-       |  GROUP BY 1, 2
-       |)
-       |SELECT d1, d2,
-       |  CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
-       |FROM com JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-       |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8""".stripMargin
-
-  /** mh+bands CTE bodies (8 hashes, 4 bands of 2) shared by the banded
-    * minhash oracles — identical constants to `Dedup.bandsOf`.
-    */
-  private lazy val bandCteSql: String = {
-    val mhCols = (0 until 8).map(s =>
-      s"    min(CAST('0x' || substr(md5('0|' || sh) || md5('1|' || sh), ${8 * s + 1}, 8) AS BIGINT)) AS mh$s")
-      .mkString(",\n")
-    val bandSelects = (0 until 4).map { b =>
-      val k = s"CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR)"
-      s"  SELECT doc_id, $b AS band, $k AS bkey FROM mh"
-    }.mkString("\n  UNION ALL\n")
-    s"""mh AS (
-       |  SELECT doc_id,
-       |$mhCols
-       |  FROM tri GROUP BY doc_id
-       |), bands AS (
-       |$bandSelects
-       |)""".stripMargin
-  }
-
-  /** Streaming near-dup admission unrolled: three rounds (doc_id mod 3,
-    * the pinned micro-batch order), band state threaded through — round
-    * r admits a doc iff none of its band buckets collides with the
-    * admitted-so-far state or a smaller-id sibling of its own round;
-    * docs under 5 tokens have no shingles → no bands → always admitted.
-    * Shared verbatim by stream_near_dedup and its restart variant (the
-    * restart must be invisible).
-    */
-  private lazy val nearDedupAdmissionSql: String =
-    s"""WITH $triSql,
-       |$bandCteSql,
-       |g0 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 0),
-       |g1 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 1),
-       |g2 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 2),
-       |rej0 AS (
-       |  SELECT DISTINCT y.doc_id FROM g0 x
-       |  JOIN g0 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |adm0 AS (SELECT DISTINCT doc_id FROM g0
-       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej0)),
-       |st0 AS (SELECT DISTINCT band, bkey FROM g0
-       |        WHERE doc_id IN (SELECT doc_id FROM adm0)),
-       |rej1 AS (
-       |  SELECT DISTINCT b.doc_id FROM g1 b
-       |  JOIN st0 k ON k.band = b.band AND k.bkey = b.bkey
-       |  UNION
-       |  SELECT DISTINCT y.doc_id FROM g1 x
-       |  JOIN g1 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |adm1 AS (SELECT DISTINCT doc_id FROM g1
-       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
-       |st1 AS (SELECT band, bkey FROM st0
-       |        UNION
-       |        SELECT DISTINCT band, bkey FROM g1
-       |        WHERE doc_id IN (SELECT doc_id FROM adm1)),
-       |rej2 AS (
-       |  SELECT DISTINCT b.doc_id FROM g2 b
-       |  JOIN st1 k ON k.band = b.band AND k.bkey = b.bkey
-       |  UNION
-       |  SELECT DISTINCT y.doc_id FROM g2 x
-       |  JOIN g2 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |adm2 AS (SELECT DISTINCT doc_id FROM g2
-       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej2)),
-       |adm AS (SELECT doc_id FROM adm0
-       |        UNION SELECT doc_id FROM adm1
-       |        UNION SELECT doc_id FROM adm2)
-       |SELECT d.doc_id, d.source, d.n_chars FROM documents d
-       |WHERE d.doc_id IN (SELECT doc_id FROM adm)
-       |   OR d.doc_id NOT IN (SELECT doc_id FROM bands)
-       |ORDER BY doc_id""".stripMargin
-
-  /** Banded-MinHash verified pairs, no ORDER BY — shared by the pair
-    * oracle and the connected-components oracle built on it.
-    */
-  private lazy val minhashPairsCoreSql: String = minhashPairsSql(None)
-
-  /** Banded-MinHash verified pairs with an optional bucket-size cap —
-    * `cap` mirrors `Dedup.minhashLsh(maxBucketSize)`: buckets with more
-    * members are excluded from candidate generation.
-    */
-  private def minhashPairsSql(cap: Option[Int]): String = {
-    val capJoin = cap.map(c =>
-      s"""
-         |  JOIN (SELECT band, bkey FROM bands GROUP BY 1, 2
-         |        HAVING count(*) <= $c) ok
-         |    ON ok.band = x.band AND ok.bkey = x.bkey""".stripMargin).getOrElse("")
-    s"""WITH $triSql,
-       |$bandCteSql, cands AS (
-       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id$capJoin
-       |), sizes AS (
-       |  SELECT doc_id, count(*) AS n FROM tri GROUP BY 1
-       |), com AS (
-       |  SELECT c.d1, c.d2, count(*) AS common
-       |  FROM cands c
-       |  JOIN tri a ON a.doc_id = c.d1
-       |  JOIN tri b ON b.doc_id = c.d2 AND b.sh = a.sh
-       |  GROUP BY 1, 2
-       |)
-       |SELECT d1, d2,
-       |  CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
-       |FROM com JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-       |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.5""".stripMargin
-  }
-
-  private val minhashOracle: String = s"$minhashPairsCoreSql\nORDER BY d1, d2"
-
-  private val simhashOracle: String = {
-    val bitSums = (0 until 16).map(b =>
-      s"    sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
-      .mkString(",\n")
-    val assemble = (0 until 16).map(b =>
-      s"CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-       |), th AS (
-       |  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM tok
-       |), bits AS (
-       |  SELECT doc_id,
-       |$bitSums
-       |  FROM th GROUP BY doc_id
-       |)
-       |SELECT doc_id, CAST($assemble AS INTEGER) AS simhash
-       |FROM bits ORDER BY doc_id""".stripMargin
-  }
-
-  /** Double-precision cosine in the same index-ordered shape as
-    * [[Similarity.cosine]].
-    */
-  /** Exact decontamination oracle shared by corpus_decontaminate and its
-    * Bloom-prefiltered twin (the gate is provably invisible).
-    */
-  private val corpusDecontaminateOracle: String =
-    """WITH toks AS (
-      |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 5
-      |), tri AS (
-      |  SELECT DISTINCT doc_id, source,
-      |         unnest(list_transform(generate_series(1, len(l)-4),
-      |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
-      |  FROM toks
-      |), freq AS (
-      |  SELECT sh, count(*) AS f FROM tri
-      |  WHERE source IS NOT NULL GROUP BY 1),
-      |keep AS (SELECT t.* FROM tri t JOIN freq f ON f.sh = t.sh AND f.f <= 8),
-      |bench AS (SELECT doc_id, sh FROM keep WHERE source IN ('src0','src1')),
-      |train AS (SELECT doc_id, sh FROM keep WHERE source NOT IN ('src0','src1')),
-      |bsize AS (SELECT doc_id, count(*) AS n FROM bench GROUP BY 1),
-      |shared AS (
-      |  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc,
-      |         count(*) AS n_shared
-      |  FROM bench b JOIN train t ON b.sh = t.sh GROUP BY 1, 2),
-      |flagged AS (
-      |  SELECT DISTINCT train_doc FROM shared
-      |  JOIN bsize ON bsize.doc_id = bench_doc
-      |  WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3)
-      |SELECT d.doc_id, d.source, d.n_chars FROM documents d
-      |WHERE d.source NOT IN ('src0','src1')
-      |  AND d.doc_id NOT IN (SELECT train_doc FROM flagged)
-      |ORDER BY doc_id""".stripMargin
-
-  /** Finalized-window batch equivalent shared by stream_pipeline (fresh
-    * checkpoint) and stream_pipeline_restart (two passes, one
-    * checkpoint): the restart must be invisible in the result.
-    */
-  private val streamPipelineOracle: String =
-    """WITH m AS (SELECT epoch_ms(max(ts)) AS mx_ms FROM events)
-      |SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
-      |  event_type, count(*) AS n_events,
-      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-      |FROM events, m
-      |WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 < mx_ms - 3600000
-      |GROUP BY 1, 2
-      |ORDER BY window_start_ms, event_type""".stripMargin
-
-  /** The streaming corpus-admission chain unrolled in batch over `rel`
-    * (the body after WITH — callers prepend their own leading CTEs):
-    * quality predicate, per-doc might-contain fraction against the
-    * bench shingle Bloom (salted-md5 positions, 2^18 bits, 4 hashes),
-    * one row per surviving doc_id. Shared by stream_corpus_clean and
-    * its restart form so the gate semantics cannot drift between them.
-    */
-  private def corpusCleanChainSql(rel: String): String =
-    s"""q AS (
-       |  SELECT doc_id FROM (
-       |    SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
-       |           len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM $rel))
-       |  WHERE n_tok >= 5 AND n_stop >= 1 AND 4*n_dis >= n_tok
-       |), train AS (
-       |  SELECT d.* FROM $rel d JOIN q USING (doc_id)
-       |  WHERE d.source NOT IN ('src0','src1')
-       |), bt AS (
-       |  SELECT string_split(text, ' ') AS l FROM $rel
-       |  WHERE source IN ('src0','src1') AND len(string_split(text, ' ')) >= 5
-       |), bsh AS (
-       |  SELECT DISTINCT
-       |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
-       |  FROM bt, unnest(generate_series(1, len(l)-4)) AS u(i)
-       |), bits AS (
-       |  SELECT DISTINCT
-       |    CAST('0x' || substr(md5('b' || j || '|' || sh), 1, 8) AS BIGINT) % 262144 AS pos
-       |  FROM bsh, unnest(generate_series(0, 3)) AS js(j)
-       |), tsh AS (
-       |  SELECT DISTINCT doc_id,
-       |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM train),
-       |       unnest(generate_series(1, len(l)-4)) AS u(i)
-       |), probe AS (
-       |  SELECT doc_id, sh,
-       |    (CAST('0x' || substr(md5('b0|' || sh), 1, 8) AS BIGINT) % 262144
-       |       IN (SELECT pos FROM bits)
-       |     AND CAST('0x' || substr(md5('b1|' || sh), 1, 8) AS BIGINT) % 262144
-       |       IN (SELECT pos FROM bits)
-       |     AND CAST('0x' || substr(md5('b2|' || sh), 1, 8) AS BIGINT) % 262144
-       |       IN (SELECT pos FROM bits)
-       |     AND CAST('0x' || substr(md5('b3|' || sh), 1, 8) AS BIGINT) % 262144
-       |       IN (SELECT pos FROM bits)) AS might
-       |  FROM tsh
-       |), agg AS (
-       |  SELECT doc_id, count(*) AS n_sh,
-       |         sum(CASE WHEN might THEN 1 ELSE 0 END) AS n_hit
-       |  FROM probe GROUP BY 1
-       |)
-       |SELECT t.doc_id, t.source, t.n_chars,
-       |  CAST(a.n_sh AS INTEGER) AS n_sh, CAST(a.n_hit AS INTEGER) AS n_hit
-       |FROM train t JOIN agg a USING (doc_id)
-       |WHERE CAST(a.n_hit AS DOUBLE) < 0.3 * CAST(a.n_sh AS DOUBLE)
-       |ORDER BY t.doc_id""".stripMargin
-
-  private def cosineSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
-
-  private val lshOracle: String = {
-    val planes = Similarity.planeMatrix(8, 64)
-    def planeLit(p: Int): String =
-      planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-    val bitCols = (0 until 8).map { p =>
-      s"""    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
-         |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])) >= 0
-         |      THEN 1 ELSE 0 END AS b$p""".stripMargin
-    }.mkString(",\n")
-    def bkey(bits: Seq[Int]) =
-      bits.map(b => s"CAST(b$b AS VARCHAR)").mkString(" || ',' || ")
-    s"""WITH sig AS (
-       |  SELECT vec_id, embedding,
-       |$bitCols
-       |  FROM embeddings
-       |), banded AS (
-       |  SELECT vec_id, embedding, 0 AS band, ${bkey(0 until 4)} AS bkey FROM sig
-       |  UNION ALL
-       |  SELECT vec_id, embedding, 1 AS band, ${bkey(4 until 8)} AS bkey FROM sig
-       |), cand AS (
-       |  SELECT DISTINCT q.vec_id AS qid, q.embedding AS qe,
-       |                  c.vec_id AS cid, c.embedding AS ce
-       |  FROM banded q JOIN banded c
-       |    ON q.band = c.band AND q.bkey = c.bkey AND q.vec_id != c.vec_id
-       |  WHERE q.vec_id < 5
-       |), scored AS (
-       |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS sim FROM cand
-       |), r AS (
-       |  SELECT qid, cid,
-       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-       |  FROM scored
-       |)
-       |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
-       |ORDER BY qid, rnk""".stripMargin
-  }
-
-  /** Mart bodies without ORDER BY, shared by the mart oracle and its
-    * rename-view oracle (gold_ddl.sql:135-193 defines the views as pure
-    * column aliases over the marts).
-    */
-  private val dailySummaryCoreSql =
-    s"""WITH $dimDateSql,
-       |fact AS (
-       |  SELECT l.l_quantity, l.l_partkey, l.l_extendedprice,
-       |         CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + day(o.o_orderdate) AS INTEGER) AS start_date_id
-       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-       |)
-       |SELECT d.cal_date, d.year, d.month_name, d.day_name, d.is_weekend,
-       |  count(*) AS total_trips,
-       |  CAST(sum(f.l_quantity) AS BIGINT) AS total_qty,
-       |  sum(f.l_quantity)/count(*) AS avg_qty,
-       |  count(DISTINCT f.l_partkey) AS unique_bikes,
-       |  (CAST(CAST(sum(CAST(round(f.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE))/CAST(count(*) AS DOUBLE) AS avg_price
-       |FROM fact f JOIN dim_date d ON f.start_date_id = d.date_id
-       |GROUP BY 1,2,3,4,5""".stripMargin
-
-  private val popularRoutesCoreSql =
-    """SELECT n1.n_name || ' -> ' || n2.n_name AS route_id,
-      |  n1.n_name AS start_station, n2.n_name AS end_station,
-      |  count(*) AS trip_count,
-      |  CAST(sum(date_diff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_duration_days
-      |FROM lineitem l
-      |JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |JOIN customer c ON o.o_custkey = c.c_custkey
-      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      |LEFT JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
-      |LEFT JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-      |WHERE n1.n_name IS NOT NULL AND n2.n_name IS NOT NULL
-      |GROUP BY n1.n_name, n2.n_name""".stripMargin
-
-  private val userBehaviorCoreSql =
-    """SELECT c.c_mktsegment, o.o_orderstatus,
-      |  CAST(2002 - year(o.o_orderdate) AS INTEGER) AS order_age_years,
-      |  count(*) AS total_orders,
-      |  CAST(CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price,
-      |  (CAST(CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE))/CAST(count(*) AS DOUBLE) AS avg_price
-      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      |GROUP BY 1, 2, 3""".stripMargin
-
-  /** LSH-banded embedding dedup: 16 planes, 4 bands of 4 — identical
-    * constants to [[Dedup.embeddingCosinePairsLsh]]'s defaults.
-    */
-  private val embLshOracle: String = {
-    val planes = Similarity.planeMatrix(16, 64)
-    def planeLit(p: Int): String =
-      planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-    val bitCols = (0 until 16).map { p =>
-      s"""    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
-         |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])) >= 0
-         |      THEN 1 ELSE 0 END AS b$p""".stripMargin
-    }.mkString(",\n")
-    def bkey(bits: Seq[Int]) =
-      bits.map(b => s"CAST(b$b AS VARCHAR)").mkString(" || ',' || ")
-    val bandSelects = (0 until 4).map(b =>
-      s"  SELECT vec_id, embedding, $b AS band, ${bkey(b * 4 until (b + 1) * 4)} AS bkey FROM sig")
-      .mkString("\n  UNION ALL\n")
-    s"""WITH sig AS (
-       |  SELECT vec_id, embedding,
-       |$bitCols
-       |  FROM embeddings
-       |), banded AS (
-       |$bandSelects
-       |), cand AS (
-       |  SELECT DISTINCT x.vec_id AS i, x.embedding AS ea,
-       |                  y.vec_id AS j, y.embedding AS eb
-       |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
-       |), p AS (
-       |  SELECT i, j, ${cosineSql("ea", "eb")} AS sim FROM cand
-       |)
-       |SELECT i, j, sim FROM p WHERE sim >= 0.42
-       |ORDER BY i, j""".stripMargin
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "silver_dim_station" ->
-      """WITH keys AS (
-        |  SELECT c_nationkey AS nationkey FROM customer
-        |  UNION
-        |  SELECT s_nationkey FROM supplier
-        |), rep AS (
-        |  SELECT c_nationkey AS nationkey, c_custkey, c_acctbal,
-        |         row_number() OVER (PARTITION BY c_nationkey
-        |                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
-        |  FROM customer
-        |)
-        |SELECT md5('station|' || CAST(k.nationkey AS VARCHAR)) AS station_key,
-        |       k.nationkey AS nationkey,
-        |       COALESCE(n.n_name, 'UNKNOWN') AS station_name,
-        |       r.r_name AS region_name,
-        |       rep.c_custkey AS rep_custkey,
-        |       rep.c_acctbal AS rep_acctbal
-        |FROM keys k
-        |LEFT JOIN nation n ON n.n_nationkey = k.nationkey
-        |LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
-        |LEFT JOIN (SELECT * FROM rep WHERE rn = 1) rep ON rep.nationkey = k.nationkey
-        |ORDER BY nationkey""".stripMargin,
-
-    "silver_dim_user" ->
-      """WITH segs AS (SELECT DISTINCT c_mktsegment AS mktsegment FROM customer),
-        |stats AS (SELECT DISTINCT o_orderstatus AS orderstatus FROM orders),
-        |bounds AS (SELECT min(CAST(substr(o_orderpriority,1,1) AS INTEGER)) AS lo,
-        |                  max(CAST(substr(o_orderpriority,1,1) AS INTEGER)) AS hi
-        |           FROM orders),
-        |ranks AS (SELECT CAST(unnest(generate_series(lo, hi)) AS INTEGER) AS priority_rank FROM bounds
-        |          UNION ALL SELECT CAST(NULL AS INTEGER) FROM bounds)
-        |SELECT md5(COALESCE(mktsegment,'') || '|' || COALESCE(orderstatus,'') || '|' ||
-        |           COALESCE(CAST(priority_rank AS VARCHAR),'')) AS user_type_key,
-        |       mktsegment, orderstatus, priority_rank
-        |FROM segs CROSS JOIN stats CROSS JOIN ranks
-        |ORDER BY mktsegment, orderstatus, priority_rank NULLS LAST""".stripMargin,
-
-    "silver_dim_date" ->
-      s"""WITH $dimDateSql
-         |SELECT * FROM dim_date ORDER BY date_id""".stripMargin,
-
-    "silver_fact_trips" ->
-      """SELECT CAST(l.l_orderkey*10 + l.l_linenumber AS BIGINT) AS trip_id,
-        |  md5('station|' || CAST(c.c_nationkey AS VARCHAR)) AS start_station_key,
-        |  md5('station|' || CAST(s.s_nationkey AS VARCHAR)) AS end_station_key,
-        |  CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + day(o.o_orderdate) AS INTEGER) AS start_date_id,
-        |  CAST(year(l.l_shipdate)*10000 + month(l.l_shipdate)*100 + day(l.l_shipdate) AS INTEGER) AS end_date_id,
-        |  CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INTEGER) AS duration_days,
-        |  CAST(round(l.l_extendedprice/60.0) AS INTEGER) AS duration_min,
-        |  l.l_partkey AS bike_id,
-        |  l.l_quantity AS quantity,
-        |  CAST(round(l.l_extendedprice*100) AS BIGINT) AS price_cents,
-        |  md5(COALESCE(c.c_mktsegment,'') || '|' || COALESCE(o.o_orderstatus,'') || '|' ||
-        |      COALESCE(CAST(CAST(substr(o.o_orderpriority,1,1) AS INTEGER) AS VARCHAR),'')) AS user_type_key
-        |FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-        |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |ORDER BY trip_id""".stripMargin,
-
-    "gold_daily_summary" -> s"$dailySummaryCoreSql\nORDER BY cal_date",
-
-    "gold_daily_summary_warehouse" -> s"$dailySummaryCoreSql\nORDER BY cal_date",
-
-    "gold_daily_view" ->
-      s"""SELECT cal_date AS trip_date, year AS trip_year, month_name AS month,
-         |  day_name AS weekday, is_weekend AS weekend, total_trips AS trips,
-         |  total_qty AS quantity, avg_qty AS avg_quantity,
-         |  unique_bikes AS distinct_bikes, avg_price AS avg_trip_price
-         |FROM ($dailySummaryCoreSql) v
-         |ORDER BY trip_date""".stripMargin,
-
-    "gold_station_popularity" ->
-      """WITH starts AS (
-        |  SELECT c.c_nationkey AS nationkey, count(*) AS trips_started
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1
-        |), ends AS (
-        |  SELECT s.s_nationkey AS nationkey, count(*) AS trips_ended
-        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1
-        |), details AS (
-        |  SELECT c_nationkey AS nationkey, max(c_mktsegment) AS top_segment
-        |  FROM customer GROUP BY 1
-        |)
-        |SELECT COALESCE(st.nationkey, en.nationkey) AS nationkey,
-        |  n.n_name AS station_name,
-        |  COALESCE(st.trips_started, 0) AS trips_started,
-        |  COALESCE(en.trips_ended, 0) AS trips_ended,
-        |  COALESCE(st.trips_started, 0) - COALESCE(en.trips_ended, 0) AS net_flow,
-        |  COALESCE(st.trips_started, 0) + COALESCE(en.trips_ended, 0) AS total_trips,
-        |  d.top_segment AS top_segment
-        |FROM starts st
-        |FULL OUTER JOIN ends en ON st.nationkey = en.nationkey
-        |LEFT JOIN nation n ON COALESCE(st.nationkey, en.nationkey) = n.n_nationkey
-        |LEFT JOIN details d ON COALESCE(st.nationkey, en.nationkey) = d.nationkey
-        |WHERE n.n_name IS NOT NULL
-        |ORDER BY nationkey""".stripMargin,
-
-    "gold_popular_routes" -> s"$popularRoutesCoreSql\nORDER BY route_id",
-
-    "gold_routes_view" ->
-      s"""SELECT route_id AS route, start_station AS origin,
-         |  end_station AS destination, trip_count AS trips,
-         |  avg_duration_days AS avg_days
-         |FROM ($popularRoutesCoreSql) v
-         |ORDER BY route""".stripMargin,
-
-    "gold_rollup_summary" ->
-      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
-        |  count(*) AS n_orders,
-        |  CAST(grouping(year(o_orderdate)) AS INTEGER) AS g_year,
-        |  CAST(grouping(month(o_orderdate)) AS INTEGER) AS g_month,
-        |  CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price
-        |FROM orders
-        |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
-        |ORDER BY g_year, g_month, o_year NULLS LAST, o_month NULLS LAST""".stripMargin,
-
-    "silver_set_ops" ->
-      """WITH p AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'),
-        |f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
-        |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM p INTERSECT SELECT o_custkey FROM f)
-        |UNION ALL
-        |SELECT o_custkey, 'f_only' AS tag FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM p)
-        |ORDER BY tag, o_custkey""".stripMargin,
-
-    "gold_hourly_summary" ->
-      """SELECT CAST(ts AS DATE) AS event_date,
-        |  CAST(hour(ts) AS INTEGER) AS start_hour,
-        |  event_type,
-        |  count(*) AS n_events,
-        |  CAST(min(hour(ts)*3600 + minute(ts)*60 + second(ts)) AS INTEGER) AS first_tod_sec,
-        |  CAST(max(hour(ts)*3600 + minute(ts)*60 + second(ts)) AS INTEGER) AS last_tod_sec,
-        |  CAST(CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_value
-        |FROM events
-        |GROUP BY 1, 2, 3
-        |ORDER BY event_date, start_hour, event_type""".stripMargin,
-
-    "gold_user_behavior" ->
-      s"$userBehaviorCoreSql\nORDER BY c_mktsegment, o_orderstatus, order_age_years",
-
-    "gold_user_view" ->
-      s"""SELECT c_mktsegment AS segment, o_orderstatus AS status,
-         |  order_age_years AS age_years, total_orders AS orders,
-         |  total_price AS revenue, avg_price AS avg_order_value
-         |FROM ($userBehaviorCoreSql) v
-         |ORDER BY segment, status, age_years""".stripMargin,
-
-    "gold_station_view" ->
-      """WITH starts AS (
-        |  SELECT c.c_nationkey AS nationkey, count(*) AS trips_started
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1
-        |), ends AS (
-        |  SELECT s.s_nationkey AS nationkey, count(*) AS trips_ended
-        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1
-        |)
-        |SELECT COALESCE(st.nationkey, en.nationkey) AS station_code,
-        |  n.n_name AS station,
-        |  COALESCE(st.trips_started, 0) AS departures,
-        |  COALESCE(en.trips_ended, 0) AS arrivals,
-        |  COALESCE(st.trips_started, 0) - COALESCE(en.trips_ended, 0) AS flow,
-        |  COALESCE(st.trips_started, 0) + COALESCE(en.trips_ended, 0) AS traffic
-        |FROM starts st
-        |FULL OUTER JOIN ends en ON st.nationkey = en.nationkey
-        |LEFT JOIN nation n ON COALESCE(st.nationkey, en.nationkey) = n.n_nationkey
-        |WHERE n.n_name IS NOT NULL
-        |ORDER BY station_code""".stripMargin,
-
-    "bronze_clean_events" ->
-      """SELECT event_id, user_id,
-        |  CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type_clean,
-        |  COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE event_type END, 'unknown') AS event_type_filled,
-        |  CASE WHEN value < 0 OR value > 400 THEN NULL ELSE value END AS value_valid
-        |FROM events
-        |WHERE NOT (user_id = 0 AND value = 0)
-        |ORDER BY event_id""".stripMargin,
-
-    "bronze_upsert_anti" ->
-      """SELECT DISTINCT c.c_custkey
-        |FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o
-        |                  WHERE o.o_orderstatus = 'P' AND o.o_custkey = c.c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-
-    "bronze_incremental" ->
-      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
-        |  CAST(CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_value
-        |FROM events
-        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
-        |GROUP BY 1
-        |ORDER BY event_date""".stripMargin,
-
-    "enrich_props_json" ->
-      """SELECT event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k
-        |FROM events
-        |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
-
-    "bronze_file_source" ->
-      """SELECT 'events' AS source_file, count(*) AS n
-        |FROM events
-        |ORDER BY source_file""".stripMargin,
-
-    "enrich_geocode" ->
-      """SELECT user_id,
-        |  (user_id * 2654435761) % 97 AS geo_code,
-        |  'geo_' || CAST((user_id * 2654435761) % 97 AS VARCHAR) AS geo_name
-        |FROM (SELECT DISTINCT user_id FROM events)
-        |ORDER BY user_id""".stripMargin,
-
-    "text_token_stats" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(l) AS INTEGER) AS n_tokens,
-        |  CAST(len(list_distinct(l)) AS INTEGER) AS n_distinct_tokens,
-        |  CAST(list_sum(list_transform(l, x -> length(x))) AS INTEGER) AS sum_tok_len,
-        |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER) AS n_subword_tokens,
-        |  CAST(CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) AS DOUBLE)
-        |    / CAST(len(l) AS DOUBLE) AS avg_tok_len
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-    "text_top_tokens" ->
-      """SELECT token, count(*) AS n
-        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |GROUP BY token
-        |ORDER BY n DESC, token ASC
-        |LIMIT 20""".stripMargin,
-
-    "text_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS l
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id,
-        |    CAST(n_chars AS INTEGER) AS n_chars,
-        |    CAST(len(l) AS INTEGER) AS n_tokens,
-        |    CAST(len(list_distinct(l)) AS INTEGER) AS n_distinct_tokens,
-        |    CAST(len(list_filter(l, x -> list_contains(['the','a','of','and','in'], x))) AS INTEGER) AS n_stopwords
-        |  FROM t
-        |)
-        |SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, n_stopwords,
-        |  CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stopword_ratio,
-        |  CAST(n_distinct_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS diversity,
-        |  (CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 0.5 +
-        |  (CAST(n_distinct_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 0.5 AS quality_score
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    "text_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "text_langid" -> {
-      val lexValues = TextAnalysis.langLexicon
-        .map { case (l, t) => s"('$l','$t')" }.mkString(", ")
-      s"""WITH lex(lex_lang, lex_token) AS (VALUES $lexValues),
-         |langs AS (SELECT DISTINCT lex_lang AS cand_lang FROM lex),
-         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-         |hits AS (
-         |  SELECT t.doc_id, l.lex_lang AS cand_lang, count(*) AS hits
-         |  FROM tok t JOIN lex l ON t.token = l.lex_token GROUP BY 1, 2
-         |), allh AS (
-         |  SELECT d.doc_id, g.cand_lang, COALESCE(h.hits, 0) AS hits
-         |  FROM (SELECT doc_id FROM documents) d
-         |  CROSS JOIN langs g
-         |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.cand_lang = g.cand_lang
-         |), r AS (
-         |  SELECT doc_id, cand_lang, hits,
-         |         row_number() OVER (PARTITION BY doc_id
-         |                            ORDER BY hits DESC, cand_lang ASC) AS rn
-         |  FROM allh
-         |)
-         |SELECT doc_id,
-         |  CASE WHEN hits > 0 THEN cand_lang ELSE 'unknown' END AS pred_lang,
-         |  hits AS best_hits
-         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
-    },
-
-    "text_tfidf" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY 1),
-        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT t.doc_id, t.token,
-        |         (CAST(t.tf AS DOUBLE)/CAST(dl.doc_len AS DOUBLE)) *
-        |         (CAST(n.n_docs AS DOUBLE)/CAST(df.df AS DOUBLE)) AS score
-        |  FROM tf t JOIN dl ON dl.doc_id = t.doc_id
-        |  JOIN df ON df.token = t.token CROSS JOIN n
-        |), r AS (
-        |  SELECT doc_id, token, score,
-        |         row_number() OVER (PARTITION BY doc_id
-        |                            ORDER BY score DESC, token ASC) AS rnk
-        |  FROM scored
-        |)
-        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, token, score
-        |FROM r WHERE rnk <= 3
-        |ORDER BY doc_id, rnk""".stripMargin,
-
-    "text_simhash" -> simhashOracle,
-
-    "dedup_exact" ->
-      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
-        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
-
-    "dedup_ngram_jaccard" -> s"$ngramPairsCoreSql\nORDER BY d1, d2",
-
-    "dedup_repeated_spans" ->
-      """WITH rtoks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), rpos AS (
-        |  SELECT doc_id, u.i AS s, array_to_string(t[u.i:u.i+7], ' ') AS sh
-        |  FROM rtoks, UNNEST(range(1, len(t)-8+2)) AS u(i)
-        |), rdup AS (
-        |  SELECT sh FROM rpos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
-        |), rstarts AS (
-        |  SELECT doc_id, s FROM rpos JOIN rdup USING (sh)
-        |), rflag AS (
-        |  SELECT doc_id, s,
-        |         CASE WHEN s > coalesce(max(s + 7) OVER (
-        |             PARTITION BY doc_id ORDER BY s
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |           THEN 1 ELSE 0 END AS new_span
-        |  FROM rstarts
-        |), rspan AS (
-        |  SELECT doc_id, s,
-        |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY s) AS span_id
-        |  FROM rflag
-        |), ragg AS (
-        |  SELECT doc_id, span_id, max(s) + 7 - min(s) + 1 AS covered,
-        |         count(*) AS nw
-        |  FROM rspan GROUP BY doc_id, span_id
-        |), rper AS (
-        |  SELECT doc_id, CAST(sum(nw) AS BIGINT) AS dup_windows,
-        |         count(*) AS dup_spans,
-        |         CAST(sum(covered) AS BIGINT) AS covered_tokens
-        |  FROM ragg GROUP BY doc_id
-        |)
-        |SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
-        |       p.dup_windows, p.dup_spans, p.covered_tokens
-        |FROM rper p JOIN documents d USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT d1, d2 FROM ($minhashPairsCoreSql) p
-         |), edges AS (
-         |  SELECT d1 AS a, d2 AS b FROM pairs
-         |  UNION
-         |  SELECT d2, d1 FROM pairs
-         |), reach(node, m) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
-         |)
-         |SELECT node AS doc_id, min(m) AS cluster_id
-         |FROM reach GROUP BY 1
-         |ORDER BY doc_id""".stripMargin,
-
-    "dedup_minhash_lsh" -> minhashOracle,
-
-    "dedup_lsh_capped" ->
-      s"${minhashPairsSql(Some(2))}\nORDER BY d1, d2",
-
-    "dedup_keep_best" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT d1, d2 FROM ($minhashPairsCoreSql) p
-         |), edges AS (
-         |  SELECT d1 AS a, d2 AS b FROM pairs
-         |  UNION
-         |  SELECT d2, d1 FROM pairs
-         |), reach(node, m) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
-         |), cl AS (
-         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1
-         |), j AS (
-         |  SELECT cl.cluster_id, cl.doc_id, d.n_chars
-         |  FROM cl JOIN documents d USING (doc_id)
-         |), r AS (
-         |  SELECT cluster_id, doc_id, n_chars,
-         |         row_number() OVER (PARTITION BY cluster_id
-         |                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
-         |         count(*) OVER (PARTITION BY cluster_id) AS n_members
-         |  FROM j
-         |)
-         |SELECT cluster_id, doc_id AS keeper, n_chars AS keeper_quality,
-         |  CAST(n_members AS BIGINT) AS n_members
-         |FROM r WHERE rn = 1
-         |ORDER BY cluster_id""".stripMargin,
-
-    "dedup_incremental_near" ->
-      s"""WITH $triSql,
-         |$bandCteSql,
-         |docsrc AS (SELECT doc_id, source FROM documents),
-         |seenb AS (
-         |  SELECT DISTINCT band, bkey
-         |  FROM bands JOIN docsrc USING (doc_id)
-         |  WHERE source IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})),
-         |incb AS (
-         |  SELECT b.doc_id, b.band, b.bkey
-         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
-         |  WHERE s.source NOT IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})),
-         |rejected AS (
-         |  SELECT DISTINCT doc_id FROM incb
-         |  JOIN seenb k USING (band, bkey)
-         |  UNION
-         |  SELECT DISTINCT y.doc_id FROM incb x
-         |  JOIN incb y ON x.band = y.band AND x.bkey = y.bkey
-         |             AND x.doc_id < y.doc_id)
-         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
-         |WHERE d.source NOT IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)
-         |ORDER BY doc_id""".stripMargin,
-
-    "dedup_incremental_near_verified" -> {
-      val matchSum = (0 until 8).map(k =>
-        s"CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END").mkString(" + ")
-      val seenList = (0 to 9).map(i => s"'src$i'").mkString(",")
-      s"""WITH $triSql,
-         |$bandCteSql,
-         |docsrc AS (SELECT doc_id, source FROM documents),
-         |seenb AS (
-         |  SELECT DISTINCT b.doc_id, band, bkey
-         |  FROM bands b JOIN docsrc USING (doc_id)
-         |  WHERE source IN ($seenList)),
-         |incb AS (
-         |  SELECT b.doc_id, b.band, b.bkey
-         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
-         |  WHERE s.source NOT IN ($seenList)),
-         |candseen AS (
-         |  SELECT DISTINCT i.doc_id, s.doc_id AS partner_id
-         |  FROM incb i JOIN seenb s USING (band, bkey)),
-         |candbatch AS (
-         |  SELECT DISTINCT x.doc_id AS partner_id, y.doc_id
-         |  FROM incb x JOIN incb y ON x.band = y.band AND x.bkey = y.bkey
-         |             AND x.doc_id < y.doc_id),
-         |rejected AS (
-         |  SELECT c.doc_id FROM candseen c
-         |  JOIN mh a ON a.doc_id = c.doc_id
-         |  JOIN mh b ON b.doc_id = c.partner_id
-         |  WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5
-         |  UNION
-         |  SELECT c.doc_id FROM candbatch c
-         |  JOIN mh a ON a.doc_id = c.doc_id
-         |  JOIN mh b ON b.doc_id = c.partner_id
-         |  WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5)
-         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
-         |WHERE d.source NOT IN ($seenList)
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    "dedup_state_append" -> {
-      // two-phase admission: batch 2's seen-set is the initial corpus
-      // PLUS batch 1's admitted docs — the Spark side gets this answer
-      // only if the state append really carried admitted bands forward.
-      val seenList = (0 to 9).map(i => s"'src$i'").mkString(",")
-      val b1List = (10 to 14).map(i => s"'src$i'").mkString(",")
-      s"""WITH $triSql,
-         |$bandCteSql,
-         |docsrc AS (SELECT doc_id, source FROM documents),
-         |seenb AS (
-         |  SELECT DISTINCT band, bkey FROM bands JOIN docsrc USING (doc_id)
-         |  WHERE source IN ($seenList)),
-         |b1 AS (
-         |  SELECT b.doc_id, b.band, b.bkey
-         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
-         |  WHERE s.source IN ($b1List)),
-         |rej1 AS (
-         |  SELECT DISTINCT doc_id FROM b1 JOIN seenb USING (band, bkey)
-         |  UNION
-         |  SELECT DISTINCT y.doc_id FROM b1 x
-         |  JOIN b1 y ON x.band = y.band AND x.bkey = y.bkey
-         |             AND x.doc_id < y.doc_id),
-         |adm1 AS (
-         |  SELECT d.doc_id FROM docsrc d
-         |  WHERE d.source IN ($b1List)
-         |    AND d.doc_id NOT IN (SELECT doc_id FROM rej1)),
-         |seenb2 AS (
-         |  SELECT band, bkey FROM seenb
-         |  UNION
-         |  SELECT DISTINCT band, bkey FROM bands JOIN adm1 USING (doc_id)),
-         |b2 AS (
-         |  SELECT b.doc_id, b.band, b.bkey
-         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
-         |  WHERE s.source NOT IN ($seenList, $b1List)),
-         |rej2 AS (
-         |  SELECT DISTINCT doc_id FROM b2 JOIN seenb2 USING (band, bkey)
-         |  UNION
-         |  SELECT DISTINCT y.doc_id FROM b2 x
-         |  JOIN b2 y ON x.band = y.band AND x.bkey = y.bkey
-         |             AND x.doc_id < y.doc_id)
-         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
-         |WHERE (d.source IN ($b1List)
-         |       AND d.doc_id NOT IN (SELECT doc_id FROM rej1))
-         |   OR (d.source NOT IN ($seenList, $b1List)
-         |       AND d.doc_id NOT IN (SELECT doc_id FROM rej2))
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    "dedup_state_retention" -> {
-      // admission against a seen-set that NEVER contained the removed
-      // docs: the Spark side gets the same answer only if retention truly
-      // erased their state rows.
-      val seenList = (0 to 9).map(i => s"'src$i'").mkString(",")
-      s"""WITH $triSql,
-         |$bandCteSql,
-         |docsrc AS (SELECT doc_id, source FROM documents),
-         |seenb AS (
-         |  SELECT DISTINCT band, bkey
-         |  FROM bands JOIN docsrc USING (doc_id)
-         |  WHERE source IN ($seenList) AND doc_id % 3 <> 0),
-         |incb AS (
-         |  SELECT b.doc_id, b.band, b.bkey
-         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
-         |  WHERE s.source NOT IN ($seenList)),
-         |rejected AS (
-         |  SELECT DISTINCT doc_id FROM incb
-         |  JOIN seenb k USING (band, bkey)
-         |  UNION
-         |  SELECT DISTINCT y.doc_id FROM incb x
-         |  JOIN incb y ON x.band = y.band AND x.bkey = y.bkey
-         |             AND x.doc_id < y.doc_id)
-         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
-         |WHERE d.source NOT IN ($seenList)
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    "silver_range_join" ->
-      """WITH bounds AS (
-        |  SELECT CAST(floor(min(c_acctbal)/1000) AS BIGINT) AS lo,
-        |         CAST(floor(max(c_acctbal)/1000) AS BIGINT) AS hi
-        |  FROM customer
-        |), bands AS (
-        |  SELECT band, CAST(band*1000 AS DOUBLE) AS band_lo,
-        |         CAST((band+1)*1000 AS DOUBLE) AS band_hi
-        |  FROM (SELECT unnest(generate_series(lo, hi)) AS band FROM bounds)
-        |)
-        |SELECT b.band, b.band_lo, b.band_hi, count(*) AS n_customers
-        |FROM customer c JOIN bands b
-        |  ON c.c_acctbal >= b.band_lo AND c.c_acctbal < b.band_hi
-        |GROUP BY 1, 2, 3
-        |ORDER BY band""".stripMargin,
-
-    "silver_nearest" ->
-      """WITH x AS (
-        |  SELECT s.s_suppkey, c.c_custkey,
-        |         (s.s_acctbal - c.c_acctbal) * (s.s_acctbal - c.c_acctbal) AS d2
-        |  FROM supplier s CROSS JOIN customer c
-        |), r AS (
-        |  SELECT s_suppkey, c_custkey, d2,
-        |         row_number() OVER (PARTITION BY s_suppkey
-        |                            ORDER BY d2 ASC, c_custkey ASC) AS rn
-        |  FROM x
-        |)
-        |SELECT s_suppkey, c_custkey AS nearest_custkey, d2
-        |FROM r WHERE rn = 1 ORDER BY s_suppkey""".stripMargin,
-
-    "bronze_domain_unnest" ->
-      """WITH dom(event_type) AS (VALUES ('click'),('error'),('purchase'),
-        |                               ('refund'),('signup'),('view')),
-        |obs AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
-        |SELECT d.event_type AS event_type, COALESCE(o.n, 0) AS n
-        |FROM dom d LEFT JOIN obs o ON o.event_type = d.event_type
-        |ORDER BY d.event_type""".stripMargin,
-
-    "bronze_csv_ingest" ->
-      """SELECT regexp_extract(filename, '([^/]+)\.csv', 1) AS period, station,
-        |  count(*) AS n_trips,
-        |  CAST(sum(qty) AS BIGINT) AS total_qty,
-        |  CAST(CAST(sum(CAST(round(price*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price
-        |FROM read_csv('/root/repo/fixtures/trips_*.csv', header=true,
-        |  columns={'trip_id':'BIGINT','station':'VARCHAR','qty':'INTEGER','price':'DOUBLE'},
-        |  filename=true)
-        |GROUP BY 1, 2
-        |ORDER BY period, station""".stripMargin,
-
-    "enrich_geocode_json" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |raw AS (
-        |  SELECT user_id,
-        |    '{"place_id": ' || CAST(user_id AS VARCHAR) ||
-        |    ', "display_name": "geo_' || CAST((user_id*2654435761)%97 AS VARCHAR) ||
-        |    '", "address": {"city": "city_' || CAST(((user_id*2654435761)%97)%10 AS VARCHAR) ||
-        |    '", "country": "country_' || CAST(((user_id*2654435761)%97)%5 AS VARCHAR) ||
-        |    '"}}' AS payload
-        |  FROM u
-        |), parsed AS (
-        |  SELECT user_id,
-        |    json_extract_string(payload, '$.display_name') AS geo_name,
-        |    json_extract_string(payload, '$.address.city') AS city,
-        |    json_extract_string(payload, '$.address.country') AS country
-        |  FROM raw
-        |), existing AS (SELECT * FROM parsed WHERE user_id % 3 = 0),
-        |inserted AS (
-        |  SELECT p.* FROM parsed p
-        |  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.user_id = p.user_id)
-        |), dim AS (SELECT * FROM existing UNION ALL SELECT * FROM inserted),
-        |agg AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
-        |SELECT a.user_id, a.n_events, d.geo_name, d.city, d.country
-        |FROM agg a JOIN dim d ON d.user_id = a.user_id
-        |ORDER BY a.user_id""".stripMargin,
-
-    "dedup_embedding_lsh" -> embLshOracle,
-
-    "dedup_incremental" ->
-      """WITH first_half AS (SELECT * FROM documents WHERE doc_id < 250),
-        |second_half AS (SELECT * FROM documents WHERE doc_id >= 250),
-        |incoming AS (
-        |  SELECT doc_id, text FROM second_half
-        |  UNION ALL SELECT doc_id + 10000, text FROM first_half
-        |  UNION ALL SELECT doc_id + 20000, text FROM second_half
-        |), seen AS (SELECT DISTINCT md5(text) AS content_hash FROM first_half),
-        |hashed AS (SELECT doc_id, md5(text) AS content_hash FROM incoming),
-        |novel AS (
-        |  SELECT h.doc_id, h.content_hash FROM hashed h
-        |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.content_hash = h.content_hash)
-        |), r AS (
-        |  SELECT doc_id, content_hash,
-        |         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id ASC) AS rn
-        |  FROM novel
-        |)
-        |SELECT doc_id, content_hash FROM r WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin,
-
-    "corpus_split_assign" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    CAST(CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket
-        |  FROM documents
-        |)
-        |SELECT doc_id, bucket,
-        |  CASE WHEN bucket < 80 THEN 'train'
-        |       WHEN bucket < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin,
-
-    "corpus_redact" ->
-      """WITH r AS (
-        |  SELECT doc_id, text,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
-        |      '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
-        |      '[0-9]+', '#', 'g'),
-        |      '[ \t\n\f\r\x0B]+', ' ', 'g')) AS clean_text
-        |  FROM documents
-        |)
-        |SELECT doc_id, clean_text,
-        |  CAST(CASE WHEN clean_text != text THEN 1 ELSE 0 END AS INTEGER) AS was_redacted
-        |FROM r ORDER BY doc_id""".stripMargin,
-
-    "corpus_sample_stratified" ->
-      """WITH s AS (
-        |  SELECT lang, count(*) AS n_sampled FROM documents
-        |  WHERE CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 200
-        |  GROUP BY 1
-        |), t AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1)
-        |SELECT t.lang, t.n_total, COALESCE(s.n_sampled, 0) AS n_sampled
-        |FROM t LEFT JOIN s ON s.lang = t.lang
-        |ORDER BY t.lang""".stripMargin,
-
-    "corpus_sample_weighted" ->
-      """WITH m AS (SELECT max(n_chars) AS wmax FROM documents)
-        |SELECT doc_id, source, n_chars FROM documents, m
-        |WHERE CAST('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) * wmax
-        |      < n_chars * 4294967296
-        |ORDER BY doc_id""".stripMargin,
-
-    "corpus_mix_sources" ->
-      """WITH rates(src, rate) AS (VALUES ('src0', 800), ('src1', 500),
-        |                                ('src2', 200), ('src3', 100))
-        |SELECT d.source, count(*) AS n_kept
-        |FROM documents d JOIN rates r ON d.source = r.src
-        |WHERE CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < r.rate
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "corpus_shuffle_shards" ->
-      """WITH sk AS (
-        |  SELECT doc_id,
-        |         substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15)
-        |           || '|' || CAST(doc_id AS VARCHAR) AS skey
-        |  FROM documents
-        |), rs AS (
-        |  SELECT doc_id,
-        |         row_number() OVER (ORDER BY skey) - 1 AS position
-        |  FROM sk
-        |)
-        |SELECT CAST(position // 64 AS INTEGER) AS shard_id, position, doc_id
-        |FROM rs ORDER BY position""".stripMargin,
-
-    "corpus_domain_cap" ->
-      // quality score expressions copied from the text_quality oracle
-      // so the ordering doubles are bit-identical
-      """WITH ct AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
-        |), cq AS (
-        |  SELECT doc_id, source,
-        |    (CAST(len(list_filter(l, x -> list_contains(['the','a','of','and','in'], x))) AS DOUBLE)
-        |       / CAST(len(l) AS DOUBLE)) * 0.5 +
-        |    (CAST(len(list_distinct(l)) AS DOUBLE)
-        |       / CAST(len(l) AS DOUBLE)) * 0.5 AS qs
-        |  FROM ct
-        |), cr AS (
-        |  SELECT source, doc_id,
-        |         row_number() OVER (PARTITION BY source
-        |                            ORDER BY qs DESC, doc_id ASC) AS q_rank
-        |  FROM cq
-        |)
-        |SELECT source, doc_id, CAST(q_rank AS INTEGER) AS q_rank
-        |FROM cr WHERE q_rank <= 15
-        |ORDER BY source, q_rank""".stripMargin,
-
-    "dedup_embedding_cosine" ->
-      s"""WITH p AS (
-         |  SELECT a.vec_id AS i, b.vec_id AS j,
-         |         ${cosineSql("a.embedding", "b.embedding")} AS sim
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |)
-         |SELECT i, j, sim FROM p WHERE sim >= 0.42
-         |ORDER BY i, j""".stripMargin,
-
-    "sim_topk_bruteforce" -> bruteTop10OracleSql,
-
-    // the maintained index searched flat at nprobe = numCells IS
-    // brute-force cosine top-k — same oracle; the lifecycle (stream
-    // build + appends, no loss/dup/re-encode) is what the hash buys.
-    "stream_index_maintain" -> bruteTop10OracleSql,
-
-    // compaction changes the file layout, never a byte of content:
-    // the same exhaustive-search oracle must hold after the rewrite.
-    "sim_index_compact" -> bruteTop10OracleSql,
-
-    "sim_topk_lsh" -> lshOracle,
-
-    "sim_ivf_nprobe_sweep" -> {
-      // the sim_topk_ivf oracle parameterized by nprobe (crn <= n),
-      // joined per point against the exact brute top-5
-      def ivfSql(np: Int) =
-        s"""SELECT qid, cid FROM (
-           |  SELECT qid, cid,
-           |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-           |  FROM (
-           |    SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
-           |    FROM (
-           |      SELECT qid, qe, cell FROM (
-           |        SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
-           |               row_number() OVER (PARTITION BY e.vec_id
-           |                 ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-           |        FROM embeddings e CROSS JOIN cent c
-           |        WHERE e.vec_id < 5
-           |      ) WHERE crn <= $np
-           |    ) q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid))
-           |WHERE rnk <= 5""".stripMargin
-      def point(np: Int) =
-        s"""SELECT CAST($np AS INTEGER) AS nprobe, q.qid,
-           |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
-           |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
-           |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5) q
-           |LEFT JOIN (
-           |  SELECT b.qid, count(*) AS n_hit
-           |  FROM b JOIN (${ivfSql(np)}) i ON i.qid = b.qid AND i.cid = b.cid
-           |  GROUP BY 1) h USING (qid)""".stripMargin
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-         |  ORDER BY vec_id LIMIT 16
-         |), ca AS (
-         |  SELECT cid, ce, cell FROM (
-         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c
-         |  ) WHERE crn <= 1
-         |), b AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT qid, cid,
-         |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-         |    FROM (
-         |      SELECT q.vec_id AS qid, c.vec_id AS cid,
-         |             ${cosineSql("q.embedding", "c.embedding")} AS sim
-         |      FROM embeddings q, embeddings c
-         |      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id))
-         |  WHERE rnk <= 5
-         |)
-         |SELECT * FROM (
-         |${point(1)}
-         |UNION ALL
-         |${point(2)}
-         |UNION ALL
-         |${point(4)})
-         |ORDER BY nprobe, qid""".stripMargin
-    },
-
-    "sim_recall_eval" ->
-      // exact top-5 (brute) vs the LSH oracle embedded as a derived
-      // table (memory of misses is shared with sim_topk_lsh bit for bit)
-      s"""WITH b AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT qid, cid,
-         |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-         |    FROM (
-         |      SELECT q.vec_id AS qid, c.vec_id AS cid,
-         |             ${cosineSql("q.embedding", "c.embedding")} AS sim
-         |      FROM embeddings q, embeddings c
-         |      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id))
-         |  WHERE rnk <= 5
-         |), l AS (SELECT qid, cid FROM ($lshOracle) t),
-         |h AS (
-         |  SELECT b.qid, count(*) AS n_hit
-         |  FROM b JOIN l ON l.qid = b.qid AND l.cid = b.cid GROUP BY 1
-         |)
-         |SELECT q.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
-         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
-         |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5) q
-         |LEFT JOIN h USING (qid)
-         |ORDER BY qid""".stripMargin,
-
-    "text_repetition" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |         unnest(list_transform(generate_series(1, len(l)-2),
-        |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
-        |  FROM toks WHERE len(l) >= 3
-        |), a AS (
-        |  SELECT doc_id, count(*) AS n_ngrams, count(DISTINCT sh) AS n_distinct
-        |  FROM g GROUP BY 1
-        |)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
-        |  CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
-        |  CASE WHEN a.n_ngrams IS NULL THEN 0.0
-        |       ELSE CAST(a.n_ngrams - a.n_distinct AS DOUBLE)
-        |            / CAST(a.n_ngrams AS DOUBLE) END AS dup_frac
-        |FROM documents d LEFT JOIN a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    "text_bpe_merges" -> {
-      // 4 unrolled BPE rounds: pair counting from the space-delimited
-      // symbol string, argmax with (count desc, pair asc) tie-break,
-      // leftmost-nonoverlapping space-anchored replace — identical
-      // semantics verified for both engines' replace().
-      val rounds = 4
-      val cte = (1 to rounds).map { r =>
-        s"""p$r AS (
-           |  SELECT l[i] AS p1, l[i+1] AS p2, CAST(sum(cnt) AS BIGINT) AS pc
-           |  FROM (SELECT string_split(trim(seq), ' ') AS l, cnt FROM s${r - 1}) t,
-           |       unnest(generate_series(1, len(l)-1)) AS u(i)
-           |  GROUP BY 1, 2
-           |), b$r AS (
-           |  SELECT p1, p2, pc FROM p$r ORDER BY pc DESC, p1 ASC, p2 ASC LIMIT 1
-           |), s$r AS (
-           |  SELECT replace(seq, ' '||b.p1||' '||b.p2||' ', ' '||b.p1||b.p2||' ') AS seq, cnt
-           |  FROM s${r - 1}, b$r b
-           |)""".stripMargin
-      }.mkString(",\n")
-      val out = (1 to rounds).map(r =>
-        s"SELECT $r AS round, p1 AS left_sym, p2 AS right_sym, pc AS pair_count FROM b$r")
-        .mkString("\nUNION ALL\n")
-      s"""WITH w0 AS (
-         |  SELECT word, count(*) AS cnt
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE len(word) > 0 GROUP BY 1
-         |), s0 AS (
-         |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq, cnt
-         |  FROM w0
-         |),
-         |$cte
-         |$out
-         |ORDER BY round""".stripMargin
-    },
-
-    "text_bpe_encode" -> {
-      // the same 4 unrolled training rounds as text_bpe_merges, then the
-      // encode chain: each distinct word's symbol sequence through the 4
-      // replaces in round order (b1..b4 are single-row CTEs), symbol
-      // counts joined back onto the doc word stream, zero-fill for
-      // wordless documents.
-      val rounds = 4
-      val cte = (1 to rounds).map { r =>
-        s"""p$r AS (
-           |  SELECT l[i] AS p1, l[i+1] AS p2, CAST(sum(cnt) AS BIGINT) AS pc
-           |  FROM (SELECT string_split(trim(seq), ' ') AS l, cnt FROM s${r - 1}) t,
-           |       unnest(generate_series(1, len(l)-1)) AS u(i)
-           |  GROUP BY 1, 2
-           |), b$r AS (
-           |  SELECT p1, p2, pc FROM p$r ORDER BY pc DESC, p1 ASC, p2 ASC LIMIT 1
-           |), s$r AS (
-           |  SELECT replace(seq, ' '||b.p1||' '||b.p2||' ', ' '||b.p1||b.p2||' ') AS seq, cnt
-           |  FROM s${r - 1}, b$r b
-           |)""".stripMargin
-      }.mkString(",\n")
-      val applied = (1 to rounds).foldLeft(
-        "' ' || array_to_string(string_split(v.word, ''), ' ') || ' '") {
-        (acc, r) =>
-          s"replace($acc, ' '||b$r.p1||' '||b$r.p2||' ', ' '||b$r.p1||b$r.p2||' ')"
-      }
-      val bs = (1 to rounds).map(r => s"b$r").mkString(", ")
-      s"""WITH w0 AS (
-         |  SELECT word, count(*) AS cnt
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE len(word) > 0 GROUP BY 1
-         |), s0 AS (
-         |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq, cnt
-         |  FROM w0
-         |),
-         |$cte,
-         |wt AS (
-         |  SELECT v.word,
-         |         len(string_split(trim($applied), ' ')) AS n_sym
-         |  FROM (SELECT word FROM w0) v, $bs
-         |), dw AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-         |), agg AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |         CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
-         |  FROM dw JOIN wt USING (word)
-         |  WHERE len(word) > 0 GROUP BY 1
-         |)
-         |SELECT d.doc_id,
-         |  CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
-         |  CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
-         |FROM documents d LEFT JOIN agg a USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    "text_bpe_tokenize" -> {
-      // same 4 unrolled training rounds, then: vocab ids by
-      // lexicographic rank over the distinct encoded symbols, per-word
-      // id lists in symbol order, per-doc flattening in word order.
-      val rounds = 4
-      val cte = (1 to rounds).map { r =>
-        s"""p$r AS (
-           |  SELECT l[i] AS p1, l[i+1] AS p2, CAST(sum(cnt) AS BIGINT) AS pc
-           |  FROM (SELECT string_split(trim(seq), ' ') AS l, cnt FROM s${r - 1}) t,
-           |       unnest(generate_series(1, len(l)-1)) AS u(i)
-           |  GROUP BY 1, 2
-           |), b$r AS (
-           |  SELECT p1, p2, pc FROM p$r ORDER BY pc DESC, p1 ASC, p2 ASC LIMIT 1
-           |), s$r AS (
-           |  SELECT replace(seq, ' '||b.p1||' '||b.p2||' ', ' '||b.p1||b.p2||' ') AS seq, cnt
-           |  FROM s${r - 1}, b$r b
-           |)""".stripMargin
-      }.mkString(",\n")
-      val applied = (1 to rounds).foldLeft(
-        "' ' || array_to_string(string_split(v.word, ''), ' ') || ' '") {
-        (acc, r) =>
-          s"replace($acc, ' '||b$r.p1||' '||b$r.p2||' ', ' '||b$r.p1||b$r.p2||' ')"
-      }
-      val bs = (1 to rounds).map(r => s"b$r").mkString(", ")
-      s"""WITH w0 AS (
-         |  SELECT word, count(*) AS cnt
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE len(word) > 0 GROUP BY 1
-         |), s0 AS (
-         |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq, cnt
-         |  FROM w0
-         |),
-         |$cte,
-         |vw AS (
-         |  SELECT v.word, string_split(trim($applied), ' ') AS syms
-         |  FROM (SELECT word FROM w0) v, $bs
-         |), vocab AS (
-         |  SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS INTEGER) AS id
-         |  FROM (SELECT DISTINCT unnest(syms) AS token FROM vw)
-         |), wsym AS (
-         |  SELECT w.word, u.i, w.syms[u.i] AS token
-         |  FROM vw w, unnest(generate_series(1, len(w.syms))) AS u(i)
-         |), wid AS (
-         |  SELECT word, list(v.id ORDER BY s.i) AS ids
-         |  FROM wsym s JOIN vocab v USING (token)
-         |  GROUP BY word
-         |), dw AS (
-         |  SELECT doc_id, l[i] AS word, i AS wpos
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
-         |       unnest(generate_series(1, len(l))) AS u(i)
-         |  WHERE len(l[i]) > 0
-         |), agg AS (
-         |  SELECT d.doc_id, flatten(list(w.ids ORDER BY d.wpos)) AS ids
-         |  FROM dw d JOIN wid w USING (word)
-         |  GROUP BY 1
-         |)
-         |SELECT d.doc_id,
-         |  CAST(COALESCE(len(a.ids), 0) AS INTEGER) AS n_tokens,
-         |  COALESCE(array_to_string(a.ids, ' '), '') AS token_ids
-         |FROM documents d LEFT JOIN agg a USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    "sim_quantize_int8" ->
-      """WITH s AS (
-        |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
-        |  FROM embeddings
-        |), sc AS (
-        |  SELECT vec_id, embedding,
-        |    CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale
-        |  FROM s
-        |)
-        |SELECT vec_id, CAST(i AS INTEGER) AS pos,
-        |  CAST(round(CAST(embedding[i] AS DOUBLE) * scale) AS INTEGER) AS q,
-        |  scale
-        |FROM sc, unnest(generate_series(1, len(embedding))) AS t(i)
-        |ORDER BY vec_id, pos""".stripMargin,
-
-    "sim_ivf_refine" ->
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-         |  ORDER BY vec_id LIMIT 16
-         |), ca AS (
-         |  SELECT cell, ce FROM (
-         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c
-         |  ) WHERE crn <= 1
-         |)
-         |SELECT cell, CAST(i AS INTEGER) AS pos, count(*) AS n_members,
-         |  CAST(sum(CAST(round(CAST(ce[i] AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
-         |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
-         |FROM ca, unnest(generate_series(1, len(ce))) AS t(i)
-         |GROUP BY 1, 2 ORDER BY cell, pos""".stripMargin,
-
-    // 3 Lloyd iterations unrolled (the Spark side runs ivfKMeans with
-    // tol=0, so the count is this constant): each round re-assigns
-    // against the previous round's FIXED-POINT means (exact longs, one
-    // division — so the chained doubles stay bit-identical), then the
-    // final round's mean table is the result. Centroid lists after round
-    // 1 are DOUBLE lists; cosineSql casts both sides to double, matching
-    // the Spark kernel's mixed float×double accumulation.
-    "sim_ivf_kmeans" -> {
-      val rounds = (1 to 3).map { t =>
-        val prev = if (t == 1) "c0" else s"c${t - 1}"
-        s"""a$t AS (
-           |  SELECT cell, ce FROM (
-           |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
-           |           row_number() OVER (PARTITION BY e.vec_id
-           |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-           |    FROM embeddings e CROSS JOIN $prev c
-           |  ) WHERE crn = 1
-           |), m$t AS (
-           |  SELECT cell, CAST(i AS INTEGER) AS pos, count(*) AS n_members,
-           |    CAST(sum(CAST(round(CAST(ce[i] AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
-           |      / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
-           |  FROM a$t, unnest(generate_series(1, len(ce))) AS u$t(i)
-           |  GROUP BY 1, 2
-           |), c$t AS (
-           |  SELECT cell, list(c_val ORDER BY pos) AS centroid FROM m$t GROUP BY cell
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH c0 AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-         |  ORDER BY vec_id LIMIT 16
-         |), $rounds
-         |SELECT cell, pos, n_members, c_val FROM m3
-         |ORDER BY cell, pos""".stripMargin
-    },
-
-    "sim_topk_ivf" ->
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-         |  ORDER BY vec_id LIMIT 16
-         |), ca AS (
-         |  SELECT cid, ce, cell FROM (
-         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c
-         |  ) WHERE crn <= 1
-         |), qp AS (
-         |  SELECT qid, qe, cell FROM (
-         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c
-         |    WHERE e.vec_id < 5
-         |  ) WHERE crn <= 4
-         |), scored AS (
-         |  SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
-         |  FROM qp q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid
-         |), r AS (
-         |  SELECT qid, cid,
-         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-         |  FROM scored
-         |)
-         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
-         |ORDER BY qid, rnk""".stripMargin,
-
-    "sim_topk_pq_refined" -> {
-      // 2 unrolled per-subspace k-means iterations over the sampled
-      // codebook seeds (widened to double), mirroring the fixed-point
-      // Lloyd chain of the sim_ivf_kmeans oracle at (sub, code) grain:
-      // argmin assignment (d2 asc, code asc), exact-long mean per
-      // (sub, code, pos), codes with no members carried forward by
-      // anti-join — then the standard ADC search with the final
-      // codebooks.
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
-      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
-      def d2(a: String, b: String) =
-        s"${dot(a, a)} - 2*${dot(a, b)} + ${dot(b, b)}"
-      val iters = (1 to 2).map { t =>
-        val prev = s"cb${t - 1}"
-        s"""e$t AS (
-           |  SELECT cid, sub, code FROM (
-           |    SELECT v.cid, v.sub, c.code,
-           |      row_number() OVER (PARTITION BY v.cid, v.sub
-           |        ORDER BY ${d2("v.sv", "c.codeword")} ASC, c.code ASC) AS rn
-           |    FROM sv v JOIN $prev c ON c.sub = v.sub)
-           |  WHERE rn = 1
-           |), m$t AS (
-           |  SELECT e.sub, e.code, CAST(i AS INTEGER) AS pos,
-           |    CAST(sum(CAST(round(CAST(v.sv[i] AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
-           |      / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
-           |  FROM e$t e JOIN sv v ON v.cid = e.cid AND v.sub = e.sub,
-           |       unnest(generate_series(1, len(v.sv))) AS u$t(i)
-           |  GROUP BY 1, 2, 3
-           |), cb$t AS (
-           |  SELECT sub, code, list(c_val ORDER BY pos) AS codeword
-           |  FROM m$t GROUP BY 1, 2
-           |  UNION ALL
-           |  SELECT p.sub, p.code, p.codeword FROM $prev p
-           |  WHERE NOT EXISTS (SELECT 1 FROM m$t m
-           |                    WHERE m.sub = p.sub AND m.code = p.code)
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
-         |base AS (
-         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-         |  FROM embeddings ORDER BY vec_id LIMIT 16
-         |), cb0 AS (
-         |  SELECT s.sub, b.code,
-         |    list_transform(${sl("b.embedding", "s.sub")}, x -> CAST(x AS DOUBLE)) AS codeword
-         |  FROM base b CROSS JOIN subs s
-         |), sv AS (
-         |  SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
-         |  FROM embeddings e CROSS JOIN subs s
-         |),
-         |$iters,
-         |enc AS (
-         |  SELECT cid, sub, code FROM (
-         |    SELECT v.cid, v.sub, c.code,
-         |      row_number() OVER (PARTITION BY v.cid, v.sub
-         |        ORDER BY ${d2("v.sv", "c.codeword")} ASC, c.code ASC) AS rn
-         |    FROM sv v JOIN cb2 c ON c.sub = v.sub)
-         |  WHERE rn = 1
-         |), lut AS (
-         |  SELECT q.vec_id AS qid, c.sub, c.code,
-         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
-         |  FROM embeddings q CROSS JOIN cb2 c WHERE q.vec_id < 5
-         |), est AS (
-         |  SELECT l.qid, e.cid,
-         |    MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
-         |    + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
-         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
-         |  GROUP BY 1, 2
-         |), r AS (
-         |  SELECT qid, cid,
-         |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
-         |  FROM est WHERE qid != cid
-         |)
-         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 10
-         |ORDER BY qid, rnk""".stripMargin
-    },
-
-    "sim_topk_ivfpq" -> {
-      // IVF candidate restriction (cent/ca/qp from the sim_topk_ivf
-      // oracle) composed with PQ ADC scoring (cw/enc/lut from the
-      // sim_topk_pq oracle), estimates summed in fixed pivot order.
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
-      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-         |  ORDER BY vec_id LIMIT 16
-         |), ca AS (
-         |  SELECT cid, cell FROM (
-         |    SELECT e.vec_id AS cid, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c
-         |  ) WHERE crn <= 1
-         |), qp AS (
-         |  SELECT qid, cell FROM (
-         |    SELECT e.vec_id AS qid, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c
-         |    WHERE e.vec_id < 5
-         |  ) WHERE crn <= 4
-         |), cands AS (
-         |  SELECT q.qid, a.cid FROM qp q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid
-         |), base AS (
-         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-         |  FROM embeddings ORDER BY vec_id LIMIT 16
-         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
-         |cw AS (
-         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
-         |  FROM base b CROSS JOIN subs s
-         |), sv AS (
-         |  SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
-         |  FROM embeddings e CROSS JOIN subs s
-         |), enc AS (
-         |  SELECT cid, sub, code FROM (
-         |    SELECT v.cid, v.sub, c.code,
-         |      row_number() OVER (PARTITION BY v.cid, v.sub
-         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
-         |                 c.code ASC) AS rn
-         |    FROM sv v JOIN cw c ON c.sub = v.sub)
-         |  WHERE rn = 1
-         |), lut AS (
-         |  SELECT q.vec_id AS qid, c.sub, c.code,
-         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
-         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
-         |), est AS (
-         |  SELECT n.qid, n.cid,
-         |    MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
-         |    + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
-         |  FROM cands n
-         |  JOIN enc e ON e.cid = n.cid
-         |  JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
-         |  GROUP BY 1, 2
-         |), r AS (
-         |  SELECT qid, cid,
-         |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
-         |  FROM est
-         |)
-         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
-         |ORDER BY qid, rnk""".stripMargin
-    },
-
-    "sim_index_roundtrip" -> {
-      // the persisted-index lifecycle unrolled: centroids and codebooks
-      // FROZEN from the initial ¾ corpus (vec_id % 4 != 3), searched
-      // flat and ADC first over the initial corpus (pre phases), then —
-      // after the append — over the full corpus with the SAME frozen
-      // quantizers (post phases). Query probes and the ADC LUT depend
-      // only on the frozen tables, so they are shared across phases.
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
-      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
-      val corpora = Seq("pre" -> "e.vec_id % 4 != 3", "post" -> "TRUE")
-      val perCorpus = corpora.map { case (p, where) =>
-        s"""ca_$p AS (
-           |  SELECT cid, ce, cell FROM (
-           |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
-           |           row_number() OVER (PARTITION BY e.vec_id
-           |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-           |    FROM embeddings e CROSS JOIN cent c WHERE $where
-           |  ) WHERE crn <= 1
-           |), enc_$p AS (
-           |  SELECT cid, sub, code FROM (
-           |    SELECT v.cid, v.sub, c.code,
-           |      row_number() OVER (PARTITION BY v.cid, v.sub
-           |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
-           |                 c.code ASC) AS rn
-           |    FROM (SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
-           |          FROM embeddings e CROSS JOIN subs s WHERE $where) v
-           |    JOIN cw c ON c.sub = v.sub)
-           |  WHERE rn = 1
-           |), flat_$p AS (
-           |  SELECT qid, cid,
-           |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-           |  FROM (SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
-           |        FROM qp q JOIN ca_$p a ON a.cell = q.cell AND a.cid != q.qid)
-           |), adc_$p AS (
-           |  SELECT qid, cid,
-           |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
-           |  FROM (
-           |    SELECT n.qid, n.cid,
-           |      MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
-           |      + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
-           |    FROM (SELECT q.qid, a.cid FROM qp q
-           |          JOIN ca_$p a ON a.cell = q.cell AND a.cid != q.qid) n
-           |    JOIN enc_$p e ON e.cid = n.cid
-           |    JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
-           |    GROUP BY 1, 2)
-           |)""".stripMargin
-      }.mkString(",\n")
-      val out = Seq(("1_pre_flat", "flat_pre"), ("2_pre_adc", "adc_pre"),
-          ("3_post_flat", "flat_post"), ("4_post_adc", "adc_post"))
-        .map { case (label, src) =>
-          s"SELECT '$label' AS phase, qid, CAST(rnk AS INTEGER) AS rnk, cid FROM $src WHERE rnk <= 5"
-        }.mkString("\nUNION ALL\n")
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-         |  WHERE vec_id % 4 != 3 ORDER BY vec_id LIMIT 16
-         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
-         |base AS (
-         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-         |  FROM embeddings WHERE vec_id % 4 != 3 ORDER BY vec_id LIMIT 16
-         |), cw AS (
-         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
-         |  FROM base b CROSS JOIN subs s
-         |), qp AS (
-         |  SELECT qid, qe, cell FROM (
-         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
-         |  ) WHERE crn <= 4
-         |), lut AS (
-         |  SELECT q.vec_id AS qid, c.sub, c.code,
-         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
-         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
-         |),
-         |$perCorpus
-         |$out
-         |ORDER BY phase, qid, rnk""".stripMargin
-    },
-
-    "sim_index_retain" -> {
-      // quantizers frozen from the FULL corpus (first-16 by vec_id);
-      // assignment/encoding over the SURVIVORS only — exactly what the
-      // retained index must contain.
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
-      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-         |  ORDER BY vec_id LIMIT 16
-         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
-         |base AS (
-         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-         |  FROM embeddings ORDER BY vec_id LIMIT 16
-         |), cw AS (
-         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
-         |  FROM base b CROSS JOIN subs s
-         |), qp AS (
-         |  SELECT qid, qe, cell FROM (
-         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
-         |  ) WHERE crn <= 4
-         |), lut AS (
-         |  SELECT q.vec_id AS qid, c.sub, c.code,
-         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
-         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
-         |), ca AS (
-         |  SELECT cid, ce, cell FROM (
-         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 4 != 3
-         |  ) WHERE crn <= 1
-         |), enc AS (
-         |  SELECT cid, sub, code FROM (
-         |    SELECT v.cid, v.sub, c.code,
-         |      row_number() OVER (PARTITION BY v.cid, v.sub
-         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
-         |                 c.code ASC) AS rn
-         |    FROM (SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
-         |          FROM embeddings e CROSS JOIN subs s WHERE e.vec_id % 4 != 3) v
-         |    JOIN cw c ON c.sub = v.sub)
-         |  WHERE rn = 1
-         |), flat AS (
-         |  SELECT qid, cid,
-         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-         |  FROM (SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
-         |        FROM qp q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid)
-         |), adc AS (
-         |  SELECT qid, cid,
-         |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
-         |  FROM (
-         |    SELECT n.qid, n.cid,
-         |      MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
-         |      + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
-         |    FROM (SELECT q.qid, a.cid FROM qp q
-         |          JOIN ca a ON a.cell = q.cell AND a.cid != q.qid) n
-         |    JOIN enc e ON e.cid = n.cid
-         |    JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
-         |    GROUP BY 1, 2)
-         |)
-         |SELECT '1_flat' AS phase, qid, CAST(rnk AS INTEGER) AS rnk, cid FROM flat WHERE rnk <= 5
-         |UNION ALL
-         |SELECT '2_adc' AS phase, qid, CAST(rnk AS INTEGER) AS rnk, cid FROM adc WHERE rnk <= 5
-         |ORDER BY phase, qid, rnk""".stripMargin
-    },
-
-    "sim_index_search_refined" -> {
-      // two-stage read path unrolled: ADC estimate ranking cut at the
-      // shortlist boundary (est DESC, cid ASC), then exact cosine over
-      // ONLY the shortlisted (qid, cid) pairs, cut at k (sim DESC, cid
-      // ASC) — same frozen quantizers as the index build (first-16 by
-      // vec_id over the full corpus).
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
-      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-         |  ORDER BY vec_id LIMIT 16
-         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
-         |base AS (
-         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-         |  FROM embeddings ORDER BY vec_id LIMIT 16
-         |), cw AS (
-         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
-         |  FROM base b CROSS JOIN subs s
-         |), qp AS (
-         |  SELECT qid, qe, cell FROM (
-         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
-         |  ) WHERE crn <= 4
-         |), lut AS (
-         |  SELECT q.vec_id AS qid, c.sub, c.code,
-         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
-         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
-         |), ca AS (
-         |  SELECT cid, ce, cell FROM (
-         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c
-         |  ) WHERE crn <= 1
-         |), enc AS (
-         |  SELECT cid, sub, code FROM (
-         |    SELECT v.cid, v.sub, c.code,
-         |      row_number() OVER (PARTITION BY v.cid, v.sub
-         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
-         |                 c.code ASC) AS rn
-         |    FROM (SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
-         |          FROM embeddings e CROSS JOIN subs s) v
-         |    JOIN cw c ON c.sub = v.sub)
-         |  WHERE rn = 1
-         |), shortlist AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT qid, cid,
-         |           row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS srn
-         |    FROM (
-         |      SELECT n.qid, n.cid,
-         |        MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
-         |        + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
-         |      FROM (SELECT q.qid, a.cid FROM qp q
-         |            JOIN ca a ON a.cell = q.cell AND a.cid != q.qid) n
-         |      JOIN enc e ON e.cid = n.cid
-         |      JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
-         |      GROUP BY 1, 2)
-         |  ) WHERE srn <= 10
-         |), rr AS (
-         |  SELECT qid, cid,
-         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-         |  FROM (SELECT s.qid, s.cid, ${cosineSql("q.embedding", "e.embedding")} AS sim
-         |        FROM shortlist s
-         |        JOIN embeddings q ON q.vec_id = s.qid
-         |        JOIN embeddings e ON e.vec_id = s.cid)
-         |)
-         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM rr WHERE rnk <= 5
-         |ORDER BY qid, rnk""".stripMargin
-    },
-
-    "sim_topk_pq" -> {
-      // identical PQ pipeline: sampled codebooks (first-16 subvector
-      // slices), L2 argmin encoding, ADC lookup-table scoring with the
-      // m partials summed in fixed column order (pivot, not a float sum
-      // aggregate) — every double composed index-ordered, so the ranking
-      // hash-matches bit-exactly.
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
-      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
-      s"""WITH base AS (
-         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-         |  FROM embeddings ORDER BY vec_id LIMIT 16
-         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
-         |cw AS (
-         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
-         |  FROM base b CROSS JOIN subs s
-         |), sv AS (
-         |  SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
-         |  FROM embeddings e CROSS JOIN subs s
-         |), enc AS (
-         |  SELECT cid, sub, code FROM (
-         |    SELECT v.cid, v.sub, c.code,
-         |      row_number() OVER (PARTITION BY v.cid, v.sub
-         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
-         |                 c.code ASC) AS rn
-         |    FROM sv v JOIN cw c ON c.sub = v.sub)
-         |  WHERE rn = 1
-         |), lut AS (
-         |  SELECT q.vec_id AS qid, c.sub, c.code,
-         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
-         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
-         |), est AS (
-         |  SELECT l.qid, e.cid,
-         |    MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
-         |    + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
-         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
-         |  GROUP BY 1, 2
-         |), r AS (
-         |  SELECT qid, cid,
-         |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
-         |  FROM est WHERE qid != cid
-         |)
-         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 10
-         |ORDER BY qid, rnk""".stripMargin
-    },
-
-    "multimodal_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "multimodal_features" ->
-      """SELECT doc_id,
-        |  ascii(substr(text, 1, 1)) AS f0,
-        |  ascii(substr(text, 2, 1)) AS f1,
-        |  CAST(octet_length(encode(text)) % 256 AS INTEGER) AS f2
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "multimodal_frame_sample" ->
-      """SELECT doc_id,
-        |  CAST((octet_length(encode(text)) + 15) // 16 AS INTEGER) AS n_frames,
-        |  CAST((CAST((octet_length(encode(text)) + 15) // 16 AS INTEGER) + 3) // 4 AS INTEGER) AS n_sampled
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "multimodal_frame_dedup" ->
-      // byte-slicing == char-slicing here (the corpus is ASCII — checked,
-      // not assumed: a non-ASCII corpus would shift frame boundaries and
-      // hash-mismatch loudly), so substr reproduces the payload frames.
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |         ELSE 'video' END AS modality,
-        |    substr(text, (i-1)*16 + 1, 16) AS frame
-        |  FROM documents,
-        |       unnest(generate_series(1, CAST(ceil(length(text)/16.0) AS BIGINT))) AS u(i)
-        |  WHERE length(text) > 0
-        |), fp AS (SELECT DISTINCT doc_id, modality, md5(frame) AS fp FROM f),
-        |keep AS (
-        |  SELECT p.* FROM fp p
-        |  JOIN (SELECT modality, fp FROM fp GROUP BY 1, 2
-        |        HAVING count(*) <= 64) q
-        |    ON q.modality = p.modality AND q.fp = p.fp
-        |)
-        |SELECT a.modality, a.doc_id AS d1, b.doc_id AS d2,
-        |       CAST(count(*) AS BIGINT) AS n_shared
-        |FROM keep a JOIN keep b
-        |  ON a.modality = b.modality AND a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
-        |ORDER BY a.modality, d1, d2""".stripMargin,
-
-    "multimodal_feature_stats" ->
-      """SELECT
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |       ELSE 'video' END AS modality,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(ascii(substr(text, 1, 1))) AS BIGINT) AS sum_f0,
-        |  CAST(sum(ascii(substr(text, 2, 1))) AS BIGINT) AS sum_f1,
-        |  CAST(min(octet_length(encode(text)) % 256) AS INTEGER) AS min_f2,
-        |  CAST(max(octet_length(encode(text)) % 256) AS INTEGER) AS max_f2
-        |FROM documents
-        |GROUP BY 1 ORDER BY modality""".stripMargin,
-
-    "multimodal_embed_ann" ->
-      s"""WITH p AS (
-         |  SELECT d.doc_id,
-         |    CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-         |         ELSE 'video' END AS modality,
-         |    e.embedding
-         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
-         |), q AS (
-         |  SELECT doc_id AS qid, modality, embedding AS qe FROM p WHERE doc_id < 6
-         |), s AS (
-         |  SELECT q.modality, q.qid, c.doc_id AS cid,
-         |         ${cosineSql("q.qe", "c.embedding")} AS sim
-         |  FROM q JOIN p c ON c.modality = q.modality AND c.doc_id != q.qid
-         |), r AS (
-         |  SELECT modality, qid, cid,
-         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-         |  FROM s
-         |)
-         |SELECT modality, qid, CAST(rnk AS INTEGER) AS rnk, cid
-         |FROM r WHERE rnk <= 10
-         |ORDER BY qid, rnk""".stripMargin,
-
-    "stream_windowed_counts" ->
-      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
-        |  event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events
-        |GROUP BY 1, 2
-        |ORDER BY window_start_ms, event_type""".stripMargin,
-
-    "stream_asof_join" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-        |), purch AS (
-        |  SELECT user_id, ts, event_id AS pid, value FROM events
-        |  WHERE event_type = 'purchase'
-        |), u AS (
-        |  SELECT user_id, ts, 0 AS is_right, CAST(NULL AS BIGINT) AS rid,
-        |         event_id, CAST(NULL AS STRUCT(v DOUBLE)) AS rv
-        |  FROM clicks
-        |  UNION ALL
-        |  SELECT user_id, ts, 1, pid, NULL, struct_pack(v := value) FROM purch
-        |), c AS (
-        |  SELECT user_id, event_id, is_right,
-        |         last_value(rv IGNORE NULLS) OVER (
-        |           PARTITION BY user_id
-        |           ORDER BY ts ASC, is_right DESC, rid ASC NULLS LAST
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
-        |  FROM u
-        |)
-        |SELECT event_id, user_id, carried.v AS asof_value
-        |FROM c WHERE is_right = 0
-        |ORDER BY event_id""".stripMargin,
-
-    "scale_zorder_key" ->
-      """SELECT event_id,
-        |  CAST(list_sum(list_transform(generate_series(0, 30), i ->
-        |    ((((user_id % 256) >> i) & 1) << (2*i)) +
-        |    ((((event_id % 256) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
-        |FROM events WHERE event_id < 500
-        |ORDER BY event_id""".stripMargin,
-
-    "scale_compact_roundtrip" ->
-      """SELECT CAST(event_id % 6 AS INTEGER) AS batch_id, event_type,
-        |  count(*) AS n_events,
-        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events
-        |WHERE event_id % 6 >= 2
-        |GROUP BY 1, 2
-        |ORDER BY batch_id, event_type""".stripMargin,
-
-    "scale_zorder_roundtrip" ->
-      """SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "stream_exactly_once" ->
-      """SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "stream_dedup" ->
-      // the replayed 1/7 must vanish: sink == the original feed, exactly.
-      """SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "stream_corpus_clean" ->
-      // the three admission decisions unrolled in batch: the quality
-      // predicate, the per-doc might-contain fraction against the bench
-      // shingle Bloom (identical salted-md5 positions, 2^18 bits, 4
-      // hashes), and replay removal (one row per surviving doc_id).
-      s"WITH ${corpusCleanChainSql("documents")}",
-
-    "stream_corpus_clean_restart" ->
-      // the same chain over feed ∪ new-doc copies: replays contribute
-      // nothing (one row per doc_id — the restored-state drop), the
-      // offset copies re-run the identical gate decisions under their
-      // new ids (bench-source copies fall to the source filter; the
-      // bench shingle SET is unchanged because copies add no new text).
-      s"""WITH alldocs AS (
-         |  SELECT doc_id, text, lang, source, n_chars FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
-         |         text, lang, source, n_chars
-         |  FROM documents WHERE doc_id % 13 = 5
-         |), ${corpusCleanChainSql("alldocs")}""".stripMargin,
-
-
-    // the three micro-batch admission rounds unrolled, band state
-    // threaded through: round r admits a doc iff none of its band
-    // buckets collides with the admitted-so-far state or with a
-    // smaller-id sibling of its own round. Docs under 5 tokens have
-    // no shingles → no bands → always admitted (both engines). The
-    // restart variant shares it VERBATIM: splitting the three batches
-    // across two checkpointed runs must be invisible.
-    "stream_near_dedup" -> nearDedupAdmissionSql,
-    "stream_near_dedup_restart" -> nearDedupAdmissionSql,
-
-    "stream_sketch_maintain" ->
-      // batch-folded state == one pass over the whole feed (the KMV
-      // merge law), so the single-pass sketch reproduces the stream's
-      // final persisted state bit for bit.
-      """WITH it AS (
-        |  SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' || event_type AS item
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-        |), h AS (
-        |  SELECT DISTINCT CAST('0x' || substr(md5(item), 1, 8) AS BIGINT) AS h
-        |  FROM it
-        |), sk AS (SELECT h FROM h ORDER BY h LIMIT 256),
-        |agg AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS h_k FROM sk
-        |), ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM it)
-        |SELECT n_sketch, h_k,
-        |  CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
-        |       ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END AS n_est,
-        |  n_exact,
-        |  abs((CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
-        |            ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END)
-        |      - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) < 0.15 AS err_ok
-        |FROM agg, ex""".stripMargin,
-
-    "stream_dedup_restart" ->
-      // sink across both passes == feed ∪ new rows: every replay dropped
-      // by state RESTORED from the checkpoint, every new row admitted.
-      // (10000000 is a multiple of 1000, so the id offset cancels in the
-      // % 1000 event-time spread — mirror of the Spark construction.)
-      """WITH m AS (SELECT epoch_ms(max(ts)) AS mx_ms FROM events)
-        |SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
-        |FROM events
-        |UNION ALL
-        |SELECT event_id + 10000000, event_type, user_id, value,
-        |       m.mx_ms + (event_id % 1000 + 1) * 1000
-        |FROM events, m WHERE event_id % 7 = 3
-        |ORDER BY event_id""".stripMargin,
-
-    "scale_backfill_partition" ->
-      // the corrupted day was repaired in place: read-back == clean feed.
-      """SELECT event_id, event_type, user_id, value, epoch_ms(ts) AS ts_ms
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "scale_schema_evolution" ->
-      // both ingest eras unrolled: v1 rows carry NULL for the evolved
-      // column (mergeSchema null-fill), normalized to the explicit -1.
-      """WITH evolved AS (
-        |  SELECT o_orderkey, o_totalprice, CAST(NULL AS INTEGER) AS o_priority_bucket
-        |  FROM orders WHERE o_orderkey % 2 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_totalprice, CAST(o_orderkey % 5 AS INTEGER)
-        |  FROM orders WHERE o_orderkey % 2 = 1
-        |)
-        |SELECT COALESCE(o_priority_bucket, -1) AS o_priority_bucket,
-        |       count(*) AS n_orders,
-        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
-        |FROM evolved GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "scale_incremental_refresh" ->
-      // the incrementally-maintained mart must equal a one-shot full
-      // recompute over the whole feed, count-distinct included.
-      """SELECT CAST(ts AS DATE) AS event_date, event_type,
-        |       count(*) AS n_events,
-        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
-        |       count(DISTINCT user_id) AS unique_users
-        |FROM events
-        |GROUP BY 1, 2
-        |ORDER BY event_date, event_type""".stripMargin,
-
-    "stream_session_window" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
-        |x AS (SELECT user_id, ts_ms,
-        |        lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev_ts
-        |      FROM e),
-        |y AS (SELECT user_id, ts_ms,
-        |        CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000
-        |             THEN 1 ELSE 0 END AS new_session
-        |      FROM x),
-        |z AS (SELECT user_id, ts_ms,
-        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
-        |                               ROWS UNBOUNDED PRECEDING) AS session_seq
-        |      FROM y)
-        |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
-        |       CAST(count(*) AS INTEGER) AS n_events
-        |FROM z GROUP BY user_id, session_seq
-        |ORDER BY user_id, start_ms""".stripMargin,
-
-    "stream_interval_join" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-        |), purch AS (
-        |  SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase'
-        |)
-        |SELECT c.event_id, c.user_id,
-        |  count(p.pts) AS n_recent_purchases,
-        |  CAST(COALESCE(sum(CAST(round(p.value*100) AS BIGINT)), 0) AS BIGINT) AS recent_value_cents
-        |FROM clicks c LEFT JOIN purch p
-        |  ON p.user_id = c.user_id
-        | AND p.pts >= c.ts - INTERVAL 1 HOUR AND p.pts <= c.ts
-        |GROUP BY 1, 2
-        |ORDER BY c.event_id""".stripMargin,
-
-    "stream_join_restart" ->
-      // every in-horizon (click, purchase) pair exactly once, whether
-      // the two sides arrived in the same pass or across the restart.
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-        |), purch AS (
-        |  SELECT event_id AS pid, user_id, ts AS pts, value FROM events
-        |  WHERE event_type = 'purchase'
-        |)
-        |SELECT c.event_id, c.user_id, p.pid,
-        |       CAST(round(p.value*100) AS BIGINT) AS value_cents
-        |FROM clicks c JOIN purch p
-        |  ON p.user_id = c.user_id
-        | AND p.pts >= c.ts - INTERVAL 1 HOUR AND p.pts <= c.ts
-        |ORDER BY event_id, pid""".stripMargin,
-
-    "stream_sessionize" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
-        |x AS (SELECT user_id, ts_ms,
-        |        lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev_ts
-        |      FROM e),
-        |y AS (SELECT user_id, ts_ms,
-        |        CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000
-        |             THEN 1 ELSE 0 END AS new_session
-        |      FROM x),
-        |z AS (SELECT user_id, ts_ms,
-        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
-        |                               ROWS UNBOUNDED PRECEDING) AS session_seq
-        |      FROM y)
-        |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
-        |       CAST(count(*) AS INTEGER) AS n_events
-        |FROM z GROUP BY user_id, session_seq
-        |ORDER BY user_id, start_ms""".stripMargin,
-
-    // the e2e pipeline writes the mart to disk and reads it back — the
-    // oracle is the mart's own SQL, so the staged-write/promote/read
-    // path must reproduce the direct computation bit-exactly.
-    "gold_pipeline_e2e" -> s"$dailySummaryCoreSql\nORDER BY cal_date",
-
-    "gold_popular_routes_warehouse" ->
-      s"$popularRoutesCoreSql\nORDER BY route_id",
-
-    "stream_pipeline" -> streamPipelineOracle,
-
-    // identical oracle: the restart must be INVISIBLE in the result —
-    // same finalized windows whether the feed arrived in one pass or two.
-    "stream_pipeline_restart" -> streamPipelineOracle,
-
-    "stream_session_restart" ->
-      // batch sessionization of the whole feed — identical whether the
-      // events arrived in one pass or two — kept to sessions finalized
-      // strictly below the final watermark horizon (session window end
-      // = last event + gap + 1 ms; horizon = max event time − 1 h).
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
-        |mx AS (SELECT max(ts_ms) AS mx_ms FROM e),
-        |x AS (SELECT user_id, ts_ms,
-        |        lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev_ts
-        |      FROM e),
-        |y AS (SELECT user_id, ts_ms,
-        |        CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000
-        |             THEN 1 ELSE 0 END AS new_session
-        |      FROM x),
-        |z AS (SELECT user_id, ts_ms,
-        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
-        |                               ROWS UNBOUNDED PRECEDING) AS session_seq
-        |      FROM y),
-        |sess AS (
-        |  SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
-        |         CAST(count(*) AS INTEGER) AS n_events
-        |  FROM z GROUP BY user_id, session_seq
-        |)
-        |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events
-        |FROM sess s, mx
-        |WHERE s.end_ms + 1800001 < mx.mx_ms - 3600000
-        |ORDER BY user_id, start_ms""".stripMargin,
-
-    // exact companions reproduced by DuckDB; the *_ok sketch-bound flags
-    // are TRUE by expectation — a sketch out of bounds hash-mismatches.
-    "stats_sketches_bounds" ->
-      """SELECT event_type, count(*) AS n_events,
-        |  count(DISTINCT user_id) AS exact_users,
-        |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "stats_exact_quantiles" ->
-      """WITH n AS (SELECT count(*) AS n FROM events),
-        |r AS (
-        |  SELECT q, LEAST(GREATEST(CAST(floor(q*(n+1)) AS BIGINT), 1), n) AS rank
-        |  FROM n, (VALUES (0.25), (0.5), (0.75), (0.9)) t(q)
-        |), s AS (
-        |  SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
-        |  FROM events
-        |)
-        |SELECT r.q, r.rank, s.value
-        |FROM r JOIN s ON s.rn = r.rank
-        |ORDER BY q""".stripMargin,
-
-    "stats_equidepth" ->
-      """WITH x AS (
-        |  SELECT event_type, value,
-        |    ntile(10) OVER (PARTITION BY event_type
-        |                    ORDER BY value ASC, event_id ASC) AS decile
-        |  FROM events
-        |)
-        |SELECT event_type, CAST(decile AS INTEGER) AS decile,
-        |  count(*) AS n, min(value) AS lo, max(value) AS hi
-        |FROM x GROUP BY 1, 2
-        |ORDER BY event_type, decile""".stripMargin,
-
-    "gold_transitions" ->
-      """WITH x AS (
-        |  SELECT event_type,
-        |         lag(event_type, 1) OVER (PARTITION BY user_id
-        |                                  ORDER BY ts ASC, event_id ASC) AS prev_type
-        |  FROM events
-        |)
-        |SELECT prev_type, event_type, count(*) AS n_transitions
-        |FROM x WHERE prev_type IS NOT NULL
-        |GROUP BY 1, 2
-        |ORDER BY prev_type, event_type""".stripMargin,
-
-    "stats_cms_topk" -> {
-      // identical md5-salted CM construction (4 rows × 1024 buckets): the
-      // sketch is deterministic, so the estimates hash-match bit-exactly.
-      def bucket(item: String, j: String) =
-        s"CAST('0x' || substr(md5(CAST($j AS VARCHAR) || '|' || $item), 1, 8) AS BIGINT) % 1024"
-      s"""WITH tok AS (
-         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
-         |), js AS (SELECT unnest(generate_series(0, 3)) AS j),
-         |cms AS (
-         |  SELECT j, ${bucket("token", "j")} AS bucket, count(*) AS total
-         |  FROM tok CROSS JOIN js GROUP BY 1, 2
-         |), top AS (
-         |  SELECT token, count(*) AS n FROM tok GROUP BY 1
-         |  ORDER BY n DESC, token LIMIT 20
-         |), est AS (
-         |  SELECT t.token, min(c.total) AS n_est
-         |  FROM top t CROSS JOIN js g
-         |  JOIN cms c ON c.j = g.j AND c.bucket = ${bucket("t.token", "g.j")}
-         |  GROUP BY 1
-         |)
-         |SELECT t.token, t.n AS n_exact, e.n_est, e.n_est - t.n AS overcount
-         |FROM top t JOIN est e USING (token)
-         |ORDER BY n_exact DESC, token""".stripMargin
-    },
-
-    "stats_kmv" ->
-      // the single-pass bottom-256 distinct hash list; merge_ok TRUE by
-      // expectation — a broken merge hash-mismatches.
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
-        |  FROM d, unnest(generate_series(1, len(l)-2)) AS u(i)
-        |  WHERE len(l) >= 3
-        |), h AS (
-        |  SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h FROM sh
-        |), sk AS (
-        |  SELECT h, row_number() OVER (ORDER BY h) AS rank FROM h
-        |  ORDER BY h LIMIT 256
-        |)
-        |SELECT CAST(rank AS INTEGER) AS rank, h, TRUE AS merge_ok FROM sk
-        |ORDER BY rank""".stripMargin,
-
-    "stats_kmv_estimate" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
-        |  FROM d, unnest(generate_series(1, len(l)-2)) AS u(i)
-        |  WHERE len(l) >= 3
-        |), h AS (
-        |  SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h FROM sh
-        |), sk AS (SELECT h FROM h ORDER BY h LIMIT 256),
-        |agg AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS h_k FROM sk
-        |), ex AS (SELECT CAST(count(DISTINCT sh) AS BIGINT) AS n_exact FROM sh)
-        |SELECT n_sketch, h_k,
-        |  CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
-        |       ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END AS n_est,
-        |  n_exact,
-        |  abs((CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
-        |            ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END)
-        |      - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) < 0.15 AS err_ok
-        |FROM agg, ex""".stripMargin,
-
-    "stats_kmv_setops" ->
-      // the union sketch is the bottom-256 of (ska ∪ skb); the in-both
-      // fraction over it is the Jaccard estimator; all estimates are
-      // exact-integer + IEEE-division, hence bit-matchable.
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
-        |  FROM d, unnest(generate_series(1, len(l)-2)) AS u(i)
-        |  WHERE len(l) >= 3
-        |), ha AS (
-        |  SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h
-        |  FROM sh WHERE doc_id % 2 = 0
-        |), hb AS (
-        |  SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h
-        |  FROM sh WHERE doc_id % 2 = 1
-        |), ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
-        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
-        |u AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
-        |      ORDER BY h LIMIT 256),
-        |f AS (
-        |  SELECT u.h,
-        |    (u.h IN (SELECT h FROM ska) AND u.h IN (SELECT h FROM skb)) AS inboth
-        |  FROM u
-        |), agg AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_union_sketch, max(h) AS h_k,
-        |         CAST(sum(CASE WHEN inboth THEN 1 ELSE 0 END) AS BIGINT) AS n_common
-        |  FROM f
-        |), ex AS (
-        |  SELECT CAST((SELECT count(*) FROM (
-        |           SELECT sh FROM sh WHERE doc_id % 2 = 0
-        |           INTERSECT SELECT sh FROM sh WHERE doc_id % 2 = 1)) AS BIGINT)
-        |         AS n_inter_exact,
-        |         CAST((SELECT count(DISTINCT sh) FROM sh) AS BIGINT) AS n_union_exact
-        |), est AS (
-        |  SELECT n_union_sketch, h_k, n_common,
-        |    CASE WHEN n_union_sketch < 256 THEN CAST(n_union_sketch AS DOUBLE)
-        |         ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END AS union_est,
-        |    CAST(n_common AS DOUBLE) / CAST(n_union_sketch AS DOUBLE) AS jaccard
-        |  FROM agg
-        |)
-        |SELECT n_union_sketch, h_k, n_common, union_est, jaccard,
-        |  jaccard * union_est AS inter_est, n_inter_exact, n_union_exact,
-        |  abs(jaccard - CAST(n_inter_exact AS DOUBLE) / CAST(n_union_exact AS DOUBLE))
-        |    / (CAST(n_inter_exact AS DOUBLE) / CAST(n_union_exact AS DOUBLE))
-        |    < 0.35 AS err_ok
-        |FROM est, ex""".stripMargin,
-
-    "stats_bloom" -> {
-      // identical md5-salted bit positions (salt 'b<j>|', 32768 bits,
-      // 4 hashes): the filter, the probe verdicts, and therefore the
-      // confusion matrix reproduce bit-exactly.
-      def pos(item: String) =
-        s"CAST('0x' || substr(md5('b' || j || '|' || $item), 1, 8) AS BIGINT) % 32768"
-      s"""WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
-         |d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |sh AS (
-         |  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
-         |  FROM d, unnest(generate_series(1, len(l)-2)) AS u(i)
-         |  WHERE len(l) >= 3
-         |), bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
-         |psh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 != 0),
-         |bloom AS (
-         |  SELECT DISTINCT ${pos("sh")} AS pos FROM bsh CROSS JOIN js
-         |), ppos AS (
-         |  SELECT DISTINCT sh, ${pos("sh")} AS pos FROM psh CROSS JOIN js
-         |), mc AS (
-         |  SELECT p.sh, count(*) AS need, count(b.pos) AS have
-         |  FROM ppos p LEFT JOIN bloom b ON b.pos = p.pos GROUP BY 1
-         |), ex AS (SELECT sh FROM bsh)
-         |SELECT (m.need = m.have) AS might_contain,
-         |       (e.sh IS NOT NULL) AS exact_in,
-         |       CAST(count(*) AS BIGINT) AS n_shingles
-         |FROM mc m LEFT JOIN ex e USING (sh)
-         |GROUP BY 1, 2
-         |ORDER BY might_contain, exact_in""".stripMargin
-    },
-
-    "stats_cms_merge" -> {
-      // single-pass sketch over the FULL token stream: the Spark side
-      // merged two batch sketches, so hash equality proves ⊕ == 1-pass.
-      def bucket(item: String, j: String) =
-        s"CAST('0x' || substr(md5(CAST($j AS VARCHAR) || '|' || $item), 1, 8) AS BIGINT) % 1024"
-      s"""WITH tok AS (
-         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
-         |), js AS (SELECT unnest(generate_series(0, 3)) AS j)
-         |SELECT CAST(j AS INTEGER) AS j, ${bucket("token", "j")} AS bucket,
-         |       CAST(count(*) AS BIGINT) AS total
-         |FROM tok CROSS JOIN js GROUP BY 1, 2
-         |ORDER BY j, bucket""".stripMargin
-    },
-
-    "stats_sketch_state" -> {
-      // one pass over the UNION token stream for all three families —
-      // what persist → load → merge → persist → read must equal.
-      def bucket(item: String, j: String) =
-        s"CAST('0x' || substr(md5(CAST($j AS VARCHAR) || '|' || $item), 1, 8) AS BIGINT) % 1024"
-      def bpos(item: String) =
-        s"CAST('0x' || substr(md5('b' || j || '|' || $item), 1, 8) AS BIGINT) % 8192"
-      s"""WITH tok AS (
-         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
-         |), js AS (SELECT unnest(generate_series(0, 3)) AS j),
-         |top AS (
-         |  SELECT token FROM (
-         |    SELECT token, count(*) AS n FROM tok GROUP BY 1
-         |    ORDER BY n DESC, token ASC LIMIT 10)
-         |), cms AS (
-         |  SELECT j, ${bucket("token", "j")} AS bucket, count(*) AS total
-         |  FROM tok CROSS JOIN js GROUP BY 1, 2
-         |), cms_est AS (
-         |  SELECT 'cms' AS family, q.token AS item,
-         |         CAST(min(c.total) AS DOUBLE) AS est, CAST(NULL AS BOOLEAN) AS flag
-         |  FROM (SELECT token, j, ${bucket("token", "j")} AS bucket
-         |        FROM top CROSS JOIN js) q
-         |  JOIN cms c ON c.j = q.j AND c.bucket = q.bucket
-         |  GROUP BY 2
-         |), h AS (
-         |  SELECT DISTINCT CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM tok
-         |), sk AS (SELECT h FROM h ORDER BY h LIMIT 256),
-         |kmv AS (
-         |  SELECT 'kmv' AS family, '_cardinality' AS item,
-         |    CASE WHEN (SELECT count(*) FROM sk) < 256
-         |         THEN CAST((SELECT count(*) FROM sk) AS DOUBLE)
-         |         ELSE 255.0 * 4294967296.0 / CAST((SELECT max(h) FROM sk) AS DOUBLE)
-         |    END AS est, CAST(NULL AS BOOLEAN) AS flag
-         |), probes AS (
-         |  SELECT token FROM top
-         |  UNION ALL
-         |  SELECT '__absent_' || CAST(i AS VARCHAR) AS token
-         |  FROM unnest(generate_series(0, 9)) AS t(i)
-         |), bloom AS (
-         |  SELECT DISTINCT ${bpos("token")} AS pos FROM tok CROSS JOIN js
-         |), ppos AS (
-         |  SELECT DISTINCT token, ${bpos("token")} AS pos FROM probes CROSS JOIN js
-         |), bl AS (
-         |  SELECT 'bloom' AS family, p.token AS item, CAST(NULL AS DOUBLE) AS est,
-         |         (count(*) = count(b.pos)) AS flag
-         |  FROM ppos p LEFT JOIN bloom b ON b.pos = p.pos GROUP BY 2
-         |)
-         |SELECT * FROM cms_est UNION ALL SELECT * FROM kmv UNION ALL SELECT * FROM bl
-         |ORDER BY family, item""".stripMargin
-    },
-
-    // one pass over the UNION stream: the bottom-512 (h, v) sample of
-    // all events — what persist → load → merge → persist → read must
-    // equal bit for bit (the KMV merge argument on pairs).
-    "stats_quantile_sketch" ->
-      """WITH ev AS (
-        |  SELECT event_id, value FROM events WHERE value IS NOT NULL
-        |), hv AS (
-        |  SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
-        |         value AS v
-        |  FROM ev
-        |), sk AS (SELECT h, v FROM hv ORDER BY h, v LIMIT 512),
-        |ns AS (SELECT count(*) AS n_s FROM sk),
-        |sr AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rv FROM sk),
-        |n AS (SELECT count(*) AS n FROM ev),
-        |qs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q),
-        |est AS (
-        |  SELECT q, n_s,
-        |         LEAST(GREATEST(CAST(floor(q*(n_s+1)) AS BIGINT), 1), n_s) AS rank_s
-        |  FROM qs, ns
-        |), est2 AS (
-        |  SELECT e.q, e.n_s, e.rank_s, s.v AS v_est
-        |  FROM est e JOIN sr s ON s.rv = e.rank_s
-        |), ex AS (
-        |  SELECT r.q, s.value AS v_exact
-        |  FROM (SELECT q, LEAST(GREATEST(CAST(floor(q*(n+1)) AS BIGINT), 1), n) AS rank
-        |        FROM qs, n) r
-        |  JOIN (SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
-        |        FROM ev) s ON s.rn = r.rank
-        |), cdf AS (
-        |  SELECT e.q,
-        |         CAST(count(*) FILTER (WHERE ev.value <= e.v_est) AS DOUBLE)
-        |           / CAST((SELECT n FROM n) AS DOUBLE) AS cdf_at_est
-        |  FROM est2 e CROSS JOIN ev GROUP BY e.q, e.v_est
-        |)
-        |SELECT e.q, e.n_s, e.rank_s, e.v_est, x.v_exact, c.cdf_at_est,
-        |       (abs(c.cdf_at_est - e.q) <= 0.1) AS err_ok
-        |FROM est2 e JOIN ex x USING (q) JOIN cdf c USING (q)
-        |ORDER BY q""".stripMargin,
-
-    // TVD from exact integer counts (HUGEINT sum), one final division —
-    // the same order-independent arithmetic the Spark side uses.
-    "stats_drift" ->
-      """WITH a AS (
-        |  SELECT CAST(floor(value/25.0) AS BIGINT) AS bin, count(*) AS n_a
-        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1
-        |), b AS (
-        |  SELECT CAST(floor(value/25.0) AS BIGINT) AS bin, count(*) AS n_b
-        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1
-        |), j AS (
-        |  SELECT COALESCE(a.bin, b.bin) AS bin,
-        |         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
-        |  FROM a FULL OUTER JOIN b ON a.bin = b.bin
-        |), t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM j),
-        |p AS (
-        |  SELECT bin, n_a, n_b,
-        |         CAST(n_a AS DOUBLE)/CAST(tot_a AS DOUBLE) AS p_a,
-        |         CAST(n_b AS DOUBLE)/CAST(tot_b AS DOUBLE) AS p_b
-        |  FROM j, t
-        |), bins AS (
-        |  SELECT 'bin' AS section, bin, n_a, n_b, p_a, p_b,
-        |         abs(p_a - p_b) AS l1_term,
-        |         CASE WHEN p_a + p_b > 0
-        |              THEN (p_a - p_b) * (p_a - p_b) * 2.0 / (p_a + p_b)
-        |              ELSE 0.0 END AS chi2_term
-        |  FROM p
-        |), tot AS (
-        |  SELECT 'total' AS section, CAST(NULL AS BIGINT) AS bin,
-        |         CAST(tot_a AS BIGINT) AS n_a, CAST(tot_b AS BIGINT) AS n_b,
-        |         CAST(NULL AS DOUBLE) AS p_a, CAST(NULL AS DOUBLE) AS p_b,
-        |         CAST(sum(abs(n_a*tot_b - n_b*tot_a)) AS DOUBLE)
-        |           / (2.0 * CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)) AS l1_term,
-        |         CAST(NULL AS DOUBLE) AS chi2_term
-        |  FROM j, t GROUP BY tot_a, tot_b
-        |)
-        |SELECT * FROM bins UNION ALL SELECT * FROM tot
-        |ORDER BY section, bin NULLS LAST""".stripMargin,
-
-    // same one-pass SQL as stats_drift: the persisted/merged histogram
-    // lifecycle must be invisible in the comparison.
-    "stats_drift_state" ->
-      """WITH a AS (
-        |  SELECT CAST(floor(value/25.0) AS BIGINT) AS bin, count(*) AS n_a
-        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1
-        |), b AS (
-        |  SELECT CAST(floor(value/25.0) AS BIGINT) AS bin, count(*) AS n_b
-        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1
-        |), j AS (
-        |  SELECT COALESCE(a.bin, b.bin) AS bin,
-        |         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
-        |  FROM a FULL OUTER JOIN b ON a.bin = b.bin
-        |), t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM j),
-        |p AS (
-        |  SELECT bin, n_a, n_b,
-        |         CAST(n_a AS DOUBLE)/CAST(tot_a AS DOUBLE) AS p_a,
-        |         CAST(n_b AS DOUBLE)/CAST(tot_b AS DOUBLE) AS p_b
-        |  FROM j, t
-        |), bins AS (
-        |  SELECT 'bin' AS section, bin, n_a, n_b, p_a, p_b,
-        |         abs(p_a - p_b) AS l1_term,
-        |         CASE WHEN p_a + p_b > 0
-        |              THEN (p_a - p_b) * (p_a - p_b) * 2.0 / (p_a + p_b)
-        |              ELSE 0.0 END AS chi2_term
-        |  FROM p
-        |), tot AS (
-        |  SELECT 'total' AS section, CAST(NULL AS BIGINT) AS bin,
-        |         CAST(tot_a AS BIGINT) AS n_a, CAST(tot_b AS BIGINT) AS n_b,
-        |         CAST(NULL AS DOUBLE) AS p_a, CAST(NULL AS DOUBLE) AS p_b,
-        |         CAST(sum(abs(n_a*tot_b - n_b*tot_a)) AS DOUBLE)
-        |           / (2.0 * CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)) AS l1_term,
-        |         CAST(NULL AS DOUBLE) AS chi2_term
-        |  FROM j, t GROUP BY tot_a, tot_b
-        |)
-        |SELECT * FROM bins UNION ALL SELECT * FROM tot
-        |ORDER BY section, bin NULLS LAST""".stripMargin,
-
-    "gold_pivot" ->
-      """SELECT CAST(ts AS DATE) AS event_date,
-        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
-        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
-        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
-        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
-        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
-        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
-
-    "gold_window_funcs" ->
-      """SELECT o_orderkey, o_custkey,
-        |  CAST(row_number() OVER w AS INTEGER) AS rn,
-        |  CAST(ntile(4) OVER w AS INTEGER) AS q4,
-        |  lag(o_totalprice, 1) OVER w AS prev_price,
-        |  lead(o_totalprice, 1) OVER w AS next_price,
-        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
-        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
-        |  CAST(rank() OVER wy AS INTEGER) AS rnk_year,
-        |  CAST(dense_rank() OVER wy AS INTEGER) AS drnk_year
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-        |       wy AS (PARTITION BY o_custkey ORDER BY year(o_orderdate))
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "gold_cube_summary" ->
-      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
-        |  CAST(2*grouping(c_mktsegment) + grouping(o_orderstatus) AS INTEGER) AS gid,
-        |  CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price
-        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY CUBE (c_mktsegment, o_orderstatus)
-        |ORDER BY gid, c_mktsegment NULLS LAST, o_orderstatus NULLS LAST""".stripMargin,
-
-    // the oracle is the UNSALTED join: salting must be invisible in the
-    // result for any salt value.
-    "scale_salted_join" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |  CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price
-        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "corpus_quality_gate" ->
-      """WITH a AS (
-        |  SELECT count(*) AS n,
-        |         count(DISTINCT event_id) AS du,
-        |         sum(CASE WHEN event_type IS NULL OR event_type NOT IN
-        |             ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS bt,
-        |         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nt,
-        |         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nu,
-        |         sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS nv
-        |  FROM events)
-        |SELECT * FROM (
-        |  SELECT 'event_id_unique' AS check_name, CAST(n - du AS BIGINT) AS n_violations, (n - du) = 0 AS pass FROM a
-        |  UNION ALL SELECT 'event_type_in_domain', CAST(bt AS BIGINT), bt = 0 FROM a
-        |  UNION ALL SELECT 'ts_not_null', CAST(nt AS BIGINT), nt = 0 FROM a
-        |  UNION ALL SELECT 'user_id_not_null', CAST(nu AS BIGINT), nu = 0 FROM a
-        |  UNION ALL SELECT 'value_non_negative', CAST(nv AS BIGINT), nv = 0 FROM a)
-        |ORDER BY check_name""".stripMargin,
-
-    "gold_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
-        |  FROM events),
-        |s1 AS (
-        |  SELECT *, min(CASE WHEN event_type='view' THEN ts_ms END)
-        |    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-        |          ROWS UNBOUNDED PRECEDING) AS fv
-        |  FROM e),
-        |s2 AS (
-        |  SELECT *, min(CASE WHEN event_type='click' AND fv < ts_ms
-        |                     THEN ts_ms END)
-        |    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-        |          ROWS UNBOUNDED PRECEDING) AS fc
-        |  FROM s1),
-        |u AS (
-        |  SELECT user_id,
-        |    max(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS v,
-        |    max(CASE WHEN event_type='click' AND fv < ts_ms THEN 1 ELSE 0 END) AS c,
-        |    max(CASE WHEN event_type='purchase' AND fc < ts_ms THEN 1 ELSE 0 END) AS p
-        |  FROM s2 GROUP BY 1)
-        |SELECT count(*) AS n_users, CAST(sum(v) AS BIGINT) AS n_viewed,
-        |  CAST(sum(c) AS BIGINT) AS n_clicked,
-        |  CAST(sum(p) AS BIGINT) AS n_purchased
-        |FROM u""".stripMargin,
-
-    "gold_cohort_retention" ->
-      """WITH f AS (
-        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
-        |  FROM events GROUP BY 1),
-        |a AS (
-        |  SELECT e.user_id, CAST(ts AS DATE) AS day, f.cohort_day
-        |  FROM events e JOIN f ON e.user_id = f.user_id)
-        |SELECT cohort_day,
-        |  CAST(floor(date_diff('day', cohort_day, day)/7) AS INTEGER) AS week_n,
-        |  count(DISTINCT user_id) AS n_active
-        |FROM a GROUP BY 1, 2
-        |ORDER BY cohort_day, week_n""".stripMargin,
-
-    "gold_unpivot" ->
-      """WITH p AS (
-        |  SELECT CAST(ts AS DATE) AS event_date,
-        |    count(*) FILTER (WHERE event_type = 'click') AS n_click,
-        |    count(*) FILTER (WHERE event_type = 'error') AS n_error,
-        |    count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
-        |    count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
-        |    count(*) FILTER (WHERE event_type = 'view') AS n_view
-        |  FROM events GROUP BY 1)
-        |SELECT event_date, 'click' AS event_type, CAST(n_click AS BIGINT) AS n_events FROM p
-        |UNION ALL SELECT event_date, 'error', CAST(n_error AS BIGINT) FROM p
-        |UNION ALL SELECT event_date, 'purchase', CAST(n_purchase AS BIGINT) FROM p
-        |UNION ALL SELECT event_date, 'signup', CAST(n_signup AS BIGINT) FROM p
-        |UNION ALL SELECT event_date, 'view', CAST(n_view AS BIGINT) FROM p
-        |ORDER BY event_date, event_type""".stripMargin,
-
-    "stream_enrich" ->
-      """WITH m AS (SELECT epoch_ms(max(ts)) AS mx_ms FROM events)
-        |SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
-        |  CASE WHEN event_type IN ('click','view') THEN 'engagement'
-        |       WHEN event_type = 'purchase' THEN 'revenue'
-        |       WHEN event_type = 'signup' THEN 'lifecycle'
-        |       ELSE 'ops' END AS category,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events, m
-        |WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 < mx_ms - 3600000
-        |GROUP BY 1, 2
-        |ORDER BY window_start_ms, category""".stripMargin,
-
-    "silver_merge_upsert" ->
-      """WITH upd AS (
-        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
-        |  FROM customer WHERE c_custkey % 10 = 0
-        |  UNION ALL
-        |  SELECT -c_custkey, c_name, CAST(0.0 AS DOUBLE), 'NEW'
-        |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey != 0)
-        |SELECT t.c_custkey, u.c_name, u.c_acctbal, u.c_mktsegment
-        |FROM customer t JOIN upd u ON t.c_custkey = u.c_custkey
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
-        |WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
-        |UNION ALL
-        |SELECT * FROM upd
-        |WHERE c_custkey NOT IN (SELECT c_custkey FROM customer)
-        |ORDER BY c_custkey""".stripMargin,
-
-    "silver_scd2" ->
-      """WITH h AS (
-        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS ts,
-        |         o_orderstatus AS status, o_orderkey AS change_id
-        |  FROM orders),
-        |m AS (
-        |  SELECT *, lag(status) OVER (PARTITION BY o_custkey
-        |                              ORDER BY ts, change_id) AS prev,
-        |         row_number() OVER (PARTITION BY o_custkey
-        |                            ORDER BY ts, change_id) AS rn
-        |  FROM h),
-        |v AS (SELECT o_custkey, status, change_id, ts FROM m
-        |      WHERE rn = 1 OR prev IS DISTINCT FROM status)
-        |SELECT o_custkey, status, change_id, ts AS valid_from,
-        |  lead(ts) OVER w AS valid_to,
-        |  (lead(ts) OVER w IS NULL) AS is_current
-        |FROM v
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, change_id)
-        |ORDER BY o_custkey, valid_from, change_id""".stripMargin,
-
-    "bronze_schema_evolution" ->
-      """SELECT event_id, event_type, value, CAST(NULL AS BIGINT) AS user_id
-        |FROM events WHERE event_id % 2 = 0
-        |UNION ALL
-        |SELECT event_id, event_type, value, user_id
-        |FROM events WHERE event_id % 2 = 1
-        |ORDER BY event_id""".stripMargin,
-
-    "stats_histogram" ->
-      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
-        |SELECT CAST(CASE WHEN hi = lo THEN 0
-        |  ELSE least(floor((value - lo)/((hi - lo)/20)), 19.0) END AS INTEGER) AS bucket,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events CROSS JOIN b
-        |GROUP BY 1 ORDER BY bucket""".stripMargin,
-
-    "corpus_embedding_centroids" ->
-      """SELECT label, CAST(i AS INTEGER) AS pos, count(*) AS n_vecs,
-        |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
-        |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS centroid
-        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
-        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
-
-    "silver_gapfill" ->
-      """WITH e AS (
-        |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms, value
-        |  FROM events),
-        |b AS (SELECT min(hour_ms) AS lo, max(hour_ms) AS hi FROM e),
-        |keys AS (SELECT DISTINCT event_type FROM e),
-        |spine AS (
-        |  SELECT k.event_type,
-        |         unnest(generate_series(b.lo, b.hi, 3600000)) AS hour_ms
-        |  FROM keys k CROSS JOIN b),
-        |obs AS (
-        |  SELECT event_type, hour_ms, count(*) AS n_obs,
-        |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_sum
-        |  FROM e WHERE value > 99 GROUP BY 1, 2)
-        |SELECT s.event_type, s.hour_ms,
-        |  CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs, o.value_sum,
-        |  last_value(o.value_sum IGNORE NULLS) OVER (
-        |    PARTITION BY s.event_type ORDER BY s.hour_ms
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
-        |FROM spine s LEFT JOIN obs o
-        |  ON o.event_type = s.event_type AND o.hour_ms = s.hour_ms
-        |ORDER BY 1, 2""".stripMargin,
-
-    "gold_topn_per_group" ->
-      """SELECT * FROM (
-        |  SELECT o_orderpriority,
-        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn,
-        |    o_orderkey, o_totalprice
-        |  FROM orders)
-        |WHERE rn <= 5
-        |ORDER BY o_orderpriority, rn""".stripMargin,
-
-    "gold_moving_avg" ->
-      """WITH daily AS (
-        |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS o_orderdate,
-        |    count(*) AS n_orders,
-        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS day_cents,
-        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_nr
-        |  FROM orders GROUP BY 1, 2)
-        |SELECT o_orderpriority, o_orderdate, n_orders, day_cents,
-        |  CAST(CAST(sum(day_cents) OVER w AS BIGINT) AS DOUBLE) /
-        |    CAST(count(day_cents) OVER w AS DOUBLE) AS ma7_cents
-        |FROM daily
-        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_nr
-        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderpriority, o_orderdate""".stripMargin,
-
-    "text_ngram_freq" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2
-        |), big AS (
-        |  SELECT DISTINCT doc_id,
-        |         unnest(list_transform(generate_series(1, len(l)-1),
-        |                i -> l[i] || ' ' || l[i+1])) AS bigram
-        |  FROM toks)
-        |SELECT bigram, count(*) AS n_docs FROM big
-        |GROUP BY 1 ORDER BY n_docs DESC, bigram LIMIT 30""".stripMargin,
-
-    "corpus_chunk" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |c AS (
-        |  SELECT doc_id, l,
-        |         unnest(generate_series(1, len(l), 30)) AS start1
-        |  FROM toks)
-        |SELECT doc_id,
-        |  CAST((start1 - 1)/30 AS INTEGER) AS chunk_id,
-        |  CAST(len(list_slice(l, start1, start1 + 39)) AS INTEGER) AS n_tokens,
-        |  array_to_string(list_slice(l, start1, start1 + 39), ' ') AS chunk_text
-        |FROM c
-        |ORDER BY doc_id, chunk_id""".stripMargin,
-
-    "corpus_pack" ->
-      """WITH t AS (
-        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
-        |  FROM documents)
-        |SELECT source, doc_id, CAST(n_tok AS INTEGER) AS n_tok,
-        |  CAST(floor(CAST(COALESCE(sum(n_tok) OVER (
-        |      PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-        |    / 512) AS INTEGER) AS pack_id
-        |FROM t ORDER BY source, doc_id""".stripMargin,
-
-    "corpus_pack_global" ->
-      """WITH t AS (
-        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
-        |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
-        |  CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before,
-        |  CAST(floor(CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-        |    / 512) AS INTEGER) AS pack_id
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-    "corpus_contamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 5
-        |), tri AS (
-        |  SELECT DISTINCT doc_id, source,
-        |         unnest(list_transform(generate_series(1, len(l)-4),
-        |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
-        |  FROM toks
-        |), freq AS (
-        |  -- cap population = bench ∪ train (docs with a source); a
-        |  -- NULL-source doc is in neither side and must not shift the cap
-        |  SELECT sh, count(*) AS f FROM tri
-        |  WHERE source IS NOT NULL GROUP BY 1),
-        |keep AS (SELECT t.* FROM tri t JOIN freq f ON f.sh = t.sh AND f.f <= 8),
-        |bench AS (SELECT doc_id, sh FROM keep WHERE source IN ('src0','src1')),
-        |train AS (SELECT doc_id, sh FROM keep WHERE source NOT IN ('src0','src1')),
-        |bsize AS (SELECT doc_id, count(*) AS n FROM bench GROUP BY 1),
-        |shared AS (
-        |  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc,
-        |         count(*) AS n_shared
-        |  FROM bench b JOIN train t ON b.sh = t.sh GROUP BY 1, 2)
-        |SELECT bench_doc, train_doc, CAST(n_shared AS BIGINT) AS n_shared,
-        |  CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) AS score
-        |FROM shared JOIN bsize ON bsize.doc_id = bench_doc
-        |WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3
-        |ORDER BY bench_doc, train_doc""".stripMargin,
-
-    "corpus_pipeline_e2e" ->
-      // the chain unrolled: integer-exact quality gate, md5 exact-dedup
-      // keepers, full-corpus MinHash pairs RESTRICTED to the surviving
-      // set (signatures/bands/Jaccard are per-doc / per-pair, so
-      // restriction commutes with the pipeline — no cap in play),
-      // recursive connected components, keep-best by n_chars, the
-      // contamination sweep RECOMPUTED over the survivors (the shingle
-      // frequency cap does NOT commute with restriction), then pack and
-      // split over the clean set.
-      s"""WITH RECURSIVE q AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
-         |           len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
-         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
-         |  WHERE n_tok >= 5 AND n_stop >= 1 AND 4*n_dis >= n_tok
-         |), gated AS (
-         |  SELECT d.* FROM documents d JOIN q USING (doc_id)
-         |  WHERE d.source NOT IN ('src0','src1')
-         |),
-         |ek AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
-         |ekd AS (SELECT g.* FROM gated g JOIN ek USING (doc_id)),
-         |pairs AS (
-         |  SELECT d1, d2 FROM ($minhashPairsCoreSql) p
-         |  WHERE d1 IN (SELECT doc_id FROM ekd)
-         |    AND d2 IN (SELECT doc_id FROM ekd)
-         |), edges AS (
-         |  SELECT d1 AS a, d2 AS b FROM pairs
-         |  UNION
-         |  SELECT d2, d1 FROM pairs
-         |), reach(node, m) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
-         |), cl AS (
-         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1
-         |), kb AS (
-         |  SELECT cluster_id, doc_id AS keeper FROM (
-         |    SELECT cl.cluster_id, cl.doc_id,
-         |           row_number() OVER (PARTITION BY cl.cluster_id
-         |             ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
-         |    FROM cl JOIN ekd d USING (doc_id))
-         |  WHERE rn = 1
-         |), losers AS (
-         |  SELECT cl.doc_id FROM cl JOIN kb USING (cluster_id)
-         |  WHERE cl.doc_id != kb.keeper
-         |), nk AS (
-         |  SELECT * FROM ekd WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-         |), sw AS (
-         |  SELECT * FROM documents WHERE source IN ('src0','src1')
-         |  UNION ALL
-         |  SELECT * FROM nk
-         |), ctoks AS (
-         |  SELECT doc_id, source, string_split(text, ' ') AS l FROM sw
-         |  WHERE len(string_split(text, ' ')) >= 5
-         |), ctri AS (
-         |  SELECT DISTINCT doc_id, source,
-         |         unnest(list_transform(generate_series(1, len(l)-4),
-         |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
-         |  FROM ctoks
-         |), cfreq AS (
-         |  SELECT sh, count(*) AS f FROM ctri WHERE source IS NOT NULL GROUP BY 1
-         |), ckeep AS (SELECT t.* FROM ctri t JOIN cfreq f ON f.sh = t.sh AND f.f <= 8),
-         |cbench AS (SELECT doc_id, sh FROM ckeep WHERE source IN ('src0','src1')),
-         |ctrain AS (SELECT doc_id, sh FROM ckeep WHERE source NOT IN ('src0','src1')),
-         |cbsize AS (SELECT doc_id, count(*) AS n FROM cbench GROUP BY 1),
-         |cshared AS (
-         |  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc, count(*) AS n_shared
-         |  FROM cbench b JOIN ctrain t ON b.sh = t.sh GROUP BY 1, 2
-         |), flags AS (
-         |  SELECT DISTINCT train_doc AS doc_id
-         |  FROM cshared JOIN cbsize ON cbsize.doc_id = bench_doc
-         |  WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3
-         |), clean AS (
-         |  SELECT * FROM nk
-         |  WHERE source NOT IN ('src0','src1')
-         |    AND doc_id NOT IN (SELECT doc_id FROM flags)
-         |)
-         |SELECT doc_id, source, n_chars,
-         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
-         |  CAST(floor(CAST(COALESCE(sum(len(string_split(text, ' '))) OVER (
-         |      PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-         |    / 512) AS INTEGER) AS pack_id,
-         |  CASE WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
-         |       WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM clean ORDER BY doc_id""".stripMargin,
-
-    "corpus_decontaminate" -> corpusDecontaminateOracle,
-
-    // identical oracle: the Bloom prefilter must be invisible in the
-    // result (no false negatives; false positives die in the exact join).
-    "corpus_decontaminate_bloom" -> corpusDecontaminateOracle,
-
-    "corpus_decontaminate_embedding" -> {
-      // identical ±1 planes and band layout as the embedding-LSH dedup
-      // oracle, restricted to train×bench candidate pairs
-      val planes = Similarity.planeMatrix(16, 64)
-      def planeLit(p: Int): String =
-        planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      val bitCols = (0 until 16).map { p =>
-        s"""    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
-           |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])) >= 0
-           |      THEN 1 ELSE 0 END AS b$p""".stripMargin
-      }.mkString(",\n")
-      def bkey(bits: Seq[Int]) =
-        bits.map(b => s"CAST(b$b AS VARCHAR)").mkString(" || ',' || ")
-      val bandSelects = (0 until 4).map(b =>
-        s"  SELECT doc_id, source, n_chars, embedding, $b AS band, ${bkey(b * 4 until (b + 1) * 4)} AS bkey FROM sig")
-        .mkString("\n  UNION ALL\n")
-      s"""WITH p AS (
-         |  SELECT d.doc_id, d.source, d.n_chars, e.embedding
-         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
-         |), sig AS (
-         |  SELECT doc_id, source, n_chars, embedding,
-         |$bitCols
-         |  FROM p
-         |), banded AS (
-         |$bandSelects
-         |), cand AS (
-         |  SELECT DISTINCT x.doc_id AS tid, x.embedding AS te,
-         |                  y.doc_id AS bid, y.embedding AS be
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.bkey = y.bkey
-         |  WHERE x.source NOT IN ('src0','src1')
-         |    AND y.source IN ('src0','src1')
-         |), bad AS (
-         |  SELECT DISTINCT tid FROM cand
-         |  WHERE ${cosineSql("te", "be")} >= 0.42
-         |)
-         |SELECT doc_id, source, n_chars FROM p
-         |WHERE source NOT IN ('src0','src1')
-         |  AND doc_id NOT IN (SELECT tid FROM bad)
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    // the oracle sees no partition layout — pruning must be invisible in
-    // the result, visible only in the plan.
-    "scale_partition_pruning" ->
-      """WITH dim AS (
-        |  SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events
-        |  WHERE day(CAST(ts AS DATE)) <= 7)
-        |SELECT e.event_date, event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM (SELECT CAST(ts AS DATE) AS event_date, event_type, value
-        |      FROM events) e
-        |JOIN dim ON e.event_date = dim.event_date
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-  )
 }

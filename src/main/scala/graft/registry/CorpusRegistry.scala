@@ -1,0 +1,512 @@
+package graft
+package registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.silver.Silver
+import graft.gold.Gold
+import graft.bronze.Bronze
+import graft.enrich.Enrich
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Shared._
+
+/** Corpus operations: split/sample/mix/pack/chunk, decontamination, release pipeline.
+  *
+  * One slice of the driver registry ([[graft.SparkEntry]] merges the
+  * family registries; EntrySmokeSpec proves the merged contract). Split
+  * out of the monolithic SparkEntry in round 11 — entries are verbatim,
+  * shared harness helpers and oracle CTE fragments live in [[Shared]].
+  */
+private[graft] object CorpusRegistry {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_split_assign" -> ((s, d) =>
+      // deterministic hash-bucket train/val/test assignment — stable per
+      // document across runs/cluster sizes, never rand().
+      ext.Corpus.splitAssign(Tables.documents(s, d))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+
+    "corpus_redact" -> ((s, d) =>
+      ext.Corpus.redact(Tables.documents(s, d))
+        .select(col("doc_id"), col("clean_text"), col("was_redacted"))
+        .orderBy("doc_id")),
+
+    "corpus_sample_stratified" -> ((s, d) => {
+      // 20% per-language deterministic sample, reported against totals.
+      val docs = Tables.documents(s, d)
+      val sampled = ext.Corpus.stratifiedSample(docs, "doc_id", keepPerMille = 200)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
+    "corpus_sample_weighted" -> ((s, d) =>
+      // quality-proportional data selection: admission probability =
+      // n_chars / max(n_chars), decided by an exact integer hash compare
+      // (no floats) — better documents survive downsampling more often,
+      // membership is a pure (salt, id) function.
+      ext.Corpus.weightedSample(Tables.documents(s, d), "doc_id", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    "corpus_mix_sources" -> ((s, d) =>
+      ext.Corpus.mixSources(Tables.documents(s, d), "source", "doc_id",
+          Map("src0" -> 800, "src1" -> 500, "src2" -> 200, "src3" -> 100))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")),
+
+    "corpus_shuffle_shards" -> ((s, d) =>
+      // reproducible training shuffle: dense global positions in salted-
+      // hash order via the two-phase prefix-sum scan (no single-task
+      // global window), packed into 64-doc shards.
+      ext.Corpus.shuffleShards(Tables.documents(s, d), "doc_id",
+          salt = "epoch0", shardSize = 64)
+        .orderBy("position")),
+
+    "corpus_domain_cap" -> ((s, d) =>
+      // per-domain cap: each source keeps its 15 BEST documents by
+      // quality score — exact two-phase top-N (salt-bucket pre-rank
+      // bounds every window to cap-bounded data, killing the
+      // dominant-source reducer skew the cap itself exists to fight).
+      ext.Corpus.capPerSource(Tables.documents(s, d), cap = 15)
+        .orderBy("source", "q_rank")),
+
+    "corpus_pipeline_e2e" -> ((s, d) => {
+      // the corpus-release CAPSTONE: quality gate → exact dedup → near
+      // dedup (MinHash bands → connected components → keep best) →
+      // Bloom-gated decontamination vs the RAW bench sources → packing
+      // → split, one staged run atomically PROMOTED into a throwaway
+      // warehouse (the extension-surface analog of gold_pipeline_e2e's
+      // transactional ETL), and the released table read back FROM DISK.
+      // The pipeline cleans the TRAIN side only — bench docs are the
+      // external eval sets the sweep protects, not corpus — so every
+      // stage binds (PipelineSpec asserts it). Oracle = the unrolled
+      // chain, so every stage's keep/drop decision, the pack boundaries
+      // and the split labels are all hash-checked through the
+      // write→promote→read path.
+      val wh = TempDirs.create("graft-corpus-e2e-").toString
+      graft.plans.Pipeline.runCorpusEtl(s, d, wh)
+      detachAndClean(
+        s.read.parquet(s"$wh/corpus_release")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("n_tok"), col("pack_id"), col("split"))
+          .orderBy("doc_id"),
+        wh)
+    }),
+
+    "corpus_quality_gate" -> ((s, d) =>
+      // batch admission control: every expectation evaluates in ONE
+      // partial+final aggregation pass, unpivoted to a row per check.
+      ext.Quality.eventsGate(Tables.events(s, d))
+        .orderBy("check_name")),
+
+    "corpus_pack" -> ((s, d) =>
+      // sequence packing: stream-order block packing into 512-token
+      // training packs, one window per source shard — shards pack in
+      // parallel, no global sort.
+      ext.Corpus.packSequences(Tables.documents(s, d), maxTokens = 512)
+        .orderBy("source", "doc_id")),
+
+    "corpus_pack_global" -> ((s, d) => {
+      // GLOBAL pack ids with no shard key: the two-phase distributed
+      // scan (range partition + per-partition totals + offset pass)
+      // computes the exact global running token count — bit-identical to
+      // the oracle's single global window, without the single-partition
+      // sort bottleneck that window would cost at scale.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      graft.operators.ScaleOps
+        .withPrefixSum(docs, "doc_id", "n_tok", "tok_before")
+        .withColumn("pack_id",
+          floor(col("tok_before").cast("double") / 512).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    "corpus_embedding_centroids" -> ((s, d) =>
+      // per-label centroids in FIXED POINT: summing round(x*1e6) longs is
+      // order-insensitive and exact, so the centroid is a plain
+      // distributed aggregation — no ordered float fold, no collect — and
+      // still bit-identical across engines. One row per (label, dim).
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p0", "x")))
+        .groupBy(col("label"), (col("p0") + 1).as("pos"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(round(col("x").cast("double") * 1000000).cast("long")).as("fx"))
+        .select(col("label"), col("pos"), col("n_vecs"),
+          (col("fx").cast("double") /
+            (col("n_vecs").cast("double") * lit(1000000.0))).as("centroid"))
+        .orderBy("label", "pos")),
+
+    "corpus_chunk" -> ((s, d) =>
+      // 40-token windows advancing by 30 (10-token overlap) — narrow
+      // per-row emit, chunk ids stable under corpus growth.
+      ext.Corpus.chunk(Tables.documents(s, d), width = 40, overlap = 10)
+        .orderBy("doc_id", "chunk_id")),
+
+    "corpus_contamination" -> ((s, d) =>
+      // train/eval contamination sweep: src0+src1 play the benchmark,
+      // the rest the training corpus; rare-shingle collisions only.
+      ext.Corpus.contamination(Tables.documents(s, d),
+          benchSources = Seq("src0", "src1"), w = 5, maxShingleFreq = 8,
+          threshold = 0.3)
+        .orderBy("bench_doc", "train_doc")),
+
+    "corpus_decontaminate" -> ((s, d) => {
+      // sweep → APPLY: the training corpus minus every document the
+      // contamination sweep flagged — one anti-join against the (tiny)
+      // persisted flag list, the release-time step after the sweep.
+      val docs = Tables.documents(s, d)
+      ext.Corpus.decontaminate(docs,
+          ext.Corpus.contamination(docs, benchSources = Seq("src0", "src1"),
+            w = 5, maxShingleFreq = 8, threshold = 0.3),
+          benchSources = Seq("src0", "src1"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "corpus_decontaminate_embedding" -> ((s, d) =>
+      // SEMANTIC decontamination: train docs whose EMBEDDING cosine-
+      // matches any bench doc's at >= 0.42 are swept, via the banded
+      // LSH equi-join (train×bench only, never train×train) + exact
+      // cosine verification — the sweep that catches paraphrased bench
+      // leakage the n-gram sweep misses. Complements
+      // corpus_decontaminate; both flags union in a real release.
+      ext.Corpus.decontaminateEmbedding(
+          Tables.documents(s, d), Tables.embeddings(s, d),
+          benchSources = Seq("src0", "src1"), threshold = 0.42)
+        .orderBy("doc_id")),
+
+    "corpus_decontaminate_bloom" -> ((s, d) => {
+      // the TWO-STAGE decontamination gate: the bench shingle set's
+      // Bloom filter drops train shingles before the exact join pays
+      // for them. Shares corpus_decontaminate's oracle — pass ⟺ the
+      // prefilter changed NOTHING (no false negatives, false positives
+      // killed by the exact join), which is the soundness property a
+      // prefilter must prove before it ships.
+      val docs = Tables.documents(s, d)
+      ext.Corpus.decontaminate(docs,
+          ext.Corpus.contaminationBloomGated(docs,
+            benchSources = Seq("src0", "src1"),
+            w = 5, maxShingleFreq = 8, threshold = 0.3),
+          benchSources = Seq("src0", "src1"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "corpus_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "corpus_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+        |      '[0-9]+', '#', 'g'),
+        |      '[ \t\n\f\r\x0B]+', ' ', 'g')) AS clean_text
+        |  FROM documents
+        |)
+        |SELECT doc_id, clean_text,
+        |  CAST(CASE WHEN clean_text != text THEN 1 ELSE 0 END AS INTEGER) AS was_redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample_stratified" ->
+      """WITH s AS (
+        |  SELECT lang, count(*) AS n_sampled FROM documents
+        |  WHERE CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 200
+        |  GROUP BY 1
+        |), t AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1)
+        |SELECT t.lang, t.n_total, COALESCE(s.n_sampled, 0) AS n_sampled
+        |FROM t LEFT JOIN s ON s.lang = t.lang
+        |ORDER BY t.lang""".stripMargin,
+
+    "corpus_sample_weighted" ->
+      """WITH m AS (SELECT max(n_chars) AS wmax FROM documents)
+        |SELECT doc_id, source, n_chars FROM documents, m
+        |WHERE CAST('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) * wmax
+        |      < n_chars * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_mix_sources" ->
+      """WITH rates(src, rate) AS (VALUES ('src0', 800), ('src1', 500),
+        |                                ('src2', 200), ('src3', 100))
+        |SELECT d.source, count(*) AS n_kept
+        |FROM documents d JOIN rates r ON d.source = r.src
+        |WHERE CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < r.rate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_shuffle_shards" ->
+      """WITH sk AS (
+        |  SELECT doc_id,
+        |         substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |           || '|' || CAST(doc_id AS VARCHAR) AS skey
+        |  FROM documents
+        |), rs AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (ORDER BY skey) - 1 AS position
+        |  FROM sk
+        |)
+        |SELECT CAST(position // 64 AS INTEGER) AS shard_id, position, doc_id
+        |FROM rs ORDER BY position""".stripMargin,
+
+    "corpus_domain_cap" ->
+      // quality score expressions copied from the text_quality oracle
+      // so the ordering doubles are bit-identical
+      """WITH ct AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+        |), cq AS (
+        |  SELECT doc_id, source,
+        |    (CAST(len(list_filter(l, x -> list_contains(['the','a','of','and','in'], x))) AS DOUBLE)
+        |       / CAST(len(l) AS DOUBLE)) * 0.5 +
+        |    (CAST(len(list_distinct(l)) AS DOUBLE)
+        |       / CAST(len(l) AS DOUBLE)) * 0.5 AS qs
+        |  FROM ct
+        |), cr AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY qs DESC, doc_id ASC) AS q_rank
+        |  FROM cq
+        |)
+        |SELECT source, doc_id, CAST(q_rank AS INTEGER) AS q_rank
+        |FROM cr WHERE q_rank <= 15
+        |ORDER BY source, q_rank""".stripMargin,
+
+    "corpus_quality_gate" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |         count(DISTINCT event_id) AS du,
+        |         sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+        |             ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS bt,
+        |         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nt,
+        |         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nu,
+        |         sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS nv
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'event_id_unique' AS check_name, CAST(n - du AS BIGINT) AS n_violations, (n - du) = 0 AS pass FROM a
+        |  UNION ALL SELECT 'event_type_in_domain', CAST(bt AS BIGINT), bt = 0 FROM a
+        |  UNION ALL SELECT 'ts_not_null', CAST(nt AS BIGINT), nt = 0 FROM a
+        |  UNION ALL SELECT 'user_id_not_null', CAST(nu AS BIGINT), nu = 0 FROM a
+        |  UNION ALL SELECT 'value_non_negative', CAST(nv AS BIGINT), nv = 0 FROM a)
+        |ORDER BY check_name""".stripMargin,
+
+    "corpus_embedding_centroids" ->
+      """SELECT label, CAST(i AS INTEGER) AS pos, count(*) AS n_vecs,
+        |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS centroid
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+
+    "corpus_chunk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (
+        |  SELECT doc_id, l,
+        |         unnest(generate_series(1, len(l), 30)) AS start1
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST((start1 - 1)/30 AS INTEGER) AS chunk_id,
+        |  CAST(len(list_slice(l, start1, start1 + 39)) AS INTEGER) AS n_tokens,
+        |  array_to_string(list_slice(l, start1, start1 + 39), ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "corpus_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        |  CAST(floor(CAST(COALESCE(sum(n_tok) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    / 512) AS INTEGER) AS pack_id
+        |FROM t ORDER BY source, doc_id""".stripMargin,
+
+    "corpus_pack_global" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+        |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        |  CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before,
+        |  CAST(floor(CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    / 512) AS INTEGER) AS pack_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "corpus_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5
+        |), tri AS (
+        |  SELECT DISTINCT doc_id, source,
+        |         unnest(list_transform(generate_series(1, len(l)-4),
+        |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
+        |  FROM toks
+        |), freq AS (
+        |  -- cap population = bench ∪ train (docs with a source); a
+        |  -- NULL-source doc is in neither side and must not shift the cap
+        |  SELECT sh, count(*) AS f FROM tri
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |keep AS (SELECT t.* FROM tri t JOIN freq f ON f.sh = t.sh AND f.f <= 8),
+        |bench AS (SELECT doc_id, sh FROM keep WHERE source IN ('src0','src1')),
+        |train AS (SELECT doc_id, sh FROM keep WHERE source NOT IN ('src0','src1')),
+        |bsize AS (SELECT doc_id, count(*) AS n FROM bench GROUP BY 1),
+        |shared AS (
+        |  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc,
+        |         count(*) AS n_shared
+        |  FROM bench b JOIN train t ON b.sh = t.sh GROUP BY 1, 2)
+        |SELECT bench_doc, train_doc, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) AS score
+        |FROM shared JOIN bsize ON bsize.doc_id = bench_doc
+        |WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3
+        |ORDER BY bench_doc, train_doc""".stripMargin,
+
+    "corpus_pipeline_e2e" ->
+      // the chain unrolled: integer-exact quality gate, md5 exact-dedup
+      // keepers, full-corpus MinHash pairs RESTRICTED to the surviving
+      // set (signatures/bands/Jaccard are per-doc / per-pair, so
+      // restriction commutes with the pipeline — no cap in play),
+      // recursive connected components, keep-best by n_chars, the
+      // contamination sweep RECOMPUTED over the survivors (the shingle
+      // frequency cap does NOT commute with restriction), then pack and
+      // split over the clean set.
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
+         |           len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+         |  WHERE n_tok >= 5 AND n_stop >= 1 AND 4*n_dis >= n_tok
+         |), gated AS (
+         |  SELECT d.* FROM documents d JOIN q USING (doc_id)
+         |  WHERE d.source NOT IN ('src0','src1')
+         |),
+         |ek AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |ekd AS (SELECT g.* FROM gated g JOIN ek USING (doc_id)),
+         |pairs AS (
+         |  SELECT d1, d2 FROM ($minhashPairsCoreSql) p
+         |  WHERE d1 IN (SELECT doc_id FROM ekd)
+         |    AND d2 IN (SELECT doc_id FROM ekd)
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION
+         |  SELECT d2, d1 FROM pairs
+         |), reach(node, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
+         |), cl AS (
+         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1
+         |), kb AS (
+         |  SELECT cluster_id, doc_id AS keeper FROM (
+         |    SELECT cl.cluster_id, cl.doc_id,
+         |           row_number() OVER (PARTITION BY cl.cluster_id
+         |             ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+         |    FROM cl JOIN ekd d USING (doc_id))
+         |  WHERE rn = 1
+         |), losers AS (
+         |  SELECT cl.doc_id FROM cl JOIN kb USING (cluster_id)
+         |  WHERE cl.doc_id != kb.keeper
+         |), nk AS (
+         |  SELECT * FROM ekd WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |), sw AS (
+         |  SELECT * FROM documents WHERE source IN ('src0','src1')
+         |  UNION ALL
+         |  SELECT * FROM nk
+         |), ctoks AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS l FROM sw
+         |  WHERE len(string_split(text, ' ')) >= 5
+         |), ctri AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         unnest(list_transform(generate_series(1, len(l)-4),
+         |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
+         |  FROM ctoks
+         |), cfreq AS (
+         |  SELECT sh, count(*) AS f FROM ctri WHERE source IS NOT NULL GROUP BY 1
+         |), ckeep AS (SELECT t.* FROM ctri t JOIN cfreq f ON f.sh = t.sh AND f.f <= 8),
+         |cbench AS (SELECT doc_id, sh FROM ckeep WHERE source IN ('src0','src1')),
+         |ctrain AS (SELECT doc_id, sh FROM ckeep WHERE source NOT IN ('src0','src1')),
+         |cbsize AS (SELECT doc_id, count(*) AS n FROM cbench GROUP BY 1),
+         |cshared AS (
+         |  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc, count(*) AS n_shared
+         |  FROM cbench b JOIN ctrain t ON b.sh = t.sh GROUP BY 1, 2
+         |), flags AS (
+         |  SELECT DISTINCT train_doc AS doc_id
+         |  FROM cshared JOIN cbsize ON cbsize.doc_id = bench_doc
+         |  WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3
+         |), clean AS (
+         |  SELECT * FROM nk
+         |  WHERE source NOT IN ('src0','src1')
+         |    AND doc_id NOT IN (SELECT doc_id FROM flags)
+         |)
+         |SELECT doc_id, source, n_chars,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+         |  CAST(floor(CAST(COALESCE(sum(len(string_split(text, ' '))) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+         |    / 512) AS INTEGER) AS pack_id,
+         |  CASE WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM clean ORDER BY doc_id""".stripMargin,
+
+    "corpus_decontaminate" -> corpusDecontaminateOracle,
+
+    // identical oracle: the Bloom prefilter must be invisible in the
+    // result (no false negatives; false positives die in the exact join).
+    "corpus_decontaminate_bloom" -> corpusDecontaminateOracle,
+
+    "corpus_decontaminate_embedding" -> {
+      // identical ±1 planes and band layout as the embedding-LSH dedup
+      // oracle, restricted to train×bench candidate pairs
+      val planes = Similarity.planeMatrix(16, 64)
+      def planeLit(p: Int): String =
+        planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val bitCols = (0 until 16).map { p =>
+        s"""    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+           |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])) >= 0
+           |      THEN 1 ELSE 0 END AS b$p""".stripMargin
+      }.mkString(",\n")
+      def bkey(bits: Seq[Int]) =
+        bits.map(b => s"CAST(b$b AS VARCHAR)").mkString(" || ',' || ")
+      val bandSelects = (0 until 4).map(b =>
+        s"  SELECT doc_id, source, n_chars, embedding, $b AS band, ${bkey(b * 4 until (b + 1) * 4)} AS bkey FROM sig")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH p AS (
+         |  SELECT d.doc_id, d.source, d.n_chars, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), sig AS (
+         |  SELECT doc_id, source, n_chars, embedding,
+         |$bitCols
+         |  FROM p
+         |), banded AS (
+         |$bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS tid, x.embedding AS te,
+         |                  y.doc_id AS bid, y.embedding AS be
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bkey = y.bkey
+         |  WHERE x.source NOT IN ('src0','src1')
+         |    AND y.source IN ('src0','src1')
+         |), bad AS (
+         |  SELECT DISTINCT tid FROM cand
+         |  WHERE ${cosineSql("te", "be")} >= 0.42
+         |)
+         |SELECT doc_id, source, n_chars FROM p
+         |WHERE source NOT IN ('src0','src1')
+         |  AND doc_id NOT IN (SELECT tid FROM bad)
+         |ORDER BY doc_id""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,488 @@
+package graft
+package registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.silver.Silver
+import graft.gold.Gold
+import graft.bronze.Bronze
+import graft.enrich.Enrich
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Shared._
+
+/** Deduplication: exact, n-gram Jaccard, MinHash+LSH, incremental/streaming admission state.
+  *
+  * One slice of the driver registry ([[graft.SparkEntry]] merges the
+  * family registries; EntrySmokeSpec proves the merged contract). Split
+  * out of the monolithic SparkEntry in round 11 — entries are verbatim,
+  * shared harness helpers and oracle CTE fragments live in [[Shared]].
+  */
+private[graft] object DedupRegistry {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, d), threshold = 0.42)
+        .orderBy("i", "j")),
+
+    "dedup_incremental" -> ((s, d) => {
+      // batch-over-batch dedup: replays of already-seen content are
+      // anti-joined out against the persisted hash set; in-batch copies
+      // collapse to the smallest doc_id.
+      val docs = Tables.documents(s, d)
+      val firstHalf = docs.filter(col("doc_id") < 250)
+      val secondHalf = docs.filter(col("doc_id") >= 250)
+      val incoming = secondHalf
+        .unionByName(firstHalf.withColumn("doc_id", col("doc_id") + 10000))
+        .unionByName(secondHalf.withColumn("doc_id", col("doc_id") + 20000))
+      val seen = firstHalf.select(md5(col("text")).as("content_hash"))
+      Dedup.incrementalExact(incoming, seen)
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy("keeper")),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), w = 5, threshold = 0.8)
+        .orderBy("d1", "d2")),
+
+    "dedup_repeated_spans" -> ((s, d) =>
+      // exact-substring-style span dedup at 8-token granularity: which
+      // tokens of each document are cross-corpus boilerplate. Localizes
+      // shared spans that whole-doc similarity (jaccard/minhash) cannot.
+      Dedup.repeatedSpans(Tables.documents(s, d), w = 8, minDocs = 2)
+        .orderBy("doc_id")),
+
+    "dedup_clusters" -> ((s, d) =>
+      // pairwise matches → dedup clusters (cluster id = canonical keeper).
+      // Pairs come from the CHEAP banded MinHash path (already eagerly
+      // materialized by minhashLsh, so the CC loop never re-runs the pair
+      // pipeline); at warehouse scale the pair list is a staged table and
+      // this operator reads it back — the API takes any pairs frame.
+      Dedup.clusterPairs(
+          Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
+            bandWidth = 2, threshold = 0.5))
+        .orderBy("doc_id")),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
+          bandWidth = 2, threshold = 0.5)
+        .orderBy("d1", "d2")),
+
+    "dedup_lsh_capped" -> ((s, d) =>
+      // the SKEW-GUARDED form of dedup_minhash_lsh: band buckets larger
+      // than 2 members are excluded from candidate generation — at
+      // corpus scale one boilerplate bucket can emit more pairs than
+      // the rest of the join combined and stall its reducer; capped
+      // members stay discoverable through their other bands. The cap
+      // BINDS on this corpus (size-3 buckets exist), so the oracle
+      // checks the exclusion semantics, not a no-op.
+      Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
+          bandWidth = 2, threshold = 0.5, maxBucketSize = 2)
+        .orderBy("d1", "d2")),
+
+    "dedup_keep_best" -> ((s, d) => {
+      // cluster retention by QUALITY: each near-dup cluster keeps its
+      // highest-quality member (n_chars as the quality proxy; ties to
+      // the smaller id) — the keep-the-best-copy policy, as a partial
+      // aggregation so only |clusters| rows shuffle.
+      val docs = Tables.documents(s, d)
+      Dedup.keepBestPerCluster(
+          Dedup.clusterPairs(Dedup.minhashLsh(docs, w = 5, numHashes = 8,
+            bandWidth = 2, threshold = 0.5)),
+          docs.select(col("doc_id"), col("n_chars")), "n_chars")
+        .orderBy("cluster_id")
+    }),
+
+    "dedup_incremental_near" -> ((s, d) => {
+      // batch-over-batch near-dup admission: src0-9 play the accumulated
+      // corpus (its PERSISTED band table is the state), src10-19 the
+      // incoming batch; an incoming doc colliding with any seen band
+      // bucket is rejected. Candidate-level by design (see scaladoc).
+      val docs = Tables.documents(s, d)
+      val seenSrc = (0 to 9).map(i => s"src$i")
+      val seen = docs.filter(col("source").isin(seenSrc: _*))
+      val incoming = docs.filter(!col("source").isin(seenSrc: _*))
+      Dedup.incrementalNearDup(incoming,
+          Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2),
+          w = 5, numHashes = 8, bandWidth = 2)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_incremental_near_verified" -> ((s, d) => {
+      // VERIFIED batch-over-batch admission: a band collision only
+      // nominates a candidate — rejection additionally requires the
+      // estimated Jaccard against the colliding doc's persisted minhash
+      // signature to clear 0.5. Admits a superset of the candidate-level
+      // query above (DedupSpec measures the bought-back false-reject
+      // rate); state is bands + signatures, still never documents.
+      val docs = Tables.documents(s, d)
+      val seenSrc = (0 to 9).map(i => s"src$i")
+      val seen = docs.filter(col("source").isin(seenSrc: _*))
+      val incoming = docs.filter(!col("source").isin(seenSrc: _*))
+      // the seen-side shingle→minhash pipeline runs ONCE: signatures are
+      // the state, bands a derived projection (what a warehouse persists
+      // vs recomputes); persist released after the eager checkpoint in
+      // the operator. MATERIALIZE the cache before anything reads it:
+      // bandTableFromSignatures and the operator's layout validation each
+      // run one-row probe jobs, and against a lazily-cached frame every
+      // probe re-ran a partial shingle→minhash pipeline (the r7 bench
+      // doubling) — one count() up front turns them all into cache reads.
+      val sigs = Dedup.signatureTable(seen, w = 5, numHashes = 8).persist()
+      sigs.count()
+      try Dedup.incrementalNearDupVerified(incoming,
+          Dedup.bandTableFromSignatures(sigs, bandWidth = 2),
+          sigs,
+          w = 5, numHashes = 8, bandWidth = 2, minEstJaccard = 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+      finally sigs.unpersist(blocking = false)
+    }),
+
+    "dedup_state_append" -> ((s, d) => {
+      // the WRITE half of incremental admission, two batches deep: build
+      // and persist the seen corpus's band state, admit batch 1 against
+      // it, APPEND the admitted docs' bands to the state, then admit
+      // batch 2 against the UPDATED state. A batch-2 doc colliding with
+      // an ADMITTED batch-1 doc must be rejected — exactly what the
+      // append exists for; without it the state stops deduplicating
+      // against everything after the initial corpus.
+      val docs = Tables.documents(s, d)
+      val seenSrc = (0 to 9).map(i => s"src$i")
+      val b1Src = (10 to 14).map(i => s"src$i")
+      val seen = docs.filter(col("source").isin(seenSrc: _*))
+      val batch1 = docs.filter(col("source").isin(b1Src: _*))
+      val batch2 = docs.filter(!col("source").isin((seenSrc ++ b1Src): _*))
+      val tmp = TempDirs.create("graft-state-append-").toString
+      val stateDir = s"$tmp/bands"
+      // PARTITIONED state (band/bpfx cells): both admissions below read
+      // the state pruned to the cells their batch probes — the
+      // VectorIndex nprobe discipline applied to dedup state. Values
+      // are identical to a flat-state run (pruning is exact); the flat
+      // legacy path stays covered by dedup_state_retention.
+      Dedup.writeBandState(
+        Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2),
+        stateDir, mode = "errorifexists")
+      val adm1 = Dedup.incrementalNearDupFromState(s, batch1, stateDir,
+        w = 5, numHashes = 8, bandWidth = 2)
+      Dedup.appendBandState(s, stateDir, adm1,
+        w = 5, numHashes = 8, bandWidth = 2)
+      val adm2 = Dedup.incrementalNearDupFromState(s, batch2, stateDir,
+        w = 5, numHashes = 8, bandWidth = 2)
+      detachAndClean(
+        adm1.unionByName(adm2)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
+    "dedup_state_retention" -> ((s, d) => {
+      // dedup-STATE lifecycle round-trip: build and PERSIST the band-table
+      // state for the accumulated corpus, remove a third of its documents
+      // (deleted / re-licensed out), run key-based retention over the
+      // state files (semi-join staged rewrite, ScaleOps.retainRows, via
+      // the object-store-safe POINTER promotion so resolve/migrate/prune
+      // are all driver-visible), then admit the incoming batch against the
+      // RETAINED state. The oracle computes admission against a seen-set
+      // that never contained the removed docs — pass ⟺ retention made
+      // them never-existed, which is exactly what a ghost state row (a
+      // rejection against a doc no longer in the corpus) would break.
+      val docs = Tables.documents(s, d)
+      val seenSrc = (0 to 9).map(i => s"src$i")
+      val seen = docs.filter(col("source").isin(seenSrc: _*))
+      val incoming = docs.filter(!col("source").isin(seenSrc: _*))
+      val tmp = TempDirs.create("graft-dedup-state-").toString
+      val stateDir = s"$tmp/bands"
+      Dedup.bandTable(seen, w = 5, numHashes = 8, bandWidth = 2)
+        .repartition(8) // small state files — retention compacts them too
+        .write.parquet(stateDir)
+      val stagedFiles = s.read.parquet(stateDir)
+        .select(input_file_name()).distinct().count()
+      val survivors = seen.filter(col("doc_id") % 3 =!= 0)
+      graft.operators.ScaleOps.retainRows(s, stateDir,
+        survivors.select(col("doc_id")), Seq("doc_id"),
+        promotion = graft.operators.ScaleOps.PointerSwap)
+      val retained = graft.operators.ScaleOps.readMaintained(s, stateDir,
+        graft.operators.ScaleOps.PointerSwap)
+      val files = retained.select(input_file_name()).distinct().count()
+      require(files < stagedFiles,
+        s"retention rewrite should compact the $stagedFiles staged state " +
+          s"files, found $files")
+      detachAndClean(
+        Dedup.incrementalNearDup(incoming, retained,
+            w = 5, numHashes = 8, bandWidth = 2)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(Tables.embeddings(s, d), threshold = 0.42)
+        .orderBy("i", "j")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "dedup_ngram_jaccard" -> s"$ngramPairsCoreSql\nORDER BY d1, d2",
+
+    "dedup_repeated_spans" ->
+      """WITH rtoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), rpos AS (
+        |  SELECT doc_id, u.i AS s, array_to_string(t[u.i:u.i+7], ' ') AS sh
+        |  FROM rtoks, UNNEST(range(1, len(t)-8+2)) AS u(i)
+        |), rdup AS (
+        |  SELECT sh FROM rpos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+        |), rstarts AS (
+        |  SELECT doc_id, s FROM rpos JOIN rdup USING (sh)
+        |), rflag AS (
+        |  SELECT doc_id, s,
+        |         CASE WHEN s > coalesce(max(s + 7) OVER (
+        |             PARTITION BY doc_id ORDER BY s
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |           THEN 1 ELSE 0 END AS new_span
+        |  FROM rstarts
+        |), rspan AS (
+        |  SELECT doc_id, s,
+        |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY s) AS span_id
+        |  FROM rflag
+        |), ragg AS (
+        |  SELECT doc_id, span_id, max(s) + 7 - min(s) + 1 AS covered,
+        |         count(*) AS nw
+        |  FROM rspan GROUP BY doc_id, span_id
+        |), rper AS (
+        |  SELECT doc_id, CAST(sum(nw) AS BIGINT) AS dup_windows,
+        |         count(*) AS dup_spans,
+        |         CAST(sum(covered) AS BIGINT) AS covered_tokens
+        |  FROM ragg GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+        |       p.dup_windows, p.dup_spans, p.covered_tokens
+        |FROM rper p JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT d1, d2 FROM ($minhashPairsCoreSql) p
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION
+         |  SELECT d2, d1 FROM pairs
+         |), reach(node, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
+         |)
+         |SELECT node AS doc_id, min(m) AS cluster_id
+         |FROM reach GROUP BY 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_lsh" -> minhashOracle,
+
+    "dedup_lsh_capped" ->
+      s"${minhashPairsSql(Some(2))}\nORDER BY d1, d2",
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT d1, d2 FROM ($minhashPairsCoreSql) p
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION
+         |  SELECT d2, d1 FROM pairs
+         |), reach(node, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
+         |), cl AS (
+         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1
+         |), j AS (
+         |  SELECT cl.cluster_id, cl.doc_id, d.n_chars
+         |  FROM cl JOIN documents d USING (doc_id)
+         |), r AS (
+         |  SELECT cluster_id, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM j
+         |)
+         |SELECT cluster_id, doc_id AS keeper, n_chars AS keeper_quality,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
+
+    "dedup_incremental_near" ->
+      s"""WITH $triSql,
+         |$bandCteSql,
+         |docsrc AS (SELECT doc_id, source FROM documents),
+         |seenb AS (
+         |  SELECT DISTINCT band, bkey
+         |  FROM bands JOIN docsrc USING (doc_id)
+         |  WHERE source IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})),
+         |incb AS (
+         |  SELECT b.doc_id, b.band, b.bkey
+         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
+         |  WHERE s.source NOT IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})),
+         |rejected AS (
+         |  SELECT DISTINCT doc_id FROM incb
+         |  JOIN seenb k USING (band, bkey)
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM incb x
+         |  JOIN incb y ON x.band = y.band AND x.bkey = y.bkey
+         |             AND x.doc_id < y.doc_id)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.source NOT IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental_near_verified" -> {
+      val matchSum = (0 until 8).map(k =>
+        s"CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END").mkString(" + ")
+      val seenList = (0 to 9).map(i => s"'src$i'").mkString(",")
+      s"""WITH $triSql,
+         |$bandCteSql,
+         |docsrc AS (SELECT doc_id, source FROM documents),
+         |seenb AS (
+         |  SELECT DISTINCT b.doc_id, band, bkey
+         |  FROM bands b JOIN docsrc USING (doc_id)
+         |  WHERE source IN ($seenList)),
+         |incb AS (
+         |  SELECT b.doc_id, b.band, b.bkey
+         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
+         |  WHERE s.source NOT IN ($seenList)),
+         |candseen AS (
+         |  SELECT DISTINCT i.doc_id, s.doc_id AS partner_id
+         |  FROM incb i JOIN seenb s USING (band, bkey)),
+         |candbatch AS (
+         |  SELECT DISTINCT x.doc_id AS partner_id, y.doc_id
+         |  FROM incb x JOIN incb y ON x.band = y.band AND x.bkey = y.bkey
+         |             AND x.doc_id < y.doc_id),
+         |rejected AS (
+         |  SELECT c.doc_id FROM candseen c
+         |  JOIN mh a ON a.doc_id = c.doc_id
+         |  JOIN mh b ON b.doc_id = c.partner_id
+         |  WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5
+         |  UNION
+         |  SELECT c.doc_id FROM candbatch c
+         |  JOIN mh a ON a.doc_id = c.doc_id
+         |  JOIN mh b ON b.doc_id = c.partner_id
+         |  WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.source NOT IN ($seenList)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_state_append" -> {
+      // two-phase admission: batch 2's seen-set is the initial corpus
+      // PLUS batch 1's admitted docs — the Spark side gets this answer
+      // only if the state append really carried admitted bands forward.
+      val seenList = (0 to 9).map(i => s"'src$i'").mkString(",")
+      val b1List = (10 to 14).map(i => s"'src$i'").mkString(",")
+      s"""WITH $triSql,
+         |$bandCteSql,
+         |docsrc AS (SELECT doc_id, source FROM documents),
+         |seenb AS (
+         |  SELECT DISTINCT band, bkey FROM bands JOIN docsrc USING (doc_id)
+         |  WHERE source IN ($seenList)),
+         |b1 AS (
+         |  SELECT b.doc_id, b.band, b.bkey
+         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
+         |  WHERE s.source IN ($b1List)),
+         |rej1 AS (
+         |  SELECT DISTINCT doc_id FROM b1 JOIN seenb USING (band, bkey)
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM b1 x
+         |  JOIN b1 y ON x.band = y.band AND x.bkey = y.bkey
+         |             AND x.doc_id < y.doc_id),
+         |adm1 AS (
+         |  SELECT d.doc_id FROM docsrc d
+         |  WHERE d.source IN ($b1List)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM rej1)),
+         |seenb2 AS (
+         |  SELECT band, bkey FROM seenb
+         |  UNION
+         |  SELECT DISTINCT band, bkey FROM bands JOIN adm1 USING (doc_id)),
+         |b2 AS (
+         |  SELECT b.doc_id, b.band, b.bkey
+         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
+         |  WHERE s.source NOT IN ($seenList, $b1List)),
+         |rej2 AS (
+         |  SELECT DISTINCT doc_id FROM b2 JOIN seenb2 USING (band, bkey)
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM b2 x
+         |  JOIN b2 y ON x.band = y.band AND x.bkey = y.bkey
+         |             AND x.doc_id < y.doc_id)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE (d.source IN ($b1List)
+         |       AND d.doc_id NOT IN (SELECT doc_id FROM rej1))
+         |   OR (d.source NOT IN ($seenList, $b1List)
+         |       AND d.doc_id NOT IN (SELECT doc_id FROM rej2))
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_state_retention" -> {
+      // admission against a seen-set that NEVER contained the removed
+      // docs: the Spark side gets the same answer only if retention truly
+      // erased their state rows.
+      val seenList = (0 to 9).map(i => s"'src$i'").mkString(",")
+      s"""WITH $triSql,
+         |$bandCteSql,
+         |docsrc AS (SELECT doc_id, source FROM documents),
+         |seenb AS (
+         |  SELECT DISTINCT band, bkey
+         |  FROM bands JOIN docsrc USING (doc_id)
+         |  WHERE source IN ($seenList) AND doc_id % 3 <> 0),
+         |incb AS (
+         |  SELECT b.doc_id, b.band, b.bkey
+         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
+         |  WHERE s.source NOT IN ($seenList)),
+         |rejected AS (
+         |  SELECT DISTINCT doc_id FROM incb
+         |  JOIN seenb k USING (band, bkey)
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM incb x
+         |  JOIN incb y ON x.band = y.band AND x.bkey = y.bkey
+         |             AND x.doc_id < y.doc_id)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.source NOT IN ($seenList)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_embedding_lsh" -> embLshOracle,
+
+    "dedup_incremental" ->
+      """WITH first_half AS (SELECT * FROM documents WHERE doc_id < 250),
+        |second_half AS (SELECT * FROM documents WHERE doc_id >= 250),
+        |incoming AS (
+        |  SELECT doc_id, text FROM second_half
+        |  UNION ALL SELECT doc_id + 10000, text FROM first_half
+        |  UNION ALL SELECT doc_id + 20000, text FROM second_half
+        |), seen AS (SELECT DISTINCT md5(text) AS content_hash FROM first_half),
+        |hashed AS (SELECT doc_id, md5(text) AS content_hash FROM incoming),
+        |novel AS (
+        |  SELECT h.doc_id, h.content_hash FROM hashed h
+        |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.content_hash = h.content_hash)
+        |), r AS (
+        |  SELECT doc_id, content_hash,
+        |         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id ASC) AS rn
+        |  FROM novel
+        |)
+        |SELECT doc_id, content_hash FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |         ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |)
+         |SELECT i, j, sim FROM p WHERE sim >= 0.42
+         |ORDER BY i, j""".stripMargin,
+  )
+}

@@ -1,0 +1,598 @@
+package graft
+package registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** Harness plumbing and oracle SQL fragments shared by the family
+  * registries: stream-source staging, ts-encoding bridges, throwaway-dir
+  * lifecycle, exact-cents partials, and the DuckDB CTE bodies several
+  * oracles inline. Moved verbatim out of SparkEntry in round 11.
+  */
+private[graft] object Shared {
+
+  /** Exact-cents money partial — SUM of per-row round(x*100) longs, the
+    * oracle-parity discipline (integer partials; any fractional output is
+    * ONE final division of exact ints). Single definition for every
+    * query that aggregates money.
+    */
+  def centsSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c * 100).cast("long"))
+
+  /** dim_date as a DuckDB CTE body (reference load_dim_date,
+    * silver_load.sql:137-183). Kept as one string so every mart oracle
+    * inlines the identical definition.
+    */
+  val dimDateSql =
+    """bounds AS (
+      |  SELECT least((SELECT CAST(min(o_orderdate) AS DATE) FROM orders),
+      |               (SELECT CAST(min(l_shipdate) AS DATE) FROM lineitem)) AS lo,
+      |         greatest((SELECT CAST(max(o_orderdate) AS DATE) FROM orders),
+      |                  (SELECT CAST(max(l_shipdate) AS DATE) FROM lineitem)) AS hi
+      |), days AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS cal_date FROM bounds
+      |), dim_date AS (
+      |  SELECT CAST(year(cal_date)*10000 + month(cal_date)*100 + day(cal_date) AS INTEGER) AS date_id,
+      |         cal_date,
+      |         CAST(year(cal_date) AS INTEGER) AS year,
+      |         CAST(month(cal_date) AS INTEGER) AS month,
+      |         monthname(cal_date) AS month_name,
+      |         CAST(day(cal_date) AS INTEGER) AS day,
+      |         CAST(quarter(cal_date) AS INTEGER) AS quarter,
+      |         CAST(dayofweek(cal_date) AS INTEGER) AS day_of_week,
+      |         dayname(cal_date) AS day_name,
+      |         dayofweek(cal_date) IN (0,6) AS is_weekend
+      |  FROM days
+      |)""".stripMargin
+  // ---- live-streaming query plumbing -----------------------------------
+
+  /** Stage the events table as a file-stream SOURCE directory: the
+    * file-stream source monitors a DIRECTORY; the testdata table is a
+    * single parquet file, so stage it as a symlink (no data copy) — the
+    * production shape is streaming an arrival directory anyway. Fresh
+    * temp dir per call: each run reprocesses from a clean checkpoint.
+    */
+  def stageEventsStreamDir(d: String): (String, String) =
+    stageTableStreamDir(d, "events.parquet")
+
+  def stageDocsStreamDir(d: String): (String, String) =
+    stageTableStreamDir(d, "documents.parquet")
+
+  def stageTableStreamDir(d: String, table: String): (String, String) = {
+    val tmp = TempDirs.create("graft-stream-").toString
+    val srcPath = java.nio.file.Paths.get(tmp, "src")
+    java.nio.file.Files.createDirectories(srcPath)
+    // absolute target: a relative sf dir would otherwise resolve against
+    // the temp src/ directory and dangle.
+    java.nio.file.Files.createSymbolicLink(
+      srcPath.resolve(table),
+      java.nio.file.Paths.get(d, table).toAbsolutePath)
+    (tmp, srcPath.toString)
+  }
+
+  /** Normalize a stream's ts to TimestampType INSIDE the stream exactly
+    * as Tables.events does for batch — same adaptive branching, because
+    * a staged source directory carries whatever physical encoding the
+    * testdata (or a restart harness's own re-write) shipped: raw-nanos
+    * LONG, TIMESTAMP_NTZ micros, or TimestampType (round-9 postmortem —
+    * the encoding is environment-controlled and has changed under us).
+    */
+  val rebuildStreamTs: DataFrame => DataFrame = Tables.normalizeTs
+
+  /** ts of a raw events frame as an epoch-NANOS expression, whatever the
+    * physical encoding — the restart harnesses split feeds and place
+    * synthetic rows with nanos arithmetic.
+    */
+  def tsNanosCol(df: DataFrame): Column = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType           => col("ts")
+      case TimestampNTZType   =>
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+      case TimestampType      => unix_micros(col("ts")) * lit(1000L)
+      case other => throw new IllegalStateException(
+        s"events ts has unsupported physical type $other")
+    }
+  }
+
+  /** Raw events feed with ts coerced to epoch-nanos LONG regardless of
+    * the file's encoding: harnesses that restage their own source dir
+    * from this frame keep their nanos split arithmetic unchanged, and
+    * the staged LongType ts takes [[rebuildStreamTs]]'s nanos branch —
+    * byte-identical behavior to the original nanos testdata.
+    */
+  def eventsFeedNanos(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.loadEvents(s, d)
+    raw.withColumn("ts", tsNanosCol(raw))
+  }
+
+  /** Inverse of [[tsNanosCol]]: render an epoch-nanos Column in the
+    * staged source's ts encoding, so rows APPENDED to a symlinked
+    * original file type-match the declared stream schema.
+    */
+  def nanosToFeedTs(dt: org.apache.spark.sql.types.DataType,
+                            nanos: Column): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType         => nanos
+      // `/` on integral Columns is DOUBLE division; at epoch-nanos
+      // magnitude (~2^60) the double ULP is 256 ns, so the quotient can
+      // round below the exact integer and the long cast would truncate
+      // the feed ts 1 µs low. Decimal division keeps it exact.
+      case TimestampNTZType =>
+        timestamp_micros((nanos.cast(DecimalType(38, 0)) / 1000).cast(LongType))
+          .cast(TimestampNTZType)
+      case TimestampType    =>
+        timestamp_micros((nanos.cast(DecimalType(38, 0)) / 1000).cast(LongType))
+      case other => throw new IllegalStateException(
+        s"events ts has unsupported physical type $other")
+    }
+  }
+
+  /** Eagerly materialize a throwaway-directory result, then delete the
+    * directory: repeated bench/verify runs must not accumulate staged
+    * warehouses and stream sinks under /tmp. The local checkpoint
+    * detaches the returned frame's lineage from the deleted files.
+    * (Throwaway dirs are allocated via [[TempDirs.create]], so a run
+    * that dies between staging and this cleanup is still swept by the
+    * shutdown hook on any orderly JVM exit.)
+    */
+  def detachAndClean(df: DataFrame, dirs: String*): DataFrame = {
+    val out = df.localCheckpoint(eager = true)
+    dirs.foreach(dir =>
+      graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(dir)))
+    out
+  }
+
+  /** Fixed-width 20-bucket histogram with data-derived bounds (A3 style):
+    * one bounds pass + one aggregation; the max value is clamped into the
+    * last bucket. hi==lo guard: a constant column has width 0 and the
+    * divide yields NaN — degenerate input collapses into bucket 0 instead
+    * (the oracle CASE mirrors it). Extracted so the guard is unit-testable
+    * on injected input (the query reads the events table).
+    */
+  private[graft] def histogram20(ev: DataFrame): DataFrame = {
+    val b = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.crossJoin(broadcast(b))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(ext.Quality.binExpr(col("value"),
+            (col("hi") - col("lo")) / 20, col("lo")), lit(19L)))
+          .cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        centsSum(col("value")).as("value_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Read a streaming sink back deterministically: only windows strictly
+    * below the watermark horizon on BOTH sides, so the edge window's
+    * emit-or-hold never decides the comparison.
+    */
+  def sinkBelowHorizon(s: SparkSession, d: String, outDir: String,
+                               categoryCol: String): DataFrame = {
+    val horizonMs = 3600000L
+    val mx = Tables.events(s, d)
+      .agg(max(unix_millis(col("ts"))).as("mx_ms"))
+    s.read.parquet(outDir)
+      .withColumn("window_start_ms", unix_millis(col("window_start")))
+      .crossJoin(mx) // 1-row broadcast
+      .filter(col("window_start_ms") + horizonMs < col("mx_ms") - horizonMs)
+      .select(col("window_start_ms"), col(categoryCol),
+        col("n_events"), col("value_cents"))
+      .orderBy("window_start_ms", categoryCol)
+  }
+
+  // ---- generated oracle fragments (identical constants as the Spark
+  //      plans: hash seeds, band layout, hyperplane matrix) --------------
+
+  /** toks+tri CTE bodies shared by the shingle-based dedup oracles. */
+  val triSql =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5
+      |), tri AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, len(l)-4),
+      |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
+      |  FROM toks
+      |)""".stripMargin
+
+  /** Prefix-filtered exact-Jaccard pairs, no ORDER BY — shared by the
+    * pair oracle and the connected-components oracle built on it.
+    */
+  /** Exact brute-force cosine top-10 for queries vec_id < 5 — the
+    * oracle of sim_topk_bruteforce, and of stream_index_maintain (a
+    * complete index searched at nprobe = numCells is exhaustive).
+    */
+  lazy val bruteTop10OracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+       |s AS (
+       |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS sim
+       |  FROM q, c WHERE qid != cid
+       |), r AS (
+       |  SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+       |  FROM s
+       |)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+
+  lazy val ngramPairsCoreSql: String =
+    s"""WITH $triSql,
+       |freq AS (SELECT sh, count(*) AS f FROM tri GROUP BY 1),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+       |ranked AS (
+       |  SELECT t.doc_id, t.sh, s.n,
+       |         row_number() OVER (PARTITION BY t.doc_id
+       |                            ORDER BY fr.f ASC, t.sh ASC) AS rn
+       |  FROM tri t JOIN freq fr ON fr.sh = t.sh JOIN sizes s ON s.doc_id = t.doc_id
+       |), prefix AS (
+       |  SELECT doc_id, sh FROM ranked WHERE rn <= n - floor(0.8 * n) + 1
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |), com AS (
+       |  SELECT c.d1, c.d2, count(*) AS common
+       |  FROM cands c
+       |  JOIN tri a ON a.doc_id = c.d1
+       |  JOIN tri b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2,
+       |  CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
+       |FROM com JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8""".stripMargin
+
+  /** mh+bands CTE bodies (8 hashes, 4 bands of 2) shared by the banded
+    * minhash oracles — identical constants to `Dedup.bandsOf`.
+    */
+  lazy val bandCteSql: String = {
+    val mhCols = (0 until 8).map(s =>
+      s"    min(CAST('0x' || substr(md5('0|' || sh) || md5('1|' || sh), ${8 * s + 1}, 8) AS BIGINT)) AS mh$s")
+      .mkString(",\n")
+    val bandSelects = (0 until 4).map { b =>
+      val k = s"CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR)"
+      s"  SELECT doc_id, $b AS band, $k AS bkey FROM mh"
+    }.mkString("\n  UNION ALL\n")
+    s"""mh AS (
+       |  SELECT doc_id,
+       |$mhCols
+       |  FROM tri GROUP BY doc_id
+       |), bands AS (
+       |$bandSelects
+       |)""".stripMargin
+  }
+
+  /** Streaming near-dup admission unrolled: three rounds (doc_id mod 3,
+    * the pinned micro-batch order), band state threaded through — round
+    * r admits a doc iff none of its band buckets collides with the
+    * admitted-so-far state or a smaller-id sibling of its own round;
+    * docs under 5 tokens have no shingles → no bands → always admitted.
+    * Shared verbatim by stream_near_dedup and its restart variant (the
+    * restart must be invisible).
+    */
+  lazy val nearDedupAdmissionSql: String =
+    s"""WITH $triSql,
+       |$bandCteSql,
+       |g0 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 0),
+       |g1 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 1),
+       |g2 AS (SELECT b.doc_id, b.band, b.bkey FROM bands b WHERE b.doc_id % 3 = 2),
+       |rej0 AS (
+       |  SELECT DISTINCT y.doc_id FROM g0 x
+       |  JOIN g0 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |adm0 AS (SELECT DISTINCT doc_id FROM g0
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej0)),
+       |st0 AS (SELECT DISTINCT band, bkey FROM g0
+       |        WHERE doc_id IN (SELECT doc_id FROM adm0)),
+       |rej1 AS (
+       |  SELECT DISTINCT b.doc_id FROM g1 b
+       |  JOIN st0 k ON k.band = b.band AND k.bkey = b.bkey
+       |  UNION
+       |  SELECT DISTINCT y.doc_id FROM g1 x
+       |  JOIN g1 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |adm1 AS (SELECT DISTINCT doc_id FROM g1
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+       |st1 AS (SELECT band, bkey FROM st0
+       |        UNION
+       |        SELECT DISTINCT band, bkey FROM g1
+       |        WHERE doc_id IN (SELECT doc_id FROM adm1)),
+       |rej2 AS (
+       |  SELECT DISTINCT b.doc_id FROM g2 b
+       |  JOIN st1 k ON k.band = b.band AND k.bkey = b.bkey
+       |  UNION
+       |  SELECT DISTINCT y.doc_id FROM g2 x
+       |  JOIN g2 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |adm2 AS (SELECT DISTINCT doc_id FROM g2
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej2)),
+       |adm AS (SELECT doc_id FROM adm0
+       |        UNION SELECT doc_id FROM adm1
+       |        UNION SELECT doc_id FROM adm2)
+       |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+       |WHERE d.doc_id IN (SELECT doc_id FROM adm)
+       |   OR d.doc_id NOT IN (SELECT doc_id FROM bands)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Banded-MinHash verified pairs, no ORDER BY — shared by the pair
+    * oracle and the connected-components oracle built on it.
+    */
+  lazy val minhashPairsCoreSql: String = minhashPairsSql(None)
+
+  /** Banded-MinHash verified pairs with an optional bucket-size cap —
+    * `cap` mirrors `Dedup.minhashLsh(maxBucketSize)`: buckets with more
+    * members are excluded from candidate generation.
+    */
+  def minhashPairsSql(cap: Option[Int]): String = {
+    val capJoin = cap.map(c =>
+      s"""
+         |  JOIN (SELECT band, bkey FROM bands GROUP BY 1, 2
+         |        HAVING count(*) <= $c) ok
+         |    ON ok.band = x.band AND ok.bkey = x.bkey""".stripMargin).getOrElse("")
+    s"""WITH $triSql,
+       |$bandCteSql, cands AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id$capJoin
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM tri GROUP BY 1
+       |), com AS (
+       |  SELECT c.d1, c.d2, count(*) AS common
+       |  FROM cands c
+       |  JOIN tri a ON a.doc_id = c.d1
+       |  JOIN tri b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2,
+       |  CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
+       |FROM com JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.5""".stripMargin
+  }
+
+  val minhashOracle: String = s"$minhashPairsCoreSql\nORDER BY d1, d2"
+
+  val simhashOracle: String = {
+    val bitSums = (0 until 16).map(b =>
+      s"    sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n")
+    val assemble = (0 until 16).map(b =>
+      s"CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+       |), th AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM tok
+       |), bits AS (
+       |  SELECT doc_id,
+       |$bitSums
+       |  FROM th GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($assemble AS INTEGER) AS simhash
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  /** Double-precision cosine in the same index-ordered shape as
+    * [[Similarity.cosine]].
+    */
+  /** Exact decontamination oracle shared by corpus_decontaminate and its
+    * Bloom-prefiltered twin (the gate is provably invisible).
+    */
+  val corpusDecontaminateOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5
+      |), tri AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         unnest(list_transform(generate_series(1, len(l)-4),
+      |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
+      |  FROM toks
+      |), freq AS (
+      |  SELECT sh, count(*) AS f FROM tri
+      |  WHERE source IS NOT NULL GROUP BY 1),
+      |keep AS (SELECT t.* FROM tri t JOIN freq f ON f.sh = t.sh AND f.f <= 8),
+      |bench AS (SELECT doc_id, sh FROM keep WHERE source IN ('src0','src1')),
+      |train AS (SELECT doc_id, sh FROM keep WHERE source NOT IN ('src0','src1')),
+      |bsize AS (SELECT doc_id, count(*) AS n FROM bench GROUP BY 1),
+      |shared AS (
+      |  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc,
+      |         count(*) AS n_shared
+      |  FROM bench b JOIN train t ON b.sh = t.sh GROUP BY 1, 2),
+      |flagged AS (
+      |  SELECT DISTINCT train_doc FROM shared
+      |  JOIN bsize ON bsize.doc_id = bench_doc
+      |  WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3)
+      |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+      |WHERE d.source NOT IN ('src0','src1')
+      |  AND d.doc_id NOT IN (SELECT train_doc FROM flagged)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Finalized-window batch equivalent shared by stream_pipeline (fresh
+    * checkpoint) and stream_pipeline_restart (two passes, one
+    * checkpoint): the restart must be invisible in the result.
+    */
+  val streamPipelineOracle: String =
+    """WITH m AS (SELECT epoch_ms(max(ts)) AS mx_ms FROM events)
+      |SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events, m
+      |WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 < mx_ms - 3600000
+      |GROUP BY 1, 2
+      |ORDER BY window_start_ms, event_type""".stripMargin
+
+  /** The streaming corpus-admission chain unrolled in batch over `rel`
+    * (the body after WITH — callers prepend their own leading CTEs):
+    * quality predicate, per-doc might-contain fraction against the
+    * bench shingle Bloom (salted-md5 positions, 2^18 bits, 4 hashes),
+    * one row per surviving doc_id. Shared by stream_corpus_clean and
+    * its restart form so the gate semantics cannot drift between them.
+    */
+  def corpusCleanChainSql(rel: String): String =
+    s"""q AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
+       |           len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM $rel))
+       |  WHERE n_tok >= 5 AND n_stop >= 1 AND 4*n_dis >= n_tok
+       |), train AS (
+       |  SELECT d.* FROM $rel d JOIN q USING (doc_id)
+       |  WHERE d.source NOT IN ('src0','src1')
+       |), bt AS (
+       |  SELECT string_split(text, ' ') AS l FROM $rel
+       |  WHERE source IN ('src0','src1') AND len(string_split(text, ' ')) >= 5
+       |), bsh AS (
+       |  SELECT DISTINCT
+       |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+       |  FROM bt, unnest(generate_series(1, len(l)-4)) AS u(i)
+       |), bits AS (
+       |  SELECT DISTINCT
+       |    CAST('0x' || substr(md5('b' || j || '|' || sh), 1, 8) AS BIGINT) % 262144 AS pos
+       |  FROM bsh, unnest(generate_series(0, 3)) AS js(j)
+       |), tsh AS (
+       |  SELECT DISTINCT doc_id,
+       |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM train),
+       |       unnest(generate_series(1, len(l)-4)) AS u(i)
+       |), probe AS (
+       |  SELECT doc_id, sh,
+       |    (CAST('0x' || substr(md5('b0|' || sh), 1, 8) AS BIGINT) % 262144
+       |       IN (SELECT pos FROM bits)
+       |     AND CAST('0x' || substr(md5('b1|' || sh), 1, 8) AS BIGINT) % 262144
+       |       IN (SELECT pos FROM bits)
+       |     AND CAST('0x' || substr(md5('b2|' || sh), 1, 8) AS BIGINT) % 262144
+       |       IN (SELECT pos FROM bits)
+       |     AND CAST('0x' || substr(md5('b3|' || sh), 1, 8) AS BIGINT) % 262144
+       |       IN (SELECT pos FROM bits)) AS might
+       |  FROM tsh
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_sh,
+       |         sum(CASE WHEN might THEN 1 ELSE 0 END) AS n_hit
+       |  FROM probe GROUP BY 1
+       |)
+       |SELECT t.doc_id, t.source, t.n_chars,
+       |  CAST(a.n_sh AS INTEGER) AS n_sh, CAST(a.n_hit AS INTEGER) AS n_hit
+       |FROM train t JOIN agg a USING (doc_id)
+       |WHERE CAST(a.n_hit AS DOUBLE) < 0.3 * CAST(a.n_sh AS DOUBLE)
+       |ORDER BY t.doc_id""".stripMargin
+
+  def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  val lshOracle: String = {
+    val planes = Similarity.planeMatrix(8, 64)
+    def planeLit(p: Int): String =
+      planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bitCols = (0 until 8).map { p =>
+      s"""    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+         |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])) >= 0
+         |      THEN 1 ELSE 0 END AS b$p""".stripMargin
+    }.mkString(",\n")
+    def bkey(bits: Seq[Int]) =
+      bits.map(b => s"CAST(b$b AS VARCHAR)").mkString(" || ',' || ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |$bitCols
+       |  FROM embeddings
+       |), banded AS (
+       |  SELECT vec_id, embedding, 0 AS band, ${bkey(0 until 4)} AS bkey FROM sig
+       |  UNION ALL
+       |  SELECT vec_id, embedding, 1 AS band, ${bkey(4 until 8)} AS bkey FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, q.embedding AS qe,
+       |                  c.vec_id AS cid, c.embedding AS ce
+       |  FROM banded q JOIN banded c
+       |    ON q.band = c.band AND q.bkey = c.bkey AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 5
+       |), scored AS (
+       |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS sim FROM cand
+       |), r AS (
+       |  SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+       |  FROM scored
+       |)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Mart bodies without ORDER BY, shared by the mart oracle and its
+    * rename-view oracle (gold_ddl.sql:135-193 defines the views as pure
+    * column aliases over the marts).
+    */
+  val dailySummaryCoreSql =
+    s"""WITH $dimDateSql,
+       |fact AS (
+       |  SELECT l.l_quantity, l.l_partkey, l.l_extendedprice,
+       |         CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + day(o.o_orderdate) AS INTEGER) AS start_date_id
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |)
+       |SELECT d.cal_date, d.year, d.month_name, d.day_name, d.is_weekend,
+       |  count(*) AS total_trips,
+       |  CAST(sum(f.l_quantity) AS BIGINT) AS total_qty,
+       |  sum(f.l_quantity)/count(*) AS avg_qty,
+       |  count(DISTINCT f.l_partkey) AS unique_bikes,
+       |  (CAST(CAST(sum(CAST(round(f.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE))/CAST(count(*) AS DOUBLE) AS avg_price
+       |FROM fact f JOIN dim_date d ON f.start_date_id = d.date_id
+       |GROUP BY 1,2,3,4,5""".stripMargin
+
+  val popularRoutesCoreSql =
+    """SELECT n1.n_name || ' -> ' || n2.n_name AS route_id,
+      |  n1.n_name AS start_station, n2.n_name AS end_station,
+      |  count(*) AS trip_count,
+      |  CAST(sum(date_diff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_duration_days
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |LEFT JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |LEFT JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IS NOT NULL AND n2.n_name IS NOT NULL
+      |GROUP BY n1.n_name, n2.n_name""".stripMargin
+
+  val userBehaviorCoreSql =
+    """SELECT c.c_mktsegment, o.o_orderstatus,
+      |  CAST(2002 - year(o.o_orderdate) AS INTEGER) AS order_age_years,
+      |  count(*) AS total_orders,
+      |  CAST(CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_price,
+      |  (CAST(CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/CAST(100 AS DOUBLE))/CAST(count(*) AS DOUBLE) AS avg_price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** LSH-banded embedding dedup: 16 planes, 4 bands of 4 — identical
+    * constants to [[Dedup.embeddingCosinePairsLsh]]'s defaults.
+    */
+  val embLshOracle: String = {
+    val planes = Similarity.planeMatrix(16, 64)
+    def planeLit(p: Int): String =
+      planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bitCols = (0 until 16).map { p =>
+      s"""    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+         |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])) >= 0
+         |      THEN 1 ELSE 0 END AS b$p""".stripMargin
+    }.mkString(",\n")
+    def bkey(bits: Seq[Int]) =
+      bits.map(b => s"CAST(b$b AS VARCHAR)").mkString(" || ',' || ")
+    val bandSelects = (0 until 4).map(b =>
+      s"  SELECT vec_id, embedding, $b AS band, ${bkey(b * 4 until (b + 1) * 4)} AS bkey FROM sig")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |$bitCols
+       |  FROM embeddings
+       |), banded AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.vec_id AS i, x.embedding AS ea,
+       |                  y.vec_id AS j, y.embedding AS eb
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+       |), p AS (
+       |  SELECT i, j, ${cosineSql("ea", "eb")} AS sim FROM cand
+       |)
+       |SELECT i, j, sim FROM p WHERE sim >= 0.42
+       |ORDER BY i, j""".stripMargin
+  }
+
+}

@@ -1,0 +1,1030 @@
+package graft
+package registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.silver.Silver
+import graft.gold.Gold
+import graft.bronze.Bronze
+import graft.enrich.Enrich
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Shared._
+
+/** Similarity search (brute force / LSH / IVF / PQ / persisted index) and multimodal columns.
+  *
+  * One slice of the driver registry ([[graft.SparkEntry]] merges the
+  * family registries; EntrySmokeSpec proves the merged contract). Split
+  * out of the monolithic SparkEntry in round 11 — entries are verbatim,
+  * shared harness helpers and oracle CTE fragments live in [[Shared]].
+  */
+private[graft] object SimilarityRegistry {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
+    "sim_topk_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
+    "sim_topk_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
+    "sim_ivf_nprobe_sweep" -> ((s, d) => {
+      // the IVF TUNING CURVE: recall@5 vs nprobe (1, 2, 4 of 16 cells)
+      // per query — the table a deployment builds to pick the
+      // IO-fraction/recall trade before setting the index's search
+      // parameter (nprobe/numCells IS the fraction of the corpus
+      // touched; the persisted-index analog is the DPP-pruned cell
+      // scan). Monotone in nprobe by construction; every point is
+      // deterministic and oracle-checked like sim_recall_eval.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("qid"), col("cid"))
+      val base = q.select(col("vec_id").as("qid"))
+      Seq(1, 2, 4).map { np =>
+        val ivf = Similarity.ivfTopK(emb, q, k = 5, numCells = 16, nprobe = np)
+          .select(col("qid").as("iq"), col("cid").as("ic"))
+        val hits = brute
+          .join(ivf, col("qid") === col("iq") && col("cid") === col("ic"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        base.join(hits, Seq("qid"), "left")
+          .select(lit(np).as("nprobe"), col("qid"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0))
+              .as("recall"))
+      }.reduce(_ unionByName _)
+        .orderBy("nprobe", "qid")
+    }),
+
+    "sim_recall_eval" -> ((s, d) => {
+      // ANN QUALITY as a first-class query — "measure, don't guess" for
+      // the recall trade every approximate index makes: recall@5 of the
+      // LSH path against the exact brute-force ranks, per query. This
+      // is the monitoring query a production vector store runs on a
+      // sampled query set after every index rebuild; both paths and the
+      // join are existing operators, so the metric is oracle-checkable
+      // end to end (the LSH misses are deterministic given the plane
+      // matrix — recall here is a REPRODUCIBLE number, not a vibe).
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("qid"), col("cid"))
+      val lsh = Similarity.lshTopK(emb, q, k = 5)
+        .select(col("qid").as("lq"), col("cid").as("lc"))
+      val hits = brute
+        .join(lsh, col("qid") === col("lq") && col("cid") === col("lc"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0))
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
+    "sim_quantize_int8" -> ((s, d) =>
+      // symmetric per-vector int8 quantization, exploded layout — the
+      // 4x memory/IO lever for a billion-vector ANN index; spec bounds
+      // the induced cosine error.
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .orderBy("vec_id", "pos")),
+
+    "sim_ivf_refine" -> ((s, d) =>
+      // one Lloyd refinement iteration over the IVF coarse centroids, in
+      // fixed point (the corpus_embedding_centroids trick) — the k-means
+      // loop body production IVF runs, bit-exact across engines because
+      // the mean is one division of exact integer partials.
+      Similarity.ivfRefineStep(Tables.embeddings(s, d), numCells = 16)
+        .orderBy("cell", "pos")),
+
+    "sim_ivf_kmeans" -> ((s, d) =>
+      // the FULL k-means refinement loop: 3 Lloyd iterations (tol=0 so
+      // the count is a constant the oracle unrolls), every assignment an
+      // argmax partial agg, every mean exact fixed point — so N chained
+      // iterations stay bit-identical across engines. Empty-cell
+      // reseeding is deterministic (farthest point) but does not trigger
+      // on this corpus; SimilaritySpec exercises it directly.
+      Similarity.ivfKMeans(Tables.embeddings(s, d), numCells = 16, iters = 3)
+        .orderBy("cell", "pos")),
+
+    "sim_topk_pq" -> ((s, d) => {
+      // product-quantization ANN: vectors compress to m=4 code ids (the
+      // 100 TB index-size lever), queries score corpus codes through a
+      // broadcast per-query lookup table (ADC). Codebooks are sampled
+      // deterministically and every distance/estimate is an index-ordered
+      // double composition, so encoding AND the final ranking hash-match
+      // the oracle bit-exactly.
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
+    "sim_topk_pq_refined" -> ((s, d) => {
+      // PQ with TRAINED codebooks on the shipped path: 2 per-subspace
+      // k-means iterations in fixed point (all subspaces in one job per
+      // iteration, no driver hops), then the same ADC search as
+      // sim_topk_pq — proving the production-quality quantizer, not
+      // just the sampled seed, is oracle-checkable end to end.
+      // SimilaritySpec measures the recall gain over sampled codebooks.
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopKWith(emb, emb.filter(col("vec_id") < 5), k = 10,
+          Similarity.pqCodebooksTrained(emb, iters = 2))
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
+    "sim_topk_ivfpq" -> ((s, d) => {
+      // the production ANN composition: IVF cells restrict candidates to
+      // the query's nprobe nearest cells, PQ codes score them through
+      // the broadcast ADC lookup table — scan cost = (probed fraction) ×
+      // (m-byte codes), never raw vectors. Deterministic end to end, so
+      // the oracle composes the two pipelines and the ranking
+      // hash-matches bit-exactly.
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
+    "sim_index_roundtrip" -> ((s, d) => {
+      // the PERSISTED ANN index lifecycle, end to end on disk: build an
+      // IVF-PQ index over ¾ of the corpus (centroids + codebooks frozen,
+      // cells + codes bucketed by cell), search the PERSISTED index both
+      // ways (flat re-rank and ADC), APPEND the remaining ¼ against the
+      // frozen quantizers, and search again — four phases, one result.
+      // The oracle unrolls the same pipeline with the same frozen seeds,
+      // so a search that recomputed instead of reading persisted state,
+      // an append that retrained, or a stale-layout read would all
+      // hash-mismatch. Pre-phase results are eagerly materialized BEFORE
+      // the append mutates the index under their lazy plans.
+      val emb = Tables.embeddings(s, d)
+      val initial = emb.filter(col("vec_id") % 4 =!= 3)
+      val delta = emb.filter(col("vec_id") % 4 === 3)
+      val queries = emb.filter(col("vec_id") < 5)
+      val tmp = TempDirs.create("graft-vindex-").toString
+      val dir = s"$tmp/index"
+      ext.VectorIndex.build(initial, dir)
+      def phase(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("phase"), col("qid"),
+          col("rank").cast("int").as("rnk"), col("cid"))
+          .localCheckpoint(eager = true)
+      val preF = phase("1_pre_flat",
+        ext.VectorIndex.searchFlat(s, dir, queries, k = 5))
+      val preA = phase("2_pre_adc",
+        ext.VectorIndex.searchAdc(s, dir, queries, k = 5))
+      val cellFiles = s.read.parquet(s"$dir/cells")
+        .select(input_file_name()).distinct().count()
+      ext.VectorIndex.append(s, dir, delta)
+      // physical proof the append extended state in place: more cell
+      // files, frozen quantizers untouched.
+      val cellFiles2 = s.read.parquet(s"$dir/cells")
+        .select(input_file_name()).distinct().count()
+      require(cellFiles2 > cellFiles,
+        s"append should add cell files ($cellFiles -> $cellFiles2)")
+      val postF = phase("3_post_flat",
+        ext.VectorIndex.searchFlat(s, dir, queries, k = 5))
+      val postA = phase("4_post_adc",
+        ext.VectorIndex.searchAdc(s, dir, queries, k = 5))
+      detachAndClean(
+        preF.unionByName(preA).unionByName(postF).unionByName(postA)
+          .orderBy("phase", "qid", "rnk"),
+        tmp)
+    }),
+
+    "sim_index_retain" -> ((s, d) => {
+      // the DELETE half of the index lifecycle: build over the full
+      // corpus, RETAIN ¾ of it (vec_id % 4 == 3 removed — deleted or
+      // re-licensed out), search the retained index both ways. The
+      // oracle assigns/encodes only the surviving corpus against the
+      // FULL corpus's frozen quantizers — pass ⟺ retention made the
+      // removed vectors never-searchable (a ghost row would surface a
+      // removed cid and hash-mismatch), while the quantizers stay the
+      // trained artifacts retention must NOT touch. Row-count asserts
+      // prove the physical rewrite hit both state tables.
+      val emb = Tables.embeddings(s, d)
+      val keep = emb.filter(col("vec_id") % 4 =!= 3)
+      val queries = emb.filter(col("vec_id") < 5)
+      val tmp = TempDirs.create("graft-vretain-").toString
+      val dir = s"$tmp/index"
+      ext.VectorIndex.build(emb, dir)
+      ext.VectorIndex.retain(s, dir, keep)
+      val nKeep = keep.count()
+      val nCells = s.read.parquet(s"$dir/cells").count()
+      val nCodes = s.read.parquet(s"$dir/codes").count()
+      require(nCells == nKeep && nCodes == nKeep * 4,
+        s"retention must rewrite both state tables: cells $nCells vs $nKeep, " +
+          s"codes $nCodes vs ${nKeep * 4}")
+      def phase(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("phase"), col("qid"),
+          col("rank").cast("int").as("rnk"), col("cid"))
+      detachAndClean(
+        phase("1_flat", ext.VectorIndex.searchFlat(s, dir, queries, k = 5))
+          .unionByName(
+            phase("2_adc", ext.VectorIndex.searchAdc(s, dir, queries, k = 5)))
+          .orderBy("phase", "qid", "rnk"),
+        tmp)
+    }),
+
+    "sim_index_search_refined" -> ((s, d) => {
+      // the production READ path of the persisted index: an ADC pass
+      // over the DPP-pruned compressed codes shortlists each query's
+      // top-10, then ONLY those rows' raw vectors are re-read from the
+      // bucketed cells table (broadcast (cell, cid) join — partition
+      // column keeps the re-read file-pruned) for the exact-cosine cut
+      // to top-5. The oracle unrolls both stages with the same
+      // deterministic tie-breaks, so a re-rank that read beyond the
+      // shortlist, or a shortlist cut at the wrong boundary, would
+      // hash-mismatch.
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val tmp = TempDirs.create("graft-vrefine-").toString
+      val dir = s"$tmp/index"
+      ext.VectorIndex.build(emb, dir)
+      detachAndClean(
+        ext.VectorIndex.searchRefined(s, dir, queries, k = 5, shortlist = 10)
+          .select(col("qid"), col("rank").cast("int").as("rnk"), col("cid"))
+          .orderBy("qid", "rnk"),
+        tmp)
+    }),
+
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.payloadStats(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.asBinary(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
+    "multimodal_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(Tables.documents(s, d), frameBytes = 16, stride = 4)
+        .orderBy("doc_id")),
+
+    "multimodal_frame_dedup" -> ((s, d) =>
+      // the multimodal JOIN path: frame fingerprints equi-joined within
+      // modality buckets, boilerplate frames capped, pairs aggregated by
+      // shared-frame count — video/image near-dup on the same corpus
+      // text dedup runs MinHash over. The join never goes doc×doc.
+      Multimodal.frameDedup(Tables.documents(s, d), frameBytes = 16,
+          minShared = 2, maxFrameFreq = 64)
+        .orderBy("modality", "d1", "d2")),
+
+    "multimodal_feature_stats" -> ((s, d) =>
+      // AGGREGATION over the decode path: per-modality statistics of
+      // the mapPartitions-extracted features — the post-decode rollup
+      // (mean feature values, payload-size spread, count) a media
+      // pipeline runs to monitor decoder drift. Exercises shuffle+agg
+      // over the iterator-shaped extract output, not just projection.
+      Multimodal.extractFeatures(s,
+          Multimodal.asBinary(Tables.documents(s, d)))
+        .withColumn("modality", Multimodal.modalityOf(col("doc_id")))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f0").cast("long")).as("sum_f0"),
+          sum(col("f1").cast("long")).as("sum_f1"),
+          min(col("f2")).as("min_f2"), max(col("f2")).as("max_f2"))
+        .orderBy("modality")),
+
+    "multimodal_embed_ann" -> ((s, d) => {
+      // modality-bucketed embedding retrieval: docs pair with their
+      // embedding vectors (doc_id = vec_id), and each of the six query
+      // docs (two per modality) retrieves top-10 neighbors WITHIN its
+      // modality — modality is the leading join key, so image queries
+      // never score audio vectors and the scored-pair count is the
+      // bucket fraction of doc×query. The physical analog at 100 TB is
+      // a vector table partitioned by modality, each bucket its own
+      // ANN index.
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      Multimodal.modalityAnn(docs, emb,
+          docs.filter(col("doc_id") < 6).select(col("doc_id")), k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
+    "sim_index_compact" -> ((s, d) => {
+      // index COMPACTION: two appends fragment the per-cell file layout
+      // (one file per touched cell per batch); the staged compaction
+      // pass restores ~one file per cell without changing a byte of
+      // content — searched flat at nprobe = numCells afterwards, the
+      // compacted index must still reproduce brute-force top-k exactly.
+      // The physical contract is asserted in-query: strictly fewer
+      // cell-table files after compaction.
+      val tmp = TempDirs.create("graft-idx-compact-").toString
+      val dir = s"$tmp/index"
+      val emb = Tables.embeddings(s, d)
+      ext.VectorIndex.build(emb.filter(col("vec_id") % 4 < 2), dir)
+      ext.VectorIndex.append(s, dir, emb.filter(col("vec_id") % 4 === 2))
+      ext.VectorIndex.append(s, dir, emb.filter(col("vec_id") % 4 === 3))
+      def nFiles(sub: String): Long =
+        s.read.parquet(s"$dir/$sub").select(input_file_name())
+          .distinct().count()
+      val before = nFiles("cells")
+      ext.VectorIndex.compact(s, dir)
+      val after = nFiles("cells")
+      require(after < before,
+        s"compaction must shrink the cells file count ($before -> $after)")
+      detachAndClean(
+        ext.VectorIndex.searchFlat(s, dir, emb.filter(col("vec_id") < 5),
+            k = 10, nprobe = 16)
+          .select(col("qid"), col("rank").cast("int").as("rnk"), col("cid"))
+          .orderBy("qid", "rnk"),
+        tmp)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_topk_bruteforce" -> bruteTop10OracleSql,
+
+    // compaction changes the file layout, never a byte of content:
+    // the same exhaustive-search oracle must hold after the rewrite.
+    "sim_index_compact" -> bruteTop10OracleSql,
+
+    "sim_topk_lsh" -> lshOracle,
+
+    "sim_ivf_nprobe_sweep" -> {
+      // the sim_topk_ivf oracle parameterized by nprobe (crn <= n),
+      // joined per point against the exact brute top-5
+      def ivfSql(np: Int) =
+        s"""SELECT qid, cid FROM (
+           |  SELECT qid, cid,
+           |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+           |  FROM (
+           |    SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
+           |    FROM (
+           |      SELECT qid, qe, cell FROM (
+           |        SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+           |               row_number() OVER (PARTITION BY e.vec_id
+           |                 ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+           |        FROM embeddings e CROSS JOIN cent c
+           |        WHERE e.vec_id < 5
+           |      ) WHERE crn <= $np
+           |    ) q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid))
+           |WHERE rnk <= 5""".stripMargin
+      def point(np: Int) =
+        s"""SELECT CAST($np AS INTEGER) AS nprobe, q.qid,
+           |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+           |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5) q
+           |LEFT JOIN (
+           |  SELECT b.qid, count(*) AS n_hit
+           |  FROM b JOIN (${ivfSql(np)}) i ON i.qid = b.qid AND i.cid = b.cid
+           |  GROUP BY 1) h USING (qid)""".stripMargin
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), ca AS (
+         |  SELECT cid, ce, cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |  ) WHERE crn <= 1
+         |), b AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |    FROM (
+         |      SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |             ${cosineSql("q.embedding", "c.embedding")} AS sim
+         |      FROM embeddings q, embeddings c
+         |      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id))
+         |  WHERE rnk <= 5
+         |)
+         |SELECT * FROM (
+         |${point(1)}
+         |UNION ALL
+         |${point(2)}
+         |UNION ALL
+         |${point(4)})
+         |ORDER BY nprobe, qid""".stripMargin
+    },
+
+    "sim_recall_eval" ->
+      // exact top-5 (brute) vs the LSH oracle embedded as a derived
+      // table (memory of misses is shared with sim_topk_lsh bit for bit)
+      s"""WITH b AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |    FROM (
+         |      SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |             ${cosineSql("q.embedding", "c.embedding")} AS sim
+         |      FROM embeddings q, embeddings c
+         |      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id))
+         |  WHERE rnk <= 5
+         |), l AS (SELECT qid, cid FROM ($lshOracle) t),
+         |h AS (
+         |  SELECT b.qid, count(*) AS n_hit
+         |  FROM b JOIN l ON l.qid = b.qid AND l.cid = b.cid GROUP BY 1
+         |)
+         |SELECT q.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5) q
+         |LEFT JOIN h USING (qid)
+         |ORDER BY qid""".stripMargin,
+
+    "sim_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale
+        |  FROM s
+        |)
+        |SELECT vec_id, CAST(i AS INTEGER) AS pos,
+        |  CAST(round(CAST(embedding[i] AS DOUBLE) * scale) AS INTEGER) AS q,
+        |  scale
+        |FROM sc, unnest(generate_series(1, len(embedding))) AS t(i)
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "sim_ivf_refine" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), ca AS (
+         |  SELECT cell, ce FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |  ) WHERE crn <= 1
+         |)
+         |SELECT cell, CAST(i AS INTEGER) AS pos, count(*) AS n_members,
+         |  CAST(sum(CAST(round(CAST(ce[i] AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
+         |FROM ca, unnest(generate_series(1, len(ce))) AS t(i)
+         |GROUP BY 1, 2 ORDER BY cell, pos""".stripMargin,
+
+    // 3 Lloyd iterations unrolled (the Spark side runs ivfKMeans with
+    // tol=0, so the count is this constant): each round re-assigns
+    // against the previous round's FIXED-POINT means (exact longs, one
+    // division — so the chained doubles stay bit-identical), then the
+    // final round's mean table is the result. Centroid lists after round
+    // 1 are DOUBLE lists; cosineSql casts both sides to double, matching
+    // the Spark kernel's mixed float×double accumulation.
+    "sim_ivf_kmeans" -> {
+      val rounds = (1 to 3).map { t =>
+        val prev = if (t == 1) "c0" else s"c${t - 1}"
+        s"""a$t AS (
+           |  SELECT cell, ce FROM (
+           |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+           |    FROM embeddings e CROSS JOIN $prev c
+           |  ) WHERE crn = 1
+           |), m$t AS (
+           |  SELECT cell, CAST(i AS INTEGER) AS pos, count(*) AS n_members,
+           |    CAST(sum(CAST(round(CAST(ce[i] AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+           |      / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
+           |  FROM a$t, unnest(generate_series(1, len(ce))) AS u$t(i)
+           |  GROUP BY 1, 2
+           |), c$t AS (
+           |  SELECT cell, list(c_val ORDER BY pos) AS centroid FROM m$t GROUP BY cell
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), $rounds
+         |SELECT cell, pos, n_members, c_val FROM m3
+         |ORDER BY cell, pos""".stripMargin
+    },
+
+    "sim_topk_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), ca AS (
+         |  SELECT cid, ce, cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |  ) WHERE crn <= 1
+         |), qp AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id < 5
+         |  ) WHERE crn <= 4
+         |), scored AS (
+         |  SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
+         |  FROM qp q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid
+         |), r AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_topk_pq_refined" -> {
+      // 2 unrolled per-subspace k-means iterations over the sampled
+      // codebook seeds (widened to double), mirroring the fixed-point
+      // Lloyd chain of the sim_ivf_kmeans oracle at (sub, code) grain:
+      // argmin assignment (d2 asc, code asc), exact-long mean per
+      // (sub, code, pos), codes with no members carried forward by
+      // anti-join — then the standard ADC search with the final
+      // codebooks.
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      def d2(a: String, b: String) =
+        s"${dot(a, a)} - 2*${dot(a, b)} + ${dot(b, b)}"
+      val iters = (1 to 2).map { t =>
+        val prev = s"cb${t - 1}"
+        s"""e$t AS (
+           |  SELECT cid, sub, code FROM (
+           |    SELECT v.cid, v.sub, c.code,
+           |      row_number() OVER (PARTITION BY v.cid, v.sub
+           |        ORDER BY ${d2("v.sv", "c.codeword")} ASC, c.code ASC) AS rn
+           |    FROM sv v JOIN $prev c ON c.sub = v.sub)
+           |  WHERE rn = 1
+           |), m$t AS (
+           |  SELECT e.sub, e.code, CAST(i AS INTEGER) AS pos,
+           |    CAST(sum(CAST(round(CAST(v.sv[i] AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+           |      / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
+           |  FROM e$t e JOIN sv v ON v.cid = e.cid AND v.sub = e.sub,
+           |       unnest(generate_series(1, len(v.sv))) AS u$t(i)
+           |  GROUP BY 1, 2, 3
+           |), cb$t AS (
+           |  SELECT sub, code, list(c_val ORDER BY pos) AS codeword
+           |  FROM m$t GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT p.sub, p.code, p.codeword FROM $prev p
+           |  WHERE NOT EXISTS (SELECT 1 FROM m$t m
+           |                    WHERE m.sub = p.sub AND m.code = p.code)
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), cb0 AS (
+         |  SELECT s.sub, b.code,
+         |    list_transform(${sl("b.embedding", "s.sub")}, x -> CAST(x AS DOUBLE)) AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), sv AS (
+         |  SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+         |  FROM embeddings e CROSS JOIN subs s
+         |),
+         |$iters,
+         |enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT v.cid, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.cid, v.sub
+         |        ORDER BY ${d2("v.sv", "c.codeword")} ASC, c.code ASC) AS rn
+         |    FROM sv v JOIN cb2 c ON c.sub = v.sub)
+         |  WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cb2 c WHERE q.vec_id < 5
+         |), est AS (
+         |  SELECT l.qid, e.cid,
+         |    MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+         |    + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
+         |  FROM est WHERE qid != cid
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin
+    },
+
+    "sim_topk_ivfpq" -> {
+      // IVF candidate restriction (cent/ca/qp from the sim_topk_ivf
+      // oracle) composed with PQ ADC scoring (cw/enc/lut from the
+      // sim_topk_pq oracle), estimates summed in fixed pivot order.
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), ca AS (
+         |  SELECT cid, cell FROM (
+         |    SELECT e.vec_id AS cid, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |  ) WHERE crn <= 1
+         |), qp AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT e.vec_id AS qid, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id < 5
+         |  ) WHERE crn <= 4
+         |), cands AS (
+         |  SELECT q.qid, a.cid FROM qp q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid
+         |), base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cw AS (
+         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), sv AS (
+         |  SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+         |  FROM embeddings e CROSS JOIN subs s
+         |), enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT v.cid, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.cid, v.sub
+         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
+         |                 c.code ASC) AS rn
+         |    FROM sv v JOIN cw c ON c.sub = v.sub)
+         |  WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
+         |), est AS (
+         |  SELECT n.qid, n.cid,
+         |    MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+         |    + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+         |  FROM cands n
+         |  JOIN enc e ON e.cid = n.cid
+         |  JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
+         |  FROM est
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    },
+
+    "sim_index_roundtrip" -> {
+      // the persisted-index lifecycle unrolled: centroids and codebooks
+      // FROZEN from the initial ¾ corpus (vec_id % 4 != 3), searched
+      // flat and ADC first over the initial corpus (pre phases), then —
+      // after the append — over the full corpus with the SAME frozen
+      // quantizers (post phases). Query probes and the ADC LUT depend
+      // only on the frozen tables, so they are shared across phases.
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      val corpora = Seq("pre" -> "e.vec_id % 4 != 3", "post" -> "TRUE")
+      val perCorpus = corpora.map { case (p, where) =>
+        s"""ca_$p AS (
+           |  SELECT cid, ce, cell FROM (
+           |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+           |    FROM embeddings e CROSS JOIN cent c WHERE $where
+           |  ) WHERE crn <= 1
+           |), enc_$p AS (
+           |  SELECT cid, sub, code FROM (
+           |    SELECT v.cid, v.sub, c.code,
+           |      row_number() OVER (PARTITION BY v.cid, v.sub
+           |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
+           |                 c.code ASC) AS rn
+           |    FROM (SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+           |          FROM embeddings e CROSS JOIN subs s WHERE $where) v
+           |    JOIN cw c ON c.sub = v.sub)
+           |  WHERE rn = 1
+           |), flat_$p AS (
+           |  SELECT qid, cid,
+           |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+           |  FROM (SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
+           |        FROM qp q JOIN ca_$p a ON a.cell = q.cell AND a.cid != q.qid)
+           |), adc_$p AS (
+           |  SELECT qid, cid,
+           |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
+           |  FROM (
+           |    SELECT n.qid, n.cid,
+           |      MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+           |      + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+           |    FROM (SELECT q.qid, a.cid FROM qp q
+           |          JOIN ca_$p a ON a.cell = q.cell AND a.cid != q.qid) n
+           |    JOIN enc_$p e ON e.cid = n.cid
+           |    JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
+           |    GROUP BY 1, 2)
+           |)""".stripMargin
+      }.mkString(",\n")
+      val out = Seq(("1_pre_flat", "flat_pre"), ("2_pre_adc", "adc_pre"),
+          ("3_post_flat", "flat_post"), ("4_post_adc", "adc_post"))
+        .map { case (label, src) =>
+          s"SELECT '$label' AS phase, qid, CAST(rnk AS INTEGER) AS rnk, cid FROM $src WHERE rnk <= 5"
+        }.mkString("\nUNION ALL\n")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  WHERE vec_id % 4 != 3 ORDER BY vec_id LIMIT 16
+         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings WHERE vec_id % 4 != 3 ORDER BY vec_id LIMIT 16
+         |), cw AS (
+         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), qp AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+         |  ) WHERE crn <= 4
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
+         |),
+         |$perCorpus
+         |$out
+         |ORDER BY phase, qid, rnk""".stripMargin
+    },
+
+    "sim_index_retain" -> {
+      // quantizers frozen from the FULL corpus (first-16 by vec_id);
+      // assignment/encoding over the SURVIVORS only — exactly what the
+      // retained index must contain.
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), cw AS (
+         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), qp AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+         |  ) WHERE crn <= 4
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
+         |), ca AS (
+         |  SELECT cid, ce, cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 4 != 3
+         |  ) WHERE crn <= 1
+         |), enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT v.cid, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.cid, v.sub
+         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
+         |                 c.code ASC) AS rn
+         |    FROM (SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+         |          FROM embeddings e CROSS JOIN subs s WHERE e.vec_id % 4 != 3) v
+         |    JOIN cw c ON c.sub = v.sub)
+         |  WHERE rn = 1
+         |), flat AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |  FROM (SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
+         |        FROM qp q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid)
+         |), adc AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
+         |  FROM (
+         |    SELECT n.qid, n.cid,
+         |      MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+         |      + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+         |    FROM (SELECT q.qid, a.cid FROM qp q
+         |          JOIN ca a ON a.cell = q.cell AND a.cid != q.qid) n
+         |    JOIN enc e ON e.cid = n.cid
+         |    JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
+         |    GROUP BY 1, 2)
+         |)
+         |SELECT '1_flat' AS phase, qid, CAST(rnk AS INTEGER) AS rnk, cid FROM flat WHERE rnk <= 5
+         |UNION ALL
+         |SELECT '2_adc' AS phase, qid, CAST(rnk AS INTEGER) AS rnk, cid FROM adc WHERE rnk <= 5
+         |ORDER BY phase, qid, rnk""".stripMargin
+    },
+
+    "sim_index_search_refined" -> {
+      // two-stage read path unrolled: ADC estimate ranking cut at the
+      // shortlist boundary (est DESC, cid ASC), then exact cosine over
+      // ONLY the shortlisted (qid, cid) pairs, cut at k (sim DESC, cid
+      // ASC) — same frozen quantizers as the index build (first-16 by
+      // vec_id over the full corpus).
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), cw AS (
+         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), qp AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+         |  ) WHERE crn <= 4
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
+         |), ca AS (
+         |  SELECT cid, ce, cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |  ) WHERE crn <= 1
+         |), enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT v.cid, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.cid, v.sub
+         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
+         |                 c.code ASC) AS rn
+         |    FROM (SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+         |          FROM embeddings e CROSS JOIN subs s) v
+         |    JOIN cw c ON c.sub = v.sub)
+         |  WHERE rn = 1
+         |), shortlist AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS srn
+         |    FROM (
+         |      SELECT n.qid, n.cid,
+         |        MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+         |        + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+         |      FROM (SELECT q.qid, a.cid FROM qp q
+         |            JOIN ca a ON a.cell = q.cell AND a.cid != q.qid) n
+         |      JOIN enc e ON e.cid = n.cid
+         |      JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
+         |      GROUP BY 1, 2)
+         |  ) WHERE srn <= 10
+         |), rr AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |  FROM (SELECT s.qid, s.cid, ${cosineSql("q.embedding", "e.embedding")} AS sim
+         |        FROM shortlist s
+         |        JOIN embeddings q ON q.vec_id = s.qid
+         |        JOIN embeddings e ON e.vec_id = s.cid)
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM rr WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    },
+
+    "sim_topk_pq" -> {
+      // identical PQ pipeline: sampled codebooks (first-16 subvector
+      // slices), L2 argmin encoding, ADC lookup-table scoring with the
+      // m partials summed in fixed column order (pivot, not a float sum
+      // aggregate) — every double composed index-ordered, so the ranking
+      // hash-matches bit-exactly.
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      s"""WITH base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cw AS (
+         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), sv AS (
+         |  SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+         |  FROM embeddings e CROSS JOIN subs s
+         |), enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT v.cid, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.cid, v.sub
+         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
+         |                 c.code ASC) AS rn
+         |    FROM sv v JOIN cw c ON c.sub = v.sub)
+         |  WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
+         |), est AS (
+         |  SELECT l.qid, e.cid,
+         |    MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+         |    + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS rnk
+         |  FROM est WHERE qid != cid
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin
+    },
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  ascii(substr(text, 1, 1)) AS f0,
+        |  ascii(substr(text, 2, 1)) AS f1,
+        |  CAST(octet_length(encode(text)) % 256 AS INTEGER) AS f2
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST((octet_length(encode(text)) + 15) // 16 AS INTEGER) AS n_frames,
+        |  CAST((CAST((octet_length(encode(text)) + 15) // 16 AS INTEGER) + 3) // 4 AS INTEGER) AS n_sampled
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frame_dedup" ->
+      // byte-slicing == char-slicing here (the corpus is ASCII — checked,
+      // not assumed: a non-ASCII corpus would shift frame boundaries and
+      // hash-mismatch loudly), so substr reproduces the payload frames.
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS modality,
+        |    substr(text, (i-1)*16 + 1, 16) AS frame
+        |  FROM documents,
+        |       unnest(generate_series(1, CAST(ceil(length(text)/16.0) AS BIGINT))) AS u(i)
+        |  WHERE length(text) > 0
+        |), fp AS (SELECT DISTINCT doc_id, modality, md5(frame) AS fp FROM f),
+        |keep AS (
+        |  SELECT p.* FROM fp p
+        |  JOIN (SELECT modality, fp FROM fp GROUP BY 1, 2
+        |        HAVING count(*) <= 64) q
+        |    ON q.modality = p.modality AND q.fp = p.fp
+        |)
+        |SELECT a.modality, a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM keep a JOIN keep b
+        |  ON a.modality = b.modality AND a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY a.modality, d1, d2""".stripMargin,
+
+    "multimodal_feature_stats" ->
+      """SELECT
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ascii(substr(text, 1, 1))) AS BIGINT) AS sum_f0,
+        |  CAST(sum(ascii(substr(text, 2, 1))) AS BIGINT) AS sum_f1,
+        |  CAST(min(octet_length(encode(text)) % 256) AS INTEGER) AS min_f2,
+        |  CAST(max(octet_length(encode(text)) % 256) AS INTEGER) AS max_f2
+        |FROM documents
+        |GROUP BY 1 ORDER BY modality""".stripMargin,
+
+    "multimodal_embed_ann" ->
+      s"""WITH p AS (
+         |  SELECT d.doc_id,
+         |    CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |         ELSE 'video' END AS modality,
+         |    e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), q AS (
+         |  SELECT doc_id AS qid, modality, embedding AS qe FROM p WHERE doc_id < 6
+         |), s AS (
+         |  SELECT q.modality, q.qid, c.doc_id AS cid,
+         |         ${cosineSql("q.qe", "c.embedding")} AS sim
+         |  FROM q JOIN p c ON c.modality = q.modality AND c.doc_id != q.qid
+         |), r AS (
+         |  SELECT modality, qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |  FROM s
+         |)
+         |SELECT modality, qid, CAST(rnk AS INTEGER) AS rnk, cid
+         |FROM r WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
+  )
+}

@@ -21,7 +21,7 @@ class EntrySmokeSpec extends AnyFunSuite {
   test("histogram20: degenerate all-equal input lands in bucket 0, not NaN") {
     import spark.implicits._
     val const = Seq.fill(7)(42.5).toDF("value")
-    val out = SparkEntry.histogram20(const).collect()
+    val out = graft.registry.Shared.histogram20(const).collect()
     assert(out.length === 1)
     assert(out.head.getInt(0) === 0, "hi==lo must collapse into bucket 0")
     assert(out.head.getLong(1) === 7L)
