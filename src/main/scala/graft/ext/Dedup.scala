@@ -517,6 +517,83 @@ object Dedup {
     } finally bands.unpersist(blocking = false)
   }
 
+  /** GLOBAL near-dup compaction — the batch complement of streaming
+    * admission (the reference's full-refresh MV discipline,
+    * gold_ddl.sql:201-244, applied to dedup state): periodically
+    * re-cluster the ACCUMULATED band state and keep one representative
+    * per content cluster.
+    *
+    * Clustering is candidate-level (bucket collision ⇒ same cluster —
+    * the admission semantics): within each band bucket every member is
+    * connected to the bucket's MIN member. The star is connectivity-
+    * equivalent to the within-bucket clique (all members reach each
+    * other through the min) at O(members) edges per bucket instead of
+    * O(members²) — the same skew discipline as admission's min-based
+    * within-batch leg; a boilerplate bucket of k docs contributes k-1
+    * edges, never k²/2. Components come from [[clusterPairs]]
+    * (distributed label propagation), the representative from
+    * [[keepBestPerCluster]]; docs with no bands (too short to shingle)
+    * are their own singletons and always kept.
+    *
+    * The band state is REWRITTEN to the representatives' bands by
+    * semi-join (never re-shingled) through a stage-then-promote swap:
+    * write the compacted state to `<dir>.compacting`, move the old
+    * state aside, move the staging in, drop the old — a crash leaves
+    * either the old or the new complete state, never a mix. (On an
+    * object store without atomic rename, adapt with
+    * [[graft.operators.ScaleOps.PointerSwap]].) The rewrite always
+    * emits the PARTITIONED layout, so compacting a legacy flat state
+    * also migrates it. Returns the keeper table
+    * (cluster_id, keeper, keeper_quality, n_members) over ALL docs.
+    *
+    * Compaction is lossy by design for chain-connected content: a
+    * dropped doc re-admitted later collides only if it shares a bucket
+    * with a RETAINED representative, not with other dropped members of
+    * its cluster — the trade every keep-one-representative policy makes.
+    */
+  def compactNearDupState(spark: org.apache.spark.sql.SparkSession,
+                          stateDir: String, docs: DataFrame,
+                          qualityCol: String = "n_chars", w: Int = 3,
+                          numHashes: Int = 8, bandWidth: Int = 2): DataFrame = {
+    val state = spark.read.parquet(stateDir)
+    requireStateLayout(state, "band state",
+      Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth))
+    val bands = state.select(col("doc_id"), col("band"), col("bkey"))
+    val bmin = bands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("root"))
+    val edges = bands.join(bmin, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("d1"), col("doc_id").as("d2")).distinct()
+    val cl = clusterPairs(edges)
+    val allc = docs.select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val kept = keepBestPerCluster(allc,
+        docs.select(col("doc_id"), col(qualityCol)), qualityCol)
+      .localCheckpoint(eager = true) // consumed by the rewrite AND returned
+    val keptBands = state
+      .select(col("doc_id"), col("band"), col("bkey"),
+        col("w"), col("num_hashes"), col("band_width"))
+      .join(kept.select(col("keeper").as("doc_id")), Seq("doc_id"), "left_semi")
+    val p =
+      if (state.columns.contains("state_prefixes"))
+        state.select(col("state_prefixes")).limit(1).collect()
+          .headOption.fold(defaultStatePrefixes)(_.getInt(0))
+      else defaultStatePrefixes
+    val staging = stateDir + ".compacting"
+    // overwrite: a staging dir orphaned by a crashed previous compaction
+    // is replaced, never merged into
+    writeBandState(keptBands, staging, "overwrite", p)
+    val dirP = java.nio.file.Paths.get(stateDir)
+    val oldP = java.nio.file.Paths.get(stateDir + ".old")
+    graft.plans.Pipeline.deleteRecursively(oldP)
+    java.nio.file.Files.move(dirP, oldP)
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging), dirP)
+    graft.plans.Pipeline.deleteRecursively(oldP)
+    kept
+  }
+
   /** VERIFIED incremental near-dup admission — [[incrementalNearDup]]
     * with the false-reject trade bought back: a band collision only
     * nominates a CANDIDATE; rejection requires the estimated Jaccard

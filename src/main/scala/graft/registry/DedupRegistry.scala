@@ -95,6 +95,33 @@ private[graft] object DedupRegistry {
         .orderBy("cluster_id")
     }),
 
+    "dedup_compact_global" -> ((s, d) => {
+      // GLOBAL near-dup compaction (round 11): the batch complement of
+      // streaming admission. Build the full corpus's persisted band
+      // state, re-cluster it from the STATE alone (bucket-star edges →
+      // connected components — O(members) edges per bucket, the same
+      // skew discipline as admission), keep the best-quality member per
+      // cluster, and REWRITE the state to the keepers' bands via
+      // stage-then-promote. In-query requires pin the lifecycle: the
+      // compacted state holds exactly the keepers' bands (a non-keeper
+      // band would re-reject content whose representative was dropped);
+      // the hash pins the keeper table.
+      val docs = Tables.documents(s, d)
+      val tmp = TempDirs.create("graft-compact-").toString
+      val stateDir = s"$tmp/bands"
+      Dedup.writeBandState(
+        Dedup.bandTable(docs, w = 5, numHashes = 8, bandWidth = 2),
+        stateDir, mode = "errorifexists")
+      val kept = Dedup.compactNearDupState(s, stateDir, docs,
+        qualityCol = "n_chars", w = 5, numHashes = 8, bandWidth = 2)
+      val ghost = s.read.parquet(stateDir).select(col("doc_id")).distinct()
+        .join(kept.select(col("keeper").as("doc_id")), Seq("doc_id"), "left_anti")
+        .count()
+      require(ghost == 0,
+        s"$ghost non-keeper docs left bands in the compacted state")
+      detachAndClean(kept.orderBy("cluster_id"), tmp)
+    }),
+
     "dedup_incremental_near" -> ((s, d) => {
       // batch-over-batch near-dup admission: src0-9 play the accumulated
       // corpus (its PERSISTED band table is the state), src10-19 the
@@ -310,6 +337,40 @@ private[graft] object DedupRegistry {
          |         count(*) OVER (PARTITION BY cluster_id) AS n_members
          |  FROM j
          |)
+         |SELECT cluster_id, doc_id AS keeper, n_chars AS keeper_quality,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
+
+    // candidate-level clustering from the band state: star edges to the
+    // bucket min are connectivity-equivalent to the within-bucket clique;
+    // singletons (docs with no colliding bands, incl. shingle-less docs)
+    // keep themselves.
+    "dedup_compact_global" ->
+      s"""WITH RECURSIVE $triSql,
+         |$bandCteSql,
+         |bmin AS (
+         |  SELECT band, bkey, min(doc_id) AS root FROM bands GROUP BY 1, 2),
+         |edges0 AS (
+         |  SELECT DISTINCT m.root AS a, b.doc_id AS b
+         |  FROM bands b JOIN bmin m USING (band, bkey)
+         |  WHERE b.doc_id <> m.root),
+         |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+         |reach(node, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b),
+         |cl AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1),
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+         |         d.n_chars
+         |  FROM documents d LEFT JOIN cl USING (doc_id)),
+         |r AS (
+         |  SELECT cluster_id, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM allc)
          |SELECT cluster_id, doc_id AS keeper, n_chars AS keeper_quality,
          |  CAST(n_members AS BIGINT) AS n_members
          |FROM r WHERE rn = 1

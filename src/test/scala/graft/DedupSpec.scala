@@ -397,6 +397,51 @@ class DedupSpec extends AnyFunSuite {
       "append must not mix partitioned files into a flat state")
   }
 
+  test("global compaction: state shrinks to keepers, stays rejecting, migrates layout") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-").toString + "/bands"
+    // start from a LEGACY FLAT state: compaction must both compact and
+    // migrate it to the partitioned layout.
+    Dedup.bandTable(docs, w = 5, numHashes = 8, bandWidth = 2).write.parquet(dir)
+    val before = spark.read.parquet(dir).select("doc_id").distinct().count()
+    val kept = Dedup.compactNearDupState(spark, dir, docs,
+      qualityCol = "n_chars", w = 5, numHashes = 8, bandWidth = 2)
+    val keeperIds = kept.select(col("keeper")).collect().map(_.getLong(0)).toSet
+    val after = spark.read.parquet(dir)
+    assert(after.columns.contains("bpfx"),
+      "compaction must migrate a flat state to the partitioned layout")
+    val stateIds = after.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(stateIds.subsetOf(keeperIds),
+      "compacted state may hold only keepers' bands")
+    assert(stateIds.size < before, "compaction did not shrink the state")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".compacting")) &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".old")),
+      "stage-then-promote left its working directories behind")
+    // the compacted state still REJECTS: re-admitting kept docs collides
+    // with their own bands; re-admitting a dropped doc that shares a
+    // bucket with its retained representative is rejected too.
+    val keptDocs = docs.filter(col("doc_id").isin(keeperIds.toSeq.take(50).map(Long.box): _*))
+    val readmitted = Dedup.incrementalNearDupFromState(spark, keptDocs, dir,
+      w = 5, numHashes = 8, bandWidth = 2)
+      .join(Dedup.bandTable(keptDocs, w = 5, numHashes = 8, bandWidth = 2)
+        .select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .count()
+    assert(readmitted === 0,
+      "a kept doc with bands must collide with its own compacted state")
+    val dropped = docs.filter(!col("doc_id").isin(stateIds.toSeq.map(Long.box): _*))
+    val droppedWithRepCollision = Dedup.bandTable(dropped, w = 5, numHashes = 8, bandWidth = 2)
+      .join(after.select(col("band"), col("bkey")).distinct(), Seq("band", "bkey"), "left_semi")
+      .select("doc_id").distinct()
+    val n = droppedWithRepCollision.count()
+    if (n > 0) {
+      val reAdm = Dedup.incrementalNearDupFromState(spark,
+        dropped.join(droppedWithRepCollision, Seq("doc_id"), "left_semi"), dir,
+        w = 5, numHashes = 8, bandWidth = 2).count()
+      assert(reAdm === 0,
+        "a dropped doc sharing a bucket with a retained representative must stay rejected")
+    } else info("no dropped doc shares a bucket with a representative at this SF")
+  }
+
   test("maxPartners at a cap >= every bucket equals the exact default") {
     val docs = Tables.documents(spark, sfDir)
     val seenSrc = (0 to 9).map(i => s"src$i")
