@@ -361,6 +361,11 @@ object Dedup {
     require(prefixes >= 1, "state needs at least one bucket-key prefix")
     bands.withColumn("state_prefixes", lit(prefixes))
       .withColumn("bpfx", bpfxOf(prefixes))
+      // cluster rows by their partition cell before the partitioned
+      // write: without this every task touches every cell directory and
+      // one append emits up to tasks × cells files (measured 1.6× on the
+      // streaming admission bench); with it, one file per non-empty cell.
+      .repartition(col("band"), col("bpfx"))
       .write.partitionBy("band", "bpfx").mode(mode).parquet(stateDir)
   }
 
@@ -514,6 +519,83 @@ object Dedup {
       val seen = excludeIds.fold(seen0)(ids =>
         seen0.join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti"))
       admitCore(incoming, bands, seen)
+    } finally bands.unpersist(blocking = false)
+  }
+
+  /** The per-micro-batch admission TRANSACTION for foreachBatch
+    * pipelines: admit against the persisted band state, then append the
+    * admitted docs' new bands to it (insert-if-absent), with every
+    * shared intermediate computed ONCE — the batch's band table is
+    * persisted and reused (admission probe, pruned-read cell list,
+    * admitted-band derivation by semi-join: admitted docs are never
+    * re-shingled), the state is probed with a SINGLE driver row (layout
+    * check + partition fan-out together), and the pruned state frame
+    * serves both the collision check and the delta anti-join. Correct
+    * because admitted ⊆ batch: an admitted doc's existing state rows
+    * (from a crashed earlier append) live in exactly the cells the
+    * batch probes. Versus composing the public operators, this saves
+    * three driver jobs and a shingle pass per batch — measured 1.6× on
+    * the streaming-admission bench before consolidation.
+    *
+    * Missing state dir → partitioned state is CREATED (default
+    * fan-out); legacy flat state → flat append (layout-matched). The
+    * state append happens BEFORE this returns, the sink write is the
+    * caller's — the replay-safe order nearDedupPipeline documents.
+    * Returns the admitted rows, eagerly materialized.
+    */
+  def admitAndMaintainState(spark: org.apache.spark.sql.SparkSession,
+                            batch: DataFrame, stateDir: String, w: Int = 3,
+                            numHashes: Int = 8, bandWidth: Int = 2,
+                            excludeIds: Option[DataFrame] = None): DataFrame = {
+    val expected = Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth)
+    val bands = bandTable(batch, w, numHashes, bandWidth).persist()
+    try {
+      val stateExists =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir))
+      val st =
+        if (stateExists) spark.read.parquet(stateDir)
+        else bandTable(batch.limit(0), w, numHashes, bandWidth)
+      require(expected.map(_._1).forall(st.columns.contains),
+        "seen band table lacks layout columns — build it with Dedup.bandTable")
+      val partitioned =
+        st.columns.contains("state_prefixes") && st.columns.contains("bpfx")
+      val probeCols = expected.map(_._1) ++
+        (if (partitioned) Seq("state_prefixes") else Nil)
+      val probe = st.select(probeCols.map(col): _*).limit(1).collect().headOption
+      probe.foreach { r =>
+        val actual = expected.indices.map(r.getInt)
+        require(actual == expected.map(_._2),
+          s"seen band table layout mismatch: state built with " +
+            expected.map(_._1).zip(actual).map { case (c, v) => s"$c=$v" }
+              .mkString("(", ", ", ")") +
+            " but admission called with " +
+            expected.map { case (c, v) => s"$c=$v" }.mkString("(", ", ", ")") +
+            " — buckets would never collide and every document would be admitted")
+      }
+      val pOpt = if (partitioned) probe.map(_.getInt(expected.length)) else None
+      val seen0 = (pOpt match {
+        case Some(p) =>
+          val cells = bands
+            .select((col("band") * p + bpfxOf(p)).cast("int").as("_cell"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          st.filter((col("band") * p + col("bpfx")).cast("int").isin(cells: _*))
+        case None => st
+      }).persist()
+      try {
+        val seen = excludeIds.fold(seen0: DataFrame)(ids =>
+          seen0.join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+        val admitted = admitCore(batch, bands, seen)
+        val delta = bands
+          .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .join(seen0.select(col("doc_id"), col("band")),
+            Seq("doc_id", "band"), "left_anti")
+        if (!stateExists) writeBandState(delta, stateDir, "append")
+        else pOpt match {
+          case Some(p) => writeBandState(delta, stateDir, "append", p)
+          case None    => delta.write.mode("append").parquet(stateDir)
+        }
+        admitted
+      } finally seen0.unpersist(blocking = false)
     } finally bands.unpersist(blocking = false)
   }
 
@@ -709,11 +791,23 @@ object Dedup {
     * native cosine scores candidates only. Recall < 1 by LSH design
     * (band layout trades recall for bucket volume); within-recall results
     * are exact because the kernel is the true cosine, not the signature.
+    *
+    * @param maxBucketSize skew guard, same contract as [[minhashLsh]]'s:
+    *        hyperplane buckets larger than the cap are EXCLUDED from
+    *        candidate generation (a cluster of near-identical embeddings
+    *        signs identically on every plane and would go quadratic in
+    *        one bucket); members stay discoverable through their other
+    *        bands. Exclusion is the pair-LISTING trade — the admission
+    *        paths use partner caps instead (see
+    *        [[incrementalNearDupVerified]]). Default = exact LSH.
     */
   def embeddingCosinePairsLsh(emb: DataFrame, threshold: Double,
                               numPlanes: Int = 16, bandWidth: Int = 4,
-                              dim: Int = 64): DataFrame = {
-    val banded = Similarity.withBandKeys(emb, "vid", numPlanes, bandWidth, dim)
+                              dim: Int = 64,
+                              maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val banded = capBuckets(
+      Similarity.withBandKeys(emb, "vid", numPlanes, bandWidth, dim),
+      maxBucketSize)
     val cands = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

@@ -255,33 +255,15 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val ids = batch.select(col("doc_id"))
-        val stateExists =
-          java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir))
-        // eagerly checkpointed by the operator — stable across the two
-        // writes below (no lineage recompute drift between state & sink).
-        // The state read is PRUNED to the cells the batch probes
-        // (Dedup.readBandState): admission scans O(batch-cells) state
-        // files per micro-batch, not the whole accumulated corpus state.
-        val admitted =
-          if (stateExists)
-            graft.ext.Dedup.incrementalNearDupFromState(s, batch, stateDir,
-              w, numHashes, bandWidth, excludeIds = Some(ids))
-          else // empty stamped state: within-batch admission only
-            graft.ext.Dedup.incrementalNearDup(batch,
-              graft.ext.Dedup.bandTable(batch.limit(0), w, numHashes, bandWidth),
-              w, numHashes, bandWidth)
-        val newBands = graft.ext.Dedup.bandTable(admitted, w, numHashes, bandWidth)
-          .localCheckpoint(eager = true) // consumed by anti-join probe + write
-        val delta =
-          if (stateExists)
-            newBands.join(
-              graft.ext.Dedup.readBandState(s, stateDir, newBands)
-                .select(col("doc_id"), col("band")),
-              Seq("doc_id", "band"), "left_anti")
-          else newBands
-        if (stateExists)
-          graft.ext.Dedup.appendBandsLayoutMatched(s, stateDir, delta)
-        else graft.ext.Dedup.writeBandState(delta, stateDir, "append")
+        // one-call admission transaction (Dedup.admitAndMaintainState):
+        // bands computed once, state probed with one driver row, the
+        // read PRUNED to the cells the batch probes (O(batch-cells)
+        // state files per micro-batch, not the whole accumulated corpus
+        // state), insert-if-absent band append BEFORE the sink write —
+        // the replay-safe order argued in the scaladoc above.
+        val admitted = graft.ext.Dedup.admitAndMaintainState(
+          s, batch.toDF(), stateDir, w, numHashes, bandWidth,
+          excludeIds = Some(ids))
         admitted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .trigger(Trigger.AvailableNow())

@@ -228,6 +228,36 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (k, sim) => assert(all.get(k).contains(sim)) }
   }
 
+  test("embedding LSH cap drops hot buckets only; capped pairs are a subset") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def pairs(cap: Int) =
+      Dedup.embeddingCosinePairsLsh(emb, threshold = 0.42, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Int.MaxValue)
+    // bucket-size distribution: pick a cap that BINDS (some bucket
+    // exceeds it) so the exclusion semantics are exercised, not a no-op.
+    val sizes = graft.ext.Similarity.withBandKeys(emb, "vid", 16, 4, 64)
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+      .select("n").collect().map(_.getLong(0))
+    val cap = (sizes.min + sizes.max).toInt / 2
+    assume(sizes.max > cap, "distribution too flat to bind at this SF")
+    val capped = pairs(cap)
+    assert(capped.subsetOf(exact), "cap may only DROP pairs, never invent them")
+    assert(capped.size < exact.size, "a binding cap must drop hot-bucket pairs")
+    // an identical-embedding flood signs identically on every plane: the
+    // capped form must stay bounded instead of emitting k²/2 pairs.
+    val flood = spark.range(20000).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.array(
+        (0 until 64).map(i => lit(math.sin(i + 1).toFloat)): _*).as("embedding"))
+    val t0 = System.nanoTime()
+    val n = Dedup.embeddingCosinePairsLsh(flood, threshold = 0.9, maxBucketSize = 64)
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"20k-identical-embedding flood, cap 64: $n pairs in $secs%.1f s")
+    assert(n === 0, "every flood bucket exceeds the cap — no pairs may emit")
+    assert(secs < 60.0, f"capped flood took $secs%.1f s — exclusion is not pre-join")
+  }
+
   test("repeated spans: overlapping duplicated windows merge, coverage is exact") {
     val docs = Seq(
       (10L, "a b c d e f g h i j unique1 unique2 unique3"),
