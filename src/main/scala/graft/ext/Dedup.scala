@@ -1022,4 +1022,82 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"), col("dup_windows"),
         col("dup_spans"), col("covered_tokens"))
   }
+
+  /** Cross-document duplicate-span REMOVAL — the rewrite half of
+    * exact-substring training-data dedup ([[repeatedSpans]] is the
+    * detection half): every w-token window whose text occurs in
+    * ≥ minDocs distinct documents keeps its occurrences in the CANONICAL
+    * document (the smallest doc_id containing that window text) and is
+    * cut from every other document; overlapping cut windows union into
+    * spans token-wise. Emits the rewritten corpus —
+    * (doc_id, n_tokens, n_dropped, clean_token text) for EVERY input
+    * document (n_dropped = 0 when untouched; clean_text = '' when the
+    * whole document was boilerplate someone else already contributes).
+    *
+    * Tokenizer contract is [[positionalShingles]]'s (single-space split,
+    * trailing empties kept) so detection and removal agree token-for-
+    * token with each other and with the engine-portable oracle.
+    *
+    * Scale shape: no doc×doc term anywhere. The duplicated-window set is
+    * one count-distinct groupBy over positional windows (map-side
+    * partials bound hot windows); the cut positions come from one
+    * equi-join of windows against that (small) set — a window shared by
+    * M documents contributes M rows, linear in occurrences; the
+    * token-level rebuild is a per-document aggregation (documents are
+    * individually bounded, so the collect_list is too). At warehouse
+    * scale the join/group key would be a 128-bit window hash (same
+    * grouping, ~4× smaller shuffle) and the rewritten corpus would land
+    * in a staging table instead of the eager local materialization used
+    * here — text keys kept for oracle bit-parity, the
+    * [[repeatedSpans]] trade.
+    */
+  def removeCrossDocSpans(docs: DataFrame, w: Int = 8,
+                          minDocs: Int = 2): DataFrame = {
+    val pos = positionalShingles(docs, w).persist()
+    try removeCrossDocSpansOn(docs, pos, w, minDocs)
+      .localCheckpoint(eager = true)
+    finally pos.unpersist(blocking = false)
+  }
+
+  private[graft] def removeCrossDocSpansOn(docs: DataFrame, pos: DataFrame,
+                                           w: Int, minDocs: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    {
+      val dup = pos.groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("canon"),
+          countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select(col("sh"), col("canon"))
+      // positions covered by a non-canonical occurrence of a duplicated
+      // window: w rows per occurrence, de-duplicated token-wise (the
+      // interval union, done positionally)
+      val cover = pos.join(dup, Seq("sh"))
+        .filter(col("doc_id") =!= col("canon"))
+        .select(col("doc_id"),
+          explode(sequence(col("s"), col("s") + lit(w - 1))).as("q"))
+        .distinct()
+      val tok = docs.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          text.split(" ", -1).iterator.zipWithIndex
+            .map { case (t, i) => (id, (i + 1).toLong, t) }
+        }
+        .toDF("doc_id", "p", "tok")
+      val marked = tok
+        .join(cover, tok("doc_id") === cover("doc_id") &&
+          tok("p") === cover("q"), "left")
+        .select(tok("doc_id"), col("p"), col("tok"),
+          cover("q").isNotNull.as("dropped"))
+      marked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("dropped"), lit(1))).as("n_dropped"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when(!col("dropped"), struct(col("p"), col("tok"))))),
+              s => s.getField("tok")),
+            " ").as("clean_text"))
+    }
+  }
 }

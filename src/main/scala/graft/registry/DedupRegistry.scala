@@ -54,6 +54,16 @@ private[graft] object DedupRegistry {
       Dedup.repeatedSpans(Tables.documents(s, d), w = 8, minDocs = 2)
         .orderBy("doc_id")),
 
+    "dedup_span_removal" -> ((s, d) =>
+      // the REWRITE half of exact-substring dedup (round 11): cut every
+      // cross-corpus duplicated 8-token span from all but its canonical
+      // (min-doc_id) occurrence and emit the rewritten corpus. The hash
+      // pins the cleaned text itself, token for token — canonical docs
+      // intact, non-canonical occurrences excised, whole-boilerplate
+      // docs reduced to ''.
+      Dedup.removeCrossDocSpans(Tables.documents(s, d), w = 8, minDocs = 2)
+        .orderBy("doc_id")),
+
     "dedup_clusters" -> ((s, d) =>
       // pairwise matches → dedup clusters (cluster id = canonical keeper).
       // Pairs come from the CHEAP banded MinHash path (already eagerly
@@ -292,6 +302,38 @@ private[graft] object DedupRegistry {
         |       p.dup_windows, p.dup_spans, p.covered_tokens
         |FROM rper p JOIN documents d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // same tokenizer/window contract as dedup_repeated_spans; the
+    // canonical occurrence (min doc_id per window text) keeps its
+    // tokens, every other occurrence's w positions are cut, and the
+    // text is rebuilt from the surviving positions.
+    "dedup_span_removal" ->
+      """WITH stoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), stok AS (
+        |  SELECT doc_id, u.i AS p, t[u.i] AS tok
+        |  FROM stoks, UNNEST(range(1, len(t)+1)) AS u(i)
+        |), swins AS (
+        |  SELECT doc_id, u.i AS p, array_to_string(t[u.i:u.i+7], ' ') AS w
+        |  FROM stoks, UNNEST(range(1, greatest(len(t)-8+2, 1))) AS u(i)
+        |), sdup AS (
+        |  SELECT w, min(doc_id) AS canon FROM swins
+        |  GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+        |), scover AS (
+        |  SELECT DISTINCT wi.doc_id, wi.p + o.off AS q
+        |  FROM swins wi JOIN sdup d ON wi.w = d.w AND wi.doc_id <> d.canon,
+        |       UNNEST(range(0, 8)) AS o(off)
+        |), smarked AS (
+        |  SELECT stok.doc_id, stok.p, stok.tok, scover.q IS NOT NULL AS dropped
+        |  FROM stok LEFT JOIN scover
+        |    ON stok.doc_id = scover.doc_id AND stok.p = scover.q
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       count(*) FILTER (WHERE dropped) AS n_dropped,
+        |       coalesce(array_to_string(
+        |         list(tok ORDER BY p) FILTER (WHERE NOT dropped), ' '), '')
+        |         AS clean_text
+        |FROM smarked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (

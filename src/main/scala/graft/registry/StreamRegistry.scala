@@ -537,7 +537,9 @@ private[graft] object StreamRegistry {
       require(nBatches >= 2,
         s"sketch maintenance folded $nBatches micro-batches — need >= 2 " +
           "to prove incrementality, not a single-batch rebuild")
-      val est = ext.Sketches.kmvEstimateStated(s.read.parquet(s"$tmp/state"))
+      val est = ext.Sketches.kmvEstimateStated(
+        graft.operators.ScaleOps.readMaintained(s, s"$tmp/state",
+          graft.operators.ScaleOps.PointerSwap))
       val exact = feed.select(item.as("item")).filter(col("item").isNotNull)
         .agg(countDistinct(col("item")).as("n_exact"))
       detachAndClean(

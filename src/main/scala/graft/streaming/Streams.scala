@@ -182,11 +182,22 @@ object Streams {
     * law is oracle-proven in stats_kmv; restart recovery is
     * StreamingSpec-proven on a grown source).
     *
-    * The per-batch state rewrite materializes the merged ≤k rows
-    * (sketch-sized, never data) before overwriting; a production
-    * deployment would stage-and-promote the state table like
-    * `Pipeline.promoteStaged` — the overwrite here is already safe to
-    * REPLAY (idempotent merge), which is the property that matters.
+    * The per-batch state rewrite is promoted through
+    * [[graft.operators.ScaleOps.PointerSwap]]: the merged ≤k rows
+    * (sketch-sized, never data) are staged as an immutable version
+    * directory and the one-line `current` pointer is swapped — the only
+    * reader-visible mutation. That closes the one crash window a plain
+    * overwrite has (delete-then-write: a crash in between leaves an
+    * EMPTY state dir for the replayed batch to merge against, silently
+    * forgetting every prior fold). Under the pointer a crash at any
+    * point leaves `current` naming a complete version: before the swap
+    * the old state is live, after it the new one is — and the replayed
+    * batch re-merges idempotently either way. The predecessor version
+    * is retained across the swap, so the merged frame's own source
+    * files survive promotion and no lineage detach (localCheckpoint) is
+    * needed. Read the state back with
+    * [[graft.operators.ScaleOps.readMaintained]] (PointerSwap); a plain
+    * pre-existing flat state dir is migrated in place on first fold.
     */
   def sketchMaintainPipeline(spark: SparkSession, schema: StructType,
                              srcDir: String, stateDir: String,
@@ -197,17 +208,25 @@ object Streams {
         .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir))
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.ScaleOps
+        val s = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
         val b = graft.ext.Sketches.kmvBuild(batch.select(col(itemCol)), itemCol, k)
         val merged =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir)))
+          if (fs.exists(root))
             graft.ext.Sketches.kmvMerge(k, b,
-              batch.sparkSession.read.parquet(stateDir))
+              ScaleOps.readMaintained(s, stateDir, ScaleOps.PointerSwap))
           else b
-        // detach the ≤k merged rows from the state files they were read
-        // from before the overwrite deletes those files
-        graft.ext.Sketches.kmvWrite(merged.localCheckpoint(eager = true),
-          stateDir, k)
+        // stage next to the root (never inside it — promote would prune
+        // it as a stray), then swap the pointer. The staging path is
+        // per-batch-deterministic: a replayed batch overwrites its own
+        // crashed leftovers.
+        val staged = s"$stateDir.stage-$batchId"
+        graft.ext.Sketches.kmvWrite(merged, staged, k)
+        ScaleOps.PointerSwap.promote(fs, root,
+          new org.apache.hadoop.fs.Path(staged))
       }
       .trigger(Trigger.AvailableNow())
       .start()

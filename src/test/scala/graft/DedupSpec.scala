@@ -304,6 +304,57 @@ class DedupSpec extends AnyFunSuite {
       s"span candidates must come from an equi-join:\n$plan")
   }
 
+  test("span removal: canonical doc keeps its text, others lose merged spans") {
+    val docs = Seq(
+      (10L, "a b c d e f g h i j u1 u2 u3"),
+      (11L, "z1 a b c d e f g h i j z2"),
+      (12L, "nothing shared here at all ok fine yes")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeCrossDocSpans(docs, w = 8, minDocs = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the 10-token shared run's three 8-windows are all canonical in
+    // doc 10 (min id) — doc 10 survives verbatim; doc 11's overlapping
+    // occurrences merge into one cut of tokens 2..11
+    assert(out(10L) === ((13L, 0L, "a b c d e f g h i j u1 u2 u3")))
+    assert(out(11L) === ((12L, 10L, "z1 z2")))
+    assert(out(12L) === ((8L, 0L, "nothing shared here at all ok fine yes")))
+  }
+
+  test("span removal: a whole-boilerplate doc is reduced to empty text") {
+    val docs = Seq(
+      (40L, "p q r s t u v w y"),
+      (41L, "p q r s t u v w"),
+      (42L, "short doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeCrossDocSpans(docs, w = 8, minDocs = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 41 IS one duplicated window whose canonical home is doc 40:
+    // every token is cut, and the rewrite emits the row with '' —
+    // a downstream filter on n_dropped/n_tokens decides retention.
+    assert(out(40L) === ((9L, 0L, "p q r s t u v w y")))
+    assert(out(41L) === ((8L, 8L, "")))
+    // shorter than w: produces no windows, can never be cut
+    assert(out(42L) === ((2L, 0L, "short doc")))
+  }
+
+  test("span removal: equi-joins only, and no cache entries left behind") {
+    val docs = Seq(
+      (10L, "a b c d e f g h i j u1 u2 u3"),
+      (11L, "z1 a b c d e f g h i j z2")
+    ).toDF("doc_id", "text")
+    val plan = Dedup.removeCrossDocSpansOn(docs,
+        Dedup.positionalShingles(docs, 8), 8, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cut positions must come from equi-joins:\n$plan")
+    Dedup.removeCrossDocSpans(docs, w = 8).count()
+    assert(org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark),
+      "removeCrossDocSpans left a cache entry behind")
+  }
+
   test("repeated spans leaves no cache entries behind") {
     val docs = Seq(
       (0L, "a b c d e f g h i j"), (1L, "a b c d e f g h i j")

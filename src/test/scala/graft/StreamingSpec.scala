@@ -204,7 +204,9 @@ class StreamingSpec extends AnyFunSuite {
     val k = 8
     Streams.sketchMaintainPipeline(spark, schema, src, state, ckpt, "item", k)
       .awaitTermination()
-    def stateHashes() = spark.read.parquet(state)
+    def readState() = graft.operators.ScaleOps.readMaintained(
+      spark, state, graft.operators.ScaleOps.PointerSwap)
+    def stateHashes() = readState()
       .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
     val afterP1 = stateHashes()
     // restart on a grown source: only the NEW file folds (checkpoint
@@ -219,9 +221,23 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
     assert(afterP2 === oneShot)
     assert(afterP1.toSet.subsetOf(afterP2.toSet))
+    // the state root is a PointerSwap table: a `current` pointer naming
+    // a complete immutable version, with the predecessor retained for
+    // in-flight readers — no crash instant exposes a partial state
+    // (the plain-overwrite shape this replaced had a delete-then-write
+    // window that could present an EMPTY state to a replayed batch).
+    val rootFiles = new java.io.File(state).listFiles().map(_.getName).toSet
+    assert(rootFiles.contains("current"), s"no pointer in $rootFiles")
+    val versions = rootFiles.filter(_.matches("v-\\d+"))
+    assert(versions.size == 2,
+      s"live + retained predecessor expected, got $versions")
+    val stale = versions.map(_.stripPrefix("v-").toInt).min
+    // a reader that resolved just before the last swap still scans
+    // intact bytes
+    assert(spark.read.parquet(s"$state/v-$stale").count() > 0)
     // replay safety by ALGEBRA: re-folding an already-folded batch's
     // sketch into the state changes nothing
-    val st = spark.read.parquet(state)
+    val st = readState()
     val refold = graft.ext.Sketches.kmvMerge(k,
         graft.ext.Sketches.kmvBuild(Seq("c", "d").toDF("item"), "item", k), st)
       .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
