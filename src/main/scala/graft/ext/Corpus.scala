@@ -241,6 +241,45 @@ object Corpus {
       .join(contamination.select(col("train_doc").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
 
+  /** SPAN-level decontamination — the surgical alternative to
+    * [[decontaminate]]'s whole-document drop: every w-token window of a
+    * training document whose text appears verbatim anywhere in the
+    * benchmark sources is cut from the training text (overlapping cuts
+    * union token-wise), and the rewritten corpus is emitted as
+    * (doc_id, source, n_tokens, n_dropped, clean_text) over ALL
+    * training documents. Keeps the 99% of a long document that isn't a
+    * quoted benchmark passage instead of discarding it with the 1% that
+    * is — the leakage is excised either way. No canonical-occurrence
+    * retention here (unlike [[Dedup.removeCrossDocSpans]]): benchmark
+    * text must never survive in ANY training document. Train/bench
+    * population contract matches the sweep family (NULL-source docs are
+    * in neither, hence dropped).
+    *
+    * Scale shape: the bench window set is distinct window texts of the
+    * (small by construction) eval corpus; cut positions come from one
+    * equi-join of the train side's positional windows against it —
+    * linear in matching occurrences, no train×train term, no frequency
+    * cap needed because the join is against BENCH text only. The whole
+    * operator is one lazy plan (nothing persisted or collected): each
+    * input participates in exactly one join.
+    */
+  def decontaminateSpans(docs: DataFrame, benchSources: Seq[String],
+                         w: Int = 8): DataFrame = {
+    val bench = docs.filter(col("source").isin(benchSources: _*))
+    val train = docs.filter(!col("source").isin(benchSources: _*))
+    val benchWins = Dedup.shingles(bench, w).select(col("sh")).distinct()
+    val cover = Dedup.positionalShingles(train, w)
+      .join(benchWins, Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(w - 1))).as("q"))
+      .distinct()
+    Dedup.rebuildWithoutPositions(Dedup.positionalTokens(train), cover)
+      .join(train.select(col("doc_id").cast("long").as("doc_id"),
+        col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("n_dropped"), col("clean_text"))
+  }
+
   /** EMBEDDING-level decontamination — the SEMANTIC sweep that catches
     * what the n-gram sweep cannot: a train document whose text was
     * paraphrased/translated/reformatted from a benchmark document shares

@@ -1061,43 +1061,56 @@ object Dedup {
 
   private[graft] def removeCrossDocSpansOn(docs: DataFrame, pos: DataFrame,
                                            w: Int, minDocs: Int): DataFrame = {
+    val dup = pos.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("canon"),
+        countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("sh"), col("canon"))
+    // positions covered by a non-canonical occurrence of a duplicated
+    // window: w rows per occurrence, de-duplicated token-wise (the
+    // interval union, done positionally)
+    val cover = pos.join(dup, Seq("sh"))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(w - 1))).as("q"))
+      .distinct()
+    rebuildWithoutPositions(positionalTokens(docs), cover)
+  }
+
+  /** Positional tokens: (doc_id, p, tok) with p 1-based — the
+    * token-level companion of [[positionalShingles]], same tokenizer
+    * contract (single-space split, trailing empties kept).
+    */
+  def positionalTokens(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    {
-      val dup = pos.groupBy(col("sh"))
-        .agg(min(col("doc_id")).as("canon"),
-          countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= minDocs)
-        .select(col("sh"), col("canon"))
-      // positions covered by a non-canonical occurrence of a duplicated
-      // window: w rows per occurrence, de-duplicated token-wise (the
-      // interval union, done positionally)
-      val cover = pos.join(dup, Seq("sh"))
-        .filter(col("doc_id") =!= col("canon"))
-        .select(col("doc_id"),
-          explode(sequence(col("s"), col("s") + lit(w - 1))).as("q"))
-        .distinct()
-      val tok = docs.select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)]
-        .flatMap { case (id, text) =>
-          text.split(" ", -1).iterator.zipWithIndex
-            .map { case (t, i) => (id, (i + 1).toLong, t) }
-        }
-        .toDF("doc_id", "p", "tok")
-      val marked = tok
-        .join(cover, tok("doc_id") === cover("doc_id") &&
-          tok("p") === cover("q"), "left")
-        .select(tok("doc_id"), col("p"), col("tok"),
-          cover("q").isNotNull.as("dropped"))
-      marked.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          count(when(col("dropped"), lit(1))).as("n_dropped"),
-          array_join(
-            transform(
-              array_sort(collect_list(
-                when(!col("dropped"), struct(col("p"), col("tok"))))),
-              s => s.getField("tok")),
-            " ").as("clean_text"))
-    }
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).iterator.zipWithIndex
+          .map { case (t, i) => (id, (i + 1).toLong, t) }
+      }
+      .toDF("doc_id", "p", "tok")
   }
+
+  /** Rebuild each document's text WITHOUT the positions in `cover`
+    * (doc_id, q): per-doc counts plus the surviving tokens re-joined in
+    * position order. The shared rewrite kernel of the span-cut family
+    * ([[removeCrossDocSpans]], [[graft.ext.Corpus.decontaminateSpans]]).
+    */
+  private[graft] def rebuildWithoutPositions(tok: DataFrame,
+                                             cover: DataFrame): DataFrame =
+    tok.join(cover, tok("doc_id") === cover("doc_id") &&
+        tok("p") === cover("q"), "left")
+      .select(tok("doc_id"), col("p"), col("tok"),
+        cover("q").isNotNull.as("dropped"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("dropped"), lit(1))).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("dropped"), struct(col("p"), col("tok"))))),
+            s => s.getField("tok")),
+          " ").as("clean_text"))
 }

@@ -168,6 +168,17 @@ private[graft] object CorpusRegistry {
         .orderBy("doc_id")
     }),
 
+    "corpus_decontaminate_spans" -> ((s, d) =>
+      // SPAN-level decontamination (round 11): cut every 8-token window
+      // that appears verbatim in the bench sources from the training
+      // text, keep the rest of the document — the surgical complement
+      // of the whole-doc sweep. The hash pins the rewritten text of
+      // every training document, so one mis-kept or mis-cut token
+      // anywhere fails the row.
+      ext.Corpus.decontaminateSpans(Tables.documents(s, d),
+          benchSources = Seq("src0", "src1"), w = 8)
+        .orderBy("doc_id")),
+
     "corpus_decontaminate_embedding" -> ((s, d) =>
       // SEMANTIC decontamination: train docs whose EMBEDDING cosine-
       // matches any bench doc's at >= 0.42 are swept, via the banded
@@ -462,6 +473,41 @@ private[graft] object CorpusRegistry {
          |FROM clean ORDER BY doc_id""".stripMargin,
 
     "corpus_decontaminate" -> corpusDecontaminateOracle,
+
+    // span-level decontamination: same window/tokenizer contract as
+    // dedup_span_removal, but the cut set is "appears in bench text"
+    // (no canonical retention — bench text survives in NO train doc),
+    // and every train doc is emitted with its rewritten text.
+    "corpus_decontaminate_spans" ->
+      """WITH ctoks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |), cbw AS (
+        |  SELECT DISTINCT array_to_string(t[u.i:u.i+7], ' ') AS w
+        |  FROM ctoks, UNNEST(range(1, greatest(len(t)-8+2, 1))) AS u(i)
+        |  WHERE source IN ('src0', 'src1')
+        |), ctp AS (
+        |  SELECT doc_id, u.i AS p, array_to_string(t[u.i:u.i+7], ' ') AS w
+        |  FROM ctoks, UNNEST(range(1, greatest(len(t)-8+2, 1))) AS u(i)
+        |  WHERE source NOT IN ('src0', 'src1')
+        |), ccover AS (
+        |  SELECT DISTINCT tp.doc_id, tp.p + o.off AS q
+        |  FROM ctp tp JOIN cbw b ON tp.w = b.w, UNNEST(range(0, 8)) AS o(off)
+        |), ctok AS (
+        |  SELECT doc_id, u.i AS p, t[u.i] AS tok
+        |  FROM ctoks, UNNEST(range(1, len(t)+1)) AS u(i)
+        |  WHERE source NOT IN ('src0', 'src1')
+        |), cmarked AS (
+        |  SELECT ctok.doc_id, ctok.p, ctok.tok, ccover.q IS NOT NULL AS dropped
+        |  FROM ctok LEFT JOIN ccover
+        |    ON ctok.doc_id = ccover.doc_id AND ctok.p = ccover.q
+        |)
+        |SELECT m.doc_id, d.source, count(*) AS n_tokens,
+        |       count(*) FILTER (WHERE dropped) AS n_dropped,
+        |       coalesce(array_to_string(
+        |         list(tok ORDER BY p) FILTER (WHERE NOT dropped), ' '), '')
+        |         AS clean_text
+        |FROM cmarked m JOIN documents d ON m.doc_id = d.doc_id
+        |GROUP BY m.doc_id, d.source ORDER BY m.doc_id""".stripMargin,
 
     // identical oracle: the Bloom prefilter must be invisible in the
     // result (no false negatives; false positives die in the exact join).

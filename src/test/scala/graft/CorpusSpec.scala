@@ -97,6 +97,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept.intersect(flagged).isEmpty)
   }
 
+  test("span decontamination cuts bench windows only, never train-train overlap") {
+    val docs = Seq(
+      // bench: the passage that must not survive anywhere in train
+      (0L, "b1 b2 b3 b4 b5 b6 b7 b8 tail", "src0"),
+      // train doc quoting the bench passage inside unique context
+      (10L, "u1 u2 b1 b2 b3 b4 b5 b6 b7 b8 u3", "src2"),
+      // two train docs sharing a run with EACH OTHER but not with bench:
+      // span-level decontamination must leave both intact (that overlap
+      // is removeCrossDocSpans' business, not the sweep's)
+      (11L, "t1 t2 t3 t4 t5 t6 t7 t8 only11", "src3"),
+      (12L, "t1 t2 t3 t4 t5 t6 t7 t8 only12", "src3"),
+      // null-source doc: in neither population, dropped like the sweep
+      (13L, "b1 b2 b3 b4 b5 b6 b7 b8", null)
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.decontaminateSpans(docs, Seq("src0"), w = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L), "train docs only, null-source dropped")
+    // the quoted 8-token passage (window at s=3, covering tokens 3..10)
+    // is excised; the unique context survives
+    assert(out(10L) === (("src2", 11L, 8L, "u1 u2 u3")))
+    assert(out(11L) === (("src3", 9L, 0L, "t1 t2 t3 t4 t5 t6 t7 t8 only11")))
+    assert(out(12L) === (("src3", 9L, 0L, "t1 t2 t3 t4 t5 t6 t7 t8 only12")))
+    // one lazy plan, equi-joins only — auditable directly (no checkpoint)
+    val plan = Corpus.decontaminateSpans(docs, Seq("src0"), w = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cut positions must come from equi-joins:\n$plan")
+  }
+
   test("embedding decontamination sweeps semantic matches, keeps orthogonal docs") {
     // bench doc 0; train doc 1 carries the IDENTICAL embedding (a
     // paraphrase in the real world — no shared shingles needed); train
