@@ -248,6 +248,45 @@ object VectorIndex {
       k)
   }
 
+  /** Metadata-FILTERED flat search — ANN with a predicate, the shape a
+    * retrieval deployment actually serves ("nearest English documents",
+    * "same-tenant vectors only"): candidates are restricted to
+    * `allowed` ids BEFORE any cosine is computed, so the filter prunes
+    * the scoring join rather than post-filtering a top-k that could
+    * then come up short. Single-column `allowed` frame (the id set the
+    * predicate selects — at warehouse scale the result of a metadata
+    * scan, joined here rather than collected).
+    *
+    * Recall note, stated because it is the filtered-ANN trade: probing
+    * stays geometric (nprobe nearest cells of the QUERY), so a highly
+    * selective filter thins probed cells and the caller should raise
+    * `nprobe` accordingly — the standard pre-filter IVF discipline.
+    * With `allowed` = the whole corpus this is exactly [[searchFlat]]
+    * (spec-proven).
+    */
+  def searchFlatFiltered(spark: SparkSession, dir: String,
+                         queries: DataFrame, allowed: DataFrame,
+                         k: Int, nprobe: Int = 4): DataFrame = {
+    val (cent, l) = centroidsOf(spark, dir)
+    val cells = spark.read.parquet(s"$dir/cells")
+    requireSameLayout(l, layoutOf(cells, "index cell table"), "index cell table")
+    val allowedIds = allowed
+      .select(col(allowed.columns.head).cast("long").as("cid")).distinct()
+    val probes = Similarity.probeCells(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      cent.select(col("cell"), col("centroid")), nprobe)
+    // filter the CELL side before the probe join: disallowed vectors
+    // never reach the scoring join at all
+    val allowedCells = cells
+      .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(allowedIds, Seq("cid"), "left_semi")
+    Similarity.rankTopK(
+      probes.join(allowedCells, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("qe"), col("cid"), col("ce")),
+      k)
+  }
+
   /** ADC search of the persisted index: probe the frozen centroids,
     * score ONLY the probed cells' PQ codes (partition pruning on the
     * bucketed codes table — the scan side is the m-byte compressed

@@ -262,6 +262,29 @@ private[graft] object SimilarityRegistry {
         tmp)
     }),
 
+    "sim_index_search_filtered" -> ((s, d) => {
+      // metadata-FILTERED ANN (round 11): top-5 neighbors among ENGLISH
+      // documents only (doc_id = vec_id pairing, the multimodal_embed_ann
+      // contract) — the filter restricts the candidate side BEFORE any
+      // cosine is computed, so a disallowed vector is never scored. The
+      // oracle applies the same predicate inside the cell-restricted
+      // candidate set; a post-filtered top-k (which could return fewer
+      // than k allowed rows) would hash-mismatch.
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val allowed = Tables.documents(s, d)
+        .filter(col("lang") === "en").select(col("doc_id"))
+      val tmp = TempDirs.create("graft-vfilter-").toString
+      val dir = s"$tmp/index"
+      ext.VectorIndex.build(emb, dir)
+      detachAndClean(
+        ext.VectorIndex.searchFlatFiltered(s, dir, queries, allowed,
+            k = 5, nprobe = 4)
+          .select(col("qid"), col("rank").cast("int").as("rnk"), col("cid"))
+          .orderBy("qid", "rnk"),
+        tmp)
+    }),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.payloadStats(Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -517,6 +540,41 @@ private[graft] object SimilarityRegistry {
          |           row_number() OVER (PARTITION BY e.vec_id
          |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
          |    FROM embeddings e CROSS JOIN cent c
+         |  ) WHERE crn <= 1
+         |), qp AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id < 5
+         |  ) WHERE crn <= 4
+         |), scored AS (
+         |  SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
+         |  FROM qp q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid
+         |), r AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // sim_topk_ivf's cell-restricted shape (same frozen first-16
+    // centroids as the index build), with the language predicate applied
+    // to the CANDIDATE set — filtered-ANN semantics: the top-5 among
+    // allowed vectors, not the allowed subset of an unfiltered top-5.
+    "sim_index_search_filtered" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), ca AS (
+         |  SELECT cid, ce, cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
          |  ) WHERE crn <= 1
          |), qp AS (
          |  SELECT qid, qe, cell FROM (

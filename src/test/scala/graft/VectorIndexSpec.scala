@@ -34,6 +34,34 @@ class VectorIndexSpec extends AnyFunSuite {
       rows(Similarity.ivfPqTopK(emb, queries, k = 5)))
   }
 
+  test("filtered search: only allowed ids, pre-filter semantics, identity filter == searchFlat") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = freshDir()
+    VectorIndex.build(emb, dir)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val got = VectorIndex.searchFlatFiltered(spark, dir, queries, allowed,
+      k = 5, nprobe = 4)
+    val gotRows = rows(got)
+    // every returned neighbor satisfies the predicate
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    assert(gotRows.nonEmpty && gotRows.forall(t => allowedSet(t._3)))
+    // PRE-filter semantics: equals in-memory IVF search over the allowed
+    // subset with the SAME frozen centroids (trained on the full corpus)
+    // — not a post-filtered unfiltered top-k, which could return < k
+    // allowed rows per query
+    val centroids = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val filteredCorpus = emb.join(allowed.withColumnRenamed("vec_id", "aid"),
+      col("vec_id") === col("aid"), "left_semi")
+    assert(gotRows === rows(
+      Similarity.ivfTopKWith(filteredCorpus, queries, k = 5, centroids)))
+    // an all-pass filter reduces to the unfiltered read path
+    assert(rows(VectorIndex.searchFlatFiltered(spark, dir, queries,
+        emb.select(col("vec_id")), k = 5)) ===
+      rows(VectorIndex.searchFlat(spark, dir, queries, k = 5)))
+  }
+
   test("append against frozen quantizers: searches see the delta, quantizers untouched") {
     val emb = Tables.embeddings(spark, sfDir)
     val initial = emb.filter(col("vec_id") % 4 =!= 3)
