@@ -149,6 +149,48 @@ object Quality {
       .groupBy(col("bin")).agg(sum(col("n")).as("n"))
   }
 
+  /** EXACT DELETION from additive histogram state — the
+    * right-to-be-forgotten path for the one sketch family whose algebra
+    * is invertible: bin counts are plain integers, so removing a cohort
+    * is `state − histBuild(cohort)` per bin, bit-identical to rebuilding
+    * the histogram over the retained rows (the property the oracle
+    * checks) without rescanning the retained 99.99% of the corpus.
+    * KMV (bottom-k of a union) and Bloom (saturating bitmap) are NOT
+    * invertible — deletion there is a rebuild from the retained corpus,
+    * and pretending otherwise would silently under-remove. CMS counters
+    * are linear and could subtract the same way (the turnstile model),
+    * but the family keeps rebuild semantics: this engine's CMS contract
+    * is "never undercounts", which subtraction preserves only under an
+    * all-net-counts-nonnegative invariant the sketch alone cannot
+    * witness.
+    *
+    * Fails loudly if any bin would go negative (the "removed" rows were
+    * never fully in the state — subtracting anyway would corrupt every
+    * later drift read); bins reaching zero are dropped so the result is
+    * exactly [[histBuild]] of the retained rows. Stamped inputs are
+    * cross-validated against the declared width.
+    */
+  def histSubtract(binWidth: Double, state: DataFrame,
+                   removed: DataFrame): DataFrame = {
+    Seq(state -> "histSubtract state", removed -> "histSubtract removed")
+      .foreach { case (p, what) =>
+        require(Seq("bin", "n").forall(p.columns.contains),
+          s"$what: not a histogram — need the (bin, n) columns histBuild emits")
+        requireWidth(p, what, binWidth)
+      }
+    val joined = state.select(col("bin"), col("n"))
+      .join(removed.select(col("bin"), col("n").as("rn")), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("rn"), lit(0L)).as("rn"))
+    val bad = joined.filter(col("rn") > col("n")).limit(1).collect()
+    require(bad.isEmpty,
+      s"histSubtract: bin ${bad.headOption.map(_.get(0)).orNull} removes " +
+        "more rows than the state holds — the cohort was never (fully) " +
+        "folded into this state; subtracting would corrupt it")
+    joined.select(col("bin"), (col("n") - col("rn")).as("n"))
+      .filter(col("n") > 0)
+  }
+
   /** [[drift]] over two STAMPED (persisted) histogram states — widths
     * are read from both stamps and must agree; the day-30 baseline
     * comparison a pipeline actually runs.

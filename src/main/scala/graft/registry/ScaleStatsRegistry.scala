@@ -371,6 +371,29 @@ private[graft] object ScaleStatsRegistry {
         tmp)
     }),
 
+    "stats_hist_forget" -> ((s, d) => {
+      // EXACT deletion from persisted histogram state (round 11): the
+      // right-to-be-forgotten path for the one sketch family whose
+      // algebra is invertible. Full-corpus n_chars histogram persisted
+      // (width-stamped), a forgotten cohort's histogram SUBTRACTED from
+      // the loaded state — no rescan of the retained corpus. Oracle =
+      // the histogram built fresh over the retained documents: pass ⟺
+      // subtract is bit-identical to rebuild, including zero-count bins
+      // DROPPED (a retained-bin rebuild never emits them).
+      val docs = Tables.documents(s, d)
+      val width = 64.0
+      val tmp = TempDirs.create("graft-hist-forget-").toString
+      ext.Quality.histWrite(
+        ext.Quality.histBuild(docs, "n_chars", width), s"$tmp/hist", width)
+      val forgotten = docs.filter(col("doc_id") % 10 === 3)
+      detachAndClean(
+        ext.Quality.histSubtract(width,
+            s.read.parquet(s"$tmp/hist"),
+            ext.Quality.histBuild(forgotten, "n_chars", width))
+          .orderBy("bin"),
+        tmp)
+    }),
+
     "scale_salted_join" -> ((s, d) =>
       // the skew-salting operator on the oracle path: results must be
       // IDENTICAL to the plain join for any salt (the oracle is the
@@ -981,6 +1004,14 @@ private[graft] object ScaleStatsRegistry {
 
     // same one-pass SQL as stats_drift: the persisted/merged histogram
     // lifecycle must be invisible in the comparison.
+    // fresh rebuild over the retained cohort — subtract must be
+    // indistinguishable from never having folded the forgotten docs.
+    "stats_hist_forget" ->
+      """SELECT CAST(floor(n_chars/64.0) AS BIGINT) AS bin, count(*) AS n
+        |FROM documents
+        |WHERE doc_id % 10 <> 3 AND n_chars IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+
     "stats_drift_state" ->
       """WITH a AS (
         |  SELECT CAST(floor(value/25.0) AS BIGINT) AS bin, count(*) AS n_a

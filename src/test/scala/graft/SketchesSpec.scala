@@ -352,6 +352,41 @@ class SketchesSpec extends AnyFunSuite {
     assert(totalRow.getLong(2) === 3L && totalRow.getLong(3) === 2L)
   }
 
+  test("histogram subtract: exact forget == rebuild; impossible deletes refuse") {
+    val Q = graft.ext.Quality
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+    val forgotten = ev.filter(col("event_id") % 5 === 0)
+    val retained = ev.filter(col("event_id") % 5 =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hist_forget").toString
+    Q.histWrite(Q.histBuild(ev, "value", 25.0), s"$tmp/full", binWidth = 25.0)
+    // subtract == fresh rebuild over retained rows, bin for bin —
+    // including bins that reach zero being DROPPED, not kept at 0
+    val after = Q.histSubtract(25.0, spark.read.parquet(s"$tmp/full"),
+        Q.histBuild(forgotten, "value", 25.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuild = Q.histBuild(retained, "value", 25.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === rebuild)
+    assert(!after.values.exists(_ == 0L), "zero-count bins must be dropped")
+    // removing a cohort that was never folded into the state refuses:
+    // doubling the forgotten cohort exceeds at least one bin's count
+    val doubled = Q.histMerge(25.0,
+      Q.histBuild(forgotten, "value", 25.0),
+      Q.histBuild(forgotten, "value", 25.0))
+    val e1 = intercept[IllegalArgumentException] {
+      Q.histSubtract(25.0,
+        Q.histBuild(forgotten, "value", 25.0), doubled)
+    }
+    assert(e1.getMessage.contains("removes"))
+    // width-stamp mismatch refuses before any arithmetic
+    val e2 = intercept[IllegalArgumentException] {
+      Q.histSubtract(50.0, spark.read.parquet(s"$tmp/full"),
+        Q.histBuild(forgotten, "value", 50.0))
+    }
+    assert(e2.getMessage.contains("bin-width mismatch"))
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   test("histogram state: persisted merge == one-pass build; mismatched widths refuse") {
     val Q = graft.ext.Quality
     val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
