@@ -98,6 +98,72 @@ private[graft] object CorpusRegistry {
         wh)
     }),
 
+    "corpus_release_incremental" -> ((s, d) => {
+      // the reference's INCREMENTAL-LOAD protocol applied to the corpus
+      // capstone (round 11): release t1 = release t0 ⊕ delta, with the
+      // stateful legs carried by PERSISTED state instead of recompute.
+      // Phase A builds the prior release with the SAME admission
+      // operator the stream front door runs (quality gate → exact
+      // in-batch collapse → band admission on an empty state) and
+      // persists the two state tables a warehouse keeps between
+      // releases: the gated batch's content hashes and the RELEASED
+      // docs' partitioned band state. Phase B admits the delta against
+      // that state alone — seen-hash anti-join (the cheap pre-filter;
+      // its rejection semantics are oracle-covered by
+      // dedup_incremental), then the one-transaction band admission
+      // (admitAndMaintainState: reject vs released corpus + smaller-id
+      // sibling, append admitted bands) — never rescanning release t0's
+      // documents. The oracle unrolls both phases; the in-query require
+      // pins the lifecycle invariant (post-append state holds exactly
+      // the released docs' bands — a ghost band would reject future
+      // content against a doc that was never released).
+      val docs = Tables.documents(s, d)
+      val bench = Seq("src0", "src1")
+      val train = docs.filter(!col("source").isin(bench: _*))
+      val gated = train.join(
+        ext.TextAnalysis.qualityScore(train)
+          .filter(col("n_tokens") >= 5 && col("n_stopwords") >= 1 &&
+            col("n_distinct_tokens") * 4 >= col("n_tokens"))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val t0 = gated.filter(col("doc_id") % 2 === 0)
+      val delta = gated.filter(col("doc_id") % 2 =!= 0)
+      val tmp = TempDirs.create("graft-increl-").toString
+      val stateDir = s"$tmp/bands"
+      val seenDir = s"$tmp/seen"
+      // phase A — prior release + state build
+      val emptySeen = t0.limit(0).select(md5(col("text")).as("content_hash"))
+      val exactA = Dedup.incrementalExact(t0, emptySeen).drop("content_hash")
+      val releasedA = Dedup.incrementalNearDup(exactA,
+        Dedup.bandTable(t0.limit(0), w = 5, numHashes = 8, bandWidth = 2),
+        w = 5, numHashes = 8, bandWidth = 2)
+      Dedup.writeBandState(
+        Dedup.bandTable(releasedA, w = 5, numHashes = 8, bandWidth = 2),
+        stateDir, mode = "errorifexists")
+      t0.select(md5(col("text")).as("content_hash")).distinct()
+        .write.parquet(seenDir)
+      // phase B — delta admission against state only
+      val exactB = Dedup.incrementalExact(delta, s.read.parquet(seenDir))
+        .drop("content_hash")
+      val admittedB = Dedup.admitAndMaintainState(s, exactB, stateDir,
+        w = 5, numHashes = 8, bandWidth = 2)
+      val releasedIds = releasedA.select(col("doc_id"))
+        .unionByName(admittedB.select(col("doc_id")))
+      val ghosts = s.read.parquet(stateDir).select(col("doc_id")).distinct()
+        .join(releasedIds, Seq("doc_id"), "left_anti").count()
+      require(ghosts == 0,
+        s"$ghosts ghost docs in post-release band state — state must hold " +
+          "exactly the released docs' bands")
+      detachAndClean(
+        releasedA.select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("release", lit("t0"))
+          .unionByName(admittedB
+            .select(col("doc_id"), col("source"), col("n_chars"))
+            .withColumn("release", lit("delta")))
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
     "corpus_quality_gate" -> ((s, d) =>
       // batch admission control: every expectation evaluates in ONE
       // partial+final aggregation pass, unpivoted to a row per check.
@@ -471,6 +537,55 @@ private[graft] object CorpusRegistry {
          |       WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM clean ORDER BY doc_id""".stripMargin,
+
+    // both phases unrolled with the shared shingle/band CTEs: phase A's
+    // batch release is one round of the admission semantics on an empty
+    // state (reject only on a smaller-id sibling collision), phase B
+    // admits against exactly the released docs' bands plus its own
+    // smaller-id siblings; the seen-hash anti-join mirrors the exact
+    // pre-filter (every gated doc has >= 1 shingle, so identical text
+    // always also collides band-wise — the hash leg is the cheap
+    // short-circuit, not a semantic widening).
+    "corpus_release_incremental" ->
+      s"""WITH $triSql,
+         |$bandCteSql,
+         |qg AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
+         |           len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+         |  WHERE n_tok >= 5 AND n_stop >= 1 AND 4*n_dis >= n_tok
+         |), g AS (
+         |  SELECT d.* FROM documents d JOIN qg USING (doc_id)
+         |  WHERE d.source NOT IN ('src0','src1')
+         |), t0 AS (SELECT * FROM g WHERE doc_id % 2 = 0),
+         |dl AS (SELECT * FROM g WHERE doc_id % 2 = 1),
+         |ekA AS (SELECT min(doc_id) AS doc_id FROM t0 GROUP BY md5(text)),
+         |bA AS (SELECT b.* FROM bands b JOIN ekA USING (doc_id)),
+         |rejA AS (SELECT DISTINCT y.doc_id FROM bA x JOIN bA y
+         |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |admA AS (SELECT doc_id FROM ekA
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM rejA)),
+         |stA AS (SELECT DISTINCT band, bkey FROM bA
+         |        WHERE doc_id IN (SELECT doc_id FROM admA)),
+         |seen AS (SELECT DISTINCT md5(text) AS h FROM t0),
+         |ekB AS (SELECT min(doc_id) AS doc_id FROM dl
+         |        WHERE md5(text) NOT IN (SELECT h FROM seen) GROUP BY md5(text)),
+         |bB AS (SELECT b.* FROM bands b JOIN ekB USING (doc_id)),
+         |rejB AS (
+         |  SELECT DISTINCT b.doc_id FROM bB b
+         |  JOIN stA k ON k.band = b.band AND k.bkey = b.bkey
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM bB x JOIN bB y
+         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |admB AS (SELECT doc_id FROM ekB
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM rejB))
+         |SELECT g.doc_id, g.source, g.n_chars, 't0' AS release
+         |FROM g JOIN admA USING (doc_id)
+         |UNION ALL
+         |SELECT g.doc_id, g.source, g.n_chars, 'delta' AS release
+         |FROM g JOIN admB USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "corpus_decontaminate" -> corpusDecontaminateOracle,
 
