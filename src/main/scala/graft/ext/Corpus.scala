@@ -340,6 +340,50 @@ object Corpus {
     docs.filter(hashBucket(col(idCol), salt, 1000) < rate)
   }
 
+  /** TOKEN-BUDGET mixture sampling — the "N tokens of code, M tokens of
+    * web" curation op: each source in `budgets` admits documents in
+    * salted-hash order (deterministic, engine-portable — the
+    * [[shuffleShards]] key) until the tokens admitted BEFORE a document
+    * reach the source's budget. Greedy boundary semantics: the admitting
+    * document may overshoot, so the budget is exceeded by at most one
+    * document — the [[packSequences]] bound, and the price of
+    * determinism (exact subset-sum selection is order-dependent).
+    * Sources absent from `budgets` are dropped (a mixture admits only
+    * what it names). Complements [[mixSources]] (rate-based: a fixed
+    * FRACTION per source) and [[capPerSource]] (count-based: the best N
+    * DOCUMENTS) — training mixtures are specified in tokens.
+    *
+    * Scale shape: one two-phase prefix-sum pass
+    * ([[graft.operators.ScaleOps.withPrefixSum]]) per budgeted source —
+    * the mixture map is release configuration (a handful of entries,
+    * like mixSources' rates), and each pass range-partitions only that
+    * source's slice. No corpus-wide window, no single-task sort; driver
+    * traffic is O(partitions) per source (the prefix-sum offsets).
+    *
+    * Returns (doc_id, source, n_tok, tok_before), tok_before the exact
+    * admitted-token count preceding the document in its source's order.
+    */
+  def sampleToTokenBudget(docs: DataFrame, budgets: Map[String, Long],
+                          salt: String = "budget"): DataFrame = {
+    require(budgets.nonEmpty, "sampleToTokenBudget: empty budget map")
+    budgets.foreach { case (src, b) =>
+      require(b >= 0, s"sampleToTokenBudget: negative budget for $src") }
+    val key = concat(
+      substring(md5(concat(lit(salt + "|"), col("doc_id").cast("string"))), 1, 15),
+      lit("|"), col("doc_id").cast("string"))
+    val base = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).as("n_tok"))
+      .withColumn("bkey", key)
+    budgets.toSeq.sortBy(_._1).map { case (src, budget) =>
+      graft.operators.ScaleOps.withPrefixSum(
+          base.filter(col("source") === src), "bkey", "n_tok", "tok_before")
+        .filter(col("tok_before") < budget)
+    }.reduce(_ unionByName _)
+      .select(col("doc_id"), col("source"),
+        col("n_tok").cast("long").as("n_tok"), col("tok_before"))
+  }
+
   /** Sequence packing — assign documents (in id order, within a shard)
     * to fixed-token-budget training "packs" by stream-order block
     * packing: pack_id = floor(tokens_before_this_doc / maxTokens). The

@@ -164,6 +164,17 @@ private[graft] object CorpusRegistry {
         tmp)
     }),
 
+    "corpus_token_budget" -> ((s, d) =>
+      // token-budget mixture sampling (round 11): three sources admitted
+      // in salted-hash order until each hits its TOKEN budget — the
+      // "N tokens of code, M of web" release knob. Budgets bind on this
+      // corpus (each source holds ~1.2k tokens at sf0.01); the hash pins
+      // the admitted set, the order key's effect (via tok_before) and
+      // the exact running totals.
+      ext.Corpus.sampleToTokenBudget(Tables.documents(s, d),
+          Map("src2" -> 800L, "src3" -> 500L, "src4" -> 200L))
+        .orderBy("doc_id")),
+
     "corpus_quality_gate" -> ((s, d) =>
       // batch admission control: every expectation evaluates in ONE
       // partial+final aggregation pass, unpivoted to a row per check.
@@ -586,6 +597,30 @@ private[graft] object CorpusRegistry {
          |SELECT g.doc_id, g.source, g.n_chars, 'delta' AS release
          |FROM g JOIN admB USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // greedy fill in salted-hash order, per source: admitted iff the
+    // tokens admitted before it sit under the source's budget (the
+    // boundary doc may overshoot — the packSequences bound).
+    "corpus_token_budget" ->
+      """WITH tb AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+        |         substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |           || '|' || CAST(doc_id AS VARCHAR) AS bkey
+        |  FROM documents WHERE source IN ('src2', 'src3', 'src4')
+        |), tc AS (
+        |  SELECT doc_id, source, n_tok,
+        |         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY bkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS tok_before
+        |  FROM tb
+        |)
+        |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+        |       CAST(tok_before AS BIGINT) AS tok_before
+        |FROM tc
+        |WHERE (source = 'src2' AND tok_before < 800)
+        |   OR (source = 'src3' AND tok_before < 500)
+        |   OR (source = 'src4' AND tok_before < 200)
+        |ORDER BY doc_id""".stripMargin,
 
     "corpus_decontaminate" -> corpusDecontaminateOracle,
 

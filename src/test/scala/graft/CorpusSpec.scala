@@ -97,6 +97,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept.intersect(flagged).isEmpty)
   }
 
+  test("token budget: greedy fill binds, overshoots by at most one doc, partition-invariant") {
+    val docs = Tables.documents(spark, sfDir)
+    val budgets = Map("src2" -> 800L, "src3" -> 500L, "src4" -> 200L)
+    val out = Corpus.sampleToTokenBudget(docs, budgets).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).toSet === budgets.keySet, "only budgeted sources admitted")
+    budgets.foreach { case (src, b) =>
+      val rows = out.filter(_._2 == src)
+      val total = rows.map(_._3).sum
+      val last = rows.maxBy(_._4)
+      // budget binds (this corpus holds more tokens than any budget),
+      // the final doc is the only overshoot, every admitted doc started
+      // under the budget
+      assert(total >= b, s"$src under-filled: $total < $b")
+      assert(total - last._3 < b, s"$src admitted past the boundary doc")
+      assert(rows.forall(_._4 < b))
+    }
+    // deterministic under physical layout: same admitted set from a
+    // repartitioned input (the two-phase prefix sum owns the order)
+    val re = Corpus.sampleToTokenBudget(docs.repartition(7), budgets).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(re === out.sortBy(_._1))
+    // a budget beyond the source's total admits the whole source
+    val all = Corpus.sampleToTokenBudget(docs, Map("src5" -> 1000000L)).count()
+    assert(all === docs.filter(col("source") === "src5").count())
+  }
+
   test("span decontamination cuts bench windows only, never train-train overlap") {
     val docs = Seq(
       // bench: the passage that must not survive anywhere in train
