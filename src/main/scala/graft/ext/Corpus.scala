@@ -46,6 +46,38 @@ object Corpus {
           .otherwise(lit("test")))
   }
 
+  /** LEAKAGE-FREE grouped split — [[splitAssign]] with near-dup
+    * clusters as the assignment unit: every member of a dedup cluster
+    * lands in the SAME split, because hashing per-document lets two
+    * near-duplicates straddle train/test and leak the eval answer into
+    * training (the published split-leakage failure). The bucket hash is
+    * taken over the cluster id (its min member), so the assignment is
+    * exactly [[splitAssign]]'s for singleton documents and
+    * cluster-constant otherwise — document-stable under corpus growth
+    * for the same reason (a pure function of (salt, cluster), and a
+    * cluster's id only changes if an even-smaller near-dup of it
+    * arrives — the same reassignment a re-clustered corpus implies).
+    *
+    * @param clusters (doc_id, cluster_id) from
+    *        [[graft.ext.Dedup.clusterPairs]] — documents absent from it
+    *        are singletons (cluster_id = own doc_id). One broadcast-or-
+    *        shuffle equi-join; the hash/bucket arithmetic is per-row.
+    */
+  def splitAssignGrouped(docs: DataFrame, clusters: DataFrame,
+                         trainPct: Int = 80, valPct: Int = 10,
+                         salt: String = "split"): DataFrame = {
+    require(trainPct + valPct < 100, "test share must be positive")
+    val bucket = hashBucket(col("cluster_id"), salt, 100)
+    docs.join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Normalization + PII-style scrubbing: lowercase, mask email-shaped
     * tokens and digit runs, collapse whitespace. Pure codegen'd scalar
     * expressions that ride inside the scan's WholeStageCodegen span —

@@ -164,6 +164,27 @@ private[graft] object CorpusRegistry {
         tmp)
     }),
 
+    "corpus_split_grouped" -> ((s, d) => {
+      // LEAKAGE-FREE split (round 11): near-dup cluster members
+      // co-assign (the bucket hash is over the cluster id), so no
+      // near-duplicate pair can straddle train/test and leak eval
+      // content into training. Singletons get exactly corpus_split_
+      // assign's assignment. The in-query require pins the invariant
+      // the op exists for: zero clusters spanning two splits.
+      val docs = Tables.documents(s, d)
+      val out = ext.Corpus.splitAssignGrouped(docs,
+        Dedup.clusterPairs(Dedup.minhashLsh(docs, w = 5, numHashes = 8,
+          bandWidth = 2, threshold = 0.5)))
+        .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+      val straddlers = out.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).count()
+      require(straddlers == 0,
+        s"$straddlers near-dup clusters straddle splits — the leakage " +
+          "this operator exists to prevent")
+      out.orderBy("doc_id")
+    }),
+
     "corpus_token_budget" -> ((s, d) =>
       // token-budget mixture sampling (round 11): three sources admitted
       // in salted-hash order until each hits its TOKEN budget — the
@@ -287,6 +308,35 @@ private[graft] object CorpusRegistry {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the clusters CTE is dedup_clusters' oracle verbatim; the bucket
+    // arithmetic is corpus_split_assign's, taken over the cluster id.
+    "corpus_split_grouped" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT d1, d2 FROM ($minhashPairsCoreSql) p
+         |), edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION
+         |  SELECT d2, d1 FROM pairs
+         |), reach(node, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
+         |), cl AS (
+         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1
+         |), withc AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id)
+         |), bk AS (
+         |  SELECT doc_id, cluster_id,
+         |    CAST(CAST('0x' || substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket
+         |  FROM withc
+         |)
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM bk ORDER BY doc_id""".stripMargin,
+
     "corpus_split_assign" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -97,6 +97,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept.intersect(flagged).isEmpty)
   }
 
+  test("grouped split: clusters never straddle splits, singletons match splitAssign") {
+    val docs = Tables.documents(spark, sfDir)
+    val clusters = graft.ext.Dedup.clusterPairs(
+      graft.ext.Dedup.minhashLsh(docs, w = 5, numHashes = 8,
+        bandWidth = 2, threshold = 0.5))
+    val out = Corpus.splitAssignGrouped(docs, clusters)
+      .select("doc_id", "cluster_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // the leakage invariant: one split per cluster
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).toSet.size == 1, s"cluster $c straddles splits") }
+    // singleton docs (not in any cluster) get exactly splitAssign's label
+    val clustered = clusters.select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = Corpus.splitAssign(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val singles = out.filterNot(t => clustered(t._1))
+    assert(singles.nonEmpty)
+    singles.foreach { case (id, c, sp) =>
+      assert(c == id && sp == plain(id), s"singleton $id diverged") }
+    // a non-singleton cluster exists and co-assigns somewhere != the
+    // per-doc assignment of at least one member (the op changes
+    // something real on this corpus)
+    val multi = out.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "corpus has near-dup clusters at this threshold")
+  }
+
   test("token budget: greedy fill binds, overshoots by at most one doc, partition-invariant") {
     val docs = Tables.documents(spark, sfDir)
     val budgets = Map("src2" -> 800L, "src3" -> 500L, "src4" -> 200L)
