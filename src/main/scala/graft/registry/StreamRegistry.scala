@@ -510,6 +510,38 @@ private[graft] object StreamRegistry {
         tmp)
     }),
 
+    "stream_hist_maintain" -> ((s, d) => {
+      // LIVE histogram-state lifecycle (round 11): the drift baseline
+      // maintained BY A STREAM — the events feed staged as three files,
+      // one per micro-batch, each batch's fixed-width histogram folded
+      // into the width-stamped PointerSwap-promoted state. Additivity
+      // (build(A) ⊕ build(B) == build(A∪B)) makes the final state
+      // BIT-IDENTICAL to a single pass over the whole feed — the oracle
+      // is exactly that one-pass histogram, so one double-counted or
+      // dropped fold anywhere breaks the hash. Replay safety is the
+      // batch-id stamp (additive merge is NOT idempotent — the KMV
+      // argument does not transfer; StreamingSpec proves the no-op).
+      val tmp = TempDirs.create("graft-hist-maint-").toString
+      val src = s"$tmp/src"
+      val feed = Tables.loadEvents(s, d)
+      (0 until 3).foreach(i =>
+        feed.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src))
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.Streams.histMaintainPipeline(
+        s, sch, src, s"$tmp/state", s"$tmp/ck", "value", 25.0)
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
+      require(nBatches >= 2,
+        s"histogram maintenance folded $nBatches micro-batches — need >= 2 " +
+          "to prove incrementality, not a single-batch rebuild")
+      detachAndClean(
+        graft.operators.ScaleOps.readMaintained(s, s"$tmp/state",
+            graft.operators.ScaleOps.PointerSwap)
+          .select(col("bin"), col("n")).orderBy("bin"),
+        tmp)
+    }),
+
     "stream_sketch_maintain" -> ((s, d) => {
       // LIVE sketch-state lifecycle: the events feed staged as THREE
       // source files, streamed one file per micro-batch, each batch's
@@ -690,6 +722,13 @@ private[graft] object StreamRegistry {
     "stream_near_dedup" -> nearDedupAdmissionSql,
 
     "stream_near_dedup_restart" -> nearDedupAdmissionSql,
+
+    // batch-folded histogram state == the one-pass histogram of the
+    // whole feed (additivity), bin for bin.
+    "stream_hist_maintain" ->
+      """SELECT CAST(floor(value/25.0) AS BIGINT) AS bin, count(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "stream_sketch_maintain" ->
       // batch-folded state == one pass over the whole feed (the KMV

@@ -231,6 +231,63 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** LIVE histogram-state maintenance — the drift monitor's baseline
+    * kept current BY A STREAM: each micro-batch's fixed-width histogram
+    * folds into the persisted width-stamped state with
+    * [[graft.ext.Quality.histMerge]] (additive: build(A) ⊕ build(B) ==
+    * build(A ∪ B), so the final state is BIT-IDENTICAL to one pass over
+    * the whole feed), and each rewrite promotes through
+    * [[graft.operators.ScaleOps.PointerSwap]] — the crash-window-free
+    * shape [[sketchMaintainPipeline]] established.
+    *
+    * Replay safety differs from KMV in KIND: additive merge is NOT
+    * idempotent — a re-folded batch double-counts — so the
+    * exactly-once argument cannot ride on the algebra. Instead the
+    * state itself carries `last_batch_id`, making the fold
+    * insert-if-absent at BATCH granularity: a batch replayed after a
+    * crash between pointer swap and checkpoint commit finds its own id
+    * already stamped and skips; a batch replayed after a crash BEFORE
+    * the swap sees the predecessor state (its partial staging is
+    * overwritten) and folds normally. AvailableNow's sequential batch
+    * ids make `max(last_batch_id) >= batchId` exactly the
+    * already-folded predicate.
+    */
+  def histMaintainPipeline(spark: SparkSession, schema: StructType,
+                           srcDir: String, stateDir: String,
+                           checkpointDir: String, valueCol: String,
+                           binWidth: Double,
+                           maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.ScaleOps
+        val s = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val b = graft.ext.Quality.histBuild(batch.toDF(), valueCol, binWidth)
+        val (merged, alreadyFolded) =
+          if (fs.exists(root)) {
+            val st = ScaleOps.readMaintained(s, stateDir, ScaleOps.PointerSwap)
+            val lastRow = st.agg(max(col("last_batch_id"))).collect()(0)
+            val folded = !lastRow.isNullAt(0) && lastRow.getLong(0) >= batchId
+            (graft.ext.Quality.histMerge(binWidth,
+              st.select(col("bin"), col("n"), col("bin_width")), b), folded)
+          } else (b, false)
+        if (!alreadyFolded) {
+          val staged = s"$stateDir.stage-$batchId"
+          merged.select(col("bin"), col("n"))
+            .withColumn("bin_width", lit(binWidth))
+            .withColumn("last_batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(staged)
+          ScaleOps.PointerSwap.promote(fs, root,
+            new org.apache.hadoop.fs.Path(staged))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING NEAR-DUP admission — the near-duplicate leg of the live
     * corpus front door ([[corpusCleanPipeline]] carries only ID-level
     * delivery dedup; this admits on CONTENT): each micro-batch runs

@@ -193,6 +193,36 @@ class StreamingSpec extends AnyFunSuite {
       s"exactly the clean quality-passing doc, once: $got")
   }
 
+  test("hist-maintain: additive state survives restart; replayed folds are batch-id no-ops") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hm").toString
+    val src = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    def write(vals: Double*) =
+      vals.toDF("v").coalesce(1).write.mode("append").parquet(src)
+    write(1.0, 26.0, 27.0)
+    write(26.5, 51.0)
+    val schema = Seq(0.0).toDF("v").schema
+    def readState() = graft.operators.ScaleOps.readMaintained(
+        spark, state, graft.operators.ScaleOps.PointerSwap)
+      .select(col("bin"), col("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Streams.histMaintainPipeline(spark, schema, src, state, ckpt, "v", 25.0)
+      .awaitTermination()
+    assert(readState() === Map(0L -> 1L, 1L -> 3L, 2L -> 1L))
+    // restart on a grown source: only the NEW file folds
+    write(2.0, 52.0)
+    Streams.histMaintainPipeline(spark, schema, src, state, ckpt, "v", 25.0)
+      .awaitTermination()
+    val afterGrow = readState()
+    assert(afterGrow === Map(0L -> 2L, 1L -> 3L, 2L -> 2L))
+    // additive merge is NOT idempotent, so replay safety rides on the
+    // batch-id stamp: re-delivering the whole feed (fresh checkpoint,
+    // batch ids restart at 0 <= last folded id) must be a no-op, not a
+    // double count
+    Streams.histMaintainPipeline(spark, schema, src, state, s"$base/ck2",
+      "v", 25.0).awaitTermination()
+    assert(readState() === afterGrow, "replayed folds double-counted")
+  }
+
   test("sketch-maintain: state survives restart and batch replay is a merge no-op") {
     val base = java.nio.file.Files.createTempDirectory("graft_skm").toString
     val src = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
