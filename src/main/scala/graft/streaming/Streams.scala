@@ -251,6 +251,16 @@ object Streams {
     * overwritten) and folds normally. AvailableNow's sequential batch
     * ids make `max(last_batch_id) >= batchId` exactly the
     * already-folded predicate.
+    *
+    * Contract: a state dir is bound to ONE checkpoint lineage. Growing
+    * the source and re-running on the SAME checkpoint folds exactly
+    * the new files (ids keep ascending); pointing a FRESH checkpoint
+    * at existing state re-delivers everything with ids restarting at
+    * 0, which the stamp correctly treats as replay (a no-op — the
+    * StreamingSpec double-count test) — it is NOT a way to fold new
+    * data. The same binding every Structured Streaming stateful
+    * operator has; it is just visible here because the state outlives
+    * the query.
     */
   def histMaintainPipeline(spark: SparkSession, schema: StructType,
                            srcDir: String, stateDir: String,
