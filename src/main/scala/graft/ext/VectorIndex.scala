@@ -233,16 +233,33 @@ object VectorIndex {
     * high-recall path. Output: (qid, rank, cid).
     */
   def searchFlat(spark: SparkSession, dir: String, queries: DataFrame,
-                 k: Int, nprobe: Int = 4): DataFrame = {
+                 k: Int, nprobe: Int = 4): DataFrame =
+    searchFlatCore(spark, dir, queries, k, nprobe, allowed = None)
+
+  /** Shared flat-search pipeline: validated cell table, query probes,
+    * optional candidate-side id restriction, exact-cosine top-k. The
+    * filtered and unfiltered reads MUST stay one code path — the
+    * spec-proven "identity filter == searchFlat" equivalence is this
+    * delegation, not a coincidence of two copies.
+    */
+  private def searchFlatCore(spark: SparkSession, dir: String,
+                             queries: DataFrame, k: Int, nprobe: Int,
+                             allowed: Option[DataFrame]): DataFrame = {
     val (cent, l) = centroidsOf(spark, dir)
     val cells = spark.read.parquet(s"$dir/cells")
     requireSameLayout(l, layoutOf(cells, "index cell table"), "index cell table")
     val probes = Similarity.probeCells(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
       cent.select(col("cell"), col("centroid")), nprobe)
+    val cand0 = cells.select(col("cell"),
+      col("vec_id").as("cid"), col("embedding").as("ce"))
+    // filter the CELL side before the probe join: disallowed vectors
+    // never reach the scoring join at all
+    val cand = allowed.fold(cand0)(a => cand0.join(
+      a.select(col(a.columns.head).cast("long").as("cid")).distinct(),
+      Seq("cid"), "left_semi"))
     Similarity.rankTopK(
-      probes.join(cells.select(col("cell"),
-          col("vec_id").as("cid"), col("embedding").as("ce")), Seq("cell"))
+      probes.join(cand, Seq("cell"))
         .filter(col("qid") =!= col("cid"))
         .select(col("qid"), col("qe"), col("cid"), col("ce")),
       k)
@@ -266,26 +283,8 @@ object VectorIndex {
     */
   def searchFlatFiltered(spark: SparkSession, dir: String,
                          queries: DataFrame, allowed: DataFrame,
-                         k: Int, nprobe: Int = 4): DataFrame = {
-    val (cent, l) = centroidsOf(spark, dir)
-    val cells = spark.read.parquet(s"$dir/cells")
-    requireSameLayout(l, layoutOf(cells, "index cell table"), "index cell table")
-    val allowedIds = allowed
-      .select(col(allowed.columns.head).cast("long").as("cid")).distinct()
-    val probes = Similarity.probeCells(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
-      cent.select(col("cell"), col("centroid")), nprobe)
-    // filter the CELL side before the probe join: disallowed vectors
-    // never reach the scoring join at all
-    val allowedCells = cells
-      .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
-      .join(allowedIds, Seq("cid"), "left_semi")
-    Similarity.rankTopK(
-      probes.join(allowedCells, Seq("cell"))
-        .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("qe"), col("cid"), col("ce")),
-      k)
-  }
+                         k: Int, nprobe: Int = 4): DataFrame =
+    searchFlatCore(spark, dir, queries, k, nprobe, Some(allowed))
 
   /** ADC search of the persisted index: probe the frozen centroids,
     * score ONLY the probed cells' PQ codes (partition pruning on the

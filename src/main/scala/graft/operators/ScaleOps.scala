@@ -293,11 +293,29 @@ object ScaleOps {
         } finally in.close()
       }
     }
+    private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path): Seq[Int] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v-\\d+"))
+        .map(_.getPath.getName.stripPrefix("v-").toInt)
     def resolve(fs: org.apache.hadoop.fs.FileSystem,
                 dir: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
       currentVersion(fs, dir) match {
         case Some(v) => new org.apache.hadoop.fs.Path(dir, s"v-$v")
-        case None => dir // plain layout, pre-migration
+        case None =>
+          // pointerless root holding version dirs = a FIRST promotion
+          // that crashed after landing its version but before the
+          // pointer write. Every landed version is complete (versions
+          // are immutable once renamed in), so the newest one is the
+          // live table — resolving it un-wedges the replayed batch
+          // instead of failing 'Unable to infer schema' forever on the
+          // bare root.
+          versionDirs(fs, dir) match {
+            case vs if vs.nonEmpty =>
+              new org.apache.hadoop.fs.Path(dir, s"v-${vs.max}")
+            case _ => dir // plain layout, pre-migration
+          }
       }
     def promote(fs: org.apache.hadoop.fs.FileSystem,
                 dir: org.apache.hadoop.fs.Path,
@@ -310,17 +328,30 @@ object ScaleOps {
         // naive read of the root would see stale duplicates.
         // list BEFORE creating v-0, and compare by name (listStatus
         // returns fully-qualified paths, so Path equality would miss and
-        // v-0 would be moved into itself).
+        // v-0 would be moved into itself). Version dirs and pointer temp
+        // files are NOT plain data: after a first promotion crashed
+        // between landing its version and writing the pointer, the root
+        // holds only v-* dirs — migrating those into v-0 would nest
+        // versions inside a version.
         val plain = fs.listStatus(dir).toSeq
-          .filterNot(_.getPath.getName == "v-0")
-        val v0 = new Path(dir, "v-0")
-        fs.mkdirs(v0)
-        plain.foreach { s =>
-          if (!fs.rename(s.getPath, new Path(v0, s.getPath.getName)))
-            sys.error(s"promote: cannot migrate ${s.getPath} into $v0")
+          .filterNot(s => s.getPath.getName.matches("v-\\d+") ||
+            s.getPath.getName == Pointer ||
+            s.getPath.getName.startsWith(s".$Pointer"))
+        if (plain.nonEmpty) {
+          val v0 = new Path(dir, "v-0")
+          fs.mkdirs(v0)
+          plain.foreach { s =>
+            if (!fs.rename(s.getPath, new Path(v0, s.getPath.getName)))
+              sys.error(s"promote: cannot migrate ${s.getPath} into $v0")
+          }
         }
       }
-      val next = cur.getOrElse(0) + 1
+      // land past every existing version: after a crashed pointerless
+      // first promotion, resolve() serves the highest landed version to
+      // readers — re-landing ON it would pull a complete version out
+      // from under them, so the recovery promotion takes the next slot.
+      val next = math.max(cur.getOrElse(0),
+        versionDirs(fs, dir).foldLeft(0)(math.max)) + 1
       val target = new Path(dir, s"v-$next")
       if (fs.exists(target)) fs.delete(target, true) // crashed prior attempt
       fs.mkdirs(dir)

@@ -120,26 +120,21 @@ private[graft] object CorpusRegistry {
       val docs = Tables.documents(s, d)
       val bench = Seq("src0", "src1")
       val train = docs.filter(!col("source").isin(bench: _*))
-      val gated = train.join(
-        ext.TextAnalysis.qualityScore(train)
-          .filter(col("n_tokens") >= 5 && col("n_stopwords") >= 1 &&
-            col("n_distinct_tokens") * 4 >= col("n_tokens"))
-          .select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
+      // the canonical gate — the SAME projection predicate the streaming
+      // front door applies (one definition, no threshold drift)
+      val gated = ext.TextAnalysis.qualityGateDocs(train)
       val t0 = gated.filter(col("doc_id") % 2 === 0)
       val delta = gated.filter(col("doc_id") % 2 =!= 0)
       val tmp = TempDirs.create("graft-increl-").toString
       val stateDir = s"$tmp/bands"
       val seenDir = s"$tmp/seen"
-      // phase A — prior release + state build
+      // phase A — prior release + state build, via the SAME one-call
+      // admission transaction phase B uses (missing state dir → created
+      // from the admitted docs' bands; nothing re-shingled)
       val emptySeen = t0.limit(0).select(md5(col("text")).as("content_hash"))
       val exactA = Dedup.incrementalExact(t0, emptySeen).drop("content_hash")
-      val releasedA = Dedup.incrementalNearDup(exactA,
-        Dedup.bandTable(t0.limit(0), w = 5, numHashes = 8, bandWidth = 2),
+      val releasedA = Dedup.admitAndMaintainState(s, exactA, stateDir,
         w = 5, numHashes = 8, bandWidth = 2)
-      Dedup.writeBandState(
-        Dedup.bandTable(releasedA, w = 5, numHashes = 8, bandWidth = 2),
-        stateDir, mode = "errorifexists")
       t0.select(md5(col("text")).as("content_hash")).distinct()
         .write.parquet(seenDir)
       // phase B — delta admission against state only

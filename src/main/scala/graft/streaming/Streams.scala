@@ -252,15 +252,19 @@ object Streams {
     * ids make `max(last_batch_id) >= batchId` exactly the
     * already-folded predicate.
     *
-    * Contract: a state dir is bound to ONE checkpoint lineage. Growing
-    * the source and re-running on the SAME checkpoint folds exactly
-    * the new files (ids keep ascending); pointing a FRESH checkpoint
-    * at existing state re-delivers everything with ids restarting at
-    * 0, which the stamp correctly treats as replay (a no-op — the
-    * StreamingSpec double-count test) — it is NOT a way to fold new
-    * data. The same binding every Structured Streaming stateful
-    * operator has; it is just visible here because the state outlives
-    * the query.
+    * Contract: a state dir this pipeline maintains is bound to ONE
+    * checkpoint lineage, and the state carries that lineage explicitly.
+    * Growing the source and re-running on the SAME checkpoint folds
+    * exactly the new files (ids keep ascending). Pointing a FRESH
+    * checkpoint at stream-maintained state REFUSES loudly: batch ids
+    * restart at 0, so the stamp alone cannot distinguish re-delivered
+    * old files from genuinely new ones (whichever file sequences past
+    * the old max id would silently double-fold) — the same binding
+    * every Structured Streaming stateful operator has, surfaced as an
+    * error because this state outlives the query. A BATCH-written
+    * baseline ([[graft.ext.Quality.histWrite]] — no stamp, no lineage)
+    * attaches cleanly: the first fold adopts it under the new stream's
+    * lineage, the day-0 handoff a drift monitor actually performs.
     */
   def histMaintainPipeline(spark: SparkSession, schema: StructType,
                            srcDir: String, stateDir: String,
@@ -276,12 +280,32 @@ object Streams {
         val s = batch.sparkSession
         val root = new org.apache.hadoop.fs.Path(stateDir)
         val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val lin = java.security.MessageDigest.getInstance("MD5")
+          .digest(checkpointDir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
         val b = graft.ext.Quality.histBuild(batch.toDF(), valueCol, binWidth)
         val (merged, alreadyFolded) =
           if (fs.exists(root)) {
             val st = ScaleOps.readMaintained(s, stateDir, ScaleOps.PointerSwap)
-            val lastRow = st.agg(max(col("last_batch_id"))).collect()(0)
-            val folded = !lastRow.isNullAt(0) && lastRow.getLong(0) >= batchId
+            // a state this pipeline maintains is BOUND to its checkpoint:
+            // additive folds cannot distinguish a fresh checkpoint's
+            // re-delivery from new data (batch ids restart at 0), so a
+            // foreign lineage refuses loudly instead of silently
+            // skipping or double-counting
+            if (st.columns.contains("lineage")) {
+              val r = st.agg(max(col("lineage"))).collect()(0)
+              require(r.isNullAt(0) || r.getString(0) == lin,
+                s"histMaintain: state $stateDir is bound to a different " +
+                  "checkpoint lineage — fold new data through the ORIGINAL " +
+                  "checkpoint, or rebuild the state from the retained corpus")
+            }
+            // a BATCH-written baseline (Quality.histWrite: bin/n/bin_width
+            // only) attaches here: no stamp ⇒ nothing folded yet, and this
+            // stream adopts it under its own lineage
+            val folded = st.columns.contains("last_batch_id") && {
+              val r = st.agg(max(col("last_batch_id"))).collect()(0)
+              !r.isNullAt(0) && r.getLong(0) >= batchId
+            }
             (graft.ext.Quality.histMerge(binWidth,
               st.select(col("bin"), col("n"), col("bin_width")), b), folded)
           } else (b, false)
@@ -290,6 +314,7 @@ object Streams {
           merged.select(col("bin"), col("n"))
             .withColumn("bin_width", lit(binWidth))
             .withColumn("last_batch_id", lit(batchId))
+            .withColumn("lineage", lit(lin))
             .write.mode("overwrite").parquet(staged)
           ScaleOps.PointerSwap.promote(fs, root,
             new org.apache.hadoop.fs.Path(staged))

@@ -296,6 +296,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ScaleOps.readMaintained(spark, dir, ScaleOps.PointerSwap).count() === rows)
   }
 
+  test("pointer promotion: a crashed pointerless first promotion recovers, never nests versions") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_ptr_crash").toString + "/t"
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a FIRST promotion that crashed after landing its version
+    // but before the pointer write: the root holds only v-1, no
+    // `current`
+    val df = Tables.region(spark, sfDir)
+    df.write.parquet(s"$dir/v-1")
+    val rows = df.count()
+    // a reader resolves the highest landed version instead of failing
+    // 'Unable to infer schema' on the bare root forever
+    assert(ScaleOps.readMaintained(spark, dir, ScaleOps.PointerSwap)
+      .count() === rows)
+    // the recovery promotion must NOT treat v-1 as plain data (nesting
+    // it inside v-0) and must land PAST it, since readers may be
+    // resolving it right now
+    val staged = new Path(s"$dir.staged")
+    df.limit(3).write.parquet(staged.toString)
+    ScaleOps.PointerSwap.promote(fs, root, staged)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(names === Set("current", "v-1", "v-2"), s"got $names")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "current")), "UTF-8").trim === "v-2")
+    assert(ScaleOps.readMaintained(spark, dir, ScaleOps.PointerSwap)
+      .count() === 3)
+  }
+
   test("maintenance passes chain through the pointer: retention reads/writes the live version") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_ptr_q").toString + "/t"
     Tables.orders(spark, sfDir).repartition(4).write.parquet(dir)

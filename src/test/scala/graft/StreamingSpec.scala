@@ -214,13 +214,37 @@ class StreamingSpec extends AnyFunSuite {
       .awaitTermination()
     val afterGrow = readState()
     assert(afterGrow === Map(0L -> 2L, 1L -> 3L, 2L -> 2L))
-    // additive merge is NOT idempotent, so replay safety rides on the
-    // batch-id stamp: re-delivering the whole feed (fresh checkpoint,
-    // batch ids restart at 0 <= last folded id) must be a no-op, not a
-    // double count
-    Streams.histMaintainPipeline(spark, schema, src, state, s"$base/ck2",
-      "v", 25.0).awaitTermination()
-    assert(readState() === afterGrow, "replayed folds double-counted")
+    // additive merge is NOT idempotent and batch ids restart at 0 under
+    // a fresh checkpoint, so a foreign checkpoint lineage REFUSES loudly
+    // instead of silently skipping (or double-folding whichever file
+    // sequences past the old max id)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.histMaintainPipeline(spark, schema, src, state, s"$base/ck2",
+        "v", 25.0).awaitTermination()
+    }
+    assert(err.getMessage.contains("different checkpoint lineage") ||
+      Option(err.getCause).exists(_.getMessage.contains("different checkpoint lineage")))
+    assert(readState() === afterGrow, "refused run must leave state untouched")
+  }
+
+  test("hist-maintain: a batch-written baseline attaches and the stream folds onto it") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hmb").toString
+    val src = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    // day-0 handoff: the baseline persisted by the BATCH drift API
+    // (bin/n/bin_width only — no stamp, no lineage)
+    graft.ext.Quality.histWrite(
+      graft.ext.Quality.histBuild(Seq(1.0, 26.0).toDF("v"), "v", 25.0),
+      state, binWidth = 25.0)
+    Seq(27.0, 51.0).toDF("v").coalesce(1).write.mode("append").parquet(src)
+    val schema = Seq(0.0).toDF("v").schema
+    Streams.histMaintainPipeline(spark, schema, src, state, ckpt, "v", 25.0)
+      .awaitTermination()
+    val got = graft.operators.ScaleOps.readMaintained(
+        spark, state, graft.operators.ScaleOps.PointerSwap)
+      .select(col("bin"), col("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 2L, 2L -> 1L),
+      "stream fold must land ON TOP of the batch baseline")
   }
 
   test("sketch-maintain: state survives restart and batch replay is a merge no-op") {
