@@ -310,7 +310,8 @@ object VectorIndex {
                                     cells: DataFrame, layout: Layout)
 
   private def adcSetup(spark: SparkSession, dir: String, queries: DataFrame,
-                       nprobe: Int): AdcSetup = {
+                       nprobe: Int,
+                       allowed: Option[DataFrame] = None): AdcSetup = {
     val (cent, l) = centroidsOf(spark, dir)
     val cw = spark.read.parquet(s"$dir/codebooks")
     requireSameLayout(l, layoutOf(cw, "index codebook table"),
@@ -327,10 +328,16 @@ object VectorIndex {
     // candidate ids from the bucketed cells table (column pruning keeps
     // the raw vectors unread; the join on the partition column prunes to
     // probed cells) — one row per candidate, vs m rows in codes.
-    val cands = probes
+    val cands0 = probes
       .join(cells.select(col("cell"), col("vec_id").as("cid")), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), col("cell"))
+    // metadata filter applied at CANDIDATE level, before any ADC work:
+    // the shortlist is cut over allowed vectors only (pre-filter
+    // semantics — a post-filtered shortlist could starve the re-rank)
+    val cands = allowed.fold(cands0)(a => cands0.join(
+      a.select(col(a.columns.head).cast("long").as("cid")).distinct(),
+      Seq("cid"), "left_semi"))
     // restrict the CODES scan to probed cells the same way (broadcast
     // semi-join on the partition column → dynamic partition pruning):
     // adcRank's join on cid would drop unprobed cells' codes anyway,
@@ -359,11 +366,32 @@ object VectorIndex {
     * oracle-checkable. Output: (qid, rank, cid).
     */
   def searchRefined(spark: SparkSession, dir: String, queries: DataFrame,
-                    k: Int, shortlist: Int = 20, nprobe: Int = 4): DataFrame = {
+                    k: Int, shortlist: Int = 20, nprobe: Int = 4): DataFrame =
+    searchRefinedCore(spark, dir, queries, k, shortlist, nprobe, None)
+
+  /** [[searchRefined]] with a metadata predicate — the filtered form of
+    * the production compressed read path: the allowed-id set restricts
+    * the candidate list BEFORE the ADC estimate, so the shortlist is
+    * cut over allowed vectors only and the exact re-rank never reads a
+    * disallowed raw vector. Same pre-filter semantics (top-k among
+    * allowed) and the same recall/nprobe trade as
+    * [[searchFlatFiltered]]; with `allowed` = the whole corpus this is
+    * exactly [[searchRefined]] (one code path, spec-proven).
+    */
+  def searchRefinedFiltered(spark: SparkSession, dir: String,
+                            queries: DataFrame, allowed: DataFrame,
+                            k: Int, shortlist: Int = 20,
+                            nprobe: Int = 4): DataFrame =
+    searchRefinedCore(spark, dir, queries, k, shortlist, nprobe, Some(allowed))
+
+  private def searchRefinedCore(spark: SparkSession, dir: String,
+                                queries: DataFrame, k: Int, shortlist: Int,
+                                nprobe: Int,
+                                allowed: Option[DataFrame]): DataFrame = {
     require(shortlist >= k,
       s"searchRefined: shortlist ($shortlist) must be >= k ($k) — " +
         "the re-rank can only return rows the ADC stage shortlisted")
-    val s = adcSetup(spark, dir, queries, nprobe)
+    val s = adcSetup(spark, dir, queries, nprobe, allowed)
     val short = Similarity.adcRank(s.cands, s.prunedCodes, s.lut,
       s.layout.m, shortlist) // (qid, rank, cid, cell)
     val reread = broadcast(short.select(col("qid"), col("cid"), col("cell")))

@@ -285,6 +285,29 @@ private[graft] object SimilarityRegistry {
         tmp)
     }),
 
+    "sim_index_refined_filtered" -> ((s, d) => {
+      // the FILTERED compressed read path (round 11): metadata predicate
+      // applied at candidate level BEFORE the ADC estimate — the
+      // shortlist is cut over allowed (English) vectors only and the
+      // exact re-rank never reads a disallowed raw vector. Same frozen
+      // quantizers, same two-stage tie-breaks as
+      // sim_index_search_refined; the oracle adds exactly the candidate
+      // restriction.
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val allowed = Tables.documents(s, d)
+        .filter(col("lang") === "en").select(col("doc_id"))
+      val tmp = TempDirs.create("graft-vreffilter-").toString
+      val dir = s"$tmp/index"
+      ext.VectorIndex.build(emb, dir)
+      detachAndClean(
+        ext.VectorIndex.searchRefinedFiltered(s, dir, queries, allowed,
+            k = 5, shortlist = 10)
+          .select(col("qid"), col("rank").cast("int").as("rnk"), col("cid"))
+          .orderBy("qid", "rnk"),
+        tmp)
+    }),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.payloadStats(Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -369,6 +392,83 @@ private[graft] object SimilarityRegistry {
         tmp)
     }),
   )
+
+  /** sim_index_search_refined's two-stage unroll: ADC estimate ranking
+    * cut at the shortlist boundary (est DESC, cid ASC), then exact
+    * cosine over ONLY the shortlisted (qid, cid) pairs, cut at k (sim
+    * DESC, cid ASC) — same frozen quantizers as the index build
+    * (first-16 by vec_id over the full corpus). `candFilterSql` is
+    * injected into the candidate subquery (empty = unfiltered) — the
+    * filtered read path differs from the plain one by exactly that
+    * clause, in the oracle as in the engine.
+    */
+  private def refinedOracle(candFilterSql: String): String = {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+         |  ORDER BY vec_id LIMIT 16
+         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |base AS (
+         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), cw AS (
+         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
+         |  FROM base b CROSS JOIN subs s
+         |), qp AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+         |  ) WHERE crn <= 4
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, c.sub, c.code,
+         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
+         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
+         |), ca AS (
+         |  SELECT cid, ce, cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cent c
+         |  ) WHERE crn <= 1
+         |), enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT v.cid, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.cid, v.sub
+         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
+         |                 c.code ASC) AS rn
+         |    FROM (SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
+         |          FROM embeddings e CROSS JOIN subs s) v
+         |    JOIN cw c ON c.sub = v.sub)
+         |  WHERE rn = 1
+         |), shortlist AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS srn
+         |    FROM (
+         |      SELECT n.qid, n.cid,
+         |        MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
+         |        + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
+         |      FROM (SELECT q.qid, a.cid FROM qp q
+         |            JOIN ca a ON a.cell = q.cell AND a.cid != q.qid$candFilterSql) n
+         |      JOIN enc e ON e.cid = n.cid
+         |      JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
+         |      GROUP BY 1, 2)
+         |  ) WHERE srn <= 10
+         |), rr AS (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |  FROM (SELECT s.qid, s.cid, ${cosineSql("q.embedding", "e.embedding")} AS sim
+         |        FROM shortlist s
+         |        JOIN embeddings q ON q.vec_id = s.qid
+         |        JOIN embeddings e ON e.vec_id = s.cid)
+         |)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM rr WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" -> bruteTop10OracleSql,
@@ -887,78 +987,12 @@ private[graft] object SimilarityRegistry {
          |ORDER BY phase, qid, rnk""".stripMargin
     },
 
-    "sim_index_search_refined" -> {
-      // two-stage read path unrolled: ADC estimate ranking cut at the
-      // shortlist boundary (est DESC, cid ASC), then exact cosine over
-      // ONLY the shortlisted (qid, cid) pairs, cut at k (sim DESC, cid
-      // ASC) — same frozen quantizers as the index build (first-16 by
-      // vec_id over the full corpus).
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
-      def sl(e: String, sub: String) = s"$e[($sub*16+1):($sub*16+16)]"
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-         |  ORDER BY vec_id LIMIT 16
-         |), subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
-         |base AS (
-         |  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-         |  FROM embeddings ORDER BY vec_id LIMIT 16
-         |), cw AS (
-         |  SELECT s.sub, b.code, ${sl("b.embedding", "s.sub")} AS codeword
-         |  FROM base b CROSS JOIN subs s
-         |), qp AS (
-         |  SELECT qid, qe, cell FROM (
-         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
-         |  ) WHERE crn <= 4
-         |), lut AS (
-         |  SELECT q.vec_id AS qid, c.sub, c.code,
-         |    ${dot(sl("q.embedding", "c.sub"), "c.codeword")} AS pdot
-         |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5
-         |), ca AS (
-         |  SELECT cid, ce, cell FROM (
-         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c
-         |  ) WHERE crn <= 1
-         |), enc AS (
-         |  SELECT cid, sub, code FROM (
-         |    SELECT v.cid, v.sub, c.code,
-         |      row_number() OVER (PARTITION BY v.cid, v.sub
-         |        ORDER BY ${dot("v.sv", "v.sv")} - 2*${dot("v.sv", "c.codeword")} + ${dot("c.codeword", "c.codeword")} ASC,
-         |                 c.code ASC) AS rn
-         |    FROM (SELECT e.vec_id AS cid, s.sub, ${sl("e.embedding", "s.sub")} AS sv
-         |          FROM embeddings e CROSS JOIN subs s) v
-         |    JOIN cw c ON c.sub = v.sub)
-         |  WHERE rn = 1
-         |), shortlist AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT qid, cid,
-         |           row_number() OVER (PARTITION BY qid ORDER BY est DESC, cid ASC) AS srn
-         |    FROM (
-         |      SELECT n.qid, n.cid,
-         |        MAX(CASE WHEN e.sub = 0 THEN pdot END) + MAX(CASE WHEN e.sub = 1 THEN pdot END)
-         |        + MAX(CASE WHEN e.sub = 2 THEN pdot END) + MAX(CASE WHEN e.sub = 3 THEN pdot END) AS est
-         |      FROM (SELECT q.qid, a.cid FROM qp q
-         |            JOIN ca a ON a.cell = q.cell AND a.cid != q.qid) n
-         |      JOIN enc e ON e.cid = n.cid
-         |      JOIN lut l ON l.qid = n.qid AND l.sub = e.sub AND l.code = e.code
-         |      GROUP BY 1, 2)
-         |  ) WHERE srn <= 10
-         |), rr AS (
-         |  SELECT qid, cid,
-         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-         |  FROM (SELECT s.qid, s.cid, ${cosineSql("q.embedding", "e.embedding")} AS sim
-         |        FROM shortlist s
-         |        JOIN embeddings q ON q.vec_id = s.qid
-         |        JOIN embeddings e ON e.vec_id = s.cid)
-         |)
-         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM rr WHERE rnk <= 5
-         |ORDER BY qid, rnk""".stripMargin
-    },
+    "sim_index_search_refined" -> refinedOracle(""),
+
+    // the same two-stage unroll with the candidate set restricted to
+    // the language predicate — filtered-ANN semantics at the ADC stage.
+    "sim_index_refined_filtered" -> refinedOracle(
+      " AND a.cid IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
 
     "sim_topk_pq" -> {
       // identical PQ pipeline: sampled codebooks (first-16 subvector

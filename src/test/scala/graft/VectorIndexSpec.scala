@@ -60,6 +60,17 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(rows(VectorIndex.searchFlatFiltered(spark, dir, queries,
         emb.select(col("vec_id")), k = 5)) ===
       rows(VectorIndex.searchFlat(spark, dir, queries, k = 5)))
+    // the COMPRESSED filtered path: only allowed ids; with a shortlist
+    // covering every candidate the exact re-rank makes it equal the
+    // filtered flat search; an all-pass filter reduces to searchRefined
+    val refF = rows(VectorIndex.searchRefinedFiltered(spark, dir, queries,
+      allowed, k = 5, shortlist = 10000, nprobe = 4))
+    assert(refF.nonEmpty && refF.forall(t => allowedSet(t._3)))
+    assert(refF === gotRows,
+      "all-candidate shortlist re-rank must equal filtered flat search")
+    assert(rows(VectorIndex.searchRefinedFiltered(spark, dir, queries,
+        emb.select(col("vec_id")), k = 5)) ===
+      rows(VectorIndex.searchRefined(spark, dir, queries, k = 5)))
   }
 
   test("append against frozen quantizers: searches see the delta, quantizers untouched") {
