@@ -299,6 +299,16 @@ object ScaleOps {
       else fs.listStatus(dir).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.matches("v-\\d+"))
         .map(_.getPath.getName.stripPrefix("v-").toInt)
+    /** Root entries that are neither version dirs, the pointer, its temp
+      * files, nor filesystem sidecars (leading dot) — i.e. plain-layout
+      * DATA that a migration moves into v-0.
+      */
+    private def plainEntries(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path) =
+      fs.listStatus(dir).toSeq
+        .filterNot(s => s.getPath.getName.matches("v-\\d+") ||
+          s.getPath.getName == Pointer ||
+          s.getPath.getName.startsWith("."))
     def resolve(fs: org.apache.hadoop.fs.FileSystem,
                 dir: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
       currentVersion(fs, dir) match {
@@ -306,13 +316,22 @@ object ScaleOps {
         case None =>
           // pointerless root holding version dirs = a FIRST promotion
           // that crashed after landing its version but before the
-          // pointer write. Every landed version is complete (versions
-          // are immutable once renamed in), so the newest one is the
-          // live table — resolving it un-wedges the replayed batch
-          // instead of failing 'Unable to infer schema' forever on the
-          // bare root.
+          // pointer write. A version landed by the single staged-dir
+          // RENAME is complete, so the newest one is the live table —
+          // resolving it un-wedges the replayed batch instead of
+          // failing 'Unable to infer schema' forever on the bare root.
+          // That argument does NOT hold for a v-0 built file-by-file by
+          // a crashed MIGRATION: plain data still at the root alongside
+          // version dirs means v-0 is partial, and serving it would be
+          // silent row loss — fail loudly instead (re-running promote
+          // completes the migration and repairs the root).
           versionDirs(fs, dir) match {
             case vs if vs.nonEmpty =>
+              if (plainEntries(fs, dir).nonEmpty)
+                sys.error(s"PointerSwap.resolve: $dir holds both plain " +
+                  "data and version dirs — a migration crashed midway; " +
+                  "re-run the maintenance pass (promote) to complete it " +
+                  "before reading")
               new org.apache.hadoop.fs.Path(dir, s"v-${vs.max}")
             case _ => dir // plain layout, pre-migration
           }
@@ -332,11 +351,10 @@ object ScaleOps {
         // files are NOT plain data: after a first promotion crashed
         // between landing its version and writing the pointer, the root
         // holds only v-* dirs — migrating those into v-0 would nest
-        // versions inside a version.
-        val plain = fs.listStatus(dir).toSeq
-          .filterNot(s => s.getPath.getName.matches("v-\\d+") ||
-            s.getPath.getName == Pointer ||
-            s.getPath.getName.startsWith(s".$Pointer"))
+        // versions inside a version. (A crashed MIGRATION — plain data
+        // AND version dirs — resumes here: the remaining plain files
+        // join v-0, completing the move resolve() refuses to read.)
+        val plain = plainEntries(fs, dir)
         if (plain.nonEmpty) {
           val v0 = new Path(dir, "v-0")
           fs.mkdirs(v0)
@@ -346,14 +364,18 @@ object ScaleOps {
           }
         }
       }
-      // land past every existing version: after a crashed pointerless
-      // first promotion, resolve() serves the highest landed version to
-      // readers — re-landing ON it would pull a complete version out
-      // from under them, so the recovery promotion takes the next slot.
-      val next = math.max(cur.getOrElse(0),
-        versionDirs(fs, dir).foldLeft(0)(math.max)) + 1
+      // what readers may be scanning RIGHT NOW: the pointer's target, or
+      // (pointerless crash recovery) the highest landed version resolve()
+      // serves. This — not next-1 — is the version the prune must spare.
+      val vds = versionDirs(fs, dir)
+      val prevLive = cur.orElse(vds.reduceOption(math.max))
+      // land past EVERY existing version (an orphan from a crashed
+      // promote can sit above prevLive): re-landing ON an existing slot
+      // would pull a complete version out from under a mid-scan reader,
+      // so recovery promotions take the next free slot instead (stale
+      // never-pointer-visible orphans are swept by the prune below).
+      val next = math.max(prevLive.getOrElse(0), vds.foldLeft(0)(math.max)) + 1
       val target = new Path(dir, s"v-$next")
-      if (fs.exists(target)) fs.delete(target, true) // crashed prior attempt
       fs.mkdirs(dir)
       if (!fs.rename(staged, target))
         sys.error(s"promote: cannot land $staged as $target")
@@ -364,11 +386,14 @@ object ScaleOps {
       org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, fs.getConf)
         .rename(ptmp, new Path(dir, Pointer),
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      // prune: keep the predecessor for in-flight readers, drop older.
+      // prune: keep the new live version and the one in-flight readers
+      // resolved before the swap (prevLive — NOT blindly next-1, which
+      // under a crashed-orphan recovery would spare the never-visible
+      // orphan and delete the true predecessor out from under them).
       fs.listStatus(dir).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.matches("v-\\d+"))
         .map(s => s.getPath.getName.stripPrefix("v-").toInt -> s.getPath)
-        .filter(_._1 < next - 1)
+        .filter { case (v, _) => v != next && !prevLive.contains(v) }
         .foreach { case (_, p) => fs.delete(p, true) }
     }
   }

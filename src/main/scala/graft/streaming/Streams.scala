@@ -253,18 +253,21 @@ object Streams {
     * already-folded predicate.
     *
     * Contract: a state dir this pipeline maintains is bound to ONE
-    * checkpoint lineage, and the state carries that lineage explicitly.
-    * Growing the source and re-running on the SAME checkpoint folds
-    * exactly the new files (ids keep ascending). Pointing a FRESH
-    * checkpoint at stream-maintained state REFUSES loudly: batch ids
-    * restart at 0, so the stamp alone cannot distinguish re-delivered
-    * old files from genuinely new ones (whichever file sequences past
-    * the old max id would silently double-fold) — the same binding
-    * every Structured Streaming stateful operator has, surfaced as an
-    * error because this state outlives the query. A BATCH-written
-    * baseline ([[graft.ext.Quality.histWrite]] — no stamp, no lineage)
-    * attaches cleanly: the first fold adopts it under the new stream's
-    * lineage, the day-0 handoff a drift monitor actually performs.
+    * checkpoint INSTANCE, and the state carries that lineage explicitly
+    * (a token minted inside the checkpoint dir on first fold — not a
+    * path hash, which an `rm -rf` + re-create at the same path would
+    * silently satisfy). Growing the source and re-running on the SAME
+    * checkpoint folds exactly the new files (ids keep ascending). Any
+    * OTHER checkpoint — fresh dir, or the same path wiped and recreated
+    * — REFUSES loudly: its batch ids restart at 0, so the stamp alone
+    * cannot distinguish re-delivered old files from genuinely new ones
+    * (whichever file sequences past the old max id would silently
+    * double-fold). The same binding every Structured Streaming stateful
+    * operator has, surfaced as an error because this state outlives the
+    * query. A BATCH-written baseline ([[graft.ext.Quality.histWrite]] —
+    * no stamp, no lineage) attaches cleanly: the first fold adopts it
+    * under the new stream's lineage, the day-0 handoff a drift monitor
+    * actually performs.
     */
   def histMaintainPipeline(spark: SparkSession, schema: StructType,
                            srcDir: String, stateDir: String,
@@ -280,31 +283,50 @@ object Streams {
         val s = batch.sparkSession
         val root = new org.apache.hadoop.fs.Path(stateDir)
         val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val lin = java.security.MessageDigest.getInstance("MD5")
-          .digest(checkpointDir.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
+        // per-checkpoint-INSTANCE token, minted inside the checkpoint dir
+        // on first fold: hashing the checkpoint PATH would survive an
+        // rm -rf + re-create at the same path (the standard streaming
+        // reset), which re-delivers everything with fresh batch ids and
+        // must be refused like any other foreign lineage
+        val lin = {
+          val p = new org.apache.hadoop.fs.Path(checkpointDir,
+            ".graft_state_lineage")
+          if (fs.exists(p)) {
+            val in = fs.open(p)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          } else {
+            val t = java.util.UUID.randomUUID().toString
+            val out = fs.create(p, false)
+            try out.write(t.getBytes("UTF-8")) finally out.close()
+            t
+          }
+        }
         val b = graft.ext.Quality.histBuild(batch.toDF(), valueCol, binWidth)
         val (merged, alreadyFolded) =
           if (fs.exists(root)) {
             val st = ScaleOps.readMaintained(s, stateDir, ScaleOps.PointerSwap)
-            // a state this pipeline maintains is BOUND to its checkpoint:
-            // additive folds cannot distinguish a fresh checkpoint's
-            // re-delivery from new data (batch ids restart at 0), so a
-            // foreign lineage refuses loudly instead of silently
-            // skipping or double-counting
-            if (st.columns.contains("lineage")) {
-              val r = st.agg(max(col("lineage"))).collect()(0)
+            // a state this pipeline maintains is BOUND to its checkpoint
+            // instance: additive folds cannot distinguish a fresh
+            // checkpoint's re-delivery from new data (batch ids restart
+            // at 0), so a foreign or missing lineage on stream-maintained
+            // state refuses loudly instead of silently skipping or
+            // double-counting. A BATCH-written baseline (histWrite:
+            // bin/n/bin_width only — no stamp, no lineage) attaches:
+            // nothing folded yet, adopted under this stream's lineage.
+            val streamMaintained = st.columns.contains("last_batch_id")
+            require(!streamMaintained || st.columns.contains("lineage"),
+              s"histMaintain: state $stateDir is stream-maintained but " +
+                "predates the lineage stamp — rebuild it from the retained " +
+                "corpus (its fold history cannot be validated)")
+            val folded = streamMaintained && {
+              val r = st.agg(max(col("lineage")).as("l"),
+                max(col("last_batch_id")).as("b")).collect()(0)
               require(r.isNullAt(0) || r.getString(0) == lin,
                 s"histMaintain: state $stateDir is bound to a different " +
                   "checkpoint lineage — fold new data through the ORIGINAL " +
                   "checkpoint, or rebuild the state from the retained corpus")
-            }
-            // a BATCH-written baseline (Quality.histWrite: bin/n/bin_width
-            // only) attaches here: no stamp ⇒ nothing folded yet, and this
-            // stream adopts it under its own lineage
-            val folded = st.columns.contains("last_batch_id") && {
-              val r = st.agg(max(col("last_batch_id"))).collect()(0)
-              !r.isNullAt(0) && r.getLong(0) >= batchId
+              !r.isNullAt(1) && r.getLong(1) >= batchId
             }
             (graft.ext.Quality.histMerge(binWidth,
               st.select(col("bin"), col("n"), col("bin_width")), b), folded)

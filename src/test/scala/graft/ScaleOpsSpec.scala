@@ -326,6 +326,51 @@ class ScaleOpsSpec extends AnyFunSuite {
       .count() === 3)
   }
 
+  test("pointer promotion: recovery spares the TRUE predecessor, not the orphan; partial migration refuses") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_ptr_orphan").toString + "/t"
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = Tables.region(spark, sfDir)
+    // live pointer at v-1, plus an orphan v-2 from a promote that
+    // crashed before its pointer write
+    df.write.parquet(s"$dir/v-1")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "current"), "v-1")
+    df.limit(4).write.parquet(s"$dir/v-2")
+    // next promotion lands past the orphan and prunes THE ORPHAN —
+    // readers who resolved just before the swap are scanning v-1, so
+    // blindly keeping next-1 (= the never-visible v-2) and deleting v-1
+    // would fail them mid-scan
+    val staged = new Path(s"$dir.staged")
+    df.limit(2).write.parquet(staged.toString)
+    ScaleOps.PointerSwap.promote(fs, root, staged)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(names === Set("current", "v-1", "v-3"), s"got $names")
+    assert(ScaleOps.readMaintained(spark, dir, ScaleOps.PointerSwap).count() === 2)
+    // a crashed MID-MIGRATION root (plain data AND a partial v-0, no
+    // pointer) must refuse to serve the partial version — and a promote
+    // RESUMES the migration instead of nesting versions
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ptr_mixed").toString + "/t"
+    val root2 = new Path(dir2)
+    df.write.parquet(dir2) // plain layout
+    df.limit(1).write.parquet(s"$dir2/v-0") // partial migration residue
+    // a real crashed migration MOVES files (no duplicate _SUCCESS); the
+    // two-writes fixture manufactures one, so drop the residue's marker
+    new java.io.File(s"$dir2/v-0/_SUCCESS").delete()
+    val e = intercept[RuntimeException] {
+      ScaleOps.readMaintained(spark, dir2, ScaleOps.PointerSwap)
+    }
+    assert(e.getMessage.contains("migration crashed midway"))
+    val staged2 = new Path(s"$dir2.staged")
+    df.limit(3).write.parquet(staged2.toString)
+    ScaleOps.PointerSwap.promote(fs, root2, staged2)
+    assert(ScaleOps.readMaintained(spark, dir2, ScaleOps.PointerSwap).count() === 3)
+    val names2 = new java.io.File(dir2).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(names2 === Set("current", "v-0", "v-1"), s"got $names2")
+  }
+
   test("maintenance passes chain through the pointer: retention reads/writes the live version") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_ptr_q").toString + "/t"
     Tables.orders(spark, sfDir).repartition(4).write.parquet(dir)

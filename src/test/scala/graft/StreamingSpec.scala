@@ -225,6 +225,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("different checkpoint lineage") ||
       Option(err.getCause).exists(_.getMessage.contains("different checkpoint lineage")))
     assert(readState() === afterGrow, "refused run must leave state untouched")
+    // the standard streaming reset (rm -rf the checkpoint, SAME path)
+    // is a fresh instance too — the lineage is a minted token, not a
+    // path hash, so this must also refuse instead of double-folding
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    val err2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.histMaintainPipeline(spark, schema, src, state, ckpt, "v", 25.0)
+        .awaitTermination()
+    }
+    assert(err2.getMessage.contains("different checkpoint lineage") ||
+      Option(err2.getCause).exists(_.getMessage.contains("different checkpoint lineage")))
+    assert(readState() === afterGrow, "wiped-checkpoint rerun must not fold")
   }
 
   test("hist-maintain: a batch-written baseline attaches and the stream folds onto it") {
