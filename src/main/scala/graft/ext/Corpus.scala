@@ -287,11 +287,14 @@ object Corpus {
     * population contract matches the sweep family (NULL-source docs are
     * in neither, hence dropped).
     *
-    * Scale shape: the bench window set is distinct window texts of the
+    * Scale shape: the bench window set is distinct windows of the
     * (small by construction) eval corpus; cut positions come from one
     * equi-join of the train side's positional windows against it —
     * linear in matching occurrences, no train×train term, no frequency
-    * cap needed because the join is against BENCH text only. The whole
+    * cap needed because the join is against BENCH windows only. Both
+    * sides join on the 128-bit window hash ([[Dedup.winKey]]) — the
+    * shuffle carries fixed-width keys, never window text; the DuckDB
+    * oracle joins on text and matches bit-for-bit. The whole
     * operator is one lazy plan (nothing persisted or collected): each
     * input participates in exactly one join.
     */
@@ -299,9 +302,10 @@ object Corpus {
                          w: Int = 8): DataFrame = {
     val bench = docs.filter(col("source").isin(benchSources: _*))
     val train = docs.filter(!col("source").isin(benchSources: _*))
-    val benchWins = Dedup.shingles(bench, w).select(col("sh")).distinct()
-    val cover = Dedup.positionalShingles(train, w)
-      .join(benchWins, Seq("sh"))
+    val benchWins = Dedup.shingles(bench, w)
+      .select(Dedup.winKey(col("sh")): _*).distinct()
+    val cover = Dedup.hashedWindows(Dedup.positionalShingles(train, w))
+      .join(benchWins, Seq("h1", "h2"))
       .select(col("doc_id"),
         explode(sequence(col("s"), col("s") + lit(w - 1))).as("q"))
       .distinct()

@@ -201,23 +201,29 @@ object Dedup {
         .select(col("band"), col("bkey")),
       Seq("band", "bkey"), "left_semi")
 
-  /** Keep only the `cap` smallest partner_ids per (band, bkey) bucket —
-    * the admission-side skew guard (see incrementalNearDupVerified's
-    * `maxPartners` doc for why admission caps PARTNERS where pair
-    * listing excludes BUCKETS). Identity at the default cap, so the
-    * exact path pays no window exchange; with a finite cap the window
-    * is one shuffle on the same (band, bkey) key the candidate join
-    * uses, and a hot bucket is a single partition sort — O(k log k),
-    * not k².
+  /** Split a partner table into (phase-1, overflow): the `cap` SMALLEST
+    * partner_ids of each (band, bkey) bucket vs the rest — the verified-
+    * admission phasing (see incrementalNearDupVerified's `maxPartners`
+    * doc for why admission phases PARTNERS where pair listing excludes
+    * BUCKETS). Buckets at or under the cap pass through phase 1 whole
+    * with NO sort; only the (rare, skewed) overflowing buckets pay the
+    * row_number window, and a hot bucket is a single-partition sort —
+    * O(k log k), not k².
     */
-  private def capPartners(partners: DataFrame, cap: Int): DataFrame =
-    if (cap == Int.MaxValue) partners
-    else {
-      val byBucket = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bkey")).orderBy(col("partner_id"))
-      partners.withColumn("_rn", row_number().over(byBucket))
-        .filter(col("_rn") <= cap).drop("_rn")
-    }
+  private def splitPartners(partners: DataFrame,
+                            cap: Int): (DataFrame, DataFrame) = {
+    val hot = partners.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > cap)
+      .select(col("band"), col("bkey"))
+    val cold = partners.join(hot, Seq("band", "bkey"), "left_anti")
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey")).orderBy(col("partner_id"))
+    val ranked = partners.join(hot, Seq("band", "bkey"), "left_semi")
+      .withColumn("_rn", row_number().over(byBucket))
+    (cold.unionByName(ranked.filter(col("_rn") <= cap).drop("_rn")),
+      ranked.filter(col("_rn") > cap).drop("_rn"))
+  }
 
   /** MinHash band table of a document set: one row per (doc, band) with
     * the band's bucket key — the compact, md5-portable state a warehouse
@@ -632,14 +638,39 @@ object Dedup {
     * dropped doc re-admitted later collides only if it shares a bucket
     * with a RETAINED representative, not with other dropped members of
     * its cluster — the trade every keep-one-representative policy makes.
+    *
+    * `expireBefore` adds the WATERMARK retention leg (the reference's
+    * loaded-flag lifecycle, aged): state rows stamped `admitted_ts` <
+    * watermark leave the state in the same rewrite, and documents whose
+    * EVERY state row expired leave the keeper set too — the compacted
+    * state is exactly what a fresh build over the surviving corpus would
+    * produce (the `dedup_state_expire` oracle's contract). Requires
+    * stamped state (append band tables with an `admitted_ts` event-time
+    * column); refuses unstamped state rather than silently keeping — or
+    * dropping — unaged rows.
     */
   def compactNearDupState(spark: org.apache.spark.sql.SparkSession,
                           stateDir: String, docs: DataFrame,
                           qualityCol: String = "n_chars", w: Int = 3,
-                          numHashes: Int = 8, bandWidth: Int = 2): DataFrame = {
-    val state = spark.read.parquet(stateDir)
-    requireStateLayout(state, "band state",
+                          numHashes: Int = 8, bandWidth: Int = 2,
+                          expireBefore: Option[Long] = None): DataFrame = {
+    val state0 = spark.read.parquet(stateDir)
+    requireStateLayout(state0, "band state",
       Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth))
+    val state = expireBefore.fold(state0) { wm =>
+      require(state0.columns.contains("admitted_ts"),
+        s"age expiry: band state $stateDir carries no admitted_ts stamp — " +
+          "append stamped band tables, or compact without expireBefore")
+      state0.filter(col("admitted_ts") >= lit(wm))
+    }
+    val docs0 = expireBefore.fold(docs) { _ =>
+      // fully-expired docs (no surviving state row) leave the keeper set:
+      // keeping them would emit keepers with no bands — ghosts that stop
+      // rejecting the content they represent
+      val gone = state0.select(col("doc_id")).distinct()
+        .join(state.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      docs.join(gone, Seq("doc_id"), "left_anti")
+    }
     val bands = state.select(col("doc_id"), col("band"), col("bkey"))
     val bmin = bands.groupBy(col("band"), col("bkey"))
       .agg(min(col("doc_id")).as("root"))
@@ -647,16 +678,18 @@ object Dedup {
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("d1"), col("doc_id").as("d2")).distinct()
     val cl = clusterPairs(edges)
-    val allc = docs.select(col("doc_id"))
+    val allc = docs0.select(col("doc_id"))
       .join(cl, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     val kept = keepBestPerCluster(allc,
-        docs.select(col("doc_id"), col(qualityCol)), qualityCol)
+        docs0.select(col("doc_id"), col(qualityCol)), qualityCol)
       .localCheckpoint(eager = true) // consumed by the rewrite AND returned
+    val keptCols = Seq("doc_id", "band", "bkey",
+        "w", "num_hashes", "band_width") ++
+      (if (state.columns.contains("admitted_ts")) Seq("admitted_ts") else Nil)
     val keptBands = state
-      .select(col("doc_id"), col("band"), col("bkey"),
-        col("w"), col("num_hashes"), col("band_width"))
+      .select(keptCols.map(col): _*)
       .join(kept.select(col("keeper").as("doc_id")), Seq("doc_id"), "left_semi")
     val p =
       if (state.columns.contains("state_prefixes"))
@@ -689,28 +722,36 @@ object Dedup {
     * that itself lost to a seen collision is correct because its content
     * is already represented in the corpus.
     *
-    * @param maxPartners skew guard on candidate fanout: each band bucket
-    *        nominates at most this many partners — the `maxPartners`
-    *        SMALLEST doc_ids of the bucket (batch and seen side alike) —
-    *        so pair volume is O(rows × maxPartners) instead of quadratic
-    *        in the hottest bucket. This deliberately differs from
-    *        [[minhashLsh]]'s `maxBucketSize` (which EXCLUDES hot buckets
-    *        from candidate generation): exclusion is the right trade for
-    *        pair LISTING, but for ADMISSION a hot bucket is precisely a
-    *        boilerplate flood that must be REJECTED, not waved through.
-    *        Under a flood the sampled partners are themselves
-    *        near-identical to every bucket member, so verification still
-    *        rejects the flood; recall loss is confined to docs whose only
-    *        qualifying partner ranks below the cap in every shared
-    *        bucket. Default = no cap (exact semantics).
+    * @param maxPartners PHASING knob, not a recall trade — semantics are
+    *        EXACT at every value. Admission runs in two verified phases:
+    *        phase 1 verifies each doc against the `maxPartners` SMALLEST
+    *        partner ids of every probed bucket (batch and seen side
+    *        alike); phase 2 expands to the REMAINING partners of
+    *        overflowed buckets, but only for docs phase 1 did NOT
+    *        already reject (rejection is idempotent — once any partner
+    *        clears the bar, further pairs cannot change the outcome).
+    *        Every pair the uncapped scheme would examine is therefore
+    *        examined unless its doc is already rejected, so the admitted
+    *        set is bit-identical to the unphased form. Under a
+    *        boilerplate flood the hot bucket's members are near-identical
+    *        to its min ids, phase 1 rejects them all, and phase 2 is
+    *        empty — pair volume O(rows × maxPartners × nBands) instead
+    *        of quadratic in the hottest bucket. Phase 2 re-expands only
+    *        for the rare hot-bucket member that is NOT a near-dup of the
+    *        cap-smallest partners (a chance band collision), which is
+    *        exactly the pair set correctness requires. This deliberately
+    *        differs from [[minhashLsh]]'s `maxBucketSize` (which EXCLUDES
+    *        hot buckets from pair LISTING): for ADMISSION a hot bucket is
+    *        precisely a flood that must be REJECTED, not waved through.
     */
   def incrementalNearDupVerified(incoming: DataFrame, seenBands: DataFrame,
                                  seenSigs: DataFrame, w: Int = 3,
                                  numHashes: Int = 8, bandWidth: Int = 2,
                                  minEstJaccard: Double = 0.5,
-                                 maxPartners: Int = Int.MaxValue): DataFrame = {
+                                 maxPartners: Int = 8): DataFrame = {
     require(numHashes % bandWidth == 0, "bands must tile the signature")
     require(numHashes <= 8, "8 32-bit hashes per two md5 digests")
+    require(maxPartners >= 1, "phase 1 needs at least one partner per bucket")
     requireStateLayout(seenBands, "seen band table",
       Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth))
     requireStateLayout(seenSigs, "seen signature table",
@@ -718,6 +759,7 @@ object Dedup {
     // incoming signatures computed ONCE; bands derived from them (the
     // same derivation a warehouse runs when it persists both tables).
     val sigs = minhashesOf(shingles(incoming, w), numHashes).persist()
+    var cached: Seq[DataFrame] = Nil
     try {
       val bands = bandsFromSigs(sigs, numHashes, bandWidth)
       val mhCols = (0 until numHashes).map(k => s"mh$k")
@@ -726,46 +768,84 @@ object Dedup {
       val estJ = (0 until numHashes).map(k =>
         when(col(s"a_mh$k") === col(s"b_mh$k"), 1).otherwise(0))
         .reduce(_ + _).cast("double") / numHashes
-      // candidates vs the accumulated corpus: per-(incoming, seen) pairs
-      // — NOT deduped to buckets, the verification needs the partner id.
-      // Partner sides are capped to the maxPartners smallest ids per
-      // bucket (see @param maxPartners); capPartners is identity at the
-      // default, so the exact-semantics path adds no window exchange.
-      val seenCand = bands
-        .join(capPartners(
-            seenBands.select(col("band"), col("bkey"),
-              col("doc_id").as("partner_id")),
-            maxPartners),
-          Seq("band", "bkey"))
-        .select(col("doc_id"), col("partner_id")).distinct()
-      val seenRej = seenCand.join(incSig, "doc_id")
-        .join(seenSigs.select(col("doc_id").as("partner_id") +:
-            mhCols.map(c => col(c).as(s"b_$c")): _*),
-          Seq("partner_id"))
-        .filter(estJ >= lit(minEstJaccard))
-        .select(col("doc_id"))
-      // within-batch: a doc is rejected only against a SMALLER-id sibling
-      // whose estimated Jaccard clears the bar. Only the partner (x)
-      // side is capped — every incoming doc still gets its admission
-      // decision, against a bounded partner set.
-      val batchCand = capPartners(
-          bands.select(col("band"), col("bkey"), col("doc_id").as("partner_id")),
-          maxPartners).as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.partner_id") < col("y.doc_id"))
-        .select(col("x.partner_id").as("partner_id"), col("y.doc_id").as("doc_id"))
-        .distinct()
-      val batchRej = batchCand.join(incSig, "doc_id")
-        .join(sigs.select(col("doc_id").as("partner_id") +:
-            mhCols.map(c => col(c).as(s"b_$c")): _*),
-          Seq("partner_id"))
-        .filter(estJ >= lit(minEstJaccard))
-        .select(col("doc_id"))
-      val rejected = seenRej.unionAll(batchRej).distinct()
+      def verify(cand: DataFrame, partnerSigs: DataFrame): DataFrame =
+        cand.join(incSig, "doc_id")
+          .join(partnerSigs.select(col("doc_id").as("partner_id") +:
+              mhCols.map(c => col(c).as(s"b_$c")): _*),
+            Seq("partner_id"))
+          .filter(estJ >= lit(minEstJaccard))
+          .select(col("doc_id"))
+      // partner tables: the batch's own bands (a projection of the
+      // CACHED signatures — not worth a second cache entry), and the
+      // seen state RESTRICTED to buckets the batch probes, cached
+      // (per-batch work is proportional to probed buckets, never to the
+      // accumulated state — at warehouse scale the probed restriction is
+      // the partition-pruned readBandState read). Both are
+      // batch-fanout-bounded.
+      val batchPart = bands
+        .select(col("band"), col("bkey"), col("doc_id").as("partner_id"))
+      val seenProbed = seenBands
+        .join(batchPart.select(col("band"), col("bkey")).distinct(),
+          Seq("band", "bkey"), "left_semi")
+        .select(col("band"), col("bkey"), col("doc_id").as("partner_id"))
+        .persist()
+      cached = Seq(seenProbed)
+      val docBands = bands
+      // candidates: per-(incoming, partner) pairs — NOT deduped to
+      // buckets, the verification needs the partner id. Within-batch, a
+      // doc is rejected only against a SMALLER-id sibling whose
+      // estimated Jaccard clears the bar; the partner's own admission
+      // outcome is irrelevant (its content is represented either way).
+      def seenCands(docs: DataFrame, partners: DataFrame): DataFrame =
+        docs.join(partners, Seq("band", "bkey"))
+          .select(col("doc_id"), col("partner_id")).distinct()
+      def batchCands(docs: DataFrame, partners: DataFrame): DataFrame =
+        partners.as("x").join(docs.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.partner_id") < col("y.doc_id"))
+          .select(col("x.partner_id").as("partner_id"),
+            col("y.doc_id").as("doc_id"))
+          .distinct()
+      // adaptive phasing: ONE cheap partial-agg probe over both
+      // (batch-bounded) partner tables decides whether any bucket
+      // overflows the cap. The un-skewed common case then runs the
+      // single-phase plan — no window, no mid-pipeline materialization —
+      // and only an actual flood pays the two-phase split. Sides are
+      // tagged so a bucket's two halves never pool into a false overflow.
+      val anyHot = batchPart.withColumn("_side", lit(0))
+        .unionAll(seenProbed.withColumn("_side", lit(1)))
+        .groupBy(col("_side"), col("band"), col("bkey"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") > maxPartners).limit(1).count() > 0
+      val rejected =
+        if (!anyHot)
+          verify(seenCands(docBands, seenProbed), seenSigs)
+            .unionAll(verify(batchCands(docBands, batchPart), sigs))
+            .distinct()
+        else {
+          val (seenP1, seenOvf) = splitPartners(seenProbed, maxPartners)
+          val (batP1, batOvf) = splitPartners(batchPart, maxPartners)
+          // phase 1: cap-smallest partners per bucket. Materialized —
+          // the phase-2 expansion keys off who is still unrejected.
+          val rej1 = verify(seenCands(docBands, seenP1), seenSigs)
+            .unionAll(verify(batchCands(docBands, batP1), sigs))
+            .distinct()
+            .localCheckpoint(eager = true)
+          // phase 2: remaining partners of overflowed buckets, surviving
+          // docs only — under a flood phase 1 already rejected the hot
+          // bucket's members against its min ids, so this leg is empty.
+          val survivors = docBands.join(rej1, Seq("doc_id"), "left_anti")
+          val rej2 = verify(seenCands(survivors, seenOvf), seenSigs)
+            .unionAll(verify(batchCands(survivors, batOvf), sigs))
+            .distinct()
+          rej1.unionAll(rej2).distinct()
+        }
       incoming.join(rejected, Seq("doc_id"), "left_anti")
         .localCheckpoint(eager = true)
-    } finally sigs.unpersist(blocking = false)
+    } finally {
+      sigs.unpersist(blocking = false)
+      cached.foreach(_.unpersist(blocking = false))
+    }
   }
 
   private def minhashLshOn(tri: DataFrame, numHashes: Int,
@@ -954,6 +1034,24 @@ object Dedup {
       .toDF("doc_id", "s", "sh")
   }
 
+  /** 128-bit window-hash key of a window-text column: two independent
+    * 64-bit xxhash64 views (plain, and seed-tupled). The span family
+    * groups and joins on this PAIR instead of the window text — the
+    * same grouping with a fixed-width 16-byte shuffle key instead of a
+    * w-token string (~4× smaller shuffles on prose windows). Collision
+    * probability is ~n²/2^129 over n distinct windows — vanishing even
+    * at 100 TB window counts — and the hash is computed map-side, so
+    * column pruning drops the text before any exchange.
+    */
+  private[graft] def winKey(c: Column): Seq[Column] =
+    Seq(xxhash64(c).as("h1"), xxhash64(lit(1), c).as("h2"))
+
+  /** Window-hash projection of a positional-shingle table:
+    * (doc_id, s, h1, h2) — see [[winKey]].
+    */
+  private[graft] def hashedWindows(pos: DataFrame): DataFrame =
+    pos.select(Seq(col("doc_id"), col("s")) ++ winKey(col("sh")): _*)
+
   /** Cross-document repeated-span detection with per-document duplicate
     * coverage — the word-n-gram form of exact-substring training-data
     * dedup: any w-token window whose text occurs in ≥ minDocs distinct
@@ -975,9 +1073,10 @@ object Dedup {
     * interval union is a window function over each document's
     * duplicated starts only. No doc×doc pair term anywhere — cost is
     * linear in corpus tokens plus join volume on duplicated windows.
-    * At warehouse scale the join/group key would be a 128-bit hash of
-    * the window rather than its text (same grouping, ~4× smaller
-    * shuffle); the text key is kept here for oracle bit-parity.
+    * The join/group key is the 128-bit window hash ([[winKey]]) — the
+    * same grouping as the text key (collisions vanishing), with a
+    * fixed-width shuffle payload; the DuckDB oracle groups by text and
+    * matches bit-for-bit.
     */
   def repeatedSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -994,11 +1093,12 @@ object Dedup {
   private[graft] def repeatedSpansOn(docs: DataFrame, pos: DataFrame, w: Int,
                               minDocs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dup = pos.groupBy(col("sh"))
+    val win = hashedWindows(pos)
+    val dup = win.groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select(col("sh"))
-    val starts = pos.join(dup, Seq("sh")).select(col("doc_id"), col("s"))
+      .select(col("h1"), col("h2"))
+    val starts = win.join(dup, Seq("h1", "h2")).select(col("doc_id"), col("s"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
     // a window starting at s covers tokens [s, s+w-1]; a new span opens
     // when s clears the running max end of all earlier windows
@@ -1044,31 +1144,63 @@ object Dedup {
     * equi-join of windows against that (small) set — a window shared by
     * M documents contributes M rows, linear in occurrences; the
     * token-level rebuild is a per-document aggregation (documents are
-    * individually bounded, so the collect_list is too). At warehouse
-    * scale the join/group key would be a 128-bit window hash (same
-    * grouping, ~4× smaller shuffle) and the rewritten corpus would land
-    * in a staging table instead of the eager local materialization used
-    * here — text keys kept for oracle bit-parity, the
-    * [[repeatedSpans]] trade.
+    * individually bounded, so the collect_list is too). This IS the
+    * warehouse form: the join/group key is the 128-bit window hash
+    * ([[winKey]] — the shuffles carry fixed-width keys, never window
+    * text; the DuckDB oracle groups by text and matches bit-for-bit),
+    * and with `stagingDir` set the rewritten corpus lands as a staged
+    * parquet table the returned frame reads back — distributed storage,
+    * not executor block memory. Without `stagingDir` the result is
+    * materialized via localCheckpoint (dev convenience; corpus-sized in
+    * block storage — pass a staging dir at scale).
     */
-  def removeCrossDocSpans(docs: DataFrame, w: Int = 8,
-                          minDocs: Int = 2): DataFrame = {
+  def removeCrossDocSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
+                          stagingDir: Option[String] = None): DataFrame = {
     val pos = positionalShingles(docs, w).persist()
-    try removeCrossDocSpansOn(docs, pos, w, minDocs)
-      .localCheckpoint(eager = true)
-    finally pos.unpersist(blocking = false)
+    // materialization (either form) must complete before the finally
+    // releases the shingle cache — the returned frame never recomputes
+    try {
+      val out = removeCrossDocSpansOn(docs, pos, w, minDocs)
+      stagingDir match {
+        case Some(dir) =>
+          out.write.mode("overwrite").parquet(dir)
+          docs.sparkSession.read.parquet(dir)
+        case None => out.localCheckpoint(eager = true)
+      }
+    } finally pos.unpersist(blocking = false)
   }
 
   private[graft] def removeCrossDocSpansOn(docs: DataFrame, pos: DataFrame,
                                            w: Int, minDocs: Int): DataFrame = {
+    val win = hashedWindows(pos)
+    val dup = win.groupBy(col("h1"), col("h2"))
+      .agg(min(col("doc_id")).as("canon"),
+        countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h1"), col("h2"), col("canon"))
+    // positions covered by a non-canonical occurrence of a duplicated
+    // window: w rows per occurrence, de-duplicated token-wise (the
+    // interval union, done positionally)
+    val cover = win.join(dup, Seq("h1", "h2"))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(w - 1))).as("q"))
+      .distinct()
+    rebuildWithoutPositions(positionalTokens(docs), cover)
+  }
+
+  /** Text-keyed form of [[removeCrossDocSpansOn]] — the oracle-parity
+    * reference the spec checks the hash-keyed production kernel against
+    * (identical output absent a 128-bit window-hash collision).
+    */
+  private[graft] def removeCrossDocSpansTextKeyed(docs: DataFrame,
+                                                  pos: DataFrame, w: Int,
+                                                  minDocs: Int): DataFrame = {
     val dup = pos.groupBy(col("sh"))
       .agg(min(col("doc_id")).as("canon"),
         countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("sh"), col("canon"))
-    // positions covered by a non-canonical occurrence of a duplicated
-    // window: w rows per occurrence, de-duplicated token-wise (the
-    // interval union, done positionally)
     val cover = pos.join(dup, Seq("sh"))
       .filter(col("doc_id") =!= col("canon"))
       .select(col("doc_id"),

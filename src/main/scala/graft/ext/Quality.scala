@@ -178,10 +178,15 @@ object Quality {
           s"$what: not a histogram — need the (bin, n) columns histBuild emits")
         requireWidth(p, what, binWidth)
       }
+    // materialized ONCE (histograms are bins-bounded, not corpus-sized):
+    // the negative-bin validation and the returned frame must read the
+    // SAME data — two lazy evaluations could diverge if the state path
+    // is rewritten between the validating action and the caller's
     val joined = state.select(col("bin"), col("n"))
       .join(removed.select(col("bin"), col("n").as("rn")), Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("rn"), lit(0L)).as("rn"))
+      .localCheckpoint(eager = true)
     val bad = joined.filter(col("rn") > col("n")).limit(1).collect()
     require(bad.isEmpty,
       s"histSubtract: bin ${bad.headOption.map(_.get(0)).orNull} removes " +

@@ -236,6 +236,18 @@ object VectorIndex {
                  k: Int, nprobe: Int = 4): DataFrame =
     searchFlatCore(spark, dir, queries, k, nprobe, allowed = None)
 
+  /** The id set a filtered search restricts candidates to. The frame
+    * must be EXACTLY one column: silently taking `columns.head` of a
+    * wider frame (e.g. (doc_id, lang)) would filter on whichever column
+    * happens to be first — fail fast instead.
+    */
+  private def allowedIds(a: DataFrame): DataFrame = {
+    require(a.columns.length == 1,
+      "filtered search: `allowed` must be a single-column id frame, " +
+        s"got (${a.columns.mkString(", ")}) — project the id column first")
+    a.select(col(a.columns.head).cast("long").as("cid")).distinct()
+  }
+
   /** Shared flat-search pipeline: validated cell table, query probes,
     * optional candidate-side id restriction, exact-cosine top-k. The
     * filtered and unfiltered reads MUST stay one code path — the
@@ -256,8 +268,7 @@ object VectorIndex {
     // filter the CELL side before the probe join: disallowed vectors
     // never reach the scoring join at all
     val cand = allowed.fold(cand0)(a => cand0.join(
-      a.select(col(a.columns.head).cast("long").as("cid")).distinct(),
-      Seq("cid"), "left_semi"))
+      allowedIds(a), Seq("cid"), "left_semi"))
     Similarity.rankTopK(
       probes.join(cand, Seq("cell"))
         .filter(col("qid") =!= col("cid"))
@@ -336,8 +347,7 @@ object VectorIndex {
     // the shortlist is cut over allowed vectors only (pre-filter
     // semantics — a post-filtered shortlist could starve the re-rank)
     val cands = allowed.fold(cands0)(a => cands0.join(
-      a.select(col(a.columns.head).cast("long").as("cid")).distinct(),
-      Seq("cid"), "left_semi"))
+      allowedIds(a), Seq("cid"), "left_semi"))
     // restrict the CODES scan to probed cells the same way (broadcast
     // semi-join on the partition column → dynamic partition pruning):
     // adcRank's join on cid would drop unprobed cells' codes anyway,

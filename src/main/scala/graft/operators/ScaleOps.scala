@@ -492,6 +492,29 @@ object ScaleOps {
       _.join(keepKeys, keys, "left_semi"))
   }
 
+  /** Age/TTL retention for persisted state: drop every row whose `tsCol`
+    * event-time stamp is strictly below `watermark` — the WATERMARK leg
+    * of the state lifecycle ([[retainRows]] is the by-key leg; the
+    * reference's loaded-flag lifecycle at row granularity). Stamps are
+    * event time the APPEND path wrote (deterministic, oracle-checkable),
+    * never wall clock. Same staged rewrite + promotion discipline as
+    * every other maintenance op; REFUSES unstamped state — rows with no
+    * stamp cannot be aged, silently keeping them forever would defeat
+    * the retention contract, and silently dropping them would corrupt
+    * admission. Rebuild unstamped state, or retain it by key.
+    */
+  def expireRowsOlderThan(spark: SparkSession, dir: String, tsCol: String,
+                          watermark: Long,
+                          targetBytes: Long = 128L * 1024 * 1024,
+                          promotion: Promotion = RenameSwap): Unit =
+    stagedRewrite(spark, dir, targetBytes, promotion, ".expiring") { df =>
+      require(df.columns.contains(tsCol),
+        s"age expiry: state carries no '$tsCol' stamp — append stamped " +
+          "rows (e.g. a band table withColumn event-time), or use " +
+          "retainRows by key")
+      df.filter(col(tsCol) >= lit(watermark))
+    }
+
   /** Exact ORDER STATISTICS by distributed selection — the scalable
     * form of "the element at global rank k" (exact median, quartiles):
     * a global `Window.orderBy` serializes the relation through one task;

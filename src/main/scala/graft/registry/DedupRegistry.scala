@@ -60,8 +60,12 @@ private[graft] object DedupRegistry {
       // (min-doc_id) occurrence and emit the rewritten corpus. The hash
       // pins the cleaned text itself, token for token — canonical docs
       // intact, non-canonical occurrences excised, whole-boilerplate
-      // docs reduced to ''.
-      Dedup.removeCrossDocSpans(Tables.documents(s, d), w = 8, minDocs = 2)
+      // docs reduced to ''. Registered in the WAREHOUSE form (round 12):
+      // 128-bit window-hash join keys, rewritten corpus staged to
+      // parquet and read back — no corpus-sized localCheckpoint.
+      Dedup.removeCrossDocSpans(Tables.documents(s, d), w = 8, minDocs = 2,
+          stagingDir = Some(TempDirs.create("graft-span-rewrite-").toString
+            + "/out"))
         .orderBy("doc_id")),
 
     "dedup_clusters" -> ((s, d) =>

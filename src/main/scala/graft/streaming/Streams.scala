@@ -288,20 +288,20 @@ object Streams {
         // rm -rf + re-create at the same path (the standard streaming
         // reset), which re-delivers everything with fresh batch ids and
         // must be refused like any other foreign lineage
-        val lin = {
-          val p = new org.apache.hadoop.fs.Path(checkpointDir,
-            ".graft_state_lineage")
-          if (fs.exists(p)) {
-            val in = fs.open(p)
+        val linPath = new org.apache.hadoop.fs.Path(checkpointDir,
+          ".graft_state_lineage")
+        val tokenPreExisted = fs.exists(linPath)
+        val lin =
+          if (tokenPreExisted) {
+            val in = fs.open(linPath)
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
             finally in.close()
           } else {
             val t = java.util.UUID.randomUUID().toString
-            val out = fs.create(p, false)
+            val out = fs.create(linPath, false)
             try out.write(t.getBytes("UTF-8")) finally out.close()
             t
           }
-        }
         val b = graft.ext.Quality.histBuild(batch.toDF(), valueCol, binWidth)
         val (merged, alreadyFolded) =
           if (fs.exists(root)) {
@@ -330,7 +330,23 @@ object Streams {
             }
             (graft.ext.Quality.histMerge(binWidth,
               st.select(col("bin"), col("n"), col("bin_width")), b), folded)
-          } else (b, false)
+          } else {
+            // the state root is ABSENT. If this checkpoint's lineage
+            // token already existed AND a prior batch committed, folds
+            // happened whose state is now gone — re-initializing from
+            // this batch alone would silently drop them from the
+            // baseline, so refuse (the loud-refusal contract). The one
+            // legitimate absent-root case with a pre-existing token is
+            // a batch-0 replay after a crash between token mint and the
+            // first promote: no fold ever completed, nothing is lost.
+            require(!tokenPreExisted || batchId == 0,
+              s"histMaintain: state $stateDir is absent but checkpoint " +
+                s"$checkpointDir has already folded batches under its " +
+                "lineage token — prior folds cannot be reconstructed; " +
+                "rebuild the state from the retained corpus on a fresh " +
+                "checkpoint")
+            (b, false)
+          }
         if (!alreadyFolded) {
           val staged = s"$stateDir.stage-$batchId"
           merged.select(col("bin"), col("n"))

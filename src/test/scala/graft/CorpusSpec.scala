@@ -116,11 +116,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(singles.nonEmpty)
     singles.foreach { case (id, c, sp) =>
       assert(c == id && sp == plain(id), s"singleton $id diverged") }
-    // a non-singleton cluster exists and co-assigns somewhere != the
-    // per-doc assignment of at least one member (the op changes
-    // something real on this corpus)
+    // a non-singleton cluster exists AND at least one clustered member's
+    // grouped label differs from its per-doc splitAssign label — the op
+    // must actually re-route members to the cluster's shared split, not
+    // degenerate to per-doc hashing on cluster members (which could
+    // still pass the straddle check if a whole cluster hashed together
+    // by luck)
     val multi = out.groupBy(_._2).filter(_._2.length > 1)
     assert(multi.nonEmpty, "corpus has near-dup clusters at this threshold")
+    val rerouted = out.filter(t => clustered(t._1) && t._3 != plain(t._1))
+    assert(rerouted.nonEmpty,
+      "no clustered member's grouped split differs from its per-doc " +
+        "assignment — grouped split degenerated to per-doc hashing")
   }
 
   test("token budget: greedy fill binds, overshoots by at most one doc, partition-invariant") {
@@ -179,6 +186,10 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"cut positions must come from equi-joins:\n$plan")
+    // warehouse form: the bench-window join shuffles 128-bit window
+    // hashes, never window text
+    assert(!plan.matches("(?s).*hashpartitioning\\([^)]*\\bsh#.*"),
+      s"a shuffle still carries window text as its key:\n$plan")
   }
 
   test("embedding decontamination sweeps semantic matches, keeps orthogonal docs") {

@@ -339,7 +339,7 @@ class DedupSpec extends AnyFunSuite {
     assert(out(42L) === ((2L, 0L, "short doc")))
   }
 
-  test("span removal: equi-joins only, and no cache entries left behind") {
+  test("span removal: equi-joins only, hash-keyed shuffles, no cache left behind") {
     val docs = Seq(
       (10L, "a b c d e f g h i j u1 u2 u3"),
       (11L, "z1 a b c d e f g h i j z2")
@@ -350,9 +350,47 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"cut positions must come from equi-joins:\n$plan")
+    // the warehouse-form audit: no exchange partitions on the window
+    // TEXT — the dup-detect/cover shuffles carry the 128-bit (h1, h2)
+    // window hash (map-side computed; pruning drops `sh` pre-exchange)
+    assert(!plan.matches("(?s).*hashpartitioning\\([^)]*\\bsh#.*"),
+      s"a shuffle still carries window text as its key:\n$plan")
     Dedup.removeCrossDocSpans(docs, w = 8).count()
     assert(org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark),
       "removeCrossDocSpans left a cache entry behind")
+  }
+
+  test("span removal: hash-keyed kernel matches the text-keyed oracle-parity form") {
+    val docs = Tables.documents(spark, sfDir)
+    val pos = Dedup.positionalShingles(docs, 8).persist()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+      val hashed = rows(Dedup.removeCrossDocSpansOn(docs, pos, 8, 2))
+      val text = rows(Dedup.removeCrossDocSpansTextKeyed(docs, pos, 8, 2))
+      assert(hashed === text,
+        "128-bit window-hash grouping diverged from text grouping")
+    } finally pos.unpersist(blocking = false)
+  }
+
+  test("span removal: staged-write form lands parquet and matches localCheckpoint form") {
+    val docs = Seq(
+      (10L, "a b c d e f g h i j u1 u2 u3"),
+      (11L, "z1 a b c d e f g h i j z2"),
+      (12L, "nothing shared here at all ok fine yes")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-span-staged-").toString + "/out"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    val staged = Dedup.removeCrossDocSpans(docs, w = 8,
+      stagingDir = Some(dir))
+    assert(rows(staged) === rows(Dedup.removeCrossDocSpans(docs, w = 8)))
+    // the registered path reads back a real parquet table, not block
+    // storage: the staged dir must exist and be re-readable cold
+    assert(rows(spark.read.parquet(dir)) === rows(staged))
   }
 
   test("repeated spans leaves no cache entries behind") {
@@ -403,23 +441,24 @@ class DedupSpec extends AnyFunSuite {
       f"50k-doc flood took $t2%.1f s — the quadratic pairwise leg is back")
   }
 
-  test("verified admission: maxPartners bounds fanout and still REJECTS the flood") {
-    // maxPartners caps each bucket's partner nominations to the cap
-    // smallest ids — unlike bucket EXCLUSION, the flood is still
-    // verified against real partners (est-Jaccard 1.0) and rejected.
+  test("verified admission at the DEFAULT config stays bounded and REJECTS the flood") {
+    // the registered/default configuration (maxPartners = 8): phase 1
+    // verifies each flooded doc against the bucket's 8 smallest ids
+    // (est-Jaccard 1.0 → rejected), so the phase-2 expansion is empty
+    // and pair volume is O(n × cap × nBands) — never the ~n²/2 pairs
+    // the unphased bucket self-join would enumerate in one partition.
     val emptySigs = Dedup.signatureTable(fixture.limit(0), w = 3, numHashes = 8)
     val t0 = System.nanoTime()
     val admitted = Dedup.incrementalNearDupVerified(
       floodDocs(50000), emptyState, emptySigs,
-      w = 3, numHashes = 8, bandWidth = 2, minEstJaccard = 0.5,
-      maxPartners = 4)
+      w = 3, numHashes = 8, bandWidth = 2, minEstJaccard = 0.5)
     val ids = admitted.select("doc_id").collect().map(_.getLong(0))
     val secs = (System.nanoTime() - t0) / 1e9
-    info(f"verified flood admission (cap 4): $secs%.1f s")
+    info(f"verified flood admission (default cap): $secs%.1f s")
     assert(ids.toSeq === Seq(0L),
-      "a capped verified flood must still reject everything but the min id")
+      "a default-config verified flood must still reject everything but the min id")
     assert(secs < 120.0,
-      f"capped verified flood took $secs%.1f s — pair generation is not bounded")
+      f"default-config verified flood took $secs%.1f s — pair generation is not bounded")
   }
 
   test("partitioned band state: admission scans only the batch's probed cells") {
@@ -523,7 +562,7 @@ class DedupSpec extends AnyFunSuite {
     } else info("no dropped doc shares a bucket with a representative at this SF")
   }
 
-  test("maxPartners at a cap >= every bucket equals the exact default") {
+  test("maxPartners is a phasing knob: binding and un-binding caps all admit identically") {
     val docs = Tables.documents(spark, sfDir)
     val seenSrc = (0 to 9).map(i => s"src$i")
     val seen = docs.filter(col("source").isin(seenSrc: _*))
@@ -532,12 +571,20 @@ class DedupSpec extends AnyFunSuite {
     val sigs = Dedup.signatureTable(seen, w = 5, numHashes = 8)
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
-    val exact = ids(Dedup.incrementalNearDupVerified(
-      incoming, bands, sigs, w = 5, numHashes = 8, bandWidth = 2))
-    val capped = ids(Dedup.incrementalNearDupVerified(
+    val unphased = ids(Dedup.incrementalNearDupVerified(
       incoming, bands, sigs, w = 5, numHashes = 8, bandWidth = 2,
       maxPartners = 1 << 20))
-    assert(capped === exact,
-      "an un-binding cap must not change any admission decision")
+    // default (8) and the maximally-binding cap (1: EVERY multi-member
+    // bucket overflows into phase 2) must both reproduce it exactly —
+    // the two-phase expansion is semantics-preserving, not a recall trade
+    val default = ids(Dedup.incrementalNearDupVerified(
+      incoming, bands, sigs, w = 5, numHashes = 8, bandWidth = 2))
+    val cap1 = ids(Dedup.incrementalNearDupVerified(
+      incoming, bands, sigs, w = 5, numHashes = 8, bandWidth = 2,
+      maxPartners = 1))
+    assert(default === unphased,
+      "the default cap changed an admission decision — phase 2 is not exact")
+    assert(cap1 === unphased,
+      "a binding cap changed an admission decision — phase 2 is not exact")
   }
 }
