@@ -621,4 +621,55 @@ object Sketches {
       .agg(min(col("total")).as("n_est"))
     queries.join(est, itemCol)
   }
+
+  // ===== windowed sketch state: the age/TTL retention layout =====
+  //
+  // A MERGED KMV/Bloom/CMS cannot subtract an expired cohort (bottom-k
+  // of a union, saturating bitmap, never-undercount counters — none
+  // invertible; see Quality.histSubtract's contrast). The lifecycle that
+  // buys age-based retention anyway is WINDOWED PARTIALS: persist one
+  // sketch partial per event-time window (`window_ts=` partition dirs),
+  // serve the MERGE of surviving partials, and expire by deleting whole
+  // window directories — metadata-cheap at any scale, no rewrite of
+  // surviving data (the expireBatches discipline), and EXACT: dropping a
+  // window's partial removes precisely that window's contribution, so by
+  // each family's merge law the served sketch is bit-identical to a
+  // fresh build over the surviving windows' rows (the
+  // `stats_expire_windows` oracle's contract).
+
+  /** Append one window's sketch partial under `window_ts=<ts>`. The
+    * partial is whatever the family's build emits (stamped rows);
+    * partials are geometry-bounded small, so one file per window.
+    */
+  def writeWindowPartial(partial: DataFrame, dir: String,
+                         windowTs: Long): Unit =
+    partial.withColumn("window_ts", lit(windowTs))
+      .repartition(1)
+      .write.partitionBy("window_ts").mode("append").parquet(dir)
+
+  /** Delete every window partial with window_ts < `watermark`; returns
+    * the expired window stamps. Non-window directories are ignored, a
+    * failed delete is not reported as expired.
+    */
+  def expireWindows(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    watermark: Long): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Nil
+    fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("window_ts=-?\\d+"))
+      .map(s => s.getPath.getName.stripPrefix("window_ts=").toLong -> s.getPath)
+      .filter(_._1 < watermark)
+      .sortBy(_._1)
+      .collect { case (ts, p) if fs.delete(p, true) => ts }
+  }
+
+  /** Read the surviving window partials (with their `window_ts` stamp).
+    * Callers merge with the family's own law — [[kmvMerge]],
+    * [[bloomMerge]], [[countMinMerge]], [[graft.ext.Quality.histMerge]] —
+    * one partial frame per surviving window.
+    */
+  def readWindowPartials(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    spark.read.parquet(dir)
 }

@@ -262,6 +262,46 @@ private[graft] object DedupRegistry {
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingCosinePairs(Tables.embeddings(s, d), threshold = 0.42)
         .orderBy("i", "j")),
+
+    "dedup_state_expire" -> ((s, d) => {
+      // AGE/TTL retention for persisted dedup state (round 12): band
+      // rows carry an `admitted_ts` EVENT-time stamp written by the
+      // append path (never wall clock — deterministic, oracle-checkable);
+      // the watermark expires cohort ts=0 in a staged rewrite through
+      // the object-store-safe POINTER promotion, and admission against
+      // the aged state must equal admission against a state freshly
+      // built over the surviving cohort alone. Expired docs become
+      // never-seen — the ghost-row failure mode (rejecting new content
+      // against documents aged out of the corpus) is exactly what the
+      // oracle would catch.
+      val docs = Tables.documents(s, d)
+      val srcA = (0 to 4).map(i => s"src$i")   // window ts=0 — expires
+      val srcB = (5 to 9).map(i => s"src$i")   // window ts=1 — survives
+      val cohortA = docs.filter(col("source").isin(srcA: _*))
+      val cohortB = docs.filter(col("source").isin(srcB: _*))
+      val incoming = docs.filter(!col("source").isin((srcA ++ srcB): _*))
+      val tmp = TempDirs.create("graft-state-expire-").toString
+      val stateDir = s"$tmp/bands"
+      Dedup.writeBandState(
+        Dedup.bandTable(cohortA, w = 5, numHashes = 8, bandWidth = 2)
+          .withColumn("admitted_ts", lit(0L)),
+        stateDir, mode = "errorifexists")
+      Dedup.writeBandState(
+        Dedup.bandTable(cohortB, w = 5, numHashes = 8, bandWidth = 2)
+          .withColumn("admitted_ts", lit(1L)),
+        stateDir, mode = "append")
+      graft.operators.ScaleOps.expireRowsOlderThan(s, stateDir,
+        "admitted_ts", watermark = 1L,
+        promotion = graft.operators.ScaleOps.PointerSwap)
+      val retained = graft.operators.ScaleOps.readMaintained(s, stateDir,
+        graft.operators.ScaleOps.PointerSwap)
+      detachAndClean(
+        Dedup.incrementalNearDup(incoming, retained,
+            w = 5, numHashes = 8, bandWidth = 2)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id"),
+        tmp)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -445,6 +485,36 @@ private[graft] object DedupRegistry {
          |WHERE d.source NOT IN (${(0 to 9).map(i => s"'src$i'").mkString(",")})
          |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)
          |ORDER BY doc_id""".stripMargin,
+
+    "dedup_state_expire" -> {
+      // the seen-set is the SURVIVING cohort only (src5-9): cohort A's
+      // state rows expired, so its docs must be never-seen — any
+      // rejection an expired band row would have produced fails the hash.
+      val seenList = (5 to 9).map(i => s"'src$i'").mkString(",")
+      val allList = (0 to 9).map(i => s"'src$i'").mkString(",")
+      s"""WITH $triSql,
+         |$bandCteSql,
+         |docsrc AS (SELECT doc_id, source FROM documents),
+         |seenb AS (
+         |  SELECT DISTINCT band, bkey
+         |  FROM bands JOIN docsrc USING (doc_id)
+         |  WHERE source IN ($seenList)),
+         |incb AS (
+         |  SELECT b.doc_id, b.band, b.bkey
+         |  FROM bands b JOIN docsrc s ON s.doc_id = b.doc_id
+         |  WHERE s.source NOT IN ($allList)),
+         |rejected AS (
+         |  SELECT DISTINCT doc_id FROM incb
+         |  JOIN seenb k USING (band, bkey)
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM incb x
+         |  JOIN incb y ON x.band = y.band AND x.bkey = y.bkey
+         |             AND x.doc_id < y.doc_id)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.source NOT IN ($allList)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM rejected)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_incremental_near_verified" -> {
       val matchSum = (0 until 8).map(k =>

@@ -394,6 +394,84 @@ private[graft] object ScaleStatsRegistry {
         tmp)
     }),
 
+    "stats_expire_windows" -> ((s, d) => {
+      // AGE/TTL retention for the NON-invertible sketch families
+      // (round 12): a merged KMV cannot subtract an expired cohort, so
+      // the lifecycle persists one PARTIAL per event-time window
+      // (window_ts= partition dirs), expires by partition-dir delete
+      // (metadata-cheap, no rewrite of survivors), and serves the merge
+      // of surviving partials. Three doc_id%3 cohorts play windows
+      // 0/1/2; the watermark drops window 0. Oracle = the bottom-256
+      // built FRESH over the surviving cohorts' shingles — pass ⟺
+      // dropping the partial removed exactly that window's contribution
+      // (the merge law, made driver-checkable).
+      val docs = Tables.documents(s, d)
+      val tmp = TempDirs.create("graft-sketch-windows-").toString
+      val dir = s"$tmp/kmv_windows"
+      (0 to 2).foreach { wts =>
+        ext.Sketches.writeWindowPartial(
+          ext.Sketches.kmvBuild(
+            Dedup.shingles(docs.filter(col("doc_id") % 3 === wts), w = 3)
+              .select(col("sh")), "sh", k = 256),
+          dir, wts.toLong)
+      }
+      val expired = ext.Sketches.expireWindows(s, dir, watermark = 1L)
+      require(expired == Seq(0L), s"expected window 0 expired, got $expired")
+      val parts = ext.Sketches.readWindowPartials(s, dir)
+      detachAndClean(
+        ext.Sketches.kmvMerge(256,
+            parts.filter(col("window_ts") === 1).select(col("rank"), col("h")),
+            parts.filter(col("window_ts") === 2).select(col("rank"), col("h")))
+          .orderBy("rank"),
+        tmp)
+    }),
+
+    "stats_rebuild_forget" -> ((s, d) => {
+      // deletion-by-REBUILD for the non-invertible families (round 12):
+      // KMV (bottom-k of a union), Bloom (saturating bitmap) and CMS
+      // (never-undercount counters) cannot subtract a forgotten cohort
+      // — their documented right-to-be-forgotten path (see
+      // Quality.histSubtract's contrast) is a rebuild from the retained
+      // corpus, exercised here end-to-end THROUGH the persisted-state
+      // machinery: full-corpus sketches persisted, the doc_id%10==3
+      // cohort forgotten, all three rebuilt over the retained docs and
+      // re-persisted, the read-back emitted. Oracle = each sketch built
+      // fresh over the survivors in SQL — pass ⟺ rebuild-after-forget
+      // is bit-identical to a fresh build over survivors, stamps and
+      // write/read round-trip included.
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.shingles(docs, w = 3).select(col("sh"))
+      val tmp = TempDirs.create("graft-rebuild-forget-").toString
+      ext.Sketches.kmvWrite(ext.Sketches.kmvBuild(sh, "sh", 256),
+        s"$tmp/kmv", 256)
+      ext.Sketches.bloomWrite(ext.Sketches.bloomBuild(sh, "sh", 8192, 4),
+        s"$tmp/bloom", 8192, 4)
+      ext.Sketches.countMinWrite(ext.Sketches.countMinBuild(sh, "sh", 4, 1024),
+        s"$tmp/cms", 4, 1024)
+      // the forget: rebuild over the retained corpus, overwrite state
+      val retained = Dedup.shingles(docs.filter(col("doc_id") % 10 =!= 3),
+        w = 3).select(col("sh"))
+      ext.Sketches.kmvWrite(ext.Sketches.kmvBuild(retained, "sh", 256),
+        s"$tmp/kmv", 256)
+      ext.Sketches.bloomWrite(ext.Sketches.bloomBuild(retained, "sh", 8192, 4),
+        s"$tmp/bloom", 8192, 4)
+      ext.Sketches.countMinWrite(ext.Sketches.countMinBuild(retained, "sh", 4, 1024),
+        s"$tmp/cms", 4, 1024)
+      val kmv = s.read.parquet(s"$tmp/kmv")
+        .select(lit("kmv").as("family"), col("rank").cast("long").as("a"),
+          lit(0L).as("b"), col("h").as("v"))
+      val bloom = s.read.parquet(s"$tmp/bloom")
+        .select(lit("bloom").as("family"), col("pos").as("a"),
+          lit(0L).as("b"), lit(1L).as("v"))
+      val cms = s.read.parquet(s"$tmp/cms")
+        .select(lit("cms").as("family"), col("j").cast("long").as("a"),
+          col("bucket").as("b"), col("total").as("v"))
+      detachAndClean(
+        kmv.unionByName(bloom).unionByName(cms)
+          .orderBy("family", "a", "b"),
+        tmp)
+    }),
+
     "scale_salted_join" -> ((s, d) =>
       // the skew-salting operator on the oracle path: results must be
       // IDENTICAL to the plain join for any salt (the oracle is the
@@ -1011,6 +1089,63 @@ private[graft] object ScaleStatsRegistry {
         |FROM documents
         |WHERE doc_id % 10 <> 3 AND n_chars IS NOT NULL
         |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "stats_expire_windows" ->
+      // bottom-256 distinct shingle hashes over the SURVIVING windows
+      // (doc_id % 3 != 0): the merge of surviving partials must equal
+      // this fresh build, or expiry dropped/kept the wrong contribution.
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+        |           FROM documents WHERE doc_id % 3 <> 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+        |  FROM d, unnest(generate_series(1, len(l)-2)) AS u(i)
+        |  WHERE len(l) >= 3
+        |), h AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h FROM sh
+        |), sk AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rank FROM h
+        |  ORDER BY h LIMIT 256
+        |)
+        |SELECT CAST(rank AS INTEGER) AS rank, h FROM sk
+        |ORDER BY rank""".stripMargin,
+
+    "stats_rebuild_forget" -> {
+      // all three non-invertible sketches built fresh over the retained
+      // corpus (doc_id % 10 != 3), in the (family, a, b, v) layout the
+      // Spark side reads back from its re-persisted state.
+      def bloomPos(item: String) =
+        s"CAST('0x' || substr(md5('b' || j || '|' || $item), 1, 8) AS BIGINT) % 8192"
+      def cmsBucket(item: String) =
+        s"CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || $item), 1, 8) AS BIGINT) % 1024"
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+         |           FROM documents WHERE doc_id % 10 <> 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+         |  FROM d, unnest(generate_series(1, len(l)-2)) AS u(i)
+         |  WHERE len(l) >= 3
+         |), js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         |h AS (
+         |  SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h FROM sh
+         |), kmv AS (
+         |  SELECT 'kmv' AS family,
+         |         CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS a,
+         |         CAST(0 AS BIGINT) AS b, h AS v
+         |  FROM h ORDER BY h LIMIT 256
+         |), dsh AS (SELECT DISTINCT sh FROM sh),
+         |bloom AS (
+         |  SELECT DISTINCT 'bloom' AS family, ${bloomPos("sh")} AS a,
+         |         CAST(0 AS BIGINT) AS b, CAST(1 AS BIGINT) AS v
+         |  FROM dsh CROSS JOIN js
+         |), cms AS (
+         |  SELECT 'cms' AS family, CAST(j AS BIGINT) AS a,
+         |         ${cmsBucket("sh")} AS b, CAST(count(*) AS BIGINT) AS v
+         |  FROM sh CROSS JOIN js GROUP BY 1, 2, ${cmsBucket("sh")}
+         |)
+         |SELECT family, a, b, v FROM kmv
+         |UNION ALL SELECT family, a, b, v FROM bloom
+         |UNION ALL SELECT family, a, b, v FROM cms
+         |ORDER BY family, a, b""".stripMargin
+    },
 
     "stats_drift_state" ->
       """WITH a AS (

@@ -562,6 +562,50 @@ class DedupSpec extends AnyFunSuite {
     } else info("no dropped doc shares a bucket with a representative at this SF")
   }
 
+  test("age expiry: compaction with a watermark equals compaction of the survivors' fresh state") {
+    val docs = Tables.documents(spark, sfDir)
+    val old = docs.filter(col("doc_id") % 4 === 0)     // admitted_ts=0, expires
+    val young = docs.filter(col("doc_id") % 4 =!= 0)   // admitted_ts=1, survives
+    def stamped(cohort: org.apache.spark.sql.DataFrame, ts: Long) =
+      Dedup.bandTable(cohort, w = 5, numHashes = 8, bandWidth = 2)
+        .withColumn("admitted_ts", lit(ts))
+    val aged = java.nio.file.Files.createTempDirectory("graft-age-a-").toString + "/bands"
+    Dedup.writeBandState(stamped(old, 0L), aged, mode = "errorifexists")
+    Dedup.writeBandState(stamped(young, 1L), aged, mode = "append")
+    val fresh = java.nio.file.Files.createTempDirectory("graft-age-b-").toString + "/bands"
+    Dedup.writeBandState(stamped(young, 1L), fresh, mode = "errorifexists")
+    def keepers(dir: String, corpus: org.apache.spark.sql.DataFrame,
+                wm: Option[Long]) =
+      Dedup.compactNearDupState(spark, dir, corpus, qualityCol = "n_chars",
+          w = 5, numHashes = 8, bandWidth = 2, expireBefore = wm)
+        .select("keeper").collect().map(_.getLong(0)).toSet
+    // the aged compaction is handed the FULL corpus — fully-expired docs
+    // must leave the keeper set inside the operator, not via the caller
+    val agedKeepers = keepers(aged, docs, Some(1L))
+    val freshKeepers = keepers(fresh, young, None)
+    assert(agedKeepers === freshKeepers,
+      "watermark compaction diverged from compacting a fresh survivors-only state")
+    def stateRows(dir: String) =
+      spark.read.parquet(dir).select("doc_id", "band", "bkey")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(stateRows(aged) === stateRows(fresh),
+      "aged state bands diverged from the survivors-only rewrite")
+    // surviving stamps ride through the rewrite (a second expiry must
+    // still be possible)
+    assert(spark.read.parquet(aged).columns.contains("admitted_ts"),
+      "compaction dropped the admitted_ts stamp")
+    // unstamped state refuses the watermark leg loudly
+    val bare = java.nio.file.Files.createTempDirectory("graft-age-c-").toString + "/bands"
+    Dedup.writeBandState(
+      Dedup.bandTable(young, w = 5, numHashes = 8, bandWidth = 2),
+      bare, mode = "errorifexists")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.compactNearDupState(spark, bare, young, qualityCol = "n_chars",
+        w = 5, numHashes = 8, bandWidth = 2, expireBefore = Some(1L))
+    }
+    assert(e.getMessage.contains("admitted_ts"))
+  }
+
   test("maxPartners is a phasing knob: binding and un-binding caps all admit identically") {
     val docs = Tables.documents(spark, sfDir)
     val seenSrc = (0 to 9).map(i => s"src$i")

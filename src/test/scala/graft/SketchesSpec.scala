@@ -423,4 +423,42 @@ class SketchesSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("no bin_width stamp"))
     graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
+
+  test("windowed sketch state: partition-dir expiry == fresh build over surviving windows") {
+    import graft.ext.{Dedup, Sketches}
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-windowed-").toString
+    val dir = s"$tmp/kmv"
+    def cohortSh(wts: Int) =
+      Dedup.shingles(docs.filter(col("doc_id") % 3 === wts), w = 3)
+        .select(col("sh"))
+    (0 to 2).foreach(w => Sketches.writeWindowPartial(
+      Sketches.kmvBuild(cohortSh(w), "sh", 256), dir, w.toLong))
+    // expiry below every stamp is a no-op; the watermark then drops
+    // exactly window 0 and reports it
+    assert(Sketches.expireWindows(spark, dir, watermark = 0L) === Seq.empty)
+    assert(Sketches.expireWindows(spark, dir, watermark = 1L) === Seq(0L))
+    val surviving = Sketches.readWindowPartials(spark, dir)
+    assert(surviving.select("window_ts").distinct().collect()
+      .map(_.getInt(0)).toSet === Set(1, 2),
+      "exactly the surviving window partials remain on disk")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val merged = hashes(Sketches.kmvMerge(256,
+      surviving.filter(col("window_ts") === 1).select(col("rank"), col("h")),
+      surviving.filter(col("window_ts") === 2).select(col("rank"), col("h"))))
+    val fresh = hashes(Sketches.kmvBuild(
+      cohortSh(1).unionAll(cohortSh(2)), "sh", 256))
+    assert(merged === fresh,
+      "merge of surviving partials must equal a fresh build over surviving rows")
+    // the generic age-expiry op refuses rows with no stamp column
+    val bare = s"$tmp/bare"
+    docs.limit(5).select("doc_id").write.parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ScaleOps.expireRowsOlderThan(spark, bare,
+        "admitted_ts", watermark = 1L)
+    }
+    assert(e.getMessage.contains("no 'admitted_ts' stamp"))
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
 }
