@@ -340,26 +340,85 @@ object Corpus {
                              threshold: Double = 0.42,
                              numPlanes: Int = 16, bandWidth: Int = 4,
                              dim: Int = 64): DataFrame = {
-    val paired = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val paired = pairedWithEmb(docs, emb)
+    val train = paired.filter(!col("source").isin(benchSources: _*))
+    val contaminated = embeddingContaminatedIds(train, emb,
+      benchSignatureTable(docs, emb, benchSources, numPlanes, bandWidth, dim),
+      threshold, numPlanes, bandWidth, dim)
+    train.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  private def pairedWithEmb(docs: DataFrame, emb: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
       .join(emb.select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))
-    def banded(side: DataFrame, idAs: String, embAs: String) =
-      Similarity.withBandKeys(
-          side.select(col("doc_id").as("vec_id"), col("embedding")),
-          idAs, numPlanes, bandWidth, dim)
-        .withColumnRenamed("embedding", embAs)
-    val bench = banded(
-      paired.filter(col("source").isin(benchSources: _*)), "bid", "be")
-    val train = paired.filter(!col("source").isin(benchSources: _*))
-    val trainB = banded(train, "tid", "te")
-    val contaminated = trainB.join(bench, Seq("band", "bkey"))
+
+  private def bandedSide(side: DataFrame, idAs: String, embAs: String,
+                         numPlanes: Int, bandWidth: Int,
+                         dim: Int): DataFrame =
+    Similarity.withBandKeys(
+        side.select(col("doc_id").as("vec_id"), col("embedding")),
+        idAs, numPlanes, bandWidth, dim)
+      .withColumnRenamed("embedding", embAs)
+
+  /** The PERSISTED bench-signature table of the semantic sweep — the
+    * eval corpus's embeddings banded once by hyperplane signature
+    * (band, bkey, bid, be) with the layout stamped in constant columns,
+    * small by construction (eval sets are). An incremental release
+    * chain persists this table at bench onboarding and every later
+    * release consults it ([[embeddingContaminatedIds]]) without
+    * rescanning bench documents or embeddings — the same
+    * state-not-recompute discipline as the band table.
+    */
+  def benchSignatureTable(docs: DataFrame, emb: DataFrame,
+                          benchSources: Seq[String],
+                          numPlanes: Int = 16, bandWidth: Int = 4,
+                          dim: Int = 64): DataFrame =
+    bandedSide(
+        pairedWithEmb(docs, emb).filter(col("source").isin(benchSources: _*)),
+        "bid", "be", numPlanes, bandWidth, dim)
+      .withColumn("num_planes", lit(numPlanes))
+      .withColumn("band_width", lit(bandWidth))
+      .withColumn("dim", lit(dim))
+
+  /** Doc ids of `cohort` that SEMANTICALLY near-match the persisted
+    * bench-signature state: the cohort is banded with the same planes
+    * (the stamp is validated — mismatched banding would silently never
+    * collide, admitting every paraphrase), candidates come from the
+    * (band, bkey) equi-join against the state, exact cosine verifies.
+    * Only the cohort's `doc_id` column is read; its embeddings come
+    * from `emb` — a doc without an embedding row can't match and is
+    * simply absent, so callers anti-join the returned ids and
+    * unembedded docs pass through un-swept.
+    */
+  def embeddingContaminatedIds(cohort: DataFrame, emb: DataFrame,
+                               benchState: DataFrame,
+                               threshold: Double = 0.42,
+                               numPlanes: Int = 16, bandWidth: Int = 4,
+                               dim: Int = 64): DataFrame = {
+    Seq("num_planes" -> numPlanes, "band_width" -> bandWidth, "dim" -> dim)
+      .foreach { case (c, v) =>
+        if (benchState.columns.contains(c)) {
+          val got = benchState.select(col(c)).limit(1).collect()
+          require(got.isEmpty || got(0).getInt(0) == v,
+            s"bench-signature state layout mismatch: $c=${got(0).getInt(0)} " +
+              s"in state but sweep called with $c=$v — bands would never " +
+              "collide and every paraphrase would be admitted")
+        }
+      }
+    val paired = cohort.select(col("doc_id"))
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+    val cohortB = bandedSide(paired, "tid", "te", numPlanes, bandWidth, dim)
+    cohortB.join(benchState.select(col("band"), col("bkey"),
+          col("bid"), col("be")),
+        Seq("band", "bkey"))
       .dropDuplicates("tid", "bid")
       .withColumn("sim",
         graft.functions.KeyColumns.cosine_native(col("te"), col("be")))
-      .filter(col("sim") >= threshold)
+      .filter(col("sim") >= lit(threshold))
       .select(col("tid").as("doc_id")).distinct()
-    train.select(col("doc_id"), col("source"), col("n_chars"))
-      .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   /** Weighted source mixing: per-source keep rates (per mille), the

@@ -118,16 +118,30 @@ private[graft] object CorpusRegistry {
       // the released docs' bands — a ghost band would reject future
       // content against a doc that was never released).
       val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
       val bench = Seq("src0", "src1")
       val train = docs.filter(!col("source").isin(bench: _*))
       // the canonical gate — the SAME projection predicate the streaming
       // front door applies (one definition, no threshold drift)
       val gated = ext.TextAnalysis.qualityGateDocs(train)
-      val t0 = gated.filter(col("doc_id") % 2 === 0)
-      val delta = gated.filter(col("doc_id") % 2 =!= 0)
       val tmp = TempDirs.create("graft-increl-").toString
       val stateDir = s"$tmp/bands"
       val seenDir = s"$tmp/seen"
+      // SEMANTIC sweep state (round 12): the bench embeddings banded
+      // ONCE at onboarding and persisted; both release phases consult
+      // this table — never the bench documents or embeddings again —
+      // so a paraphrased benchmark passage is swept from every release
+      // without a bench rescan. Docs with no embedding row pass through
+      // un-swept (the ids are anti-joined).
+      val benchSigDir = s"$tmp/benchsig"
+      ext.Corpus.benchSignatureTable(docs, emb, bench)
+        .write.parquet(benchSigDir)
+      val benchSig = s.read.parquet(benchSigDir)
+      def sweep(cohort: DataFrame): DataFrame = cohort.join(
+        ext.Corpus.embeddingContaminatedIds(cohort, emb, benchSig),
+        Seq("doc_id"), "left_anti")
+      val t0 = sweep(gated.filter(col("doc_id") % 2 === 0))
+      val delta = sweep(gated.filter(col("doc_id") % 2 =!= 0))
       // phase A — prior release + state build, via the SAME one-call
       // admission transaction phase B uses (missing state dir → created
       // from the admitted docs' bands; nothing re-shingled)
@@ -602,10 +616,41 @@ private[graft] object CorpusRegistry {
     // pre-filter (every gated doc has >= 1 shingle, so identical text
     // always also collides band-wise — the hash leg is the cheap
     // short-circuit, not a semantic widening).
-    "corpus_release_incremental" ->
+    "corpus_release_incremental" -> {
+      // the semantic sweep's banding fragments — identical ±1 planes and
+      // band layout as the corpus_decontaminate_embedding oracle
+      val planes = Similarity.planeMatrix(16, 64)
+      def planeLit(p: Int): String =
+        planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val bitCols = (0 until 16).map { p =>
+        s"""    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+           |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])) >= 0
+           |      THEN 1 ELSE 0 END AS b$p""".stripMargin
+      }.mkString(",\n")
+      def ebkey(bits: Seq[Int]) =
+        bits.map(b => s"CAST(b$b AS VARCHAR)").mkString(" || ',' || ")
+      val bandSelects = (0 until 4).map(b =>
+        s"  SELECT doc_id, source, embedding, $b AS band, ${ebkey(b * 4 until (b + 1) * 4)} AS bkey FROM esig")
+        .mkString("\n  UNION ALL\n")
       s"""WITH $triSql,
          |$bandCteSql,
-         |qg AS (
+         |ep AS (
+         |  SELECT d.doc_id, d.source, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), esig AS (
+         |  SELECT doc_id, source, embedding,
+         |$bitCols
+         |  FROM ep
+         |), ebanded AS (
+         |$bandSelects
+         |), embad AS (
+         |  SELECT DISTINCT x.doc_id AS tid
+         |  FROM ebanded x JOIN ebanded y
+         |    ON x.band = y.band AND x.bkey = y.bkey
+         |  WHERE x.source NOT IN ('src0','src1')
+         |    AND y.source IN ('src0','src1')
+         |    AND ${cosineSql("x.embedding", "y.embedding")} >= 0.42
+         |), qg AS (
          |  SELECT doc_id FROM (
          |    SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
          |           len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
@@ -614,6 +659,7 @@ private[graft] object CorpusRegistry {
          |), g AS (
          |  SELECT d.* FROM documents d JOIN qg USING (doc_id)
          |  WHERE d.source NOT IN ('src0','src1')
+         |    AND d.doc_id NOT IN (SELECT tid FROM embad)
          |), t0 AS (SELECT * FROM g WHERE doc_id % 2 = 0),
          |dl AS (SELECT * FROM g WHERE doc_id % 2 = 1),
          |ekA AS (SELECT min(doc_id) AS doc_id FROM t0 GROUP BY md5(text)),
@@ -641,7 +687,8 @@ private[graft] object CorpusRegistry {
          |UNION ALL
          |SELECT g.doc_id, g.source, g.n_chars, 'delta' AS release
          |FROM g JOIN admB USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // greedy fill in salted-hash order, per source: admitted iff the
     // tokens admitted before it sit under the source's budget (the

@@ -218,6 +218,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(real.filter(col("source").isin("src0", "src1")).count() === 0L)
   }
 
+  test("persisted bench-signature sweep == inline sweep; stamp mismatch refuses") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val bench = Seq("src0", "src1")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-benchsig-").toString + "/sig"
+    Corpus.benchSignatureTable(docs, emb, bench).write.parquet(dir)
+    val state = spark.read.parquet(dir)
+    val train = docs.filter(!col("source").isin(bench: _*))
+    // the state-consulting sweep must flag exactly the docs the inline
+    // operator sweeps (same planes, same candidates, same verification)
+    val viaState = Corpus.embeddingContaminatedIds(train, emb, state)
+      .collect().map(_.getLong(0)).toSet
+    val inlineKept = Corpus.decontaminateEmbedding(docs, emb, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val paired = train.select("doc_id")
+      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaState === paired -- inlineKept,
+      "state-consulting sweep diverged from the inline operator")
+    // a state banded under different planes must refuse loudly, not
+    // silently admit every paraphrase
+    val e = intercept[IllegalArgumentException] {
+      Corpus.embeddingContaminatedIds(train, emb, state, numPlanes = 8,
+        bandWidth = 4)
+    }
+    assert(e.getMessage.contains("layout mismatch"))
+  }
+
   test("source mixing keeps only listed sources, at their rates") {
     val docs = Tables.documents(spark, sfDir)
     val kept = Corpus.mixSources(docs, "source", "doc_id",
