@@ -78,6 +78,53 @@ object Corpus {
           .otherwise(lit("test")))
   }
 
+  /** Grouped split over the PERSISTED compacted dedup state — the
+    * release-STABLE form of [[splitAssignGrouped]]: cluster identity
+    * comes from the state's keeper bands (a doc's cluster = the smallest
+    * keeper whose bucket it collides with; no collision → singleton),
+    * not from a per-call clustering. Per-call clustering is unstable
+    * under a delta release — a bridge doc can MERGE two prior clusters,
+    * rewriting the lower cluster's id and silently moving its members
+    * across splits (eval contamination in reverse: yesterday's test doc
+    * becomes today's train doc). Against the compacted state, keepers
+    * persist and new releases only APPEND larger-id keepers, so a doc's
+    * smallest colliding keeper — and therefore its split — never changes
+    * while its keeper remains in state (the `corpus_split_stable`
+    * oracle's contract).
+    *
+    * Scale shape: one partition-pruned state read (the probe's cells
+    * only), one equi-join, one min-aggregation — no clustering loop, no
+    * pair term. The leakage invariant is inherited: docs colliding with
+    * the same keeper co-assign by construction.
+    */
+  def splitAssignGroupedStable(spark: org.apache.spark.sql.SparkSession,
+                               docs: DataFrame, stateDir: String,
+                               w: Int = 3, numHashes: Int = 8,
+                               bandWidth: Int = 2,
+                               trainPct: Int = 80, valPct: Int = 10,
+                               salt: String = "split"): DataFrame = {
+    require(trainPct + valPct < 100, "test share must be positive")
+    val probe = Dedup.bandTable(docs, w, numHashes, bandWidth).persist()
+    try {
+      val state = Dedup.readBandState(spark, stateDir, probe)
+      Dedup.requireStateLayout(state, "compacted band state",
+        Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth))
+      val owner = probe
+        .join(state.select(col("band"), col("bkey"),
+            col("doc_id").as("keeper")),
+          Seq("band", "bkey"))
+        .groupBy(col("doc_id")).agg(min(col("keeper")).as("cluster_id"))
+      docs.join(owner, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("bucket", hashBucket(col("cluster_id"), salt, 100))
+        .withColumn("split",
+          when(col("bucket") < trainPct, lit("train"))
+            .when(col("bucket") < trainPct + valPct, lit("val"))
+            .otherwise(lit("test")))
+        .localCheckpoint(eager = true)
+    } finally probe.unpersist(blocking = false)
+  }
+
   /** Normalization + PII-style scrubbing: lowercase, mask email-shaped
     * tokens and digit runs, collapse whitespace. Pure codegen'd scalar
     * expressions that ride inside the scan's WholeStageCodegen span —

@@ -422,7 +422,7 @@ object Dedup {
     * an EMPTY state table validates trivially (admitting everything
     * against an empty corpus is correct).
     */
-  private def requireStateLayout(state: DataFrame, what: String,
+  private[ext] def requireStateLayout(state: DataFrame, what: String,
                                  expected: Seq[(String, Int)]): Unit = {
     val cols = expected.map(_._1)
     require(cols.forall(state.columns.contains),

@@ -194,6 +194,55 @@ private[graft] object CorpusRegistry {
       out.orderBy("doc_id")
     }),
 
+    "corpus_split_stable" -> ((s, d) => {
+      // RELEASE-STABLE grouped split (round 12): cluster identity from
+      // the persisted COMPACTED band state instead of a per-call
+      // clustering. Per-call clustering is unstable under a delta
+      // release — a bridge doc can merge two prior clusters and move
+      // members across splits (yesterday's test doc becomes today's
+      // train doc). Against the compacted state, a release only APPENDS
+      // larger-id keepers, so a doc whose cluster persists keeps its
+      // split — the in-query require pins exactly that contract over
+      // the t0 cohort (owned docs + keepers; a dropped member whose
+      // only bucket link was to other dropped members has no persisted
+      // cluster and may be adopted by a later keeper — that is the
+      // compaction trade, not instability).
+      val docs = Tables.documents(s, d)
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val t0 = docs.filter(col("doc_id") <= mid)
+      val delta = docs.filter(col("doc_id") > mid)
+      val tmp = TempDirs.create("graft-split-stable-").toString
+      val stateDir = s"$tmp/bands"
+      Dedup.writeBandState(
+        Dedup.bandTable(t0, w = 5, numHashes = 8, bandWidth = 2),
+        stateDir, mode = "errorifexists")
+      val kept = Dedup.compactNearDupState(s, stateDir, t0,
+        qualityCol = "n_chars", w = 5, numHashes = 8, bandWidth = 2)
+      val splitT0 = ext.Corpus.splitAssignGroupedStable(s, t0, stateDir,
+        w = 5, numHashes = 8, bandWidth = 2)
+      Dedup.admitAndMaintainState(s, delta, stateDir,
+        w = 5, numHashes = 8, bandWidth = 2)
+      val splitAll = ext.Corpus.splitAssignGroupedStable(s, docs, stateDir,
+        w = 5, numHashes = 8, bandWidth = 2)
+      val stableSet = splitT0.filter(col("cluster_id") =!= col("doc_id"))
+        .select(col("doc_id"))
+        .unionByName(kept.select(col("keeper").as("doc_id")))
+        .distinct()
+      val moved = splitT0.select(col("doc_id"), col("split").as("s0"))
+        .join(splitAll.select(col("doc_id"), col("split").as("s1")),
+          Seq("doc_id"))
+        .join(stableSet, Seq("doc_id"), "left_semi")
+        .filter(col("s0") =!= col("s1")).count()
+      require(moved == 0,
+        s"$moved t0 docs with a persisted cluster changed split after " +
+          "the delta release — grouped split must be release-stable")
+      detachAndClean(
+        splitAll.select(col("doc_id"), col("cluster_id"), col("bucket"),
+            col("split"))
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
     "corpus_token_budget" -> ((s, d) =>
       // token-budget mixture sampling (round 11): three sources admitted
       // in salted-hash order until each hits its TOKEN budget — the
@@ -689,6 +738,73 @@ private[graft] object CorpusRegistry {
          |FROM g JOIN admB USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "corpus_split_stable" ->
+      // full lifecycle unroll: t0 clustering (CC over shared buckets) →
+      // keeper per cluster (max quality, min-id tiebreak) → compacted
+      // state = keepers' bands → delta admission (state collision or
+      // smaller sibling rejects) → state append → every doc's cluster =
+      // min colliding keeper in the final state.
+      s"""WITH RECURSIVE $triSql,
+         |$bandCteSql,
+         |mid AS (SELECT max(doc_id) // 2 AS m FROM documents),
+         |tb AS (SELECT b.* FROM bands b WHERE b.doc_id <= (SELECT m FROM mid)),
+         |bmin AS (SELECT band, bkey, min(doc_id) AS root FROM tb GROUP BY 1, 2),
+         |edges0 AS (
+         |  SELECT DISTINCT m.root AS a, b.doc_id AS b
+         |  FROM tb b JOIN bmin m USING (band, bkey)
+         |  WHERE b.doc_id <> m.root),
+         |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+         |reach(node, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b),
+         |cl AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1),
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+         |         d.n_chars
+         |  FROM documents d LEFT JOIN cl USING (doc_id)
+         |  WHERE d.doc_id <= (SELECT m FROM mid)),
+         |keepers AS (
+         |  SELECT doc_id AS keeper FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+         |             ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |    FROM allc) WHERE rn = 1),
+         |st1 AS (
+         |  SELECT b.doc_id AS keeper, b.band, b.bkey
+         |  FROM tb b JOIN keepers k ON k.keeper = b.doc_id),
+         |db AS (SELECT b.* FROM bands b WHERE b.doc_id > (SELECT m FROM mid)),
+         |rejd AS (
+         |  SELECT DISTINCT b.doc_id FROM db b
+         |  JOIN st1 s ON s.band = b.band AND s.bkey = b.bkey
+         |  UNION
+         |  SELECT DISTINCT y.doc_id FROM db x
+         |  JOIN db y ON x.band = y.band AND x.bkey = y.bkey
+         |             AND x.doc_id < y.doc_id),
+         |admd AS (
+         |  SELECT DISTINCT doc_id FROM db
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM rejd)),
+         |st2 AS (
+         |  SELECT keeper, band, bkey FROM st1
+         |  UNION ALL
+         |  SELECT b.doc_id AS keeper, b.band, b.bkey
+         |  FROM db b JOIN admd a USING (doc_id)),
+         |own AS (
+         |  SELECT b.doc_id, min(s.keeper) AS cluster_id
+         |  FROM bands b JOIN st2 s ON s.band = b.band AND s.bkey = b.bkey
+         |  GROUP BY 1),
+         |withc AS (
+         |  SELECT d.doc_id, coalesce(o.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN own o USING (doc_id)),
+         |bk AS (
+         |  SELECT doc_id, cluster_id,
+         |    CAST(CAST('0x' || substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket
+         |  FROM withc)
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM bk ORDER BY doc_id""".stripMargin,
 
     // greedy fill in salted-hash order, per source: admitted iff the
     // tokens admitted before it sit under the source's budget (the

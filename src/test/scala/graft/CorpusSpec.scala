@@ -130,6 +130,44 @@ class CorpusSpec extends AnyFunSuite {
         "assignment — grouped split degenerated to per-doc hashing")
   }
 
+  test("stable grouped split: persisted-cluster docs never move; only singletons adopt, and only forward") {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val t0 = docs.filter(col("doc_id") <= mid)
+    val delta = docs.filter(col("doc_id") > mid)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stable-split-").toString + "/bands"
+    Dedup.writeBandState(
+      Dedup.bandTable(t0, w = 5, numHashes = 8, bandWidth = 2),
+      dir, mode = "errorifexists")
+    val kept = Dedup.compactNearDupState(spark, dir, t0,
+      qualityCol = "n_chars", w = 5, numHashes = 8, bandWidth = 2)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "split").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val s0 = asMap(Corpus.splitAssignGroupedStable(spark, t0, dir,
+      w = 5, numHashes = 8, bandWidth = 2))
+    Dedup.admitAndMaintainState(spark, delta, dir,
+      w = 5, numHashes = 8, bandWidth = 2)
+    val s1 = asMap(Corpus.splitAssignGroupedStable(spark, docs, dir,
+      w = 5, numHashes = 8, bandWidth = 2))
+    val keepers = kept.select("keeper").collect().map(_.getLong(0)).toSet
+    s0.foreach { case (id, (c0, sp0)) =>
+      val (c1, sp1) = s1(id)
+      if (c0 != id || keepers(id))
+        // a doc whose cluster persisted (it had an owner, or it IS a
+        // keeper whose bands are in state) must be assignment-stable
+        assert(c0 == c1 && sp0 == sp1,
+          s"doc $id with persisted cluster $c0 moved to $c1/$sp1")
+      else if (c1 != c0)
+        // the one allowed change: a dropped member with no persisted
+        // link adopted by a LATER (delta, larger-id) keeper — ids only
+        // move forward, so no re-run can flip it back
+        assert(c1 > mid, s"singleton $id adopted pre-delta keeper $c1")
+    }
+  }
+
   test("token budget: greedy fill binds, overshoots by at most one doc, partition-invariant") {
     val docs = Tables.documents(spark, sfDir)
     val budgets = Map("src2" -> 800L, "src3" -> 500L, "src4" -> 200L)
