@@ -19,6 +19,16 @@ import Shared._
   */
 private[graft] object StreamRegistry {
 
+  /** State-partition sizing for the registered streaming pipelines
+    * (round 12): 8 partitions fit this bench's state volume — the A/B
+    * table in PLANS.md priced the stateful family at 0.71× wall vs the
+    * 32-partition cluster default, hash-identical results. See
+    * [[graft.streaming.Streams.stateSizedSession]] for the scale
+    * argument (size state partitions to state, not to cores).
+    */
+  private def stateSized(s: SparkSession): SparkSession =
+    graft.streaming.Streams.stateSizedSession(s, 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // batch/stream-agnostic transforms (graft.streaming) run here in
     // batch mode — identical code drives the AvailableNow streaming jobs.
@@ -88,7 +98,7 @@ private[graft] object StreamRegistry {
       val (tmp, src) = stageEventsStreamDir(d)
       val sch = s.read.parquet(src).schema
       graft.streaming.Streams.incrementalPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", prepare = rebuildStreamTs)
+          stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck", prepare = rebuildStreamTs)
         .awaitTermination()
       detachAndClean(sinkBelowHorizon(s, d, s"$tmp/out", "event_type"), tmp)
     }),
@@ -115,7 +125,7 @@ private[graft] object StreamRegistry {
       val sch = s.read.parquet(src).schema
       def runPass(): Unit =
         graft.streaming.Streams.incrementalPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck",
+          stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck",
           prepare = rebuildStreamTs).awaitTermination()
       runPass()
       feed.filter(col("ts") >= lit(mid)).coalesce(1)
@@ -170,7 +180,7 @@ private[graft] object StreamRegistry {
       val sch = s.read.parquet(src).schema
       def runPass(): Unit =
         graft.streaming.Streams.sessionPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", gapMs,
+          stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck", gapMs,
           prepare = rebuildStreamTs).awaitTermination()
       runPass()
       feed.filter(col("ts") >= lit(mid)).coalesce(1)
@@ -222,7 +232,7 @@ private[graft] object StreamRegistry {
       val sch = s.read.parquet(src).schema
       def runPass(): Unit =
         graft.streaming.Streams.intervalJoinPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck",
+          stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck",
           prepare = rebuildStreamTs).awaitTermination()
       runPass()
       feed.filter(col("ts") >= lit(mid)).coalesce(1)
@@ -248,7 +258,7 @@ private[graft] object StreamRegistry {
         "purchase" -> "revenue", "signup" -> "lifecycle",
         "error" -> "ops").toDF("event_type", "category")
       graft.streaming.Streams.enrichedPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", dim,
+          stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck", dim,
           dimKey = "event_type", categoryCol = "category",
           fallbackCategory = "ops", prepare = rebuildStreamTs)
         .awaitTermination()
@@ -274,7 +284,7 @@ private[graft] object StreamRegistry {
         .write.mode("append").parquet(src)
       val sch = s.read.parquet(src).schema
       graft.streaming.Streams.dedupPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", "event_id",
+          stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck", "event_id",
           prepare = rebuildStreamTs)
         .awaitTermination()
       detachAndClean(
@@ -299,7 +309,7 @@ private[graft] object StreamRegistry {
       val sch = s.read.parquet(src).schema
       def runPass(): Unit =
         graft.streaming.Streams.dedupPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", "event_id",
+          stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck", "event_id",
           prepare = rebuildStreamTs).awaitTermination()
       runPass()
       // grow the source only AFTER pass 1 committed its checkpoint.
@@ -356,7 +366,7 @@ private[graft] object StreamRegistry {
           numHashes = 4)
       val sch = s.read.parquet(src).schema
       graft.streaming.Streams.corpusCleanPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", gate,
+          stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck", gate,
           benchSources = Seq("src0", "src1"), threshold = 0.3)
         .awaitTermination()
       detachAndClean(
@@ -386,7 +396,7 @@ private[graft] object StreamRegistry {
       val sch = s.read.parquet(src).schema
       def runPass(): Unit =
         graft.streaming.Streams.corpusCleanPipeline(
-          s, sch, src, s"$tmp/out", s"$tmp/ck", gate,
+          stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck", gate,
           benchSources = Seq("src0", "src1"), threshold = 0.3)
           .awaitTermination()
       runPass()
@@ -440,7 +450,7 @@ private[graft] object StreamRegistry {
       }
       val sch = s.read.parquet(src).schema
       val q = graft.streaming.Streams.nearDedupPipeline(
-        s, sch, src, s"$tmp/state", s"$tmp/out", s"$tmp/ck",
+        stateSized(s), sch, src, s"$tmp/state", s"$tmp/out", s"$tmp/ck",
         w = 5, numHashes = 8, bandWidth = 2)
       q.awaitTermination()
       val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
@@ -493,7 +503,7 @@ private[graft] object StreamRegistry {
       val sch = s.read.parquet(src).schema
       def runPass(): org.apache.spark.sql.streaming.StreamingQuery = {
         val q = graft.streaming.Streams.nearDedupPipeline(
-          s, sch, src, s"$tmp/state", s"$tmp/out", s"$tmp/ck",
+          stateSized(s), sch, src, s"$tmp/state", s"$tmp/out", s"$tmp/ck",
           w = 5, numHashes = 8, bandWidth = 2)
         q.awaitTermination(); q
       }
@@ -529,7 +539,7 @@ private[graft] object StreamRegistry {
           .write.mode("append").parquet(src))
       val sch = s.read.parquet(src).schema
       val q = graft.streaming.Streams.histMaintainPipeline(
-        s, sch, src, s"$tmp/state", s"$tmp/ck", "value", 25.0)
+        stateSized(s), sch, src, s"$tmp/state", s"$tmp/ck", "value", 25.0)
       q.awaitTermination()
       val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
       require(nBatches >= 2,
@@ -562,7 +572,7 @@ private[graft] object StreamRegistry {
       val item = concat(col("user_id").cast("string"), lit("|"),
         col("event_type"))
       val q = graft.streaming.Streams.sketchMaintainPipeline(
-        s, sch, src, s"$tmp/state", s"$tmp/ck", "item", 256,
+        stateSized(s), sch, src, s"$tmp/state", s"$tmp/ck", "item", 256,
         prepare = _.withColumn("item", item))
       q.awaitTermination()
       val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
@@ -603,7 +613,7 @@ private[graft] object StreamRegistry {
           .write.mode("append").parquet(src))
       val sch = s.read.parquet(src).schema
       val q = graft.streaming.Streams.indexMaintainPipeline(
-        s, sch, src, s"$tmp/index", s"$tmp/ck")
+        stateSized(s), sch, src, s"$tmp/index", s"$tmp/ck")
       q.awaitTermination()
       val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
       require(nBatches >= 2,

@@ -22,6 +22,28 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  /** A sibling session whose `spark.sql.shuffle.partitions` — which is
+    * ALSO Structured Streaming's state-partition count, frozen into the
+    * checkpoint at first start — is sized to the pipeline's STATE
+    * volume instead of inheriting the cluster-parallelism default.
+    * State-store cost per micro-batch is (stores × partitions) snapshot/
+    * delta commits of mostly-fixed IO, so an oversized partition count
+    * buys nothing but commit fan-out: the round-12 A/B priced the nine
+    * stateful restart/maintain queries at 0.71× wall under 8 state
+    * partitions vs 32 at sf0.1 (PLANS.md table), results hash-identical
+    * (state partitioning is semantically invisible — the oracles prove
+    * it). `newSession` shares the SparkContext; only the conf forks, so
+    * batch queries on the parent session keep the cluster-sized
+    * default. At 100 TB the same knob sizes UP with state volume — the
+    * point is sizing state partitions to state, not to cores.
+    */
+  def stateSizedSession(spark: SparkSession, statePartitions: Int): SparkSession = {
+    require(statePartitions >= 1, "need at least one state partition")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss
+  }
+
   /** Watermarked hourly windowed aggregation (event-time). Cents-exact
     * sums as everywhere else.
     */

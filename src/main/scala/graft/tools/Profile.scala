@@ -12,13 +12,23 @@ object Profile {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // A/B hooks for the stream-family state-store pricing (round 12):
+    // SPARK_GRAFT_STATESTORE=rocksdb swaps the state-store provider;
+    // SPARK_GRAFT_SHUFFLE=<n> overrides the shuffle/state partition
+    // count. Bench/Verify never read these — they are Profile-only.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val b1 =
+      if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+        b0.config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else b0
+    val spark = b1.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[A](lbl: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
@@ -93,6 +103,14 @@ object Profile {
       time("readback sink")(println("[profile] sink rows=" +
         spark.read.parquet(s"$tmp/out").count()))
       graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
+      spark.stop(); return
+    }
+    // comma-separated names run once each in THIS session (the A/B
+    // harness shape: one JVM, many queries, uniform conf); a single
+    // name keeps the run1/run2 cold-vs-warm split.
+    if (name.contains(",")) {
+      name.split(',').foreach(q =>
+        time(s"$q")(SparkEntry.queries(q)(spark, sfDir).count()))
       spark.stop(); return
     }
     time(s"$name run1")(SparkEntry.queries(name)(spark, sfDir).count())
