@@ -109,11 +109,15 @@ object Corpus {
       val state = Dedup.readBandState(spark, stateDir, probe)
       Dedup.requireStateLayout(state, "compacted band state",
         Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth))
+      // only the ID-SIZED owner map materializes (the shingle cache can
+      // then release); the returned frame stays a lazy docs ⋈ owner plan
+      // — never a corpus-sized local materialization
       val owner = probe
         .join(state.select(col("band"), col("bkey"),
             col("doc_id").as("keeper")),
           Seq("band", "bkey"))
         .groupBy(col("doc_id")).agg(min(col("keeper")).as("cluster_id"))
+        .localCheckpoint(eager = true)
       docs.join(owner, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
         .withColumn("bucket", hashBucket(col("cluster_id"), salt, 100))
@@ -121,7 +125,6 @@ object Corpus {
           when(col("bucket") < trainPct, lit("train"))
             .when(col("bucket") < trainPct + valPct, lit("val"))
             .otherwise(lit("test")))
-        .localCheckpoint(eager = true)
     } finally probe.unpersist(blocking = false)
   }
 
@@ -439,11 +442,14 @@ object Corpus {
     * simply absent, so callers anti-join the returned ids and
     * unembedded docs pass through un-swept.
     */
-  def embeddingContaminatedIds(cohort: DataFrame, emb: DataFrame,
-                               benchState: DataFrame,
-                               threshold: Double = 0.42,
-                               numPlanes: Int = 16, bandWidth: Int = 4,
-                               dim: Int = 64): DataFrame = {
+  /** Cross-validate a persisted bench-signature table's layout stamp
+    * against the sweep's parameters — a mismatched banding would
+    * silently never collide and admit every paraphrase. Unstamped
+    * (in-flight) frames skip the probe, the family convention.
+    */
+  private[graft] def requireBenchSigLayout(benchState: DataFrame,
+                                           numPlanes: Int, bandWidth: Int,
+                                           dim: Int): Unit =
     Seq("num_planes" -> numPlanes, "band_width" -> bandWidth, "dim" -> dim)
       .foreach { case (c, v) =>
         if (benchState.columns.contains(c)) {
@@ -454,6 +460,13 @@ object Corpus {
               "collide and every paraphrase would be admitted")
         }
       }
+
+  def embeddingContaminatedIds(cohort: DataFrame, emb: DataFrame,
+                               benchState: DataFrame,
+                               threshold: Double = 0.42,
+                               numPlanes: Int = 16, bandWidth: Int = 4,
+                               dim: Int = 64): DataFrame = {
+    requireBenchSigLayout(benchState, numPlanes, bandWidth, dim)
     val paired = cohort.select(col("doc_id"))
       .join(emb.select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))

@@ -124,20 +124,33 @@ object Similarity {
     */
   def withBandKeys(df: DataFrame, idCol: String, numPlanes: Int,
                    bandWidth: Int, dim: Int): DataFrame = {
-    require(numPlanes % bandWidth == 0, "bands must tile the signature")
     requireDim(df, dim)
-    val planes = planeMatrix(numPlanes, dim)
-    val nBands = numPlanes / bandWidth
-    val bits = signBits(col("embedding"), planes)
-    val bandStructs = (0 until nBands).map { b =>
-      val key = concat_ws(",",
-        (0 until bandWidth).map(r => bits(b * bandWidth + r)): _*)
-      struct(lit(b).as("band"), key.as("bkey"))
-    }
+    val bandStructs = bandKeyExprs(col("embedding"), numPlanes, bandWidth, dim)
+      .zipWithIndex.map { case (key, b) =>
+        struct(lit(b).as("band"), key.as("bkey"))
+      }
     df.select(col("vec_id").as(idCol), col("embedding"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("embedding"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Per-band signature-key expressions of an embedding COLUMN — the
+    * column form of [[withBandKeys]] for callers that need a doc's keys
+    * WITHOUT exploding rows (the streaming semantic gate chains one
+    * stream-static anti-join per band). Same deterministic planes, same
+    * key text — co-bucketing with every banded table is exact. A null
+    * embedding yields EMPTY keys (concat_ws skips null bits), which
+    * match no real band key — every real key carries bandWidth bits.
+    */
+  private[graft] def bandKeyExprs(emb: Column, numPlanes: Int,
+                                  bandWidth: Int, dim: Int): Seq[Column] = {
+    require(numPlanes % bandWidth == 0, "bands must tile the signature")
+    val planes = planeMatrix(numPlanes, dim)
+    val bits = signBits(emb, planes)
+    (0 until numPlanes / bandWidth).map { b =>
+      concat_ws(",", (0 until bandWidth).map(r => bits(b * bandWidth + r)): _*)
+    }
   }
 
   /** IVF (inverted-file) ANN — the cell-partitioned scale path used by

@@ -440,23 +440,29 @@ private[graft] object ScaleStatsRegistry {
       // is bit-identical to a fresh build over survivors, stamps and
       // write/read round-trip included.
       val docs = Tables.documents(s, d)
-      val sh = Dedup.shingles(docs, w = 3).select(col("sh"))
+      // ONE shingle pass feeds all six builds: the full-corpus and
+      // survivor streams are projections of the same cached frame
+      // (the warehouse would likewise stage shingles once per release)
+      val allSh = Dedup.shingles(docs, w = 3).persist()
+      allSh.count()
+      val sh = allSh.select(col("sh"))
+      val retained = allSh.filter(col("doc_id") % 10 =!= 3).select(col("sh"))
       val tmp = TempDirs.create("graft-rebuild-forget-").toString
-      ext.Sketches.kmvWrite(ext.Sketches.kmvBuild(sh, "sh", 256),
-        s"$tmp/kmv", 256)
-      ext.Sketches.bloomWrite(ext.Sketches.bloomBuild(sh, "sh", 8192, 4),
-        s"$tmp/bloom", 8192, 4)
-      ext.Sketches.countMinWrite(ext.Sketches.countMinBuild(sh, "sh", 4, 1024),
-        s"$tmp/cms", 4, 1024)
-      // the forget: rebuild over the retained corpus, overwrite state
-      val retained = Dedup.shingles(docs.filter(col("doc_id") % 10 =!= 3),
-        w = 3).select(col("sh"))
-      ext.Sketches.kmvWrite(ext.Sketches.kmvBuild(retained, "sh", 256),
-        s"$tmp/kmv", 256)
-      ext.Sketches.bloomWrite(ext.Sketches.bloomBuild(retained, "sh", 8192, 4),
-        s"$tmp/bloom", 8192, 4)
-      ext.Sketches.countMinWrite(ext.Sketches.countMinBuild(retained, "sh", 4, 1024),
-        s"$tmp/cms", 4, 1024)
+      try {
+        ext.Sketches.kmvWrite(ext.Sketches.kmvBuild(sh, "sh", 256),
+          s"$tmp/kmv", 256)
+        ext.Sketches.bloomWrite(ext.Sketches.bloomBuild(sh, "sh", 8192, 4),
+          s"$tmp/bloom", 8192, 4)
+        ext.Sketches.countMinWrite(ext.Sketches.countMinBuild(sh, "sh", 4, 1024),
+          s"$tmp/cms", 4, 1024)
+        // the forget: rebuild over the retained corpus, overwrite state
+        ext.Sketches.kmvWrite(ext.Sketches.kmvBuild(retained, "sh", 256),
+          s"$tmp/kmv", 256)
+        ext.Sketches.bloomWrite(ext.Sketches.bloomBuild(retained, "sh", 8192, 4),
+          s"$tmp/bloom", 8192, 4)
+        ext.Sketches.countMinWrite(ext.Sketches.countMinBuild(retained, "sh", 4, 1024),
+          s"$tmp/cms", 4, 1024)
+      } finally allSh.unpersist(blocking = false)
       val kmv = s.read.parquet(s"$tmp/kmv")
         .select(lit("kmv").as("family"), col("rank").cast("long").as("a"),
           lit(0L).as("b"), col("h").as("v"))

@@ -373,6 +373,47 @@ private[graft] object StreamRegistry {
         s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
     }),
 
+    "stream_corpus_semantic" -> ((s, d) => {
+      // the release chain's LIVE front door grown to FOUR gates
+      // (round 12): quality → bench-Bloom shingle gate → SEMANTIC sweep
+      // against the PERSISTED bench-signature state (one stateless
+      // stream-static anti-join per band, exact cosine in the join
+      // condition — stream/batch decontamination parity with the
+      // release chain, no stream-side aggregation) → watermarked
+      // delivery dedup. Everything the stream consults is static or
+      // persisted state; the oracle unrolls all four decisions.
+      val ss = stateSized(s)
+      val (tmp, src) = stageDocsStreamDir(d)
+      s.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") % 7 === 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      val bench = Tables.documents(ss, d)
+        .filter(col("source").isin("src0", "src1"))
+      val bloom = ext.Sketches.bloomBuild(
+        Dedup.shingles(bench, w = 5).select(col("sh")), "sh",
+        numBits = 1 << 18, numHashes = 4)
+      val gate = (sh: Column) =>
+        ext.Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18,
+          numHashes = 4)
+      // bench-signature state persisted ONCE pre-stream (the release
+      // chain's table; the stream only ever reads it back)
+      val sigDir = s"$tmp/benchsig"
+      ext.Corpus.benchSignatureTable(Tables.documents(ss, d),
+          Tables.embeddings(ss, d), Seq("src0", "src1"))
+        .write.parquet(sigDir)
+      val sem = graft.streaming.Streams.SemanticGate(
+        Tables.embeddings(ss, d), ss.read.parquet(sigDir),
+        threshold = 0.42)
+      val sch = s.read.parquet(src).schema
+      graft.streaming.Streams.corpusCleanPipeline(
+          ss, sch, src, s"$tmp/out", s"$tmp/ck", gate,
+          benchSources = Seq("src0", "src1"), threshold = 0.3,
+          semantic = Some(sem))
+        .awaitTermination()
+      detachAndClean(
+        s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
+    }),
+
     "stream_corpus_clean_restart" -> ((s, d) => {
       // the admission front door is CRASH-SAFE end to end: two
       // AvailableNow passes on one checkpoint. Pass 2's source grows by
@@ -707,6 +748,48 @@ private[graft] object StreamRegistry {
       // shingle Bloom (identical salted-md5 positions, 2^18 bits, 4
       // hashes), and replay removal (one row per surviving doc_id).
       s"WITH ${corpusCleanChainSql("documents")}",
+
+    "stream_corpus_semantic" -> {
+      // the FOUR-gate front door: the three stream_corpus_clean
+      // decisions plus the banded-cosine semantic sweep (identical ±1
+      // planes as every embedding oracle) subtracted from the admitted
+      // set.
+      val planes = Similarity.planeMatrix(16, 64)
+      def planeLit(p: Int): String =
+        planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val bitCols = (0 until 16).map { p =>
+        s"""    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+           |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])) >= 0
+           |      THEN 1 ELSE 0 END AS b$p""".stripMargin
+      }.mkString(",\n")
+      def ebkey(bits: Seq[Int]) =
+        bits.map(b => s"CAST(b$b AS VARCHAR)").mkString(" || ',' || ")
+      val bandSelects = (0 until 4).map(b =>
+        s"  SELECT doc_id, source, embedding, $b AS band, ${ebkey(b * 4 until (b + 1) * 4)} AS bkey FROM esig")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH ep AS (
+         |  SELECT d.doc_id, d.source, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), esig AS (
+         |  SELECT doc_id, source, embedding,
+         |$bitCols
+         |  FROM ep
+         |), ebanded AS (
+         |$bandSelects
+         |), embad AS (
+         |  SELECT DISTINCT x.doc_id AS tid
+         |  FROM ebanded x JOIN ebanded y
+         |    ON x.band = y.band AND x.bkey = y.bkey
+         |  WHERE x.source NOT IN ('src0','src1')
+         |    AND y.source IN ('src0','src1')
+         |    AND ${cosineSql("x.embedding", "y.embedding")} >= 0.42
+         |), chainout AS (
+         |  WITH ${corpusCleanChainSql("documents")}
+         |)
+         |SELECT * FROM chainout
+         |WHERE doc_id NOT IN (SELECT tid FROM embad)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "stream_corpus_clean_restart" ->
       // the same chain over feed ∪ new-doc copies: replays contribute

@@ -164,24 +164,74 @@ object Streams {
   def corpusCleanStream(docs: DataFrame,
                         shingleGate: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                         benchSources: Seq[String],
-                        threshold: Double): DataFrame = {
+                        threshold: Double,
+                        semantic: Option[SemanticGate] = None): DataFrame = {
     val gated = graft.ext.TextAnalysis.qualityGateDocs(
       docs.filter(!col("source").isin(benchSources: _*)))
     val t = split(col("text"), " ", -1)
     val shArr = array_distinct(transform(
       sequence(lit(0), size(t) - lit(5)),
       i => array_join(slice(t, i + lit(1), lit(5)), " ")))
-    gated
+    val shingled = gated
       .withColumn("n_sh", size(shArr))
       .withColumn("n_hit", size(filter(shArr, shingleGate)))
       .filter(col("n_hit").cast("double") <
         lit(threshold) * col("n_sh").cast("double"))
+    semantic.fold(shingled)(g => semanticGate(shingled, g))
       .withColumn("ts",
         timestamp_micros(col("doc_id").cast("long") * lit(60000000L)))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("n_sh"), col("n_hit"))
+  }
+
+  /** Configuration of the streaming SEMANTIC admission leg: the static
+    * embeddings side table (vec_id, embedding), the PERSISTED
+    * bench-signature state ([[graft.ext.Corpus.benchSignatureTable]] —
+    * small by construction, an eval corpus), and the cosine threshold.
+    */
+  case class SemanticGate(emb: DataFrame, benchState: DataFrame,
+                          threshold: Double, numPlanes: Int = 16,
+                          bandWidth: Int = 4, dim: Int = 64)
+
+  /** SEMANTIC (embedding) admission gate for the streaming corpus
+    * front door — the stream form of the persisted bench-signature
+    * sweep, closing stream/batch parity for decontamination (the batch
+    * release chain got this leg the same round): a doc is dropped when
+    * its embedding cosine-matches any banded bench candidate at or
+    * above the threshold.
+    *
+    * Stream shape: STATELESS. Embeddings attach by one stream-static
+    * left join; then ONE stream-static LEFT ANTI join per band, keyed
+    * on that band's signature (the column form of the hyperplane
+    * banding — [[graft.ext.Similarity.withBandKeys]]'s keys without the
+    * row explosion, so no stream-side aggregation is ever needed to
+    * collapse band rows back to docs) with the exact-cosine
+    * verification inside the join condition. A doc survives iff NO
+    * bench candidate in ANY of its bands clears the threshold — exactly
+    * the batch operator's candidates-then-verify semantics. The bench
+    * state is broadcast (eval corpora are small by construction); docs
+    * without an embedding row pass through un-swept (null embedding:
+    * empty band keys match nothing, null cosine clears nothing).
+    */
+  def semanticGate(docs: DataFrame, g: SemanticGate): DataFrame = {
+    graft.ext.Corpus.requireBenchSigLayout(g.benchState, g.numPlanes,
+      g.bandWidth, g.dim)
+    val withEmb = docs.join(
+      g.emb.select(col("vec_id").as("doc_id"), col("embedding").as("_emb")),
+      Seq("doc_id"), "left")
+    val keys = graft.ext.Similarity.bandKeyExprs(col("_emb"),
+      g.numPlanes, g.bandWidth, g.dim)
+    keys.zipWithIndex.foldLeft(withEmb) { case (df, (key, b)) =>
+      val bench = g.benchState.filter(col("band") === b)
+        .select(col("bkey").as(s"_bk$b"), col("be").as(s"_be$b"))
+      df.join(broadcast(bench),
+        key === col(s"_bk$b") &&
+          graft.functions.KeyColumns.cosine_native(col("_emb"),
+            col(s"_be$b")) >= lit(g.threshold),
+        "left_anti")
+    }.drop("_emb")
   }
 
   /** LIVE incremental maintenance of persisted, layout-stamped KMV
@@ -490,9 +540,10 @@ object Streams {
                           srcDir: String, outDir: String, checkpointDir: String,
                           shingleGate: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                           benchSources: Seq[String],
-                          threshold: Double): StreamingQuery =
+                          threshold: Double,
+                          semantic: Option[SemanticGate] = None): StreamingQuery =
     corpusCleanStream(spark.readStream.schema(schema).parquet(srcDir),
-        shingleGate, benchSources, threshold)
+        shingleGate, benchSources, threshold, semantic)
       .writeStream
       .format("parquet")
       .option("checkpointLocation", checkpointDir)

@@ -555,4 +555,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(delta.count() === 0, "replayed state append must be a no-op")
     graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(base))
   }
+
+  test("semantic gate: per-band anti-joins == batch embedding sweep; unembedded docs pass") {
+    import graft.ext.Corpus
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val bench = Seq("src0", "src1")
+    val state = Corpus.benchSignatureTable(docs, emb, bench)
+    val train = docs.filter(!col("source").isin(bench: _*))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the stateless gate (running here in batch — same code drives the
+    // stream) must keep exactly the docs the batch sweep keeps
+    val gated = ids(Streams.semanticGate(train,
+      Streams.SemanticGate(emb, state, threshold = 0.42)))
+    val swept = ids(Corpus.embeddingContaminatedIds(train, emb, state,
+      threshold = 0.42))
+    assert(gated === ids(train) -- swept,
+      "per-band anti-join gate diverged from the batch sweep")
+    // a doc with NO embedding row can never be swept — empty band keys
+    // match nothing, null cosine clears nothing
+    val ghost = Seq((999999999L, "srcX", 42L))
+      .toDF("doc_id", "source", "n_chars")
+    assert(ids(Streams.semanticGate(ghost,
+      Streams.SemanticGate(emb, state, threshold = 0.0)))
+      === Set(999999999L))
+    // a mismatched state layout refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Streams.semanticGate(train,
+        Streams.SemanticGate(emb, state, 0.42, numPlanes = 8))
+    }
+    assert(e.getMessage.contains("layout mismatch"))
+  }
 }
