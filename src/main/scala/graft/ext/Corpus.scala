@@ -102,9 +102,17 @@ object Corpus {
                                w: Int = 3, numHashes: Int = 8,
                                bandWidth: Int = 2,
                                trainPct: Int = 80, valPct: Int = 10,
-                               salt: String = "split"): DataFrame = {
+                               salt: String = "split",
+                               bands: Option[DataFrame] = None): DataFrame = {
     require(trainPct + valPct < 100, "test share must be positive")
-    val probe = Dedup.bandTable(docs, w, numHashes, bandWidth).persist()
+    // `bands`: the caller may pass docs' band table (same layout) when
+    // it is already staged/cached — a release pipeline computes bands
+    // once and feeds the state write, the admission AND the split from
+    // the same frame. Caller-provided frames are caller-managed; the
+    // internal one is cached for its two consumers and released here.
+    val managed = bands.isEmpty
+    val probe = bands.getOrElse(
+      Dedup.bandTable(docs, w, numHashes, bandWidth).persist())
     try {
       val state = Dedup.readBandState(spark, stateDir, probe)
       Dedup.requireStateLayout(state, "compacted band state",
@@ -125,7 +133,7 @@ object Corpus {
           when(col("bucket") < trainPct, lit("train"))
             .when(col("bucket") < trainPct + valPct, lit("val"))
             .otherwise(lit("test")))
-    } finally probe.unpersist(blocking = false)
+    } finally if (managed) probe.unpersist(blocking = false)
   }
 
   /** Normalization + PII-style scrubbing: lowercase, mask email-shaped
@@ -537,6 +545,37 @@ object Corpus {
     }.reduce(_ unionByName _)
       .select(col("doc_id"), col("source"),
         col("n_tok").cast("long").as("n_tok"), col("tok_before"))
+  }
+
+  /** TEMPERATURE-weighted mixture budgets — the published data-mixture
+    * practice ("sampling with temperature" over sources): source i gets
+    * token budget T · n_i^α / Σ_j n_j^α, where α ∈ (0, 1] flattens the
+    * natural size distribution (α = 1 proportional, α → 0 uniform) so
+    * small high-value sources are not drowned by the web crawl. This is
+    * the engine-portable α = 1/2 form: sqrt is IEEE correctly-rounded
+    * in every engine, each weight is immediately fixed-pointed
+    * (⌊√n_i · 10⁶⌋, one rounding per source, no float SUMMATION whose
+    * order could differ across engines), and the allocation is exact
+    * integer arithmetic from there — so the derived budgets, and
+    * therefore the admitted set, are bit-reproducible. Per-source token
+    * counts are one aggregation; the result feeds
+    * [[sampleToTokenBudget]]. Sources with no rows weigh zero.
+    */
+  def temperatureBudgets(docs: DataFrame, sources: Seq[String],
+                         totalTokens: Long): Map[String, Long] = {
+    require(sources.nonEmpty, "temperatureBudgets: no sources")
+    require(totalTokens >= 0, "temperatureBudgets: negative total")
+    val counts = docs.filter(col("source").isin(sources: _*))
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = sources.map(s =>
+      s -> math.floor(math.sqrt(counts.getOrElse(s, 0L).toDouble) * 1e6).toLong)
+    val tot = weights.map(_._2).sum
+    require(tot > 0, "temperatureBudgets: no tokens in any budgeted source")
+    weights.map { case (s, w) =>
+      s -> (BigInt(totalTokens) * w / tot).toLong
+    }.toMap
   }
 
   /** Sequence packing — assign documents (in id order, within a shard)

@@ -213,34 +213,41 @@ private[graft] object CorpusRegistry {
       val delta = docs.filter(col("doc_id") > mid)
       val tmp = TempDirs.create("graft-split-stable-").toString
       val stateDir = s"$tmp/bands"
-      Dedup.writeBandState(
-        Dedup.bandTable(t0, w = 5, numHashes = 8, bandWidth = 2),
-        stateDir, mode = "errorifexists")
-      val kept = Dedup.compactNearDupState(s, stateDir, t0,
-        qualityCol = "n_chars", w = 5, numHashes = 8, bandWidth = 2)
-      val splitT0 = ext.Corpus.splitAssignGroupedStable(s, t0, stateDir,
-        w = 5, numHashes = 8, bandWidth = 2)
-      Dedup.admitAndMaintainState(s, delta, stateDir,
-        w = 5, numHashes = 8, bandWidth = 2)
-      val splitAll = ext.Corpus.splitAssignGroupedStable(s, docs, stateDir,
-        w = 5, numHashes = 8, bandWidth = 2)
-      val stableSet = splitT0.filter(col("cluster_id") =!= col("doc_id"))
-        .select(col("doc_id"))
-        .unionByName(kept.select(col("keeper").as("doc_id")))
-        .distinct()
-      val moved = splitT0.select(col("doc_id"), col("split").as("s0"))
-        .join(splitAll.select(col("doc_id"), col("split").as("s1")),
-          Seq("doc_id"))
-        .join(stableSet, Seq("doc_id"), "left_semi")
-        .filter(col("s0") =!= col("s1")).count()
-      require(moved == 0,
-        s"$moved t0 docs with a persisted cluster changed split after " +
-          "the delta release — grouped split must be release-stable")
-      detachAndClean(
-        splitAll.select(col("doc_id"), col("cluster_id"), col("bucket"),
-            col("split"))
-          .orderBy("doc_id"),
-        tmp)
+      // ONE shingle→minhash pass feeds the state write and both split
+      // probes (the release-pipeline staging discipline); delta
+      // admission shingles its own batch once inside the transaction
+      val bands = Dedup.bandTable(docs, w = 5, numHashes = 8, bandWidth = 2)
+        .persist()
+      bands.count()
+      try {
+        val bandsT0 = bands.filter(col("doc_id") <= mid)
+        Dedup.writeBandState(bandsT0, stateDir, mode = "errorifexists")
+        val kept = Dedup.compactNearDupState(s, stateDir, t0,
+          qualityCol = "n_chars", w = 5, numHashes = 8, bandWidth = 2)
+        val splitT0 = ext.Corpus.splitAssignGroupedStable(s, t0, stateDir,
+          w = 5, numHashes = 8, bandWidth = 2, bands = Some(bandsT0))
+        Dedup.admitAndMaintainState(s, delta, stateDir,
+          w = 5, numHashes = 8, bandWidth = 2)
+        val splitAll = ext.Corpus.splitAssignGroupedStable(s, docs, stateDir,
+          w = 5, numHashes = 8, bandWidth = 2, bands = Some(bands))
+        val stableSet = splitT0.filter(col("cluster_id") =!= col("doc_id"))
+          .select(col("doc_id"))
+          .unionByName(kept.select(col("keeper").as("doc_id")))
+          .distinct()
+        val moved = splitT0.select(col("doc_id"), col("split").as("s0"))
+          .join(splitAll.select(col("doc_id"), col("split").as("s1")),
+            Seq("doc_id"))
+          .join(stableSet, Seq("doc_id"), "left_semi")
+          .filter(col("s0") =!= col("s1")).count()
+        require(moved == 0,
+          s"$moved t0 docs with a persisted cluster changed split after " +
+            "the delta release — grouped split must be release-stable")
+        detachAndClean(
+          splitAll.select(col("doc_id"), col("cluster_id"), col("bucket"),
+              col("split"))
+            .orderBy("doc_id"),
+          tmp)
+      } finally bands.unpersist(blocking = false)
     }),
 
     "corpus_token_budget" -> ((s, d) =>
@@ -253,6 +260,27 @@ private[graft] object CorpusRegistry {
       ext.Corpus.sampleToTokenBudget(Tables.documents(s, d),
           Map("src2" -> 800L, "src3" -> 500L, "src4" -> 200L))
         .orderBy("doc_id")),
+
+    "corpus_mixture_temperature" -> ((s, d) => {
+      // TEMPERATURE mixture (round 12): budgets derived from the
+      // sources' own token masses at α = 1/2 (√-flattening — the
+      // published sampling-with-temperature practice), then the greedy
+      // salted-hash token fill. Budget arithmetic is one
+      // correctly-rounded sqrt per source + exact integer allocation,
+      // so the derived budgets — emitted per row to pin the derivation
+      // in the hash — and the admitted set are bit-reproducible.
+      val docs = Tables.documents(s, d)
+      val srcs = Seq("src2", "src3", "src4", "src5")
+      val budgets = ext.Corpus.temperatureBudgets(docs, srcs,
+        totalTokens = 2000L)
+      val budCol = budgets.toSeq.sortBy(_._1).foldLeft(
+        lit(null).cast("long")) { case (acc, (src, b)) =>
+        when(col("source") === src, lit(b)).otherwise(acc)
+      }
+      ext.Corpus.sampleToTokenBudget(docs, budgets)
+        .withColumn("budget", budCol)
+        .orderBy("doc_id")
+    }),
 
     "corpus_quality_gate" -> ((s, d) =>
       // batch admission control: every expectation evaluates in ONE
@@ -805,6 +833,41 @@ private[graft] object CorpusRegistry {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM bk ORDER BY doc_id""".stripMargin,
+
+    "corpus_mixture_temperature" ->
+      // √-flattened budgets in exact integer arithmetic (one
+      // correctly-rounded sqrt per source, fixed-pointed to 10⁶, BIGINT
+      // allocation via // — no float summation anywhere), then the
+      // identical greedy salted-hash fill as corpus_token_budget.
+      """WITH cnt AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tok
+        |  FROM documents WHERE source IN ('src2','src3','src4','src5')
+        |  GROUP BY 1
+        |), w AS (
+        |  SELECT source,
+        |         CAST(floor(sqrt(CAST(src_tok AS DOUBLE)) * 1000000) AS BIGINT) AS wi
+        |  FROM cnt
+        |), bud AS (
+        |  SELECT source, (2000 * wi) // (SELECT sum(wi) FROM w) AS budget
+        |  FROM w
+        |), tb AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+        |         substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |           || '|' || CAST(doc_id AS VARCHAR) AS bkey
+        |  FROM documents WHERE source IN ('src2','src3','src4','src5')
+        |), tc AS (
+        |  SELECT doc_id, source, n_tok,
+        |         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY bkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS tok_before
+        |  FROM tb
+        |)
+        |SELECT t.doc_id, t.source, CAST(t.n_tok AS BIGINT) AS n_tok,
+        |       CAST(t.tok_before AS BIGINT) AS tok_before,
+        |       CAST(b.budget AS BIGINT) AS budget
+        |FROM tc t JOIN bud b USING (source)
+        |WHERE t.tok_before < b.budget
+        |ORDER BY t.doc_id""".stripMargin,
 
     // greedy fill in salted-hash order, per source: admitted iff the
     // tokens admitted before it sit under the source's budget (the

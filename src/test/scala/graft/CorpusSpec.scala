@@ -168,6 +168,39 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature budgets: sqrt-flattened, integer-exact, conserves the total") {
+    val docs = Tables.documents(spark, sfDir)
+    val srcs = Seq("src2", "src3", "src4", "src5")
+    val total = 2000L
+    val b = Corpus.temperatureBudgets(docs, srcs, total)
+    assert(b.keySet === srcs.toSet)
+    // floor-allocation never exceeds the total, and loses at most one
+    // token per source to rounding
+    assert(b.values.sum <= total && b.values.sum > total - srcs.length)
+    // α = 1/2 flattens: the budget RATIO between the largest and
+    // smallest source is the sqrt of their token-mass ratio — strictly
+    // closer to 1 than proportional allocation whenever masses differ
+    val masses = srcs.map(s => s -> docs.filter(col("source") === s)
+      .select(sum(size(split(col("text"), " ", -1)))).head().getLong(0)).toMap
+    val (bigS, smallS) = (masses.maxBy(_._2)._1, masses.minBy(_._2)._1)
+    if (masses(bigS) > masses(smallS)) {
+      val budgetRatio = b(bigS).toDouble / b(smallS)
+      val massRatio = masses(bigS).toDouble / masses(smallS)
+      assert(budgetRatio < massRatio,
+        s"sqrt temperature must flatten: $budgetRatio !< $massRatio")
+      assert(math.abs(budgetRatio - math.sqrt(massRatio)) < 0.01,
+        "allocation must follow the sqrt of the mass ratio")
+    }
+    // a source with no rows weighs zero, and the op refuses when
+    // EVERY budgeted source is empty (0/0 allocation)
+    val withGhost = Corpus.temperatureBudgets(docs, srcs :+ "srcNope", total)
+    assert(withGhost("srcNope") === 0L)
+    val e = intercept[IllegalArgumentException] {
+      Corpus.temperatureBudgets(docs, Seq("srcNope"), total)
+    }
+    assert(e.getMessage.contains("no tokens"))
+  }
+
   test("token budget: greedy fill binds, overshoots by at most one doc, partition-invariant") {
     val docs = Tables.documents(spark, sfDir)
     val budgets = Map("src2" -> 800L, "src3" -> 500L, "src4" -> 200L)
