@@ -113,6 +113,11 @@ object Corpus {
     val managed = bands.isEmpty
     val probe = bands.getOrElse(
       Dedup.bandTable(docs, w, numHashes, bandWidth).persist())
+    // a caller-provided band table built under a DIFFERENT layout would
+    // silently never collide with the state (every doc a singleton) —
+    // validate its ridden-along layout columns like any state read
+    bands.foreach(b => Dedup.requireStateLayout(b, "split probe bands",
+      Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth)))
     try {
       val state = Dedup.readBandState(spark, stateDir, probe)
       Dedup.requireStateLayout(state, "compacted band state",
@@ -372,6 +377,36 @@ object Corpus {
         col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("n_dropped"), col("clean_text"))
+  }
+
+  /** Contamination ATTRIBUTION report — WHICH bench document leaked
+    * into WHICH train document, and how much: one row per
+    * (train doc, bench doc) pair sharing at least `minShared` distinct
+    * w-token windows. The audit complement of the flag
+    * ([[contamination]]: is this doc contaminated?) and the rewrite
+    * ([[decontaminateSpans]]: cut the leaked spans): an eval owner
+    * asks WHERE the leak came from before deciding whether the bench
+    * task itself is burned.
+    *
+    * Scale shape: both sides' windows are per-doc-distinct; the join is
+    * one equi-join on the 128-bit window hash ([[Dedup.winKey]] —
+    * shuffles carry 16-byte keys, never window text) against the
+    * (small by construction) bench window set; the pair aggregation
+    * sees matching occurrences only. No train×train term, no frequency
+    * cap needed because the join is against BENCH windows only.
+    */
+  def contaminationReport(docs: DataFrame, benchSources: Seq[String],
+                          w: Int = 8, minShared: Long = 1): DataFrame = {
+    val bench = docs.filter(col("source").isin(benchSources: _*))
+    val train = docs.filter(!col("source").isin(benchSources: _*))
+    val bw = Dedup.shingles(bench, w)
+      .select(col("doc_id").as("bench_doc") +: Dedup.winKey(col("sh")): _*)
+    val tw = Dedup.shingles(train, w)
+      .select(col("doc_id") +: Dedup.winKey(col("sh")): _*)
+    tw.join(bw, Seq("h1", "h2"))
+      .groupBy(col("doc_id"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= lit(minShared))
   }
 
   /** EMBEDDING-level decontamination — the SEMANTIC sweep that catches

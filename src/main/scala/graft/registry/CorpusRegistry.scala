@@ -261,6 +261,16 @@ private[graft] object CorpusRegistry {
           Map("src2" -> 800L, "src3" -> 500L, "src4" -> 200L))
         .orderBy("doc_id")),
 
+    "corpus_contamination_report" -> ((s, d) =>
+      // contamination ATTRIBUTION (round 12): (train doc, bench doc,
+      // shared distinct 8-windows) — the audit view between the
+      // whole-doc flag and the span rewrite. Hash-keyed window join
+      // (shuffles carry 16-byte keys), bench side only — no
+      // train×train term.
+      ext.Corpus.contaminationReport(Tables.documents(s, d),
+          benchSources = Seq("src0", "src1"), w = 8)
+        .orderBy("doc_id", "bench_doc")),
+
     "corpus_mixture_temperature" -> ((s, d) => {
       // TEMPERATURE mixture (round 12): budgets derived from the
       // sources' own token masses at α = 1/2 (√-flattening — the
@@ -833,6 +843,31 @@ private[graft] object CorpusRegistry {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM bk ORDER BY doc_id""".stripMargin,
+
+    "corpus_contamination_report" ->
+      // identical per-doc-distinct 8-token windows on both sides; the
+      // oracle joins on window TEXT (the Spark side's 128-bit hash is
+      // grouping-equivalent, collisions vanishing).
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE source IN ('src0','src1')
+        |), bw AS (
+        |  SELECT DISTINCT doc_id AS bench_doc,
+        |         array_to_string(l[u.i:u.i+7], ' ') AS sh
+        |  FROM b, UNNEST(range(1, len(l)-8+2)) AS u(i)
+        |  WHERE len(l) >= 8
+        |), t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE source NOT IN ('src0','src1')
+        |), tw AS (
+        |  SELECT DISTINCT doc_id, array_to_string(l[u.i:u.i+7], ' ') AS sh
+        |  FROM t, UNNEST(range(1, len(l)-8+2)) AS u(i)
+        |  WHERE len(l) >= 8
+        |)
+        |SELECT t.doc_id, b.bench_doc, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM tw t JOIN bw b USING (sh)
+        |GROUP BY 1, 2
+        |ORDER BY doc_id, bench_doc""".stripMargin,
 
     "corpus_mixture_temperature" ->
       // √-flattened budgets in exact integer arithmetic (one

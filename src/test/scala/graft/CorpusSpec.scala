@@ -168,6 +168,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination report: per-pair attribution counts distinct shared windows") {
+    val docs = Seq(
+      // bench doc 0: tokens b1..b9 → 8-windows at s=1,2
+      (0L, "b1 b2 b3 b4 b5 b6 b7 b8 b9", "src0"),
+      // bench doc 1: disjoint vocabulary
+      (1L, "c1 c2 c3 c4 c5 c6 c7 c8", "src0"),
+      // train doc 10 quotes doc 0's full window run TWICE (repetition
+      // within a doc must not double-count: windows are per-doc distinct)
+      (10L, "x b1 b2 b3 b4 b5 b6 b7 b8 b9 y b1 b2 b3 b4 b5 b6 b7 b8 b9", "src2"),
+      // train doc 11 quotes doc 1's single window
+      (11L, "c1 c2 c3 c4 c5 c6 c7 c8 z", "src2"),
+      // train doc 12 shares nothing
+      (12L, "n1 n2 n3 n4 n5 n6 n7 n8 n9", "src2")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.contaminationReport(docs, Seq("src0", "src1"), w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 10 shares doc 0's two distinct windows (the repeat adds no
+    // new window VALUES); doc 11 shares doc 1's one; doc 12 absent
+    assert(out === Set((10L, 0L, 2L), (11L, 1L, 1L)))
+    // minShared binds
+    val capped = Corpus.contaminationReport(docs, Seq("src0", "src1"),
+      w = 8, minShared = 2).collect().map(_.getLong(0)).toSet
+    assert(capped === Set(10L))
+  }
+
   test("temperature budgets: sqrt-flattened, integer-exact, conserves the total") {
     val docs = Tables.documents(spark, sfDir)
     val srcs = Seq("src2", "src3", "src4", "src5")
