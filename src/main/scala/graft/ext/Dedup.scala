@@ -548,11 +548,23 @@ object Dedup {
     * state append happens BEFORE this returns, the sink write is the
     * caller's — the replay-safe order nearDedupPipeline documents.
     * Returns the admitted rows, eagerly materialized.
+    *
+    * `admittedTs` stamps the appended band rows with the batch's EVENT
+    * time (never wall clock — replays must restamp identically), which
+    * is what the age/TTL retention leg
+    * ([[graft.operators.ScaleOps.expireRowsOlderThan]],
+    * [[compactNearDupState]]'s `expireBefore`) ages against. Stamping
+    * is all-or-nothing per state dir: mixing stamped and unstamped
+    * appends would leave files with diverging schemas (a plain read
+    * then resolves an arbitrary file's schema and the stamp silently
+    * disappears for some rows), so a stamped append to unstamped state
+    * — or the reverse — refuses loudly.
     */
   def admitAndMaintainState(spark: org.apache.spark.sql.SparkSession,
                             batch: DataFrame, stateDir: String, w: Int = 3,
                             numHashes: Int = 8, bandWidth: Int = 2,
-                            excludeIds: Option[DataFrame] = None): DataFrame = {
+                            excludeIds: Option[DataFrame] = None,
+                            admittedTs: Option[Long] = None): DataFrame = {
     val expected = Seq("w" -> w, "num_hashes" -> numHashes, "band_width" -> bandWidth)
     val bands = bandTable(batch, w, numHashes, bandWidth).persist()
     try {
@@ -591,10 +603,25 @@ object Dedup {
         val seen = excludeIds.fold(seen0: DataFrame)(ids =>
           seen0.join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti"))
         val admitted = admitCore(batch, bands, seen)
-        val delta = bands
+        // all-or-nothing stamping per state dir (see scaladoc)
+        if (stateExists) {
+          val stateStamped = st.columns.contains("admitted_ts")
+          require(stateStamped == admittedTs.isDefined,
+            if (stateStamped)
+              s"state $stateDir is admitted_ts-stamped but this append " +
+                "carries no stamp — pass the batch's event time, or the " +
+                "appended rows silently fall out of every age expiry"
+            else
+              s"state $stateDir is unstamped but this append carries a " +
+                "stamp — mixed schemas would drop the stamp on read; " +
+                "rebuild the state stamped, or append unstamped")
+        }
+        val delta0 = bands
           .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .join(seen0.select(col("doc_id"), col("band")),
             Seq("doc_id", "band"), "left_anti")
+        val delta = admittedTs.fold(delta0)(ts =>
+          delta0.withColumn("admitted_ts", lit(ts)))
         if (!stateExists) writeBandState(delta, stateDir, "append")
         else pOpt match {
           case Some(p) => writeBandState(delta, stateDir, "append", p)

@@ -562,6 +562,44 @@ class DedupSpec extends AnyFunSuite {
     } else info("no dropped doc shares a bucket with a representative at this SF")
   }
 
+  test("stamped admission transactions: TTL expiry composes with the streaming write path") {
+    val docs = Tables.documents(spark, sfDir)
+    val b0 = docs.filter(col("doc_id") % 3 === 0)  // admitted_ts=0, expires
+    val b1 = docs.filter(col("doc_id") % 3 === 1)  // admitted_ts=1, survives
+    val probeBatch = docs.filter(col("doc_id") % 3 === 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stamped-admit-").toString + "/bands"
+    val adm0 = Dedup.admitAndMaintainState(spark, b0, dir,
+      w = 5, numHashes = 8, bandWidth = 2, admittedTs = Some(0L))
+    val adm1 = Dedup.admitAndMaintainState(spark, b1, dir,
+      w = 5, numHashes = 8, bandWidth = 2, admittedTs = Some(1L))
+    // all-or-nothing stamping: an unstamped append to stamped state refuses
+    val e = intercept[IllegalArgumentException] {
+      Dedup.admitAndMaintainState(spark, probeBatch, dir,
+        w = 5, numHashes = 8, bandWidth = 2)
+    }
+    assert(e.getMessage.contains("carries no stamp"), e.getMessage)
+    // age out batch 0's rows; admission against the aged state must
+    // equal admission against a state built from batch-1's ADMITTED
+    // docs alone (batch 0 becomes never-seen)
+    graft.operators.ScaleOps.expireRowsOlderThan(spark, dir,
+      "admitted_ts", watermark = 1L,
+      promotion = graft.operators.ScaleOps.PointerSwap)
+    val aged = graft.operators.ScaleOps.readMaintained(spark, dir,
+      graft.operators.ScaleOps.PointerSwap)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val vsAged = ids(Dedup.incrementalNearDup(probeBatch, aged,
+      w = 5, numHashes = 8, bandWidth = 2))
+    val vsFresh = ids(Dedup.incrementalNearDup(probeBatch,
+      Dedup.bandTable(adm1, w = 5, numHashes = 8, bandWidth = 2),
+      w = 5, numHashes = 8, bandWidth = 2))
+    assert(vsAged === vsFresh,
+      "aged stamped state must admit exactly like a fresh survivors-only state")
+    // sanity: the expiry changed something (batch 0 really was rejecting)
+    assert(ids(adm0).nonEmpty && ids(adm1).nonEmpty)
+  }
+
   test("age expiry: compaction with a watermark equals compaction of the survivors' fresh state") {
     val docs = Tables.documents(spark, sfDir)
     val old = docs.filter(col("doc_id") % 4 === 0)     // admitted_ts=0, expires
