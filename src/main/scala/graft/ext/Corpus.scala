@@ -715,4 +715,117 @@ object Corpus {
       .filter(col("q_rank") <= cap)
       .select(col("source"), col("doc_id"), col("q_rank"))
   }
+
+  /** Hashed n-gram feature stream for importance weighting: unigrams
+    * plus consecutive-bigram features of the whitespace token stream,
+    * each hashed into `[0, buckets)` with the pipeline's portable md5
+    * family. One row PER OCCURRENCE (`doc_id`, `bucket`) — DSIR-style
+    * importance estimation needs occurrence multiplicity, not presence.
+    * Features are formed inside the scan stage (array transform, no
+    * positional self-join).
+    */
+  private def hashedNgramFeatures(docs: DataFrame, buckets: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val uni = docs.select(col("doc_id"), explode(toks).as("f"))
+    val bi = docs.filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - lit(2)),
+          i => concat(element_at(toks, i + 1), lit(" "),
+            element_at(toks, i + 2)))).as("f"))
+    uni.unionByName(bi)
+      .select(col("doc_id"),
+        pmod(Dedup.hash32(concat(lit("dsir|"), col("f"))), lit(buckets))
+          .cast("int").as("bucket"))
+  }
+
+  /** Per-bucket importance log-ratio table — the DSIR estimator (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): model the TARGET domain and the RAW pool as bags of
+    * hashed n-grams, and weight each feature bucket by
+    * `ln p_target(b) − ln p_raw(b)` under add-one smoothing. Returns
+    * one row per bucket in [0, buckets): `(bucket, lr_fp)` with the
+    * log-ratio in 1e-3 fixed point — snapped BEFORE any per-document
+    * summation so downstream sums are long-integer associative
+    * (the embedding-centroid fixed-point convention). Buckets unseen in
+    * both corpora carry the smoothed prior ratio
+    * `ln((Nr+B)/(Nt+B))`-complement naturally: both counts coalesce
+    * to 0.
+    *
+    * Scale: both distributions are ONE partial+final aggregation to
+    * `buckets` rows (map-side combine collapses the token stream before
+    * the exchange); the ratio table is bounded by `buckets` — broadcast
+    * material by construction, never corpus-sized.
+    */
+  def importanceLogRatios(target: DataFrame, raw: DataFrame,
+                          buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, "importanceLogRatios: need at least two buckets")
+    val spark = target.sparkSession
+    import spark.implicits._
+    def dist(docs: DataFrame, cnt: String): DataFrame =
+      hashedNgramFeatures(docs, buckets)
+        .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
+        .persist()
+    val all = spark.range(buckets).select(col("id").cast("int").as("bucket"))
+    val t = dist(target, "ct")
+    val r = dist(raw, "cr")
+    // totals are scalars over the ≤`buckets`-row count frames (persisted,
+    // so the corpus-sized feature stream aggregates exactly once)
+    val nt = t.select(sum(col("ct"))).as[Option[Long]].head().getOrElse(0L)
+    val nr = r.select(sum(col("cr"))).as[Option[Long]].head().getOrElse(0L)
+    val pT = (coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+      lit(nt.toDouble + buckets)
+    val pR = (coalesce(col("cr"), lit(0L)).cast("double") + lit(1.0)) /
+      lit(nr.toDouble + buckets)
+    all.join(t.select(col("bucket"), col("ct")), Seq("bucket"), "left")
+      .join(r.select(col("bucket"), col("cr")), Seq("bucket"), "left")
+      .select(col("bucket"),
+        round((log(pT) - log(pR)) * lit(1000), 0).cast("long").as("lr_fp"))
+  }
+
+  /** Per-document DSIR importance weights: each document's hashed
+    * n-gram occurrences look up their bucket's [[importanceLogRatios]]
+    * entry and sum in fixed point; `avg_w` (the per-feature mean
+    * log-ratio — positive ⇒ the document looks more like the target
+    * domain than the raw pool) is the resampling key. Whitespace split
+    * yields at least one (possibly empty-string) token for every
+    * document, so every doc scores; the left join + NULL guard below
+    * only defends against a `docs` row dropped upstream.
+    *
+    * Scale: the ratio table is ≤`buckets` rows — explicitly BROADCAST
+    * onto the feature stream, so the only shuffle is the final doc_id
+    * rollup. At 100 TB this is scan + broadcast-hash-join + one
+    * partial+final agg: the cheapest possible shape for a full-corpus
+    * scoring pass.
+    */
+  def importanceWeights(docs: DataFrame, ratios: DataFrame,
+                        buckets: Int = 4096): DataFrame = {
+    require(Seq("bucket", "lr_fp").forall(ratios.columns.contains),
+      "importanceWeights: not a ratio table — need (bucket, lr_fp) as " +
+        "built by importanceLogRatios")
+    val per = hashedNgramFeatures(docs, buckets)
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr_fp")).as("sum_w_fp"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("sum_w_fp"), lit(0L)).as("sum_w_fp"),
+        when(col("n_feats").isNotNull,
+          col("sum_w_fp").cast("double") /
+            (col("n_feats").cast("double") * lit(1000.0))).as("avg_w"))
+  }
+
+  /** Top-k DSIR selection: the `k` documents whose importance weight
+    * says "most target-like", deterministic tie-break on doc_id.
+    * `ORDER BY … LIMIT k` plans as TakeOrderedAndProject — per-partition
+    * top-k then a k-sized driver merge, never a global sort — so the
+    * selection pass costs one scan at any corpus size.
+    */
+  def importanceSelect(weights: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "importanceSelect: k must be positive")
+    weights.filter(col("avg_w").isNotNull)
+      .orderBy(col("avg_w").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_feats"), col("avg_w"))
+  }
 }

@@ -416,4 +416,115 @@ object TextAnalysis {
         coalesce(col("token_ids"),
           array().cast("array<int>")).as("token_ids"))
   }
+
+  /** Consecutive whitespace-token bigrams of each document, one row per
+    * occurrence: `(doc_id, w1, w2)`. Pairs are formed INSIDE the scan
+    * stage (array `transform` over the split — no positional self-join,
+    * no shuffle); documents shorter than two tokens contribute nothing.
+    */
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    docs.filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - lit(2)),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+
+  /** Add-one-smoothed bigram language model trained over `docs` — the
+    * CCNet/Gopher-style model-based quality signal's trainable half.
+    * One row per distinct corpus bigram: `(w1, w2, c2, c1, v)` where
+    * `c2` = count of the bigram, `c1` = occurrences of `w1` in
+    * non-final position (the smoothing denominator's context count,
+    * rolled up from `c2` — the token stream is exploded and shuffled
+    * ONCE), and `v` = |distinct corpus tokens| replicated onto every
+    * row so the frame is a self-contained persistable model (write it
+    * with any parquet sink; [[lmScoreBigram]] re-derives the context
+    * and vocab tables from it).
+    *
+    * Scale: the only shuffles are vocabulary-keyed partial+final
+    * aggregations (map-side combine collapses the token stream to
+    * distinct-bigram grain before the exchange). The model is
+    * distinct-bigram-sized — far smaller than the corpus at 100 TB —
+    * and v rides along as a column instead of a driver-side collect.
+    */
+  def bigramLmTrain(docs: DataFrame): DataFrame = {
+    val big = bigramPairs(docs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val ctx = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = docs.select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    big.join(ctx, "w1").crossJoin(v)
+      .select(col("w1"), col("w2"), col("c2"), col("c1"), col("v"))
+  }
+
+  /** Per-document log-likelihood under a [[bigramLmTrain]] model — the
+    * model-based quality score (CCNet trains on the target domain and
+    * buckets the scored corpus into head/middle/tail by this number).
+    * Per-pair probability is add-one smoothed,
+    * `p = (c2+1)/(c1+V)`; unseen bigrams (left-join miss) degrade to
+    * `(0+1)/(c1+V)` and unseen contexts to `1/V` — exactly the
+    * smoothing's out-of-vocabulary semantics, no special cases.
+    *
+    * Cross-engine determinism: `p` is an exact-int ratio (IEEE division
+    * of integers is correctly rounded → bit-identical in any engine);
+    * the per-pair natural log is snapped to 1e-3 FIXED POINT
+    * (`round(ln(p)·1000)` as a long) BEFORE the per-document sum, the
+    * same convention as the embedding-centroid fixed-point sums — long
+    * addition is associative, so the sum is partition-order-invariant
+    * and the float-summation trap never opens. `avg_lp` (mean per-pair
+    * log-prob; e^-avg_lp is per-token perplexity) divides the two
+    * exact integers at the end. Documents with fewer than two tokens
+    * score NULL with `n_pairs = 0`.
+    *
+    * Scale: pairs join the model on (w1, w2) and the context table on
+    * w1 — both vocabulary-keyed equi-joins that AQE plans as broadcast
+    * when the model fits and sort-merge when it doesn't; the final
+    * rollup is one partial+final agg on doc_id. No windows, no
+    * driver-side state.
+    */
+  def lmScoreBigram(docs: DataFrame, model: DataFrame): DataFrame = {
+    require(Seq("w1", "w2", "c2", "c1", "v").forall(model.columns.contains),
+      "lmScoreBigram: not a bigram LM — need (w1, w2, c2, c1, v) as " +
+        "built by bigramLmTrain")
+    val big = model.select(col("w1"), col("w2"), col("c2"))
+    val ctx = model.select(col("w1"), col("c1")).distinct()
+    val v = model.select(col("v")).limit(1)
+    val p = (coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") + col("v").cast("double"))
+    val scored = bigramPairs(docs)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(v)
+      .select(col("doc_id"),
+        round(log(p) * lit(1000), 0).cast("long").as("lp_fp"))
+    val per = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("lp_fp")).as("sum_lp_fp"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("sum_lp_fp"), lit(0L)).as("sum_lp_fp"),
+        when(col("n_pairs").isNotNull,
+          col("sum_lp_fp").cast("double") /
+            (col("n_pairs").cast("double") * lit(1000.0))).as("avg_lp"))
+  }
+
+  /** Head/middle/tail perplexity bucketing over [[lmScoreBigram]]
+    * scores — the CCNet split. Thresholds are CALLER-PROVIDED constants
+    * (profile once on a sample, then bucket the corpus with a pure
+    * map-side CASE), not per-run quantiles: a global rank would cost a
+    * corpus-wide sort every run and make each document's bucket depend
+    * on every other document — the production discipline is frozen
+    * thresholds, re-profiled deliberately. Unscorable documents
+    * (`n_pairs = 0`) land in `tail` explicitly.
+    */
+  def lmBuckets(scores: DataFrame, headMin: Double,
+                middleMin: Double): DataFrame = {
+    require(headMin > middleMin,
+      "head threshold must sit above the middle threshold")
+    scores.select(col("doc_id"), col("n_pairs"), col("avg_lp"),
+      when(col("avg_lp").isNull, lit("tail"))
+        .when(col("avg_lp") >= lit(headMin), lit("head"))
+        .when(col("avg_lp") >= lit(middleMin), lit("middle"))
+        .otherwise(lit("tail")).as("bucket"))
+  }
 }

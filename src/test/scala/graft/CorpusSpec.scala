@@ -425,4 +425,49 @@ class CorpusSpec extends AnyFunSuite {
     val bySource = got.groupBy(_._1).view.mapValues(_.length)
     bySource.foreach { case (s, n) => assert(n === cap, s"source $s") }
   }
+
+  test("DSIR importance: target-like docs outrank off-target docs; ratio table covers every bucket") {
+    // target vocabulary {x,y}, off-target {p,q}: a doc made of target
+    // n-grams must carry a strictly higher mean log-ratio than one made
+    // of n-grams the target never contains.
+    val docs = Seq(
+      (1L, "x y x y"), (2L, "x y y x"),   // the target slice
+      (3L, "x y x y"),                     // target-like, outside the slice
+      (4L, "p q p q")                      // off-target
+    ).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") <= 2)
+    val ratios = Corpus.importanceLogRatios(target, docs, buckets = 256)
+    assert(ratios.count() === 256L)
+    assert(ratios.select(countDistinct(col("bucket"))).head().getLong(0) === 256L)
+    val w = Corpus.importanceWeights(docs, ratios, buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(w(3L) > w(4L),
+      s"target-like doc must outrank off-target: ${w(3L)} vs ${w(4L)}")
+    // n_feats = tokens + bigrams: 4 + 3 = 7 per doc here
+    val nf = Corpus.importanceWeights(docs, ratios, buckets = 256)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(nf === Set(7L))
+  }
+
+  test("DSIR weights are partition-layout-invariant; selection is deterministic top-k") {
+    val docs = Tables.documents(spark, sfDir)
+    val target = docs.filter(col("lang") === "en")
+    val ratios = Corpus.importanceLogRatios(target, docs)
+    val a = Corpus.importanceWeights(docs, ratios)
+      .orderBy("doc_id").collect().toSeq
+    val b = Corpus.importanceWeights(docs.repartition(13), ratios)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    val sel = Corpus.importanceSelect(Corpus.importanceWeights(docs, ratios), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(sel.length === 10)
+    // ordered by weight desc with doc_id tie-break
+    assert(sel.sliding(2).forall { case Array((i1, w1), (i2, w2)) =>
+      w1 > w2 || (w1 == w2 && i1 < i2) })
+    // malformed ratio table refuses
+    val e = intercept[IllegalArgumentException] {
+      Corpus.importanceWeights(docs, docs)
+    }
+    assert(e.getMessage.contains("importanceLogRatios"))
+  }
 }

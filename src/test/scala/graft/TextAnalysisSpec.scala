@@ -125,4 +125,70 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(e.getMessage.contains("would not correspond"))
     graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
+
+  test("bigram LM: hand-computed smoothed log-likelihoods on a 2-doc corpus") {
+    // corpus: "a b a" + "a b b". bigrams: (a,b)×2, (b,a)×1, (b,b)×1;
+    // contexts: a→2, b→2; V = 2.
+    //   p(a,b) = (2+1)/(2+2) = 0.75 → round(ln .75 ·1000) = −288
+    //   p(b,a) = p(b,b) = (1+1)/(2+2) = 0.5 → −693
+    // both docs: n_pairs = 2, sum = −981, avg = −0.4905.
+    val docs = Seq((1L, "a b a"), (2L, "a b b")).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramLmTrain(docs)
+    val m = model.collect().map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m === Map(
+      ("a", "b") -> ((2L, 2L, 2L)),
+      ("b", "a") -> ((1L, 2L, 2L)),
+      ("b", "b") -> ((1L, 2L, 2L))))
+    val got = TextAnalysis.lmScoreBigram(docs, model).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, -981L, -0.4905),
+      (2L, 2L, -981L, -0.4905)))
+  }
+
+  test("bigram LM: unseen bigrams and contexts degrade to the smoothing floor; 1-token docs score NULL") {
+    val train = Seq((1L, "a b a"), (2L, "a b b")).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramLmTrain(train)
+    // (c,c): bigram AND context both unseen → p = 1/(0+V) = 0.5 → −693
+    val fresh = Seq((10L, "c c"), (11L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreBigram(fresh, model).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq === Seq((10L, 1L, -693L, Some(-0.693)),
+      (11L, 0L, 0L, None)))
+  }
+
+  test("bigram LM scores are partition-layout-invariant (fixed-point sums)") {
+    val docs = Tables.documents(spark, sfDir)
+    val model = TextAnalysis.bigramLmTrain(docs)
+    val a = TextAnalysis.lmScoreBigram(docs, model)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.lmScoreBigram(docs.repartition(13), model)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("lm buckets: thresholds classify, unscorable docs land in tail, bad thresholds refuse") {
+    val scores = Seq(
+      (1L, 5L, Some(-1.0)),   // ≥ headMin → head
+      (2L, 5L, Some(-2.5)),   // between → middle
+      (3L, 5L, Some(-9.0)),   // below → tail
+      (4L, 0L, None)          // unscorable → tail
+    ).toDF("doc_id", "n_pairs", "avg_lp")
+    val got = TextAnalysis.lmBuckets(scores, headMin = -2.0, middleMin = -3.0)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(got.toSeq === Seq((1L, "head"), (2L, "middle"),
+      (3L, "tail"), (4L, "tail")))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.lmBuckets(scores, headMin = -3.0, middleMin = -2.0)
+    }
+    assert(e.getMessage.contains("above"))
+    // malformed model refuses
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.lmScoreBigram(scores,
+        Seq((1L, 2L)).toDF("w1", "w2"))
+    }
+    assert(e2.getMessage.contains("bigramLmTrain"))
+  }
 }
