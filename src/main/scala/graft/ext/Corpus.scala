@@ -724,18 +724,20 @@ object Corpus {
     * Features are formed inside the scan stage (array transform, no
     * positional self-join).
     */
-  private def hashedNgramFeatures(docs: DataFrame, buckets: Int): DataFrame = {
+  private def hashedNgramFeatures(docs: DataFrame, buckets: Int,
+                                  carry: Seq[String] = Nil): DataFrame = {
     val toks = split(col("text"), " ")
-    val uni = docs.select(col("doc_id"), explode(toks).as("f"))
+    val keep = carry.map(col)
+    val uni = docs.select(col("doc_id") +: keep :+ explode(toks).as("f"): _*)
     val bi = docs.filter(size(toks) >= 2)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: keep :+
         explode(transform(sequence(lit(0), size(toks) - lit(2)),
           i => concat(element_at(toks, i + 1), lit(" "),
-            element_at(toks, i + 2)))).as("f"))
+            element_at(toks, i + 2)))).as("f"): _*)
     uni.unionByName(bi)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: keep :+
         pmod(Dedup.hash32(concat(lit("dsir|"), col("f"))), lit(buckets))
-          .cast("int").as("bucket"))
+          .cast("int").as("bucket"): _*)
   }
 
   /** Per-bucket importance log-ratio table — the DSIR estimator (Xie et
@@ -759,25 +761,54 @@ object Corpus {
   def importanceLogRatios(target: DataFrame, raw: DataFrame,
                           buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, "importanceLogRatios: need at least two buckets")
-    val spark = target.sparkSession
+    val t = hashedNgramFeatures(target, buckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val r = hashedNgramFeatures(raw, buckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    ratiosFromCounts(t.join(r, Seq("bucket"), "full"), buckets)
+  }
+
+  /** [[importanceLogRatios]] for the common case where the target domain
+    * is a SLICE of the scored pool (`targetPred` over the same frame):
+    * both distributions come off ONE feature-stream pass — a conditional
+    * count beside the total in a single partial+final aggregation —
+    * instead of two corpus scans. Identical output to the two-frame form
+    * with `target = docs.filter(targetPred)`, `raw = docs`; at 100 TB
+    * this halves the dominant cost (the corpus scan).
+    */
+  def importanceLogRatiosSliced(docs: DataFrame, targetPred: Column,
+                                buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, "importanceLogRatios: need at least two buckets")
+    val counts = hashedNgramFeatures(
+        docs.withColumn("_is_target", targetPred), buckets,
+        carry = Seq("_is_target"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("_is_target"), lit(1))).as("ct"),
+        count(lit(1)).as("cr"))
+    ratiosFromCounts(counts, buckets)
+  }
+
+  /** Smoothed fixed-point log-ratio table from per-bucket (ct, cr)
+    * counts — shared tail of the two ratio constructors. The count frame
+    * is ≤`buckets` rows; it is persisted so the corpus-sized feature
+    * stream aggregates exactly once (the scalar totals and the final
+    * join both read the cached frame).
+    */
+  private def ratiosFromCounts(counts0: DataFrame, buckets: Int): DataFrame = {
+    val spark = counts0.sparkSession
     import spark.implicits._
-    def dist(docs: DataFrame, cnt: String): DataFrame =
-      hashedNgramFeatures(docs, buckets)
-        .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
-        .persist()
-    val all = spark.range(buckets).select(col("id").cast("int").as("bucket"))
-    val t = dist(target, "ct")
-    val r = dist(raw, "cr")
-    // totals are scalars over the ≤`buckets`-row count frames (persisted,
-    // so the corpus-sized feature stream aggregates exactly once)
-    val nt = t.select(sum(col("ct"))).as[Option[Long]].head().getOrElse(0L)
-    val nr = r.select(sum(col("cr"))).as[Option[Long]].head().getOrElse(0L)
+    val counts = counts0.persist()
+    val (nt, nr) = counts
+      .select(sum(col("ct")), sum(col("cr")))
+      .as[(Option[Long], Option[Long])].head() match {
+      case (t, r) => (t.getOrElse(0L), r.getOrElse(0L))
+    }
     val pT = (coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
       lit(nt.toDouble + buckets)
     val pR = (coalesce(col("cr"), lit(0L)).cast("double") + lit(1.0)) /
       lit(nr.toDouble + buckets)
-    all.join(t.select(col("bucket"), col("ct")), Seq("bucket"), "left")
-      .join(r.select(col("bucket"), col("cr")), Seq("bucket"), "left")
+    spark.range(buckets).select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
       .select(col("bucket"),
         round((log(pT) - log(pR)) * lit(1000), 0).cast("long").as("lr_fp"))
   }

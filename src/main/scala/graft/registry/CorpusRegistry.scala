@@ -26,9 +26,9 @@ private[graft] object CorpusRegistry {
       // vs the raw pool, broadcast onto the feature stream; per-doc
       // mean log-ratio is the resampling key.
       val docs = Tables.documents(s, d)
-      val target = docs.filter(col("lang") === "en" && col("source") === "src7")
       ext.Corpus.importanceWeights(docs,
-        ext.Corpus.importanceLogRatios(target, docs))
+        ext.Corpus.importanceLogRatiosSliced(docs,
+          col("lang") === "en" && col("source") === "src7"))
         .orderBy("doc_id")
     }),
 
@@ -36,10 +36,10 @@ private[graft] object CorpusRegistry {
       // top-100 most-target-like documents under the same estimator —
       // TakeOrderedAndProject, never a global sort.
       val docs = Tables.documents(s, d)
-      val target = docs.filter(col("lang") === "en" && col("source") === "src7")
       ext.Corpus.importanceSelect(
         ext.Corpus.importanceWeights(docs,
-          ext.Corpus.importanceLogRatios(target, docs)), k = 100)
+          ext.Corpus.importanceLogRatiosSliced(docs,
+            col("lang") === "en" && col("source") === "src7")), k = 100)
     }),
 
     "corpus_split_assign" -> ((s, d) =>

@@ -449,6 +449,16 @@ class CorpusSpec extends AnyFunSuite {
     assert(nf === Set(7L))
   }
 
+  test("DSIR sliced single-pass ratios == two-frame form, bucket for bucket") {
+    val docs = Tables.documents(spark, sfDir)
+    val pred = col("lang") === "en" && col("source") === "src7"
+    val twoFrame = Corpus.importanceLogRatios(docs.filter(pred), docs)
+      .orderBy("bucket").collect().toSeq
+    val sliced = Corpus.importanceLogRatiosSliced(docs, pred)
+      .orderBy("bucket").collect().toSeq
+    assert(sliced === twoFrame)
+  }
+
   test("DSIR weights are partition-layout-invariant; selection is deterministic top-k") {
     val docs = Tables.documents(spark, sfDir)
     val target = docs.filter(col("lang") === "en")
