@@ -508,6 +508,58 @@ object TextAnalysis {
             (col("n_pairs").cast("double") * lit(1000.0))).as("avg_lp"))
   }
 
+  /** ADDITIVE n-gram count state for incremental LM training: one row
+    * per distinct unigram (`kind='uni'`, `w2=''`) and bigram
+    * (`kind='bi'`) with its occurrence count. Counts add —
+    * `build(A) ⊕ build(B) == build(A ∪ B)` under [[lmCountsMerge]] —
+    * which is what lets a stream maintain the model without ever
+    * re-reading the corpus ([[graft.streaming.Streams.lmMaintainPipeline]]).
+    * The unigram rows carry V (vocabulary = row count) and the bigram
+    * rows carry everything [[bigramLmTrain]] derives, so
+    * [[lmModelFromCounts]] reconstructs that model bit-identically.
+    */
+  def lmCountsBuild(docs: DataFrame): DataFrame = {
+    val uni = docs.select(explode(toks).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c"))
+      .select(lit("uni").as("kind"), col("w1"), lit("").as("w2"), col("c"))
+    val bi = bigramPairs(docs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .select(lit("bi").as("kind"), col("w1"), col("w2"), col("c"))
+    uni.unionByName(bi)
+  }
+
+  /** Additive merge of two [[lmCountsBuild]] frames — union + one
+    * partial+final re-aggregation on the (kind, w1, w2) key. NOT
+    * idempotent (a re-folded batch double-counts): stream maintenance
+    * must pair it with batch-id insert-if-absent, the
+    * histogram-maintainer discipline.
+    */
+  def lmCountsMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = Seq("kind", "w1", "w2", "c").map(col)
+    a.select(cols: _*).unionByName(b.select(cols: _*))
+      .groupBy(col("kind"), col("w1"), col("w2"))
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** Reconstruct the [[bigramLmTrain]] model frame `(w1, w2, c2, c1, v)`
+    * from accumulated [[lmCountsBuild]] state: `c2` from the bigram
+    * rows, `c1` rolled up over first words, `v` = the unigram row count
+    * (distinct corpus tokens). Bit-identical to training on the
+    * concatenated corpus — the equivalence the streaming oracle pins.
+    */
+  def lmModelFromCounts(counts: DataFrame): DataFrame = {
+    require(Seq("kind", "w1", "w2", "c").forall(counts.columns.contains),
+      "lmModelFromCounts: not an LM count state — need (kind, w1, w2, c) " +
+        "as built by lmCountsBuild")
+    val bi = counts.filter(col("kind") === "bi")
+      .select(col("w1"), col("w2"), col("c").as("c2"))
+    val ctx = bi.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = counts.filter(col("kind") === "uni")
+      .agg(count(lit(1)).as("v"))
+    bi.join(ctx, "w1").crossJoin(v)
+      .select(col("w1"), col("w2"), col("c2"), col("c1"), col("v"))
+  }
+
   /** Head/middle/tail perplexity bucketing over [[lmScoreBigram]]
     * scores — the CCNet split. Thresholds are CALLER-PROVIDED constants
     * (profile once on a sample, then bucket the corpus with a pure

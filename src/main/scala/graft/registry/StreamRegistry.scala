@@ -561,6 +561,39 @@ private[graft] object StreamRegistry {
         tmp)
     }),
 
+    "stream_lm_maintain" -> ((s, d) => {
+      // LIVE incremental LM training (round 12): the documents feed
+      // staged as three files, one per micro-batch, each batch's
+      // unigram+bigram counts folded into the PointerSwap-promoted
+      // state under the shared additive-fold discipline (batch-id
+      // insert-if-absent + checkpoint lineage). Additivity makes the
+      // maintained counts BIT-IDENTICAL to one batch train over the
+      // whole corpus, so scoring the corpus against the STREAMED model
+      // must reproduce text_lm_score's oracle exactly — one
+      // double-counted or dropped fold anywhere shifts every smoothed
+      // probability and breaks the hash.
+      val tmp = TempDirs.create("graft-lm-maint-").toString
+      val src = s"$tmp/src"
+      val docs = Tables.documents(s, d)
+      (0 until 3).foreach(i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src))
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.Streams.lmMaintainPipeline(
+        stateSized(s), sch, src, s"$tmp/state", s"$tmp/ck")
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
+      require(nBatches >= 2,
+        s"LM maintenance folded $nBatches micro-batches — need >= 2 " +
+          "to prove incrementality, not a single-batch rebuild")
+      val model = TextAnalysis.lmModelFromCounts(
+        graft.operators.ScaleOps.readMaintained(s, s"$tmp/state",
+          graft.operators.ScaleOps.PointerSwap))
+      detachAndClean(
+        TextAnalysis.lmScoreBigram(docs, model).orderBy("doc_id"),
+        tmp)
+    }),
+
     "stream_hist_maintain" -> ((s, d) => {
       // LIVE histogram-state lifecycle (round 11): the drift baseline
       // maintained BY A STREAM — the events feed staged as three files,
@@ -815,6 +848,14 @@ private[graft] object StreamRegistry {
     "stream_near_dedup" -> nearDedupAdmissionSql,
 
     "stream_near_dedup_restart" -> nearDedupAdmissionSql,
+
+    // batch-folded LM count state == one batch train over the whole
+    // corpus (additivity): scoring against the streamed model must
+    // reproduce text_lm_score's oracle row for row.
+    "stream_lm_maintain" ->
+      (lmPerDocCte + """
+        |SELECT doc_id, n_pairs, sum_lp_fp, avg_lp FROM lm
+        |ORDER BY doc_id""".stripMargin),
 
     // batch-folded histogram state == the one-pass histogram of the
     // whole feed (additivity), bin for bin.

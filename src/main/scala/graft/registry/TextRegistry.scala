@@ -121,37 +121,6 @@ private[graft] object TextRegistry {
         .limit(30)),
   )
 
-  // shared CTE chain: bigram pairs → add-one-smoothed model → per-pair
-  // fixed-point log-prob → per-doc rollup (the text_lm_* family)
-  private val lmPerDocCte =
-    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      |pairs AS (
-      |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
-      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(l)-1),
-      |      i -> {'w1': l[i], 'w2': l[i+1]})) AS s
-      |    FROM tk WHERE len(l) >= 2)
-      |), big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
-      |ctx AS (SELECT w1, sum(c2) AS c1 FROM big GROUP BY 1),
-      |v AS (SELECT count(DISTINCT t) AS v
-      |      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
-      |scored AS (
-      |  SELECT p.doc_id,
-      |    CAST(round(ln((CAST(COALESCE(b.c2, 0) AS DOUBLE) + 1.0) /
-      |                  (CAST(COALESCE(c.c1, 0) AS DOUBLE) + CAST(v.v AS DOUBLE)))
-      |               * 1000) AS BIGINT) AS lp_fp
-      |  FROM pairs p LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
-      |  LEFT JOIN ctx c ON c.w1 = p.w1 CROSS JOIN v
-      |), per AS (
-      |  SELECT doc_id, count(*) AS n_pairs, sum(lp_fp) AS sum_lp_fp
-      |  FROM scored GROUP BY 1
-      |), lm AS (
-      |  SELECT d.doc_id, CAST(COALESCE(per.n_pairs, 0) AS BIGINT) AS n_pairs,
-      |    CAST(COALESCE(per.sum_lp_fp, 0) AS BIGINT) AS sum_lp_fp,
-      |    CASE WHEN per.n_pairs > 0 THEN CAST(per.sum_lp_fp AS DOUBLE) /
-      |      (CAST(per.n_pairs AS DOUBLE) * 1000.0) END AS avg_lp
-      |  FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
-      |)""".stripMargin
-
   val oracleSql: Map[String, String] = Map(
     "text_lm_score" ->
       (lmPerDocCte + """

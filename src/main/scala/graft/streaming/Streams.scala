@@ -351,84 +351,145 @@ object Streams {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        import graft.operators.ScaleOps
-        val s = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        // per-checkpoint-INSTANCE token, minted inside the checkpoint dir
-        // on first fold: hashing the checkpoint PATH would survive an
-        // rm -rf + re-create at the same path (the standard streaming
-        // reset), which re-delivers everything with fresh batch ids and
-        // must be refused like any other foreign lineage
-        val linPath = new org.apache.hadoop.fs.Path(checkpointDir,
-          ".graft_state_lineage")
-        val tokenPreExisted = fs.exists(linPath)
-        val lin =
-          if (tokenPreExisted) {
-            val in = fs.open(linPath)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          } else {
-            val t = java.util.UUID.randomUUID().toString
-            val out = fs.create(linPath, false)
-            try out.write(t.getBytes("UTF-8")) finally out.close()
-            t
-          }
-        val b = graft.ext.Quality.histBuild(batch.toDF(), valueCol, binWidth)
-        val (merged, alreadyFolded) =
-          if (fs.exists(root)) {
-            val st = ScaleOps.readMaintained(s, stateDir, ScaleOps.PointerSwap)
-            // a state this pipeline maintains is BOUND to its checkpoint
-            // instance: additive folds cannot distinguish a fresh
-            // checkpoint's re-delivery from new data (batch ids restart
-            // at 0), so a foreign or missing lineage on stream-maintained
-            // state refuses loudly instead of silently skipping or
-            // double-counting. A BATCH-written baseline (histWrite:
-            // bin/n/bin_width only — no stamp, no lineage) attaches:
-            // nothing folded yet, adopted under this stream's lineage.
-            val streamMaintained = st.columns.contains("last_batch_id")
-            require(!streamMaintained || st.columns.contains("lineage"),
-              s"histMaintain: state $stateDir is stream-maintained but " +
-                "predates the lineage stamp — rebuild it from the retained " +
-                "corpus (its fold history cannot be validated)")
-            val folded = streamMaintained && {
-              val r = st.agg(max(col("lineage")).as("l"),
-                max(col("last_batch_id")).as("b")).collect()(0)
-              require(r.isNullAt(0) || r.getString(0) == lin,
-                s"histMaintain: state $stateDir is bound to a different " +
-                  "checkpoint lineage — fold new data through the ORIGINAL " +
-                  "checkpoint, or rebuild the state from the retained corpus")
-              !r.isNullAt(1) && r.getLong(1) >= batchId
-            }
-            (graft.ext.Quality.histMerge(binWidth,
-              st.select(col("bin"), col("n"), col("bin_width")), b), folded)
-          } else {
-            // the state root is ABSENT. If this checkpoint's lineage
-            // token already existed AND a prior batch committed, folds
-            // happened whose state is now gone — re-initializing from
-            // this batch alone would silently drop them from the
-            // baseline, so refuse (the loud-refusal contract). The one
-            // legitimate absent-root case with a pre-existing token is
-            // a batch-0 replay after a crash between token mint and the
-            // first promote: no fold ever completed, nothing is lost.
-            require(!tokenPreExisted || batchId == 0,
-              s"histMaintain: state $stateDir is absent but checkpoint " +
-                s"$checkpointDir has already folded batches under its " +
-                "lineage token — prior folds cannot be reconstructed; " +
-                "rebuild the state from the retained corpus on a fresh " +
-                "checkpoint")
-            (b, false)
-          }
-        if (!alreadyFolded) {
-          val staged = s"$stateDir.stage-$batchId"
-          merged.select(col("bin"), col("n"))
-            .withColumn("bin_width", lit(binWidth))
-            .withColumn("last_batch_id", lit(batchId))
-            .withColumn("lineage", lit(lin))
-            .write.mode("overwrite").parquet(staged)
-          ScaleOps.PointerSwap.promote(fs, root,
-            new org.apache.hadoop.fs.Path(staged))
+        additiveFold(batch.sparkSession, stateDir, checkpointDir, batchId,
+          opName = "histMaintain",
+          build = graft.ext.Quality.histBuild(batch.toDF(), valueCol, binWidth),
+          merge = st => graft.ext.Quality.histMerge(binWidth,
+            st.select(col("bin"), col("n"), col("bin_width")),
+            graft.ext.Quality.histBuild(batch.toDF(), valueCol, binWidth)),
+          stateCols = df => df.select(col("bin"), col("n"))
+            .withColumn("bin_width", lit(binWidth)))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Shared fold harness for ADDITIVE stream-maintained state (the
+    * histogram-maintainer discipline, factored out when the LM-count
+    * maintainer joined the family): additive merges are NOT idempotent —
+    * a re-folded batch double-counts — so exactly-once rides on a
+    * batch-id stamp (insert-if-absent at batch granularity) plus a
+    * checkpoint-INSTANCE lineage token. The token is minted INSIDE the
+    * checkpoint dir on first fold: hashing the checkpoint PATH would
+    * survive an `rm -rf` + re-create at the same path (the standard
+    * streaming reset), which re-delivers everything with fresh batch
+    * ids and must be refused like any other foreign lineage.
+    *
+    * Fold-guard cases, in order:
+    *  - state present, stamped, same lineage, `max(last_batch_id) >=
+    *    batchId` → replay of a committed fold: SKIP (the no-op that
+    *    makes additive folds exactly-once).
+    *  - state present, stamped, FOREIGN lineage → refuse loudly (batch
+    *    ids restarted; re-delivery is indistinguishable from new data).
+    *  - state present, unstamped → a BATCH-written baseline: adopt it
+    *    under this stream's lineage (the day-0 handoff).
+    *  - state ABSENT but the lineage token pre-existed and a prior
+    *    batch committed → refuse loudly: folds happened whose state is
+    *    gone; re-initializing from this batch alone would silently drop
+    *    them. (Absent root + pre-existing token at batch 0 is the one
+    *    legitimate case: a replay after a crash between token mint and
+    *    first promote — nothing was folded, nothing is lost.)
+    * Every rewrite stages next to the root and promotes through
+    * [[graft.operators.ScaleOps.PointerSwap]] — the crash-window-free
+    * shape [[sketchMaintainPipeline]] established.
+    */
+  private def additiveFold(s: SparkSession, stateDir: String,
+                           checkpointDir: String, batchId: Long,
+                           opName: String,
+                           build: => DataFrame,
+                           merge: DataFrame => DataFrame,
+                           stateCols: DataFrame => DataFrame): Unit = {
+    import graft.operators.ScaleOps
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val linPath = new org.apache.hadoop.fs.Path(checkpointDir,
+      ".graft_state_lineage")
+    val tokenPreExisted = fs.exists(linPath)
+    val lin =
+      if (tokenPreExisted) {
+        val in = fs.open(linPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } else {
+        val t = java.util.UUID.randomUUID().toString
+        val out = fs.create(linPath, false)
+        try out.write(t.getBytes("UTF-8")) finally out.close()
+        t
+      }
+    val (merged, alreadyFolded) =
+      if (fs.exists(root)) {
+        val st = ScaleOps.readMaintained(s, stateDir, ScaleOps.PointerSwap)
+        val streamMaintained = st.columns.contains("last_batch_id")
+        require(!streamMaintained || st.columns.contains("lineage"),
+          s"$opName: state $stateDir is stream-maintained but " +
+            "predates the lineage stamp — rebuild it from the retained " +
+            "corpus (its fold history cannot be validated)")
+        val folded = streamMaintained && {
+          val r = st.agg(max(col("lineage")).as("l"),
+            max(col("last_batch_id")).as("b")).collect()(0)
+          require(r.isNullAt(0) || r.getString(0) == lin,
+            s"$opName: state $stateDir is bound to a different " +
+              "checkpoint lineage — fold new data through the ORIGINAL " +
+              "checkpoint, or rebuild the state from the retained corpus")
+          !r.isNullAt(1) && r.getLong(1) >= batchId
         }
+        (merge(st), folded)
+      } else {
+        require(!tokenPreExisted || batchId == 0,
+          s"$opName: state $stateDir is absent but checkpoint " +
+            s"$checkpointDir has already folded batches under its " +
+            "lineage token — prior folds cannot be reconstructed; " +
+            "rebuild the state from the retained corpus on a fresh " +
+            "checkpoint")
+        (build, false)
+      }
+    if (!alreadyFolded) {
+      val staged = s"$stateDir.stage-$batchId"
+      stateCols(merged)
+        .withColumn("last_batch_id", lit(batchId))
+        .withColumn("lineage", lit(lin))
+        .write.mode("overwrite").parquet(staged)
+      ScaleOps.PointerSwap.promote(fs, root,
+        new org.apache.hadoop.fs.Path(staged))
+    }
+  }
+
+  /** LIVE incremental LM training — the model-based quality scorer's
+    * ([[graft.ext.TextAnalysis.lmScoreBigram]]) bigram/unigram count
+    * state maintained BY A STREAM: each micro-batch's
+    * [[graft.ext.TextAnalysis.lmCountsBuild]] folds into the persisted
+    * state with [[graft.ext.TextAnalysis.lmCountsMerge]]. Additivity
+    * makes the maintained counts BIT-IDENTICAL to one
+    * [[graft.ext.TextAnalysis.bigramLmTrain]] pass over the
+    * concatenated feed (via [[graft.ext.TextAnalysis.lmModelFromCounts]]
+    * — the streaming oracle pins exactly that equivalence), so the
+    * quality model retrains continuously without any stage re-reading
+    * the corpus. Replay safety, lineage binding and PointerSwap
+    * promotion are the shared [[additiveFold]] discipline (additive
+    * merge is NOT idempotent — the KMV argument does not transfer).
+    *
+    * At 100 TB: per-batch work is one batch-sized count build plus a
+    * merge keyed on (kind, w1, w2) — vocabulary-scale state, never
+    * corpus-scale; the model stays distinct-ngram-sized however much
+    * text has flowed through.
+    */
+  def lmMaintainPipeline(spark: SparkSession, schema: StructType,
+                         srcDir: String, stateDir: String,
+                         checkpointDir: String,
+                         maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.ext.TextAnalysis
+        additiveFold(batch.sparkSession, stateDir, checkpointDir, batchId,
+          opName = "lmMaintain",
+          build = TextAnalysis.lmCountsBuild(batch.toDF()),
+          merge = st => TextAnalysis.lmCountsMerge(
+            st.select(col("kind"), col("w1"), col("w2"), col("c")),
+            TextAnalysis.lmCountsBuild(batch.toDF())),
+          stateCols = df => df.select(col("kind"), col("w1"), col("w2"),
+            col("c")))
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -238,6 +238,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(readState() === afterGrow, "wiped-checkpoint rerun must not fold")
   }
 
+  test("lm-maintain: streamed count state reconstructs the batch model bit-identically; restart folds only new docs") {
+    // the refusal legs (foreign checkpoint, wiped checkpoint, absent
+    // state with committed folds) live in the hist-maintain tests —
+    // both pipelines run the SAME shared additiveFold harness, so one
+    // suite of guards covers the family; this test pins what is
+    // LM-specific: count additivity == batch-train equivalence.
+    val base = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    val src = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    def write(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    write(1L -> "a b a", 2L -> "b c")
+    write(3L -> "a b b")
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    import graft.ext.TextAnalysis
+    def modelFromState() = TextAnalysis.lmModelFromCounts(
+      graft.operators.ScaleOps.readMaintained(
+        spark, state, graft.operators.ScaleOps.PointerSwap))
+    def asMap(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    Streams.lmMaintainPipeline(spark, schema, src, state, ckpt)
+      .awaitTermination()
+    val batchEquivalent = TextAnalysis.bigramLmTrain(
+      Seq(1L -> "a b a", 2L -> "b c", 3L -> "a b b").toDF("doc_id", "text"))
+    assert(asMap(modelFromState()) === asMap(batchEquivalent),
+      "streamed folds must equal one batch train over the concatenated feed")
+    // restart on a grown source: only the new file folds; the model now
+    // equals a batch train over all four docs (vocab grows to {a,b,c,d})
+    write(4L -> "c d")
+    Streams.lmMaintainPipeline(spark, schema, src, state, ckpt)
+      .awaitTermination()
+    val grown = TextAnalysis.bigramLmTrain(
+      Seq(1L -> "a b a", 2L -> "b c", 3L -> "a b b", 4L -> "c d")
+        .toDF("doc_id", "text"))
+    assert(asMap(modelFromState()) === asMap(grown))
+    // the reconstructed model drives the scorer end to end
+    val scored = TextAnalysis.lmScoreBigram(
+      Seq(5L -> "a b").toDF("doc_id", "text"), modelFromState()).collect()
+    assert(scored.length === 1 && scored(0).getLong(1) === 1L)
+  }
+
   test("hist-maintain: a batch-written baseline attaches and the stream folds onto it") {
     val base = java.nio.file.Files.createTempDirectory("graft_hmb").toString
     val src = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
