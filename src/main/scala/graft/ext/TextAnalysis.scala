@@ -508,6 +508,68 @@ object TextAnalysis {
             (col("n_pairs").cast("double") * lit(1000.0))).as("avg_lp"))
   }
 
+  /** [[bigramLmTrain]] per partition key (CCNet trains ONE MODEL PER
+    * LANGUAGE and scores every document with its own language's model —
+    * a mixed-language corpus scored by a single pooled model conflates
+    * "unusual text" with "not the majority language"). One model frame
+    * for all keys: `(key, w1, w2, c2, c1, v)` with every statistic
+    * computed WITHIN the key partition (`v` = that key's distinct
+    * vocabulary). Same aggregation shapes as the pooled form, with the
+    * key prepended to each grouping — no extra shuffles.
+    */
+  def bigramLmTrainBy(docs: DataFrame, key: String = "lang"): DataFrame = {
+    val big = bigramPairsBy(docs, key).groupBy(col(key), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val ctx = big.groupBy(col(key), col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = docs.select(col(key), explode(toks).as("t"))
+      .groupBy(col(key)).agg(countDistinct(col("t")).as("v"))
+    big.join(ctx, Seq(key, "w1")).join(v, Seq(key))
+      .select(col(key), col("w1"), col("w2"), col("c2"), col("c1"), col("v"))
+  }
+
+  /** [[lmScoreBigram]] against a keyed [[bigramLmTrainBy]] model: each
+    * document's pairs consult ITS OWN key's model (bigram, context and
+    * vocabulary all within-key). Documents whose key has no model (or a
+    * NULL key) score NULL — every per-pair probability needs that key's
+    * V, so there is no half-scored state to leak. Fixed-point and
+    * smoothing semantics are identical to the pooled form.
+    */
+  def lmScoreBigramBy(docs: DataFrame, model: DataFrame,
+                      key: String = "lang"): DataFrame = {
+    require(Seq(key, "w1", "w2", "c2", "c1", "v").forall(model.columns.contains),
+      s"lmScoreBigramBy: not a keyed bigram LM — need ($key, w1, w2, " +
+        "c2, c1, v) as built by bigramLmTrainBy")
+    val big = model.select(col(key), col("w1"), col("w2"), col("c2"))
+    val ctx = model.select(col(key), col("w1"), col("c1")).distinct()
+    val v = model.select(col(key), col("v")).distinct()
+    val p = (coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") + col("v").cast("double"))
+    val scored = bigramPairsBy(docs, key)
+      .join(big, Seq(key, "w1", "w2"), "left")
+      .join(ctx, Seq(key, "w1"), "left")
+      .join(v, Seq(key), "left")
+      .select(col("doc_id"),
+        round(log(p) * lit(1000), 0).cast("long").as("lp_fp"))
+    val per = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("lp_fp")).as("sum_lp_fp"))
+    docs.select(col("doc_id"), col(key)).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col(key),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("sum_lp_fp"), lit(0L)).as("sum_lp_fp"),
+        when(col("n_pairs").isNotNull && col("sum_lp_fp").isNotNull,
+          col("sum_lp_fp").cast("double") /
+            (col("n_pairs").cast("double") * lit(1000.0))).as("avg_lp"))
+  }
+
+  /** [[bigramPairs]] with the partition key carried alongside. */
+  private def bigramPairsBy(docs: DataFrame, key: String): DataFrame =
+    docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), col(key),
+        explode(transform(sequence(lit(0), size(toks) - lit(2)),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2")))).as("p"))
+      .select(col("doc_id"), col(key), col("p.w1"), col("p.w2"))
+
   /** ADDITIVE n-gram count state for incremental LM training: one row
     * per distinct unigram (`kind='uni'`, `w2=''`) and bigram
     * (`kind='bi'`) with its occurrence count. Counts add —

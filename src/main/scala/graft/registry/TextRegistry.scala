@@ -67,6 +67,15 @@ private[graft] object TextRegistry {
         .orderBy("doc_id")
     }),
 
+    "text_lm_score_by_lang" -> ((s, d) => {
+      // the per-language CCNet form: one model per lang, every doc
+      // scored by its own language's model (pooled scoring conflates
+      // "unusual text" with "not the majority language").
+      val docs = Tables.documents(s, d)
+      TextAnalysis.lmScoreBigramBy(docs, TextAnalysis.bigramLmTrainBy(docs))
+        .orderBy("doc_id")
+    }),
+
     "text_bpe_merges" -> ((s, d) =>
       // BPE tokenizer merge training, 4 rounds: each round counts
       // adjacent symbol pairs (exact integer, weighted by word
@@ -135,6 +144,38 @@ private[graft] object TextRegistry {
         |       WHEN avg_lp >= -3.40 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM lm ORDER BY doc_id""".stripMargin),
+
+    "text_lm_score_by_lang" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, lang, s.w1 AS w1, s.w2 AS w2 FROM (
+        |    SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(l)-1),
+        |      i -> {'w1': l[i], 'w2': l[i+1]})) AS s
+        |    FROM tk WHERE len(l) >= 2)
+        |), big AS (SELECT lang, w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2, 3),
+        |ctx AS (SELECT lang, w1, sum(c2) AS c1 FROM big GROUP BY 1, 2),
+        |v AS (SELECT lang, count(DISTINCT t) AS v
+        |      FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |      GROUP BY lang),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(round(ln((CAST(COALESCE(b.c2, 0) AS DOUBLE) + 1.0) /
+        |                  (CAST(COALESCE(c.c1, 0) AS DOUBLE) + CAST(v.v AS DOUBLE)))
+        |               * 1000) AS BIGINT) AS lp_fp
+        |  FROM pairs p
+        |  LEFT JOIN big b ON b.lang = p.lang AND b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN ctx c ON c.lang = p.lang AND c.w1 = p.w1
+        |  JOIN v ON v.lang = p.lang
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_pairs, sum(lp_fp) AS sum_lp_fp
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.lang, CAST(COALESCE(per.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(per.sum_lp_fp, 0) AS BIGINT) AS sum_lp_fp,
+        |  CASE WHEN per.n_pairs > 0 THEN CAST(per.sum_lp_fp AS DOUBLE) /
+        |    (CAST(per.n_pairs AS DOUBLE) * 1000.0) END AS avg_lp
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_token_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)

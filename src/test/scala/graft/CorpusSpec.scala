@@ -459,6 +459,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(sliced === twoFrame)
   }
 
+  test("DSIR plan audit: ratio table broadcasts onto the feature stream, top-k never global-sorts") {
+    val docs = Tables.documents(spark, sfDir)
+    val ratios = Corpus.importanceLogRatiosSliced(docs, col("lang") === "en")
+    val w = Corpus.importanceWeights(docs, ratios)
+    val plan = w.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ratio lookup must be a broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected product join:\n$plan")
+    val sel = Corpus.importanceSelect(w, 10)
+    val selPlan = sel.queryExecution.executedPlan.toString
+    assert(selPlan.contains("TakeOrderedAndProject"),
+      s"top-k selection must plan as TakeOrderedAndProject:\n$selPlan")
+  }
+
   test("DSIR weights are partition-layout-invariant; selection is deterministic top-k") {
     val docs = Tables.documents(spark, sfDir)
     val target = docs.filter(col("lang") === "en")

@@ -169,6 +169,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("per-language LM: statistics stay within the key partition; unknown keys score NULL") {
+    // same surface bigram (a,b) in two languages with different
+    // within-language statistics: en has (a,b)×2 of 3 bigrams
+    // (V={a,b,c}), de has (a,b)×1 of 1 (V={a,b}).
+    val docs = Seq(
+      (1L, "en", "a b a b c"), (2L, "de", "a b")).toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.bigramLmTrainBy(docs)
+    val m = model.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2)) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    //   en: (a,b) c2=2 c1=2 v=3; (b,a) 1/2/3; (b,c) 1/2/3
+    //   de: (a,b) c2=1 c1=1 v=2
+    assert(m === Map(
+      ("en", "a", "b") -> ((2L, 2L, 3L)),
+      ("en", "b", "a") -> ((1L, 2L, 3L)),
+      ("en", "b", "c") -> ((1L, 2L, 3L)),
+      ("de", "a", "b") -> ((1L, 1L, 2L))))
+    // scoring "a b" under each model: en p=(2+1)/(2+3)=0.6 → −511;
+    // de p=(1+1)/(1+2)=2/3 → −405. A pooled model could give neither.
+    val probe = Seq((10L, "en", "a b"), (11L, "de", "a b"),
+      (12L, "fr", "a b")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.lmScoreBigramBy(probe, model).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(got.toSeq === Seq(
+      (10L, "en", 1L, -511L, Some(-0.511)),
+      (11L, "de", 1L, -405L, Some(-0.405)),
+      // fr has no model: V is unknowable, so the doc scores NULL
+      (12L, "fr", 1L, 0L, None)))
+  }
+
   test("lm buckets: thresholds classify, unscorable docs land in tail, bad thresholds refuse") {
     val scores = Seq(
       (1L, 5L, Some(-1.0)),   // ≥ headMin → head
