@@ -779,13 +779,50 @@ object Corpus {
   def importanceLogRatiosSliced(docs: DataFrame, targetPred: Column,
                                 buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, "importanceLogRatios: need at least two buckets")
-    val counts = hashedNgramFeatures(
+    ratiosFromCounts(importanceCountsBuild(docs, targetPred, buckets), buckets)
+  }
+
+  /** The sliced estimator's per-bucket count frame `(bucket, ct, cr)` —
+    * target-slice and raw occurrence counts off one feature-stream
+    * pass. ADDITIVE under [[importanceCountsMerge]]
+    * (`build(A) ⊕ build(B) == build(A ∪ B)`), which is what lets a
+    * stream maintain the estimator's state
+    * ([[graft.streaming.Streams.dsirMaintainPipeline]]) without
+    * re-reading the corpus; [[importanceRatiosFromCounts]] turns the
+    * accumulated counts into the ratio table whenever needed.
+    */
+  def importanceCountsBuild(docs: DataFrame, targetPred: Column,
+                            buckets: Int = 4096): DataFrame =
+    hashedNgramFeatures(
         docs.withColumn("_is_target", targetPred), buckets,
         carry = Seq("_is_target"))
       .groupBy(col("bucket"))
       .agg(count(when(col("_is_target"), lit(1))).as("ct"),
         count(lit(1)).as("cr"))
-    ratiosFromCounts(counts, buckets)
+
+  /** Additive merge of two [[importanceCountsBuild]] frames. NOT
+    * idempotent — stream maintenance pairs it with batch-id
+    * insert-if-absent, the additive-fold discipline.
+    */
+  def importanceCountsMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = Seq("bucket", "ct", "cr").map(col)
+    a.select(cols: _*).unionByName(b.select(cols: _*))
+      .groupBy(col("bucket"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+  }
+
+  /** The smoothed fixed-point ratio table from accumulated
+    * [[importanceCountsBuild]] counts — bit-identical to
+    * [[importanceLogRatiosSliced]] over the concatenated corpus when
+    * the counts were folded additively (the streaming oracle pins it).
+    */
+  def importanceRatiosFromCounts(counts: DataFrame,
+                                 buckets: Int = 4096): DataFrame = {
+    require(Seq("bucket", "ct", "cr").forall(counts.columns.contains),
+      "importanceRatiosFromCounts: not a DSIR count state — need " +
+        "(bucket, ct, cr) as built by importanceCountsBuild")
+    ratiosFromCounts(counts.select(col("bucket"), col("ct"), col("cr")),
+      buckets)
   }
 
   /** Smoothed fixed-point log-ratio table from per-bucket (ct, cr)

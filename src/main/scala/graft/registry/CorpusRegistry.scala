@@ -425,50 +425,6 @@ private[graft] object CorpusRegistry {
     }),
   )
 
-  // shared CTE chain for the corpus_importance_* family: hashed uni+bi
-  // gram feature stream (the pipeline's md5 hash discipline, 'dsir' salt,
-  // 4096 buckets) → smoothed target/raw distributions → fixed-point
-  // log-ratio table → per-doc rollup
-  private val dsirWeightsCte =
-    """WITH tk AS (SELECT doc_id, lang, source, string_split(text, ' ') AS l FROM documents),
-      |feats AS (
-      |  SELECT doc_id, lang, source, unnest(l) AS f FROM tk
-      |  UNION ALL
-      |  SELECT doc_id, lang, source,
-      |    unnest(list_transform(generate_series(1, len(l)-1),
-      |                          i -> l[i] || ' ' || l[i+1])) AS f
-      |  FROM tk WHERE len(l) >= 2
-      |), hashed AS (
-      |  SELECT doc_id, lang, source,
-      |    CAST(CAST('0x' || substr(md5('dsir|' || f), 1, 8) AS BIGINT)
-      |         % 4096 AS INTEGER) AS bucket
-      |  FROM feats
-      |), t AS (SELECT bucket, count(*) AS ct FROM hashed
-      |         WHERE lang = 'en' AND source = 'src7' GROUP BY 1),
-      |r AS (SELECT bucket, count(*) AS cr FROM hashed GROUP BY 1),
-      |nt AS (SELECT COALESCE(sum(ct), 0) AS nt FROM t),
-      |nr AS (SELECT COALESCE(sum(cr), 0) AS nr FROM r),
-      |lr AS (
-      |  SELECT b.bucket,
-      |    CAST(round((ln((CAST(COALESCE(t.ct, 0) AS DOUBLE) + 1.0) /
-      |                   (CAST(nt.nt AS DOUBLE) + 4096.0)) -
-      |                ln((CAST(COALESCE(r.cr, 0) AS DOUBLE) + 1.0) /
-      |                   (CAST(nr.nr AS DOUBLE) + 4096.0))) * 1000)
-      |         AS BIGINT) AS lr_fp
-      |  FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) b
-      |  LEFT JOIN t ON t.bucket = b.bucket LEFT JOIN r ON r.bucket = b.bucket
-      |  CROSS JOIN nt CROSS JOIN nr
-      |), per AS (
-      |  SELECT h.doc_id, count(*) AS n_feats, sum(lr.lr_fp) AS sum_w_fp
-      |  FROM hashed h JOIN lr ON lr.bucket = h.bucket GROUP BY 1
-      |), w AS (
-      |  SELECT d.doc_id, CAST(COALESCE(per.n_feats, 0) AS BIGINT) AS n_feats,
-      |    CAST(COALESCE(per.sum_w_fp, 0) AS BIGINT) AS sum_w_fp,
-      |    CASE WHEN per.n_feats > 0 THEN CAST(per.sum_w_fp AS DOUBLE) /
-      |      (CAST(per.n_feats AS DOUBLE) * 1000.0) END AS avg_w
-      |  FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
-      |)""".stripMargin
-
   val oracleSql: Map[String, String] = Map(
     "corpus_importance_weights" ->
       (dsirWeightsCte + """

@@ -561,6 +561,36 @@ private[graft] object StreamRegistry {
         tmp)
     }),
 
+    "stream_dsir_maintain" -> ((s, d) => {
+      // LIVE incremental DSIR (round 12): the documents feed staged as
+      // three files, each batch's target/raw bucket counts folded into
+      // ≤4096-row PointerSwap state under the shared additive-fold
+      // discipline. Weighting the corpus with the ratio table derived
+      // from the STREAMED counts must reproduce
+      // corpus_importance_weights' batch oracle exactly.
+      val tmp = TempDirs.create("graft-dsir-maint-").toString
+      val src = s"$tmp/src"
+      val docs = Tables.documents(s, d)
+      (0 until 3).foreach(i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src))
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.Streams.dsirMaintainPipeline(
+        stateSized(s), sch, src, s"$tmp/state", s"$tmp/ck",
+        col("lang") === "en" && col("source") === "src7")
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
+      require(nBatches >= 2,
+        s"DSIR maintenance folded $nBatches micro-batches — need >= 2 " +
+          "to prove incrementality, not a single-batch rebuild")
+      val ratios = ext.Corpus.importanceRatiosFromCounts(
+        graft.operators.ScaleOps.readMaintained(s, s"$tmp/state",
+          graft.operators.ScaleOps.PointerSwap))
+      detachAndClean(
+        ext.Corpus.importanceWeights(docs, ratios).orderBy("doc_id"),
+        tmp)
+    }),
+
     "stream_lm_maintain" -> ((s, d) => {
       // LIVE incremental LM training (round 12): the documents feed
       // staged as three files, one per micro-batch, each batch's
@@ -848,6 +878,14 @@ private[graft] object StreamRegistry {
     "stream_near_dedup" -> nearDedupAdmissionSql,
 
     "stream_near_dedup_restart" -> nearDedupAdmissionSql,
+
+    // batch-folded DSIR count state == the batch estimator over the
+    // whole corpus (additivity): weighting against the streamed ratio
+    // table must reproduce corpus_importance_weights' oracle.
+    "stream_dsir_maintain" ->
+      (dsirWeightsCte + """
+        |SELECT doc_id, n_feats, sum_w_fp, avg_w FROM w
+        |ORDER BY doc_id""".stripMargin),
 
     // batch-folded LM count state == one batch train over the whole
     // corpus (additivity): scoring against the streamed model must

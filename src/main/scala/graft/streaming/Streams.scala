@@ -453,6 +453,44 @@ object Streams {
     }
   }
 
+  /** LIVE incremental DSIR estimation — the importance-resampling
+    * estimator's ([[graft.ext.Corpus.importanceWeights]]) per-bucket
+    * count state maintained BY A STREAM: each micro-batch's
+    * [[graft.ext.Corpus.importanceCountsBuild]] (target-slice and raw
+    * hashed-ngram counts, one pass) folds in with
+    * [[graft.ext.Corpus.importanceCountsMerge]] under the shared
+    * [[additiveFold]] discipline. Additivity makes the accumulated
+    * counts — and therefore the ratio table
+    * [[graft.ext.Corpus.importanceRatiosFromCounts]] derives —
+    * BIT-IDENTICAL to the batch estimator over the concatenated feed,
+    * so target-domain selection retrains continuously as new corpus
+    * flows in. State is ≤`buckets` rows FOREVER (bucket-hashed
+    * counts), the cheapest state in the maintenance family.
+    */
+  def dsirMaintainPipeline(spark: SparkSession, schema: StructType,
+                           srcDir: String, stateDir: String,
+                           checkpointDir: String,
+                           targetPred: org.apache.spark.sql.Column,
+                           buckets: Int = 4096,
+                           maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.ext.Corpus
+        additiveFold(batch.sparkSession, stateDir, checkpointDir, batchId,
+          opName = "dsirMaintain",
+          build = Corpus.importanceCountsBuild(batch.toDF(), targetPred,
+            buckets),
+          merge = st => Corpus.importanceCountsMerge(
+            st.select(col("bucket"), col("ct"), col("cr")),
+            Corpus.importanceCountsBuild(batch.toDF(), targetPred, buckets)),
+          stateCols = df => df.select(col("bucket"), col("ct"), col("cr")))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** LIVE incremental LM training — the model-based quality scorer's
     * ([[graft.ext.TextAnalysis.lmScoreBigram]]) bigram/unigram count
     * state maintained BY A STREAM: each micro-batch's

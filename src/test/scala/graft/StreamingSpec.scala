@@ -279,6 +279,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(scored.length === 1 && scored(0).getLong(1) === 1L)
   }
 
+  test("dsir-maintain: streamed bucket counts equal the batch build; ratio table tracks a grown source") {
+    // refusal legs covered by the hist-maintain suite (shared
+    // additiveFold harness); this pins the DSIR-specific additivity.
+    val base = java.nio.file.Files.createTempDirectory("graft_dm").toString
+    val src = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    def write(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+    write((1L, "en", "x y x"), (2L, "de", "p q"))
+    write((3L, "en", "y x"))
+    val schema = Seq((0L, "", "")).toDF("doc_id", "lang", "text").schema
+    import graft.ext.Corpus
+    val pred = col("lang") === "en"
+    def stateCounts() = graft.operators.ScaleOps.readMaintained(
+        spark, state, graft.operators.ScaleOps.PointerSwap)
+      .select(col("bucket"), col("ct"), col("cr")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def batchCounts(docs: org.apache.spark.sql.DataFrame) =
+      Corpus.importanceCountsBuild(docs, pred, buckets = 64)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Streams.dsirMaintainPipeline(spark, schema, src, state, ckpt, pred,
+      buckets = 64).awaitTermination()
+    val all3 = Seq((1L, "en", "x y x"), (2L, "de", "p q"), (3L, "en", "y x"))
+      .toDF("doc_id", "lang", "text")
+    assert(stateCounts() === batchCounts(all3),
+      "streamed folds must equal one batch count build over the feed")
+    // grown source: the new file folds; ratios derived from the state
+    // equal the batch sliced estimator over all four docs
+    write((4L, "de", "q q p"))
+    Streams.dsirMaintainPipeline(spark, schema, src, state, ckpt, pred,
+      buckets = 64).awaitTermination()
+    val all4 = all3.unionByName(
+      Seq((4L, "de", "q q p")).toDF("doc_id", "lang", "text"))
+    assert(stateCounts() === batchCounts(all4))
+    val streamedRatios = Corpus.importanceRatiosFromCounts(
+      graft.operators.ScaleOps.readMaintained(
+        spark, state, graft.operators.ScaleOps.PointerSwap), buckets = 64)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batchRatios = Corpus.importanceLogRatiosSliced(all4, pred, buckets = 64)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(streamedRatios === batchRatios,
+      "ratio table from streamed state must equal the batch estimator")
+  }
+
   test("hist-maintain: a batch-written baseline attaches and the stream folds onto it") {
     val base = java.nio.file.Files.createTempDirectory("graft_hmb").toString
     val src = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
