@@ -594,14 +594,15 @@ private[graft] object StreamRegistry {
     "stream_lm_maintain" -> ((s, d) => {
       // LIVE incremental LM training (round 12): the documents feed
       // staged as three files, one per micro-batch, each batch's
-      // unigram+bigram counts folded into the PointerSwap-promoted
-      // state under the shared additive-fold discipline (batch-id
-      // insert-if-absent + checkpoint lineage). Additivity makes the
-      // maintained counts BIT-IDENTICAL to one batch train over the
-      // whole corpus, so scoring the corpus against the STREAMED model
-      // must reproduce text_lm_score's oracle exactly — one
-      // double-counted or dropped fold anywhere shifts every smoothed
-      // probability and breaks the hash.
+      // unigram+bigram counts APPENDED as an immutable batch_id=
+      // partition (the family's DELTA-LOG member: vocabulary-scale
+      // state must not be rewritten per fold — append is O(batch)),
+      // then the quiesced log COMPACTED to a single partition.
+      // Additivity makes the aggregated log BIT-IDENTICAL to one batch
+      // train over the whole corpus, so scoring the corpus against the
+      // STREAMED+COMPACTED model must reproduce text_lm_score's oracle
+      // exactly — a double-counted fold, a dropped partition, or a
+      // compaction that loses counts all break the hash.
       val tmp = TempDirs.create("graft-lm-maint-").toString
       val src = s"$tmp/src"
       val docs = Tables.documents(s, d)
@@ -616,9 +617,9 @@ private[graft] object StreamRegistry {
       require(nBatches >= 2,
         s"LM maintenance folded $nBatches micro-batches — need >= 2 " +
           "to prove incrementality, not a single-batch rebuild")
+      graft.streaming.Streams.lmCompactState(s, s"$tmp/state")
       val model = TextAnalysis.lmModelFromCounts(
-        graft.operators.ScaleOps.readMaintained(s, s"$tmp/state",
-          graft.operators.ScaleOps.PointerSwap))
+        graft.streaming.Streams.lmReadCounts(s, s"$tmp/state"))
       detachAndClean(
         TextAnalysis.lmScoreBigram(docs, model).orderBy("doc_id"),
         tmp)

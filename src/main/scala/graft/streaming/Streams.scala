@@ -392,15 +392,12 @@ object Streams {
     * [[graft.operators.ScaleOps.PointerSwap]] — the crash-window-free
     * shape [[sketchMaintainPipeline]] established.
     */
-  private def additiveFold(s: SparkSession, stateDir: String,
-                           checkpointDir: String, batchId: Long,
-                           opName: String,
-                           build: => DataFrame,
-                           merge: DataFrame => DataFrame,
-                           stateCols: DataFrame => DataFrame): Unit = {
-    import graft.operators.ScaleOps
-    val root = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+  /** Mint-or-read the per-checkpoint-INSTANCE lineage token (minted
+    * inside the checkpoint dir on first fold). Returns (token, whether
+    * it pre-existed).
+    */
+  private def lineageToken(fs: org.apache.hadoop.fs.FileSystem,
+                           checkpointDir: String): (String, Boolean) = {
     val linPath = new org.apache.hadoop.fs.Path(checkpointDir,
       ".graft_state_lineage")
     val tokenPreExisted = fs.exists(linPath)
@@ -415,6 +412,19 @@ object Streams {
         try out.write(t.getBytes("UTF-8")) finally out.close()
         t
       }
+    (lin, tokenPreExisted)
+  }
+
+  private def additiveFold(s: SparkSession, stateDir: String,
+                           checkpointDir: String, batchId: Long,
+                           opName: String,
+                           build: => DataFrame,
+                           merge: DataFrame => DataFrame,
+                           stateCols: DataFrame => DataFrame): Unit = {
+    import graft.operators.ScaleOps
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (lin, tokenPreExisted) = lineageToken(fs, checkpointDir)
     val (merged, alreadyFolded) =
       if (fs.exists(root)) {
         val st = ScaleOps.readMaintained(s, stateDir, ScaleOps.PointerSwap)
@@ -493,22 +503,29 @@ object Streams {
 
   /** LIVE incremental LM training — the model-based quality scorer's
     * ([[graft.ext.TextAnalysis.lmScoreBigram]]) bigram/unigram count
-    * state maintained BY A STREAM: each micro-batch's
-    * [[graft.ext.TextAnalysis.lmCountsBuild]] folds into the persisted
-    * state with [[graft.ext.TextAnalysis.lmCountsMerge]]. Additivity
-    * makes the maintained counts BIT-IDENTICAL to one
-    * [[graft.ext.TextAnalysis.bigramLmTrain]] pass over the
-    * concatenated feed (via [[graft.ext.TextAnalysis.lmModelFromCounts]]
-    * — the streaming oracle pins exactly that equivalence), so the
-    * quality model retrains continuously without any stage re-reading
-    * the corpus. Replay safety, lineage binding and PointerSwap
-    * promotion are the shared [[additiveFold]] discipline (additive
-    * merge is NOT idempotent — the KMV argument does not transfer).
+    * state maintained BY A STREAM. Unlike the histogram/DSIR states
+    * (bounded rows — a full merge-and-rewrite per fold is free), LM
+    * count state is VOCABULARY-scale: at corpus scale a per-batch
+    * rewrite of every distinct n-gram ever seen would make fold cost
+    * grow with history. So this maintainer is the family's DELTA-LOG
+    * member: each micro-batch APPENDS its own
+    * [[graft.ext.TextAnalysis.lmCountsBuild]] counts as an immutable
+    * `batch_id=<id>` partition — per-fold cost O(batch), independent
+    * of accumulated state — and readers aggregate the log
+    * ([[lmReadCounts]]: one partial+final sum over the partitions,
+    * additivity makes it BIT-IDENTICAL to one batch train over the
+    * concatenated feed). [[lmCompactState]] folds the log down between
+    * releases so read cost stays bounded.
     *
-    * At 100 TB: per-batch work is one batch-sized count build plus a
-    * merge keyed on (kind, w1, w2) — vocabulary-scale state, never
-    * corpus-scale; the model stays distinct-ngram-sized however much
-    * text has flowed through.
+    * Replay safety comes from the APPEND layout, not a batch-id
+    * column: a replayed batch overwrites its OWN `batch_id=` partition
+    * with identical content ([[exactlyOnceSink]]'s idempotency). The
+    * checkpoint-lineage binding is the family's shared token
+    * discipline — a foreign checkpoint restarts batch ids at 0 and its
+    * deliveries would overwrite committed partitions, so a `_lineage`
+    * marker adopted on first fold refuses any other checkpoint
+    * instance loudly, and an absent state root under a token that has
+    * already committed folds refuses the same way.
     */
   def lmMaintainPipeline(spark: SparkSession, schema: StructType,
                          srcDir: String, stateDir: String,
@@ -520,17 +537,106 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.ext.TextAnalysis
-        additiveFold(batch.sparkSession, stateDir, checkpointDir, batchId,
-          opName = "lmMaintain",
-          build = TextAnalysis.lmCountsBuild(batch.toDF()),
-          merge = st => TextAnalysis.lmCountsMerge(
-            st.select(col("kind"), col("w1"), col("w2"), col("c")),
-            TextAnalysis.lmCountsBuild(batch.toDF())),
-          stateCols = df => df.select(col("kind"), col("w1"), col("w2"),
-            col("c")))
+        val s = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val (lin, tokenPreExisted) = lineageToken(fs, checkpointDir)
+        val marker = new org.apache.hadoop.fs.Path(stateDir, "_lineage")
+        if (fs.exists(root)) {
+          require(fs.exists(marker), {
+            s"lmMaintain: state $stateDir has no lineage marker — not a " +
+              "delta-log LM state (or one written by a pre-marker " +
+              "version); rebuild it from the retained corpus"
+          })
+          val in = fs.open(marker)
+          val got = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          require(got == lin,
+            s"lmMaintain: state $stateDir is bound to a different " +
+              "checkpoint lineage — fold new data through the ORIGINAL " +
+              "checkpoint, or rebuild the state from the retained corpus")
+        } else {
+          require(!tokenPreExisted || batchId == 0,
+            s"lmMaintain: state $stateDir is absent but checkpoint " +
+              s"$checkpointDir has already folded batches under its " +
+              "lineage token — prior folds cannot be reconstructed; " +
+              "rebuild the state from the retained corpus on a fresh " +
+              "checkpoint")
+        }
+        TextAnalysis.lmCountsBuild(batch.toDF())
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+        if (!fs.exists(marker)) {
+          val out = fs.create(marker, false)
+          try out.write(lin.getBytes("UTF-8")) finally out.close()
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Aggregate a [[lmMaintainPipeline]] delta-log into the flat
+    * `(kind, w1, w2, c)` counts frame
+    * [[graft.ext.TextAnalysis.lmModelFromCounts]] consumes: one
+    * partial+final sum over the `batch_id=` partitions.
+    */
+  def lmReadCounts(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+      .groupBy(col("kind"), col("w1"), col("w2"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Fold a QUIESCED [[lmMaintainPipeline]] delta-log down to a single
+    * partition so read cost stays bounded as batches accumulate. The
+    * aggregate is staged OUTSIDE the state root, the old partitions are
+    * swapped out, and the compacted counts land under the HIGHEST
+    * folded batch id — so the replay guard's semantics survive: every
+    * id ≤ that maximum is committed history (AvailableNow replays only
+    * the last uncommitted batch, which by the quiesce precondition does
+    * not exist), and the next live fold appends past it. The lineage
+    * marker rides through untouched.
+    */
+  def lmCompactState(spark: SparkSession, stateDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(stateDir, "_lineage")),
+      s"lmCompactState: $stateDir is not a maintained LM delta-log")
+    def parts() = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch_id="))
+    // No step of delete-many-then-rename is atomic, so the crash
+    // discipline is RESUME-FROM-STAGING: once a COMPLETE aggregate
+    // (parquet _SUCCESS) is staged outside the root, the remaining log
+    // partitions are dead weight — a re-run after a crash mid-delete
+    // must NOT re-aggregate the now-partial log (that would lose the
+    // deleted partitions' counts); it finishes the delete+move from
+    // the staging instead. The staging name carries the max folded
+    // batch id so the resume keeps the replay-guard semantics without
+    // consulting the (possibly partial) log.
+    val prior = fs.globStatus(
+      new org.apache.hadoop.fs.Path(stateDir + ".compacting-*"))
+      .map(_.getPath)
+    val resume = prior.find(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    val (stagedPath, maxId) = resume match {
+      case Some(p) =>
+        // a complete staged aggregate from a crashed prior attempt:
+        // finish its transaction. (Incomplete stagings are stray
+        // partial writes — superseded and removed.)
+        prior.filterNot(_ == p).foreach(fs.delete(_, true))
+        (p, p.getName.stripPrefix(root.getName + ".compacting-").toLong)
+      case None =>
+        prior.foreach(fs.delete(_, true))
+        val live = parts()
+        require(live.nonEmpty,
+          s"lmCompactState: no folded batches in $stateDir")
+        if (live.length == 1) return // already compact
+        val id = live.map(_.getName.stripPrefix("batch_id=").toLong).max
+        val staged = s"$stateDir.compacting-$id"
+        lmReadCounts(spark, stateDir).write.mode("overwrite").parquet(staged)
+        (new org.apache.hadoop.fs.Path(staged), id)
+    }
+    parts().foreach(p => fs.delete(p, true))
+    require(fs.rename(stagedPath,
+      new org.apache.hadoop.fs.Path(stateDir, s"batch_id=$maxId")),
+      s"lmCompactState: rename of $stagedPath failed")
+  }
 
   /** STREAMING NEAR-DUP admission — the near-duplicate leg of the live
     * corpus front door ([[corpusCleanPipeline]] carries only ID-level

@@ -238,12 +238,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(readState() === afterGrow, "wiped-checkpoint rerun must not fold")
   }
 
-  test("lm-maintain: streamed count state reconstructs the batch model bit-identically; restart folds only new docs") {
-    // the refusal legs (foreign checkpoint, wiped checkpoint, absent
-    // state with committed folds) live in the hist-maintain tests —
-    // both pipelines run the SAME shared additiveFold harness, so one
-    // suite of guards covers the family; this test pins what is
-    // LM-specific: count additivity == batch-train equivalence.
+  test("lm-maintain: delta-log folds reconstruct the batch model; compaction preserves counts; foreign lineage refuses") {
     val base = java.nio.file.Files.createTempDirectory("graft_lm").toString
     val src = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
     def write(rows: (Long, String)*) =
@@ -253,22 +248,30 @@ class StreamingSpec extends AnyFunSuite {
     val schema = Seq((0L, "")).toDF("doc_id", "text").schema
     import graft.ext.TextAnalysis
     def modelFromState() = TextAnalysis.lmModelFromCounts(
-      graft.operators.ScaleOps.readMaintained(
-        spark, state, graft.operators.ScaleOps.PointerSwap))
+      Streams.lmReadCounts(spark, state))
     def asMap(m: org.apache.spark.sql.DataFrame) =
       m.collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def nParts() = new java.io.File(state).listFiles()
+      .count(_.getName.startsWith("batch_id="))
     Streams.lmMaintainPipeline(spark, schema, src, state, ckpt)
       .awaitTermination()
     val batchEquivalent = TextAnalysis.bigramLmTrain(
       Seq(1L -> "a b a", 2L -> "b c", 3L -> "a b b").toDF("doc_id", "text"))
+    assert(nParts() === 2, "each micro-batch appends its own partition")
     assert(asMap(modelFromState()) === asMap(batchEquivalent),
-      "streamed folds must equal one batch train over the concatenated feed")
-    // restart on a grown source: only the new file folds; the model now
-    // equals a batch train over all four docs (vocab grows to {a,b,c,d})
+      "aggregated delta-log must equal one batch train over the feed")
+    // compaction folds the quiesced log to one partition, counts intact
+    Streams.lmCompactState(spark, state)
+    assert(nParts() === 1, "compaction must fold the log down")
+    assert(asMap(modelFromState()) === asMap(batchEquivalent),
+      "compaction must not change the aggregated counts")
+    // restart on a grown source: the new file appends PAST the
+    // compacted id; the model equals a batch train over all four docs
     write(4L -> "c d")
     Streams.lmMaintainPipeline(spark, schema, src, state, ckpt)
       .awaitTermination()
+    assert(nParts() === 2, "the grown fold appends past the compacted id")
     val grown = TextAnalysis.bigramLmTrain(
       Seq(1L -> "a b a", 2L -> "b c", 3L -> "a b b", 4L -> "c d")
         .toDF("doc_id", "text"))
@@ -277,6 +280,16 @@ class StreamingSpec extends AnyFunSuite {
     val scored = TextAnalysis.lmScoreBigram(
       Seq(5L -> "a b").toDF("doc_id", "text"), modelFromState()).collect()
     assert(scored.length === 1 && scored(0).getLong(1) === 1L)
+    // a foreign checkpoint (ids restart at 0 — its deliveries would
+    // OVERWRITE committed partitions) refuses via the lineage marker
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.lmMaintainPipeline(spark, schema, src, state, s"$base/ck2")
+        .awaitTermination()
+    }
+    assert(err.getMessage.contains("different checkpoint lineage") ||
+      Option(err.getCause).exists(_.getMessage.contains("different checkpoint lineage")))
+    assert(asMap(modelFromState()) === asMap(grown),
+      "refused run must leave the log untouched")
   }
 
   test("dsir-maintain: streamed bucket counts equal the batch build; ratio table tracks a grown source") {
