@@ -826,15 +826,17 @@ object Corpus {
   }
 
   /** Smoothed fixed-point log-ratio table from per-bucket (ct, cr)
-    * counts — shared tail of the two ratio constructors. The count frame
-    * is ≤`buckets` rows; it is persisted so the corpus-sized feature
-    * stream aggregates exactly once (the scalar totals and the final
-    * join both read the cached frame).
+    * counts — shared tail of the two ratio constructors. The ≤`buckets`-
+    * row count frame is materialized ONCE with an eager localCheckpoint
+    * (the scalar totals and the final join both read the materialized
+    * blocks, so the corpus-sized feature stream aggregates exactly
+    * once) — not `persist()`, which would leave a cache-manager entry
+    * lingering for the session per ratio-table construction.
     */
   private def ratiosFromCounts(counts0: DataFrame, buckets: Int): DataFrame = {
     val spark = counts0.sparkSession
     import spark.implicits._
-    val counts = counts0.persist()
+    val counts = counts0.localCheckpoint(eager = true)
     val (nt, nr) = counts
       .select(sum(col("ct")), sum(col("cr")))
       .as[(Option[Long], Option[Long])].head() match {

@@ -463,7 +463,11 @@ object TextAnalysis {
     * Per-pair probability is add-one smoothed,
     * `p = (c2+1)/(c1+V)`; unseen bigrams (left-join miss) degrade to
     * `(0+1)/(c1+V)` and unseen contexts to `1/V` — exactly the
-    * smoothing's out-of-vocabulary semantics, no special cases.
+    * smoothing's out-of-vocabulary semantics, no special cases. An
+    * EMPTY model (trainable only from a corpus with no bigrams at all,
+    * which cannot carry V) scores every document NULL at its true
+    * `n_pairs` — the same unknown-model semantics as
+    * [[lmScoreBigramBy]]'s missing key.
     *
     * Cross-engine determinism: `p` is an exact-int ratio (IEEE division
     * of integers is correctly rounded → bit-identical in any engine);
@@ -488,7 +492,13 @@ object TextAnalysis {
         "built by bigramLmTrain")
     val big = model.select(col("w1"), col("w2"), col("c2"))
     val ctx = model.select(col("w1"), col("c1")).distinct()
-    val v = model.select(col("v")).limit(1)
+    // agg(max) instead of limit(1): ALWAYS one row, so an empty model
+    // (a training corpus of single-token docs has bigrams nowhere to
+    // ride V on) degrades to v = NULL → every pair scores NULL → docs
+    // report NULL with their true n_pairs — the unknown-model semantics
+    // of the keyed form — instead of the crossJoin with an EMPTY frame
+    // silently annihilating the pair stream and misreporting n_pairs=0.
+    val v = model.agg(max(col("v")).as("v"))
     val p = (coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
       (coalesce(col("c1"), lit(0L)).cast("double") + col("v").cast("double"))
     val scored = bigramPairs(docs)

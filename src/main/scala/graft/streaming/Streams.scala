@@ -563,12 +563,18 @@ object Streams {
               "rebuild the state from the retained corpus on a fresh " +
               "checkpoint")
         }
-        TextAnalysis.lmCountsBuild(batch.toDF())
-          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+        // marker BEFORE the first partition write: the reverse order
+        // leaves a first-fold crash window (partition exists, marker
+        // absent) where the batch-0 replay would be refused as
+        // foreign state even though a same-content overwrite is safe.
+        // Marker-then-crash replays fine: root exists, marker matches.
         if (!fs.exists(marker)) {
+          fs.mkdirs(root)
           val out = fs.create(marker, false)
           try out.write(lin.getBytes("UTF-8")) finally out.close()
         }
+        TextAnalysis.lmCountsBuild(batch.toDF())
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -632,7 +638,13 @@ object Streams {
         lmReadCounts(spark, stateDir).write.mode("overwrite").parquet(staged)
         (new org.apache.hadoop.fs.Path(staged), id)
     }
-    parts().foreach(p => fs.delete(p, true))
+    // delete ONLY ids ≤ the staged aggregate's max: the stream may have
+    // appended newer partitions since the aggregate was staged (a crash
+    // between staging and the deletes, then a resumed source) — those
+    // folds are NOT in the aggregate, and deleting them would silently
+    // lose committed counts the checkpoint will never redeliver.
+    parts().filter(_.getName.stripPrefix("batch_id=").toLong <= maxId)
+      .foreach(p => fs.delete(p, true))
     require(fs.rename(stagedPath,
       new org.apache.hadoop.fs.Path(stateDir, s"batch_id=$maxId")),
       s"lmCompactState: rename of $stagedPath failed")

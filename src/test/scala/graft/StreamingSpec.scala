@@ -292,6 +292,41 @@ class StreamingSpec extends AnyFunSuite {
       "refused run must leave the log untouched")
   }
 
+  test("lm-compact resume after crash-mid-delete: newer folds survive, staged aggregate is never re-derived") {
+    // crash scenario: compaction staged its complete aggregate (with
+    // _SUCCESS) over batches 0..1, crashed before the deletes; the
+    // stream then appended batch 2. The resumed compaction must (a)
+    // NOT re-aggregate the log (batch 2 would double into the staged
+    // max id), and (b) NOT delete batch 2 (its counts are in no
+    // aggregate and the checkpoint will never redeliver them).
+    import graft.ext.TextAnalysis
+    val base = java.nio.file.Files.createTempDirectory("graft_lmc").toString
+    val state = s"$base/state"
+    def counts(rows: (Long, String)*) =
+      TextAnalysis.lmCountsBuild(rows.toDF("doc_id", "text"))
+    counts(1L -> "a b").write.parquet(s"$state/batch_id=0")
+    counts(2L -> "b c").write.parquet(s"$state/batch_id=1")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state, "_lineage"), "tok-1")
+    // the crashed attempt's complete staging over batches 0..1
+    Streams.lmReadCounts(spark, state).write.parquet(s"$state.compacting-1")
+    // the stream appended batch 2 after the crash
+    counts(3L -> "c d").write.parquet(s"$state/batch_id=2")
+    Streams.lmCompactState(spark, state)
+    val partNames = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(partNames === Seq("batch_id=1", "batch_id=2"),
+      s"resume must fold 0..1 into 1 and leave 2 alone: $partNames")
+    val got = Streams.lmReadCounts(spark, state).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    val expect = TextAnalysis.lmCountsBuild(
+      Seq(1L -> "a b", 2L -> "b c", 3L -> "c d").toDF("doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got === expect, "no count lost or doubled through the resume")
+  }
+
   test("dsir-maintain: streamed bucket counts equal the batch build; ratio table tracks a grown source") {
     // refusal legs covered by the hist-maintain suite (shared
     // additiveFold harness); this pins the DSIR-specific additivity.

@@ -169,6 +169,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("bigram LM: an empty model (bigramless corpus) scores NULL at true n_pairs, never annihilates") {
+    // a corpus of single-token docs trains to ZERO model rows — V has
+    // no bigram row to ride on, so scoring cannot apply the 1/V floor;
+    // the contract is NULL at the doc's true pair count (the keyed
+    // form's unknown-model semantics), NOT a silent empty crossJoin
+    // that misreports n_pairs = 0.
+    val model = TextAnalysis.bigramLmTrain(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    assert(model.count() === 0L)
+    val got = TextAnalysis.lmScoreBigram(
+      Seq((5L, "a b c")).toDF("doc_id", "text"), model).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(1) === 2L, "true pair count must be reported")
+    assert(got(0).isNullAt(3), "score must be NULL, not fabricated")
+  }
+
   test("per-language LM: statistics stay within the key partition; unknown keys score NULL") {
     // same surface bigram (a,b) in two languages with different
     // within-language statistics: en has (a,b)×2 of 3 bigrams
