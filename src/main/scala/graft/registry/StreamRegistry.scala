@@ -561,6 +561,45 @@ private[graft] object StreamRegistry {
         tmp)
     }),
 
+    "stream_corpus_lm_gate" -> ((s, d) => {
+      // the MODEL-BASED front door (round 12): phase A maintains the
+      // LM delta-log from the REFERENCE domain (the en slice, two
+      // micro-batches) and compacts it; phase B gates the full
+      // delivery feed against the frozen model — docs scoring under
+      // the threshold on the en model (foreign-language or degenerate
+      // content) are refused admission. Oracle = the unrolled chain:
+      // train on the en slice, score everything, cut at the
+      // threshold; a drifted model, a lost fold, or a gate that waves
+      // unscorable docs through all break the hash.
+      val tmp = TempDirs.create("graft-lm-gate-").toString
+      val docs = Tables.documents(s, d)
+      val ref = docs.filter(col("lang") === "en")
+      (0 until 2).foreach(i =>
+        ref.filter(col("doc_id") % 2 === i).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/ref"))
+      val sch = s.read.parquet(s"$tmp/ref").schema
+      graft.streaming.Streams.lmMaintainPipeline(
+        stateSized(s), sch, s"$tmp/ref", s"$tmp/state", s"$tmp/ckA")
+        .awaitTermination()
+      graft.streaming.Streams.lmCompactState(s, s"$tmp/state")
+      (0 until 2).foreach(i =>
+        docs.filter(col("doc_id") % 2 === i).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/feed"))
+      val q = graft.streaming.Streams.lmGatePipeline(
+        stateSized(s), sch, s"$tmp/feed", s"$tmp/state", s"$tmp/out",
+        s"$tmp/ckB", minAvgLp = -3.40)
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
+      require(nBatches >= 2,
+        s"LM gate processed $nBatches micro-batches — need >= 2 to " +
+          "prove per-batch admission, not one bulk score")
+      detachAndClean(
+        s.read.parquet(s"$tmp/out")
+          .select(col("doc_id"), col("lang"), col("n_pairs"), col("avg_lp"))
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
     "stream_dsir_maintain" -> ((s, d) => {
       // LIVE incremental DSIR (round 12): the documents feed staged as
       // three files, each batch's target/raw bucket counts folded into
@@ -879,6 +918,46 @@ private[graft] object StreamRegistry {
     "stream_near_dedup" -> nearDedupAdmissionSql,
 
     "stream_near_dedup_restart" -> nearDedupAdmissionSql,
+
+    // train on the en slice (streamed+compacted == batch train by
+    // additivity), score the whole corpus, admit at the threshold —
+    // NULLs (sub-2-token docs) fall out of the WHERE like the gate
+    // rejects them.
+    "stream_corpus_lm_gate" ->
+      """WITH ref AS (SELECT * FROM documents WHERE lang = 'en'),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM ref),
+        |pairs AS (
+        |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(l)-1),
+        |      i -> {'w1': l[i], 'w2': l[i+1]})) AS s
+        |    FROM tk WHERE len(l) >= 2)
+        |), big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c2) AS c1 FROM big GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM ref)),
+        |atk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |apairs AS (
+        |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(l)-1),
+        |      i -> {'w1': l[i], 'w2': l[i+1]})) AS s
+        |    FROM atk WHERE len(l) >= 2)
+        |), scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(round(ln((CAST(COALESCE(b.c2, 0) AS DOUBLE) + 1.0) /
+        |                  (CAST(COALESCE(c.c1, 0) AS DOUBLE) + CAST(v.v AS DOUBLE)))
+        |               * 1000) AS BIGINT) AS lp_fp
+        |  FROM apairs p
+        |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN ctx c ON c.w1 = p.w1 CROSS JOIN v
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_pairs, sum(lp_fp) AS sum_lp_fp
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.lang, CAST(per.n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(per.sum_lp_fp AS DOUBLE) / (CAST(per.n_pairs AS DOUBLE) * 1000.0) AS avg_lp
+        |FROM documents d JOIN per ON per.doc_id = d.doc_id
+        |WHERE CAST(per.sum_lp_fp AS DOUBLE) / (CAST(per.n_pairs AS DOUBLE) * 1000.0) >= -3.40
+        |ORDER BY d.doc_id""".stripMargin,
 
     // batch-folded DSIR count state == the batch estimator over the
     // whole corpus (additivity): weighting against the streamed ratio

@@ -579,6 +579,49 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming MODEL-BASED quality admission — the LM the stream
+    * maintains ([[lmMaintainPipeline]]) actually GATING the corpus
+    * front door, the production use of model-based quality scoring:
+    * every micro-batch is scored with
+    * [[graft.ext.TextAnalysis.lmScoreBigram]] against a model FROZEN
+    * from the delta-log state at gate start (retrain = restart the
+    * gate after folding/compacting more reference data — scoring
+    * against a moving model would make admission order-dependent),
+    * and only documents clearing `minAvgLp` land in the per-batch
+    * sink. Unscorable documents (under two tokens, or an unknown
+    * model) REJECT — a gate that cannot certify quality must not wave
+    * content through.
+    *
+    * Replay safety is [[exactlyOnceSink]]'s: the gate is STATELESS per
+    * batch given the frozen model, and a replayed batch overwrites its
+    * own `batch_id=` directory with identical content. At 100 TB the
+    * per-batch cost is the scorer's shape — batch-sized pair stream,
+    * vocabulary-keyed model joins, one rollup; the model materializes
+    * ONCE per gate run, not per batch.
+    */
+  def lmGatePipeline(spark: SparkSession, schema: StructType,
+                     srcDir: String, lmStateDir: String, outDir: String,
+                     checkpointDir: String, minAvgLp: Double,
+                     maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    import graft.ext.TextAnalysis
+    val model = TextAnalysis.lmModelFromCounts(
+      lmReadCounts(spark, lmStateDir)).localCheckpoint(eager = true)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val admitted = batch.toDF().join(
+          TextAnalysis.lmScoreBigram(batch.toDF(), model)
+            .filter(col("avg_lp") >= lit(minAvgLp))
+            .select(col("doc_id"), col("n_pairs"), col("avg_lp")),
+          Seq("doc_id"))
+        admitted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Aggregate a [[lmMaintainPipeline]] delta-log into the flat
     * `(kind, w1, w2, c)` counts frame
     * [[graft.ext.TextAnalysis.lmModelFromCounts]] consumes: one

@@ -292,6 +292,40 @@ class StreamingSpec extends AnyFunSuite {
       "refused run must leave the log untouched")
   }
 
+  test("lm-gate: frozen-model admission — scorer-equivalent threshold cut; unscorable docs always reject") {
+    import graft.ext.TextAnalysis
+    val base = java.nio.file.Files.createTempDirectory("graft_lmg").toString
+    // reference state: a delta-log trained on an a/b vocabulary
+    TextAnalysis.lmCountsBuild(
+        Seq((1L, "a b a b a"), (2L, "b a b")).toDF("doc_id", "text"))
+      .write.parquet(s"$base/state/batch_id=0")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/state", "_lineage"), "tok-g")
+    // delivery feed: on-model, off-model (unseen vocab → 1/V floors),
+    // and unscorable (single token)
+    Seq((10L, "a b a"), (11L, "x y z"), (12L, "a"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$base/feed")
+    val sch = Seq((0L, "")).toDF("doc_id", "text").schema
+    Streams.lmGatePipeline(spark, sch, s"$base/feed", s"$base/state",
+      s"$base/out", s"$base/ck", minAvgLp = -1.0).awaitTermination()
+    val got = spark.read.parquet(s"$base/out")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    // expected set derived from the scorer itself: the spec pins GATE
+    // semantics (threshold filter + unscorable rejection), not a
+    // hand-derived threshold landscape
+    val model = TextAnalysis.lmModelFromCounts(
+      Streams.lmReadCounts(spark, s"$base/state"))
+    val expected = TextAnalysis.lmScoreBigram(
+        Seq((10L, "a b a"), (11L, "x y z"), (12L, "a"))
+          .toDF("doc_id", "text"), model)
+      .filter(col("avg_lp") >= -1.0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(got.sorted === expected.sorted)
+    assert(!got.contains(12L), "unscorable docs must be rejected")
+    assert(got.contains(10L), "on-model docs must be admitted")
+  }
+
   test("lm-compact resume after crash-mid-delete: newer folds survive, staged aggregate is never re-derived") {
     // crash scenario: compaction staged its complete aggregate (with
     // _SUCCESS) over batches 0..1, crashed before the deletes; the
