@@ -1,0 +1,180 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature multinomial Naive Bayes — the model-based selection
+  * tier's SUPERVISED member (the fastText-style quality/domain
+  * classifier a curation pipeline runs next to the generative LM
+  * scorer and the DSIR importance weigher). Training is closed-form
+  * counting, so the whole family is deterministic end to end and the
+  * DuckDB oracle reproduces every fixed-point log-probability
+  * bit-for-bit — no SGD, no seed, no iteration order.
+  *
+  * Model: `P(label | doc) ∝ P(label) · Π_f P(f | label)` over hashed
+  * uni+bigram feature OCCURRENCES (multinomial event model) with
+  * add-one smoothing over the `buckets` hashed vocabulary. Per-pair
+  * `ln` values snap to 1e-3 fixed point BEFORE any per-document
+  * summation (the pipeline's embedding-centroid convention), so doc
+  * scores are long-integer sums — associative across partitions and
+  * engines.
+  *
+  * Scale design (100 TB):
+  *  - TRAIN is one corpus pass: the feature stream collapses to
+  *    `(label, bucket)` counts via partial+final aggregation (map-side
+  *    combine absorbs the token stream before the exchange); the count
+  *    state is ≤ `labels × (buckets+1)` rows — bounded, never
+  *    corpus-sized.
+  *  - The counts are ADDITIVE under [[nbCountsMerge]]
+  *    (`build(A) ⊕ build(B) == build(A ∪ B)`), so a stream maintains
+  *    the classifier live ([[graft.streaming.Streams.nbMaintainPipeline]])
+  *    without re-reading the corpus — same discipline as the DSIR and
+  *    histogram states.
+  *  - CLASSIFY is scan → per-doc bucket collapse → broadcast join with
+  *    the dense model (≤ labels×buckets rows by construction) → one
+  *    `(doc_id, label)` partial+final agg → per-doc argmax over the
+  *    bounded label set. No corpus-sized shuffle carries text.
+  */
+object Classifier {
+
+  /** Hashed uni+bigram feature occurrences: `(doc_id, bucket, n)` with
+    * occurrence multiplicity pre-collapsed per document (the multinomial
+    * event model counts occurrences; collapsing before the model join
+    * bounds the join fan-out by DISTINCT buckets per doc, not token
+    * count). Salt `nb|` keeps this hash family independent of the
+    * `dsir|` importance buckets. Features form inside the scan stage
+    * (array transform — no positional self-join).
+    */
+  def hashedFeatureCounts(docs: DataFrame, buckets: Int,
+                          carry: Seq[String] = Nil): DataFrame = {
+    val toks = split(col("text"), " ")
+    val keep = carry.map(col)
+    val uni = docs.select(col("doc_id") +: keep :+ explode(toks).as("f"): _*)
+    val bi = docs.filter(size(toks) >= 2)
+      .select(col("doc_id") +: keep :+
+        explode(transform(sequence(lit(0), size(toks) - lit(2)),
+          i => concat(element_at(toks, i + 1), lit(" "),
+            element_at(toks, i + 2)))).as("f"): _*)
+    uni.unionByName(bi)
+      .select(col("doc_id") +: keep :+
+        pmod(Dedup.hash32(concat(lit("nb|"), col("f"))), lit(buckets))
+          .cast("int").as("bucket"): _*)
+      .groupBy(col("doc_id") +: keep :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Sentinel bucket carrying the per-label DOCUMENT count (the prior's
+    * numerator) inside the same additive count frame as the feature
+    * counts — one state table, one merge law, one fold discipline.
+    */
+  val DocCountBucket: Int = -1
+
+  /** Class-conditional count state from labeled documents: one row per
+    * `(label, bucket)` with the occurrence count `c`, plus one
+    * [[DocCountBucket]] row per label holding its document count.
+    * Unlabeled rows (NULL label) are excluded — they are what the
+    * trained classifier will label. ADDITIVE under [[nbCountsMerge]].
+    */
+  def nbCountsBuild(docs: DataFrame, labelCol: String = "lang",
+                    buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, "nbCountsBuild: need at least two buckets")
+    val labeled = docs.filter(col(labelCol).isNotNull)
+      .withColumn("_label", col(labelCol).cast("string"))
+    val feat = hashedFeatureCounts(labeled, buckets, carry = Seq("_label"))
+      .groupBy(col("_label").as("label"), col("bucket"))
+      .agg(sum(col("n")).as("c"))
+    val docCounts = labeled.groupBy(col("_label").as("label"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("label"), lit(DocCountBucket).as("bucket"), col("c"))
+    feat.select(col("label"), col("bucket"), col("c"))
+      .unionByName(docCounts)
+  }
+
+  /** Additive merge of two [[nbCountsBuild]] frames. NOT idempotent —
+    * stream maintenance pairs it with the batch-id insert-if-absent
+    * fold discipline.
+    */
+  def nbCountsMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = Seq("label", "bucket", "c").map(col)
+    a.select(cols: _*).unionByName(b.select(cols: _*))
+      .groupBy(col("label"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** DENSE fixed-point model from accumulated counts: one row per
+    * `(label, bucket)` for every bucket in [0, buckets) —
+    * `lp_fp = round(ln((c+1)/(tot_label+buckets)) · 1000)` — plus one
+    * [[DocCountBucket]] row per label carrying the prior
+    * `round(ln(n_docs_label / n_docs) · 1000)`. Dense emission is what
+    * lets classification join WITHOUT a missing-key default path, and
+    * the table is ≤ `labels × (buckets+1)` rows — broadcast material
+    * by construction. Bit-identical to training once on the
+    * concatenated corpus when counts were folded additively (the
+    * streaming oracle pins it).
+    */
+  def nbModelFromCounts(counts: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(Seq("label", "bucket", "c").forall(counts.columns.contains),
+      "nbModelFromCounts: not an NB count state — need (label, bucket, c) " +
+        "as built by nbCountsBuild")
+    val spark = counts.sparkSession
+    // bounded by labels×(buckets+1): materialize ONCE so the totals,
+    // the dense grid and the priors all read the same blocks
+    val c = counts.select(col("label"), col("bucket"), col("c"))
+      .localCheckpoint(eager = true)
+    val feat = c.filter(col("bucket") =!= DocCountBucket)
+    val docs = c.filter(col("bucket") === DocCountBucket)
+      .select(col("label"), col("c").as("n_docs"))
+    val totals = feat.groupBy(col("label")).agg(sum(col("c")).as("tot"))
+    val nTotal = docs.agg(sum(col("n_docs"))).head().getLong(0)
+    val grid = docs.select(col("label")).distinct()
+      .crossJoin(spark.range(buckets).select(col("id").cast("int").as("bucket")))
+    val lp = grid
+      .join(totals, Seq("label"))
+      .join(feat, Seq("label", "bucket"), "left")
+      .select(col("label"), col("bucket"),
+        round(log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("tot").cast("double") + lit(buckets.toDouble))) * lit(1000), 0)
+          .cast("long").as("lp_fp"))
+    val prior = docs.select(col("label"), lit(DocCountBucket).as("bucket"),
+      round(log(col("n_docs").cast("double") / lit(nTotal.toDouble)) *
+        lit(1000), 0).cast("long").as("lp_fp"))
+    lp.unionByName(prior)
+  }
+
+  /** One-call batch train: counts → dense fixed-point model. */
+  def nbTrain(docs: DataFrame, labelCol: String = "lang",
+              buckets: Int = 1024): DataFrame =
+    nbModelFromCounts(nbCountsBuild(docs, labelCol, buckets), buckets)
+
+  /** Classify every document against a trained model: per-doc feature
+    * buckets join the BROADCAST dense model, scores sum in fixed point
+    * (`score_fp = prior_fp + Σ n·lp_fp`), and the argmax label wins
+    * with a deterministic `(score desc, label asc)` tie-break. Returns
+    * `(doc_id, pred_label, n_feats, score_fp)` for every input row —
+    * the per-doc argmax window runs over the bounded label set, never
+    * data-sized partitions.
+    */
+  def nbClassify(docs: DataFrame, model: DataFrame,
+                 buckets: Int = 1024): DataFrame = {
+    require(Seq("label", "bucket", "lp_fp").forall(model.columns.contains),
+      "nbClassify: not an NB model — need (label, bucket, lp_fp) as " +
+        "built by nbModelFromCounts")
+    val feat = model.filter(col("bucket") =!= DocCountBucket)
+    val prior = model.filter(col("bucket") === DocCountBucket)
+      .select(col("label"), col("lp_fp").as("prior_fp"))
+    val perLabel = hashedFeatureCounts(docs, buckets)
+      .join(broadcast(feat), Seq("bucket"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("n") * col("lp_fp")).as("sum_lp_fp"))
+      .join(broadcast(prior), Seq("label"))
+      .select(col("doc_id"), col("label"), col("n_feats"),
+        (col("sum_lp_fp") + col("prior_fp")).as("score_fp"))
+    val rn = row_number().over(Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("label").asc))
+    perLabel.withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        col("n_feats"), col("score_fp"))
+  }
+}

@@ -195,6 +195,23 @@ private[graft] object CorpusRegistry {
         tmp)
     }),
 
+    "corpus_release_diff" -> ((s, d) => {
+      // dataset-versioning audit (round 12 cont.): content-addressed
+      // diff of two releases — t0 drops doc_id ≡ 1 (mod 7) (they are
+      // ADDED in t1), t1 drops ≡ 2 (REMOVED), and t1 republishes ≡ 3
+      // with a revision suffix (CHANGED); everything else is
+      // unchanged. The operator shuffles (doc_id, md5) pairs only —
+      // never text — so the release-to-release audit costs an
+      // id+hash-sized exchange at any corpus size.
+      val docs = Tables.documents(s, d)
+      val t0 = docs.filter(col("doc_id") % 7 =!= 1)
+      val t1 = docs.filter(col("doc_id") % 7 =!= 2)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 3, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      ext.Corpus.releaseDiff(t0, t1).orderBy("doc_id")
+    }),
+
     "corpus_split_grouped" -> ((s, d) => {
       // LEAKAGE-FREE split (round 11): near-dup cluster members
       // co-assign (the bucket hash is over the cluster id), so no
@@ -437,6 +454,25 @@ private[graft] object CorpusRegistry {
         |WHERE avg_w IS NOT NULL
         |ORDER BY avg_w DESC, doc_id ASC
         |LIMIT 100""".stripMargin),
+
+    "corpus_release_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, md5(text) AS prev_hash
+        |  FROM documents WHERE doc_id % 7 <> 1
+        |), next AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]'
+        |             ELSE text END) AS next_hash
+        |  FROM documents WHERE doc_id % 7 <> 2
+        |)
+        |SELECT COALESCE(p.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN p.prev_hash IS NULL THEN 'added'
+        |       WHEN n.next_hash IS NULL THEN 'removed'
+        |       WHEN p.prev_hash = n.next_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  p.prev_hash, n.next_hash
+        |FROM prev p FULL OUTER JOIN next n ON n.doc_id = p.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // the clusters CTE is dedup_clusters' oracle verbatim; the bucket
     // arithmetic is corpus_split_assign's, taken over the cluster id.

@@ -629,6 +629,74 @@ private[graft] object Shared {
 
 
 
+  // shared CTE chain for the Naive Bayes family (text_nb_classify and
+  // stream_nb_maintain pin the SAME classification — the streamed
+  // state's additivity means both must match one batch train): hashed
+  // uni+bigram occurrences ('nb|' salt, 1024 buckets) → per-(label,
+  // bucket) counts + per-label doc counts → dense add-one-smoothed
+  // fixed-point model + priors → per-doc fixed-point scores → argmax
+  // with (score desc, label asc) tie-break
+  lazy val nbCte: String =
+    """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+      |feats AS (
+      |  SELECT doc_id, lang, unnest(l) AS f FROM tk
+      |  UNION ALL
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, len(l)-1),
+      |                          i -> l[i] || ' ' || l[i+1])) AS f
+      |  FROM tk WHERE len(l) >= 2
+      |), hashed AS (
+      |  SELECT doc_id, lang,
+      |    CAST(CAST('0x' || substr(md5('nb|' || f), 1, 8) AS BIGINT)
+      |         % 1024 AS INTEGER) AS bucket
+      |  FROM feats
+      |), docfeat AS (
+      |  SELECT doc_id, bucket, count(*) AS n FROM hashed GROUP BY 1, 2
+      |), cls AS (
+      |  SELECT lang AS label, count(*) AS n_docs
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+      |), tot AS (SELECT sum(n_docs) AS n FROM cls),
+      |fc AS (
+      |  SELECT lang AS label, bucket, count(*) AS c
+      |  FROM hashed WHERE lang IS NOT NULL GROUP BY 1, 2
+      |), ft AS (SELECT label, sum(c) AS tot FROM fc GROUP BY 1),
+      |dense AS (
+      |  SELECT cls.label, CAST(b.bucket AS INTEGER) AS bucket,
+      |    CAST(round(ln((CAST(COALESCE(fc.c, 0) AS DOUBLE) + 1.0) /
+      |                  (CAST(ft.tot AS DOUBLE) + 1024.0)) * 1000)
+      |         AS BIGINT) AS lp_fp
+      |  FROM cls
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS bucket) b
+      |  JOIN ft ON ft.label = cls.label
+      |  LEFT JOIN fc ON fc.label = cls.label AND fc.bucket = b.bucket
+      |), prior AS (
+      |  SELECT label,
+      |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE))
+      |               * 1000) AS BIGINT) AS lp_fp
+      |  FROM cls CROSS JOIN tot
+      |), scored AS (
+      |  SELECT df.doc_id, m.label,
+      |    CAST(sum(df.n) AS BIGINT) AS n_feats,
+      |    CAST(sum(df.n * m.lp_fp) AS BIGINT) AS s
+      |  FROM docfeat df JOIN dense m ON m.bucket = df.bucket
+      |  GROUP BY 1, 2
+      |), fin AS (
+      |  SELECT s.doc_id, s.label, s.n_feats,
+      |    CAST(s.s + p.lp_fp AS BIGINT) AS score_fp,
+      |    row_number() OVER (PARTITION BY s.doc_id
+      |                       ORDER BY s.s + p.lp_fp DESC, s.label ASC) AS rn
+      |  FROM scored s JOIN prior p ON p.label = s.label
+      |)""".stripMargin
+
+  /** The NB classification SELECT both the batch and the streamed
+    * oracle share verbatim.
+    */
+  lazy val nbClassifySql: String =
+    nbCte + """
+      |SELECT d.doc_id, d.lang, f.label AS pred_label, f.n_feats, f.score_fp
+      |FROM documents d JOIN fin f ON f.doc_id = d.doc_id AND f.rn = 1
+      |ORDER BY d.doc_id""".stripMargin
+
   // shared CTE chain for the corpus_importance_* family: hashed uni+bi
   // gram feature stream (the pipeline's md5 hash discipline, 'dsir' salt,
   // 4096 buckets) → smoothed target/raw distributions → fixed-point

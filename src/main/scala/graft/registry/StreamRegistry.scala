@@ -630,6 +630,40 @@ private[graft] object StreamRegistry {
         tmp)
     }),
 
+    "stream_nb_maintain" -> ((s, d) => {
+      // LIVE incremental Naive Bayes training (round 12 cont.): the
+      // labeled documents feed staged as three files, each batch's
+      // class-conditional counts (plus the per-label doc-count
+      // sentinel rows) folded into the bounded PointerSwap state under
+      // the shared additive-fold discipline. Deriving the dense model
+      // from the STREAMED counts and classifying the corpus must
+      // reproduce text_nb_classify's batch oracle exactly — a
+      // double-counted fold, a dropped label or a lost sentinel row
+      // all break the hash.
+      val tmp = TempDirs.create("graft-nb-maint-").toString
+      val src = s"$tmp/src"
+      val docs = Tables.documents(s, d)
+      (0 until 3).foreach(i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src))
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.Streams.nbMaintainPipeline(
+        stateSized(s), sch, src, s"$tmp/state", s"$tmp/ck")
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
+      require(nBatches >= 2,
+        s"NB maintenance folded $nBatches micro-batches — need >= 2 " +
+          "to prove incrementality, not a single-batch rebuild")
+      val model = ext.Classifier.nbModelFromCounts(
+        graft.operators.ScaleOps.readMaintained(s, s"$tmp/state",
+          graft.operators.ScaleOps.PointerSwap))
+      detachAndClean(
+        docs.select(col("doc_id"), col("lang"))
+          .join(ext.Classifier.nbClassify(docs, model), Seq("doc_id"))
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
     "stream_lm_maintain" -> ((s, d) => {
       // LIVE incremental LM training (round 12): the documents feed
       // staged as three files, one per micro-batch, each batch's
@@ -966,6 +1000,11 @@ private[graft] object StreamRegistry {
       (dsirWeightsCte + """
         |SELECT doc_id, n_feats, sum_w_fp, avg_w FROM w
         |ORDER BY doc_id""".stripMargin),
+
+    // batch-folded NB count state == one batch train over the whole
+    // corpus (additivity): classifying against the streamed model must
+    // reproduce text_nb_classify's oracle row for row.
+    "stream_nb_maintain" -> nbClassifySql,
 
     // batch-folded LM count state == one batch train over the whole
     // corpus (additivity): scoring against the streamed model must

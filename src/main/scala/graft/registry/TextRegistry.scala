@@ -120,6 +120,29 @@ private[graft] object TextRegistry {
         tmp)
     }),
 
+    "text_nb_train" -> ((s, d) =>
+      // closed-form supervised classifier train (round 12 cont.): the
+      // fastText-style quality/domain classifier as multinomial Naive
+      // Bayes over hashed uni+bigram occurrences — counting, smoothing
+      // and fixed-point logs only, so the full dense model (5 labels ×
+      // 1024 buckets + 5 prior sentinel rows) is bit-reproducible by
+      // the oracle. Train is one corpus pass to a bounded count state.
+      graft.ext.Classifier.nbTrain(Tables.documents(s, d))
+        .orderBy("label", "bucket")),
+
+    "text_nb_classify" -> ((s, d) => {
+      // the APPLY step: every document scored against the trained
+      // dense model (broadcast by construction), fixed-point score
+      // sums, argmax label with (score desc, label asc) tie-break.
+      // True label carried alongside so the result doubles as the
+      // confusion audit a curation pipeline reviews.
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("lang"))
+        .join(graft.ext.Classifier.nbClassify(docs,
+          graft.ext.Classifier.nbTrain(docs)), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "text_ngram_freq" -> ((s, d) =>
       // corpus bigram document frequencies: one explode + one agg, top-30
       // with a full deterministic tie-break.
@@ -131,6 +154,15 @@ private[graft] object TextRegistry {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_nb_train" ->
+      (nbCte + """
+        |SELECT label, bucket, lp_fp FROM dense
+        |UNION ALL
+        |SELECT label, CAST(-1 AS INTEGER) AS bucket, lp_fp FROM prior
+        |ORDER BY label, bucket""".stripMargin),
+
+    "text_nb_classify" -> nbClassifySql,
+
     "text_lm_score" ->
       (lmPerDocCte + """
         |SELECT doc_id, n_pairs, sum_lp_fp, avg_lp FROM lm

@@ -501,6 +501,43 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** LIVE incremental Naive Bayes training — the supervised
+    * classifier's ([[graft.ext.Classifier.nbClassify]]) class-
+    * conditional count state maintained BY A STREAM: each micro-batch's
+    * [[graft.ext.Classifier.nbCountsBuild]] (per-(label, bucket)
+    * occurrence counts plus the per-label doc-count sentinel rows, one
+    * pass) folds in with [[graft.ext.Classifier.nbCountsMerge]] under
+    * the shared [[additiveFold]] discipline. Additivity makes the
+    * accumulated counts — and the dense model
+    * [[graft.ext.Classifier.nbModelFromCounts]] derives — BIT-IDENTICAL
+    * to one batch train over the concatenated feed, so the quality/
+    * domain classifier retrains continuously as labeled corpus flows
+    * in. State is ≤ `labels × (buckets+1)` rows FOREVER — the bounded
+    * rewrite-per-fold class, like the DSIR and histogram members.
+    */
+  def nbMaintainPipeline(spark: SparkSession, schema: StructType,
+                         srcDir: String, stateDir: String,
+                         checkpointDir: String,
+                         labelCol: String = "lang",
+                         buckets: Int = 1024,
+                         maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.ext.Classifier
+        additiveFold(batch.sparkSession, stateDir, checkpointDir, batchId,
+          opName = "nbMaintain",
+          build = Classifier.nbCountsBuild(batch.toDF(), labelCol, buckets),
+          merge = st => Classifier.nbCountsMerge(
+            st.select(col("label"), col("bucket"), col("c")),
+            Classifier.nbCountsBuild(batch.toDF(), labelCol, buckets)),
+          stateCols = df => df.select(col("label"), col("bucket"), col("c")))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** LIVE incremental LM training — the model-based quality scorer's
     * ([[graft.ext.TextAnalysis.lmScoreBigram]]) bigram/unigram count
     * state maintained BY A STREAM. Unlike the histogram/DSIR states
