@@ -636,8 +636,26 @@ private[graft] object Shared {
   // bucket) counts + per-label doc counts → dense add-one-smoothed
   // fixed-point model + priors → per-doc fixed-point scores → argmax
   // with (score desc, label asc) tie-break
-  lazy val nbCte: String =
-    """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+  lazy val nbCte: String = nbCteFor("TRUE")
+
+  /** Corpus.splitAssign's hash bucket as a SQL expression over a given
+    * doc-id column — the identical md5 family corpus_split_assign's
+    * oracle uses, factored so the classifier-eval oracle cannot drift
+    * from the split oracle.
+    */
+  def splitBucketSql(idExpr: String): String =
+    s"CAST(CAST('0x' || substr(md5('split|' || CAST($idExpr AS VARCHAR)), " +
+      s"1, 8) AS BIGINT) % 100 AS INTEGER)"
+
+  /** The same chain with the TRAINING COHORT restricted by a SQL
+    * predicate over (doc_id, lang) — text_nb_eval_holdout trains on
+    * the hash-split train cohort only and scores the held-out docs,
+    * the leakage-free evaluation discipline. `trainPred` must be a
+    * boolean SQL fragment valid over both `documents` and the per-
+    * occurrence `hashed` stream (both carry doc_id and lang).
+    */
+  def nbCteFor(trainPred: String): String =
+    s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
       |feats AS (
       |  SELECT doc_id, lang, unnest(l) AS f FROM tk
       |  UNION ALL
@@ -654,11 +672,11 @@ private[graft] object Shared {
       |  SELECT doc_id, bucket, count(*) AS n FROM hashed GROUP BY 1, 2
       |), cls AS (
       |  SELECT lang AS label, count(*) AS n_docs
-      |  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+      |  FROM documents WHERE lang IS NOT NULL AND ($trainPred) GROUP BY 1
       |), tot AS (SELECT sum(n_docs) AS n FROM cls),
       |fc AS (
       |  SELECT lang AS label, bucket, count(*) AS c
-      |  FROM hashed WHERE lang IS NOT NULL GROUP BY 1, 2
+      |  FROM hashed WHERE lang IS NOT NULL AND ($trainPred) GROUP BY 1, 2
       |), ft AS (SELECT label, sum(c) AS tot FROM fc GROUP BY 1),
       |dense AS (
       |  SELECT cls.label, CAST(b.bucket AS INTEGER) AS bucket,

@@ -143,6 +143,37 @@ private[graft] object TextRegistry {
         .orderBy("doc_id")
     }),
 
+    "text_nb_confusion" -> ((s, d) => {
+      // the classifier's quality AUDIT: true-label × predicted-label
+      // counts. One bounded aggregate over the classification — the
+      // table a curation team actually reviews before trusting the
+      // classifier to gate or rebalance a corpus.
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("lang"))
+        .join(graft.ext.Classifier.nbClassify(docs,
+          graft.ext.Classifier.nbTrain(docs)), Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_label")
+    }),
+
+    "text_nb_eval_holdout" -> ((s, d) => {
+      // LEAKAGE-FREE evaluation: train ONLY on the hash-split train
+      // cohort (Corpus.splitAssign — the same salted md5 bucket every
+      // split consumer uses), score ONLY the held-out docs. The
+      // resubstitution form (text_nb_classify) flatters the model;
+      // this is the number that predicts behavior on unseen corpus.
+      val docs = Tables.documents(s, d)
+      val split = graft.ext.Corpus.splitAssign(docs)
+      val model = graft.ext.Classifier.nbTrain(
+        split.filter(col("bucket") < 80).drop("bucket", "split"))
+      val holdout = split.filter(col("bucket") >= 80)
+        .drop("bucket", "split")
+      holdout.select(col("doc_id"), col("lang"))
+        .join(graft.ext.Classifier.nbClassify(holdout, model), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "text_ngram_freq" -> ((s, d) =>
       // corpus bigram document frequencies: one explode + one agg, top-30
       // with a full deterministic tie-break.
@@ -162,6 +193,20 @@ private[graft] object TextRegistry {
         |ORDER BY label, bucket""".stripMargin),
 
     "text_nb_classify" -> nbClassifySql,
+
+    "text_nb_confusion" ->
+      (nbCte + """
+        |SELECT d.lang, f.label AS pred_label, count(*) AS n
+        |FROM documents d JOIN fin f ON f.doc_id = d.doc_id AND f.rn = 1
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
+
+    "text_nb_eval_holdout" ->
+      (nbCteFor(splitBucketSql("doc_id") + " < 80") + s"""
+        |SELECT d.doc_id, d.lang, f.label AS pred_label, f.n_feats, f.score_fp
+        |FROM documents d JOIN fin f ON f.doc_id = d.doc_id AND f.rn = 1
+        |WHERE ${splitBucketSql("d.doc_id")} >= 80
+        |ORDER BY d.doc_id""".stripMargin),
 
     "text_lm_score" ->
       (lmPerDocCte + """
