@@ -102,6 +102,18 @@ object Classifier {
       .agg(sum(col("c")).as("c"))
   }
 
+  /** Right-to-be-forgotten for the classifier: subtract a removed
+    * cohort's [[nbCountsBuild]] from the accumulated state —
+    * bit-identical to rebuilding on the survivors (counts are
+    * invertible; zeroed keys drop, so a fully-removed label vanishes
+    * from the model exactly as a rebuild would omit it). Refuses a
+    * cohort the state never folded in (negative-count validation).
+    */
+  def nbCountsSubtract(state: DataFrame, removed: DataFrame): DataFrame =
+    graft.operators.ScaleOps.subtractCounts(state, removed,
+      keys = Seq("label", "bucket"), counts = Seq("c"),
+      what = "nbCountsSubtract")
+
   /** DENSE fixed-point model from accumulated counts: one row per
     * `(label, bucket)` for every bucket in [0, buckets) —
     * `lp_fp = round(ln((c+1)/(tot_label+buckets)) · 1000)` — plus one

@@ -811,6 +811,20 @@ object Corpus {
       .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
   }
 
+  /** Right-to-be-forgotten for the importance estimator: subtract a
+    * removed cohort's [[importanceCountsBuild]] from the accumulated
+    * bucket counts — bit-identical to rebuilding on the survivors
+    * (both the target and raw tallies are invertible; buckets whose
+    * counts zero out drop, as a rebuild would omit them). Refuses a
+    * cohort the state never folded in. The cohort must be subtracted
+    * with the SAME target predicate it was folded under.
+    */
+  def importanceCountsSubtract(state: DataFrame,
+                               removed: DataFrame): DataFrame =
+    graft.operators.ScaleOps.subtractCounts(state, removed,
+      keys = Seq("bucket"), counts = Seq("ct", "cr"),
+      what = "importanceCountsSubtract")
+
   /** The smoothed fixed-point ratio table from accumulated
     * [[importanceCountsBuild]] counts — bit-identical to
     * [[importanceLogRatiosSliced]] over the concatenated corpus when

@@ -613,6 +613,20 @@ object TextAnalysis {
       .agg(sum(col("c")).as("c"))
   }
 
+  /** Right-to-be-forgotten for the LM: subtract a removed cohort's
+    * [[lmCountsBuild]] from the accumulated n-gram counts —
+    * bit-identical to rebuilding on the survivors WITHOUT a corpus
+    * rescan. Zeroed n-grams DROP from the state, which is load-bearing
+    * here: the vocabulary size V is the COUNT of unigram rows
+    * ([[lmModelFromCounts]]), so a token living only in the removed
+    * cohort must leave V exactly as a rebuild would shrink it.
+    * Refuses a cohort the state never folded in.
+    */
+  def lmCountsSubtract(state: DataFrame, removed: DataFrame): DataFrame =
+    graft.operators.ScaleOps.subtractCounts(state, removed,
+      keys = Seq("kind", "w1", "w2"), counts = Seq("c"),
+      what = "lmCountsSubtract")
+
   /** Reconstruct the [[bigramLmTrain]] model frame `(w1, w2, c2, c1, v)`
     * from accumulated [[lmCountsBuild]] state: `c2` from the bigram
     * rows, `c1` rolled up over first words, `v` = the unigram row count

@@ -492,6 +492,50 @@ object ScaleOps {
       _.join(keepKeys, keys, "left_semi"))
   }
 
+  /** Exact count-state subtraction — the right-to-be-forgotten leg for
+    * ADDITIVE count states (NB class-conditional counts, LM n-gram
+    * counts, DSIR bucket counts; the histogram family has its own
+    * width-stamped form in [[graft.ext.Quality.histSubtract]]). Counts
+    * are invertible, so forgetting a cohort is `state ⊖ build(cohort)`
+    * — BIT-IDENTICAL to rebuilding from the survivors, without a
+    * corpus rescan. Keys whose every count reaches zero are DROPPED
+    * (not kept at 0), which is what makes the equality exact: a
+    * rebuild never emits zero rows, and derived statistics that count
+    * KEYS (the LM vocabulary size V) must shrink with the deletion.
+    *
+    * Validates that no count goes negative — a cohort the state never
+    * (fully) folded in cannot be subtracted; doing so silently would
+    * corrupt every later read. The join is materialized ONCE (state-
+    * sized, bounded by vocabulary/buckets — never corpus-sized) so the
+    * validation and the returned frame read the same data.
+    */
+  def subtractCounts(state: DataFrame, removed: DataFrame,
+                     keys: Seq[String], counts: Seq[String],
+                     what: String): DataFrame = {
+    require(keys.nonEmpty && counts.nonEmpty,
+      s"$what: need key and count columns")
+    Seq(state -> "state", removed -> "removed").foreach { case (df, side) =>
+      require((keys ++ counts).forall(df.columns.contains),
+        s"$what: $side frame lacks (${(keys ++ counts).mkString(", ")})")
+    }
+    val rSel = removed.select(
+      keys.map(col) ++ counts.map(c => col(c).as(s"_r_$c")): _*)
+    val joined = state.select((keys ++ counts).map(col): _*)
+      .join(rSel, keys, "full_outer")
+      .select(keys.map(col) ++ counts.map(c =>
+        (coalesce(col(c), lit(0L)) - coalesce(col(s"_r_$c"), lit(0L)))
+          .as(c)): _*)
+      .localCheckpoint(eager = true)
+    val bad = joined
+      .filter(counts.map(col(_) < 0).reduce(_ || _)).limit(1).collect()
+    require(bad.isEmpty,
+      s"$what: cohort removes more than the state holds at key " +
+        s"${keys.map(k => bad.headOption.map(_.getAs[Any](k)).orNull)
+          .mkString("(", ", ", ")")} — it was never (fully) folded into " +
+        "this state; subtracting would corrupt it")
+    joined.filter(counts.map(col(_) > 0).reduce(_ || _))
+  }
+
   /** Age/TTL retention for persisted state: drop every row whose `tsCol`
     * event-time stamp is strictly below `watermark` — the WATERMARK leg
     * of the state lifecycle ([[retainRows]] is the by-key leg; the

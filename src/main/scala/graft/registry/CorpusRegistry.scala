@@ -32,6 +32,25 @@ private[graft] object CorpusRegistry {
         .orderBy("doc_id")
     }),
 
+    "corpus_importance_forget" -> ((s, d) => {
+      // right-to-be-forgotten for the importance estimator (round 12
+      // cont.): subtract the removed cohort's bucket counts from the
+      // accumulated state — bit-identical to re-estimating from the
+      // survivors, with NO corpus rescan — then weight the survivors
+      // against the forgotten ratio table. The oracle estimates from
+      // the survivors directly, so a stale bucket anywhere breaks the
+      // hash.
+      val docs = Tables.documents(s, d)
+      val pred = col("lang") === "en" && col("source") === "src7"
+      val removed = docs.filter(col("doc_id") % 10 === 3)
+      val surv = docs.filter(col("doc_id") % 10 =!= 3)
+      val ratios = ext.Corpus.importanceRatiosFromCounts(
+        ext.Corpus.importanceCountsSubtract(
+          ext.Corpus.importanceCountsBuild(docs, pred),
+          ext.Corpus.importanceCountsBuild(removed, pred)))
+      ext.Corpus.importanceWeights(surv, ratios).orderBy("doc_id")
+    }),
+
     "corpus_importance_select" -> ((s, d) => {
       // top-100 most-target-like documents under the same estimator —
       // TakeOrderedAndProject, never a global sort.
@@ -445,6 +464,11 @@ private[graft] object CorpusRegistry {
   val oracleSql: Map[String, String] = Map(
     "corpus_importance_weights" ->
       (dsirWeightsCte + """
+        |SELECT doc_id, n_feats, sum_w_fp, avg_w FROM w
+        |ORDER BY doc_id""".stripMargin),
+
+    "corpus_importance_forget" ->
+      (dsirWeightsCteFor(id => s"$id % 10 <> 3") + """
         |SELECT doc_id, n_feats, sum_w_fp, avg_w FROM w
         |ORDER BY doc_id""".stripMargin),
 

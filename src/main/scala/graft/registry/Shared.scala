@@ -598,8 +598,16 @@ private[graft] object Shared {
 
   // shared CTE chain: bigram pairs → add-one-smoothed model → per-pair
   // fixed-point log-prob → per-doc rollup (the text_lm_* family)
-  lazy val lmPerDocCte: String =
-    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+  lazy val lmPerDocCte: String = lmPerDocCteFor(_ => "TRUE")
+
+  /** The same chain restricted to a doc cohort (train AND score) — the
+    * forget oracle trains/scores the survivors only. `idPred` renders
+    * the cohort predicate for a given doc-id SQL expression (the final
+    * CTE needs the `d.` alias).
+    */
+  def lmPerDocCteFor(idPred: String => String): String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |            WHERE (${idPred("doc_id")})),
       |pairs AS (
       |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(l)-1),
@@ -608,7 +616,8 @@ private[graft] object Shared {
       |), big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
       |ctx AS (SELECT w1, sum(c2) AS c1 FROM big GROUP BY 1),
       |v AS (SELECT count(DISTINCT t) AS v
-      |      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+      |      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents
+      |            WHERE (${idPred("doc_id")}))),
       |scored AS (
       |  SELECT p.doc_id,
       |    CAST(round(ln((CAST(COALESCE(b.c2, 0) AS DOUBLE) + 1.0) /
@@ -625,6 +634,7 @@ private[graft] object Shared {
       |    CASE WHEN per.n_pairs > 0 THEN CAST(per.sum_lp_fp AS DOUBLE) /
       |      (CAST(per.n_pairs AS DOUBLE) * 1000.0) END AS avg_lp
       |  FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |  WHERE (${idPred("d.doc_id")})
       |)""".stripMargin
 
 
@@ -719,8 +729,15 @@ private[graft] object Shared {
   // gram feature stream (the pipeline's md5 hash discipline, 'dsir' salt,
   // 4096 buckets) → smoothed target/raw distributions → fixed-point
   // log-ratio table → per-doc rollup
-  lazy val dsirWeightsCte: String =
-    """WITH tk AS (SELECT doc_id, lang, source, string_split(text, ' ') AS l FROM documents),
+  lazy val dsirWeightsCte: String = dsirWeightsCteFor(_ => "TRUE")
+
+  /** The same chain restricted to a doc cohort (distributions AND
+    * weighting) — the forget oracle estimates from and weights the
+    * survivors only.
+    */
+  def dsirWeightsCteFor(idPred: String => String): String =
+    s"""WITH tk AS (SELECT doc_id, lang, source, string_split(text, ' ') AS l
+      |            FROM documents WHERE (${idPred("doc_id")})),
       |feats AS (
       |  SELECT doc_id, lang, source, unnest(l) AS f FROM tk
       |  UNION ALL
@@ -757,6 +774,7 @@ private[graft] object Shared {
       |    CASE WHEN per.n_feats > 0 THEN CAST(per.sum_w_fp AS DOUBLE) /
       |      (CAST(per.n_feats AS DOUBLE) * 1000.0) END AS avg_w
       |  FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |  WHERE (${idPred("d.doc_id")})
       |)""".stripMargin
 
 

@@ -174,6 +174,40 @@ private[graft] object TextRegistry {
         .orderBy("doc_id")
     }),
 
+    "text_nb_forget" -> ((s, d) => {
+      // right-to-be-forgotten for the classifier: subtract the removed
+      // cohort's class-conditional counts from the accumulated state
+      // (bit-identical to retraining on the survivors, no corpus
+      // rescan), then classify the survivors against the forgotten
+      // model. The oracle trains on the survivors directly.
+      val docs = Tables.documents(s, d)
+      val removed = docs.filter(col("doc_id") % 10 === 3)
+      val surv = docs.filter(col("doc_id") % 10 =!= 3)
+      val model = graft.ext.Classifier.nbModelFromCounts(
+        graft.ext.Classifier.nbCountsSubtract(
+          graft.ext.Classifier.nbCountsBuild(docs),
+          graft.ext.Classifier.nbCountsBuild(removed)))
+      surv.select(col("doc_id"), col("lang"))
+        .join(graft.ext.Classifier.nbClassify(surv, model), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    "text_lm_forget" -> ((s, d) => {
+      // right-to-be-forgotten for the LM: subtract the removed
+      // cohort's n-gram counts (zeroed n-grams DROP, so the vocabulary
+      // V shrinks exactly as a rebuild would), then score the
+      // survivors with the forgotten model. The oracle trains and
+      // scores the survivors directly.
+      val docs = Tables.documents(s, d)
+      val removed = docs.filter(col("doc_id") % 10 === 3)
+      val surv = docs.filter(col("doc_id") % 10 =!= 3)
+      val model = TextAnalysis.lmModelFromCounts(
+        TextAnalysis.lmCountsSubtract(
+          TextAnalysis.lmCountsBuild(docs),
+          TextAnalysis.lmCountsBuild(removed)))
+      TextAnalysis.lmScoreBigram(surv, model).orderBy("doc_id")
+    }),
+
     "text_ngram_freq" -> ((s, d) =>
       // corpus bigram document frequencies: one explode + one agg, top-30
       // with a full deterministic tie-break.
@@ -210,6 +244,18 @@ private[graft] object TextRegistry {
 
     "text_lm_score" ->
       (lmPerDocCte + """
+        |SELECT doc_id, n_pairs, sum_lp_fp, avg_lp FROM lm
+        |ORDER BY doc_id""".stripMargin),
+
+    "text_nb_forget" ->
+      (nbCteFor("doc_id % 10 <> 3") + """
+        |SELECT d.doc_id, d.lang, f.label AS pred_label, f.n_feats, f.score_fp
+        |FROM documents d JOIN fin f ON f.doc_id = d.doc_id AND f.rn = 1
+        |WHERE d.doc_id % 10 <> 3
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "text_lm_forget" ->
+      (lmPerDocCteFor(id => s"$id % 10 <> 3") + """
         |SELECT doc_id, n_pairs, sum_lp_fp, avg_lp FROM lm
         |ORDER BY doc_id""".stripMargin),
 
