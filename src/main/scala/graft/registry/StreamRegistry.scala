@@ -664,6 +664,78 @@ private[graft] object StreamRegistry {
         tmp)
     }),
 
+    "stream_nb_forget" -> ((s, d) => {
+      // GDPR-delete against the LIVE classifier state (round 12
+      // cont.): fold the labeled feed as three micro-batches, then
+      // FORGET a cohort by subtracting its counts from the maintained
+      // state through the same PointerSwap promotion the fold path
+      // uses (batch-id/lineage stamps ride through — the stream could
+      // keep folding afterwards). Classifying the survivors against
+      // the forgotten state must equal a classifier trained on the
+      // survivors directly (text_nb_forget's law, now THROUGH the
+      // streamed lifecycle).
+      val tmp = TempDirs.create("graft-nb-forget-").toString
+      val src = s"$tmp/src"
+      val docs = Tables.documents(s, d)
+      (0 until 3).foreach(i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src))
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.Streams.nbMaintainPipeline(
+        stateSized(s), sch, src, s"$tmp/state", s"$tmp/ck")
+      q.awaitTermination()
+      graft.streaming.Streams.forgetFromMaintained(s, s"$tmp/state",
+        ext.Classifier.nbCountsBuild(docs.filter(col("doc_id") % 10 === 3)),
+        keys = Seq("label", "bucket"), counts = Seq("c"),
+        opName = "stream_nb_forget")
+      val model = ext.Classifier.nbModelFromCounts(
+        graft.operators.ScaleOps.readMaintained(s, s"$tmp/state",
+          graft.operators.ScaleOps.PointerSwap))
+      val surv = docs.filter(col("doc_id") % 10 =!= 3)
+      detachAndClean(
+        surv.select(col("doc_id"), col("lang"))
+          .join(ext.Classifier.nbClassify(surv, model), Seq("doc_id"))
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
+    "stream_lm_expire" -> ((s, d) => {
+      // SLIDING-WINDOW LM (round 12 cont.): the delta-log's batch
+      // partitions ARE the retention unit — expire the oldest batch
+      // and the model forgets that slice bit-exactly, no rescan.
+      // Batch→slice mapping is pinned by staged mtimes (the restart
+      // harnesses' discipline), so the oracle can name the retained
+      // cohort statically: scoring the retained slices against the
+      // expired log == training on those slices alone.
+      val tmp = TempDirs.create("graft-lm-expire-").toString
+      val src = s"$tmp/src"
+      val docs = Tables.documents(s, d)
+      val staged = scala.collection.mutable.Set[String]()
+      (0 until 3).foreach { i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src)
+        new java.io.File(src).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !staged.contains(f.getName))
+          .foreach { f =>
+            require(f.setLastModified(1700000000000L + i * 60000L),
+              s"could not pin mtime for $f — staged batch order would be undefined")
+            staged += f.getName
+          }
+      }
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.Streams.lmMaintainPipeline(
+        stateSized(s), sch, src, s"$tmp/state", s"$tmp/ck")
+      q.awaitTermination()
+      graft.streaming.Streams.lmExpireBatchesBelow(s, s"$tmp/state",
+        minKeepId = 1)
+      val model = TextAnalysis.lmModelFromCounts(
+        graft.streaming.Streams.lmReadCounts(s, s"$tmp/state"))
+      detachAndClean(
+        TextAnalysis.lmScoreBigram(docs.filter(col("doc_id") % 3 =!= 0),
+          model).orderBy("doc_id"),
+        tmp)
+    }),
+
     "stream_lm_maintain" -> ((s, d) => {
       // LIVE incremental LM training (round 12): the documents feed
       // staged as three files, one per micro-batch, each batch's
@@ -1005,6 +1077,23 @@ private[graft] object StreamRegistry {
     // corpus (additivity): classifying against the streamed model must
     // reproduce text_nb_classify's oracle row for row.
     "stream_nb_maintain" -> nbClassifySql,
+
+    // forgetting a cohort from the STREAMED state == training on the
+    // survivors directly (the subtract law through the maintained
+    // lifecycle) — same oracle as text_nb_forget.
+    "stream_nb_forget" ->
+      (nbCteFor("doc_id % 10 <> 3") + """
+        |SELECT d.doc_id, d.lang, f.label AS pred_label, f.n_feats, f.score_fp
+        |FROM documents d JOIN fin f ON f.doc_id = d.doc_id AND f.rn = 1
+        |WHERE d.doc_id % 10 <> 3
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // expiring the oldest delta-log batch == training on the retained
+    // slices alone (each batch's counts live only in its partition).
+    "stream_lm_expire" ->
+      (lmPerDocCteFor(id => s"$id % 3 <> 0") + """
+        |SELECT doc_id, n_pairs, sum_lp_fp, avg_lp FROM lm
+        |ORDER BY doc_id""".stripMargin),
 
     // batch-folded LM count state == one batch train over the whole
     // corpus (additivity): scoring against the streamed model must

@@ -538,6 +538,44 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Right-to-be-forgotten against a STREAM-MAINTAINED additive count
+    * state ([[nbMaintainPipeline]] / [[dsirMaintainPipeline]] /
+    * [[histMaintainPipeline]] states): subtract the removed cohort's
+    * counts ([[graft.operators.ScaleOps.subtractCounts]]'s
+    * negative-refusal discipline) and rewrite the state through the
+    * same staged PointerSwap promotion the fold path uses — the
+    * `last_batch_id` / `lineage` stamps ride through UNCHANGED, so the
+    * maintaining stream keeps folding on the forgotten state exactly
+    * where it left off (a replayed batch still no-ops, the next live
+    * batch still folds in). This is the production GDPR-delete shape:
+    * the deletion arrives BETWEEN micro-batches, not as a corpus
+    * rebuild.
+    */
+  def forgetFromMaintained(spark: SparkSession, stateDir: String,
+                           removed: DataFrame, keys: Seq[String],
+                           counts: Seq[String], opName: String): Unit = {
+    import graft.operators.ScaleOps
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = ScaleOps.readMaintained(spark, stateDir, ScaleOps.PointerSwap)
+    require(Seq("last_batch_id", "lineage").forall(st.columns.contains),
+      s"$opName: $stateDir is not a stream-maintained state — forget " +
+        "plain count tables by subtracting and rewriting them directly")
+    val stamps = st.agg(max(col("last_batch_id")), max(col("lineage")))
+      .collect()(0)
+    require(!stamps.isNullAt(0),
+      s"$opName: $stateDir holds no folded batches — nothing to forget from")
+    val staged = s"$stateDir.forget-stage"
+    ScaleOps.subtractCounts(
+        st.select((keys ++ counts).map(col): _*), removed, keys, counts,
+        opName)
+      .withColumn("last_batch_id", lit(stamps.getLong(0)))
+      .withColumn("lineage", lit(stamps.getString(1)))
+      .write.mode("overwrite").parquet(staged)
+    ScaleOps.PointerSwap.promote(fs, root,
+      new org.apache.hadoop.fs.Path(staged))
+  }
+
   /** LIVE incremental LM training — the model-based quality scorer's
     * ([[graft.ext.TextAnalysis.lmScoreBigram]]) bigram/unigram count
     * state maintained BY A STREAM. Unlike the histogram/DSIR states
@@ -728,6 +766,50 @@ object Streams {
     require(fs.rename(stagedPath,
       new org.apache.hadoop.fs.Path(stateDir, s"batch_id=$maxId")),
       s"lmCompactState: rename of $stagedPath failed")
+  }
+
+  /** SLIDING-WINDOW retention for a [[lmMaintainPipeline]] delta-log:
+    * drop every `batch_id=` partition below `minKeepId`, so the model
+    * tracks the RECENT feed only (the recency-weighted LM a drifting
+    * corpus needs — old releases age out of the model without ever
+    * rescanning them). The delta-log layout makes this exact and
+    * O(expired partitions): a batch's counts live ONLY in its own
+    * partition, so deleting the partition subtracts the batch
+    * bit-identically to training on the retained batches alone.
+    *
+    * Crash discipline: each expired partition is RENAMED to a
+    * dot-prefixed tombstone (atomic; hidden from parquet discovery, so
+    * readers never see a half-deleted partition) and then deleted;
+    * the pass is idempotent — a crashed run leaves only tombstones
+    * and untouched partitions, and the re-run sweeps both. Refuses to
+    * expire the whole log: an empty state cannot carry V and every
+    * score would silently go NULL — retire the model explicitly
+    * instead. Run quiesced (between stream runs), like compaction.
+    */
+  def lmExpireBatchesBelow(spark: SparkSession, stateDir: String,
+                           minKeepId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(stateDir, "_lineage")),
+      s"lmExpireBatchesBelow: $stateDir is not a maintained LM delta-log")
+    // finish any crashed prior expiry first: tombstones are committed
+    // deletions (their rename already published the removal)
+    fs.globStatus(new org.apache.hadoop.fs.Path(stateDir, ".expiring-*"))
+      .foreach(t => fs.delete(t.getPath, true))
+    val parts = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch_id="))
+    val (expire, keep) = parts.partition(
+      _.getName.stripPrefix("batch_id=").toLong < minKeepId)
+    require(keep.nonEmpty,
+      s"lmExpireBatchesBelow: expiring every batch below $minKeepId " +
+        s"would empty $stateDir — an empty log cannot carry a " +
+        "vocabulary; retire the model explicitly instead")
+    expire.foreach { p =>
+      val tomb = new org.apache.hadoop.fs.Path(root, ".expiring-" + p.getName)
+      require(fs.rename(p, tomb),
+        s"lmExpireBatchesBelow: rename of $p failed")
+      fs.delete(tomb, true)
+    }
   }
 
   /** STREAMING NEAR-DUP admission — the near-duplicate leg of the live

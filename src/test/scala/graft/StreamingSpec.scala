@@ -755,4 +755,90 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("layout mismatch"))
   }
+
+  test("nb-forget from maintained state: stamps ride through and the stream keeps folding") {
+    import graft.ext.Classifier
+    val base = java.nio.file.Files.createTempDirectory("graft_nbf").toString
+    val src = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    def write(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "lang").coalesce(1)
+        .write.mode("append").parquet(src)
+    write((1L, "a b a", "en"), (2L, "b c", "es"))
+    write((3L, "a b b", "en"))
+    val schema = Seq((0L, "", "")).toDF("doc_id", "text", "lang").schema
+    def counts() = graft.operators.ScaleOps
+      .readMaintained(spark, state, graft.operators.ScaleOps.PointerSwap)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("label", "bucket", "c").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    Streams.nbMaintainPipeline(spark, schema, src, state, ckpt, buckets = 64)
+      .awaitTermination()
+    // forget doc 2 — the state must equal a build on docs 1 and 3
+    Streams.forgetFromMaintained(spark, state,
+      Classifier.nbCountsBuild(Seq((2L, "b c", "es")).toDF("doc_id", "text", "lang"),
+        buckets = 64),
+      keys = Seq("label", "bucket"), counts = Seq("c"), opName = "test")
+    val survivors = Seq((1L, "a b a", "en"), (3L, "a b b", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(asMap(counts()) === asMap(Classifier.nbCountsBuild(survivors, buckets = 64)))
+    val stamps = counts().agg(max(col("last_batch_id"))).collect()(0)
+    assert(stamps.getLong(0) === 1L, "fold stamps must survive the forget")
+    // the SAME checkpoint keeps folding on the forgotten state
+    write((4L, "c d", "fr"))
+    Streams.nbMaintainPipeline(spark, schema, src, state, ckpt, buckets = 64)
+      .awaitTermination()
+    val grown = survivors.unionByName(
+      Seq((4L, "c d", "fr")).toDF("doc_id", "text", "lang"))
+    assert(asMap(counts()) === asMap(Classifier.nbCountsBuild(grown, buckets = 64)),
+      "post-forget folds must land on the forgotten baseline")
+    // a plain (non-maintained) table refuses
+    val plain = s"$base/plain"
+    Classifier.nbCountsBuild(survivors, buckets = 64).write.parquet(plain)
+    val e = intercept[IllegalArgumentException] {
+      Streams.forgetFromMaintained(spark, plain,
+        Classifier.nbCountsBuild(survivors, buckets = 64),
+        Seq("label", "bucket"), Seq("c"), "test")
+    }
+    assert(e.getMessage.contains("not a stream-maintained state"))
+  }
+
+  test("lm-expire: dropping the oldest delta-log batch == training on the retained batches; idempotent; refuses emptying") {
+    import graft.ext.TextAnalysis
+    val base = java.nio.file.Files.createTempDirectory("graft_lmx").toString
+    val state = s"$base/state"
+    def logWrite(id: Long, rows: (Long, String)*) =
+      TextAnalysis.lmCountsBuild(rows.toDF("doc_id", "text"))
+        .write.parquet(s"$state/batch_id=$id")
+    logWrite(0L, 1L -> "a b a")
+    logWrite(1L, 2L -> "b c")
+    logWrite(2L, 3L -> "c d c")
+    val marker = new java.io.File(state, "_lineage")
+    java.nio.file.Files.write(marker.toPath, "tok".getBytes)
+    def asMap(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def model() = TextAnalysis.lmModelFromCounts(
+      Streams.lmReadCounts(spark, state))
+    Streams.lmExpireBatchesBelow(spark, state, minKeepId = 1)
+    val retained = TextAnalysis.bigramLmTrain(
+      Seq(2L -> "b c", 3L -> "c d c").toDF("doc_id", "text"))
+    assert(asMap(model()) === asMap(retained),
+      "expiry must subtract the expired batch bit-exactly")
+    // idempotent — a second run with the same cutoff is a no-op
+    Streams.lmExpireBatchesBelow(spark, state, minKeepId = 1)
+    assert(asMap(model()) === asMap(retained))
+    // a crashed run's tombstone is swept by the next pass
+    val part = new java.io.File(state, "batch_id=1")
+    val tomb = new java.io.File(state, ".expiring-batch_id=1")
+    assert(part.renameTo(tomb))
+    Streams.lmExpireBatchesBelow(spark, state, minKeepId = 2)
+    assert(asMap(model()) === asMap(TextAnalysis.bigramLmTrain(
+      Seq(3L -> "c d c").toDF("doc_id", "text"))),
+      "tombstoned partition stays deleted; cutoff applies to the rest")
+    // refusing to empty the whole log
+    val e = intercept[IllegalArgumentException] {
+      Streams.lmExpireBatchesBelow(spark, state, minKeepId = 99)
+    }
+    assert(e.getMessage.contains("would empty"))
+  }
 }
