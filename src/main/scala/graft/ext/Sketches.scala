@@ -327,6 +327,77 @@ object Sketches {
       .select(col("rank"), col("h"))
   }
 
+  /** Per-key KMV sketches in ONE frame — `(key, rank, h)`, rank
+    * 1..min(k, distinct items of that key). The grouped form of
+    * [[kmvBuild]] for partitioned audits (one sketch per source /
+    * shard / release). The `row_number ≤ k` filter plans as
+    * WindowGroupLimit: each group prunes to its k smallest hashes
+    * per-partition BEFORE the full sort, so the exchange carries
+    * ~keys×k rows, never the item stream.
+    */
+  def kmvBuildBy(items: DataFrame, keyCol: String, itemCol: String,
+                 k: Int = 256): DataFrame = {
+    require(k >= 2, "kmvBuildBy: need k >= 2 for the estimator")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("h"))
+    items.filter(col(itemCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"), Dedup.hash32(col(itemCol)).as("h"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** ALL-PAIRS overlap estimates from [[kmvBuildBy]] sketches — the
+    * source-to-source duplication audit a curation team reads before
+    * weighting a mixture: for every key pair (s1 < s2), the
+    * [[kmvSetOps]] estimators (union size, Jaccard, intersection) read
+    * off the two bottom-k sketches. The whole matrix costs
+    * sketch-algebra only: keys are bounded (sources/shards, never
+    * documents), so the pair grid, the per-pair union re-rank and the
+    * final aggregates all run over ≤ keys²·k rows — the corpus itself
+    * is touched once, by the sketch build. (The crossJoin below is a
+    * keys×keys grid of a DISTINCT key list — bounded by construction,
+    * not a data-sized cartesian.)
+    */
+  def kmvOverlapMatrix(sketches: DataFrame, k: Int = 256): DataFrame = {
+    require(Seq("key", "rank", "h").forall(sketches.columns.contains),
+      "kmvOverlapMatrix: not a grouped KMV sketch frame — need " +
+        "(key, rank, h) as built by kmvBuildBy")
+    requireStamp(sketches, "kmvOverlapMatrix input", Seq("k" -> k))
+    val sk = sketches.select(col("key"), col("h"))
+    val keys = sk.select(col("key")).distinct()
+    val pairs = keys.select(col("key").as("s1"))
+      .crossJoin(keys.select(col("key").as("s2")))
+      .filter(col("s1") < col("s2"))
+    val left = pairs.join(sk.withColumnRenamed("key", "s1"), Seq("s1"))
+      .select(col("s1"), col("s2"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val right = pairs.join(sk.withColumnRenamed("key", "s2"), Seq("s2"))
+      .select(col("s1"), col("s2"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val flagged = left.unionByName(right)
+      .groupBy(col("s1"), col("s2"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s1"), col("s2")).orderBy(col("h"))
+    val unionSk = flagged.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val unionEst =
+      when(col("n_union_sketch") < k, col("n_union_sketch").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+          col("h_k").cast("double"))
+    unionSk.groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_union_sketch"), max(col("h")).as("h_k"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_common"))
+      .select(col("s1"), col("s2"), col("n_union_sketch"), col("h_k"),
+        col("n_common"), unionEst.as("union_est"),
+        (col("n_common").cast("double") /
+          col("n_union_sketch").cast("double")).as("jaccard"),
+        (col("n_common").cast("double") /
+          col("n_union_sketch").cast("double") * unionEst).as("inter_est"))
+  }
+
   /** Merge KMV sketches: k smallest distinct hashes of the union of the
     * inputs' hash lists == the single-pass sketch of the union stream,
     * bit for bit. All inputs must share k (the family's caller

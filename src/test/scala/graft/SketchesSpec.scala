@@ -461,4 +461,47 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no 'admitted_ts' stamp"))
     graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
+
+  test("grouped KMV slices equal per-key single builds; the overlap matrix equals pairwise kmvSetOps") {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val sh = Dedup.shingles(docs, w = 3)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val grouped = Sketches.kmvBuildBy(sh, "source", "sh", k = 64)
+      .localCheckpoint(eager = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // each key's slice is exactly the single-set sketch of that key
+    Seq("src0", "src7").foreach { s =>
+      val single = Sketches.kmvBuild(
+        sh.filter(col("source") === s).select(col("sh")), "sh", k = 64)
+      assert(rows(grouped.filter(col("key") === s)
+          .select(col("rank"), col("h"))) === rows(single),
+        s"grouped slice for $s diverged from kmvBuild")
+    }
+    // one pair of the matrix == kmvSetOps on the two single sketches
+    val m = Sketches.kmvOverlapMatrix(grouped, k = 64)
+      .filter(col("s1") === "src0" && col("s2") === "src7")
+      .select("n_union_sketch", "h_k", "n_common", "union_est",
+        "jaccard", "inter_est")
+    val pairwise = Sketches.kmvSetOps(
+      Sketches.kmvBuild(sh.filter(col("source") === "src0").select(col("sh")),
+        "sh", k = 64),
+      Sketches.kmvBuild(sh.filter(col("source") === "src7").select(col("sh")),
+        "sh", k = 64), k = 64)
+      .select("n_union_sketch", "h_k", "n_common", "union_est",
+        "jaccard", "inter_est")
+    assert(rows(m) === rows(pairwise),
+      "matrix cell must equal the pairwise estimator bit for bit")
+    // every (s1, s2) pair appears exactly once, s1 < s2
+    val nKeys = grouped.select("key").distinct().count()
+    val mat = Sketches.kmvOverlapMatrix(grouped, k = 64)
+    assert(mat.count() === nKeys * (nKeys - 1) / 2)
+    assert(mat.filter(col("s1") >= col("s2")).count() === 0)
+    // malformed input refuses
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvOverlapMatrix(docs.select(col("doc_id")))
+    }
+    assert(e.getMessage.contains("not a grouped KMV sketch"))
+  }
 }
