@@ -923,6 +923,39 @@ object Corpus {
     * text, so at 100 TB the exchange is id+hash-sized. With both
     * releases laid out bucketed by doc_id the join is zero-exchange.
     */
+  /** INCREMENTAL per-document metadata maintenance across releases —
+    * the discipline that makes corpus-wide scores affordable at
+    * 100 TB: release t1's score table is t0's PERSISTED table with
+    * only the added/changed documents re-scored. `state` is the prior
+    * release's scores keyed by `(doc_id, content_hash)`; documents
+    * whose hash matches CARRY their state row verbatim (their text is
+    * never re-read, let alone re-scored — phase B touches t1's scan
+    * and the state table only), the rest flow through `score`. Rows
+    * for removed documents drop. The emitted `scored_in` column
+    * ('carried' / 'rescored') makes the split oracle-checkable.
+    *
+    * Equivalence contract: when `score` is deterministic and t0's
+    * state was produced by the same `score`, the result is
+    * bit-identical to scoring t1 from scratch — the incremental
+    * oracle pins exactly that.
+    */
+  def incrementalScores(state: DataFrame, next: DataFrame)
+                       (score: DataFrame => DataFrame): DataFrame = {
+    require(Seq("doc_id", "content_hash").forall(state.columns.contains),
+      "incrementalScores: state must carry (doc_id, content_hash) — " +
+        "persist the prior release's scores with their content hashes")
+    val nh = next.withColumn("content_hash", md5(col("text")))
+    val carried = nh.select(col("doc_id"), col("content_hash"))
+      .join(state, Seq("doc_id", "content_hash"))
+    val toScore = nh
+      .join(carried.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val rescored = score(toScore.drop("content_hash"))
+      .join(toScore.select(col("doc_id"), col("content_hash")), Seq("doc_id"))
+    carried.withColumn("scored_in", lit("carried"))
+      .unionByName(rescored.select(carried.columns.map(col): _*)
+        .withColumn("scored_in", lit("rescored")))
+  }
+
   def releaseDiff(prev: DataFrame, next: DataFrame): DataFrame = {
     def hashed(df: DataFrame, as: String): DataFrame =
       df.select(col("doc_id"), md5(col("text")).as(as))

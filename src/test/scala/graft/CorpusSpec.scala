@@ -496,4 +496,32 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("importanceLogRatios"))
   }
+
+  test("incrementalScores: unchanged docs carry their STATE row (never re-scored), changed/added re-score, removed drop") {
+    val prev = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "ee ff"))
+      .toDF("doc_id", "text")
+    // state scored by fn1 = token count
+    val state = prev.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("score"))
+      .join(prev.select(col("doc_id"), md5(col("text")).as("content_hash")),
+        Seq("doc_id"))
+    // t1: doc 1 unchanged, doc 2 revised, doc 3 removed, doc 4 added
+    val next = Seq((1L, "aa bb"), (2L, "cc dd revised"), (4L, "gg"))
+      .toDF("doc_id", "text")
+    // fn2 deliberately DIFFERS from fn1 (chars, not tokens): a carried
+    // row keeping its fn1 value is behavioral proof nothing re-scored
+    val out = Corpus.incrementalScores(state, next)(df =>
+        df.select(col("doc_id"), length(col("text")).cast("long").as("score")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("score"), r.getAs[String]("scored_in")))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L), "removed doc 3 must drop")
+    assert(out(1L) === ((2L, "carried")), "unchanged doc keeps its fn1 score")
+    assert(out(2L) === ((13L, "rescored")), "revised doc gets the fn2 score")
+    assert(out(4L) === ((2L, "rescored")), "added doc gets the fn2 score")
+    // a state without content hashes refuses
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.incrementalScores(state.drop("content_hash"), next)(identity)
+    }
+    assert(e2.getMessage.contains("content_hash"))
+  }
 }
