@@ -347,6 +347,30 @@ object Sketches {
       .filter(col("rank") <= k)
   }
 
+  /** Merge grouped KMV sketch frames per key: each key's merged sketch
+    * is the bottom-k of the union of its hash lists — BIT-IDENTICAL to
+    * [[kmvBuildBy]] over the concatenated item stream (the KMV merge
+    * law, per key). Like all KMV algebra the merge is IDEMPOTENT (a
+    * re-merged sketch changes nothing), so persisted per-source
+    * sketches fold new corpus in release after release without ever
+    * rescanning old data — the overlap audit ([[kmvOverlapMatrix]])
+    * stays a sketch-algebra read at every release. Keys present in
+    * only one input keep their sketch unchanged.
+    */
+  def kmvMergeBy(k: Int, parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "kmvMergeBy: at least one sketch frame")
+    parts.foreach(p => require(Seq("key", "h").forall(p.columns.contains),
+      "kmvMergeBy: not a grouped KMV sketch — need (key, h) as built " +
+        "by kmvBuildBy"))
+    parts.foreach(requireStamp(_, "kmvMergeBy input", Seq("k" -> k)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("h"))
+    parts.map(_.select(col("key"), col("h"))).reduce(_.unionByName(_))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** ALL-PAIRS overlap estimates from [[kmvBuildBy]] sketches — the
     * source-to-source duplication audit a curation team reads before
     * weighting a mixture: for every key pair (s1 < s2), the

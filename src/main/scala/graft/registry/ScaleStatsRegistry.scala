@@ -157,6 +157,30 @@ private[graft] object ScaleStatsRegistry {
         .orderBy("s1", "s2")
     }),
 
+    "stats_overlap_incremental" -> ((s, d) => {
+      // the source-overlap audit maintained INCREMENTALLY (round 12
+      // cont.): per-source sketches built on the prior corpus half and
+      // PERSISTED; the delta's sketches fold in by the per-key KMV
+      // merge law (bottom-k of the union — idempotent, old data never
+      // rescanned); the matrix read off the merged state must equal
+      // stats_source_overlap's full-corpus oracle bit for bit.
+      val docs = Tables.documents(s, d)
+      def sketchOf(cohort: org.apache.spark.sql.DataFrame) = {
+        val sh = Dedup.shingles(cohort, w = 3)
+          .join(cohort.select(col("doc_id"), col("source")), Seq("doc_id"))
+        ext.Sketches.kmvBuildBy(sh, "source", "sh", k = 256)
+      }
+      val tmp = TempDirs.create("graft-ovinc-").toString
+      sketchOf(docs.filter(col("doc_id") % 2 === 0))
+        .write.parquet(s"$tmp/sketches")
+      val merged = ext.Sketches.kmvMergeBy(256,
+        s.read.parquet(s"$tmp/sketches"),
+        sketchOf(docs.filter(col("doc_id") % 2 =!= 0)))
+      detachAndClean(
+        ext.Sketches.kmvOverlapMatrix(merged, k = 256).orderBy("s1", "s2"),
+        tmp)
+    }),
+
     "stats_kmv_setops" -> ((s, d) => {
       // KMV SET ALGEBRA — the estimator the sketch family exists for
       // beyond single-set counting: |A∪B|, Jaccard and |A∩B| of the
@@ -733,6 +757,58 @@ private[graft] object ScaleStatsRegistry {
     }),
   )
 
+  // per-source bottom-256 sketches, then the kmv_setops estimators per
+  // source pair — same exact-integer + IEEE-division algebra, hence
+  // bit-matchable across all 190 pairs. Shared by stats_source_overlap
+  // and stats_overlap_incremental (the per-key merge law makes the
+  // incrementally-maintained matrix identical).
+  private lazy val sourceOverlapSql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+        |  FROM d, unnest(generate_series(1, len(l)-2)) AS u(i)
+        |  WHERE len(l) >= 3
+        |), hs AS (
+        |  SELECT DISTINCT source, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h
+        |  FROM sh
+        |), sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |           row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+        |    FROM hs)
+        |  WHERE rnk <= 256
+        |), ks AS (SELECT DISTINCT source FROM sk),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2
+        |  FROM ks a, ks b WHERE a.source < b.source
+        |), f AS (
+        |  SELECT p.s1, p.s2, x.h,
+        |         max(CASE WHEN x.source = p.s1 THEN 1 ELSE 0 END) AS in_a,
+        |         max(CASE WHEN x.source = p.s2 THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN sk x ON x.source IN (p.s1, p.s2)
+        |  GROUP BY 1, 2, 3
+        |), u AS (
+        |  SELECT * FROM (
+        |    SELECT f.*, row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rnk
+        |    FROM f)
+        |  WHERE rnk <= 256
+        |), agg AS (
+        |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_union_sketch,
+        |         max(h) AS h_k,
+        |         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_common
+        |  FROM u GROUP BY 1, 2
+        |), est AS (
+        |  SELECT s1, s2, n_union_sketch, h_k, n_common,
+        |    CASE WHEN n_union_sketch < 256 THEN CAST(n_union_sketch AS DOUBLE)
+        |         ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END AS union_est,
+        |    CAST(n_common AS DOUBLE) / CAST(n_union_sketch AS DOUBLE) AS jaccard
+        |  FROM agg
+        |)
+        |SELECT s1, s2, n_union_sketch, h_k, n_common, union_est, jaccard,
+        |       jaccard * union_est AS inter_est
+        |FROM est ORDER BY s1, s2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "scale_zorder_key" ->
       """SELECT event_id,
@@ -883,55 +959,12 @@ private[graft] object ScaleStatsRegistry {
         |      - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) < 0.15 AS err_ok
         |FROM agg, ex""".stripMargin,
 
-    "stats_source_overlap" ->
-      // per-source bottom-256 sketches, then the kmv_setops estimators
-      // per source pair — same exact-integer + IEEE-division algebra,
-      // hence bit-matchable across all 190 pairs.
-      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, source, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
-        |  FROM d, unnest(generate_series(1, len(l)-2)) AS u(i)
-        |  WHERE len(l) >= 3
-        |), hs AS (
-        |  SELECT DISTINCT source, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h
-        |  FROM sh
-        |), sk AS (
-        |  SELECT source, h FROM (
-        |    SELECT source, h,
-        |           row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
-        |    FROM hs)
-        |  WHERE rnk <= 256
-        |), ks AS (SELECT DISTINCT source FROM sk),
-        |pairs AS (
-        |  SELECT a.source AS s1, b.source AS s2
-        |  FROM ks a, ks b WHERE a.source < b.source
-        |), f AS (
-        |  SELECT p.s1, p.s2, x.h,
-        |         max(CASE WHEN x.source = p.s1 THEN 1 ELSE 0 END) AS in_a,
-        |         max(CASE WHEN x.source = p.s2 THEN 1 ELSE 0 END) AS in_b
-        |  FROM pairs p JOIN sk x ON x.source IN (p.s1, p.s2)
-        |  GROUP BY 1, 2, 3
-        |), u AS (
-        |  SELECT * FROM (
-        |    SELECT f.*, row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rnk
-        |    FROM f)
-        |  WHERE rnk <= 256
-        |), agg AS (
-        |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_union_sketch,
-        |         max(h) AS h_k,
-        |         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
-        |              AS BIGINT) AS n_common
-        |  FROM u GROUP BY 1, 2
-        |), est AS (
-        |  SELECT s1, s2, n_union_sketch, h_k, n_common,
-        |    CASE WHEN n_union_sketch < 256 THEN CAST(n_union_sketch AS DOUBLE)
-        |         ELSE 255.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END AS union_est,
-        |    CAST(n_common AS DOUBLE) / CAST(n_union_sketch AS DOUBLE) AS jaccard
-        |  FROM agg
-        |)
-        |SELECT s1, s2, n_union_sketch, h_k, n_common, union_est, jaccard,
-        |       jaccard * union_est AS inter_est
-        |FROM est ORDER BY s1, s2""".stripMargin,
+    "stats_source_overlap" -> sourceOverlapSql,
+
+    // the per-key KMV merge law makes the incrementally-maintained
+    // matrix equal the full-corpus one bit for bit — SAME oracle.
+    "stats_overlap_incremental" -> sourceOverlapSql,
+
 
     "stats_kmv_setops" ->
       // the union sketch is the bottom-256 of (ska ∪ skb); the in-both

@@ -196,4 +196,58 @@ class PropertiesSpec extends AnyFunSuite {
       assert(gated.count() === df.distinct().count())
     }
   }
+
+  test("property: subtractCounts == rebuild-on-survivors for arbitrary corpora and cohorts") {
+    import spark.implicits._
+    import graft.ext.Classifier
+    val docGen = for {
+      n <- Gen.choose(3, 20)
+      rows <- Gen.listOfN(n, for {
+        toks <- Gen.nonEmptyListOf(Gen.oneOf("a", "b", "cc", "dd", "e"))
+        lang <- Gen.oneOf("en", "es", "zh")
+      } yield (toks.mkString(" "), lang))
+    } yield rows.zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+    samples(docGen, 12).foreach { rows =>
+      val docs = rows.toDF("doc_id", "text", "lang")
+      val removed = docs.filter(col("doc_id") % 3 === 0)
+      val survivors = docs.filter(col("doc_id") % 3 =!= 0)
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val sub = Classifier.nbCountsSubtract(
+        Classifier.nbCountsBuild(docs, buckets = 16),
+        Classifier.nbCountsBuild(removed, buckets = 16))
+      assert(m(sub) === m(Classifier.nbCountsBuild(survivors, buckets = 16)),
+        s"subtract != rebuild for corpus $rows")
+    }
+  }
+
+  test("property: per-key KMV merge == grouped build over the union, and is idempotent") {
+    import spark.implicits._
+    import graft.ext.Sketches
+    val gen = for {
+      n <- Gen.choose(4, 30)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.oneOf("s0", "s1", "s2")
+        item <- Gen.choose(0, 40).map("item" + _)
+      } yield (key, item))
+    } yield rows
+    samples(gen, 12).foreach { rows =>
+      val df = rows.toDF("key", "item")
+      val a = df.filter(col("item") < "item2")
+      val b = df.filter(col("item") >= "item2")
+      def m(s: org.apache.spark.sql.DataFrame) =
+        s.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val whole = Sketches.kmvBuildBy(df, "key", "item", k = 8)
+      val merged = Sketches.kmvMergeBy(8,
+        Sketches.kmvBuildBy(a, "key", "item", k = 8),
+        Sketches.kmvBuildBy(b, "key", "item", k = 8))
+      assert(m(merged.select(col("key"), col("rank"), col("h")))
+        === m(whole.select(col("key"), col("rank"), col("h"))),
+        s"merge != build-on-union for $rows")
+      val again = Sketches.kmvMergeBy(8, merged, whole)
+      assert(m(again.select(col("key"), col("rank"), col("h")))
+        === m(whole.select(col("key"), col("rank"), col("h"))),
+        "KMV merge must be idempotent")
+    }
+  }
 }
