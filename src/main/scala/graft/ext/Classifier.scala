@@ -75,6 +75,9 @@ object Classifier {
     * [[DocCountBucket]] row per label holding its document count.
     * Unlabeled rows (NULL label) are excluded — they are what the
     * trained classifier will label. ADDITIVE under [[nbCountsMerge]].
+    * The hash geometry rides as a constant `buckets` stamp column
+    * ([[Stamp]]'s discipline) so persisted state can never be derived
+    * from or combined under a different geometry silently.
     */
   def nbCountsBuild(docs: DataFrame, labelCol: String = "lang",
                     buckets: Int = 1024): DataFrame = {
@@ -89,17 +92,22 @@ object Classifier {
       .select(col("label"), lit(DocCountBucket).as("bucket"), col("c"))
     feat.select(col("label"), col("bucket"), col("c"))
       .unionByName(docCounts)
+      .withColumn("buckets", lit(buckets))
   }
 
   /** Additive merge of two [[nbCountsBuild]] frames. NOT idempotent —
     * stream maintenance pairs it with the batch-id insert-if-absent
-    * fold discipline.
+    * fold discipline. Stamped inputs must agree on geometry; the
+    * common stamp rides through to the output.
     */
   def nbCountsMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val stamp = Stamp.agreeing(Seq(a, b), "nbCountsMerge", "buckets")
     val cols = Seq("label", "bucket", "c").map(col)
-    a.select(cols: _*).unionByName(b.select(cols: _*))
-      .groupBy(col("label"), col("bucket"))
-      .agg(sum(col("c")).as("c"))
+    Stamp.restamp(
+      a.select(cols: _*).unionByName(b.select(cols: _*))
+        .groupBy(col("label"), col("bucket"))
+        .agg(sum(col("c")).as("c")),
+      "buckets", stamp)
   }
 
   /** Right-to-be-forgotten for the classifier: subtract a removed
@@ -109,10 +117,15 @@ object Classifier {
     * from the model exactly as a rebuild would omit it). Refuses a
     * cohort the state never folded in (negative-count validation).
     */
-  def nbCountsSubtract(state: DataFrame, removed: DataFrame): DataFrame =
-    graft.operators.ScaleOps.subtractCounts(state, removed,
-      keys = Seq("label", "bucket"), counts = Seq("c"),
-      what = "nbCountsSubtract")
+  def nbCountsSubtract(state: DataFrame, removed: DataFrame): DataFrame = {
+    val stamp = Stamp.agreeing(Seq(state, removed), "nbCountsSubtract",
+      "buckets")
+    Stamp.restamp(
+      graft.operators.ScaleOps.subtractCounts(state, removed,
+        keys = Seq("label", "bucket"), counts = Seq("c"),
+        what = "nbCountsSubtract"),
+      "buckets", stamp)
+  }
 
   /** DENSE fixed-point model from accumulated counts: one row per
     * `(label, bucket)` for every bucket in [0, buckets) —
@@ -129,6 +142,7 @@ object Classifier {
     require(Seq("label", "bucket", "c").forall(counts.columns.contains),
       "nbModelFromCounts: not an NB count state — need (label, bucket, c) " +
         "as built by nbCountsBuild")
+    Stamp.requireMatch(counts, "nbModelFromCounts", "buckets", buckets)
     val spark = counts.sparkSession
     // bounded by labels×(buckets+1): materialize ONCE so the totals,
     // the dense grid and the priors all read the same blocks
@@ -151,7 +165,10 @@ object Classifier {
     val prior = docs.select(col("label"), lit(DocCountBucket).as("bucket"),
       round(log(col("n_docs").cast("double") / lit(nTotal.toDouble)) *
         lit(1000), 0).cast("long").as("lp_fp"))
-    lp.unionByName(prior)
+    // the model carries the geometry stamp forward: nbClassify hashes
+    // features with ITS buckets parameter, and a model applied under a
+    // different geometry scores silently wrong
+    lp.unionByName(prior).withColumn("buckets", lit(buckets))
   }
 
   /** One-call batch train: counts → dense fixed-point model. */
@@ -172,7 +189,9 @@ object Classifier {
     require(Seq("label", "bucket", "lp_fp").forall(model.columns.contains),
       "nbClassify: not an NB model — need (label, bucket, lp_fp) as " +
         "built by nbModelFromCounts")
+    Stamp.requireMatch(model, "nbClassify", "buckets", buckets)
     val feat = model.filter(col("bucket") =!= DocCountBucket)
+      .select(col("label"), col("bucket"), col("lp_fp"))
     val prior = model.filter(col("bucket") === DocCountBucket)
       .select(col("label"), col("lp_fp").as("prior_fp"))
     val perLabel = hashedFeatureCounts(docs, buckets)

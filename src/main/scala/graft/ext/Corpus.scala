@@ -799,16 +799,21 @@ object Corpus {
       .groupBy(col("bucket"))
       .agg(count(when(col("_is_target"), lit(1))).as("ct"),
         count(lit(1)).as("cr"))
+      .withColumn("buckets", lit(buckets))
 
   /** Additive merge of two [[importanceCountsBuild]] frames. NOT
     * idempotent — stream maintenance pairs it with batch-id
-    * insert-if-absent, the additive-fold discipline.
+    * insert-if-absent, the additive-fold discipline. Stamped inputs
+    * must agree on geometry; the common stamp rides to the output.
     */
   def importanceCountsMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val stamp = Stamp.agreeing(Seq(a, b), "importanceCountsMerge", "buckets")
     val cols = Seq("bucket", "ct", "cr").map(col)
-    a.select(cols: _*).unionByName(b.select(cols: _*))
-      .groupBy(col("bucket"))
-      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+    Stamp.restamp(
+      a.select(cols: _*).unionByName(b.select(cols: _*))
+        .groupBy(col("bucket"))
+        .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr")),
+      "buckets", stamp)
   }
 
   /** Right-to-be-forgotten for the importance estimator: subtract a
@@ -820,10 +825,15 @@ object Corpus {
     * with the SAME target predicate it was folded under.
     */
   def importanceCountsSubtract(state: DataFrame,
-                               removed: DataFrame): DataFrame =
-    graft.operators.ScaleOps.subtractCounts(state, removed,
-      keys = Seq("bucket"), counts = Seq("ct", "cr"),
-      what = "importanceCountsSubtract")
+                               removed: DataFrame): DataFrame = {
+    val stamp = Stamp.agreeing(Seq(state, removed),
+      "importanceCountsSubtract", "buckets")
+    Stamp.restamp(
+      graft.operators.ScaleOps.subtractCounts(state, removed,
+        keys = Seq("bucket"), counts = Seq("ct", "cr"),
+        what = "importanceCountsSubtract"),
+      "buckets", stamp)
+  }
 
   /** The smoothed fixed-point ratio table from accumulated
     * [[importanceCountsBuild]] counts — bit-identical to
@@ -835,6 +845,8 @@ object Corpus {
     require(Seq("bucket", "ct", "cr").forall(counts.columns.contains),
       "importanceRatiosFromCounts: not a DSIR count state — need " +
         "(bucket, ct, cr) as built by importanceCountsBuild")
+    Stamp.requireMatch(counts, "importanceRatiosFromCounts", "buckets",
+      buckets)
     ratiosFromCounts(counts.select(col("bucket"), col("ct"), col("cr")),
       buckets)
   }
@@ -860,10 +872,14 @@ object Corpus {
       lit(nt.toDouble + buckets)
     val pR = (coalesce(col("cr"), lit(0L)).cast("double") + lit(1.0)) /
       lit(nr.toDouble + buckets)
+    // the ratio table carries the geometry stamp forward:
+    // importanceWeights hashes features with ITS buckets parameter,
+    // and a table applied under a different geometry skews silently
     spark.range(buckets).select(col("id").cast("int").as("bucket"))
       .join(counts, Seq("bucket"), "left")
       .select(col("bucket"),
         round((log(pT) - log(pR)) * lit(1000), 0).cast("long").as("lr_fp"))
+      .withColumn("buckets", lit(buckets))
   }
 
   /** Per-document DSIR importance weights: each document's hashed
@@ -886,8 +902,10 @@ object Corpus {
     require(Seq("bucket", "lr_fp").forall(ratios.columns.contains),
       "importanceWeights: not a ratio table — need (bucket, lr_fp) as " +
         "built by importanceLogRatios")
+    Stamp.requireMatch(ratios, "importanceWeights", "buckets", buckets)
     val per = hashedNgramFeatures(docs, buckets)
-      .join(broadcast(ratios), Seq("bucket"))
+      .join(broadcast(ratios.select(col("bucket"), col("lr_fp"))),
+        Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lr_fp")).as("sum_w_fp"))
     docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
@@ -932,7 +950,10 @@ object Corpus {
     * never re-read, let alone re-scored — phase B touches t1's scan
     * and the state table only), the rest flow through `score`. Rows
     * for removed documents drop. The emitted `scored_in` column
-    * ('carried' / 'rescored') makes the split oracle-checkable.
+    * ('carried' / 'rescored') makes the split oracle-checkable; it is
+    * an audit column of THIS maintenance pass, so a prior release's
+    * `scored_in` in `state` is dropped on entry — the emitted table
+    * chains release-over-release as the next call's state verbatim.
     *
     * Equivalence contract: when `score` is deterministic and t0's
     * state was produced by the same `score`, the result is
@@ -944,9 +965,10 @@ object Corpus {
     require(Seq("doc_id", "content_hash").forall(state.columns.contains),
       "incrementalScores: state must carry (doc_id, content_hash) — " +
         "persist the prior release's scores with their content hashes")
+    val st = state.drop("scored_in")
     val nh = next.withColumn("content_hash", md5(col("text")))
     val carried = nh.select(col("doc_id"), col("content_hash"))
-      .join(state, Seq("doc_id", "content_hash"))
+      .join(st, Seq("doc_id", "content_hash"))
     val toScore = nh
       .join(carried.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val rescored = score(toScore.drop("content_hash"))

@@ -684,9 +684,13 @@ private[graft] object StreamRegistry {
       val q = graft.streaming.Streams.nbMaintainPipeline(
         stateSized(s), sch, src, s"$tmp/state", s"$tmp/ck")
       q.awaitTermination()
+      // the geometry stamp rides through the GDPR rewrite as a key
+      // column: constant-valued, so the join is unaffected — and a
+      // cohort built under a different geometry would land on disjoint
+      // keys and be refused by the negative-count validation
       graft.streaming.Streams.forgetFromMaintained(s, s"$tmp/state",
         ext.Classifier.nbCountsBuild(docs.filter(col("doc_id") % 10 === 3)),
-        keys = Seq("label", "bucket"), counts = Seq("c"),
+        keys = Seq("label", "bucket", "buckets"), counts = Seq("c"),
         opName = "stream_nb_forget")
       val model = ext.Classifier.nbModelFromCounts(
         graft.operators.ScaleOps.readMaintained(s, s"$tmp/state",

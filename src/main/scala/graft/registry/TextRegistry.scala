@@ -127,7 +127,11 @@ private[graft] object TextRegistry {
       // and fixed-point logs only, so the full dense model (5 labels ×
       // 1024 buckets + 5 prior sentinel rows) is bit-reproducible by
       // the oracle. Train is one corpus pass to a bounded count state.
+      // the model's constant geometry-stamp column (buckets) is an
+      // internal validation rider, not part of the published model —
+      // the oracle emits the dense table alone
       graft.ext.Classifier.nbTrain(Tables.documents(s, d))
+        .select(col("label"), col("bucket"), col("lp_fp"))
         .orderBy("label", "bucket")),
 
     "text_nb_classify" -> ((s, d) => {
@@ -288,7 +292,7 @@ private[graft] object TextRegistry {
         |  FROM pairs p
         |  LEFT JOIN big b ON b.lang = p.lang AND b.w1 = p.w1 AND b.w2 = p.w2
         |  LEFT JOIN ctx c ON c.lang = p.lang AND c.w1 = p.w1
-        |  JOIN v ON v.lang = p.lang
+        |  LEFT JOIN v ON v.lang = p.lang
         |), per AS (
         |  SELECT doc_id, count(*) AS n_pairs, sum(lp_fp) AS sum_lp_fp
         |  FROM scored GROUP BY 1

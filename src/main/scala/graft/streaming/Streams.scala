@@ -489,14 +489,21 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.ext.Corpus
+        // the state flows into the merge WITH its geometry stamp (the
+        // merge validates it against this run's buckets and re-stamps),
+        // and stateCols keeps the stamp in the persisted state — a
+        // restart under a different buckets fails loudly instead of
+        // silently folding counts from two hash spaces together
         additiveFold(batch.sparkSession, stateDir, checkpointDir, batchId,
           opName = "dsirMaintain",
           build = Corpus.importanceCountsBuild(batch.toDF(), targetPred,
             buckets),
-          merge = st => Corpus.importanceCountsMerge(
-            st.select(col("bucket"), col("ct"), col("cr")),
+          merge = st => Corpus.importanceCountsMerge(st,
             Corpus.importanceCountsBuild(batch.toDF(), targetPred, buckets)),
-          stateCols = df => df.select(col("bucket"), col("ct"), col("cr")))
+          stateCols = df => df.select(
+            (Seq("bucket", "ct", "cr") ++
+              (if (df.columns.contains("buckets")) Seq("buckets") else Nil))
+              .map(col): _*))
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -527,13 +534,17 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.ext.Classifier
+        // stamp handling mirrors dsirMaintain: geometry validated at
+        // every fold, persisted with the state
         additiveFold(batch.sparkSession, stateDir, checkpointDir, batchId,
           opName = "nbMaintain",
           build = Classifier.nbCountsBuild(batch.toDF(), labelCol, buckets),
-          merge = st => Classifier.nbCountsMerge(
-            st.select(col("label"), col("bucket"), col("c")),
+          merge = st => Classifier.nbCountsMerge(st,
             Classifier.nbCountsBuild(batch.toDF(), labelCol, buckets)),
-          stateCols = df => df.select(col("label"), col("bucket"), col("c")))
+          stateCols = df => df.select(
+            (Seq("label", "bucket", "c") ++
+              (if (df.columns.contains("buckets")) Seq("buckets") else Nil))
+              .map(col): _*))
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -643,8 +654,12 @@ object Streams {
         // absent) where the batch-0 replay would be refused as
         // foreign state even though a same-content overwrite is safe.
         // Marker-then-crash replays fine: root exists, marker matches.
+        // No explicit mkdirs(root): fs.create already creates parent
+        // directories, so the root only comes into existence TOGETHER
+        // with the marker — a crash between a separate mkdirs and the
+        // marker create would leave a rootless-marker state that the
+        // batch-0 replay permanently refuses as foreign.
         if (!fs.exists(marker)) {
-          fs.mkdirs(root)
           val out = fs.create(marker, false)
           try out.write(lin.getBytes("UTF-8")) finally out.close()
         }
@@ -707,6 +722,36 @@ object Streams {
       .groupBy(col("kind"), col("w1"), col("w2"))
       .agg(sum(col("c")).as("c"))
 
+  /** Hidden stamp inside a compacted `batch_id=` partition recording
+    * the SMALLEST original batch id folded into it (the largest is the
+    * partition's own id). Dot-prefixed → invisible to parquet
+    * discovery; travels atomically with the partition's rename.
+    */
+  private val FoldedRangeFile = ".folded_range"
+
+  /** (smallest folded id, partition id) for a delta-log partition —
+    * `(id, id)` for a never-compacted partition.
+    */
+  private def foldedRange(fs: org.apache.hadoop.fs.FileSystem,
+                          part: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val id = part.getName.stripPrefix("batch_id=").toLong
+    val rf = new org.apache.hadoop.fs.Path(part, FoldedRangeFile)
+    if (!fs.exists(rf)) (id, id)
+    else {
+      val in = fs.open(rf)
+      val mn = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong finally in.close()
+      (mn, id)
+    }
+  }
+
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                             path: org.apache.hadoop.fs.Path,
+                             content: String): Unit = {
+    val out = fs.create(path, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Fold a QUIESCED [[lmMaintainPipeline]] delta-log down to a single
     * partition so read cost stays bounded as batches accumulate. The
     * aggregate is staged OUTSIDE the state root, the old partitions are
@@ -716,6 +761,17 @@ object Streams {
     * the last uncommitted batch, which by the quiesce precondition does
     * not exist), and the next live fold appends past it. The lineage
     * marker rides through untouched.
+    *
+    * Compaction COARSENS expiry granularity: the folded partition's
+    * counts can no longer be dropped batch-by-batch. So the partition
+    * is stamped with the RANGE of original batch ids it folded (a
+    * hidden `.folded_range` file riding inside the partition dir —
+    * atomic with the rename that publishes it), and
+    * [[lmExpireBatchesBelow]] REFUSES any expiry whose boundary falls
+    * strictly inside a folded range rather than silently retaining
+    * pre-compaction history. Run retention-critical expiry BEFORE
+    * compacting, or compact only batches old enough to age out
+    * together.
     */
   def lmCompactState(spark: SparkSession, stateDir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
@@ -742,8 +798,16 @@ object Streams {
       case Some(p) =>
         // a complete staged aggregate from a crashed prior attempt:
         // finish its transaction. (Incomplete stagings are stray
-        // partial writes — superseded and removed.)
+        // partial writes — superseded and removed.) A complete staging
+        // without a range stamp (crash between the parquet write and
+        // the stamp, or a pre-stamp writer) gets the CONSERVATIVE
+        // stamp min=0: batch ids start at 0, so [0, maxId] always
+        // contains the true folded range, and expiry errs toward
+        // refusal, never toward silent inexactness.
         prior.filterNot(_ == p).foreach(fs.delete(_, true))
+        if (!fs.exists(new org.apache.hadoop.fs.Path(p, FoldedRangeFile)))
+          writeSmallFile(fs,
+            new org.apache.hadoop.fs.Path(p, FoldedRangeFile), "0")
         (p, p.getName.stripPrefix(root.getName + ".compacting-").toLong)
       case None =>
         prior.foreach(fs.delete(_, true))
@@ -752,8 +816,14 @@ object Streams {
           s"lmCompactState: no folded batches in $stateDir")
         if (live.length == 1) return // already compact
         val id = live.map(_.getName.stripPrefix("batch_id=").toLong).max
+        // the new folded range spans everything being folded — including
+        // the range a PREVIOUSLY compacted partition already folded
+        val minFolded = live.map(p => foldedRange(fs, p)._1).min
         val staged = s"$stateDir.compacting-$id"
         lmReadCounts(spark, stateDir).write.mode("overwrite").parquet(staged)
+        writeSmallFile(fs,
+          new org.apache.hadoop.fs.Path(staged, FoldedRangeFile),
+          minFolded.toString)
         (new org.apache.hadoop.fs.Path(staged), id)
     }
     // delete ONLY ids ≤ the staged aggregate's max: the stream may have
@@ -785,6 +855,16 @@ object Streams {
     * expire the whole log: an empty state cannot carry V and every
     * score would silently go NULL — retire the model explicitly
     * instead. Run quiesced (between stream runs), like compaction.
+    *
+    * Interaction with [[lmCompactState]]: a compacted partition holds
+    * EVERY folded batch's counts under one id, so "drop batches below
+    * minKeepId" is only exact when the boundary does not split a
+    * folded range. The compaction stamp makes that checkable — an
+    * expiry whose `minKeepId` falls strictly inside a partition's
+    * folded range REFUSES (silently proceeding would retain every
+    * pre-compaction batch the caller asked to drop). A boundary at or
+    * below the range's start keeps the partition whole; a boundary
+    * above its id drops it whole — both exact.
     */
   def lmExpireBatchesBelow(spark: SparkSession, stateDir: String,
                            minKeepId: Long): Unit = {
@@ -798,6 +878,16 @@ object Streams {
       .foreach(t => fs.delete(t.getPath, true))
     val parts = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("batch_id="))
+    parts.foreach { p =>
+      val (mn, id) = foldedRange(fs, p)
+      require(minKeepId <= mn || minKeepId > id,
+        s"lmExpireBatchesBelow: minKeepId=$minKeepId falls inside " +
+          s"batch_id=$id's compacted range [$mn, $id] — compaction " +
+          "folded those batches' counts together, so this expiry can " +
+          s"only be exact at a boundary <= $mn (keep the whole " +
+          s"partition) or > $id (drop it whole); rebuild the state " +
+          "from the retained corpus to expire at finer granularity")
+    }
     val (expire, keep) = parts.partition(
       _.getName.stripPrefix("batch_id=").toLong < minKeepId)
     require(keep.nonEmpty,

@@ -120,4 +120,56 @@ class ClassifierSpec extends AnyFunSuite {
       df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
     assert(m(viaFold) === m(viaBatch))
   }
+
+  test("bucket-geometry stamp: derive/classify/merge under a different buckets refuses loudly") {
+    val docs = Seq((1L, "alpha beta", "en"), (2L, "uno dos", "es"))
+      .toDF("doc_id", "text", "lang")
+    val counts = Classifier.nbCountsBuild(docs, buckets = B)
+    // deriving the model with a smaller geometry would silently drop
+    // bucket >= buckets rows from the dense grid while still inflating
+    // the smoothing totals — the stamp turns that into a loud refusal
+    val e1 = intercept[IllegalArgumentException] {
+      Classifier.nbModelFromCounts(counts, buckets = B / 2)
+    }
+    assert(e1.getMessage.contains("geometry mismatch"))
+    // classifying with a different geometry hashes features into the
+    // wrong space
+    val model = Classifier.nbModelFromCounts(counts, B)
+    val e2 = intercept[IllegalArgumentException] {
+      Classifier.nbClassify(docs, model, buckets = B * 2)
+    }
+    assert(e2.getMessage.contains("geometry mismatch"))
+    // merging/subtracting counts from two hash spaces is meaningless
+    val e3 = intercept[IllegalArgumentException] {
+      Classifier.nbCountsMerge(counts,
+        Classifier.nbCountsBuild(docs, buckets = B * 2))
+    }
+    assert(e3.getMessage.contains("different buckets geometries"))
+    val e4 = intercept[IllegalArgumentException] {
+      Classifier.nbCountsSubtract(counts,
+        Classifier.nbCountsBuild(docs, buckets = B * 2))
+    }
+    assert(e4.getMessage.contains("different buckets geometries"))
+    // an unstamped (hand-assembled) frame still derives under any
+    // geometry — the stamp gates persisted state, not ad-hoc frames
+    val handRolled = counts.drop("buckets")
+    assert(Classifier.nbModelFromCounts(handRolled, B).count() > 0)
+    // DSIR side: same discipline on the importance-count state
+    val pred = col("lang") === "en"
+    val iCounts = Corpus.importanceCountsBuild(docs, pred, buckets = B)
+    val e5 = intercept[IllegalArgumentException] {
+      Corpus.importanceRatiosFromCounts(iCounts, buckets = B / 2)
+    }
+    assert(e5.getMessage.contains("geometry mismatch"))
+    val e6 = intercept[IllegalArgumentException] {
+      Corpus.importanceWeights(docs,
+        Corpus.importanceRatiosFromCounts(iCounts, B), buckets = B * 2)
+    }
+    assert(e6.getMessage.contains("geometry mismatch"))
+    val e7 = intercept[IllegalArgumentException] {
+      Corpus.importanceCountsMerge(iCounts,
+        Corpus.importanceCountsBuild(docs, pred, buckets = B * 2))
+    }
+    assert(e7.getMessage.contains("different buckets geometries"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Corpus
@@ -523,5 +524,31 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.incrementalScores(state.drop("content_hash"), next)(identity)
     }
     assert(e2.getMessage.contains("content_hash"))
+  }
+
+  test("incrementalScores chains release-over-release: t1's OUTPUT is t2's state verbatim") {
+    val score = (df: DataFrame) =>
+      df.select(col("doc_id"), length(col("text")).cast("long").as("score"))
+    val t0 = Seq((1L, "aa bb"), (2L, "cc")).toDF("doc_id", "text")
+    val t1 = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "ee")).toDF("doc_id", "text")
+    val t2 = Seq((1L, "aa bb"), (3L, "ee"), (4L, "ff gg hh"))
+      .toDF("doc_id", "text")
+    val s0 = score(t0)
+      .join(t0.select(col("doc_id"), md5(col("text")).as("content_hash")),
+        Seq("doc_id"))
+    // the emitted table — scored_in audit column and all — IS the next
+    // release's state; before the fix the carried scored_in column made
+    // the second call's union fail on a column the re-score never emits
+    val s1 = Corpus.incrementalScores(s0, t1)(score)
+    val out = Corpus.incrementalScores(s1, t2)(score)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("score"), r.getAs[String]("scored_in")))).toMap
+    assert(out.keySet === Set(1L, 3L, 4L))
+    assert(out(1L)._2 === "carried", "doc 1 unchanged since t0: carried again")
+    assert(out(3L)._2 === "carried", "doc 3 unchanged since t1: carried")
+    assert(out(4L) === ((8L, "rescored")), "doc 4 is new in t2")
+    // the chained result equals scoring t2 from scratch
+    assert(out.view.mapValues(_._1).toMap ===
+      score(t2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 }

@@ -777,7 +777,8 @@ class StreamingSpec extends AnyFunSuite {
     Streams.forgetFromMaintained(spark, state,
       Classifier.nbCountsBuild(Seq((2L, "b c", "es")).toDF("doc_id", "text", "lang"),
         buckets = 64),
-      keys = Seq("label", "bucket"), counts = Seq("c"), opName = "test")
+      keys = Seq("label", "bucket", "buckets"), counts = Seq("c"),
+      opName = "test")
     val survivors = Seq((1L, "a b a", "en"), (3L, "a b b", "en"))
       .toDF("doc_id", "text", "lang")
     assert(asMap(counts()) === asMap(Classifier.nbCountsBuild(survivors, buckets = 64)))
@@ -840,5 +841,58 @@ class StreamingSpec extends AnyFunSuite {
       Streams.lmExpireBatchesBelow(spark, state, minKeepId = 99)
     }
     assert(e.getMessage.contains("would empty"))
+  }
+
+  test("lm-expire after lm-compact: boundary inside the folded range refuses; at or past its edges stays exact") {
+    import graft.ext.TextAnalysis
+    val base = java.nio.file.Files.createTempDirectory("graft_lmxc").toString
+    val state = s"$base/state"
+    def logWrite(id: Long, rows: (Long, String)*) =
+      TextAnalysis.lmCountsBuild(rows.toDF("doc_id", "text"))
+        .write.parquet(s"$state/batch_id=$id")
+    logWrite(0L, 1L -> "a b a")
+    logWrite(1L, 2L -> "b c")
+    logWrite(2L, 3L -> "c d c")
+    java.nio.file.Files.write(
+      new java.io.File(state, "_lineage").toPath, "tok".getBytes)
+    def asMap(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def model() = TextAnalysis.lmModelFromCounts(
+      Streams.lmReadCounts(spark, state))
+    // compact 0..2 into batch_id=2 (folded range [0, 2]), then append 3
+    Streams.lmCompactState(spark, state)
+    logWrite(3L, 4L -> "d e")
+    // a boundary strictly inside the folded range can't be honored:
+    // batches 0 and 1's counts live only inside the folded partition —
+    // silently keeping them would retain what the caller asked to drop
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.lmExpireBatchesBelow(spark, state, minKeepId = 1)
+    }
+    assert(e2.getMessage.contains("compacted range"))
+    val e3 = intercept[IllegalArgumentException] {
+      Streams.lmExpireBatchesBelow(spark, state, minKeepId = 2)
+    }
+    assert(e3.getMessage.contains("compacted range"))
+    // at the range's start: partition kept whole — exact no-op
+    Streams.lmExpireBatchesBelow(spark, state, minKeepId = 0)
+    assert(asMap(model()) === asMap(TextAnalysis.bigramLmTrain(
+      Seq(1L -> "a b a", 2L -> "b c", 3L -> "c d c", 4L -> "d e")
+        .toDF("doc_id", "text"))))
+    // a second compaction folds the previously-compacted partition: the
+    // new stamp must span the OLD range's minimum (chained through the
+    // stamp, not the old partition's id) — boundaries inside still
+    // refuse. Folds {batch_id=2 (range [0,2]), batch_id=3} → range [0,3].
+    Streams.lmCompactState(spark, state)
+    val e4 = intercept[IllegalArgumentException] {
+      Streams.lmExpireBatchesBelow(spark, state, minKeepId = 3)
+    }
+    assert(e4.getMessage.contains("compacted range"))
+    // past the folded id: the compacted partition drops WHOLE — exact
+    logWrite(4L, 5L -> "e f")
+    Streams.lmExpireBatchesBelow(spark, state, minKeepId = 4)
+    assert(asMap(model()) === asMap(TextAnalysis.bigramLmTrain(
+      Seq(5L -> "e f").toDF("doc_id", "text"))),
+      "dropping the whole folded partition must equal training on the rest")
   }
 }

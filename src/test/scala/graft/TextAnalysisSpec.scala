@@ -203,16 +203,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("de", "a", "b") -> ((1L, 1L, 2L))))
     // scoring "a b" under each model: en p=(2+1)/(2+3)=0.6 → −511;
     // de p=(1+1)/(1+2)=2/3 → −405. A pooled model could give neither.
-    val probe = Seq((10L, "en", "a b"), (11L, "de", "a b"),
-      (12L, "fr", "a b")).toDF("doc_id", "lang", "text")
+    val probe = Seq((10L, Some("en"), "a b"), (11L, Some("de"), "a b"),
+      (12L, Some("fr"), "a b"), (13L, None, "a b"))
+      .toDF("doc_id", "lang", "text")
     val got = TextAnalysis.lmScoreBigramBy(probe, model).orderBy("doc_id")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getString(1)), r.getLong(2),
         r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
     assert(got.toSeq === Seq(
-      (10L, "en", 1L, -511L, Some(-0.511)),
-      (11L, "de", 1L, -405L, Some(-0.405)),
-      // fr has no model: V is unknowable, so the doc scores NULL
-      (12L, "fr", 1L, 0L, None)))
+      (10L, Some("en"), 1L, -511L, Some(-0.511)),
+      (11L, Some("de"), 1L, -405L, Some(-0.405)),
+      // fr has no model: V is unknowable, so the doc scores NULL —
+      // with its TRUE n_pairs reported (the DuckDB oracle left-joins V
+      // to match exactly this: n_pairs counts the pairs that exist,
+      // avg_lp certifies only what the model can score)
+      (12L, Some("fr"), 1L, 0L, None),
+      // NULL key: same unknown-model semantics (a NULL lang matches no
+      // model row under equi-join), pinned so the oracle's LEFT JOIN v
+      // and this path can never drift apart on n_pairs
+      (13L, None, 1L, 0L, None)))
   }
 
   test("lm buckets: thresholds classify, unscorable docs land in tail, bad thresholds refuse") {
