@@ -1236,6 +1236,121 @@ object Dedup {
     rebuildWithoutPositions(positionalTokens(docs), cover)
   }
 
+  /** VARIABLE-LENGTH maximal repeated spans — the detection half of
+    * suffix-array-style exact-substring dedup (Lee et al. 2021's
+    * "deduplicating training data" removes maximal repeated substrings
+    * of >= L tokens; [[repeatedSpans]] is its fixed-w cousin): every
+    * token position covered by ANY cross-corpus duplicated w-window is
+    * marked, contiguous marked runs merge into MAXIMAL spans (position-
+    * level interval union — overlapping AND adjacent windows fuse, so a
+    * 40-token repeat shows as ONE span, not 33 windows), and only spans
+    * of covered length >= minLen survive. With w <= minLen this is a
+    * complete detector for repeated substrings of length >= minLen:
+    * every w-window inside such a substring is itself duplicated, so
+    * the whole substring is covered by one run. (It can also fuse two
+    * distinct repeats that touch — the standard window-granularity
+    * over-approximation, shared with the oracle bit-for-bit.)
+    *
+    * Emits one row per qualifying span: `(doc_id, span_start,
+    * span_end, span_len)`, positions 1-based token indices.
+    *
+    * Scale shape: no doc×doc term. Duplicated-window detection is the
+    * [[repeatedSpans]] groupBy on the 128-bit [[winKey]]; coverage
+    * explodes w fixed-width rows per duplicated occurrence (linear in
+    * duplicated volume, never corpus text); the run-union is one
+    * per-document window function over covered positions (documents
+    * are individually bounded, so partitions are too).
+    */
+  def maximalRepeatedSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
+                           minLen: Int = 12): DataFrame = {
+    require(minLen >= w,
+      s"maximalRepeatedSpans: minLen ($minLen) must be >= the window " +
+        s"width ($w) — a shorter threshold cannot bind (every detected " +
+        "span covers at least one full window)")
+    val pos = positionalShingles(docs, w).persist()
+    try {
+      val win = hashedWindows(pos)
+      val dup = win.groupBy(col("h1"), col("h2"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select(col("h1"), col("h2"))
+      spansFromCover(coveredPositions(win.join(dup, Seq("h1", "h2")), w),
+        minLen)
+        .localCheckpoint(eager = true)
+    } finally pos.unpersist(blocking = false)
+  }
+
+  /** The rewrite half of variable-length exact-substring dedup: cut
+    * every maximal duplicated span of >= minLen covered tokens from
+    * all but the window-level canonical occurrences, and emit the
+    * rewritten corpus `(doc_id, n_tokens, n_dropped, clean_text)` for
+    * EVERY input document. Canonical retention is
+    * [[removeCrossDocSpans]]'s (each duplicated window survives in its
+    * min-doc_id holder), with the length threshold layered on top: a
+    * non-canonical covered region SHORTER than minLen is left intact —
+    * short shared phrases are language, long shared runs are
+    * boilerplate. Same tokenizer/rebuild contract as the fixed-w form
+    * ([[positionalTokens]] + [[rebuildWithoutPositions]]); same
+    * staging discipline (`stagingDir` for the warehouse path,
+    * localCheckpoint for dev).
+    */
+  def removeMaximalSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
+                         minLen: Int = 12,
+                         stagingDir: Option[String] = None): DataFrame = {
+    require(minLen >= w,
+      s"removeMaximalSpans: minLen ($minLen) must be >= the window " +
+        s"width ($w)")
+    val pos = positionalShingles(docs, w).persist()
+    try {
+      val win = hashedWindows(pos)
+      val dup = win.groupBy(col("h1"), col("h2"))
+        .agg(min(col("doc_id")).as("canon"),
+          countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select(col("h1"), col("h2"), col("canon"))
+      val cover = coveredPositions(
+        win.join(dup, Seq("h1", "h2"))
+          .filter(col("doc_id") =!= col("canon")), w)
+      // qualifying spans re-explode to their positions: contiguous by
+      // construction, so sequence(start, end) IS the run
+      val cut = spansFromCover(cover, minLen)
+        .select(col("doc_id"),
+          explode(sequence(col("span_start"), col("span_end"))).as("q"))
+      val out = rebuildWithoutPositions(positionalTokens(docs), cut)
+      stagingDir match {
+        case Some(dir) =>
+          out.write.mode("overwrite").parquet(dir)
+          docs.sparkSession.read.parquet(dir)
+        case None => out.localCheckpoint(eager = true)
+      }
+    } finally pos.unpersist(blocking = false)
+  }
+
+  /** Distinct token positions covered by the given window occurrences:
+    * `(doc_id, q)`, w rows per occurrence before the distinct.
+    */
+  private def coveredPositions(occ: DataFrame, w: Int): DataFrame =
+    occ.select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(w - 1))).as("q"))
+      .distinct()
+
+  /** Contiguous runs of covered positions, as spans of length >=
+    * minLen: the classic gap-group (position minus rank is constant
+    * within a contiguous run) over each document's covered set.
+    */
+  private def spansFromCover(cover: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number()
+      .over(Window.partitionBy(col("doc_id")).orderBy(col("q")))
+    cover.withColumn("grp", col("q") - rn)
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("q")).as("span_start"), max(col("q")).as("span_end"),
+        count(lit(1)).as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_len"))
+  }
+
   /** Positional tokens: (doc_id, p, tok) with p 1-based — the
     * token-level companion of [[positionalShingles]], same tokenizer
     * contract (single-space split, trailing empties kept).

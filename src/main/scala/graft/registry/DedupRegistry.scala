@@ -54,6 +54,29 @@ private[graft] object DedupRegistry {
       Dedup.repeatedSpans(Tables.documents(s, d), w = 8, minDocs = 2)
         .orderBy("doc_id")),
 
+    "dedup_maximal_spans" -> ((s, d) =>
+      // VARIABLE-LENGTH exact-substring detection (round 13): maximal
+      // contiguous runs of cross-corpus duplicated 8-token windows,
+      // kept only when the run covers >= 12 tokens — the suffix-array
+      // "remove repeated substrings >= L" semantics at window
+      // granularity. One row per qualifying span with its exact token
+      // interval; the fixed-w family (dedup_repeated_spans) counts
+      // coverage, this one LOCALIZES it at variable length.
+      Dedup.maximalRepeatedSpans(Tables.documents(s, d), w = 8,
+          minDocs = 2, minLen = 12)
+        .orderBy("doc_id", "span_start")),
+
+    "dedup_maximal_span_removal" -> ((s, d) =>
+      // the REWRITE half at variable length: only non-canonical covered
+      // runs of >= 12 tokens are cut — short shared phrases survive,
+      // long boilerplate is excised. Warehouse form: hash-keyed joins,
+      // staged output.
+      Dedup.removeMaximalSpans(Tables.documents(s, d), w = 8, minDocs = 2,
+          minLen = 12,
+          stagingDir = Some(TempDirs.create("graft-maxspan-rewrite-")
+            .toString + "/out"))
+        .orderBy("doc_id")),
+
     "dedup_span_removal" -> ((s, d) =>
       // the REWRITE half of exact-substring dedup (round 11): cut every
       // cross-corpus duplicated 8-token span from all but its canonical
@@ -346,6 +369,73 @@ private[graft] object DedupRegistry {
         |       p.dup_windows, p.dup_spans, p.covered_tokens
         |FROM rper p JOIN documents d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // variable-length form: positions covered by any duplicated window
+    // union into contiguous runs (gap-group: q − rank constant within a
+    // run), and only runs covering >= 12 tokens qualify.
+    "dedup_maximal_spans" ->
+      """WITH mtoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), mpos AS (
+        |  SELECT doc_id, u.i AS s, array_to_string(t[u.i:u.i+7], ' ') AS sh
+        |  FROM mtoks, UNNEST(range(1, len(t)-8+2)) AS u(i)
+        |), mdup AS (
+        |  SELECT sh FROM mpos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+        |), mcover AS (
+        |  SELECT DISTINCT p.doc_id, p.s + o.off AS q
+        |  FROM mpos p JOIN mdup USING (sh), UNNEST(range(0, 8)) AS o(off)
+        |), mrun AS (
+        |  SELECT doc_id, q,
+        |         q - row_number() OVER (PARTITION BY doc_id ORDER BY q) AS grp
+        |  FROM mcover
+        |), mspan AS (
+        |  SELECT doc_id, min(q) AS span_start, max(q) AS span_end,
+        |         count(*) AS span_len
+        |  FROM mrun GROUP BY doc_id, grp
+        |)
+        |SELECT doc_id, span_start, span_end, CAST(span_len AS BIGINT) AS span_len
+        |FROM mspan WHERE span_len >= 12
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // removal at variable length: only non-canonical covered runs of
+    // >= 12 tokens cut; rebuild mirrors dedup_span_removal.
+    "dedup_maximal_span_removal" ->
+      """WITH vtoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), vtok AS (
+        |  SELECT doc_id, u.i AS p, t[u.i] AS tok
+        |  FROM vtoks, UNNEST(range(1, len(t)+1)) AS u(i)
+        |), vwins AS (
+        |  SELECT doc_id, u.i AS p, array_to_string(t[u.i:u.i+7], ' ') AS w
+        |  FROM vtoks, UNNEST(range(1, greatest(len(t)-8+2, 1))) AS u(i)
+        |), vdup AS (
+        |  SELECT w, min(doc_id) AS canon FROM vwins
+        |  GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+        |), vcover AS (
+        |  SELECT DISTINCT wi.doc_id, wi.p + o.off AS q
+        |  FROM vwins wi JOIN vdup d ON wi.w = d.w AND wi.doc_id <> d.canon,
+        |       UNNEST(range(0, 8)) AS o(off)
+        |), vrun AS (
+        |  SELECT doc_id, q,
+        |         q - row_number() OVER (PARTITION BY doc_id ORDER BY q) AS grp
+        |  FROM vcover
+        |), vqual AS (
+        |  SELECT doc_id, grp FROM vrun GROUP BY doc_id, grp
+        |  HAVING count(*) >= 12
+        |), vcut AS (
+        |  SELECT r.doc_id, r.q FROM vrun r JOIN vqual s
+        |    ON r.doc_id = s.doc_id AND r.grp = s.grp
+        |), vmarked AS (
+        |  SELECT vtok.doc_id, vtok.p, vtok.tok, vcut.q IS NOT NULL AS dropped
+        |  FROM vtok LEFT JOIN vcut
+        |    ON vtok.doc_id = vcut.doc_id AND vtok.p = vcut.q
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       count(*) FILTER (WHERE dropped) AS n_dropped,
+        |       coalesce(array_to_string(
+        |         list(tok ORDER BY p) FILTER (WHERE NOT dropped), ' '), '')
+        |         AS clean_text
+        |FROM vmarked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same tokenizer/window contract as dedup_repeated_spans; the
     // canonical occurrence (min doc_id per window text) keeps its

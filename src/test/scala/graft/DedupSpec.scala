@@ -304,6 +304,79 @@ class DedupSpec extends AnyFunSuite {
       s"span candidates must come from an equi-join:\n$plan")
   }
 
+  test("maximal spans: variable-length detection — threshold binds, adjacent coverage fuses") {
+    // a 14-token shared run: windows at 7 consecutive starts, fusing
+    // into ONE maximal span of exactly the run's extent in each holder
+    val docs = Seq(
+      (50L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 u1 u2"),
+      (51L, "z1 a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 z2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maximalRepeatedSpans(docs, w = 8, minDocs = 2,
+        minLen = 12).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(50L -> ((1L, 14L, 14L)), 51L -> ((2L, 15L, 14L))))
+    // a 10-token shared run covers only 10 positions — below minLen=12
+    // it must NOT surface, even though the fixed-w family reports it
+    val short = Seq(
+      (60L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 uq1 uq2 uq3"),
+      (61L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 oth1 oth2")
+    ).toDF("doc_id", "text")
+    assert(Dedup.maximalRepeatedSpans(short, w = 8, minDocs = 2,
+      minLen = 12).count() === 0L)
+    // ADJACENT coverage from different partners fuses into one span:
+    // doc 70's first 8 tokens are shared with 71, its next 8 with 72 —
+    // no single window crosses the seam, but the covered positions are
+    // contiguous, so doc 70 reports ONE 16-token span; the partners'
+    // own 8-token covers stay below the threshold
+    val adj = Seq(
+      (70L, "A1 A2 A3 A4 A5 A6 A7 A8 B1 B2 B3 B4 B5 B6 B7 B8"),
+      (71L, "A1 A2 A3 A4 A5 A6 A7 A8 only71"),
+      (72L, "pre72 B1 B2 B3 B4 B5 B6 B7 B8")
+    ).toDF("doc_id", "text")
+    val adjOut = Dedup.maximalRepeatedSpans(adj, w = 8, minDocs = 2,
+        minLen = 12).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(adjOut === Map(70L -> ((1L, 16L, 16L))))
+    // a threshold the window width cannot certify refuses
+    val e = intercept[IllegalArgumentException] {
+      Dedup.maximalRepeatedSpans(docs, w = 8, minDocs = 2, minLen = 5)
+    }
+    assert(e.getMessage.contains("must be >="))
+  }
+
+  test("maximal span removal: long runs cut from non-canonical holders, short shared phrases survive") {
+    val docs = Seq(
+      (10L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 u1 u2"),
+      (11L, "z1 a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 z2"),
+      // an 8-token shared block: the fixed-w remover would cut it from
+      // doc 21, but at minLen=12 it is language, not boilerplate
+      (20L, "p1 p2 p3 p4 p5 p6 p7 p8 tail20"),
+      (21L, "head21 p1 p2 p3 p4 p5 p6 p7 p8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeMaximalSpans(docs, w = 8, minDocs = 2, minLen = 12)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(10L) === ((16L, 0L,
+      "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 u1 u2")),
+      "canonical holder keeps the run")
+    assert(out(11L) === ((16L, 14L, "z1 z2")),
+      "non-canonical 14-token run is cut whole")
+    assert(out(20L) === ((9L, 0L, "p1 p2 p3 p4 p5 p6 p7 p8 tail20")))
+    assert(out(21L) === ((9L, 0L, "head21 p1 p2 p3 p4 p5 p6 p7 p8")),
+      "8-token shared phrase is below the threshold — survives")
+    // staged-write form lands parquet and matches
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-maxspan-staged-").toString + "/out"
+    val staged = Dedup.removeMaximalSpans(docs, w = 8, minDocs = 2,
+        minLen = 12, stagingDir = Some(dir)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(staged === out)
+  }
+
   test("span removal: canonical doc keeps its text, others lose merged spans") {
     val docs = Seq(
       (10L, "a b c d e f g h i j u1 u2 u3"),
