@@ -227,6 +227,76 @@ object VectorIndex {
     graft.operators.ScaleOps.compact(spark, s"$dir/codes", targetBytes)
   }
 
+  /** RE-CENTERING — the quantizer-maintenance pass a long-lived
+    * appended index eventually needs: [[append]] encodes deltas against
+    * the FROZEN build-time quantizers, so as the appended distribution
+    * drifts the cell histogram skews (hot cells balloon, probes miss)
+    * and nprobe recall decays. This op RE-TRAINS both quantizers over
+    * the CURRENTLY INDEXED vectors (centroids by the same deterministic
+    * convention [[build]] uses — or an explicit, e.g. k-means-refined,
+    * table via `centroids` — and PQ codebooks re-sampled from the
+    * indexed set), re-assigns and re-encodes every vector, and promotes
+    * the result ATOMICALLY as a whole: the four tables change
+    * COHERENTLY or not at all, because a mixed-generation read (new
+    * centroids, old cells) would probe wrong buckets with no layout
+    * mismatch to catch it. Bit-identical to [[build]] run fresh on the
+    * indexed vectors — the oracle's contract.
+    *
+    * Promotion discipline: the new index is built COMPLETELY into a
+    * staging directory next to the root (`<dir>.recentering`, marked
+    * `_complete` only after all four tables land), then swapped in via
+    * the two-rename [[graft.operators.ScaleOps.RenameSwap]] shape.
+    * Crash anywhere resumes: an unmarked staging is a stray partial
+    * build (superseded, rebuilt); a marked staging finishes its swap; a
+    * root missing mid-swap is restored from `.previous` or completed
+    * from the staging. Writers must be QUIESCED (the compaction
+    * contract): the indexed file set is snapshotted before the
+    * re-cluster and the promote REFUSES if it changed — an append
+    * racing the rebuild would otherwise vanish silently.
+    */
+  def recenter(spark: SparkSession, dir: String,
+               centroids: Option[DataFrame] = None): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(dir + ".recentering")
+    val marker = new org.apache.hadoop.fs.Path(staged, "_complete")
+    val prev = new org.apache.hadoop.fs.Path(dir + ".previous")
+    def finishSwap(): Unit = {
+      if (fs.exists(root)) {
+        if (fs.exists(prev)) fs.delete(prev, true)
+        require(fs.rename(root, prev),
+          s"recenter: cannot move $root aside")
+      }
+      require(fs.rename(staged, root),
+        s"recenter: cannot promote $staged over $root" +
+          (if (fs.exists(prev)) s" — data is intact at $prev" else ""))
+      fs.delete(prev, true)
+    }
+    if (fs.exists(marker)) { finishSwap(); return } // crashed mid-swap
+    if (fs.exists(staged)) fs.delete(staged, true)  // stray partial build
+    if (!fs.exists(root) && fs.exists(prev))
+      // crashed between the swap's renames with no marked staging left:
+      // the original is whole in .previous — restore it
+      require(fs.rename(prev, root), s"recenter: cannot restore $root")
+    val (_, l) = centroidsOf(spark, dir)
+    def fileSet() = spark.read.parquet(s"$dir/cells")
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    val before = fileSet()
+    val emb = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("embedding"))
+    val cent = centroids.getOrElse(
+      emb.orderBy(col("vec_id")).limit(l.numCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
+    buildWith(emb, staged.toString, cent, l.numCells, l.m, l.numCodes, l.dim)
+    require(fileSet() == before,
+      s"recenter: $dir changed during the re-cluster — writers must be " +
+        "quiesced (the staged rebuild would silently drop their appends)")
+    val out = fs.create(marker, false)
+    try out.write("recentered".getBytes("UTF-8")) finally out.close()
+    finishSwap()
+  }
+
   /** FLAT search of the persisted index: probe the frozen centroids,
     * read ONLY the probed cells' raw vectors (partition pruning on the
     * bucketed cells table), exact-cosine re-rank — IVF-Flat, the

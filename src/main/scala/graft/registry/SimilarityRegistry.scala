@@ -362,6 +362,73 @@ private[graft] object SimilarityRegistry {
         .orderBy("qid", "rnk")
     }),
 
+    "sim_index_recenter" -> ((s, d) => {
+      // quantizer MAINTENANCE (round 13): build over ¾ of the corpus,
+      // append the drifted ¼ against the frozen quantizers, then
+      // RE-CENTER — retrain centroids and codebooks over the indexed
+      // set, re-bucket every vector, atomic whole-index swap. The
+      // oracle is a FRESH full-corpus build's search (sim_topk_ivf's
+      // exact SQL): pass ⟺ recenter == rebuild, bit for bit. The ids
+      // 3/7/11/15 land in the first-16 seeding only after the append,
+      // so the pre-recenter index provably differs — the in-query
+      // require pins that the centroid set actually changed.
+      val emb = Tables.embeddings(s, d)
+      val tmp = TempDirs.create("graft-idx-recenter-").toString
+      val dir = s"$tmp/index"
+      ext.VectorIndex.build(emb.filter(col("vec_id") % 4 =!= 3), dir)
+      ext.VectorIndex.append(s, dir, emb.filter(col("vec_id") % 4 === 3))
+      def centIds() = s.read.parquet(s"$dir/centroids")
+        .select(col("cell")).collect().map(_.getLong(0)).toSet
+      val before = centIds()
+      ext.VectorIndex.recenter(s, dir)
+      require(centIds() != before,
+        "recenter must retrain the centroids — the drifted append " +
+          "changes the deterministic seeding")
+      require(!new java.io.File(dir + ".recentering").exists &&
+          !new java.io.File(dir + ".previous").exists,
+        "recenter must clean up its staging and swap directories")
+      detachAndClean(
+        ext.VectorIndex.searchFlat(s, dir, emb.filter(col("vec_id") < 5),
+            k = 5)
+          .select(col("qid"), col("rank").cast("int").as("rnk"), col("cid"))
+          .orderBy("qid", "rnk"),
+        tmp)
+    }),
+
+    "sim_recall_drift" -> ((s, d) => {
+      // the NUMBER that says when to re-center: recall@5 against exact
+      // brute force, measured on the SAME index before and after
+      // re-centering a drifted append (the monitoring pair a vector
+      // store alarms on). Every leg is deterministic — the decayed
+      // stale recall and the recovered recentered recall are both
+      // reproducible, oracle-checked values, not vibes.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val tmp = TempDirs.create("graft-recall-drift-").toString
+      val dir = s"$tmp/index"
+      ext.VectorIndex.build(emb.filter(col("vec_id") % 4 =!= 3), dir)
+      ext.VectorIndex.append(s, dir, emb.filter(col("vec_id") % 4 === 3))
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("qid"), col("cid")).localCheckpoint(eager = true)
+      def recallLeg(leg: String): DataFrame = {
+        val hits = ext.VectorIndex.searchFlat(s, dir, q, k = 5)
+          .select(col("qid").as("aq"), col("cid").as("ac"))
+          .join(brute, col("aq") === col("qid") && col("ac") === col("cid"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        q.select(col("vec_id").as("qid")).join(hits, Seq("qid"), "left")
+          .select(lit(leg).as("leg"), col("qid"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0))
+              .as("recall"))
+          .localCheckpoint(eager = true) // before recenter mutates dir
+      }
+      val stale = recallLeg("1_stale")
+      ext.VectorIndex.recenter(s, dir)
+      detachAndClean(
+        stale.unionByName(recallLeg("2_recentered")).orderBy("leg", "qid"),
+        tmp)
+    }),
+
     "sim_index_compact" -> ((s, d) => {
       // index COMPACTION: two appends fragment the per-cell file layout
       // (one file per touched cell per batch); the staged compaction
@@ -402,6 +469,43 @@ private[graft] object SimilarityRegistry {
     * filtered read path differs from the plain one by exactly that
     * clause, in the oracle as in the engine.
     */
+  /** IVF-Flat search unroll (nprobe 4, top 5, queries vec_id < 5) with
+    * the build-convention centroids (first 16 by vec_id) drawn from the
+    * `centWhere`-filtered corpus, candidates always the FULL corpus —
+    * shared by sim_topk_ivf (fresh build), sim_index_recenter
+    * (recenter == rebuild) and sim_recall_drift's two quantizer
+    * generations. Yields (qid, cid, rnk) with rnk <= 5.
+    */
+  private def ivfSearchSql(centWhere: String): String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+       |  $centWhere
+       |  ORDER BY vec_id LIMIT 16
+       |), ca AS (
+       |  SELECT cid, ce, cell FROM (
+       |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+       |    FROM embeddings e CROSS JOIN cent c
+       |  ) WHERE crn <= 1
+       |), qp AS (
+       |  SELECT qid, qe, cell FROM (
+       |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
+       |    FROM embeddings e CROSS JOIN cent c
+       |    WHERE e.vec_id < 5
+       |  ) WHERE crn <= 4
+       |), scored AS (
+       |  SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
+       |  FROM qp q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid
+       |), r AS (
+       |  SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+       |  FROM scored
+       |)
+       |SELECT qid, cid, rnk FROM r WHERE rnk <= 5""".stripMargin
+
   private def refinedOracle(candFilterSql: String): String = {
       def dot(x: String, y: String) =
         s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
@@ -631,34 +735,49 @@ private[graft] object SimilarityRegistry {
     },
 
     "sim_topk_ivf" ->
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-         |  ORDER BY vec_id LIMIT 16
-         |), ca AS (
-         |  SELECT cid, ce, cell FROM (
-         |    SELECT e.vec_id AS cid, e.embedding AS ce, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c
-         |  ) WHERE crn <= 1
-         |), qp AS (
-         |  SELECT qid, qe, cell FROM (
-         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cent c
-         |    WHERE e.vec_id < 5
-         |  ) WHERE crn <= 4
-         |), scored AS (
-         |  SELECT q.qid, a.cid, ${cosineSql("q.qe", "a.ce")} AS sim
-         |  FROM qp q JOIN ca a ON a.cell = q.cell AND a.cid != q.qid
-         |), r AS (
-         |  SELECT qid, cid,
-         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
-         |  FROM scored
-         |)
-         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 5
+      s"""SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid
+         |FROM (${ivfSearchSql("")}) t
          |ORDER BY qid, rnk""".stripMargin,
+
+    // recenter == rebuild, bit for bit: the recentered index's search
+    // is EXACTLY a fresh full-corpus build's (the sim_topk_ivf unroll).
+    "sim_index_recenter" ->
+      s"""SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid
+         |FROM (${ivfSearchSql("")}) t
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // recall@5 against exact brute force, stale (centroids seeded from
+    // the pre-drift ¾ corpus) vs recentered (full-corpus seeding) — the
+    // candidate set is the full index in both legs, only the quantizer
+    // generation differs.
+    "sim_recall_drift" ->
+      s"""WITH b AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |    FROM (
+         |      SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |             ${cosineSql("q.embedding", "c.embedding")} AS sim
+         |      FROM embeddings q, embeddings c
+         |      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id))
+         |  WHERE rnk <= 5
+         |), s1 AS (SELECT qid, cid FROM (${ivfSearchSql("WHERE vec_id % 4 <> 3")}) t),
+         |s2 AS (SELECT qid, cid FROM (${ivfSearchSql("")}) t),
+         |h1 AS (SELECT b.qid, count(*) AS n_hit FROM b
+         |       JOIN s1 ON s1.qid = b.qid AND s1.cid = b.cid GROUP BY 1),
+         |h2 AS (SELECT b.qid, count(*) AS n_hit FROM b
+         |       JOIN s2 ON s2.qid = b.qid AND s2.cid = b.cid GROUP BY 1),
+         |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5)
+         |SELECT '1_stale' AS leg, q.qid,
+         |  CAST(COALESCE(h1.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(h1.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM qs q LEFT JOIN h1 USING (qid)
+         |UNION ALL
+         |SELECT '2_recentered' AS leg, q.qid,
+         |  CAST(COALESCE(h2.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(h2.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM qs q LEFT JOIN h2 USING (qid)
+         |ORDER BY leg, qid""".stripMargin,
 
     // sim_topk_ivf's cell-restricted shape (same frozen first-16
     // centroids as the index build), with the language predicate applied

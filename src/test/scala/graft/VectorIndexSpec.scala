@@ -334,4 +334,64 @@ class VectorIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("embedding length"))
   }
+
+  test("recenter after a drifted append == fresh build on the union; staging cleaned up") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = freshDir()
+    VectorIndex.build(emb.filter(col("vec_id") % 4 =!= 3), dir)
+    VectorIndex.append(spark, dir, emb.filter(col("vec_id") % 4 === 3))
+    VectorIndex.recenter(spark, dir)
+    val fresh = freshDir()
+    VectorIndex.build(emb, fresh)
+    // both search paths agree with the fresh build — centroids AND
+    // codebooks were retrained over the indexed set
+    assert(rows(VectorIndex.searchFlat(spark, dir, queries, k = 5)) ===
+      rows(VectorIndex.searchFlat(spark, fresh, queries, k = 5)))
+    assert(rows(VectorIndex.searchAdc(spark, dir, queries, k = 5)) ===
+      rows(VectorIndex.searchAdc(spark, fresh, queries, k = 5)))
+    assert(!new java.io.File(dir + ".recentering").exists &&
+      !new java.io.File(dir + ".previous").exists,
+      "recenter must remove its staging and swap directories")
+    // idempotent in content: recentering an already-centered index
+    // changes no answer
+    val before = rows(VectorIndex.searchFlat(spark, dir, queries, k = 5))
+    VectorIndex.recenter(spark, dir)
+    assert(rows(VectorIndex.searchFlat(spark, dir, queries, k = 5)) === before)
+  }
+
+  test("recenter crash windows: marked staging resumes the swap; unmarked staging is superseded") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = freshDir()
+    VectorIndex.build(emb.filter(col("vec_id") % 4 =!= 3), dir)
+    VectorIndex.append(spark, dir, emb.filter(col("vec_id") % 4 === 3))
+    val fresh = freshDir()
+    VectorIndex.build(emb, fresh)
+    val expect = rows(VectorIndex.searchFlat(spark, fresh, queries, k = 5))
+    // crash AFTER the staged build completed and was marked, BEFORE the
+    // swap: simulate by building the staging by hand (a fresh full
+    // build is bit-identical to what recenter stages) and marking it
+    val stagedDir = dir + ".recentering"
+    VectorIndex.build(
+      spark.read.parquet(s"$dir/cells").select(col("vec_id"), col("embedding")),
+      stagedDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stagedDir, "_complete"), "recentered".getBytes)
+    VectorIndex.recenter(spark, dir) // must FINISH the swap, not rebuild
+    assert(rows(VectorIndex.searchFlat(spark, dir, queries, k = 5)) === expect)
+    assert(!new java.io.File(stagedDir).exists)
+    // crash DURING the staged build (no _complete marker): the stray
+    // partial staging is deleted and the recenter runs fresh
+    val dir2 = freshDir()
+    VectorIndex.build(emb.filter(col("vec_id") % 4 =!= 3), dir2)
+    VectorIndex.append(spark, dir2, emb.filter(col("vec_id") % 4 === 3))
+    val staged2 = new java.io.File(dir2 + ".recentering")
+    java.nio.file.Files.createDirectories(staged2.toPath)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staged2.toString, "junk"), "partial".getBytes)
+    VectorIndex.recenter(spark, dir2)
+    assert(rows(VectorIndex.searchFlat(spark, dir2, queries, k = 5)) === expect)
+    assert(!staged2.exists)
+  }
 }
