@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The UNIFIED corpus admission ensemble — the front door's five
+  * independent gates (source exclusion, quality heuristics, bench-Bloom
+  * shingle decontamination, semantic embedding sweep, maintained-LM
+  * quality threshold, NB label gate) evaluated TOGETHER into one
+  * per-document decision record: which gate said what, with what score,
+  * and the single resulting keep/drop. This is the audit artifact a
+  * production curation stack ships with every release — "why was this
+  * document dropped" answered by a table, not by re-running five
+  * pipelines — and the calibration surface for tuning any one gate
+  * without guessing at the others' overlap.
+  *
+  * One definition, batch AND streaming: every verdict is a function of
+  * the document and FROZEN side artifacts (the Bloom bitmap, the
+  * persisted bench-signature state, the LM and NB models), never of
+  * other corpus documents — so evaluating micro-batches independently
+  * ([[graft.streaming.Streams.admissionPipeline]] runs this exact
+  * function per batch) produces bit-identical decisions to one batch
+  * pass. The gate definitions are SHARED with the standalone operators,
+  * not restated: quality is [[TextAnalysis.qualityPass]] (the
+  * `qualityGateDocs` predicate), contamination is the
+  * [[graft.streaming.Streams.corpusCleanStream]] shingle-fraction
+  * projection, semantic is [[Corpus.embeddingContaminatedIds]] (the
+  * release chain's sweep), LM is [[TextAnalysis.lmScoreBigram]] with
+  * the gate-threshold semantics of `lmGatePipeline` (unscorable
+  * rejects), NB is [[Classifier.nbClassify]] with an allowed-label set.
+  *
+  * Scale shape: three projections (source, quality, contamination —
+  * the Bloom probe is a bitmap column, no join), one banded
+  * broadcast-join sweep (bench state is eval-corpus-sized), and two
+  * broadcast-model scoring passes with one doc_id rollup each — the
+  * whole report is a constant number of corpus scans with
+  * broadcast-bounded joins, no doc-by-doc term anywhere.
+  */
+object Admission {
+
+  /** Semantic leg configuration: the embeddings side table, the
+    * PERSISTED bench-signature state ([[Corpus.benchSignatureTable]])
+    * and the cosine threshold — the
+    * [[graft.streaming.Streams.SemanticGate]] triple, importable from
+    * the ext layer.
+    */
+  final case class SemanticCfg(emb: DataFrame, benchState: DataFrame,
+                               threshold: Double, numPlanes: Int = 16,
+                               bandWidth: Int = 4, dim: Int = 64)
+
+  /** Gate names in decision order (the numeric prefix makes the long
+    * table sort into evaluation order).
+    */
+  val GateOrder: Seq[String] = Seq("1_source", "2_quality",
+    "3_contamination", "4_semantic", "5_lm", "6_nb", "7_decision")
+
+  /** Evaluate every gate on every document and emit the long-format
+    * decision table `(doc_id, gate, pass, score)` — one row per
+    * (document, gate) plus the `7_decision` row whose `pass` is the
+    * conjunction of all gates (the single keep/drop). Gates are
+    * INDEPENDENT verdicts: a document failing quality still carries
+    * its contamination/LM/NB verdicts, which is what makes the table
+    * an audit/calibration artifact rather than a filter trace. `score`
+    * is each gate's natural statistic (distinct-token ratio, bench
+    * shingle-hit fraction, avg log-prob, fixed-point NB score) and
+    * NULL where none exists; a gate that cannot certify a document
+    * (no LM pairs, unknown NB label space) REJECTS, the front door's
+    * convention.
+    */
+  def report(docs: DataFrame, benchSources: Seq[String],
+             shingleGate: Column => Column, contamThreshold: Double,
+             semantic: Option[SemanticCfg],
+             lmModel: DataFrame, minAvgLp: Double,
+             nbModel: DataFrame, allowedLabels: Seq[String],
+             nbBuckets: Int = 1024): DataFrame = {
+    require(allowedLabels.nonEmpty,
+      "admission report: empty allowed-label set would reject everything")
+    // contamination probe: corpusCleanStream's projection verbatim
+    // (5-shingles, distinct, Bloom might-contain fraction), guarded for
+    // sub-5-token docs the stream form never sees (its quality gate
+    // runs first; the report evaluates every gate on every doc)
+    val t = split(col("text"), " ", -1)
+    val shArr = when(size(t) >= 5,
+      array_distinct(transform(sequence(lit(0), size(t) - lit(5)),
+        i => array_join(slice(t, i + lit(1), lit(5)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val nTok = size(split(col("text"), " "))
+    val wide = docs.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("_src_pass", !col("source").isin(benchSources: _*))
+      .withColumn("_q_pass", TextAnalysis.qualityPass)
+      .withColumn("_q_score",
+        size(array_distinct(split(col("text"), " "))).cast("double") /
+          nTok.cast("double"))
+      .withColumn("_sh", shArr)
+      .withColumn("_n_sh", size(col("_sh")))
+      .withColumn("_n_hit", size(filter(col("_sh"), shingleGate)))
+      .withColumn("_c_pass", col("_n_sh") === 0 ||
+        col("_n_hit").cast("double") <
+          lit(contamThreshold) * col("_n_sh").cast("double"))
+      .withColumn("_c_score", when(col("_n_sh") > 0,
+        col("_n_hit").cast("double") / col("_n_sh").cast("double")))
+      .drop("_sh")
+    val withSem = semantic match {
+      case Some(g) =>
+        val flagged = Corpus.embeddingContaminatedIds(
+            docs.select(col("doc_id")), g.emb, g.benchState, g.threshold,
+            g.numPlanes, g.bandWidth, g.dim)
+          .withColumn("_sem_hit", lit(true))
+        wide.join(flagged, Seq("doc_id"), "left")
+          .withColumn("_sem_pass", coalesce(col("_sem_hit"), lit(false)) === false)
+          .drop("_sem_hit")
+      case None => wide.withColumn("_sem_pass", lit(true))
+    }
+    val lm = TextAnalysis.lmScoreBigram(docs, lmModel)
+      .select(col("doc_id"), col("avg_lp"))
+    val nb = Classifier.nbClassify(docs, nbModel, nbBuckets)
+      .select(col("doc_id"), col("pred_label"), col("score_fp"))
+    val full = withSem
+      .join(lm, Seq("doc_id"), "left")
+      .withColumn("_lm_pass",
+        col("avg_lp").isNotNull && col("avg_lp") >= lit(minAvgLp))
+      .join(nb, Seq("doc_id"), "left")
+      .withColumn("_nb_pass",
+        coalesce(col("pred_label").isin(allowedLabels: _*), lit(false)))
+    def rec(gate: String, pass: Column, score: Column) =
+      struct(lit(gate).as("gate"),
+        coalesce(pass, lit(false)).as("pass"),
+        score.cast("double").as("score"))
+    val keep = Seq("_src_pass", "_q_pass", "_c_pass", "_sem_pass",
+      "_lm_pass", "_nb_pass").map(c => coalesce(col(c), lit(false)))
+      .reduce(_ && _)
+    full.select(col("doc_id"), explode(array(
+        rec("1_source", col("_src_pass"), lit(null)),
+        rec("2_quality", col("_q_pass"), col("_q_score")),
+        rec("3_contamination", col("_c_pass"), col("_c_score")),
+        rec("4_semantic", col("_sem_pass"), lit(null)),
+        rec("5_lm", col("_lm_pass"), col("avg_lp")),
+        rec("6_nb", col("_nb_pass"), col("score_fp")),
+        rec("7_decision", keep, lit(null)))).as("r"))
+      .select(col("doc_id"), col("r.gate").as("gate"),
+        col("r.pass").as("pass"), col("r.score").as("score"))
+  }
+}

@@ -77,13 +77,21 @@ object TextAnalysis {
     * a STREAMING stage needs (no self-join back onto the stream, no
     * state; identical keep/drop set to the batch semi-join).
     */
-  def qualityGateDocs(docs: DataFrame): DataFrame = {
+  /** The quality gate's keep predicate over a `text` column — ONE
+    * definition shared by the batch filter ([[qualityGateDocs]]), the
+    * streaming front door and the admission report's quality verdict,
+    * so the three can never drift: >= 5 tokens, >= 1 stopword, and a
+    * distinct-token ratio of at least ¼ (the repetition screen).
+    */
+  val qualityPass: org.apache.spark.sql.Column = {
     val stopArr = array(qualityStopwords.map(lit): _*)
-    docs.filter(
-      size(toks) >= 5 &&
-        size(filter(toks, t => array_contains(stopArr, t))) >= 1 &&
-        size(array_distinct(toks)) * 4 >= size(toks))
+    size(toks) >= 5 &&
+      size(filter(toks, t => array_contains(stopArr, t))) >= 1 &&
+      size(array_distinct(toks)) * 4 >= size(toks)
   }
+
+  def qualityGateDocs(docs: DataFrame): DataFrame =
+    docs.filter(qualityPass)
 
   /** TF-IDF-style salient terms per document: tf = in-doc frequency,
     * idf = N/df (rational inverse document frequency — no logarithm, so

@@ -606,34 +606,42 @@ private[graft] object Shared {
     * CTE needs the `d.` alias).
     */
   def lmPerDocCteFor(idPred: String => String): String =
-    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    "WITH " + lmPerDocChain(idPred, "")
+
+  /** The chain's CTE definitions WITHOUT the leading `WITH`, every CTE
+    * name carrying `p` as a prefix — composable into a larger WITH
+    * block whose other chains (e.g. the NB one — both use `tk`/`scored`)
+    * would otherwise collide. `p = ""` is the standalone form.
+    */
+  def lmPerDocChain(idPred: String => String, p: String): String =
+    s"""${p}tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
       |            WHERE (${idPred("doc_id")})),
-      |pairs AS (
+      |${p}pairs AS (
       |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(l)-1),
       |      i -> {'w1': l[i], 'w2': l[i+1]})) AS s
-      |    FROM tk WHERE len(l) >= 2)
-      |), big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
-      |ctx AS (SELECT w1, sum(c2) AS c1 FROM big GROUP BY 1),
-      |v AS (SELECT count(DISTINCT t) AS v
+      |    FROM ${p}tk WHERE len(l) >= 2)
+      |), ${p}big AS (SELECT w1, w2, count(*) AS c2 FROM ${p}pairs GROUP BY 1, 2),
+      |${p}ctx AS (SELECT w1, sum(c2) AS c1 FROM ${p}big GROUP BY 1),
+      |${p}v AS (SELECT count(DISTINCT t) AS v
       |      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents
       |            WHERE (${idPred("doc_id")}))),
-      |scored AS (
-      |  SELECT p.doc_id,
+      |${p}scored AS (
+      |  SELECT pr.doc_id,
       |    CAST(round(ln((CAST(COALESCE(b.c2, 0) AS DOUBLE) + 1.0) /
       |                  (CAST(COALESCE(c.c1, 0) AS DOUBLE) + CAST(v.v AS DOUBLE)))
       |               * 1000) AS BIGINT) AS lp_fp
-      |  FROM pairs p LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
-      |  LEFT JOIN ctx c ON c.w1 = p.w1 CROSS JOIN v
-      |), per AS (
+      |  FROM ${p}pairs pr LEFT JOIN ${p}big b ON b.w1 = pr.w1 AND b.w2 = pr.w2
+      |  LEFT JOIN ${p}ctx c ON c.w1 = pr.w1 CROSS JOIN ${p}v v
+      |), ${p}per AS (
       |  SELECT doc_id, count(*) AS n_pairs, sum(lp_fp) AS sum_lp_fp
-      |  FROM scored GROUP BY 1
-      |), lm AS (
+      |  FROM ${p}scored GROUP BY 1
+      |), ${p}lm AS (
       |  SELECT d.doc_id, CAST(COALESCE(per.n_pairs, 0) AS BIGINT) AS n_pairs,
       |    CAST(COALESCE(per.sum_lp_fp, 0) AS BIGINT) AS sum_lp_fp,
       |    CASE WHEN per.n_pairs > 0 THEN CAST(per.sum_lp_fp AS DOUBLE) /
       |      (CAST(per.n_pairs AS DOUBLE) * 1000.0) END AS avg_lp
-      |  FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |  FROM documents d LEFT JOIN ${p}per per ON per.doc_id = d.doc_id
       |  WHERE (${idPred("d.doc_id")})
       |)""".stripMargin
 
@@ -665,55 +673,62 @@ private[graft] object Shared {
     * occurrence `hashed` stream (both carry doc_id and lang).
     */
   def nbCteFor(trainPred: String): String =
-    s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
-      |feats AS (
-      |  SELECT doc_id, lang, unnest(l) AS f FROM tk
+    "WITH " + nbChain(trainPred, "")
+
+  /** The NB chain's CTE definitions without the leading `WITH`,
+    * prefix-composable like [[lmPerDocChain]]; `p = ""` is the
+    * standalone form.
+    */
+  def nbChain(trainPred: String, p: String): String =
+    s"""${p}tk AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+      |${p}feats AS (
+      |  SELECT doc_id, lang, unnest(l) AS f FROM ${p}tk
       |  UNION ALL
       |  SELECT doc_id, lang,
       |    unnest(list_transform(generate_series(1, len(l)-1),
       |                          i -> l[i] || ' ' || l[i+1])) AS f
-      |  FROM tk WHERE len(l) >= 2
-      |), hashed AS (
+      |  FROM ${p}tk WHERE len(l) >= 2
+      |), ${p}hashed AS (
       |  SELECT doc_id, lang,
       |    CAST(CAST('0x' || substr(md5('nb|' || f), 1, 8) AS BIGINT)
       |         % 1024 AS INTEGER) AS bucket
-      |  FROM feats
-      |), docfeat AS (
-      |  SELECT doc_id, bucket, count(*) AS n FROM hashed GROUP BY 1, 2
-      |), cls AS (
+      |  FROM ${p}feats
+      |), ${p}docfeat AS (
+      |  SELECT doc_id, bucket, count(*) AS n FROM ${p}hashed GROUP BY 1, 2
+      |), ${p}cls AS (
       |  SELECT lang AS label, count(*) AS n_docs
       |  FROM documents WHERE lang IS NOT NULL AND ($trainPred) GROUP BY 1
-      |), tot AS (SELECT sum(n_docs) AS n FROM cls),
-      |fc AS (
+      |), ${p}tot AS (SELECT sum(n_docs) AS n FROM ${p}cls),
+      |${p}fc AS (
       |  SELECT lang AS label, bucket, count(*) AS c
-      |  FROM hashed WHERE lang IS NOT NULL AND ($trainPred) GROUP BY 1, 2
-      |), ft AS (SELECT label, sum(c) AS tot FROM fc GROUP BY 1),
-      |dense AS (
+      |  FROM ${p}hashed WHERE lang IS NOT NULL AND ($trainPred) GROUP BY 1, 2
+      |), ${p}ft AS (SELECT label, sum(c) AS tot FROM ${p}fc GROUP BY 1),
+      |${p}dense AS (
       |  SELECT cls.label, CAST(b.bucket AS INTEGER) AS bucket,
       |    CAST(round(ln((CAST(COALESCE(fc.c, 0) AS DOUBLE) + 1.0) /
       |                  (CAST(ft.tot AS DOUBLE) + 1024.0)) * 1000)
       |         AS BIGINT) AS lp_fp
-      |  FROM cls
+      |  FROM ${p}cls cls
       |  CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS bucket) b
-      |  JOIN ft ON ft.label = cls.label
-      |  LEFT JOIN fc ON fc.label = cls.label AND fc.bucket = b.bucket
-      |), prior AS (
+      |  JOIN ${p}ft ft ON ft.label = cls.label
+      |  LEFT JOIN ${p}fc fc ON fc.label = cls.label AND fc.bucket = b.bucket
+      |), ${p}prior AS (
       |  SELECT label,
       |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE))
       |               * 1000) AS BIGINT) AS lp_fp
-      |  FROM cls CROSS JOIN tot
-      |), scored AS (
+      |  FROM ${p}cls cls CROSS JOIN ${p}tot tot
+      |), ${p}scored AS (
       |  SELECT df.doc_id, m.label,
       |    CAST(sum(df.n) AS BIGINT) AS n_feats,
       |    CAST(sum(df.n * m.lp_fp) AS BIGINT) AS s
-      |  FROM docfeat df JOIN dense m ON m.bucket = df.bucket
+      |  FROM ${p}docfeat df JOIN ${p}dense m ON m.bucket = df.bucket
       |  GROUP BY 1, 2
-      |), fin AS (
+      |), ${p}fin AS (
       |  SELECT s.doc_id, s.label, s.n_feats,
-      |    CAST(s.s + p.lp_fp AS BIGINT) AS score_fp,
+      |    CAST(s.s + pri.lp_fp AS BIGINT) AS score_fp,
       |    row_number() OVER (PARTITION BY s.doc_id
-      |                       ORDER BY s.s + p.lp_fp DESC, s.label ASC) AS rn
-      |  FROM scored s JOIN prior p ON p.label = s.label
+      |                       ORDER BY s.s + pri.lp_fp DESC, s.label ASC) AS rn
+      |  FROM ${p}scored s JOIN ${p}prior pri ON pri.label = s.label
       |)""".stripMargin
 
   /** The NB classification SELECT both the batch and the streamed

@@ -712,6 +712,51 @@ object Streams {
       .start()
   }
 
+  /** STREAMING unified admission — the calibrated front door
+    * ([[graft.ext.Admission.report]]) run live: every micro-batch is
+    * evaluated against artifacts FROZEN at gate start (Bloom gate
+    * column, persisted bench-signature state, LM and NB models — all
+    * eagerly materialized once here, the [[lmGatePipeline]]
+    * discipline), and the batch's full per-document decision table
+    * lands in a per-batch sink directory. Because every verdict is a
+    * function of the document and the frozen artifacts alone, the
+    * union of the per-batch tables is BIT-IDENTICAL to one batch
+    * [[graft.ext.Admission.report]] over the concatenated feed — batch
+    * and streaming admission are one definition, which is the whole
+    * point: the audit table a release ships does not depend on how the
+    * corpus arrived. Replay safety is [[exactlyOnceSink]]'s: stateless
+    * per batch given the frozen artifacts, and a replayed batch
+    * overwrites its own `batch_id=` directory with identical content.
+    */
+  def admissionPipeline(spark: SparkSession, schema: StructType,
+                        srcDir: String, outDir: String,
+                        checkpointDir: String,
+                        benchSources: Seq[String],
+                        shingleGate: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                        contamThreshold: Double,
+                        semantic: Option[graft.ext.Admission.SemanticCfg],
+                        lmModel: DataFrame, minAvgLp: Double,
+                        nbModel: DataFrame, allowedLabels: Seq[String],
+                        nbBuckets: Int = 1024,
+                        maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val lmFrozen = lmModel.localCheckpoint(eager = true)
+    val nbFrozen = nbModel.localCheckpoint(eager = true)
+    val semFrozen = semantic.map(g =>
+      g.copy(benchState = g.benchState.localCheckpoint(eager = true)))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ext.Admission.report(batch.toDF(), benchSources, shingleGate,
+            contamThreshold, semFrozen, lmFrozen, minAvgLp, nbFrozen,
+            allowedLabels, nbBuckets)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Aggregate a [[lmMaintainPipeline]] delta-log into the flat
     * `(kind, w1, w2, c)` counts frame
     * [[graft.ext.TextAnalysis.lmModelFromCounts]] consumes: one
