@@ -104,16 +104,27 @@ object Dedup {
     * the exhaustive join; only the join volume shrinks (at 100 TB this is
     * the difference between a runnable job and an Σf² blow-up).
     */
-  def ngramJaccard(docs: DataFrame, w: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // materialized once, reused by ranking, sizing and verification
-    // (at warehouse scale: a staging table).
-    val tri = shingles(docs, w).persist()
-    // the pair result is tiny next to the shingle table: eagerly
-    // materialize it (lineage-truncating, so later actions never re-run
-    // the pipeline), then drop the shingle cache before returning.
-    try ngramJaccardOn(tri, threshold).localCheckpoint(eager = true)
-    finally tri.unpersist(blocking = false)
-  }
+  def ngramJaccard(docs: DataFrame, w: Int = 3, threshold: Double = 0.8,
+                   stagingDir: Option[String] = None): DataFrame =
+    stagingDir match {
+      case Some(dir) =>
+        // WAREHOUSE form: the corpus-sized shingle table lands as a
+        // staged parquet table that ranking, sizing and verification
+        // all read back — distributed storage, never executor block
+        // memory (the removeCrossDocSpans staging discipline). The
+        // pair result is tiny; eager materialization truncates lineage
+        // so later actions never re-run the pipeline.
+        shingles(docs, w).write.mode("overwrite").parquet(dir)
+        ngramJaccardOn(docs.sparkSession.read.parquet(dir), threshold)
+          .localCheckpoint(eager = true)
+      case None =>
+        // dev convenience: materialized once in executor block memory,
+        // reused by ranking, sizing and verification — pass a staging
+        // dir at corpus scale.
+        val tri = shingles(docs, w).persist()
+        try ngramJaccardOn(tri, threshold).localCheckpoint(eager = true)
+        finally tri.unpersist(blocking = false)
+    }
 
   private def ngramJaccardOn(tri: DataFrame, threshold: Double): DataFrame = {
     val freq = tri.groupBy(col("sh")).agg(count(lit(1)).as("f"))

@@ -44,7 +44,12 @@ private[graft] object DedupRegistry {
       Dedup.exact(Tables.documents(s, d)).orderBy("keeper")),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(Tables.documents(s, d), w = 5, threshold = 0.8)
+      // registered in the WAREHOUSE form (round 13): the corpus-sized
+      // shingle table staged to parquet and read back — no executor
+      // block-memory cache on the registered path.
+      Dedup.ngramJaccard(Tables.documents(s, d), w = 5, threshold = 0.8,
+          stagingDir = Some(TempDirs.create("graft-ngram-stage-").toString
+            + "/shingles"))
         .orderBy("d1", "d2")),
 
     "dedup_repeated_spans" -> ((s, d) =>

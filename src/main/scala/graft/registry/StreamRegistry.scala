@@ -740,6 +740,40 @@ private[graft] object StreamRegistry {
         tmp)
     }),
 
+    "stream_lm_bootstrap" -> ((s, d) => {
+      // DAY-0 HANDOFF for the delta-log LM (round 13): a third of the
+      // corpus trained by the BATCH API and persisted as a flat counts
+      // table, then ADOPTED by a new stream (files move into the
+      // batch_id=-1 baseline partition, lineage minted over it) which
+      // folds the remaining two thirds as micro-batches. Scoring the
+      // corpus with the maintained model must reproduce text_lm_score's
+      // whole-corpus oracle exactly — a dropped baseline, a double
+      // adoption or a replay overwriting batch_id=-1 all break the hash.
+      val tmp = TempDirs.create("graft-lm-boot-").toString
+      val src = s"$tmp/src"
+      val docs = Tables.documents(s, d)
+      TextAnalysis.lmCountsBuild(docs.filter(col("doc_id") % 3 === 0))
+        .write.parquet(s"$tmp/state")
+      (1 until 3).foreach(i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src))
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.Streams.lmMaintainPipeline(
+        stateSized(s), sch, src, s"$tmp/state", s"$tmp/ck")
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(p => p.numInputRows > 0)
+      require(nBatches >= 2,
+        s"bootstrap folded $nBatches micro-batches — need >= 2 on top " +
+          "of the adopted baseline to prove incrementality")
+      require(new java.io.File(s"$tmp/state", "batch_id=-1").isDirectory,
+        "adoption must land the baseline as the batch_id=-1 partition")
+      val model = TextAnalysis.lmModelFromCounts(
+        graft.streaming.Streams.lmReadCounts(s, s"$tmp/state"))
+      detachAndClean(
+        TextAnalysis.lmScoreBigram(docs, model).orderBy("doc_id"),
+        tmp)
+    }),
+
     "stream_lm_maintain" -> ((s, d) => {
       // LIVE incremental LM training (round 12): the documents feed
       // staged as three files, one per micro-batch, each batch's
@@ -1103,6 +1137,14 @@ private[graft] object StreamRegistry {
     // corpus (additivity): scoring against the streamed model must
     // reproduce text_lm_score's oracle row for row.
     "stream_lm_maintain" ->
+      (lmPerDocCte + """
+        |SELECT doc_id, n_pairs, sum_lp_fp, avg_lp FROM lm
+        |ORDER BY doc_id""".stripMargin),
+
+    // a batch-written baseline adopted by the stream plus the streamed
+    // remainder == one batch train over the whole corpus (additivity
+    // across the day-0 handoff boundary).
+    "stream_lm_bootstrap" ->
       (lmPerDocCte + """
         |SELECT doc_id, n_pairs, sum_lp_fp, avg_lp FROM lm
         |ORDER BY doc_id""".stripMargin),

@@ -612,6 +612,21 @@ object Streams {
     * marker adopted on first fold refuses any other checkpoint
     * instance loudly, and an absent state root under a token that has
     * already committed folds refuses the same way.
+    *
+    * DAY-0 BOOTSTRAP (the additive-fold family's batch-baseline
+    * handoff, delta-log form): a state root holding a FLAT
+    * batch-written [[graft.ext.TextAnalysis.lmCountsBuild]] table (no
+    * `_lineage`, no `batch_id=` partitions — exactly what
+    * `lmCountsBuild(corpus).write.parquet(stateDir)` leaves) is
+    * ADOPTED on first fold: its files move into a `batch_id=-1`
+    * baseline partition (below every checkpoint batch id, so no replay
+    * can ever overwrite it) and the stream's lineage marker is minted
+    * over it. Additivity then makes the maintained model BIT-IDENTICAL
+    * to one batch train over baseline ∪ feed. The adoption is
+    * file-rename idempotent — a crash mid-move resumes (remaining
+    * loose files move, then the marker lands); a root with REAL
+    * `batch_id=` partitions and no marker is still refused (a
+    * pre-marker delta-log's fold history cannot be validated).
     */
   def lmMaintainPipeline(spark: SparkSession, schema: StructType,
                          srcDir: String, stateDir: String,
@@ -628,12 +643,38 @@ object Streams {
         val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
         val (lin, tokenPreExisted) = lineageToken(fs, checkpointDir)
         val marker = new org.apache.hadoop.fs.Path(stateDir, "_lineage")
-        if (fs.exists(root)) {
-          require(fs.exists(marker), {
+        if (fs.exists(root) && !fs.exists(marker)) {
+          // day-0 bootstrap: a flat batch-written counts table (loose
+          // data files, possibly plus a batch_id=-1 from a crashed
+          // prior adoption) adopts under this stream's lineage; a real
+          // pre-marker delta-log refuses.
+          val entries = fs.listStatus(root)
+          val loose = entries.filter(e => e.isFile &&
+            !e.getPath.getName.startsWith(".") &&
+            !e.getPath.getName.startsWith("_"))
+          val logParts = entries.filter(e => e.isDirectory &&
+            e.getPath.getName.startsWith("batch_id=") &&
+            e.getPath.getName != "batch_id=-1")
+          require(logParts.isEmpty &&
+            (loose.nonEmpty ||
+              fs.exists(new org.apache.hadoop.fs.Path(stateDir, "batch_id=-1"))),
             s"lmMaintain: state $stateDir has no lineage marker — not a " +
-              "delta-log LM state (or one written by a pre-marker " +
-              "version); rebuild it from the retained corpus"
-          })
+              "delta-log LM state or a flat batch-written baseline (or a " +
+              "log written by a pre-marker version); rebuild it from the " +
+              "retained corpus")
+          require(!tokenPreExisted || batchId == 0,
+            s"lmMaintain: state $stateDir is unadopted but checkpoint " +
+              s"$checkpointDir has already folded batches under its " +
+              "lineage token — rebuild the state from the retained " +
+              "corpus on a fresh checkpoint")
+          val baseDir = new org.apache.hadoop.fs.Path(stateDir, "batch_id=-1")
+          fs.mkdirs(baseDir)
+          loose.foreach { e =>
+            require(fs.rename(e.getPath,
+              new org.apache.hadoop.fs.Path(baseDir, e.getPath.getName)),
+              s"lmMaintain: cannot adopt baseline file ${e.getPath}")
+          }
+        } else if (fs.exists(root)) {
           val in = fs.open(marker)
           val got = try scala.io.Source.fromInputStream(in, "UTF-8")
             .mkString.trim finally in.close()

@@ -29,6 +29,15 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 0 && p._2 == 1 && p._3 == 1.0)) // identical
     assert(pairs.exists(p => p._1 == 0 && p._2 == 2 && p._3 > 0.5))  // near
     assert(!pairs.exists(p => p._1 == 4 || p._2 == 4)) // too short to shingle
+    // warehouse form: shingle table staged to parquet instead of an
+    // executor block-memory cache — identical pairs
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ngram-staged-").toString + "/sh"
+    val staged = Dedup.ngramJaccard(fixture, w = 3, threshold = 0.5,
+        stagingDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(staged === pairs)
+    assert(new java.io.File(dir).exists, "staged shingle table must land")
   }
 
   test("minhash LSH detects identical documents with certainty") {

@@ -425,6 +425,91 @@ class StreamingSpec extends AnyFunSuite {
       "stream fold must land ON TOP of the batch baseline")
   }
 
+  test("lm-maintain day-0 bootstrap: a flat batch-written counts table adopts as the baseline partition") {
+    import graft.ext.TextAnalysis
+    val base = java.nio.file.Files.createTempDirectory("graft_lmb").toString
+    val src = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    // day-0 handoff: the baseline persisted by the BATCH API — a flat
+    // counts table, no lineage marker, no batch_id partitions
+    TextAnalysis.lmCountsBuild(
+        Seq(1L -> "a b a", 2L -> "b c").toDF("doc_id", "text"))
+      .write.parquet(state)
+    Seq(3L -> "a b b").toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    Streams.lmMaintainPipeline(spark, schema, src, state, ckpt)
+      .awaitTermination()
+    def asMap(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val union = TextAnalysis.bigramLmTrain(
+      Seq(1L -> "a b a", 2L -> "b c", 3L -> "a b b").toDF("doc_id", "text"))
+    assert(asMap(TextAnalysis.lmModelFromCounts(
+        Streams.lmReadCounts(spark, state))) === asMap(union),
+      "maintained-from-bootstrap must equal one batch train on the union")
+    // the baseline landed below every checkpoint id — replays can't hit it
+    assert(new java.io.File(state, "batch_id=-1").isDirectory)
+    // the stream keeps folding on the adopted state
+    Seq(4L -> "c d").toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+    Streams.lmMaintainPipeline(spark, schema, src, state, ckpt)
+      .awaitTermination()
+    val grown = TextAnalysis.bigramLmTrain(
+      Seq(1L -> "a b a", 2L -> "b c", 3L -> "a b b", 4L -> "c d")
+        .toDF("doc_id", "text"))
+    assert(asMap(TextAnalysis.lmModelFromCounts(
+      Streams.lmReadCounts(spark, state))) === asMap(grown))
+    // a REAL pre-marker delta-log (batch_id partitions, no marker)
+    // still refuses — its fold history cannot be validated
+    val bad = s"$base/badstate"
+    TextAnalysis.lmCountsBuild(Seq(9L -> "x y").toDF("doc_id", "text"))
+      .write.parquet(s"$bad/batch_id=0")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.lmMaintainPipeline(spark, schema, src, bad, s"$base/ck2")
+        .awaitTermination()
+    }
+    assert(err.getMessage.contains("no lineage marker") ||
+      Option(err.getCause).exists(_.getMessage.contains("no lineage marker")))
+  }
+
+  test("nb/dsir-maintain day-0 bootstrap: batch-built count states adopt and the stream folds onto them") {
+    import graft.ext.{Classifier, Corpus}
+    val base = java.nio.file.Files.createTempDirectory("graft_nbb").toString
+    // NB: baseline = batch nbCountsBuild persisted plain (stamped with
+    // buckets, but no last_batch_id/lineage)
+    val nbState = s"$base/nbstate"; val nbSrc = s"$base/nbsrc"
+    val a = Seq((1L, "a b a", "en"), (2L, "b c", "es"))
+      .toDF("doc_id", "text", "lang")
+    val b = Seq((3L, "a b b", "en")).toDF("doc_id", "text", "lang")
+    Classifier.nbCountsBuild(a, buckets = 64).write.parquet(nbState)
+    b.coalesce(1).write.mode("append").parquet(nbSrc)
+    val sch = Seq((0L, "", "")).toDF("doc_id", "text", "lang").schema
+    Streams.nbMaintainPipeline(spark, sch, nbSrc, nbState, s"$base/nbck",
+      buckets = 64).awaitTermination()
+    def nbMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("label", "bucket", "c").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(nbMap(graft.operators.ScaleOps.readMaintained(spark, nbState,
+        graft.operators.ScaleOps.PointerSwap)) ===
+      nbMap(Classifier.nbCountsBuild(a.unionByName(b), buckets = 64)),
+      "NB maintained-from-bootstrap must equal a batch build on the union")
+    // DSIR: same handoff for the importance-count state
+    val dState = s"$base/dstate"; val dSrc = s"$base/dsrc"
+    val pred = col("lang") === "en"
+    Corpus.importanceCountsBuild(a, pred, buckets = 64)
+      .write.parquet(dState)
+    b.coalesce(1).write.mode("append").parquet(dSrc)
+    Streams.dsirMaintainPipeline(spark, sch, dSrc, dState, s"$base/dck",
+      pred, buckets = 64).awaitTermination()
+    def dMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("bucket", "ct", "cr").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dMap(graft.operators.ScaleOps.readMaintained(spark, dState,
+        graft.operators.ScaleOps.PointerSwap)) ===
+      dMap(Corpus.importanceCountsBuild(a.unionByName(b), pred, buckets = 64)),
+      "DSIR maintained-from-bootstrap must equal a batch build on the union")
+  }
+
   test("sketch-maintain: state survives restart and batch replay is a merge no-op") {
     val base = java.nio.file.Files.createTempDirectory("graft_skm").toString
     val src = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
