@@ -475,6 +475,130 @@ private[graft] object Shared {
        |WHERE CAST(a.n_hit AS DOUBLE) < 0.3 * CAST(a.n_sh AS DOUBLE)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** The unified admission ensemble's full six-gate unroll — shared
+    * by corpus_admission_report (batch) and
+    * stream_admission_restart (two AvailableNow passes on one
+    * checkpoint; the union of per-batch decision tables must equal
+    * the batch report over the whole feed).
+    */
+  lazy val admissionReportOracle: String = {
+      // all six gate decisions unrolled into one long table: quality
+      // heuristics (the corpus_clean q-CTE's exact conditions), bench
+      // Bloom probe (identical salted-md5 positions, 2^18 bits, 4
+      // hashes — over ALL docs, no quality prefilter: the report
+      // audits every gate independently), banded semantic sweep
+      // (identical ±1 planes; x unrestricted so bench docs flag
+      // themselves), the text_lm_score chain at the -3.40 threshold,
+      // and the text_nb_classify chain gated on label = 'en'.
+      val planes = Similarity.planeMatrix(16, 64)
+      def planeLit(p: Int): String =
+        planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val bitCols = (0 until 16).map { p =>
+        s"""    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+           |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])) >= 0
+           |      THEN 1 ELSE 0 END AS b$p""".stripMargin
+      }.mkString(",\n")
+      def bkey(bits: Seq[Int]) =
+        bits.map(b => s"CAST(b$b AS VARCHAR)").mkString(" || ',' || ")
+      val bandSelects = (0 until 4).map(b =>
+        s"  SELECT doc_id, source, embedding, $b AS band, ${bkey(b * 4 until (b + 1) * 4)} AS bkey FROM asig")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH aq AS (
+         |  SELECT doc_id, source, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
+         |         len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents)
+         |), abt AS (
+         |  SELECT string_split(text, ' ') AS l FROM documents
+         |  WHERE source IN ('src0','src1') AND len(string_split(text, ' ')) >= 5
+         |), absh AS (
+         |  SELECT DISTINCT
+         |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+         |  FROM abt, unnest(generate_series(1, len(l)-4)) AS u(i)
+         |), abits AS (
+         |  SELECT DISTINCT
+         |    CAST('0x' || substr(md5('b' || j || '|' || sh), 1, 8) AS BIGINT) % 262144 AS pos
+         |  FROM absh, unnest(generate_series(0, 3)) AS js(j)
+         |), atsh AS (
+         |  SELECT DISTINCT doc_id,
+         |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |       unnest(generate_series(1, len(l)-4)) AS u(i)
+         |), aprobe AS (
+         |  SELECT doc_id, sh,
+         |    (CAST('0x' || substr(md5('b0|' || sh), 1, 8) AS BIGINT) % 262144
+         |       IN (SELECT pos FROM abits)
+         |     AND CAST('0x' || substr(md5('b1|' || sh), 1, 8) AS BIGINT) % 262144
+         |       IN (SELECT pos FROM abits)
+         |     AND CAST('0x' || substr(md5('b2|' || sh), 1, 8) AS BIGINT) % 262144
+         |       IN (SELECT pos FROM abits)
+         |     AND CAST('0x' || substr(md5('b3|' || sh), 1, 8) AS BIGINT) % 262144
+         |       IN (SELECT pos FROM abits)) AS might
+         |  FROM atsh
+         |), aagg AS (
+         |  SELECT doc_id, count(*) AS n_sh,
+         |         sum(CASE WHEN might THEN 1 ELSE 0 END) AS n_hit
+         |  FROM aprobe GROUP BY 1
+         |), aep AS (
+         |  SELECT d.doc_id, d.source, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), asig AS (
+         |  SELECT doc_id, source, embedding,
+         |$bitCols
+         |  FROM aep
+         |), abanded AS (
+         |$bandSelects
+         |), aembad AS (
+         |  SELECT DISTINCT x.doc_id
+         |  FROM abanded x JOIN abanded y
+         |    ON x.band = y.band AND x.bkey = y.bkey
+         |  WHERE y.source IN ('src0','src1')
+         |    AND ${cosineSql("x.embedding", "y.embedding")} >= 0.42
+         |), ${lmPerDocChain(_ => "TRUE", "alm_")},
+         |${nbChain("TRUE", "anb_")},
+         |averd AS (
+         |  SELECT d.doc_id,
+         |    d.source NOT IN ('src0','src1') AS src_pass,
+         |    (a.n_tok >= 5 AND a.n_stop >= 1 AND 4*a.n_dis >= a.n_tok) AS q_pass,
+         |    CAST(a.n_dis AS DOUBLE) / CAST(a.n_tok AS DOUBLE) AS q_score,
+         |    (COALESCE(g.n_sh, 0) = 0 OR
+         |     CAST(g.n_hit AS DOUBLE) < 0.3 * CAST(g.n_sh AS DOUBLE)) AS c_pass,
+         |    CASE WHEN g.n_sh > 0
+         |         THEN CAST(g.n_hit AS DOUBLE) / CAST(g.n_sh AS DOUBLE) END AS c_score,
+         |    (d.doc_id NOT IN (SELECT doc_id FROM aembad)) AS sem_pass,
+         |    (lm.avg_lp IS NOT NULL AND lm.avg_lp >= -3.40) AS lm_pass,
+         |    lm.avg_lp AS lm_score,
+         |    COALESCE(f.label = 'en', FALSE) AS nb_pass,
+         |    CAST(f.score_fp AS DOUBLE) AS nb_score
+         |  FROM documents d
+         |  JOIN aq a USING (doc_id)
+         |  LEFT JOIN aagg g USING (doc_id)
+         |  JOIN alm_lm lm ON lm.doc_id = d.doc_id
+         |  LEFT JOIN (SELECT doc_id, label, score_fp FROM anb_fin WHERE rn = 1) f
+         |    ON f.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, gate, pass, score FROM (
+         |  SELECT doc_id, '1_source' AS gate, src_pass AS pass,
+         |         CAST(NULL AS DOUBLE) AS score FROM averd
+         |  UNION ALL
+         |  SELECT doc_id, '2_quality', q_pass, q_score FROM averd
+         |  UNION ALL
+         |  SELECT doc_id, '3_contamination', c_pass, c_score FROM averd
+         |  UNION ALL
+         |  SELECT doc_id, '4_semantic', sem_pass, CAST(NULL AS DOUBLE) FROM averd
+         |  UNION ALL
+         |  SELECT doc_id, '5_lm', lm_pass, lm_score FROM averd
+         |  UNION ALL
+         |  SELECT doc_id, '6_nb', nb_pass, nb_score FROM averd
+         |  UNION ALL
+         |  SELECT doc_id, '7_decision',
+         |         (src_pass AND q_pass AND c_pass AND sem_pass
+         |          AND lm_pass AND nb_pass),
+         |         CAST(NULL AS DOUBLE) FROM averd
+         |)
+         |ORDER BY doc_id, gate""".stripMargin
+    
+  }
+
   def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"

@@ -740,6 +740,57 @@ private[graft] object StreamRegistry {
         tmp)
     }),
 
+    "stream_admission_restart" -> ((s, d) => {
+      // the unified admission front door is CRASH-SAFE: two
+      // AvailableNow passes on one checkpoint, the source growing by a
+      // third slice between them. Pass 2 must fold ONLY the new file
+      // (the checkpoint skips committed batches), and the union of the
+      // per-batch decision tables must equal ONE batch
+      // Admission.report over the whole corpus — the batch==stream
+      // law surviving a restart boundary. A fresh-state restart would
+      // re-emit pass-1 batches into new batch_id dirs and break the
+      // row count; a replayed batch overwrites its own dir with
+      // identical content (frozen artifacts → stateless decisions).
+      val tmp = TempDirs.create("graft-adm-restart-").toString
+      val src = s"$tmp/src"
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      (0 until 2).foreach(i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src))
+      val bench = docs.filter(col("source").isin("src0", "src1"))
+      val bloom = ext.Sketches.bloomBuild(
+        Dedup.shingles(bench, w = 5).select(col("sh")), "sh",
+        numBits = 1 << 18, numHashes = 4)
+      val gate = (sh: Column) =>
+        ext.Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18,
+          numHashes = 4)
+      val sig = ext.Corpus.benchSignatureTable(docs, emb, Seq("src0", "src1"))
+      val lm = TextAnalysis.bigramLmTrain(docs)
+      val nb = ext.Classifier.nbTrain(docs)
+      val sch = s.read.parquet(src).schema
+      def runPass() = {
+        val q = graft.streaming.Streams.admissionPipeline(
+          stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck",
+          Seq("src0", "src1"), gate, 0.3,
+          Some(ext.Admission.SemanticCfg(emb, sig, threshold = 0.42)),
+          lm, -3.40, nb, Seq("en"))
+        q.awaitTermination(); q
+      }
+      runPass()
+      docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(src)
+      val p2 = runPass()
+      require(p2.recentProgress.count(_.numInputRows > 0) == 1,
+        "pass 2 must fold ONLY the new file — a fresh-state restart " +
+          "reprocesses committed batches")
+      detachAndClean(
+        s.read.parquet(s"$tmp/out")
+          .select(col("doc_id"), col("gate"), col("pass"), col("score"))
+          .orderBy("doc_id", "gate"),
+        tmp)
+    }),
+
     "stream_lm_bootstrap" -> ((s, d) => {
       // DAY-0 HANDOFF for the delta-log LM (round 13): a third of the
       // corpus trained by the BATCH API and persisted as a flat counts
@@ -1140,6 +1191,12 @@ private[graft] object StreamRegistry {
       (lmPerDocCte + """
         |SELECT doc_id, n_pairs, sum_lp_fp, avg_lp FROM lm
         |ORDER BY doc_id""".stripMargin),
+
+    // restart-spanning streamed admission == one batch report over the
+    // whole corpus: the same six-gate unroll corpus_admission_report
+    // uses (decisions are doc x frozen artifacts — arrival order and
+    // restart boundaries must not change one verdict).
+    "stream_admission_restart" -> admissionReportOracle,
 
     // a batch-written baseline adopted by the stream plus the streamed
     // remainder == one batch train over the whole corpus (additivity
