@@ -356,12 +356,18 @@ private[graft] object CorpusRegistry {
         ext.Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18,
           numHashes = 4)
       val sig = ext.Corpus.benchSignatureTable(docs, emb, Seq("src0", "src1"))
+      // models frozen ONCE (the admissionPipeline discipline): the
+      // report's gate branches each consume the model frames, and an
+      // unmaterialized model subtree would retrain per consumer branch
       ext.Admission.report(docs, Seq("src0", "src1"), gate,
           contamThreshold = 0.3,
           semantic = Some(ext.Admission.SemanticCfg(emb, sig,
             threshold = 0.42)),
-          lmModel = TextAnalysis.bigramLmTrain(docs), minAvgLp = -3.40,
-          nbModel = graft.ext.Classifier.nbTrain(docs),
+          lmModel = TextAnalysis.bigramLmTrain(docs)
+            .localCheckpoint(eager = true),
+          minAvgLp = -3.40,
+          nbModel = graft.ext.Classifier.nbTrain(docs)
+            .localCheckpoint(eager = true),
           allowedLabels = Seq("en"))
         .orderBy("doc_id", "gate")
     }),
