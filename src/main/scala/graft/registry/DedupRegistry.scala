@@ -59,6 +59,50 @@ private[graft] object DedupRegistry {
       Dedup.repeatedSpans(Tables.documents(s, d), w = 8, minDocs = 2)
         .orderBy("doc_id")),
 
+    "dedup_recall_eval" -> ((s, d) => {
+      // "measure, don't guess" for the near-dup family (round 13 —
+      // the dedup-side sibling of sim_recall_eval): every EXACT
+      // Jaccard >= 0.5 pair flagged with whether the banded MinHash
+      // path surfaced it. Misses are deterministic given the md5 hash
+      // family, so recall here is a reproducible, oracle-checked
+      // number — the audit a dedup deployment runs before trusting
+      // the banded path with the corpus.
+      val docs = Tables.documents(s, d)
+      val tmp = TempDirs.create("graft-recall-ngram-").toString
+      val exact = Dedup.ngramJaccard(docs, w = 5, threshold = 0.5,
+        stagingDir = Some(s"$tmp/shingles"))
+      val lsh = Dedup.minhashLsh(docs, w = 5, numHashes = 8,
+          bandWidth = 2, threshold = 0.5)
+        .select(col("d1").as("l1"), col("d2").as("l2"))
+      detachAndClean(
+        exact.join(lsh,
+            col("d1") === col("l1") && col("d2") === col("l2"), "left")
+          .select(col("d1"), col("d2"), col("jaccard"),
+            col("l1").isNotNull.as("found"))
+          .orderBy("d1", "d2"),
+        tmp)
+    }),
+
+    "dedup_banding_sweep" -> ((s, d) => {
+      // the LSH s-curve as a TUNING TABLE (the dedup analog of
+      // sim_ivf_nprobe_sweep): recall of the banded path vs exact
+      // >= 0.5 pairs across band widths 1/2/4 over the 8-hash family —
+      // narrower bands collide more (higher recall, more candidate
+      // volume), wider bands less. Verification is shared, so every
+      // found set is a subset of the exact set and recall is a pure
+      // count ratio. The 3-row result is a bounded driver artifact,
+      // like every bin/bucket table.
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val nExact = Dedup.ngramJaccard(docs, w = 5, threshold = 0.5).count()
+      Seq(1, 2, 4).map { bw =>
+        val found = Dedup.minhashLsh(docs, w = 5, numHashes = 8,
+          bandWidth = bw, threshold = 0.5).count()
+        (bw, nExact, found, found.toDouble / nExact)
+      }.toDF("band_width", "n_exact", "n_found", "recall")
+        .orderBy("band_width")
+    }),
+
     "dedup_maximal_spans" -> ((s, d) =>
       // VARIABLE-LENGTH exact-substring detection (round 13): maximal
       // contiguous runs of cross-corpus duplicated 8-token windows,
@@ -374,6 +418,37 @@ private[graft] object DedupRegistry {
         |       p.dup_windows, p.dup_spans, p.covered_tokens
         |FROM rper p JOIN documents d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // exact >= 0.5 pairs left-joined against the banded-MinHash verified
+    // set: found ⟺ the banding surfaced the pair (verification shared,
+    // so found ⊆ exact by construction).
+    "dedup_recall_eval" ->
+      s"""WITH e AS (SELECT d1, d2, jaccard FROM (${ngramPairsSqlAt(0.5)}) t),
+         |l AS (SELECT d1, d2 FROM ($minhashPairsCoreSql) t)
+         |SELECT e.d1, e.d2, e.jaccard, l.d1 IS NOT NULL AS found
+         |FROM e LEFT JOIN l ON l.d1 = e.d1 AND l.d2 = e.d2
+         |ORDER BY e.d1, e.d2""".stripMargin,
+
+    // per-band-width recall: the same verified-pair chain at widths
+    // 1/2/4, counted against the exact set.
+    "dedup_banding_sweep" -> {
+      def leg(bw: Int) =
+        s"SELECT CAST($bw AS INTEGER) AS band_width, " +
+          "(SELECT count(*) FROM e) AS n_exact, " +
+          s"(SELECT count(*) FROM f$bw) AS n_found, " +
+          s"CAST((SELECT count(*) FROM f$bw) AS DOUBLE) / " +
+          "CAST((SELECT count(*) FROM e) AS DOUBLE) AS recall"
+      s"""WITH e AS (SELECT d1, d2 FROM (${ngramPairsSqlAt(0.5)}) t),
+         |f1 AS (SELECT d1, d2 FROM (${minhashPairsSqlBanded(None, 1)}) t),
+         |f2 AS (SELECT d1, d2 FROM (${minhashPairsSqlBanded(None, 2)}) t),
+         |f4 AS (SELECT d1, d2 FROM (${minhashPairsSqlBanded(None, 4)}) t)
+         |${leg(1)}
+         |UNION ALL
+         |${leg(2)}
+         |UNION ALL
+         |${leg(4)}
+         |ORDER BY band_width""".stripMargin
+    },
 
     // variable-length form: positions covered by any duplicated window
     // union into contiguous runs (gap-group: q − rank constant within a

@@ -220,7 +220,13 @@ private[graft] object Shared {
        |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid FROM r WHERE rnk <= 10
        |ORDER BY qid, rnk""".stripMargin
 
-  lazy val ngramPairsCoreSql: String =
+  lazy val ngramPairsCoreSql: String = ngramPairsSqlAt(0.8)
+
+  /** The prefix-filtered exact-Jaccard pair chain at an arbitrary
+    * threshold — the recall-evaluation oracles need the 0.5 form the
+    * banded family verifies at.
+    */
+  def ngramPairsSqlAt(t: Double): String =
     s"""WITH $triSql,
        |freq AS (SELECT sh, count(*) AS f FROM tri GROUP BY 1),
        |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
@@ -230,7 +236,7 @@ private[graft] object Shared {
        |                            ORDER BY fr.f ASC, t.sh ASC) AS rn
        |  FROM tri t JOIN freq fr ON fr.sh = t.sh JOIN sizes s ON s.doc_id = t.doc_id
        |), prefix AS (
-       |  SELECT doc_id, sh FROM ranked WHERE rn <= n - floor(0.8 * n) + 1
+       |  SELECT doc_id, sh FROM ranked WHERE rn <= n - floor($t * n) + 1
        |), cands AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -244,17 +250,25 @@ private[graft] object Shared {
        |SELECT d1, d2,
        |  CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
        |FROM com JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-       |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8""".stripMargin
+       |WHERE CAST(common AS DOUBLE)/CAST(s1.n + s2.n - common AS DOUBLE) >= $t""".stripMargin
 
   /** mh+bands CTE bodies (8 hashes, 4 bands of 2) shared by the banded
     * minhash oracles — identical constants to `Dedup.bandsOf`.
     */
-  lazy val bandCteSql: String = {
+  lazy val bandCteSql: String = bandCteSqlFor(2)
+
+  /** The mh+bands CTE bodies at an arbitrary band width over the fixed
+    * 8-hash family (bandWidth must divide 8) — the banding-sweep oracle
+    * needs the 1- and 4-wide forms beside the production 2-wide one.
+    */
+  def bandCteSqlFor(bw: Int): String = {
+    require(8 % bw == 0, s"bandCteSqlFor: $bw does not divide 8")
     val mhCols = (0 until 8).map(s =>
       s"    min(CAST('0x' || substr(md5('0|' || sh) || md5('1|' || sh), ${8 * s + 1}, 8) AS BIGINT)) AS mh$s")
       .mkString(",\n")
-    val bandSelects = (0 until 4).map { b =>
-      val k = s"CAST(mh${2 * b} AS VARCHAR) || ',' || CAST(mh${2 * b + 1} AS VARCHAR)"
+    val bandSelects = (0 until 8 / bw).map { b =>
+      val k = (b * bw until (b + 1) * bw)
+        .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ',' || ")
       s"  SELECT doc_id, $b AS band, $k AS bkey FROM mh"
     }.mkString("\n  UNION ALL\n")
     s"""mh AS (
@@ -324,14 +338,20 @@ private[graft] object Shared {
     * `cap` mirrors `Dedup.minhashLsh(maxBucketSize)`: buckets with more
     * members are excluded from candidate generation.
     */
-  def minhashPairsSql(cap: Option[Int]): String = {
+  def minhashPairsSql(cap: Option[Int]): String =
+    minhashPairsSqlBanded(cap, bw = 2)
+
+  /** [[minhashPairsSql]] at an arbitrary band width — the sweep
+    * oracle's per-config verified-pair sets.
+    */
+  def minhashPairsSqlBanded(cap: Option[Int], bw: Int): String = {
     val capJoin = cap.map(c =>
       s"""
          |  JOIN (SELECT band, bkey FROM bands GROUP BY 1, 2
          |        HAVING count(*) <= $c) ok
          |    ON ok.band = x.band AND ok.bkey = x.bkey""".stripMargin).getOrElse("")
     s"""WITH $triSql,
-       |$bandCteSql, cands AS (
+       |${bandCteSqlFor(bw)}, cands AS (
        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id$capJoin
