@@ -250,4 +250,65 @@ class PropertiesSpec extends AnyFunSuite {
         "KMV merge must be idempotent")
     }
   }
+
+  test("property: maximal spans == brute-force cover-run reference; removal drops exactly the qualifying positions") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val w = 3; val minLen = 5
+    // small vocabulary so cross-doc duplicated windows actually occur
+    val docGen = Gen.chooseNum(0, 24).flatMap(len =>
+      Gen.listOfN(len, Gen.chooseNum(0, 9).map(i => s"t$i")))
+    val corpusGen = Gen.chooseNum(5, 8).flatMap(n =>
+      Gen.listOfN(n, docGen)).map(_.zipWithIndex.map {
+        case (toks, i) => (i.toLong, toks.mkString(" ")) })
+
+    def windows(docs: Seq[(Long, String)]) = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      if (t.length < w) Nil
+      else t.sliding(w).zipWithIndex
+        .map { case (win, i) => (id, i + 1, win.mkString(" ")) }.toSeq
+    }
+    def runsOf(cover: Set[Int]): Seq[(Int, Int)] =
+      cover.toSeq.sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, q) if q == e0 + 1 => (s0, q) :: rest
+        case (acc, q) => (q, q) :: acc
+      }.reverse.filter { case (a, b) => b - a + 1 >= minLen }
+
+    samples(corpusGen, 8).foreach { docs =>
+      val win = windows(docs)
+      val dup = win.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      // detection reference: ANY duplicated occurrence covers
+      val expectSpans = docs.flatMap { case (id, _) =>
+        val cover = win.filter(x => x._1 == id && dup(x._3))
+          .flatMap(x => x._2 until (x._2 + w)).toSet
+        runsOf(cover).map { case (a, b) =>
+          (id, a.toLong, b.toLong, (b - a + 1).toLong) }
+      }.toSet
+      val gotSpans = Dedup.maximalRepeatedSpans(
+          docs.toDF("doc_id", "text"), w, minDocs = 2, minLen)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(gotSpans === expectSpans, s"spans mismatch for $docs")
+      // removal reference: only NON-CANONICAL (min doc_id per window
+      // text keeps it) covered runs >= minLen are cut
+      val canon = win.groupBy(_._3).view.mapValues(_.map(_._1).min).toMap
+      val expectClean = docs.map { case (id, text) =>
+        val t = text.split(" ", -1)
+        val cover = win.filter(x =>
+            x._1 == id && dup(x._3) && canon(x._3) != id)
+          .flatMap(x => x._2 until (x._2 + w)).toSet
+        val cut = runsOf(cover)
+          .flatMap { case (a, b) => a to b }.toSet
+        (id, t.length.toLong, cut.size.toLong,
+          t.zipWithIndex.collect {
+            case (tok, i) if !cut(i + 1) => tok }.mkString(" "))
+      }.toSet
+      val gotClean = Dedup.removeMaximalSpans(
+          docs.toDF("doc_id", "text"), w, minDocs = 2, minLen)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(gotClean === expectClean, s"removal mismatch for $docs")
+    }
+  }
 }
