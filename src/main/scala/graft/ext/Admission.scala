@@ -140,4 +140,29 @@ object Admission {
       .select(col("doc_id"), col("r.gate").as("gate"),
         col("r.pass").as("pass"), col("r.score").as("score"))
   }
+
+  /** CALIBRATION rollup of a [[report]] decision table: per gate, how
+    * many documents it fails (`n_fail`) and how many it ALONE keeps
+    * out (`n_fail_alone` — the doc passes every other gate). The
+    * numbers that say which gate is load-bearing and which is
+    * redundant overlap — tuning one threshold without this table is
+    * guessing at the ensemble's joint behavior. Works on any report
+    * output (batch, or the union of a streamed run's per-batch
+    * tables). Six bounded rows; one pivot + one aggregate.
+    */
+  def gateOverlap(report: DataFrame): DataFrame = {
+    val gates = GateOrder.filterNot(_ == "7_decision")
+    val wide = report.filter(col("gate") =!= "7_decision")
+      .groupBy(col("doc_id"))
+      .pivot("gate", gates)
+      .agg(first(col("pass")))
+    gates.map { g =>
+      val others = gates.filterNot(_ == g).map(col)
+        .reduce[Column](_ && _)
+      wide.agg(
+          count(when(!col(g), lit(1))).as("n_fail"),
+          count(when(!col(g) && others, lit(1))).as("n_fail_alone"))
+        .select(lit(g).as("gate"), col("n_fail"), col("n_fail_alone"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -1279,16 +1279,21 @@ object Dedup {
         s"width ($w) — a shorter threshold cannot bind (every detected " +
         "span covers at least one full window)")
     val pos = positionalShingles(docs, w).persist()
-    try {
-      val win = hashedWindows(pos)
-      val dup = win.groupBy(col("h1"), col("h2"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= minDocs)
-        .select(col("h1"), col("h2"))
-      spansFromCover(coveredPositions(win.join(dup, Seq("h1", "h2")), w),
-        minLen)
-        .localCheckpoint(eager = true)
-    } finally pos.unpersist(blocking = false)
+    try maximalRepeatedSpansOn(pos, w, minDocs, minLen)
+      .localCheckpoint(eager = true)
+    finally pos.unpersist(blocking = false)
+  }
+
+  private[graft] def maximalRepeatedSpansOn(pos: DataFrame, w: Int,
+                                            minDocs: Int,
+                                            minLen: Int): DataFrame = {
+    val win = hashedWindows(pos)
+    val dup = win.groupBy(col("h1"), col("h2"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h1"), col("h2"))
+    spansFromCover(coveredPositions(win.join(dup, Seq("h1", "h2")), w),
+      minLen)
   }
 
   /** The rewrite half of variable-length exact-substring dedup: cut

@@ -19,6 +19,37 @@ import Shared._
   */
 private[graft] object CorpusRegistry {
 
+  /** The registered admission configuration — ONE construction shared
+    * by the report and its calibration rollup: bench sources src0/src1,
+    * 2^18-bit 4-hash Bloom, 0.3 shingle-hit threshold, 0.42 semantic
+    * cosine, LM floor −3.40, NB allowed label 'en'. Models frozen ONCE
+    * (the admissionPipeline discipline): the report's gate branches
+    * each consume the model frames, and an unmaterialized model
+    * subtree would retrain per consumer branch.
+    */
+  private def admissionReportFor(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val bench = docs.filter(col("source").isin("src0", "src1"))
+    val bloom = ext.Sketches.bloomBuild(
+      Dedup.shingles(bench, w = 5).select(col("sh")), "sh",
+      numBits = 1 << 18, numHashes = 4)
+    val gate = (sh: Column) =>
+      ext.Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18,
+        numHashes = 4)
+    val sig = ext.Corpus.benchSignatureTable(docs, emb, Seq("src0", "src1"))
+    ext.Admission.report(docs, Seq("src0", "src1"), gate,
+      contamThreshold = 0.3,
+      semantic = Some(ext.Admission.SemanticCfg(emb, sig,
+        threshold = 0.42)),
+      lmModel = TextAnalysis.bigramLmTrain(docs)
+        .localCheckpoint(eager = true),
+      minAvgLp = -3.40,
+      nbModel = graft.ext.Classifier.nbTrain(docs)
+        .localCheckpoint(eager = true),
+      allowedLabels = Seq("en"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_importance_weights" -> ((s, d) => {
       // DSIR-style data selection: hashed-ngram (uni+bi, 4096 buckets)
@@ -346,31 +377,17 @@ private[graft] object CorpusRegistry {
       // embeddingContaminatedIds, lmScoreBigram, nbClassify), so this
       // audit table can never drift from the gates it audits; the
       // oracle unrolls all six decisions into the same long table.
-      val docs = Tables.documents(s, d)
-      val emb = Tables.embeddings(s, d)
-      val bench = docs.filter(col("source").isin("src0", "src1"))
-      val bloom = ext.Sketches.bloomBuild(
-        Dedup.shingles(bench, w = 5).select(col("sh")), "sh",
-        numBits = 1 << 18, numHashes = 4)
-      val gate = (sh: Column) =>
-        ext.Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18,
-          numHashes = 4)
-      val sig = ext.Corpus.benchSignatureTable(docs, emb, Seq("src0", "src1"))
-      // models frozen ONCE (the admissionPipeline discipline): the
-      // report's gate branches each consume the model frames, and an
-      // unmaterialized model subtree would retrain per consumer branch
-      ext.Admission.report(docs, Seq("src0", "src1"), gate,
-          contamThreshold = 0.3,
-          semantic = Some(ext.Admission.SemanticCfg(emb, sig,
-            threshold = 0.42)),
-          lmModel = TextAnalysis.bigramLmTrain(docs)
-            .localCheckpoint(eager = true),
-          minAvgLp = -3.40,
-          nbModel = graft.ext.Classifier.nbTrain(docs)
-            .localCheckpoint(eager = true),
-          allowedLabels = Seq("en"))
-        .orderBy("doc_id", "gate")
+      admissionReportFor(s, d).orderBy("doc_id", "gate")
     }),
+
+    "corpus_admission_overlap" -> ((s, d) =>
+      // the CALIBRATION rollup of the decision table (round 13 cont.):
+      // per gate, how many documents it fails and how many it ALONE
+      // keeps out — the numbers that say which gate is load-bearing
+      // and which is redundant overlap before anyone tunes a
+      // threshold. Six bounded rows off one pivot + one aggregate.
+      ext.Admission.gateOverlap(admissionReportFor(s, d))
+        .orderBy("gate")),
 
     "corpus_token_budget" -> ((s, d) =>
       // token-budget mixture sampling (round 11): three sources admitted
@@ -1154,6 +1171,8 @@ private[graft] object CorpusRegistry {
     "corpus_decontaminate_bloom" -> corpusDecontaminateOracle,
 
     "corpus_admission_report" -> admissionReportOracle,
+
+    "corpus_admission_overlap" -> admissionOverlapOracle,
 
     "corpus_decontaminate_embedding" -> {
       // identical ±1 planes and band layout as the embedding-LSH dedup

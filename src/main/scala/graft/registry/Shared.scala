@@ -495,13 +495,12 @@ private[graft] object Shared {
        |WHERE CAST(a.n_hit AS DOUBLE) < 0.3 * CAST(a.n_sh AS DOUBLE)
        |ORDER BY t.doc_id""".stripMargin
 
-  /** The unified admission ensemble's full six-gate unroll — shared
-    * by corpus_admission_report (batch) and
-    * stream_admission_restart (two AvailableNow passes on one
-    * checkpoint; the union of per-batch decision tables must equal
-    * the batch report over the whole feed).
+  /** The unified admission ensemble's six gate decisions as one WITH
+    * chain ending in the per-doc verdict CTE `averd` — shared by the
+    * long-table report oracle ([[admissionReportOracle]]) and the
+    * per-gate calibration rollup ([[admissionOverlapOracle]]).
     */
-  lazy val admissionReportOracle: String = {
+  lazy val admissionVerdictCtes: String = {
       // all six gate decisions unrolled into one long table: quality
       // heuristics (the corpus_clean q-CTE's exact conditions), bench
       // Bloom probe (identical salted-md5 positions, 2^18 bits, 4
@@ -595,28 +594,54 @@ private[graft] object Shared {
          |  JOIN alm_lm lm ON lm.doc_id = d.doc_id
          |  LEFT JOIN (SELECT doc_id, label, score_fp FROM anb_fin WHERE rn = 1) f
          |    ON f.doc_id = d.doc_id
-         |)
-         |SELECT doc_id, gate, pass, score FROM (
-         |  SELECT doc_id, '1_source' AS gate, src_pass AS pass,
-         |         CAST(NULL AS DOUBLE) AS score FROM averd
-         |  UNION ALL
-         |  SELECT doc_id, '2_quality', q_pass, q_score FROM averd
-         |  UNION ALL
-         |  SELECT doc_id, '3_contamination', c_pass, c_score FROM averd
-         |  UNION ALL
-         |  SELECT doc_id, '4_semantic', sem_pass, CAST(NULL AS DOUBLE) FROM averd
-         |  UNION ALL
-         |  SELECT doc_id, '5_lm', lm_pass, lm_score FROM averd
-         |  UNION ALL
-         |  SELECT doc_id, '6_nb', nb_pass, nb_score FROM averd
-         |  UNION ALL
-         |  SELECT doc_id, '7_decision',
-         |         (src_pass AND q_pass AND c_pass AND sem_pass
-         |          AND lm_pass AND nb_pass),
-         |         CAST(NULL AS DOUBLE) FROM averd
-         |)
-         |ORDER BY doc_id, gate""".stripMargin
-    
+         |)""".stripMargin
+  }
+
+  /** [[admissionVerdictCtes]] + the long-table emission — the
+    * corpus_admission_report / stream_admission_restart oracle.
+    */
+  lazy val admissionReportOracle: String =
+    admissionVerdictCtes +
+      """
+        |SELECT doc_id, gate, pass, score FROM (
+        |  SELECT doc_id, '1_source' AS gate, src_pass AS pass,
+        |         CAST(NULL AS DOUBLE) AS score FROM averd
+        |  UNION ALL
+        |  SELECT doc_id, '2_quality', q_pass, q_score FROM averd
+        |  UNION ALL
+        |  SELECT doc_id, '3_contamination', c_pass, c_score FROM averd
+        |  UNION ALL
+        |  SELECT doc_id, '4_semantic', sem_pass, CAST(NULL AS DOUBLE) FROM averd
+        |  UNION ALL
+        |  SELECT doc_id, '5_lm', lm_pass, lm_score FROM averd
+        |  UNION ALL
+        |  SELECT doc_id, '6_nb', nb_pass, nb_score FROM averd
+        |  UNION ALL
+        |  SELECT doc_id, '7_decision',
+        |         (src_pass AND q_pass AND c_pass AND sem_pass
+        |          AND lm_pass AND nb_pass),
+        |         CAST(NULL AS DOUBLE) FROM averd
+        |)
+        |ORDER BY doc_id, gate""".stripMargin
+
+  /** [[admissionVerdictCtes]] + the per-gate calibration rollup — the
+    * corpus_admission_overlap oracle: per gate, how many docs it fails
+    * and how many it ALONE keeps out (the doc passes the other five).
+    */
+  lazy val admissionOverlapOracle: String = {
+    val gates = Seq(
+      "1_source" -> "src_pass", "2_quality" -> "q_pass",
+      "3_contamination" -> "c_pass", "4_semantic" -> "sem_pass",
+      "5_lm" -> "lm_pass", "6_nb" -> "nb_pass")
+    val legs = gates.map { case (g, c) =>
+      val others = gates.collect { case (_, o) if o != c => o }
+        .mkString(" AND ")
+      s"""SELECT '$g' AS gate,
+         |       count(*) FILTER (WHERE NOT $c) AS n_fail,
+         |       count(*) FILTER (WHERE NOT $c AND $others) AS n_fail_alone
+         |FROM averd""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    admissionVerdictCtes + "\n" + legs + "\nORDER BY gate"
   }
 
   def cosineSql(a: String, b: String): String = {

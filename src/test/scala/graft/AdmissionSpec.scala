@@ -72,6 +72,39 @@ class AdmissionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("allowed-label"))
   }
 
+  test("gateOverlap: n_fail and n_fail_alone match a hand-computed verdict matrix") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // synthetic decision table: 4 docs × (6 gates + decision)
+    //   doc 1: all pass; doc 2: fails ONLY lm; doc 3: fails lm AND nb;
+    //   doc 4: fails ONLY source
+    val verdicts = Map(
+      1L -> Set.empty[String],
+      2L -> Set("5_lm"),
+      3L -> Set("5_lm", "6_nb"),
+      4L -> Set("1_source"))
+    val rows = for {
+      (id, fails) <- verdicts.toSeq
+      g <- Admission.GateOrder
+    } yield Row(id, g,
+      if (g == "7_decision") fails.isEmpty else !fails(g),
+      null.asInstanceOf[java.lang.Double])
+    val rep = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("gate", StringType), StructField("pass", BooleanType),
+        StructField("score", DoubleType))))
+    val got = Admission.gateOverlap(rep).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "1_source" -> ((1L, 1L)),        // doc 4, alone
+      "2_quality" -> ((0L, 0L)),
+      "3_contamination" -> ((0L, 0L)),
+      "4_semantic" -> ((0L, 0L)),
+      "5_lm" -> ((2L, 1L)),            // docs 2+3 fail; only doc 2 alone
+      "6_nb" -> ((1L, 0L))))           // doc 3 also fails lm — never alone
+  }
+
   test("batch == stream: per-micro-batch reports union to the one-shot batch report bit-for-bit") {
     val docs = Tables.documents(spark, sfDir)
     val (gate, sem, lm, nb) = cfg(docs)

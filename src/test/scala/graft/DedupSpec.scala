@@ -355,6 +355,23 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be >="))
   }
 
+  test("maximal spans: equi-joins only — no pair blow-up in the plan") {
+    val docs = Seq(
+      (50L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 u1 u2"),
+      (51L, "z1 a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 z2")
+    ).toDF("doc_id", "text")
+    // audit the PRE-checkpoint plan (maximalRepeatedSpans truncates
+    // lineage on return): duplicated windows come from the hash-keyed
+    // groupBy, coverage from an equi-join back to positions — never a
+    // nested-loop/cartesian pair term
+    val pos = Dedup.positionalShingles(docs, 8)
+    val plan = Dedup.maximalRepeatedSpansOn(pos, 8, 2, 12)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span coverage must come from an equi-join:\n$plan")
+  }
+
   test("maximal span removal: long runs cut from non-canonical holders, short shared phrases survive") {
     val docs = Seq(
       (10L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 u1 u2"),
