@@ -21,16 +21,20 @@ import org.apache.spark.sql.functions._
   *    signatures stable across re-runs and clusters — a requirement for
   *    incremental dedup against an existing corpus.
   *
-  * Caching note: the near-dup pipelines `persist()` the shingle table
-  * (reused 3-4× inside one job), eagerly materialize the (small) result
-  * with a lineage-truncating local checkpoint, and `unpersist()` the
-  * shingle cache before returning — no cache-manager entries linger.
-  * The checkpointed result itself lives in executor block storage until
-  * the returned DataFrame is GC'd, and localCheckpoint is NOT resilient
-  * to executor loss (lineage is truncated): correct for a
-  * driver-consumed pair list; a warehouse-scale run that must survive
-  * executor churn writes the result to a staging table instead and
-  * reads it back.
+  * Materialization note: every near-dup pipeline that reuses a
+  * corpus-scale intermediate (the shingle / positional-shingle table,
+  * reused 3-4× inside one job) takes a `stagingDir` option. With it —
+  * the WAREHOUSE form, and the form every registered query uses — the
+  * intermediate lands as a staged parquet table read back by each
+  * consumer: distributed storage, recomputable on executor loss, zero
+  * executor block memory. Without it (dev convenience on small
+  * corpora) the intermediate is `persist()`ed and released in a
+  * `finally`. Small RESULTS (pair lists, span tables) are eagerly
+  * materialized with a lineage-truncating local checkpoint; that
+  * checkpoint is NOT resilient to executor loss, which is the priced
+  * trade for a driver-consumed, result-sized frame only — anything
+  * corpus-sized on a registered path is staged parquet (see PLANS.md
+  * "localCheckpoint resilience" table).
   */
 object Dedup {
 
@@ -188,14 +192,31 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, w: Int = 3, numHashes: Int = 8,
                  bandWidth: Int = 2, threshold: Double = 0.5,
-                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                 maxBucketSize: Int = Int.MaxValue,
+                 stagingDir: Option[String] = None): DataFrame = {
     require(numHashes % bandWidth == 0, "bands must tile the signature")
     require(numHashes <= 8, "8 32-bit hashes per two md5 digests")
     require(maxBucketSize >= 2, "a cap below 2 suppresses every pair")
-    val tri = shingles(docs, w).persist()
-    try minhashLshOn(tri, numHashes, bandWidth, threshold, maxBucketSize)
-      .localCheckpoint(eager = true)
-    finally tri.unpersist(blocking = false)
+    stagingDir match {
+      case Some(dir) =>
+        // WAREHOUSE form (the ngramJaccard staging discipline): the
+        // corpus-sized shingle table lands as a staged parquet table
+        // that banding, sizing and verification all read back —
+        // distributed storage that survives executor loss, never
+        // executor block memory. The pair result is tiny; eager
+        // materialization truncates lineage off the staged files.
+        shingles(docs, w).write.mode("overwrite").parquet(dir)
+        minhashLshOn(docs.sparkSession.read.parquet(dir), numHashes,
+            bandWidth, threshold, maxBucketSize)
+          .localCheckpoint(eager = true)
+      case None =>
+        // dev convenience: materialized once in executor block memory —
+        // pass a staging dir at corpus scale.
+        val tri = shingles(docs, w).persist()
+        try minhashLshOn(tri, numHashes, bandWidth, threshold, maxBucketSize)
+          .localCheckpoint(eager = true)
+        finally tri.unpersist(blocking = false)
+    }
   }
 
   /** Drop band-bucket memberships whose bucket exceeds `cap` members —
@@ -1116,17 +1137,27 @@ object Dedup {
     * fixed-width shuffle payload; the DuckDB oracle groups by text and
     * matches bit-for-bit.
     */
-  def repeatedSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // materialized once, reused by the duplicated-set groupBy and the
-    // join back (at warehouse scale: a staging table); the per-doc
-    // result is tiny next to the window table, so eagerly materialize
-    // it and drop the cache before returning — the ngramJaccard
-    // discipline.
-    val pos = positionalShingles(docs, w).persist()
-    try repeatedSpansOn(docs, pos, w, minDocs).localCheckpoint(eager = true)
-    finally pos.unpersist(blocking = false)
-  }
+  def repeatedSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
+                    stagingDir: Option[String] = None): DataFrame =
+    stagingDir match {
+      case Some(dir) =>
+        // WAREHOUSE form: the corpus-token-scale positional-shingle
+        // table staged to parquet and read back by the duplicated-set
+        // groupBy and the join back — no executor block-memory cache,
+        // resilient to executor loss. The per-doc result is tiny next
+        // to the window table; eager materialization truncates lineage
+        // off the staged files.
+        positionalShingles(docs, w).write.mode("overwrite").parquet(dir)
+        repeatedSpansOn(docs, docs.sparkSession.read.parquet(dir), w, minDocs)
+          .localCheckpoint(eager = true)
+      case None =>
+        // dev convenience: materialized once in executor block memory,
+        // reused by the duplicated-set groupBy and the join back — pass
+        // a staging dir at corpus scale (the ngramJaccard discipline).
+        val pos = positionalShingles(docs, w).persist()
+        try repeatedSpansOn(docs, pos, w, minDocs).localCheckpoint(eager = true)
+        finally pos.unpersist(blocking = false)
+    }
 
   private[graft] def repeatedSpansOn(docs: DataFrame, pos: DataFrame, w: Int,
                               minDocs: Int): DataFrame = {
@@ -1193,20 +1224,30 @@ object Dedup {
     * block storage — pass a staging dir at scale).
     */
   def removeCrossDocSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
-                          stagingDir: Option[String] = None): DataFrame = {
-    val pos = positionalShingles(docs, w).persist()
-    // materialization (either form) must complete before the finally
-    // releases the shingle cache — the returned frame never recomputes
-    try {
-      val out = removeCrossDocSpansOn(docs, pos, w, minDocs)
-      stagingDir match {
-        case Some(dir) =>
-          out.write.mode("overwrite").parquet(dir)
-          docs.sparkSession.read.parquet(dir)
-        case None => out.localCheckpoint(eager = true)
-      }
-    } finally pos.unpersist(blocking = false)
-  }
+                          stagingDir: Option[String] = None): DataFrame =
+    stagingDir match {
+      case Some(dir) =>
+        // WAREHOUSE form end to end (round 14): BOTH corpus-scale
+        // frames are staged parquet — the positional-shingle table at
+        // `<dir>.pos` (read back by the duplicated-set groupBy and the
+        // cut join) and the rewritten corpus at `<dir>` — so no
+        // executor block-memory cache exists anywhere on the path and
+        // every stage recomputes from distributed storage on executor
+        // loss.
+        positionalShingles(docs, w).write.mode("overwrite")
+          .parquet(dir + ".pos")
+        val pos = docs.sparkSession.read.parquet(dir + ".pos")
+        removeCrossDocSpansOn(docs, pos, w, minDocs)
+          .write.mode("overwrite").parquet(dir)
+        docs.sparkSession.read.parquet(dir)
+      case None =>
+        val pos = positionalShingles(docs, w).persist()
+        // materialization must complete before the finally releases the
+        // shingle cache — the returned frame never recomputes
+        try removeCrossDocSpansOn(docs, pos, w, minDocs)
+          .localCheckpoint(eager = true)
+        finally pos.unpersist(blocking = false)
+    }
 
   private[graft] def removeCrossDocSpansOn(docs: DataFrame, pos: DataFrame,
                                            w: Int, minDocs: Int): DataFrame = {
@@ -1273,15 +1314,27 @@ object Dedup {
     * are individually bounded, so partitions are too).
     */
   def maximalRepeatedSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
-                           minLen: Int = 12): DataFrame = {
+                           minLen: Int = 12,
+                           stagingDir: Option[String] = None): DataFrame = {
     require(minLen >= w,
       s"maximalRepeatedSpans: minLen ($minLen) must be >= the window " +
         s"width ($w) — a shorter threshold cannot bind (every detected " +
         "span covers at least one full window)")
-    val pos = positionalShingles(docs, w).persist()
-    try maximalRepeatedSpansOn(pos, w, minDocs, minLen)
-      .localCheckpoint(eager = true)
-    finally pos.unpersist(blocking = false)
+    stagingDir match {
+      case Some(dir) =>
+        // WAREHOUSE form: positional shingles staged to parquet (see
+        // repeatedSpans) — the duplicated-set groupBy and the coverage
+        // join read distributed storage, not executor block memory.
+        positionalShingles(docs, w).write.mode("overwrite").parquet(dir)
+        maximalRepeatedSpansOn(docs.sparkSession.read.parquet(dir), w,
+            minDocs, minLen)
+          .localCheckpoint(eager = true)
+      case None =>
+        val pos = positionalShingles(docs, w).persist()
+        try maximalRepeatedSpansOn(pos, w, minDocs, minLen)
+          .localCheckpoint(eager = true)
+        finally pos.unpersist(blocking = false)
+    }
   }
 
   private[graft] def maximalRepeatedSpansOn(pos: DataFrame, w: Int,
@@ -1316,8 +1369,7 @@ object Dedup {
     require(minLen >= w,
       s"removeMaximalSpans: minLen ($minLen) must be >= the window " +
         s"width ($w)")
-    val pos = positionalShingles(docs, w).persist()
-    try {
+    def rewritten(pos: DataFrame): DataFrame = {
       val win = hashedWindows(pos)
       val dup = win.groupBy(col("h1"), col("h2"))
         .agg(min(col("doc_id")).as("canon"),
@@ -1332,14 +1384,24 @@ object Dedup {
       val cut = spansFromCover(cover, minLen)
         .select(col("doc_id"),
           explode(sequence(col("span_start"), col("span_end"))).as("q"))
-      val out = rebuildWithoutPositions(positionalTokens(docs), cut)
-      stagingDir match {
-        case Some(dir) =>
-          out.write.mode("overwrite").parquet(dir)
-          docs.sparkSession.read.parquet(dir)
-        case None => out.localCheckpoint(eager = true)
-      }
-    } finally pos.unpersist(blocking = false)
+      rebuildWithoutPositions(positionalTokens(docs), cut)
+    }
+    stagingDir match {
+      case Some(dir) =>
+        // WAREHOUSE form end to end (round 14): positional shingles
+        // staged at `<dir>.pos`, rewritten corpus at `<dir>` — no
+        // executor block-memory cache on the path (see
+        // removeCrossDocSpans).
+        positionalShingles(docs, w).write.mode("overwrite")
+          .parquet(dir + ".pos")
+        rewritten(docs.sparkSession.read.parquet(dir + ".pos"))
+          .write.mode("overwrite").parquet(dir)
+        docs.sparkSession.read.parquet(dir)
+      case None =>
+        val pos = positionalShingles(docs, w).persist()
+        try rewritten(pos).localCheckpoint(eager = true)
+        finally pos.unpersist(blocking = false)
+    }
   }
 
   /** Distinct token positions covered by the given window occurrences:

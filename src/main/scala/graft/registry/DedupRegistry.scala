@@ -56,7 +56,12 @@ private[graft] object DedupRegistry {
       // exact-substring-style span dedup at 8-token granularity: which
       // tokens of each document are cross-corpus boilerplate. Localizes
       // shared spans that whole-doc similarity (jaccard/minhash) cannot.
-      Dedup.repeatedSpans(Tables.documents(s, d), w = 8, minDocs = 2)
+      // Registered in the WAREHOUSE form (round 14): the corpus-token-
+      // scale positional-shingle table staged to parquet, not persisted
+      // in executor block memory.
+      Dedup.repeatedSpans(Tables.documents(s, d), w = 8, minDocs = 2,
+          stagingDir = Some(TempDirs.create("graft-span-stage-").toString
+            + "/pos"))
         .orderBy("doc_id")),
 
     "dedup_recall_eval" -> ((s, d) => {
@@ -111,8 +116,12 @@ private[graft] object DedupRegistry {
       // granularity. One row per qualifying span with its exact token
       // interval; the fixed-w family (dedup_repeated_spans) counts
       // coverage, this one LOCALIZES it at variable length.
+      // Registered in the WAREHOUSE form (round 14): staged positional
+      // shingles, no executor block-memory cache on the path.
       Dedup.maximalRepeatedSpans(Tables.documents(s, d), w = 8,
-          minDocs = 2, minLen = 12)
+          minDocs = 2, minLen = 12,
+          stagingDir = Some(TempDirs.create("graft-maxspan-stage-")
+            .toString + "/pos"))
         .orderBy("doc_id", "span_start")),
 
     "dedup_maximal_span_removal" -> ((s, d) =>
@@ -152,8 +161,13 @@ private[graft] object DedupRegistry {
         .orderBy("doc_id")),
 
     "dedup_minhash_lsh" -> ((s, d) =>
+      // Registered in the WAREHOUSE form (round 14): the corpus-sized
+      // shingle table staged to parquet and read back by banding,
+      // sizing and verification — no executor block-memory cache.
       Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
-          bandWidth = 2, threshold = 0.5)
+          bandWidth = 2, threshold = 0.5,
+          stagingDir = Some(TempDirs.create("graft-lsh-stage-").toString
+            + "/shingles"))
         .orderBy("d1", "d2")),
 
     "dedup_lsh_capped" -> ((s, d) =>

@@ -492,6 +492,40 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(spark.read.parquet(dir)) === rows(staged))
   }
 
+  test("staged detection paths match in-memory and leave no cache entries") {
+    // round 14: the three DETECTION operators take the same stagingDir
+    // discipline as the rewrites — staged parquet intermediates,
+    // identical results, and zero block-memory cache on the staged path.
+    val docs = fixture
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-detect-staged-").toString
+    val lshMem = pairs(Dedup.minhashLsh(docs, w = 3, numHashes = 8,
+      bandWidth = 2, threshold = 0.5))
+    val lshStaged = pairs(Dedup.minhashLsh(docs, w = 3, numHashes = 8,
+      bandWidth = 2, threshold = 0.5, stagingDir = Some(s"$tmp/sh")))
+    assert(lshStaged === lshMem)
+    assert(new java.io.File(s"$tmp/sh").exists, "staged shingles must land")
+
+    val spanDocs = Seq(
+      (0L, "a b c d e f g h i j"), (1L, "a b c d e f g h i j k l m n")
+    ).toDF("doc_id", "text")
+    def spanRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(spanRows(Dedup.repeatedSpans(spanDocs, w = 8, minDocs = 2,
+        stagingDir = Some(s"$tmp/pos1"))) ===
+      spanRows(Dedup.repeatedSpans(spanDocs, w = 8, minDocs = 2)))
+    assert(spanRows(Dedup.maximalRepeatedSpans(spanDocs, w = 8, minDocs = 2,
+        minLen = 8, stagingDir = Some(s"$tmp/pos2"))) ===
+      spanRows(Dedup.maximalRepeatedSpans(spanDocs, w = 8, minDocs = 2,
+        minLen = 8)))
+    assert(org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark),
+      "staged detection paths must not persist anything")
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   test("repeated spans leaves no cache entries behind") {
     val docs = Seq(
       (0L, "a b c d e f g h i j"), (1L, "a b c d e f g h i j")
