@@ -111,20 +111,48 @@ object Bench {
       "\"" + g + "\":{" + inner + "}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true, _) => v }.sum
+    // Fixed 40-query anchor (the round-1 bench surface, BENCH_r01.json):
+    // re-measured in the SAME session as every full run so cross-round
+    // comparisons have one number that night-to-night environment drift
+    // (measured 1.3-1.5x) cannot pollute — two rounds' anchor_40_s are
+    // directly comparable because each is priced in its own run's
+    // conditions alongside its own total.
+    val anchor40 = Set(
+      "bronze_clean_events", "bronze_domain_unnest", "bronze_file_source",
+      "bronze_incremental", "bronze_upsert_anti", "dedup_embedding_cosine",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+      "enrich_geocode", "enrich_props_json", "gold_daily_summary",
+      "gold_hourly_summary", "gold_popular_routes", "gold_rollup_summary",
+      "gold_station_popularity", "gold_station_view", "gold_user_behavior",
+      "multimodal_features", "multimodal_frame_sample", "multimodal_meta",
+      "silver_dim_date", "silver_dim_station", "silver_dim_user",
+      "silver_fact_trips", "silver_nearest", "silver_range_join",
+      "silver_set_ops", "sim_topk_bruteforce", "sim_topk_lsh",
+      "stream_asof_join", "stream_sessionize", "stream_windowed_counts",
+      "text_fingerprint", "text_langid", "text_quality", "text_simhash",
+      "text_tfidf", "text_token_stats", "text_top_tokens")
+    val anchorOk = results.count { case (k, _, ok, _) => anchor40(k) && ok }
+    val anchorSum = results
+      .collect { case (k, v, true, _) if anchor40(k) => v }.sum
+    // emitted only when the whole anchor ran ok (subset runs would
+    // report a misleading partial sum)
+    val anchorField =
+      if (anchorOk == anchor40.size) s""","anchor_40_s":${f3(anchorSum)}"""
+      else ""
     val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
     val errField = if (errs.isEmpty) "" else errs.mkString(",\"errors\":[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
     val detail = results.map { case (k, v, ok, (a, b)) =>
       s""""$k":{"min":${f3(v)},"runs":[${f3(a)},${f3(b)}],"ok":$ok}"""
     }.mkString("{", ",", "}")
-    val detailJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min","interleaved":true,"noise_floor":${f3(noiseFloor)},"ingest_sec":${f3(ingestSec)},"sf":"$sfDir","queries":$detail}"""
+    val detailJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min","interleaved":true,"noise_floor":${f3(noiseFloor)},"ingest_sec":${f3(ingestSec)}$anchorField,"sf":"$sfDir","queries":$detail}"""
     // SPARK_GRAFT_DETAIL_OUT: redirect the detail dump (dev ladder/subset
     // runs must not clobber the committed full-surface BENCH_DETAIL.json;
     // the driver sets no such var, so its runs keep the default path).
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath), detailJson.getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min","interleaved":true,"noise_floor":${f3(noiseFloor)}$errField,"ingest_sec":${f3(ingestSec)},"sf":"$sfName","detail":"$detailPath","queries":$qs}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min","interleaved":true,"noise_floor":${f3(noiseFloor)}$errField,"ingest_sec":${f3(ingestSec)}$anchorField,"sf":"$sfName","detail":"$detailPath","queries":$qs}""")
     spark.stop()
   }
 }

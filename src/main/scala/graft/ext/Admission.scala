@@ -3,10 +3,11 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** The UNIFIED corpus admission ensemble — the front door's five
+/** The UNIFIED corpus admission ensemble — the front door's seven
   * independent gates (source exclusion, quality heuristics, bench-Bloom
   * shingle decontamination, semantic embedding sweep, maintained-LM
-  * quality threshold, NB label gate) evaluated TOGETHER into one
+  * quality threshold, NB label gate, near-dup band-state collision)
+  * evaluated TOGETHER into one
   * per-document decision record: which gate said what, with what score,
   * and the single resulting keep/drop. This is the audit artifact a
   * production curation stack ships with every release — "why was this
@@ -27,14 +28,20 @@ import org.apache.spark.sql.functions._
   * projection, semantic is [[Corpus.embeddingContaminatedIds]] (the
   * release chain's sweep), LM is [[TextAnalysis.lmScoreBigram]] with
   * the gate-threshold semantics of `lmGatePipeline` (unscorable
-  * rejects), NB is [[Classifier.nbClassify]] with an allowed-label set.
+  * rejects), NB is [[Classifier.nbClassify]] with an allowed-label set,
+  * near-dup is the [[Dedup.bandTable]] bucket-collision probe of
+  * [[Dedup.incrementalNearDupFromState]] against the FROZEN
+  * admitted-corpus band state (self-rows excluded, the `excludeIds`
+  * replay discipline).
   *
   * Scale shape: three projections (source, quality, contamination —
   * the Bloom probe is a bitmap column, no join), one banded
-  * broadcast-join sweep (bench state is eval-corpus-sized), and two
-  * broadcast-model scoring passes with one doc_id rollup each — the
-  * whole report is a constant number of corpus scans with
-  * broadcast-bounded joins, no doc-by-doc term anywhere.
+  * broadcast-join sweep (bench state is eval-corpus-sized), two
+  * broadcast-model scoring passes with one doc_id rollup each, and one
+  * band-state equi-join keyed on (band, bkey) with a per-doc rollup —
+  * the whole report is a constant number of corpus scans with
+  * broadcast-bounded or band-keyed equi-joins, no doc-by-doc term
+  * anywhere.
   */
 object Admission {
 
@@ -48,15 +55,34 @@ object Admission {
                                threshold: Double, numPlanes: Int = 16,
                                bandWidth: Int = 4, dim: Int = 64)
 
+  /** Near-dup leg configuration (round 14 — the seventh gate): the
+    * PERSISTED band state of the already-admitted corpus
+    * ([[Dedup.bandTable]] / [[Dedup.writeBandState]] rows — the same
+    * state the incremental admission operators probe) plus the layout
+    * it was built with. A document fails this gate when any of its
+    * band buckets collides with a state row of a DIFFERENT doc_id —
+    * the reference's own dedup discipline (DISTINCT ON / S7
+    * insert-if-absent) applied at the corpus front door. The
+    * self-exclusion mirrors `incrementalNearDupFromState(excludeIds)`:
+    * a document colliding only with its own previously-persisted bands
+    * is a replay, not a near-duplicate.
+    */
+  final case class NearDupCfg(seenBands: DataFrame, w: Int = 3,
+                              numHashes: Int = 8, bandWidth: Int = 2)
+
   /** Gate names in decision order (the numeric prefix makes the long
     * table sort into evaluation order).
     */
   val GateOrder: Seq[String] = Seq("1_source", "2_quality",
-    "3_contamination", "4_semantic", "5_lm", "6_nb", "7_decision")
+    "3_contamination", "4_semantic", "5_lm", "6_nb", "7_neardup",
+    "8_decision")
+
+  /** The decision row's gate name — the conjunction row, not a gate. */
+  val DecisionGate: String = GateOrder.last
 
   /** Evaluate every gate on every document and emit the long-format
     * decision table `(doc_id, gate, pass, score)` — one row per
-    * (document, gate) plus the `7_decision` row whose `pass` is the
+    * (document, gate) plus the `8_decision` row whose `pass` is the
     * conjunction of all gates (the single keep/drop). Gates are
     * INDEPENDENT verdicts: a document failing quality still carries
     * its contamination/LM/NB verdicts, which is what makes the table
@@ -72,7 +98,8 @@ object Admission {
              semantic: Option[SemanticCfg],
              lmModel: DataFrame, minAvgLp: Double,
              nbModel: DataFrame, allowedLabels: Seq[String],
-             nbBuckets: Int = 1024): DataFrame = {
+             nbBuckets: Int = 1024,
+             nearDup: Option[NearDupCfg] = None): DataFrame = {
     require(allowedLabels.nonEmpty,
       "admission report: empty allowed-label set would reject everything")
     // contamination probe: corpusCleanStream's projection verbatim
@@ -111,11 +138,50 @@ object Admission {
           .drop("_sem_hit")
       case None => wide.withColumn("_sem_pass", lit(true))
     }
+    // near-dup probe (gate 7): the document's band buckets against the
+    // FROZEN admitted-corpus band state — collision with a different
+    // doc_id fails; score is the fraction of the doc's bands that
+    // collide (the contamination gate's fraction semantics applied to
+    // band space). A document too short to shingle has no bands and no
+    // near-dup EVIDENCE: it PASSES with score NULL — the shared
+    // incremental-admission semantics (incrementalNearDup admits
+    // shingle-less docs), deliberately diverging from the LM/NB
+    // cannot-certify-rejects convention because here absence of
+    // evidence is a definite verdict, not an unscorable one.
+    val withNd = nearDup match {
+      case Some(g) =>
+        Dedup.requireStateLayout(g.seenBands, "seen band table",
+          Seq("w" -> g.w, "num_hashes" -> g.numHashes,
+            "band_width" -> g.bandWidth))
+        val bands = Dedup.bandTable(docs, g.w, g.numHashes, g.bandWidth)
+          .select(col("doc_id"), col("band"), col("bkey"))
+        val nBands = bands.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("_nd_n"))
+        val hits = bands
+          .join(g.seenBands
+              .select(col("doc_id").as("_sid"), col("band"), col("bkey"))
+              .dropDuplicates("_sid", "band", "bkey"),
+            Seq("band", "bkey"))
+          .filter(col("_sid") =!= col("doc_id"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("band")).as("_nd_hits"))
+        withSem
+          .join(nBands, Seq("doc_id"), "left")
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("_nd_pass", coalesce(col("_nd_hits"), lit(0L)) === 0)
+          .withColumn("_nd_score",
+            when(col("_nd_n").isNotNull,
+              coalesce(col("_nd_hits"), lit(0L)).cast("double") /
+                col("_nd_n").cast("double")))
+          .drop("_nd_n", "_nd_hits")
+      case None => withSem.withColumn("_nd_pass", lit(true))
+        .withColumn("_nd_score", lit(null).cast("double"))
+    }
     val lm = TextAnalysis.lmScoreBigram(docs, lmModel)
       .select(col("doc_id"), col("avg_lp"))
     val nb = Classifier.nbClassify(docs, nbModel, nbBuckets)
       .select(col("doc_id"), col("pred_label"), col("score_fp"))
-    val full = withSem
+    val full = withNd
       .join(lm, Seq("doc_id"), "left")
       .withColumn("_lm_pass",
         col("avg_lp").isNotNull && col("avg_lp") >= lit(minAvgLp))
@@ -127,7 +193,7 @@ object Admission {
         coalesce(pass, lit(false)).as("pass"),
         score.cast("double").as("score"))
     val keep = Seq("_src_pass", "_q_pass", "_c_pass", "_sem_pass",
-      "_lm_pass", "_nb_pass").map(c => coalesce(col(c), lit(false)))
+      "_lm_pass", "_nb_pass", "_nd_pass").map(c => coalesce(col(c), lit(false)))
       .reduce(_ && _)
     full.select(col("doc_id"), explode(array(
         rec("1_source", col("_src_pass"), lit(null)),
@@ -136,7 +202,8 @@ object Admission {
         rec("4_semantic", col("_sem_pass"), lit(null)),
         rec("5_lm", col("_lm_pass"), col("avg_lp")),
         rec("6_nb", col("_nb_pass"), col("score_fp")),
-        rec("7_decision", keep, lit(null)))).as("r"))
+        rec("7_neardup", col("_nd_pass"), col("_nd_score")),
+        rec(DecisionGate, keep, lit(null)))).as("r"))
       .select(col("doc_id"), col("r.gate").as("gate"),
         col("r.pass").as("pass"), col("r.score").as("score"))
   }
@@ -148,21 +215,31 @@ object Admission {
     * redundant overlap — tuning one threshold without this table is
     * guessing at the ensemble's joint behavior. Works on any report
     * output (batch, or the union of a streamed run's per-batch
-    * tables). Six bounded rows; one pivot + one aggregate.
+    * tables). Six bounded rows; one pivot + ONE aggregate: all twelve
+    * counts come out of a single pass over the pivoted table (one
+    * `agg` emitting `n_fail`/`n_fail_alone` per gate, unpivoted by an
+    * explode to the 6-row shape) — the round-13 form built six
+    * per-gate aggregate branches and unioned them, relying on
+    * exchange reuse to avoid six scans; single-pass by construction
+    * is the plan that survives 100×.
     */
   def gateOverlap(report: DataFrame): DataFrame = {
-    val gates = GateOrder.filterNot(_ == "7_decision")
-    val wide = report.filter(col("gate") =!= "7_decision")
+    val gates = GateOrder.filterNot(_ == DecisionGate)
+    val wide = report.filter(col("gate") =!= DecisionGate)
       .groupBy(col("doc_id"))
       .pivot("gate", gates)
       .agg(first(col("pass")))
-    gates.map { g =>
-      val others = gates.filterNot(_ == g).map(col)
-        .reduce[Column](_ && _)
-      wide.agg(
-          count(when(!col(g), lit(1))).as("n_fail"),
-          count(when(!col(g) && others, lit(1))).as("n_fail_alone"))
-        .select(lit(g).as("gate"), col("n_fail"), col("n_fail_alone"))
-    }.reduce(_.unionByName(_))
+    val counts = gates.flatMap { g =>
+      val others = gates.filterNot(_ == g).map(col).reduce[Column](_ && _)
+      Seq(count(when(!col(g), lit(1))).as(s"${g}__n_fail"),
+        count(when(!col(g) && others, lit(1))).as(s"${g}__n_fail_alone"))
+    }
+    wide.agg(counts.head, counts.tail: _*)
+      .select(explode(array(gates.map(g =>
+        struct(lit(g).as("gate"),
+          col(s"${g}__n_fail").as("n_fail"),
+          col(s"${g}__n_fail_alone").as("n_fail_alone"))): _*)).as("r"))
+      .select(col("r.gate").as("gate"), col("r.n_fail").as("n_fail"),
+        col("r.n_fail_alone").as("n_fail_alone"))
   }
 }

@@ -27,7 +27,16 @@ private[graft] object CorpusRegistry {
     * each consume the model frames, and an unmaterialized model
     * subtree would retrain per consumer branch.
     */
-  private def admissionReportFor(s: SparkSession, d: String): DataFrame = {
+  /** The admission ensemble with CALLER-SUPPLIED model frames — shared
+    * by the frozen-frame form ([[admissionReportFor]]) and the
+    * persisted-state form (corpus_admission_report_state); everything
+    * except the two models (Bloom gate, bench signatures, near-dup
+    * band state) is built identically so the two registered queries
+    * differ ONLY in where the models come from.
+    */
+  private def admissionReportWith(s: SparkSession, d: String,
+                                  lmModel: DataFrame,
+                                  nbModel: DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
     val bench = docs.filter(col("source").isin("src0", "src1"))
@@ -38,16 +47,31 @@ private[graft] object CorpusRegistry {
       ext.Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18,
         numHashes = 4)
     val sig = ext.Corpus.benchSignatureTable(docs, emb, Seq("src0", "src1"))
+    // near-dup gate state (round 14): the already-admitted cohort's
+    // persisted band table (doc_id % 7 = 3 plays the admitted corpus;
+    // bounded — 4 band rows per doc), frozen like the other artifacts
+    val seenBands = Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3),
+        w = 5, numHashes = 8, bandWidth = 2)
+      .localCheckpoint(eager = true)
     ext.Admission.report(docs, Seq("src0", "src1"), gate,
       contamThreshold = 0.3,
       semantic = Some(ext.Admission.SemanticCfg(emb, sig,
         threshold = 0.42)),
+      lmModel = lmModel,
+      minAvgLp = -3.40,
+      nbModel = nbModel,
+      allowedLabels = Seq("en"),
+      nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
+        numHashes = 8, bandWidth = 2)))
+  }
+
+  private def admissionReportFor(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    admissionReportWith(s, d,
       lmModel = TextAnalysis.bigramLmTrain(docs)
         .localCheckpoint(eager = true),
-      minAvgLp = -3.40,
       nbModel = graft.ext.Classifier.nbTrain(docs)
-        .localCheckpoint(eager = true),
-      allowedLabels = Seq("en"))
+        .localCheckpoint(eager = true))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -378,6 +402,33 @@ private[graft] object CorpusRegistry {
       // audit table can never drift from the gates it audits; the
       // oracle unrolls all six decisions into the same long table.
       admissionReportFor(s, d).orderBy("doc_id", "gate")
+    }),
+
+    "corpus_admission_report_state" -> ((s, d) => {
+      // the PERSISTED-STATE form of the admission ensemble (round 14):
+      // at 100 TB the LM and NB models are maintained TABLES — the
+      // delta-log the stream appends (lmMaintainPipeline's batch_id=
+      // layout) and the additive NB count state — not frames a driver
+      // retrains per run. This query derives both models from
+      // persisted storage (lmReadCounts over two delta partitions; a
+      // written-and-read-back NB counts table) and must emit
+      // bit-identical decisions to the frozen-frame form: additive
+      // counts == whole-corpus train, so ONE oracle pins both paths.
+      val docs = Tables.documents(s, d)
+      val tmp = TempDirs.create("graft-adm-state-").toString
+      TextAnalysis.lmCountsBuild(docs.filter(col("doc_id") % 2 === 0))
+        .write.parquet(s"$tmp/lm/batch_id=0")
+      TextAnalysis.lmCountsBuild(docs.filter(col("doc_id") % 2 === 1))
+        .write.parquet(s"$tmp/lm/batch_id=1")
+      graft.ext.Classifier.nbCountsBuild(docs).write.parquet(s"$tmp/nb")
+      val lmModel = TextAnalysis.lmModelFromCounts(
+        graft.streaming.Streams.lmReadCounts(s, s"$tmp/lm"))
+      val nbModel = graft.ext.Classifier.nbModelFromCounts(
+        s.read.parquet(s"$tmp/nb"))
+      detachAndClean(
+        admissionReportWith(s, d, lmModel, nbModel)
+          .orderBy("doc_id", "gate"),
+        tmp)
     }),
 
     "corpus_admission_overlap" -> ((s, d) =>
@@ -1171,6 +1222,8 @@ private[graft] object CorpusRegistry {
     "corpus_decontaminate_bloom" -> corpusDecontaminateOracle,
 
     "corpus_admission_report" -> admissionReportOracle,
+    // state-read == frozen-frame decisions: the SAME oracle pins both
+    "corpus_admission_report_state" -> admissionReportOracle,
 
     "corpus_admission_overlap" -> admissionOverlapOracle,
 

@@ -495,7 +495,7 @@ private[graft] object Shared {
        |WHERE CAST(a.n_hit AS DOUBLE) < 0.3 * CAST(a.n_sh AS DOUBLE)
        |ORDER BY t.doc_id""".stripMargin
 
-  /** The unified admission ensemble's six gate decisions as one WITH
+  /** The unified admission ensemble's seven gate decisions as one WITH
     * chain ending in the per-doc verdict CTE `averd` — shared by the
     * long-table report oracle ([[admissionReportOracle]]) and the
     * per-gate calibration rollup ([[admissionOverlapOracle]]).
@@ -522,6 +522,18 @@ private[graft] object Shared {
       val bandSelects = (0 until 4).map(b =>
         s"  SELECT doc_id, source, embedding, $b AS band, ${bkey(b * 4 until (b + 1) * 4)} AS bkey FROM asig")
         .mkString("\n  UNION ALL\n")
+      // near-dup gate (round 14): MinHash band table over the same
+      // 5-shingles (identical 8-hash family / 2-wide bands as
+      // bandCteSqlFor), probed against the admitted-cohort state
+      // (doc_id % 7 = 3) with self-rows excluded
+      val admissionMhCols = (0 until 8).map(s =>
+        s"    min(CAST('0x' || substr(md5('0|' || sh) || md5('1|' || sh), ${8 * s + 1}, 8) AS BIGINT)) AS mh$s")
+        .mkString(",\n")
+      val admissionBandSelects = (0 until 4).map { b =>
+        val k = (b * 2 until (b + 1) * 2)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ',' || ")
+        s"  SELECT doc_id, $b AS band, $k AS bkey FROM amh"
+      }.mkString("\n  UNION ALL\n")
       s"""WITH aq AS (
          |  SELECT doc_id, source, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
          |         len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
@@ -557,6 +569,21 @@ private[graft] object Shared {
          |  SELECT doc_id, count(*) AS n_sh,
          |         sum(CASE WHEN might THEN 1 ELSE 0 END) AS n_hit
          |  FROM aprobe GROUP BY 1
+         |), amh AS (
+         |  SELECT doc_id,
+         |$admissionMhCols
+         |  FROM atsh GROUP BY doc_id
+         |), abands AS (
+         |$admissionBandSelects
+         |), andstate AS (
+         |  SELECT DISTINCT doc_id, band, bkey FROM abands WHERE doc_id % 7 = 3
+         |), andhit AS (
+         |  SELECT b.doc_id, count(DISTINCT b.band) AS nd_hits
+         |  FROM abands b JOIN andstate s
+         |    ON s.band = b.band AND s.bkey = b.bkey AND s.doc_id != b.doc_id
+         |  GROUP BY 1
+         |), andn AS (
+         |  SELECT doc_id, count(*) AS nd_n FROM abands GROUP BY 1
          |), aep AS (
          |  SELECT d.doc_id, d.source, e.embedding
          |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
@@ -587,13 +614,19 @@ private[graft] object Shared {
          |    (lm.avg_lp IS NOT NULL AND lm.avg_lp >= -3.40) AS lm_pass,
          |    lm.avg_lp AS lm_score,
          |    COALESCE(f.label = 'en', FALSE) AS nb_pass,
-         |    CAST(f.score_fp AS DOUBLE) AS nb_score
+         |    CAST(f.score_fp AS DOUBLE) AS nb_score,
+         |    (COALESCE(h.nd_hits, 0) = 0) AS nd_pass,
+         |    CASE WHEN n.nd_n IS NOT NULL
+         |         THEN CAST(COALESCE(h.nd_hits, 0) AS DOUBLE) /
+         |              CAST(n.nd_n AS DOUBLE) END AS nd_score
          |  FROM documents d
          |  JOIN aq a USING (doc_id)
          |  LEFT JOIN aagg g USING (doc_id)
          |  JOIN alm_lm lm ON lm.doc_id = d.doc_id
          |  LEFT JOIN (SELECT doc_id, label, score_fp FROM anb_fin WHERE rn = 1) f
          |    ON f.doc_id = d.doc_id
+         |  LEFT JOIN andn n ON n.doc_id = d.doc_id
+         |  LEFT JOIN andhit h ON h.doc_id = d.doc_id
          |)""".stripMargin
   }
 
@@ -617,22 +650,24 @@ private[graft] object Shared {
         |  UNION ALL
         |  SELECT doc_id, '6_nb', nb_pass, nb_score FROM averd
         |  UNION ALL
-        |  SELECT doc_id, '7_decision',
+        |  SELECT doc_id, '7_neardup', nd_pass, nd_score FROM averd
+        |  UNION ALL
+        |  SELECT doc_id, '8_decision',
         |         (src_pass AND q_pass AND c_pass AND sem_pass
-        |          AND lm_pass AND nb_pass),
+        |          AND lm_pass AND nb_pass AND nd_pass),
         |         CAST(NULL AS DOUBLE) FROM averd
         |)
         |ORDER BY doc_id, gate""".stripMargin
 
   /** [[admissionVerdictCtes]] + the per-gate calibration rollup — the
     * corpus_admission_overlap oracle: per gate, how many docs it fails
-    * and how many it ALONE keeps out (the doc passes the other five).
+    * and how many it ALONE keeps out (the doc passes the other six).
     */
   lazy val admissionOverlapOracle: String = {
     val gates = Seq(
       "1_source" -> "src_pass", "2_quality" -> "q_pass",
       "3_contamination" -> "c_pass", "4_semantic" -> "sem_pass",
-      "5_lm" -> "lm_pass", "6_nb" -> "nb_pass")
+      "5_lm" -> "lm_pass", "6_nb" -> "nb_pass", "7_neardup" -> "nd_pass")
     val legs = gates.map { case (g, c) =>
       val others = gates.collect { case (_, o) if o != c => o }
         .mkString(" AND ")

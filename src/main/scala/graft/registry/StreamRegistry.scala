@@ -768,13 +768,20 @@ private[graft] object StreamRegistry {
       val sig = ext.Corpus.benchSignatureTable(docs, emb, Seq("src0", "src1"))
       val lm = TextAnalysis.bigramLmTrain(docs)
       val nb = ext.Classifier.nbTrain(docs)
+      // near-dup gate state: the same frozen admitted-cohort band
+      // table the batch report uses (doc_id % 7 = 3) — frozen
+      // artifacts are what make restarted decisions bit-identical
+      val seenBands = Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3),
+        w = 5, numHashes = 8, bandWidth = 2)
       val sch = s.read.parquet(src).schema
       def runPass() = {
         val q = graft.streaming.Streams.admissionPipeline(
           stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck",
           Seq("src0", "src1"), gate, 0.3,
           Some(ext.Admission.SemanticCfg(emb, sig, threshold = 0.42)),
-          lm, -3.40, nb, Seq("en"))
+          lm, -3.40, nb, Seq("en"),
+          nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
+            numHashes = 8, bandWidth = 2)))
         q.awaitTermination(); q
       }
       runPass()

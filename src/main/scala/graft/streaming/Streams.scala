@@ -779,11 +779,14 @@ object Streams {
                         lmModel: DataFrame, minAvgLp: Double,
                         nbModel: DataFrame, allowedLabels: Seq[String],
                         nbBuckets: Int = 1024,
-                        maxFilesPerTrigger: Int = 1): StreamingQuery = {
+                        maxFilesPerTrigger: Int = 1,
+                        nearDup: Option[graft.ext.Admission.NearDupCfg] = None): StreamingQuery = {
     val lmFrozen = lmModel.localCheckpoint(eager = true)
     val nbFrozen = nbModel.localCheckpoint(eager = true)
     val semFrozen = semantic.map(g =>
       g.copy(benchState = g.benchState.localCheckpoint(eager = true)))
+    val ndFrozen = nearDup.map(g =>
+      g.copy(seenBands = g.seenBands.localCheckpoint(eager = true)))
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
       .writeStream
@@ -791,7 +794,7 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ext.Admission.report(batch.toDF(), benchSources, shingleGate,
             contamThreshold, semFrozen, lmFrozen, minAvgLp, nbFrozen,
-            allowedLabels, nbBuckets)
+            allowedLabels, nbBuckets, ndFrozen)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .trigger(Trigger.AvailableNow())

@@ -25,27 +25,36 @@ class AdmissionSpec extends AnyFunSuite {
       Classifier.nbTrain(docs).localCheckpoint(eager = true))
   }
 
+  /** The registered near-dup gate state: the admitted cohort's
+    * (doc_id % 7 = 3) band table, frozen.
+    */
+  private def ndCfg(docs: DataFrame) =
+    Some(Admission.NearDupCfg(
+      Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3), w = 5,
+        numHashes = 8, bandWidth = 2).localCheckpoint(eager = true),
+      w = 5, numHashes = 8, bandWidth = 2))
+
   private def rows(df: DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
       if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(t => (t._1, t._2)).toSeq
 
-  test("report: every doc carries all 7 gate rows; decision == AND of the six gates") {
+  test("report: every doc carries all 8 gate rows; decision == AND of the seven gates") {
     val docs = Tables.documents(spark, sfDir)
     val (gate, sem, lm, nb) = cfg(docs)
     val rep = Admission.report(docs, Seq("src0", "src1"), gate, 0.3, sem,
-      lm, -3.40, nb, Seq("en"))
+      lm, -3.40, nb, Seq("en"), nearDup = ndCfg(docs))
     val n = docs.count()
     val perGate = rep.groupBy("gate").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(perGate.keySet === Admission.GateOrder.toSet)
     assert(perGate.values.toSet === Set(n), "one row per doc per gate")
-    // decision row is exactly the conjunction of the six gate rows
+    // decision row is exactly the conjunction of the seven gate rows
     val byDoc = rep.groupBy("doc_id").agg(
-      min(when(col("gate") =!= "7_decision", col("pass"))).as("all_pass"),
-      max(when(col("gate") === "7_decision", col("pass"))).as("decision"))
+      min(when(col("gate") =!= "8_decision", col("pass"))).as("all_pass"),
+      max(when(col("gate") === "8_decision", col("pass"))).as("decision"))
     assert(byDoc.filter(col("all_pass") =!= col("decision")).count() === 0L)
     // the ensemble discriminates on this corpus: some kept, some dropped
-    val kept = rep.filter(col("gate") === "7_decision" && col("pass")).count()
+    val kept = rep.filter(col("gate") === "8_decision" && col("pass")).count()
     assert(kept > 0 && kept < n)
   }
 
@@ -82,12 +91,13 @@ class AdmissionSpec extends AnyFunSuite {
       1L -> Set.empty[String],
       2L -> Set("5_lm"),
       3L -> Set("5_lm", "6_nb"),
-      4L -> Set("1_source"))
+      4L -> Set("1_source"),
+      5L -> Set("7_neardup"))
     val rows = for {
       (id, fails) <- verdicts.toSeq
       g <- Admission.GateOrder
     } yield Row(id, g,
-      if (g == "7_decision") fails.isEmpty else !fails(g),
+      if (g == Admission.DecisionGate) fails.isEmpty else !fails(g),
       null.asInstanceOf[java.lang.Double])
     val rep = spark.createDataFrame(
       spark.sparkContext.parallelize(rows),
@@ -102,7 +112,15 @@ class AdmissionSpec extends AnyFunSuite {
       "3_contamination" -> ((0L, 0L)),
       "4_semantic" -> ((0L, 0L)),
       "5_lm" -> ((2L, 1L)),            // docs 2+3 fail; only doc 2 alone
-      "6_nb" -> ((1L, 0L))))           // doc 3 also fails lm — never alone
+      "6_nb" -> ((1L, 0L)),            // doc 3 also fails lm — never alone
+      "7_neardup" -> ((1L, 1L))))      // doc 5, alone
+    // round 14: single-pass by construction — all twelve counts come
+    // out of ONE aggregate over the pivoted table, unpivoted by an
+    // explode; the plan must contain no union of per-gate aggregate
+    // branches (the round-13 shape that rescanned the pivot per gate).
+    val plan = Admission.gateOverlap(rep).queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"),
+      s"gateOverlap must be one aggregate, not a per-gate union:\n$plan")
   }
 
   test("batch == stream: per-micro-batch reports union to the one-shot batch report bit-for-bit") {
@@ -115,15 +133,60 @@ class AdmissionSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 3 === i).coalesce(1)
         .write.mode("append").parquet(src))
     val sch = spark.read.parquet(src).schema
+    val nd = ndCfg(docs)
     Streams.admissionPipeline(spark, sch, src, s"$base/out", s"$base/ck",
-        Seq("src0", "src1"), gate, 0.3, sem, lm, -3.40, nb, Seq("en"))
+        Seq("src0", "src1"), gate, 0.3, sem, lm, -3.40, nb, Seq("en"),
+        nearDup = nd)
       .awaitTermination()
     val streamed = spark.read.parquet(s"$base/out")
       .select("doc_id", "gate", "pass", "score")
     val batch = Admission.report(docs, Seq("src0", "src1"), gate, 0.3, sem,
-      lm, -3.40, nb, Seq("en"))
+      lm, -3.40, nb, Seq("en"), nearDup = nd)
     assert(rows(streamed) === rows(batch),
       "admission is ONE definition: how the corpus arrived must not " +
         "change a single verdict")
+  }
+
+  test("a clone of an admitted document is rejected by the near-dup gate ALONE") {
+    // the front door's dedup discipline (round 14): the seen corpus's
+    // band state is a frozen artifact; an incoming exact clone of an
+    // admitted doc collides on every band and must fail 7_neardup while
+    // passing every other gate — the duplicate is dropped for BEING a
+    // duplicate, not as a side effect of quality/LM/NB.
+    val admitted = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again",
+        "en", "src5", 60)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again",
+        "en", "src5", 60),
+      (2L, "a completely different sentence about the weather in spring today",
+        "en", "src5", 66)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val seen = Dedup.bandTable(admitted, w = 5, numHashes = 8, bandWidth = 2)
+      .localCheckpoint(eager = true)
+    val lm = TextAnalysis.bigramLmTrain(incoming)
+    val nb = Classifier.nbTrain(incoming)
+    val rep = Admission.report(incoming, Nil, _ => lit(false), 0.3, None,
+      lm, -99.0, nb, Seq("en"),
+      nearDup = Some(Admission.NearDupCfg(seen, w = 5, numHashes = 8,
+        bandWidth = 2)))
+    val m = rep.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(m((1L, "7_neardup")) === false,
+      "a clone of an admitted doc must fail the near-dup gate")
+    Admission.GateOrder
+      .filterNot(g => g == "7_neardup" || g == Admission.DecisionGate)
+      .foreach(g => assert(m((1L, g)) === true,
+        s"the clone must pass $g — rejection is the near-dup gate ALONE"))
+    assert(m((1L, Admission.DecisionGate)) === false,
+      "the near-dup gate alone must flip the decision")
+    assert(m((2L, "7_neardup")) === true)
+    assert(m((2L, Admission.DecisionGate)) === true,
+      "a genuinely novel doc is admitted")
+    // score semantics: the clone collides on ALL its bands (fraction 1)
+    val score = rep.filter(col("doc_id") === 1 && col("gate") === "7_neardup")
+      .head().getDouble(3)
+    assert(score === 1.0)
   }
 }
