@@ -242,4 +242,39 @@ object Admission {
       .select(col("r.gate").as("gate"), col("r.n_fail").as("n_fail"),
         col("r.n_fail_alone").as("n_fail_alone"))
   }
+
+  /** PAIRWISE overlap matrix of a [[report]] decision table: for every
+    * unordered gate pair (a ≤ b), how many documents fail BOTH — the
+    * joint-failure counts that complete what [[gateOverlap]]'s marginal
+    * n_fail / n_fail_alone cannot answer: WHICH gates are redundant
+    * with which (a high n_both relative to either marginal means the
+    * pair guards the same documents; zero means disjoint failure
+    * populations). The diagonal (a = b) is the gate's n_fail, so the
+    * matrix subsumes the marginals and a reader can derive any overlap
+    * coefficient (Jaccard, conditional fail rate) from this one table.
+    * Same single-pass shape as [[gateOverlap]]: one pivot + ONE
+    * aggregate emitting all (7·8)/2 = 28 counts, exploded to rows —
+    * never a per-pair rescan. Bounded output (28 rows) regardless of
+    * corpus size.
+    */
+  def gateOverlapMatrix(report: DataFrame): DataFrame = {
+    val gates = GateOrder.filterNot(_ == DecisionGate)
+    val wide = report.filter(col("gate") =!= DecisionGate)
+      .groupBy(col("doc_id"))
+      .pivot("gate", gates)
+      .agg(first(col("pass")))
+    val pairs = for {
+      a <- gates; b <- gates if a <= b
+    } yield (a, b)
+    val counts = pairs.map { case (a, b) =>
+      count(when(!col(a) && !col(b), lit(1))).as(s"${a}__${b}")
+    }
+    wide.agg(counts.head, counts.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("gate_a"), lit(b).as("gate_b"),
+          col(s"${a}__${b}").as("n_both"))
+      }: _*)).as("r"))
+      .select(col("r.gate_a").as("gate_a"), col("r.gate_b").as("gate_b"),
+        col("r.n_both").as("n_both"))
+  }
 }

@@ -440,6 +440,16 @@ private[graft] object CorpusRegistry {
       ext.Admission.gateOverlap(admissionReportFor(s, d))
         .orderBy("gate")),
 
+    "corpus_admission_overlap_matrix" -> ((s, d) =>
+      // the PAIRWISE completion of the calibration rollup (round 14):
+      // joint-failure counts per unordered gate pair (diagonal = the
+      // gate's own n_fail) — which gates guard the same documents and
+      // which fail disjoint populations; any overlap coefficient
+      // derives from this one bounded table. Same single-pass shape as
+      // the rollup: one pivot + ONE aggregate emitting all 28 counts.
+      ext.Admission.gateOverlapMatrix(admissionReportFor(s, d))
+        .orderBy("gate_a", "gate_b")),
+
     "corpus_token_budget" -> ((s, d) =>
       // token-budget mixture sampling (round 11): three sources admitted
       // in salted-hash order until each hits its TOKEN budget — the
@@ -1226,6 +1236,7 @@ private[graft] object CorpusRegistry {
     "corpus_admission_report_state" -> admissionReportOracle,
 
     "corpus_admission_overlap" -> admissionOverlapOracle,
+    "corpus_admission_overlap_matrix" -> admissionOverlapMatrixOracle,
 
     "corpus_decontaminate_embedding" -> {
       // identical ±1 planes and band layout as the embedding-LSH dedup

@@ -663,13 +663,17 @@ private[graft] object Shared {
     * corpus_admission_overlap oracle: per gate, how many docs it fails
     * and how many it ALONE keeps out (the doc passes the other six).
     */
+  /** (gate name, averd pass column) in decision order — shared by the
+    * overlap rollup and overlap matrix oracles.
+    */
+  private val admissionGateCols = Seq(
+    "1_source" -> "src_pass", "2_quality" -> "q_pass",
+    "3_contamination" -> "c_pass", "4_semantic" -> "sem_pass",
+    "5_lm" -> "lm_pass", "6_nb" -> "nb_pass", "7_neardup" -> "nd_pass")
+
   lazy val admissionOverlapOracle: String = {
-    val gates = Seq(
-      "1_source" -> "src_pass", "2_quality" -> "q_pass",
-      "3_contamination" -> "c_pass", "4_semantic" -> "sem_pass",
-      "5_lm" -> "lm_pass", "6_nb" -> "nb_pass", "7_neardup" -> "nd_pass")
-    val legs = gates.map { case (g, c) =>
-      val others = gates.collect { case (_, o) if o != c => o }
+    val legs = admissionGateCols.map { case (g, c) =>
+      val others = admissionGateCols.collect { case (_, o) if o != c => o }
         .mkString(" AND ")
       s"""SELECT '$g' AS gate,
          |       count(*) FILTER (WHERE NOT $c) AS n_fail,
@@ -677,6 +681,21 @@ private[graft] object Shared {
          |FROM averd""".stripMargin
     }.mkString("\nUNION ALL\n")
     admissionVerdictCtes + "\n" + legs + "\nORDER BY gate"
+  }
+
+  /** [[admissionVerdictCtes]] + joint-failure counts per unordered gate
+    * pair (diagonal = the gate's own n_fail) — the
+    * corpus_admission_overlap_matrix oracle.
+    */
+  lazy val admissionOverlapMatrixOracle: String = {
+    val legs = (for {
+      (ga, ca) <- admissionGateCols
+      (gb, cb) <- admissionGateCols if ga <= gb
+    } yield
+      s"""SELECT '$ga' AS gate_a, '$gb' AS gate_b,
+         |       count(*) FILTER (WHERE NOT $ca AND NOT $cb) AS n_both
+         |FROM averd""".stripMargin).mkString("\nUNION ALL\n")
+    admissionVerdictCtes + "\n" + legs + "\nORDER BY gate_a, gate_b"
   }
 
   def cosineSql(a: String, b: String): String = {

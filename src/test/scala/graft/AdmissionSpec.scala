@@ -121,6 +121,42 @@ class AdmissionSpec extends AnyFunSuite {
     val plan = Admission.gateOverlap(rep).queryExecution.executedPlan.toString
     assert(!plan.contains("Union"),
       s"gateOverlap must be one aggregate, not a per-gate union:\n$plan")
+
+    // pairwise matrix on the same hand matrix: diagonal == n_fail,
+    // joint failures only where the verdict sets intersect
+    val mat = Admission.gateOverlapMatrix(rep).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(mat.size === 28, "7 gates -> 28 unordered pairs incl diagonal")
+    assert(mat(("5_lm", "5_lm")) === 2L, "diagonal subsumes n_fail")
+    assert(mat(("5_lm", "6_nb")) === 1L, "doc 3 fails both lm and nb")
+    assert(mat(("1_source", "5_lm")) === 0L, "disjoint failure populations")
+    assert(mat(("7_neardup", "7_neardup")) === 1L)
+    assert(mat(("1_source", "7_neardup")) === 0L)
+    val mplan = Admission.gateOverlapMatrix(rep)
+      .queryExecution.executedPlan.toString
+    assert(!mplan.contains("Union"),
+      s"gateOverlapMatrix must be one aggregate, not a per-pair union:\n$mplan")
+  }
+
+  test("near-dup gate over a PERSISTED partitioned band state matches the in-memory frame") {
+    // the production layout: writeBandState's band=/bpfx= partitioning
+    // with state_prefixes riding in-row; the gate must make the same
+    // decisions reading that table back as it does on the frame it was
+    // built from (layout columns validate, extra columns are ignored).
+    val docs = Tables.documents(spark, sfDir)
+    val (gate, _, lm, nb) = cfg(docs)
+    val cohort = Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3),
+      w = 5, numHashes = 8, bandWidth = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-adm-bandstate-").toString + "/state"
+    Dedup.writeBandState(cohort, dir, "overwrite")
+    def rep(seen: org.apache.spark.sql.DataFrame) =
+      rows(Admission.report(docs, Seq("src0", "src1"), gate, 0.3, None,
+        lm, -3.40, nb, Seq("en"),
+        nearDup = Some(Admission.NearDupCfg(seen, w = 5, numHashes = 8,
+          bandWidth = 2))))
+    assert(rep(spark.read.parquet(dir)) === rep(cohort),
+      "persisted partitioned band state must gate identically to the frame")
   }
 
   test("batch == stream: per-micro-batch reports union to the one-shot batch report bit-for-bit") {
