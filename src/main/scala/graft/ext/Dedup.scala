@@ -1217,11 +1217,14 @@ object Dedup {
     * warehouse form: the join/group key is the 128-bit window hash
     * ([[winKey]] — the shuffles carry fixed-width keys, never window
     * text; the DuckDB oracle groups by text and matches bit-for-bit),
-    * and with `stagingDir` set the rewritten corpus lands as a staged
-    * parquet table the returned frame reads back — distributed storage,
-    * not executor block memory. Without `stagingDir` the result is
-    * materialized via localCheckpoint (dev convenience; corpus-sized in
-    * block storage — pass a staging dir at scale).
+    * and with `stagingDir` set BOTH corpus-scale frames are staged
+    * parquet — the positional-shingle table at `<dir>.pos` (read back
+    * by the duplicated-set groupBy and the cut join) and the rewritten
+    * corpus at `<dir>` that the returned frame reads back — distributed
+    * storage, not executor block memory, every stage recomputable on
+    * executor loss. Without `stagingDir` the intermediates persist in
+    * block memory and the result is localCheckpoint-materialized (dev
+    * convenience; pass a staging dir at scale).
     */
   def removeCrossDocSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
                           stagingDir: Option[String] = None): DataFrame =

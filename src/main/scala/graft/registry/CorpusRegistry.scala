@@ -421,10 +421,15 @@ private[graft] object CorpusRegistry {
       TextAnalysis.lmCountsBuild(docs.filter(col("doc_id") % 2 === 1))
         .write.parquet(s"$tmp/lm/batch_id=1")
       graft.ext.Classifier.nbCountsBuild(docs).write.parquet(s"$tmp/nb")
+      // derived models frozen ONCE before use — the admissionReportFor
+      // discipline (round 13: unmaterialized model frames let every
+      // consumer branch re-derive the model subtree)
       val lmModel = TextAnalysis.lmModelFromCounts(
-        graft.streaming.Streams.lmReadCounts(s, s"$tmp/lm"))
+          graft.streaming.Streams.lmReadCounts(s, s"$tmp/lm"))
+        .localCheckpoint(eager = true)
       val nbModel = graft.ext.Classifier.nbModelFromCounts(
-        s.read.parquet(s"$tmp/nb"))
+          s.read.parquet(s"$tmp/nb"))
+        .localCheckpoint(eager = true)
       detachAndClean(
         admissionReportWith(s, d, lmModel, nbModel)
           .orderBy("doc_id", "gate"),
