@@ -740,6 +740,54 @@ private[graft] object StreamRegistry {
         tmp)
     }),
 
+    "stream_admission_overlap" -> ((s, d) => {
+      // the calibration rollup's "works on any report" claim made
+      // checkable (round 14): gateOverlap over the UNION of a streamed
+      // run's per-batch decision tables. Because every verdict is a
+      // function of the document and frozen artifacts, the streamed
+      // union == the batch report row-for-row, so the rollup over it
+      // must reproduce corpus_admission_overlap's oracle exactly — a
+      // dropped batch, a double-emitted directory or any stateful gate
+      // leakage between micro-batches breaks the per-gate counts.
+      val tmp = TempDirs.create("graft-adm-ovl-").toString
+      val src = s"$tmp/src"
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      (0 until 3).foreach(i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src))
+      val bench = docs.filter(col("source").isin("src0", "src1"))
+      val bloom = ext.Sketches.bloomBuild(
+        Dedup.shingles(bench, w = 5).select(col("sh")), "sh",
+        numBits = 1 << 18, numHashes = 4)
+      val gate = (sh: Column) =>
+        ext.Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18,
+          numHashes = 4)
+      val sig = ext.Corpus.benchSignatureTable(docs, emb, Seq("src0", "src1"))
+      val lm = TextAnalysis.bigramLmTrain(docs)
+      val nb = ext.Classifier.nbTrain(docs)
+      val seenBands = Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3),
+        w = 5, numHashes = 8, bandWidth = 2)
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.Streams.admissionPipeline(
+        stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck",
+        Seq("src0", "src1"), gate, 0.3,
+        Some(ext.Admission.SemanticCfg(emb, sig, threshold = 0.42)),
+        lm, -3.40, nb, Seq("en"),
+        nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
+          numHashes = 8, bandWidth = 2)))
+      q.awaitTermination()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "streamed overlap needs >= 2 micro-batches — a single-batch run " +
+          "would not exercise the cross-batch union the claim is about")
+      detachAndClean(
+        ext.Admission.gateOverlap(
+            s.read.parquet(s"$tmp/out")
+              .select(col("doc_id"), col("gate"), col("pass"), col("score")))
+          .orderBy("gate"),
+        tmp)
+    }),
+
     "stream_admission_restart" -> ((s, d) => {
       // the unified admission front door is CRASH-SAFE: two
       // AvailableNow passes on one checkpoint, the source growing by a
@@ -1204,6 +1252,8 @@ private[graft] object StreamRegistry {
     // uses (decisions are doc x frozen artifacts — arrival order and
     // restart boundaries must not change one verdict).
     "stream_admission_restart" -> admissionReportOracle,
+    // rollup over the streamed per-batch union == the batch rollup
+    "stream_admission_overlap" -> admissionOverlapOracle,
 
     // a batch-written baseline adopted by the stream plus the streamed
     // remainder == one batch train over the whole corpus (additivity
