@@ -138,6 +138,26 @@ class AdmissionSpec extends AnyFunSuite {
       s"gateOverlapMatrix must be one aggregate, not a per-pair union:\n$mplan")
   }
 
+  test("near-dup gate refuses a band state built under a different layout") {
+    // the silent-admission failure mode: state built with mismatched
+    // (w, numHashes, bandWidth) produces bucket keys that can never
+    // collide, so every document would pass the gate — report() must
+    // refuse loudly at construction, the requireStateLayout discipline.
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog",
+      "en", "src5", 44)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val lm = TextAnalysis.bigramLmTrain(docs)
+    val nb = Classifier.nbTrain(docs)
+    val seen = Dedup.bandTable(docs, w = 3, numHashes = 8, bandWidth = 2)
+    val e = intercept[IllegalArgumentException] {
+      Admission.report(docs, Nil, _ => lit(false), 0.3, None,
+        lm, -99.0, nb, Seq("en"),
+        nearDup = Some(Admission.NearDupCfg(seen, w = 5, numHashes = 8,
+          bandWidth = 2)))
+    }
+    assert(e.getMessage.contains("layout mismatch"),
+      s"wrong-layout state must refuse, not silently admit: ${e.getMessage}")
+  }
+
   test("near-dup gate over a PERSISTED partitioned band state matches the in-memory frame") {
     // the production layout: writeBandState's band=/bpfx= partitioning
     // with state_prefixes riding in-row; the gate must make the same
