@@ -155,19 +155,31 @@ object Admission {
             "band_width" -> g.bandWidth))
         val bands = Dedup.bandTable(docs, g.w, g.numHashes, g.bandWidth)
           .select(col("doc_id"), col("band"), col("bkey"))
-        val nBands = bands.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("_nd_n"))
-        val hits = bands
-          .join(g.seenBands
-              .select(col("doc_id").as("_sid"), col("band"), col("bkey"))
-              .dropDuplicates("_sid", "band", "bkey"),
-            Seq("band", "bkey"))
-          .filter(col("_sid") =!= col("doc_id"))
+        // ONE pass over the doc bands: a LEFT join against the state
+        // marks each (doc, band) hit-or-not (collapsing the k state
+        // rows a bucket may hold via the per-band max, with the doc's
+        // own state rows not counting as hits — the excludeIds
+        // discipline), then one per-doc rollup yields band count and
+        // hit count together. Building the band table once matters:
+        // it is a full corpus shingle→minhash pipeline, and the
+        // two-subtree form (separate count and hit aggregations)
+        // would run it twice — the exact double-model-subtree plan
+        // bug class the report family already fixed once.
+        val seen = g.seenBands
+          .select(col("doc_id").as("_sid"), col("band"), col("bkey"))
+          .dropDuplicates("_sid", "band", "bkey")
+        val probe = bands
+          .join(seen, Seq("band", "bkey"), "left")
+          .withColumn("_hit",
+            col("_sid").isNotNull && col("_sid") =!= col("doc_id"))
+          .groupBy(col("doc_id"), col("band"))
+          .agg(max(col("_hit")).as("_band_hit"))
           .groupBy(col("doc_id"))
-          .agg(countDistinct(col("band")).as("_nd_hits"))
+          .agg(count(lit(1)).as("_nd_n"),
+            sum(when(col("_band_hit"), lit(1L)).otherwise(lit(0L)))
+              .as("_nd_hits"))
         withSem
-          .join(nBands, Seq("doc_id"), "left")
-          .join(hits, Seq("doc_id"), "left")
+          .join(probe, Seq("doc_id"), "left")
           .withColumn("_nd_pass", coalesce(col("_nd_hits"), lit(0L)) === 0)
           .withColumn("_nd_score",
             when(col("_nd_n").isNotNull,
