@@ -61,8 +61,9 @@ object Admission {
     * state the incremental admission operators probe) plus the layout
     * it was built with. A document fails this gate when any of its
     * band buckets collides with a state row of a DIFFERENT doc_id —
-    * the reference's own dedup discipline (DISTINCT ON / S7
-    * insert-if-absent) applied at the corpus front door. The
+    * the reference's own dedup discipline (DISTINCT ON dedup at load,
+    * silver_load.sql:38; insert-if-absent upsert, S7) applied at the
+    * corpus front door. The
     * self-exclusion mirrors `incrementalNearDupFromState(excludeIds)`:
     * a document colliding only with its own previously-persisted bands
     * is a replay, not a near-duplicate.
