@@ -311,4 +311,37 @@ class PropertiesSpec extends AnyFunSuite {
       assert(gotClean === expectClean, s"removal mismatch for $docs")
     }
   }
+
+  test("property: overlap matrix == brute-force joint counts; diagonal == rollup n_fail; n_both <= min marginal") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val gates = graft.ext.Admission.GateOrder
+      .filterNot(_ == graft.ext.Admission.DecisionGate)
+    // arbitrary verdict tables: each doc fails an arbitrary gate subset
+    val verdictGen = for {
+      nDocs <- Gen.choose(3, 12)
+      fails <- Gen.listOfN(nDocs, Gen.someOf(gates))
+    } yield fails.zipWithIndex.map { case (f, i) => (i.toLong, f.toSet) }
+    samples(verdictGen, 8).foreach { verdicts =>
+      val rep = verdicts.flatMap { case (id, fails) =>
+        graft.ext.Admission.GateOrder.map(g => (id, g,
+          if (g == graft.ext.Admission.DecisionGate) fails.isEmpty
+          else !fails(g),
+          Option.empty[Double]))
+      }.toDF("doc_id", "gate", "pass", "score")
+      val matrix = graft.ext.Admission.gateOverlapMatrix(rep).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val rollup = graft.ext.Admission.gateOverlap(rep).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      for (a <- gates; b <- gates if a <= b) {
+        val brute = verdicts.count { case (_, f) => f(a) && f(b) }.toLong
+        assert(matrix((a, b)) === brute,
+          s"joint count ($a,$b) mismatch for $verdicts")
+        assert(matrix((a, b)) <= math.min(rollup(a), rollup(b)),
+          "a joint failure count cannot exceed either marginal")
+      }
+      gates.foreach(g => assert(matrix((g, g)) === rollup(g),
+        "the diagonal must subsume the rollup's n_fail"))
+    }
+  }
 }
