@@ -48,11 +48,19 @@ private[graft] object CorpusRegistry {
         numHashes = 4)
     val sig = ext.Corpus.benchSignatureTable(docs, emb, Seq("src0", "src1"))
     // near-dup gate state (round 14): the already-admitted cohort's
-    // persisted band table (doc_id % 7 = 3 plays the admitted corpus;
-    // bounded — 4 band rows per doc), frozen like the other artifacts
-    val seenBands = Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3),
-        w = 5, numHashes = 8, bandWidth = 2)
-      .localCheckpoint(eager = true)
+    // band table (doc_id % 7 = 3 plays the admitted corpus) PERSISTED
+    // through writeBandState's partitioned production layout and read
+    // back — band state is O(corpus docs) rows at scale, so the
+    // registered path takes distributed storage, not an executor
+    // block-memory freeze (the same discipline the dedup detection
+    // paths and the LM/NB state variant adopted this round; gate
+    // parity over this layout is spec-pinned in AdmissionSpec)
+    val bandDir = TempDirs.create("graft-adm-bands-").toString + "/state"
+    Dedup.writeBandState(
+      Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3),
+        w = 5, numHashes = 8, bandWidth = 2),
+      bandDir, "overwrite")
+    val seenBands = s.read.parquet(bandDir)
     ext.Admission.report(docs, Seq("src0", "src1"), gate,
       contamThreshold = 0.3,
       semantic = Some(ext.Admission.SemanticCfg(emb, sig,

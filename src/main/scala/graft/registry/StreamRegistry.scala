@@ -766,8 +766,14 @@ private[graft] object StreamRegistry {
       val sig = ext.Corpus.benchSignatureTable(docs, emb, Seq("src0", "src1"))
       val lm = TextAnalysis.bigramLmTrain(docs)
       val nb = ext.Classifier.nbTrain(docs)
-      val seenBands = Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3),
-        w = 5, numHashes = 8, bandWidth = 2)
+      // near-dup state in the production form: persisted partitioned
+      // band state read back (stable across micro-batches by file
+      // immutability — the pipeline does not block-memory-copy it)
+      Dedup.writeBandState(
+        Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3),
+          w = 5, numHashes = 8, bandWidth = 2),
+        s"$tmp/bands", "overwrite")
+      val seenBands = s.read.parquet(s"$tmp/bands")
       val sch = s.read.parquet(src).schema
       val q = graft.streaming.Streams.admissionPipeline(
         stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck",
@@ -816,11 +822,15 @@ private[graft] object StreamRegistry {
       val sig = ext.Corpus.benchSignatureTable(docs, emb, Seq("src0", "src1"))
       val lm = TextAnalysis.bigramLmTrain(docs)
       val nb = ext.Classifier.nbTrain(docs)
-      // near-dup gate state: the same frozen admitted-cohort band
-      // table the batch report uses (doc_id % 7 = 3) — frozen
-      // artifacts are what make restarted decisions bit-identical
-      val seenBands = Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3),
-        w = 5, numHashes = 8, bandWidth = 2)
+      // near-dup gate state: the same admitted-cohort band state the
+      // batch report uses (doc_id % 7 = 3), in the production form —
+      // persisted partitioned state written ONCE before both passes,
+      // so the restart reads bit-identical state by file immutability
+      Dedup.writeBandState(
+        Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3),
+          w = 5, numHashes = 8, bandWidth = 2),
+        s"$tmp/bands", "overwrite")
+      val seenBands = s.read.parquet(s"$tmp/bands")
       val sch = s.read.parquet(src).schema
       def runPass() = {
         val q = graft.streaming.Streams.admissionPipeline(

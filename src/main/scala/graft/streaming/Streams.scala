@@ -785,8 +785,15 @@ object Streams {
     val nbFrozen = nbModel.localCheckpoint(eager = true)
     val semFrozen = semantic.map(g =>
       g.copy(benchState = g.benchState.localCheckpoint(eager = true)))
-    val ndFrozen = nearDup.map(g =>
-      g.copy(seenBands = g.seenBands.localCheckpoint(eager = true)))
+    // the near-dup band state is NOT re-frozen here: at scale it is
+    // O(corpus docs) rows — the caller passes a persisted
+    // writeBandState read (stable by file immutability, resilient to
+    // executor loss) and a block-memory copy would be the exact
+    // materialization risk the staged paths exist to avoid. Verdicts
+    // are deterministic either way (md5 banding recomputes
+    // identically); passing a derived in-memory frame merely prices a
+    // per-batch recompute unless the caller froze it themselves.
+    val ndFrozen = nearDup
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
       .writeStream
