@@ -130,6 +130,21 @@ object Dedup {
         finally tri.unpersist(blocking = false)
     }
 
+  /** Exact-Jaccard pair detection over an ALREADY-MATERIALIZED shingle
+    * table — the composite-pipeline form (round 15): a query that runs
+    * several detection legs over one corpus stages `shingles(docs, w)`
+    * to parquet ONCE and hands the read-back frame to every leg, so the
+    * corpus is shingled once per query instead of once per leg and
+    * nothing corpus-sized lands in executor block memory. `tri` must be
+    * a staged read-back (or otherwise cheaply-rescannable) shingle
+    * frame — passing a raw `shingles(docs, w)` lineage here re-runs the
+    * tokenize+explode per consumer, the exact recompute staging exists
+    * to avoid. Result is the bounded pair list, eagerly materialized
+    * like [[ngramJaccard]]'s.
+    */
+  def ngramJaccardOnShingles(tri: DataFrame, threshold: Double): DataFrame =
+    ngramJaccardOn(tri, threshold).localCheckpoint(eager = true)
+
   private def ngramJaccardOn(tri: DataFrame, threshold: Double): DataFrame = {
     val freq = tri.groupBy(col("sh")).agg(count(lit(1)).as("f"))
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -282,9 +297,21 @@ object Dedup {
     * candidate collisions, signatures estimate Jaccard before rejecting.
     * O(docs) rows of k longs; layout params ride along as in bandTable.
     */
-  def signatureTable(docs: DataFrame, w: Int = 3, numHashes: Int = 8): DataFrame = {
+  def signatureTable(docs: DataFrame, w: Int = 3, numHashes: Int = 8): DataFrame =
+    signatureTableFromShingles(shingles(docs, w), w, numHashes)
+
+  /** [[signatureTable]] over an already-materialized shingle table —
+    * the composite-pipeline form ([[ngramJaccardOnShingles]]'s staging
+    * contract): one staged shingle scan feeds signatures, exact pairs
+    * and any number of band layouts. `w` is stamped into the metadata
+    * columns (the shingle frame cannot carry it), so the caller must
+    * pass the width the shingles were built with — downstream layout
+    * validation rides on it.
+    */
+  def signatureTableFromShingles(tri: DataFrame, w: Int,
+                                 numHashes: Int = 8): DataFrame = {
     require(numHashes <= 8, "8 32-bit hashes per two md5 digests")
-    minhashesOf(shingles(docs, w), numHashes)
+    minhashesOf(tri, numHashes)
       .withColumn("w", lit(w))
       .withColumn("num_hashes", lit(numHashes))
   }
@@ -905,6 +932,50 @@ object Dedup {
       sigs.unpersist(blocking = false)
       cached.foreach(_.unpersist(blocking = false))
     }
+  }
+
+  /** [[minhashLsh]] over an already-materialized shingle table — the
+    * composite-pipeline form ([[ngramJaccardOnShingles]]'s staging
+    * contract): a query running several detection legs stages the
+    * shingle table once and every leg (exact, banded, multiple band
+    * widths) reads it back. Result is the bounded verified pair list,
+    * eagerly materialized like [[minhashLsh]]'s.
+    */
+  def minhashLshOnShingles(tri: DataFrame, numHashes: Int = 8,
+                           bandWidth: Int = 2, threshold: Double = 0.5,
+                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bandWidth == 0, "bands must tile the signature")
+    require(numHashes <= 8, "8 32-bit hashes per two md5 digests")
+    require(maxBucketSize >= 2, "a cap below 2 suppresses every pair")
+    minhashLshOn(tri, numHashes, bandWidth, threshold, maxBucketSize)
+      .localCheckpoint(eager = true)
+  }
+
+  /** Banded candidate generation + shared exact verification from a
+    * PRECOMPUTED band table — the single-signature sweep form (round
+    * 15): compute the 8-hash signature table once, derive one band
+    * table per band width via [[bandTableFromSignatures]], and verify
+    * every width's candidates against the SAME staged shingle table.
+    * The signature pipeline (the expensive corpus scan) runs once per
+    * sweep instead of once per width; only the banding projection and
+    * the candidate join differ per width. `tri` must cover every
+    * document in `bands` (verification sizes come from it) and follow
+    * the [[ngramJaccardOnShingles]] staging contract.
+    */
+  def pairsFromBands(tri: DataFrame, bands: DataFrame, threshold: Double,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxBucketSize >= 2, "a cap below 2 suppresses every pair")
+    val b = capBuckets(
+      bands.select(col("doc_id"), col("band"), col("bkey")), maxBucketSize)
+    val cands = b.as("x")
+      .join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    verifyJaccard(tri, sizes, cands, threshold)
+      .localCheckpoint(eager = true)
   }
 
   private def minhashLshOn(tri: DataFrame, numHashes: Int,

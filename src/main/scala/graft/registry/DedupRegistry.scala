@@ -72,11 +72,16 @@ private[graft] object DedupRegistry {
       // family, so recall here is a reproducible, oracle-checked
       // number — the audit a dedup deployment runs before trusting
       // the banded path with the corpus.
+      // ONE staged shingle table feeds BOTH legs (round 15): the
+      // corpus is tokenized+shingled once, lands in distributed
+      // storage, and the exact and banded pipelines read it back —
+      // previously the LSH leg re-shingled into executor block memory.
       val docs = Tables.documents(s, d)
       val tmp = TempDirs.create("graft-recall-ngram-").toString
-      val exact = Dedup.ngramJaccard(docs, w = 5, threshold = 0.5,
-        stagingDir = Some(s"$tmp/shingles"))
-      val lsh = Dedup.minhashLsh(docs, w = 5, numHashes = 8,
+      Dedup.shingles(docs, w = 5).write.parquet(s"$tmp/shingles")
+      val tri = s.read.parquet(s"$tmp/shingles")
+      val exact = Dedup.ngramJaccardOnShingles(tri, threshold = 0.5)
+      val lsh = Dedup.minhashLshOnShingles(tri, numHashes = 8,
           bandWidth = 2, threshold = 0.5)
         .select(col("d1").as("l1"), col("d2").as("l2"))
       detachAndClean(
@@ -97,12 +102,28 @@ private[graft] object DedupRegistry {
       // found set is a subset of the exact set and recall is a pure
       // count ratio. The 3-row result is a bounded driver artifact,
       // like every bin/bucket table.
+      // SINGLE-SIGNATURE form (round 15): the corpus is shingled ONCE
+      // (staged to parquet) and min-hashed ONCE (the signature table —
+      // identical across band widths — staged too, the state a
+      // warehouse persists anyway); each width is then only a banding
+      // PROJECTION of the staged signatures plus the candidate join,
+      // with verification reading the one staged shingle table. The
+      // round-14 form re-ran the full shingle→minhash pipeline four
+      // times (one exact + three banded legs) — 4 corpus scans cut
+      // to 1 at any scale.
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val nExact = Dedup.ngramJaccard(docs, w = 5, threshold = 0.5).count()
+      val tmp = TempDirs.create("graft-sweep-").toString
+      Dedup.shingles(docs, w = 5).write.parquet(s"$tmp/shingles")
+      val tri = s.read.parquet(s"$tmp/shingles")
+      Dedup.signatureTableFromShingles(tri, w = 5, numHashes = 8)
+        .write.parquet(s"$tmp/sigs")
+      val sigs = s.read.parquet(s"$tmp/sigs")
+      val nExact = Dedup.ngramJaccardOnShingles(tri, threshold = 0.5).count()
       Seq(1, 2, 4).map { bw =>
-        val found = Dedup.minhashLsh(docs, w = 5, numHashes = 8,
-          bandWidth = bw, threshold = 0.5).count()
+        val found = Dedup.pairsFromBands(tri,
+          Dedup.bandTableFromSignatures(sigs, bandWidth = bw),
+          threshold = 0.5).count()
         (bw, nExact, found, found.toDouble / nExact)
       }.toDF("band_width", "n_exact", "n_found", "recall")
         .orderBy("band_width")
@@ -155,9 +176,13 @@ private[graft] object DedupRegistry {
       // materialized by minhashLsh, so the CC loop never re-runs the pair
       // pipeline); at warehouse scale the pair list is a staged table and
       // this operator reads it back — the API takes any pairs frame.
+      // Warehouse form (round 15): the pair pipeline's shingle table is
+      // staged parquet, not an executor block-memory persist.
       Dedup.clusterPairs(
           Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
-            bandWidth = 2, threshold = 0.5))
+            bandWidth = 2, threshold = 0.5,
+            stagingDir = Some(TempDirs.create("graft-clusters-stage-")
+              .toString + "/shingles")))
         .orderBy("doc_id")),
 
     "dedup_minhash_lsh" -> ((s, d) =>
@@ -179,7 +204,9 @@ private[graft] object DedupRegistry {
       // BINDS on this corpus (size-3 buckets exist), so the oracle
       // checks the exclusion semantics, not a no-op.
       Dedup.minhashLsh(Tables.documents(s, d), w = 5, numHashes = 8,
-          bandWidth = 2, threshold = 0.5, maxBucketSize = 2)
+          bandWidth = 2, threshold = 0.5, maxBucketSize = 2,
+          stagingDir = Some(TempDirs.create("graft-capped-stage-")
+            .toString + "/shingles"))
         .orderBy("d1", "d2")),
 
     "dedup_keep_best" -> ((s, d) => {
@@ -190,7 +217,9 @@ private[graft] object DedupRegistry {
       val docs = Tables.documents(s, d)
       Dedup.keepBestPerCluster(
           Dedup.clusterPairs(Dedup.minhashLsh(docs, w = 5, numHashes = 8,
-            bandWidth = 2, threshold = 0.5)),
+            bandWidth = 2, threshold = 0.5,
+            stagingDir = Some(TempDirs.create("graft-keepbest-stage-")
+              .toString + "/shingles"))),
           docs.select(col("doc_id"), col("n_chars")), "n_chars")
         .orderBy("cluster_id")
     }),

