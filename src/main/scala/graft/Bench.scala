@@ -134,18 +134,29 @@ object Bench {
     val anchorOk = results.count { case (k, _, ok, _) => anchor40(k) && ok }
     val anchorSum = results
       .collect { case (k, v, true, _) if anchor40(k) => v }.sum
-    // emitted only when the whole anchor ran ok (subset runs would
-    // report a misleading partial sum)
+    // the sum is emitted only when the whole anchor ran ok (subset runs
+    // would report a misleading partial sum) — but NEVER silently: a
+    // partial anchor reports anchor_40_s:null plus the ok count, so a
+    // renamed/errored anchor query is visibly diagnosable in the JSON
+    // instead of indistinguishable from an intentional subset run; the
+    // offending names go to the detail file (the stdout line's tail
+    // budget cannot afford 40 names).
     val anchorField =
-      if (anchorOk == anchor40.size) s""","anchor_40_s":${f3(anchorSum)}"""
-      else ""
+      if (anchorOk == anchor40.size) s""","anchor_40_s":${f3(anchorSum)},"anchor_40_ok":$anchorOk"""
+      else s""","anchor_40_s":null,"anchor_40_ok":$anchorOk"""
+    val anchorBad = ((anchor40 -- results.map(_._1).toSet).toSeq.sorted ++
+      results.collect { case (k, _, false, _) if anchor40(k) => k }.sorted)
+    val anchorBadField =
+      if (anchorBad.isEmpty) ""
+      else anchorBad.map("\"" + _ + "\"")
+        .mkString(",\"anchor_40_bad\":[", ",", "]")
     val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
     val errField = if (errs.isEmpty) "" else errs.mkString(",\"errors\":[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
     val detail = results.map { case (k, v, ok, (a, b)) =>
       s""""$k":{"min":${f3(v)},"runs":[${f3(a)},${f3(b)}],"ok":$ok}"""
     }.mkString("{", ",", "}")
-    val detailJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min","interleaved":true,"noise_floor":${f3(noiseFloor)},"ingest_sec":${f3(ingestSec)}$anchorField,"sf":"$sfDir","queries":$detail}"""
+    val detailJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":2,"agg":"min","interleaved":true,"noise_floor":${f3(noiseFloor)},"ingest_sec":${f3(ingestSec)}$anchorField$anchorBadField,"sf":"$sfDir","queries":$detail}"""
     // SPARK_GRAFT_DETAIL_OUT: redirect the detail dump (dev ladder/subset
     // runs must not clobber the committed full-surface BENCH_DETAIL.json;
     // the driver sets no such var, so its runs keep the default path).

@@ -67,9 +67,25 @@ object Admission {
     * self-exclusion mirrors `incrementalNearDupFromState(excludeIds)`:
     * a document colliding only with its own previously-persisted bands
     * is a replay, not a near-duplicate.
+    *
+    * @param stateDir when the state lives in [[Dedup.writeBandState]]'s
+    *        partitioned layout, its directory — per-micro-batch
+    *        consumers ([[graft.streaming.Streams.admissionPipeline]])
+    *        re-read the state PRUNED to the batch's probe cells via
+    *        [[Dedup.readBandState]] instead of joining the full state
+    *        every batch (O(batch-cells) file reads, not O(state) —
+    *        the nprobe discipline the layout exists for). Batch-mode
+    *        consumers and the fallback use `seenBands` directly.
+    * @param bands precomputed [[Dedup.bandTable]] of the DOCUMENTS
+    *        under evaluation (not the state) — lets a caller that
+    *        already built the probe (to prune the state read) hand it
+    *        to [[report]] instead of paying a second shingle→minhash
+    *        pass over the batch.
     */
   final case class NearDupCfg(seenBands: DataFrame, w: Int = 3,
-                              numHashes: Int = 8, bandWidth: Int = 2)
+                              numHashes: Int = 8, bandWidth: Int = 2,
+                              stateDir: Option[String] = None,
+                              bands: Option[DataFrame] = None)
 
   /** Gate names in decision order (the numeric prefix makes the long
     * table sort into evaluation order).
@@ -154,7 +170,15 @@ object Admission {
         Dedup.requireStateLayout(g.seenBands, "seen band table",
           Seq("w" -> g.w, "num_hashes" -> g.numHashes,
             "band_width" -> g.bandWidth))
-        val bands = Dedup.bandTable(docs, g.w, g.numHashes, g.bandWidth)
+        // the probe: caller-precomputed when present (the pruned-state
+        // pipeline builds it anyway to collect the batch's cells —
+        // paying a second shingle→minhash pass here would double the
+        // per-batch cost), validated against the gate layout either way
+        g.bands.foreach(b => Dedup.requireStateLayout(b, "probe band table",
+          Seq("w" -> g.w, "num_hashes" -> g.numHashes,
+            "band_width" -> g.bandWidth)))
+        val bands = g.bands
+          .getOrElse(Dedup.bandTable(docs, g.w, g.numHashes, g.bandWidth))
           .select(col("doc_id"), col("band"), col("bkey"))
         // ONE pass over the doc bands: a LEFT join against the state
         // marks each (doc, band) hit-or-not (collapsing the k state
@@ -236,6 +260,32 @@ object Admission {
     * exchange reuse to avoid six scans; single-pass by construction
     * is the plan that survives 100×.
     */
+  /** Refuse-loudly coverage guard shared by the rollups: a report row
+    * missing for any (doc, gate) pivots to NULL, which would
+    * null-poison the pass conjunctions and silently zero every count
+    * (the exact failure a persisted SIX-gate decision table from
+    * before the 7_neardup gate produces). The per-gate null counts
+    * ride in the SAME single aggregate as the overlap counts — no
+    * second scan of the report — and an `assert_true` filter over the
+    * one aggregated row turns any gap into a loud execution-time
+    * error, the requireStateLayout discipline applied to decision
+    * tables. Catches both a wholly-missing gate and a single doc's
+    * dropped row.
+    */
+  private def withCoverageGuard(agg: DataFrame, gates: Seq[String],
+                                what: String): DataFrame =
+    agg.filter(gates.map { g =>
+      assert_true(col(s"${g}__n_null") === 0,
+        concat(col(s"${g}__n_null").cast("string"),
+          lit(s" documents lack a '$g' row in the decision table fed to " +
+            s"$what — built by an older/narrower report than GateOrder " +
+            s"(${GateOrder.mkString(", ")}); rebuild it with " +
+            "Admission.report"))).isNull
+    }.reduce(_ && _))
+
+  private def nullCounts(gates: Seq[String]): Seq[Column] =
+    gates.map(g => count(when(col(g).isNull, lit(1))).as(s"${g}__n_null"))
+
   def gateOverlap(report: DataFrame): DataFrame = {
     val gates = GateOrder.filterNot(_ == DecisionGate)
     val wide = report.filter(col("gate") =!= DecisionGate)
@@ -246,8 +296,9 @@ object Admission {
       val others = gates.filterNot(_ == g).map(col).reduce[Column](_ && _)
       Seq(count(when(!col(g), lit(1))).as(s"${g}__n_fail"),
         count(when(!col(g) && others, lit(1))).as(s"${g}__n_fail_alone"))
-    }
-    wide.agg(counts.head, counts.tail: _*)
+    } ++ nullCounts(gates)
+    withCoverageGuard(wide.agg(counts.head, counts.tail: _*), gates,
+        "gateOverlap")
       .select(explode(array(gates.map(g =>
         struct(lit(g).as("gate"),
           col(s"${g}__n_fail").as("n_fail"),
@@ -281,13 +332,47 @@ object Admission {
     } yield (a, b)
     val counts = pairs.map { case (a, b) =>
       count(when(!col(a) && !col(b), lit(1))).as(s"${a}__${b}")
-    }
-    wide.agg(counts.head, counts.tail: _*)
+    } ++ nullCounts(gates)
+    withCoverageGuard(wide.agg(counts.head, counts.tail: _*), gates,
+        "gateOverlapMatrix")
       .select(explode(array(pairs.map { case (a, b) =>
         struct(lit(a).as("gate_a"), lit(b).as("gate_b"),
           col(s"${a}__${b}").as("n_both"))
       }: _*)).as("r"))
       .select(col("r.gate_a").as("gate_a"), col("r.gate_b").as("gate_b"),
         col("r.n_both").as("n_both"))
+  }
+
+  /** [[gateOverlapMatrix]] keyed by a TIME AXIS (release id, batch id):
+    * the joint-failure matrix per key over a union of per-release
+    * decision tables, so calibration drift across releases is a QUERY
+    * over one artifact — not a diff of two runs' outputs. Same
+    * single-pass shape with the key threaded through both aggregations
+    * (pivot grouped by (key, doc), counts grouped by key); bounded
+    * output (28 rows × |keys|). The coverage guard runs per key via the
+    * same in-aggregate null counts — a release whose report predates a
+    * gate refuses loudly instead of zeroing its row.
+    */
+  def gateOverlapMatrixBy(report: DataFrame, keyCol: String): DataFrame = {
+    val gates = GateOrder.filterNot(_ == DecisionGate)
+    val wide = report.filter(col("gate") =!= DecisionGate)
+      .groupBy(col(keyCol), col("doc_id"))
+      .pivot("gate", gates)
+      .agg(first(col("pass")))
+    val pairs = for {
+      a <- gates; b <- gates if a <= b
+    } yield (a, b)
+    val counts = pairs.map { case (a, b) =>
+      count(when(!col(a) && !col(b), lit(1))).as(s"${a}__${b}")
+    } ++ nullCounts(gates)
+    withCoverageGuard(
+        wide.groupBy(col(keyCol)).agg(counts.head, counts.tail: _*), gates,
+        "gateOverlapMatrixBy")
+      .select(col(keyCol), explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("gate_a"), lit(b).as("gate_b"),
+          col(s"${a}__${b}").as("n_both"))
+      }: _*)).as("r"))
+      .select(col(keyCol), col("r.gate_a").as("gate_a"),
+        col("r.gate_b").as("gate_b"), col("r.n_both").as("n_both"))
   }
 }

@@ -500,7 +500,19 @@ private[graft] object Shared {
     * long-table report oracle ([[admissionReportOracle]]) and the
     * per-gate calibration rollup ([[admissionOverlapOracle]]).
     */
-  lazy val admissionVerdictCtes: String = {
+  lazy val admissionVerdictCtes: String = admissionVerdictCtesWith()
+
+  /** [[admissionVerdictCtes]] with the near-dup STATE definition (and
+    * optionally extra CTEs it depends on) injectable — the compacted-
+    * state oracle swaps in the keeper-only band state; everything else
+    * (gates, artifacts, verdict emission) is shared verbatim so the
+    * variants cannot drift from the canonical chain.
+    */
+  def admissionVerdictCtesWith(
+      andState: String =
+        "SELECT DISTINCT doc_id, band, bkey FROM abands WHERE doc_id % 7 = 3",
+      extraCtes: String = "",
+      recursive: Boolean = false): String = {
       // all six gate decisions unrolled into one long table: quality
       // heuristics (the corpus_clean q-CTE's exact conditions), bench
       // Bloom probe (identical salted-md5 positions, 2^18 bits, 4
@@ -534,7 +546,7 @@ private[graft] object Shared {
           .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ',' || ")
         s"  SELECT doc_id, $b AS band, $k AS bkey FROM amh"
       }.mkString("\n  UNION ALL\n")
-      s"""WITH aq AS (
+      s"""WITH ${if (recursive) "RECURSIVE " else ""}aq AS (
          |  SELECT doc_id, source, len(l) AS n_tok, len(list_distinct(l)) AS n_dis,
          |         len(list_filter(l, x -> x IN ('the','a','of','and','in'))) AS n_stop
          |  FROM (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents)
@@ -575,8 +587,8 @@ private[graft] object Shared {
          |  FROM atsh GROUP BY doc_id
          |), abands AS (
          |$admissionBandSelects
-         |), andstate AS (
-         |  SELECT DISTINCT doc_id, band, bkey FROM abands WHERE doc_id % 7 = 3
+         |)$extraCtes, andstate AS (
+         |  $andState
          |), andhit AS (
          |  SELECT b.doc_id, count(DISTINCT b.band) AS nd_hits
          |  FROM abands b JOIN andstate s
@@ -634,7 +646,12 @@ private[graft] object Shared {
     * corpus_admission_report / stream_admission_restart oracle.
     */
   lazy val admissionReportOracle: String =
-    admissionVerdictCtes +
+    admissionVerdictCtes + admissionReportEmission
+
+  /** The long-table emission over `averd` — shared by the canonical
+    * report oracle and the compacted-state variant.
+    */
+  private lazy val admissionReportEmission: String =
       """
         |SELECT doc_id, gate, pass, score FROM (
         |  SELECT doc_id, '1_source' AS gate, src_pass AS pass,
@@ -696,6 +713,105 @@ private[graft] object Shared {
          |       count(*) FILTER (WHERE NOT $ca AND NOT $cb) AS n_both
          |FROM averd""".stripMargin).mkString("\nUNION ALL\n")
     admissionVerdictCtes + "\n" + legs + "\nORDER BY gate_a, gate_b"
+  }
+
+  /** The shared-artifact lifecycle oracle (round 15): the per-gate
+    * overlap rollup and the pairwise matrix STACKED (kind = overlap |
+    * matrix) over one verdict chain — pins corpus_admission_lifecycle's
+    * persisted-report end-to-end chain.
+    */
+  lazy val admissionLifecycleOracle: String = {
+    val ov = admissionGateCols.map { case (g, c) =>
+      val others = admissionGateCols.collect { case (_, o) if o != c => o }
+        .mkString(" AND ")
+      s"""SELECT 'overlap' AS kind, '$g' AS gate_a,
+         |       CAST(NULL AS VARCHAR) AS gate_b,
+         |       count(*) FILTER (WHERE NOT $c) AS n_fail,
+         |       count(*) FILTER (WHERE NOT $c AND $others) AS n_fail_alone,
+         |       CAST(NULL AS BIGINT) AS n_both
+         |FROM averd""".stripMargin
+    }
+    val mat = for {
+      (ga, ca) <- admissionGateCols
+      (gb, cb) <- admissionGateCols if ga <= gb
+    } yield
+      s"""SELECT 'matrix' AS kind, '$ga' AS gate_a, '$gb' AS gate_b,
+         |       CAST(NULL AS BIGINT) AS n_fail,
+         |       CAST(NULL AS BIGINT) AS n_fail_alone,
+         |       count(*) FILTER (WHERE NOT $ca AND NOT $cb) AS n_both
+         |FROM averd""".stripMargin
+    admissionVerdictCtes + "\n" + (ov ++ mat).mkString("\nUNION ALL\n") +
+      "\nORDER BY kind, gate_a, gate_b"
+  }
+
+  /** The compacted-state report oracle (round 15): the near-dup gate's
+    * state is the KEEPER-ONLY band set — keepers derived independently
+    * here (bucket-star connected components over the admitted cohort's
+    * bands, best n_chars per cluster, ties to the smaller id — the
+    * dedup_compact_global machinery applied to the cohort), so the
+    * compactor and the front door cannot drift.
+    */
+  lazy val admissionCompactedReportOracle: String = {
+    val extra =
+      """, acoh AS (
+        |  SELECT DISTINCT doc_id, band, bkey FROM abands WHERE doc_id % 7 = 3
+        |  UNION
+        |  SELECT doc_id + 10000000, band, bkey FROM abands
+        |  WHERE doc_id % 7 = 3 AND doc_id % 3 = 0
+        |), acbmin AS (
+        |  SELECT band, bkey, min(doc_id) AS root FROM acoh GROUP BY 1, 2
+        |), acedges0 AS (
+        |  SELECT DISTINCT m.root AS a, b.doc_id AS b
+        |  FROM acoh b JOIN acbmin m USING (band, bkey)
+        |  WHERE b.doc_id <> m.root
+        |), acedges AS (
+        |  SELECT a, b FROM acedges0 UNION SELECT b, a FROM acedges0
+        |), acreach(node, m) AS (
+        |  SELECT a, a FROM acedges
+        |  UNION
+        |  SELECT e.a, r.m FROM acedges e JOIN acreach r ON r.node = e.b
+        |), accl AS (
+        |  SELECT node AS doc_id, min(m) AS cluster_id FROM acreach GROUP BY 1
+        |), accoh AS (
+        |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, n_chars FROM documents
+        |  WHERE doc_id % 7 = 3 AND doc_id % 3 = 0
+        |), acall AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        |         d.n_chars
+        |  FROM accoh d LEFT JOIN accl c USING (doc_id)
+        |), ackeep AS (
+        |  SELECT doc_id AS keeper FROM (
+        |    SELECT cluster_id, doc_id,
+        |           row_number() OVER (PARTITION BY cluster_id
+        |                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |    FROM acall) WHERE rn = 1
+        |)""".stripMargin
+    admissionVerdictCtesWith(
+      andState = "SELECT b.doc_id, b.band, b.bkey FROM acoh b " +
+        "JOIN ackeep k ON k.keeper = b.doc_id",
+      extraCtes = extra, recursive = true) + admissionReportEmission
+  }
+
+  /** The per-release overlap matrix oracle (round 15): every verdict is
+    * a per-doc function of the FROZEN artifacts, so each release's
+    * matrix is the canonical chain's counts restricted to that
+    * release's doc set (t0 drops ≡ 1 mod 7, t1 drops ≡ 2 — the
+    * corpus_release_diff topology).
+    */
+  lazy val admissionMatrixReleasesOracle: String = {
+    def legs(rel: String, pred: String) = for {
+      (ga, ca) <- admissionGateCols
+      (gb, cb) <- admissionGateCols if ga <= gb
+    } yield
+      s"""SELECT '$rel' AS release, '$ga' AS gate_a, '$gb' AS gate_b,
+         |       count(*) FILTER (WHERE NOT $ca AND NOT $cb) AS n_both
+         |FROM averd WHERE $pred""".stripMargin
+    admissionVerdictCtes + "\n" +
+      (legs("t0", "doc_id % 7 <> 1") ++ legs("t1", "doc_id % 7 <> 2"))
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY release, gate_a, gate_b"
   }
 
   def cosineSql(a: String, b: String): String = {

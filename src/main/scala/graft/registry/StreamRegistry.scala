@@ -747,8 +747,11 @@ private[graft] object StreamRegistry {
       // function of the document and frozen artifacts, the streamed
       // union == the batch report row-for-row, so the rollup over it
       // must reproduce corpus_admission_overlap's oracle exactly — a
-      // dropped batch, a double-emitted directory or any stateful gate
-      // leakage between micro-batches breaks the per-gate counts.
+      // dropped batch or any stateful gate leakage between
+      // micro-batches breaks the per-gate counts. A DOUBLE-emitted
+      // batch directory would NOT (the rollup's per-doc pivot
+      // collapses duplicate rows), so that failure mode gets its own
+      // explicit duplicate check below before the rollup runs.
       val tmp = TempDirs.create("graft-adm-ovl-").toString
       val src = s"$tmp/src"
       val docs = Tables.documents(s, d)
@@ -781,16 +784,28 @@ private[graft] object StreamRegistry {
         Some(ext.Admission.SemanticCfg(emb, sig, threshold = 0.42)),
         lm, -3.40, nb, Seq("en"),
         nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
-          numHashes = 8, bandWidth = 2)))
+          numHashes = 8, bandWidth = 2,
+          // production form (round 15): each micro-batch re-reads the
+          // persisted state PRUNED to its own probe cells instead of
+          // joining the full state — O(batch-cells) per batch
+          stateDir = Some(s"$tmp/bands"))))
       q.awaitTermination()
       require(q.recentProgress.count(_.numInputRows > 0) >= 2,
         "streamed overlap needs >= 2 micro-batches — a single-batch run " +
           "would not exercise the cross-batch union the claim is about")
+      val streamed = s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("gate"), col("pass"), col("score"))
+      // double-emission guard: the rollup's per-doc pivot collapses a
+      // duplicated (doc_id, gate) row silently, so the union's
+      // uniqueness is asserted EXPLICITLY — one partial-agg pass over
+      // the bounded per-batch sink, not the corpus
+      val dups = streamed.groupBy(col("doc_id"), col("gate"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+      require(dups == 0,
+        s"$dups (doc_id, gate) rows appear in more than one batch " +
+          "directory — a double-emitted batch the rollup would mask")
       detachAndClean(
-        ext.Admission.gateOverlap(
-            s.read.parquet(s"$tmp/out")
-              .select(col("doc_id"), col("gate"), col("pass"), col("score")))
-          .orderBy("gate"),
+        ext.Admission.gateOverlap(streamed).orderBy("gate"),
         tmp)
     }),
 
@@ -839,7 +854,8 @@ private[graft] object StreamRegistry {
           Some(ext.Admission.SemanticCfg(emb, sig, threshold = 0.42)),
           lm, -3.40, nb, Seq("en"),
           nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
-            numHashes = 8, bandWidth = 2)))
+            numHashes = 8, bandWidth = 2,
+            stateDir = Some(s"$tmp/bands"))))
         q.awaitTermination(); q
       }
       runPass()

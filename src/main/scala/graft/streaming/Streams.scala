@@ -793,16 +793,37 @@ object Streams {
     // are deterministic either way (md5 banding recomputes
     // identically); passing a derived in-memory frame merely prices a
     // per-batch recompute unless the caller froze it themselves.
+    // With `stateDir` set on the cfg the per-batch probe goes further:
+    // the batch's band table is built ONCE (persisted for the cell
+    // collect + handed to the report as the precomputed probe) and the
+    // state is re-read pruned to the cells that batch can collide with
+    // ([[graft.ext.Dedup.readBandState]]) — O(batch-cells) file reads
+    // per micro-batch instead of a full state scan, which is the whole
+    // point of writeBandState's band=/bpfx= layout. Pruning is exact
+    // (a collision outside the probe's cells is impossible), so
+    // decisions are bit-identical to the full-state join.
     val ndFrozen = nearDup
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.ext.Admission.report(batch.toDF(), benchSources, shingleGate,
-            contamThreshold, semFrozen, lmFrozen, minAvgLp, nbFrozen,
-            allowedLabels, nbBuckets, ndFrozen)
+        val (ndBatch, probe) = ndFrozen match {
+          case Some(g) if g.stateDir.isDefined =>
+            val p = graft.ext.Dedup.bandTable(batch.toDF(), g.w,
+              g.numHashes, g.bandWidth).persist()
+            p.count() // materialize before the cell collect AND the report read it
+            (Some(g.copy(
+              seenBands = graft.ext.Dedup.readBandState(spark,
+                g.stateDir.get, p),
+              bands = Some(p))), Some(p))
+          case other => (other, None)
+        }
+        try graft.ext.Admission.report(batch.toDF(), benchSources,
+            shingleGate, contamThreshold, semFrozen, lmFrozen, minAvgLp,
+            nbFrozen, allowedLabels, nbBuckets, ndBatch)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        finally probe.foreach(_.unpersist(blocking = false))
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
   * event_type, ts) keep their domains — at a real 5× scale-up groups get
   * deeper, not wider, which is exactly the shape that stresses shuffles.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <R>
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <R> [emb-only]
+  *
+  * `emb-only` (round 15): replicate ONLY the embeddings table R×,
+  * copying every other table at 1× — the vector-count rung for the
+  * ANN maintenance family, whose sf-ladder exponents are masked by
+  * the bounded quantizer-retrain floor when documents scale with the
+  * vectors. Vectors ×R with documents fixed isolates the scan term.
   */
 object ScaleUp {
   private val Offset = 1000000000L
@@ -54,7 +60,11 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val r = args(2).toInt
+    val embOnly = args.length > 3 && args(3) == "emb-only"
     require(r >= 1 && r <= 100)
+    // in emb-only mode every non-embeddings table replicates at 1×
+    def rOf(table: String): Int =
+      if (embOnly && table != "embeddings") 1 else r
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -65,7 +75,7 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    replicate(spark, r) { i =>
+    replicate(spark, rOf("documents")) { i =>
       if (i == 0) docs
       else docs.select(
         (col("doc_id") + lit(i * Offset)).as("doc_id"),
@@ -80,7 +90,7 @@ object ScaleUp {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    replicate(spark, r) { i =>
+    replicate(spark, rOf("embeddings")) { i =>
       if (i == 0) emb
       else {
         // rotate: same norm/marginals, ~orthogonal to other replicas.
@@ -103,7 +113,7 @@ object ScaleUp {
     } match { case df => writeSingleFile(df, out, "embeddings") }
 
     val ev = spark.read.parquet(s"$src/events.parquet")
-    replicate(spark, r) { i =>
+    replicate(spark, rOf("events")) { i =>
       if (i == 0) ev
       else ev.select(
         (col("event_id") + lit(i * Offset)).as("event_id"), col("ts"),
@@ -117,32 +127,32 @@ object ScaleUp {
       writeSingleFile(spark.read.parquet(s"$src/$t.parquet"), out, t)
     def off(c: String, i: Int) = (col(c) + lit(i * Offset)).as(c)
     val cust = spark.read.parquet(s"$src/customer.parquet")
-    replicate(spark, r) { i =>
+    replicate(spark, rOf("customer")) { i =>
       if (i == 0) cust else cust.withColumn("c_custkey", off("c_custkey", i))
     } match { case df => writeSingleFile(df, out, "customer") }
     val supp = spark.read.parquet(s"$src/supplier.parquet")
-    replicate(spark, r) { i =>
+    replicate(spark, rOf("supplier")) { i =>
       if (i == 0) supp else supp.withColumn("s_suppkey", off("s_suppkey", i))
     } match { case df => writeSingleFile(df, out, "supplier") }
     val part = spark.read.parquet(s"$src/part.parquet")
-    replicate(spark, r) { i =>
+    replicate(spark, rOf("part")) { i =>
       if (i == 0) part else part.withColumn("p_partkey", off("p_partkey", i))
     } match { case df => writeSingleFile(df, out, "part") }
     val ord = spark.read.parquet(s"$src/orders.parquet")
-    replicate(spark, r) { i =>
+    replicate(spark, rOf("orders")) { i =>
       if (i == 0) ord
       else ord.withColumn("o_orderkey", off("o_orderkey", i))
         .withColumn("o_custkey", off("o_custkey", i))
     } match { case df => writeSingleFile(df, out, "orders") }
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    replicate(spark, r) { i =>
+    replicate(spark, rOf("lineitem")) { i =>
       if (i == 0) li
       else li.withColumn("l_orderkey", off("l_orderkey", i))
         .withColumn("l_partkey", off("l_partkey", i))
         .withColumn("l_suppkey", off("l_suppkey", i))
     } match { case df => writeSingleFile(df, out, "lineitem") }
 
-    println(s"scaled $src x$r -> $out")
+    println(s"scaled $src x$r${if (embOnly) " (embeddings only)" else ""} -> $out")
     spark.stop()
   }
 }

@@ -138,6 +138,47 @@ class AdmissionSpec extends AnyFunSuite {
       s"gateOverlapMatrix must be one aggregate, not a per-pair union:\n$mplan")
   }
 
+  test("rollups REFUSE a decision table missing a gate instead of null-poisoning the counts") {
+    // round 15 (advisor finding): a persisted six-gate report from
+    // before the 7_neardup gate pivots to a NULL column, which would
+    // silently zero every n_fail_alone via the null-poisoned pass
+    // conjunction. The guard rides in the SAME single aggregate (no
+    // second report scan) and must fail loudly on the gap — for a
+    // wholly-missing gate AND for one doc's dropped row.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("gate", StringType), StructField("pass", BooleanType),
+      StructField("score", DoubleType)))
+    def rep(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), sch)
+    val sixGate = rep(for {
+      id <- Seq(1L, 2L)
+      g <- Admission.GateOrder if g != "7_neardup"
+    } yield Row(id, g, true, null.asInstanceOf[java.lang.Double]))
+    val e1 = intercept[Exception] { Admission.gateOverlap(sixGate).collect() }
+    assert(e1.getMessage.contains("7_neardup"),
+      s"missing gate must refuse loudly, got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      Admission.gateOverlapMatrix(sixGate).collect()
+    }
+    assert(e2.getMessage.contains("7_neardup"))
+    // one doc missing one row is the same defect at finer grain
+    val holey = rep((for {
+      id <- Seq(1L, 2L)
+      g <- Admission.GateOrder
+    } yield Row(id, g, true, null.asInstanceOf[java.lang.Double]))
+      .filterNot(r => r.getLong(0) == 2L && r.getString(1) == "5_lm"))
+    val e3 = intercept[Exception] { Admission.gateOverlap(holey).collect() }
+    assert(e3.getMessage.contains("5_lm"))
+    // and a COMPLETE table still rolls up clean through the guard
+    val full = rep(for {
+      id <- Seq(1L, 2L)
+      g <- Admission.GateOrder
+    } yield Row(id, g, true, null.asInstanceOf[java.lang.Double]))
+    assert(Admission.gateOverlap(full).collect().length === 7)
+  }
+
   test("near-dup gate refuses a band state built under a different layout") {
     // the silent-admission failure mode: state built with mismatched
     // (w, numHashes, bandWidth) produces bucket keys that can never
@@ -189,18 +230,116 @@ class AdmissionSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 3 === i).coalesce(1)
         .write.mode("append").parquet(src))
     val sch = spark.read.parquet(src).schema
-    val nd = ndCfg(docs)
+    // the near-dup state in the PRODUCTION streaming form (round 15):
+    // persisted partitioned layout + stateDir, so each micro-batch
+    // re-reads the state pruned to its own probe cells — the parity
+    // below proves pruning is exact AND batch == stream in one law
+    // (the batch side joins the full state frame).
+    val stateDir = s"$base/bands"
+    Dedup.writeBandState(
+      Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3), w = 5,
+        numHashes = 8, bandWidth = 2),
+      stateDir, "overwrite")
     Streams.admissionPipeline(spark, sch, src, s"$base/out", s"$base/ck",
         Seq("src0", "src1"), gate, 0.3, sem, lm, -3.40, nb, Seq("en"),
-        nearDup = nd)
+        nearDup = Some(Admission.NearDupCfg(spark.read.parquet(stateDir),
+          w = 5, numHashes = 8, bandWidth = 2,
+          stateDir = Some(stateDir))))
       .awaitTermination()
     val streamed = spark.read.parquet(s"$base/out")
       .select("doc_id", "gate", "pass", "score")
     val batch = Admission.report(docs, Seq("src0", "src1"), gate, 0.3, sem,
-      lm, -3.40, nb, Seq("en"), nearDup = nd)
+      lm, -3.40, nb, Seq("en"),
+      nearDup = Some(Admission.NearDupCfg(spark.read.parquet(stateDir),
+        w = 5, numHashes = 8, bandWidth = 2)))
     assert(rows(streamed) === rows(batch),
       "admission is ONE definition: how the corpus arrived must not " +
-        "change a single verdict")
+        "change a single verdict — and the pruned per-batch state read " +
+        "must not change one either")
+  }
+
+  test("post-compaction gate parity: the gate over a compacted state equals a fresh keeper-only state; the trade is exact") {
+    // round 15 (verdict item 5): compactNearDupState rewrites the band
+    // state the 7_neardup gate reads, so the compactor and the front
+    // door could drift. Three laws pin them together:
+    //  1. PARITY — gate decisions over the COMPACTED state equal
+    //     decisions over a state freshly built from the keeper
+    //     documents alone (compaction keeps exactly the keepers'
+    //     bands, nothing else).
+    //  2. ADOPTION — content of a DROPPED member still rejects when it
+    //     shares bands with its keeper (the clone case).
+    //  3. LOSSINESS IS EXACT — chain-connected members that share no
+    //     bucket with the keeper leave the state entirely (the
+    //     documented trade), verified on a hand-built band chain.
+    val docs = Tables.documents(spark, sfDir)
+    val (gate, _, lm, nb) = cfg(docs)
+    val cohort0 = docs.filter(col("doc_id") % 7 === 3)
+    val cohort = cohort0.unionByName(
+      cohort0.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-adm-compact-spec-").toString
+    val stateDir = s"$base/bands"
+    Dedup.writeBandState(
+      Dedup.bandTable(cohort, w = 5, numHashes = 8, bandWidth = 2),
+      stateDir, "errorifexists")
+    val kept = Dedup.compactNearDupState(spark, stateDir, cohort,
+      qualityCol = "n_chars", w = 5, numHashes = 8, bandWidth = 2)
+    assert(kept.count() < cohort.count(), "compaction must bind")
+    // 1. parity: compacted state vs fresh state over keeper docs only
+    val keeperDocs = cohort
+      .join(kept.select(col("keeper").as("doc_id")), Seq("doc_id"), "left_semi")
+    val freshDir = s"$base/fresh"
+    Dedup.writeBandState(
+      Dedup.bandTable(keeperDocs, w = 5, numHashes = 8, bandWidth = 2),
+      freshDir, "errorifexists")
+    // probe corpus: the fixture docs PLUS a fresh-id clone of a dropped
+    // member (its content must still reject via the keeper's bands)
+    val dropped = cohort0.filter(col("doc_id") % 3 === 0)
+      .limit(1).collect().head
+    val probeDocs = docs.unionByName(
+      docs.filter(col("doc_id") === dropped.getAs[Long]("doc_id"))
+        .withColumn("doc_id", lit(20000000L)))
+    def rep(dir: String) =
+      rows(Admission.report(probeDocs, Seq("src0", "src1"), gate, 0.3,
+        None, lm, -3.40, nb, Seq("en"),
+        nearDup = Some(Admission.NearDupCfg(spark.read.parquet(dir),
+          w = 5, numHashes = 8, bandWidth = 2))))
+    val overCompacted = rep(stateDir)
+    assert(overCompacted === rep(freshDir),
+      "the gate over the compacted state must equal a fresh keeper-only build")
+    // 2. adoption: the dropped clone's content still fails the gate
+    val cloneNd = overCompacted
+      .find(r => r._1 == 20000000L && r._2 == "7_neardup").get
+    assert(cloneNd._3 === false,
+      "a clone of a dropped member must still reject — its keeper " +
+        "carries identical bands")
+    // 3. the trade, exactly: hand-built chain A-B-C (A~B share bucket,
+    //    B~C share bucket, A/C disjoint); A is the best-quality keeper,
+    //    so B and C leave the state entirely — C's content would
+    //    re-admit, and nothing else survives
+    val chainState = Seq(
+      (1L, 0, "k1"), (2L, 0, "k1"), // A, B share band-0 bucket
+      (2L, 1, "k2"), (3L, 1, "k2")  // B, C share band-1 bucket
+    ).toDF("doc_id", "band", "bkey")
+      .withColumn("w", lit(5)).withColumn("num_hashes", lit(8))
+      .withColumn("band_width", lit(2))
+    val chainDocs = Seq((1L, 30), (2L, 20), (3L, 10))
+      .toDF("doc_id", "n_chars")
+    val chainDir = s"$base/chain"
+    Dedup.writeBandState(chainState, chainDir, "errorifexists")
+    val chainKept = Dedup.compactNearDupState(spark, chainDir, chainDocs,
+      qualityCol = "n_chars", w = 5, numHashes = 8, bandWidth = 2)
+    assert(chainKept.collect().map(r => (r.getLong(1), r.getLong(3)))
+      .toSeq === Seq((1L, 3L)), "one cluster, keeper A, 3 members")
+    val after = spark.read.parquet(chainDir)
+      .select("doc_id", "band", "bkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(after === Seq((1L, 0, "k1")),
+      "compacted chain state must hold exactly the keeper's bands: " +
+        "B's bridge bucket and C's bucket are gone — content colliding " +
+        "only through dropped members re-admits, the documented trade")
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(base))
   }
 
   test("a clone of an admitted document is rejected by the near-dup gate ALONE") {
