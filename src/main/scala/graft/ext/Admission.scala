@@ -283,8 +283,9 @@ object Admission {
             "Admission.report"))).isNull
     }.reduce(_ && _))
 
-  private def nullCounts(gates: Seq[String]): Seq[Column] =
-    gates.map(g => count(when(col(g).isNull, lit(1))).as(s"${g}__n_null"))
+  private def nullCounts(gates: Seq[String],
+                         passCol: String => Column = col(_)): Seq[Column] =
+    gates.map(g => count(when(passCol(g).isNull, lit(1))).as(s"${g}__n_null"))
 
   def gateOverlap(report: DataFrame): DataFrame = {
     val gates = GateOrder.filterNot(_ == DecisionGate)
@@ -374,5 +375,89 @@ object Admission {
       }: _*)).as("r"))
       .select(col(keyCol), col("r.gate_a").as("gate_a"),
         col("r.gate_b").as("gate_b"), col("r.n_both").as("n_both"))
+  }
+
+  /** SEQUENTIAL survival funnel of a [[report]] decision table: the
+    * gates applied cumulatively in decision order — per gate, how many
+    * documents reach it (`n_in` = survivors of every earlier gate) and
+    * how many survive it (`n_out`). The view [[gateOverlap]]'s
+    * marginals and [[gateOverlapMatrix]]'s pairwise counts cannot give:
+    * what the pipeline looks like as a pipeline — where the corpus
+    * actually thins when the gates run as the ordered front door.
+    * `n_in` of the first gate is the corpus size; `n_out` of the last
+    * equals the `8_decision` keep count (the conjunction is
+    * order-independent, so the funnel's end state is the decision —
+    * spec-pinned). Same single-pass shape as the other rollups: one
+    * pivot + ONE aggregate emitting all 14 counts, exploded to seven
+    * rows, with the same refuse-loudly coverage guard.
+    */
+  def gateFunnel(report: DataFrame): DataFrame = {
+    val gates = GateOrder.filterNot(_ == DecisionGate)
+    val wide = report.filter(col("gate") =!= DecisionGate)
+      .groupBy(col("doc_id"))
+      .pivot("gate", gates)
+      .agg(first(col("pass")))
+    val counts = gates.indices.flatMap { i =>
+      val before =
+        if (i == 0) lit(true)
+        else gates.take(i).map(col).reduce[Column](_ && _)
+      val upTo = gates.take(i + 1).map(col).reduce[Column](_ && _)
+      Seq(count(when(before, lit(1))).as(s"${gates(i)}__n_in"),
+        count(when(upTo, lit(1))).as(s"${gates(i)}__n_out"))
+    } ++ nullCounts(gates)
+    withCoverageGuard(wide.agg(counts.head, counts.tail: _*), gates,
+        "gateFunnel")
+      .select(explode(array(gates.map(g =>
+        struct(lit(g).as("gate"),
+          col(s"${g}__n_in").as("n_in"),
+          col(s"${g}__n_out").as("n_out"))): _*)).as("r"))
+      .select(col("r.gate").as("gate"), col("r.n_in").as("n_in"),
+        col("r.n_out").as("n_out"))
+  }
+
+  /** CALIBRATION sweep of the LM gate's threshold — the ensemble's one
+    * pure-threshold knob (`5_lm` passes iff `avg_lp >= minAvgLp`; every
+    * other gate is a composite predicate, not a scalar cut). For each
+    * candidate threshold: `n_fail` (documents the LM gate would fail at
+    * that cut — score NULL counts as fail, the [[report]] convention)
+    * and `n_admit` (documents the FULL ensemble would admit: every
+    * other gate passes and the LM score clears the cut) — the
+    * what-does-moving-the-knob-buy table, computed from the decision
+    * table alone with ZERO model re-scoring at any candidate. Passing
+    * the production threshold among the candidates pins consistency:
+    * its `n_admit` equals the `8_decision` keep count (spec law).
+    * Single pass: one pivot (pass + score) + ONE aggregate emitting
+    * 2·|thresholds| counts, exploded to rows; bounded output
+    * regardless of corpus size.
+    */
+  def lmThresholdSweep(report: DataFrame,
+                       thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "lmThresholdSweep: no candidate thresholds")
+    val gates = GateOrder.filterNot(_ == DecisionGate)
+    val lmGate = "5_lm"
+    // two pivot aggregations suffix the alias: columns are ${g}_pass /
+    // ${g}_score (hence the passCol mapper on the shared null counts)
+    val wide = report.filter(col("gate") =!= DecisionGate)
+      .groupBy(col("doc_id"))
+      .pivot("gate", gates)
+      .agg(first(col("pass")).as("pass"), first(col("score")).as("score"))
+    def pass(g: String) = col(s"${g}_pass")
+    val others = gates.filterNot(_ == lmGate).map(pass).reduce[Column](_ && _)
+    val score = col(s"${lmGate}_score")
+    val counts = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(count(when(score.isNull || score < lit(t), lit(1)))
+          .as(s"t${i}__n_fail"),
+        count(when(others && score.isNotNull && score >= lit(t), lit(1)))
+          .as(s"t${i}__n_admit"))
+    } ++ nullCounts(gates, pass)
+    withCoverageGuard(wide.agg(counts.head, counts.tail: _*), gates,
+        "lmThresholdSweep")
+      .select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"),
+          col(s"t${i}__n_fail").as("n_fail"),
+          col(s"t${i}__n_admit").as("n_admit"))
+      }: _*)).as("r"))
+      .select(col("r.threshold").as("threshold"),
+        col("r.n_fail").as("n_fail"), col("r.n_admit").as("n_admit"))
   }
 }

@@ -489,6 +489,27 @@ private[graft] object CorpusRegistry {
       ext.Admission.gateOverlapMatrix(admissionReportFor(s, d))
         .orderBy("gate_a", "gate_b")),
 
+    "corpus_admission_funnel" -> ((s, d) =>
+      // the gates as a PIPELINE (round 15): cumulative survival counts
+      // in decision order — where the corpus actually thins when the
+      // gates run as the ordered front door. n_in of 1_source is the
+      // corpus size; n_out of 7_neardup equals the 8_decision keep
+      // count (conjunction order-independence, spec-pinned). Same
+      // single-pass pivot+aggregate shape as the other calibration
+      // rollups; seven bounded rows.
+      ext.Admission.gateFunnel(admissionReportFor(s, d))
+        .orderBy("gate")),
+
+    "corpus_admission_lm_sweep" -> ((s, d) =>
+      // the LM threshold KNOB swept (round 15): n_fail / n_admit at
+      // five candidate cuts including the production -3.40 — whose
+      // n_admit must equal the decision keep count (in-oracle
+      // consistency). One pass over the decision table; zero model
+      // re-scoring at any candidate.
+      ext.Admission.lmThresholdSweep(admissionReportFor(s, d),
+          Seq(-3.60, -3.50, -3.40, -3.30, -3.20))
+        .orderBy("threshold")),
+
     "corpus_admission_lifecycle" -> ((s, d) => {
       // SHARED-ARTIFACT admission lifecycle (round 15): the six
       // isolated admission queries each rebuild the full gate config
@@ -504,7 +525,6 @@ private[graft] object CorpusRegistry {
       // whole amortized chain end-to-end.
       val docs = Tables.documents(s, d)
       val tmp = TempDirs.create("graft-adm-life-").toString
-      val (gate, sem) = admissionGateCfg(s, d)
       // models in their persisted production form: trained once,
       // staged to parquet, read back (the report_state discipline —
       // no driver-frozen frames)
@@ -604,8 +624,21 @@ private[graft] object CorpusRegistry {
           minAvgLp = -3.40, nbModel = nb, allowedLabels = Seq("en"),
           nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
             numHashes = 8, bandWidth = 2)))
-      val rep = reportOf(t0).withColumn("release", lit("t0"))
-        .unionByName(reportOf(t1).withColumn("release", lit("t1")))
+      // each release's report STAGED to parquet before the keyed
+      // rollup (the stream_admission_overlap discipline): the two
+      // corpus-scale report DAGs evaluate sequentially with bounded
+      // peak memory, and the rollup scans O(8·docs) staged rows
+      // instead of a live union of two full report subtrees. The
+      // sf-eq ladder caught the live-union form going super-linear
+      // on the 1.0→2.0 octave (α_top 1.55; staged form re-rung
+      // linear) — the only admission member that ever left the
+      // linear class.
+      Seq("t0" -> t0, "t1" -> t1).foreach { case (name, rel) =>
+        reportOf(rel).write.mode("overwrite").parquet(s"$tmp/rep_$name")
+      }
+      val rep = s.read.parquet(s"$tmp/rep_t0").withColumn("release", lit("t0"))
+        .unionByName(
+          s.read.parquet(s"$tmp/rep_t1").withColumn("release", lit("t1")))
       detachAndClean(
         ext.Admission.gateOverlapMatrixBy(rep, "release")
           .orderBy("release", "gate_a", "gate_b"),
@@ -1399,6 +1432,8 @@ private[graft] object CorpusRegistry {
 
     "corpus_admission_overlap" -> admissionOverlapOracle,
     "corpus_admission_overlap_matrix" -> admissionOverlapMatrixOracle,
+    "corpus_admission_funnel" -> admissionFunnelOracle,
+    "corpus_admission_lm_sweep" -> admissionLmSweepOracle,
     "corpus_admission_lifecycle" -> admissionLifecycleOracle,
     "corpus_admission_report_compacted" -> admissionCompactedReportOracle,
     "corpus_admission_matrix_releases" -> admissionMatrixReleasesOracle,

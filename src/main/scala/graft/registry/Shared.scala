@@ -715,6 +715,39 @@ private[graft] object Shared {
     admissionVerdictCtes + "\n" + legs + "\nORDER BY gate_a, gate_b"
   }
 
+  /** [[admissionVerdictCtes]] + cumulative survival counts in decision
+    * order — the corpus_admission_funnel oracle.
+    */
+  lazy val admissionFunnelOracle: String = {
+    val legs = admissionGateCols.zipWithIndex.map { case ((g, _), i) =>
+      val before =
+        if (i == 0) "TRUE"
+        else admissionGateCols.take(i).map(_._2).mkString(" AND ")
+      val upTo = admissionGateCols.take(i + 1).map(_._2).mkString(" AND ")
+      s"""SELECT '$g' AS gate,
+         |       count(*) FILTER (WHERE $before) AS n_in,
+         |       count(*) FILTER (WHERE $upTo) AS n_out
+         |FROM averd""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    admissionVerdictCtes + "\n" + legs + "\nORDER BY gate"
+  }
+
+  /** [[admissionVerdictCtes]] + the LM threshold sweep counts — the
+    * corpus_admission_lm_sweep oracle.
+    */
+  lazy val admissionLmSweepOracle: String = {
+    val others = admissionGateCols.collect { case (g, c) if g != "5_lm" => c }
+      .mkString(" AND ")
+    val legs = Seq(-3.60, -3.50, -3.40, -3.30, -3.20).map { t =>
+      s"""SELECT CAST($t AS DOUBLE) AS threshold,
+         |       count(*) FILTER (WHERE lm_score IS NULL OR lm_score < $t) AS n_fail,
+         |       count(*) FILTER (WHERE $others AND lm_score IS NOT NULL
+         |                          AND lm_score >= $t) AS n_admit
+         |FROM averd""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    admissionVerdictCtes + "\n" + legs + "\nORDER BY threshold"
+  }
+
   /** The shared-artifact lifecycle oracle (round 15): the per-gate
     * overlap rollup and the pairwise matrix STACKED (kind = overlap |
     * matrix) over one verdict chain — pins corpus_admission_lifecycle's

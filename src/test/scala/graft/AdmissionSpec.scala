@@ -171,6 +171,14 @@ class AdmissionSpec extends AnyFunSuite {
       .filterNot(r => r.getLong(0) == 2L && r.getString(1) == "5_lm"))
     val e3 = intercept[Exception] { Admission.gateOverlap(holey).collect() }
     assert(e3.getMessage.contains("5_lm"))
+    // the round-15 rollups share the guard: funnel and threshold sweep
+    // refuse the same six-gate table
+    val e4 = intercept[Exception] { Admission.gateFunnel(sixGate).collect() }
+    assert(e4.getMessage.contains("7_neardup"))
+    val e5 = intercept[Exception] {
+      Admission.lmThresholdSweep(sixGate, Seq(-3.40)).collect()
+    }
+    assert(e5.getMessage.contains("7_neardup"))
     // and a COMPLETE table still rolls up clean through the guard
     val full = rep(for {
       id <- Seq(1L, 2L)
@@ -383,5 +391,72 @@ class AdmissionSpec extends AnyFunSuite {
     val score = rep.filter(col("doc_id") === 1 && col("gate") === "7_neardup")
       .head().getDouble(3)
     assert(score === 1.0)
+  }
+
+  test("gateFunnel: chain law (n_in(i) == n_out(i-1)), corpus start, decision end; matches brute force") {
+    val docs = Tables.documents(spark, sfDir)
+    val (gate, sem, lm, nb) = cfg(docs)
+    val rep = Admission.report(docs, Seq("src0", "src1"), gate, 0.3, sem,
+        lm, -3.40, nb, Seq("en"), nearDup = ndCfg(docs))
+      .localCheckpoint(eager = true)
+    val gates = Admission.GateOrder.filterNot(_ == Admission.DecisionGate)
+    val fun = Admission.gateFunnel(rep).orderBy("gate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(fun.map(_._1).toSeq === gates)
+    assert(fun.head._2 === docs.count(), "first n_in is the corpus size")
+    fun.sliding(2).foreach { w =>
+      assert(w(1)._2 === w(0)._3, s"${w(1)._1}.n_in == ${w(0)._1}.n_out")
+    }
+    val kept = rep.filter(col("gate") === Admission.DecisionGate && col("pass"))
+      .count()
+    assert(fun.last._3 === kept, "funnel end == decision keep count")
+    // brute force from the collected decision table
+    val byDoc = rep.filter(col("gate") =!= Admission.DecisionGate).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    val ids = byDoc.keys.map(_._1).toSet
+    gates.indices.foreach { i =>
+      val nIn = ids.count(id => gates.take(i).forall(g => byDoc((id, g))))
+      val nOut = ids.count(id => gates.take(i + 1).forall(g => byDoc((id, g))))
+      assert(fun(i)._2 === nIn && fun(i)._3 === nOut,
+        s"brute force at ${gates(i)}")
+    }
+  }
+
+  test("lmThresholdSweep: production threshold reproduces the decision count; monotone; matches brute force") {
+    val docs = Tables.documents(spark, sfDir)
+    val (gate, sem, lm, nb) = cfg(docs)
+    val rep = Admission.report(docs, Seq("src0", "src1"), gate, 0.3, sem,
+        lm, -3.40, nb, Seq("en"), nearDup = ndCfg(docs))
+      .localCheckpoint(eager = true)
+    val ts = Seq(-3.60, -3.50, -3.40, -3.30, -3.20)
+    val sw = Admission.lmThresholdSweep(rep, ts).orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(sw.map(_._1).toSeq === ts.sorted)
+    // at the production cut the sweep's n_admit IS the decision count
+    val kept = rep.filter(col("gate") === Admission.DecisionGate && col("pass"))
+      .count()
+    assert(sw.find(_._1 == -3.40).get._3 === kept)
+    // monotone: raising the cut fails more, admits fewer
+    sw.sliding(2).foreach { w =>
+      assert(w(1)._2 >= w(0)._2 && w(1)._3 <= w(0)._3)
+    }
+    // brute force from the collected decision table
+    val gates = Admission.GateOrder.filterNot(_ == Admission.DecisionGate)
+    val wide = rep.filter(col("gate") =!= Admission.DecisionGate).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    val ids = wide.keys.map(_._1).toSet
+    ts.foreach { t =>
+      val nFail = ids.count(id => wide((id, "5_lm"))._2.forall(_ < t))
+      val nAdmit = ids.count { id =>
+        gates.filterNot(_ == "5_lm").forall(g => wide((id, g))._1) &&
+          wide((id, "5_lm"))._2.exists(_ >= t)
+      }
+      val row = sw.find(_._1 == t).get
+      assert(row._2 === nFail && row._3 === nAdmit, s"brute force at $t")
+    }
+    // the sweep discriminates on this corpus: the counts move
+    assert(sw.map(_._2).distinct.length > 1 || sw.map(_._3).distinct.length > 1)
   }
 }
