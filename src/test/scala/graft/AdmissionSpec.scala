@@ -420,6 +420,11 @@ class AdmissionSpec extends AnyFunSuite {
       assert(fun(i)._2 === nIn && fun(i)._3 === nOut,
         s"brute force at ${gates(i)}")
     }
+    // single-pass by construction, like the other rollups: one
+    // aggregate over the pivoted table, no per-gate union branches
+    val plan = Admission.gateFunnel(rep).queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"),
+      s"gateFunnel must be one aggregate, not a per-gate union:\n$plan")
   }
 
   test("lmThresholdSweep: production threshold reproduces the decision count; monotone; matches brute force") {
@@ -458,5 +463,11 @@ class AdmissionSpec extends AnyFunSuite {
     }
     // the sweep discriminates on this corpus: the counts move
     assert(sw.map(_._2).distinct.length > 1 || sw.map(_._3).distinct.length > 1)
+    // single-pass by construction: one aggregate over the two-agg
+    // pivot, no per-threshold union branches
+    val plan = Admission.lmThresholdSweep(rep, ts)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"),
+      s"lmThresholdSweep must be one aggregate, not a per-cut union:\n$plan")
   }
 }
