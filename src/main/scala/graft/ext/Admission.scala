@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.ScaleOps
 
 /** The UNIFIED corpus admission ensemble — the front door's seven
   * independent gates (source exclusion, quality heuristics, bench-Bloom
@@ -413,6 +414,90 @@ object Admission {
           col(s"${g}__n_out").as("n_out"))): _*)).as("r"))
       .select(col("r.gate").as("gate"), col("r.n_in").as("n_in"),
         col("r.n_out").as("n_out"))
+  }
+
+  /** Per-gate SCORE DISTRIBUTION profile of a [[report]] decision
+    * table: for every gate that emits a score and every requested
+    * quantile fraction q, the EXACT type-1 (no-interpolation) order
+    * statistic — the score at 1-based rank `max(1, ceil(q·n))` of the
+    * gate's non-null scores in ascending (score, doc_id) order — plus
+    * the scored count n. q = 0 is the minimum, q = 1 the maximum,
+    * q = 0.5 the lower median. This grounds threshold choice (the LM
+    * cut, a future quality cut) in the observed score distribution
+    * instead of folklore, and the type-1 definition is what makes the
+    * result engine-portable: the value is always a MEMBER of the score
+    * multiset, never an interpolated float with engine-specific
+    * rounding.
+    *
+    * Scale shape: NOT a `Window.partitionBy(gate)` rank (seven
+    * corpus-sized partitions = seven serial tasks at 100 TB). Per
+    * gate — a bounded enum, so the loop is over gates, never data —
+    * the quantiles come from [[graft.operators.ScaleOps.exactRanks]]'s
+    * two-pass distributed selection: range-partition the gate's
+    * scores, count partitions, read out only the partitions holding
+    * requested ranks. Feed it a report STAGED partitioned by gate and
+    * each selection scans one pruned partition. Callers pass
+    * exact-binary fractions (quarters, eighths) so `ceil(q·n)` is
+    * immune to float representation at every n.
+    */
+  def gateScoreProfile(report: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "gateScoreProfile: quantile fractions must be in [0, 1]")
+    val spark = report.sparkSession
+    import spark.implicits._
+    val scored = report.filter(col("gate") =!= DecisionGate &&
+      col("score").isNotNull)
+    // bounded: at most one row per gate in the enum
+    val ns = scored.groupBy("gate").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val parts = ns.map { case (g, n) =>
+      val rankOf = qs.map(q => q -> math.max(1L, math.ceil(q * n).toLong))
+      val qOfRank = rankOf.map { case (q, r) => (r, q) }.toDF("rank", "q")
+      ScaleOps.exactRanks(scored.filter(col("gate") === g), "score",
+          "doc_id", rankOf.map(_._2).distinct)
+        .join(qOfRank, "rank") // both sides bounded by |qs|
+        .select(lit(g).as("gate"), col("q"), lit(n).as("n_scored"),
+          col("value").as("score"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** [[gateFunnel]] keyed by a TIME AXIS (release id, batch id): the
+    * cumulative survival funnel per key over a union of per-release
+    * decision tables — where each release's corpus thins, as a QUERY
+    * over one artifact, completing the time axis for the funnel the
+    * way [[gateOverlapMatrixBy]] completes it for the pairwise matrix
+    * (the marginals derive from the matrix diagonal, so all three
+    * calibration views now have the release axis). Same single-pass
+    * shape with the key threaded through both aggregations (pivot
+    * grouped by (key, doc), counts grouped by key); bounded output
+    * (7 rows × |keys|). The coverage guard runs per key via the same
+    * in-aggregate null counts — a release whose report predates a
+    * gate refuses loudly instead of zeroing its funnel.
+    */
+  def gateFunnelBy(report: DataFrame, keyCol: String): DataFrame = {
+    val gates = GateOrder.filterNot(_ == DecisionGate)
+    val wide = report.filter(col("gate") =!= DecisionGate)
+      .groupBy(col(keyCol), col("doc_id"))
+      .pivot("gate", gates)
+      .agg(first(col("pass")))
+    val counts = gates.indices.flatMap { i =>
+      val before =
+        if (i == 0) lit(true)
+        else gates.take(i).map(col).reduce[Column](_ && _)
+      val upTo = gates.take(i + 1).map(col).reduce[Column](_ && _)
+      Seq(count(when(before, lit(1))).as(s"${gates(i)}__n_in"),
+        count(when(upTo, lit(1))).as(s"${gates(i)}__n_out"))
+    } ++ nullCounts(gates)
+    withCoverageGuard(
+        wide.groupBy(col(keyCol)).agg(counts.head, counts.tail: _*), gates,
+        "gateFunnelBy")
+      .select(col(keyCol), explode(array(gates.map(g =>
+        struct(lit(g).as("gate"),
+          col(s"${g}__n_in").as("n_in"),
+          col(s"${g}__n_out").as("n_out"))): _*)).as("r"))
+      .select(col(keyCol), col("r.gate").as("gate"),
+        col("r.n_in").as("n_in"), col("r.n_out").as("n_out"))
   }
 
   /** CALIBRATION sweep of the LM gate's threshold — the ensemble's one

@@ -551,6 +551,79 @@ private[graft] object CorpusRegistry {
         tmp)
     }),
 
+    "corpus_admission_lifecycle_full" -> ((s, d) => {
+      // the lifecycle COMPLETED (round 15 close): all FOUR calibration
+      // consumers — per-gate overlap, pairwise matrix, survival
+      // funnel, LM threshold sweep — off ONE persisted decision
+      // table built from shared persisted artifacts. The widened
+      // generic schema (kind, gate_a, gate_b, threshold, n_fail,
+      // n_fail_alone, n_both, n_in, n_out, n_admit) stacks all four
+      // row shapes so one oracle pins the whole amortized production
+      // chain: gates evaluate once, models train once, and every
+      // consumer is a bounded-output scan of the same staged report.
+      // 47 rows (7 + 28 + 7 + 5) regardless of corpus size.
+      val docs = Tables.documents(s, d)
+      val tmp = TempDirs.create("graft-adm-lifefull-").toString
+      TextAnalysis.bigramLmTrain(docs).write.parquet(s"$tmp/lm")
+      graft.ext.Classifier.nbTrain(docs).write.parquet(s"$tmp/nb")
+      val seenBands = admissionBandState(s, d, s"$tmp/bands")
+      admissionReportWith(s, d,
+          lmModel = s.read.parquet(s"$tmp/lm"),
+          nbModel = s.read.parquet(s"$tmp/nb"),
+          seenBands = Some(seenBands))
+        .write.parquet(s"$tmp/report")
+      val rep = s.read.parquet(s"$tmp/report")
+      val nl = lit(null).cast("bigint")
+      val nlS = lit(null).cast("string")
+      val nlD = lit(null).cast("double")
+      val ov = ext.Admission.gateOverlap(rep).select(
+        lit("overlap").as("kind"), col("gate").as("gate_a"),
+        nlS.as("gate_b"), nlD.as("threshold"),
+        col("n_fail"), col("n_fail_alone"), nl.as("n_both"),
+        nl.as("n_in"), nl.as("n_out"), nl.as("n_admit"))
+      val mat = ext.Admission.gateOverlapMatrix(rep).select(
+        lit("matrix").as("kind"), col("gate_a"), col("gate_b"),
+        nlD.as("threshold"), nl.as("n_fail"), nl.as("n_fail_alone"),
+        col("n_both"), nl.as("n_in"), nl.as("n_out"), nl.as("n_admit"))
+      val fun = ext.Admission.gateFunnel(rep).select(
+        lit("funnel").as("kind"), col("gate").as("gate_a"),
+        nlS.as("gate_b"), nlD.as("threshold"), nl.as("n_fail"),
+        nl.as("n_fail_alone"), nl.as("n_both"),
+        col("n_in"), col("n_out"), nl.as("n_admit"))
+      val sw = ext.Admission.lmThresholdSweep(rep,
+          Seq(-3.60, -3.50, -3.40, -3.30, -3.20)).select(
+        lit("sweep").as("kind"), nlS.as("gate_a"), nlS.as("gate_b"),
+        col("threshold"), col("n_fail"), nl.as("n_fail_alone"),
+        nl.as("n_both"), nl.as("n_in"), nl.as("n_out"), col("n_admit"))
+      detachAndClean(
+        ov.unionByName(mat).unionByName(fun).unionByName(sw)
+          .orderBy("kind", "gate_a", "gate_b", "threshold"),
+        tmp)
+    }),
+
+    "corpus_admission_score_profile" -> ((s, d) => {
+      // per-gate SCORE DISTRIBUTION (round 15, unblocking the PLANS
+      // open thread): exact type-1 quantiles (q = 0, ¼, ½, ¾, 1 —
+      // min/quartiles/median/max) of every scored gate's non-null
+      // scores, so threshold choice is grounded in the observed
+      // distribution. The float-interpolation parity blocker is
+      // sidestepped by DEFINITION: the type-1 statistic is a member
+      // of the score multiset at rank ceil(q·n) — both engines pick
+      // the same element of the same total order, no interpolation
+      // anywhere. Quantiles come from exactRanks' distributed
+      // selection over a report STAGED partitioned by gate (each
+      // per-gate selection scans one pruned partition), never a
+      // corpus-sized per-gate window task.
+      val tmp = TempDirs.create("graft-adm-score-").toString
+      admissionReportFor(s, d)
+        .write.partitionBy("gate").parquet(s"$tmp/report")
+      detachAndClean(
+        ext.Admission.gateScoreProfile(s.read.parquet(s"$tmp/report"),
+            Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+          .orderBy("gate", "q"),
+        tmp)
+    }),
+
     "corpus_admission_report_compacted" -> ((s, d) => {
       // POST-COMPACTION gate parity (round 15): the 7_neardup gate
       // reads persisted band state, and compactNearDupState rewrites
@@ -643,6 +716,53 @@ private[graft] object CorpusRegistry {
         ext.Admission.gateOverlapMatrixBy(rep, "release")
           .orderBy("release", "gate_a", "gate_b"),
         tmp)
+    }),
+
+    "corpus_admission_funnel_releases" -> ((s, d) => {
+      // the funnel on the TIME AXIS (round 15, closing the third
+      // calibration view): cumulative survival per RELEASE over the
+      // release chain's staged per-release decision tables — where
+      // each release's corpus thins as the ordered front door runs,
+      // so funnel drift across releases is one query, not a diff of
+      // two runs. Identical topology and staging discipline to
+      // corpus_admission_matrix_releases (frozen artifacts, reports
+      // staged to parquet before the keyed rollup); the rollup is
+      // gateFunnelBy's single pivot+aggregate keyed by release.
+      // In-query chain law: within each release,
+      // n_in(i) == n_out(i-1) — pinned here so a broken funnel can
+      // never reach the oracle as a plausible table.
+      val docs = Tables.documents(s, d)
+      val t0 = docs.filter(col("doc_id") % 7 =!= 1)
+      val t1 = docs.filter(col("doc_id") % 7 =!= 2)
+      val tmp = TempDirs.create("graft-adm-fnl-rel-").toString
+      val (gate, sem) = admissionGateCfg(s, d)
+      val seenBands = admissionBandState(s, d, s"$tmp/bands")
+      val lm = TextAnalysis.bigramLmTrain(docs).localCheckpoint(eager = true)
+      val nb = graft.ext.Classifier.nbTrain(docs).localCheckpoint(eager = true)
+      def reportOf(rel: DataFrame) =
+        ext.Admission.report(rel, Seq("src0", "src1"), gate,
+          contamThreshold = 0.3, semantic = sem, lmModel = lm,
+          minAvgLp = -3.40, nbModel = nb, allowedLabels = Seq("en"),
+          nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
+            numHashes = 8, bandWidth = 2)))
+      Seq("t0" -> t0, "t1" -> t1).foreach { case (name, rel) =>
+        reportOf(rel).write.mode("overwrite").parquet(s"$tmp/rep_$name")
+      }
+      val rep = s.read.parquet(s"$tmp/rep_t0").withColumn("release", lit("t0"))
+        .unionByName(
+          s.read.parquet(s"$tmp/rep_t1").withColumn("release", lit("t1")))
+      val fun = detachAndClean(
+        ext.Admission.gateFunnelBy(rep, "release")
+          .orderBy("release", "gate"),
+        tmp)
+      // 14 bounded rows off the checkpoint — the chain check costs nothing
+      fun.collect().groupBy(_.getString(0)).foreach { case (rel, rs) =>
+        rs.sortBy(_.getString(1)).sliding(2).foreach { w =>
+          require(w(1).getLong(2) == w(0).getLong(3),
+            s"funnel chain broken in release $rel at ${w(1).getString(1)}")
+        }
+      }
+      fun
     }),
 
     "corpus_token_budget" -> ((s, d) =>
@@ -1435,8 +1555,11 @@ private[graft] object CorpusRegistry {
     "corpus_admission_funnel" -> admissionFunnelOracle,
     "corpus_admission_lm_sweep" -> admissionLmSweepOracle,
     "corpus_admission_lifecycle" -> admissionLifecycleOracle,
+    "corpus_admission_lifecycle_full" -> admissionLifecycleFullOracle,
+    "corpus_admission_score_profile" -> admissionScoreProfileOracle,
     "corpus_admission_report_compacted" -> admissionCompactedReportOracle,
     "corpus_admission_matrix_releases" -> admissionMatrixReleasesOracle,
+    "corpus_admission_funnel_releases" -> admissionFunnelReleasesOracle,
 
     "corpus_decontaminate_embedding" -> {
       // identical ±1 planes and band layout as the embedding-LSH dedup

@@ -777,6 +777,100 @@ private[graft] object Shared {
       "\nORDER BY kind, gate_a, gate_b"
   }
 
+  /** The FULL lifecycle oracle (round 15 close): all four calibration
+    * consumers (overlap, matrix, funnel, sweep) stacked in the widened
+    * generic schema over one verdict chain — pins
+    * corpus_admission_lifecycle_full's persisted-report chain.
+    */
+  lazy val admissionLifecycleFullOracle: String = {
+    val pad = Seq("n_fail" -> "BIGINT", "n_fail_alone" -> "BIGINT",
+      "n_both" -> "BIGINT", "n_in" -> "BIGINT", "n_out" -> "BIGINT",
+      "n_admit" -> "BIGINT")
+    def cols(kind: String, gateA: String, gateB: String, thr: String,
+             set: Map[String, String]) = {
+      val head = Seq(s"'$kind' AS kind", s"$gateA AS gate_a",
+        s"$gateB AS gate_b", s"$thr AS threshold")
+      val tail = pad.map { case (c, t) =>
+        s"${set.getOrElse(c, s"CAST(NULL AS $t)")} AS $c"
+      }
+      (head ++ tail).mkString(",\n       ")
+    }
+    val ov = admissionGateCols.map { case (g, c) =>
+      val others = admissionGateCols.collect { case (_, o) if o != c => o }
+        .mkString(" AND ")
+      s"""SELECT ${cols("overlap", s"'$g'", "CAST(NULL AS VARCHAR)",
+           "CAST(NULL AS DOUBLE)", Map(
+             "n_fail" -> s"count(*) FILTER (WHERE NOT $c)",
+             "n_fail_alone" ->
+               s"count(*) FILTER (WHERE NOT $c AND $others)"))}
+         |FROM averd""".stripMargin
+    }
+    val mat = for {
+      (ga, ca) <- admissionGateCols
+      (gb, cb) <- admissionGateCols if ga <= gb
+    } yield
+      s"""SELECT ${cols("matrix", s"'$ga'", s"'$gb'",
+           "CAST(NULL AS DOUBLE)", Map(
+             "n_both" -> s"count(*) FILTER (WHERE NOT $ca AND NOT $cb)"))}
+         |FROM averd""".stripMargin
+    val fun = admissionGateCols.zipWithIndex.map { case ((g, _), i) =>
+      val before =
+        if (i == 0) "TRUE"
+        else admissionGateCols.take(i).map(_._2).mkString(" AND ")
+      val upTo = admissionGateCols.take(i + 1).map(_._2).mkString(" AND ")
+      s"""SELECT ${cols("funnel", s"'$g'", "CAST(NULL AS VARCHAR)",
+           "CAST(NULL AS DOUBLE)", Map(
+             "n_in" -> s"count(*) FILTER (WHERE $before)",
+             "n_out" -> s"count(*) FILTER (WHERE $upTo)"))}
+         |FROM averd""".stripMargin
+    }
+    val others5 = admissionGateCols.collect {
+      case (g, c) if g != "5_lm" => c }.mkString(" AND ")
+    val sw = Seq(-3.60, -3.50, -3.40, -3.30, -3.20).map { t =>
+      s"""SELECT ${cols("sweep", "CAST(NULL AS VARCHAR)",
+           "CAST(NULL AS VARCHAR)", s"CAST($t AS DOUBLE)", Map(
+             "n_fail" ->
+               s"count(*) FILTER (WHERE lm_score IS NULL OR lm_score < $t)",
+             "n_admit" -> (s"count(*) FILTER (WHERE $others5 AND lm_score " +
+               s"IS NOT NULL AND lm_score >= $t)")))}
+         |FROM averd""".stripMargin
+    }
+    admissionVerdictCtes + "\n" +
+      (ov ++ mat ++ fun ++ sw).mkString("\nUNION ALL\n") +
+      "\nORDER BY kind, gate_a, gate_b, threshold"
+  }
+
+  /** The score-profile oracle (round 15): exact type-1 quantiles of
+    * each scored gate's non-null scores — the element at 1-based rank
+    * `greatest(1, ceil(q·n))` in ascending (score, doc_id) order. No
+    * interpolation, so the value is a member of the verdict chain's
+    * score multiset and parity with Spark is exact by construction.
+    */
+  lazy val admissionScoreProfileOracle: String = {
+    val scoredGates = Seq("2_quality" -> "q_score",
+      "3_contamination" -> "c_score", "5_lm" -> "lm_score",
+      "6_nb" -> "nb_score", "7_neardup" -> "nd_score")
+    val long = scoredGates.map { case (g, c) =>
+      s"SELECT doc_id, '$g' AS gate, $c AS score FROM averd WHERE $c IS NOT NULL"
+    }.mkString("\nUNION ALL\n")
+    admissionVerdictCtes +
+      s""", aslong AS (
+         |$long
+         |), asrank AS (
+         |  SELECT gate, score,
+         |         row_number() OVER (PARTITION BY gate
+         |                            ORDER BY score, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY gate) AS n
+         |  FROM aslong
+         |)
+         |SELECT r.gate, q.q, r.n AS n_scored, r.score
+         |FROM asrank r
+         |JOIN (SELECT CAST(q AS DOUBLE) AS q
+         |      FROM (VALUES (0.0),(0.25),(0.5),(0.75),(1.0)) t(q)) q
+         |  ON r.rn = greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
+         |ORDER BY gate, q""".stripMargin
+  }
+
   /** The compacted-state report oracle (round 15): the near-dup gate's
     * state is the KEEPER-ONLY band set — keepers derived independently
     * here (bucket-star connected components over the admitted cohort's
@@ -845,6 +939,30 @@ private[graft] object Shared {
       (legs("t0", "doc_id % 7 <> 1") ++ legs("t1", "doc_id % 7 <> 2"))
         .mkString("\nUNION ALL\n") +
       "\nORDER BY release, gate_a, gate_b"
+  }
+
+  /** The per-release funnel oracle (round 15): like
+    * [[admissionMatrixReleasesOracle]], every verdict is a per-doc
+    * function of the FROZEN artifacts, so each release's funnel is
+    * the canonical chain's cumulative counts restricted to that
+    * release's doc set.
+    */
+  lazy val admissionFunnelReleasesOracle: String = {
+    def legs(rel: String, pred: String) =
+      admissionGateCols.zipWithIndex.map { case ((g, _), i) =>
+        val before =
+          if (i == 0) "TRUE"
+          else admissionGateCols.take(i).map(_._2).mkString(" AND ")
+        val upTo = admissionGateCols.take(i + 1).map(_._2).mkString(" AND ")
+        s"""SELECT '$rel' AS release, '$g' AS gate,
+           |       count(*) FILTER (WHERE $before) AS n_in,
+           |       count(*) FILTER (WHERE $upTo) AS n_out
+           |FROM averd WHERE $pred""".stripMargin
+      }
+    admissionVerdictCtes + "\n" +
+      (legs("t0", "doc_id % 7 <> 1") ++ legs("t1", "doc_id % 7 <> 2"))
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY release, gate"
   }
 
   def cosineSql(a: String, b: String): String = {

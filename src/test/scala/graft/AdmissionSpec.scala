@@ -427,6 +427,118 @@ class AdmissionSpec extends AnyFunSuite {
       s"gateFunnel must be one aggregate, not a per-gate union:\n$plan")
   }
 
+  test("gateScoreProfile: exact type-1 quantiles per gate — member of the multiset, ties and nulls handled") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("gate", StringType), StructField("pass", BooleanType),
+      StructField("score", DoubleType)))
+    // gate 5_lm: scores 10,20,30,40 (n=4); gate 6_nb: 7,7,7,9 (ties,
+    // n=4); gate 2_quality: 5 scored + one NULL (null excluded from n)
+    def d(v: Double) = java.lang.Double.valueOf(v)
+    val rows = Seq(
+      Row(1L, "5_lm", true, d(10)), Row(2L, "5_lm", true, d(20)),
+      Row(3L, "5_lm", true, d(30)), Row(4L, "5_lm", true, d(40)),
+      Row(1L, "6_nb", true, d(7)), Row(2L, "6_nb", true, d(7)),
+      Row(3L, "6_nb", true, d(7)), Row(4L, "6_nb", true, d(9)),
+      Row(1L, "2_quality", true, d(1)), Row(2L, "2_quality", true, d(2)),
+      Row(3L, "2_quality", true, d(3)), Row(4L, "2_quality", true, d(4)),
+      Row(5L, "2_quality", true, d(5)),
+      Row(6L, "2_quality", false, null.asInstanceOf[java.lang.Double]),
+      // decision rows must be ignored even if they carried a score
+      Row(1L, Admission.DecisionGate, true, d(999)))
+    val rep = spark.createDataFrame(spark.sparkContext.parallelize(rows), sch)
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val got = Admission.gateScoreProfile(rep, qs).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // type-1: rank max(1, ceil(q*n)), 1-based ascending
+    assert(got(("5_lm", 0.0)) === ((4L, 10.0)), "q=0 is the minimum")
+    assert(got(("5_lm", 0.25)) === ((4L, 10.0)), "ceil(1)=1")
+    assert(got(("5_lm", 0.5)) === ((4L, 20.0)), "lower median at rank 2")
+    assert(got(("5_lm", 0.75)) === ((4L, 30.0)))
+    assert(got(("5_lm", 1.0)) === ((4L, 40.0)), "q=1 is the maximum")
+    // ties: the value at the rank, regardless of which doc holds it
+    assert(got(("6_nb", 0.5)) === ((4L, 7.0)))
+    assert(got(("6_nb", 0.75)) === ((4L, 7.0)))
+    assert(got(("6_nb", 1.0)) === ((4L, 9.0)))
+    // nulls excluded from n; odd n median is the middle element
+    assert(got(("2_quality", 0.5)) === ((5L, 3.0)))
+    // no decision-gate rows, no unscored gates in the output
+    assert(got.keys.map(_._1).toSet === Set("5_lm", "6_nb", "2_quality"))
+    // brute force over the real corpus's report: every profiled value
+    // must equal the sorted slice's element at ceil(q*n)
+    val docs = Tables.documents(spark, sfDir)
+    val (gate, sem, lm, nb) = cfg(docs)
+    val real = Admission.report(docs, Seq("src0", "src1"), gate, 0.3, sem,
+        lm, -3.40, nb, Seq("en"), nearDup = ndCfg(docs))
+      .localCheckpoint(eager = true)
+    val prof = Admission.gateScoreProfile(real, qs).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val byGate = real.filter(col("gate") =!= Admission.DecisionGate &&
+        col("score").isNotNull)
+      .select("gate", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    byGate.foreach { case (g, vs) =>
+      qs.foreach { q =>
+        val r = math.max(1L, math.ceil(q * vs.length).toLong).toInt
+        assert(prof((g, q)) === ((vs.length.toLong, vs(r - 1))),
+          s"brute force at ($g, $q)")
+      }
+    }
+  }
+
+  test("gateFunnelBy: per-key funnels match per-key gateFunnel; a release missing a gate refuses") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("gate", StringType), StructField("pass", BooleanType),
+      StructField("score", DoubleType), StructField("release", StringType)))
+    // release t0: doc 1 all-pass, doc 2 fails 5_lm; release t1: doc 1
+    // all-pass, doc 3 fails 1_source (thins at the FIRST gate — the
+    // funnels must differ between releases)
+    val verdicts = Seq(
+      ("t0", 1L, Set.empty[String]), ("t0", 2L, Set("5_lm")),
+      ("t1", 1L, Set.empty[String]), ("t1", 3L, Set("1_source")))
+    val rep = spark.createDataFrame(
+      spark.sparkContext.parallelize(for {
+        (rel, id, fails) <- verdicts
+        g <- Admission.GateOrder
+      } yield Row(id, g,
+        if (g == Admission.DecisionGate) fails.isEmpty else !fails(g),
+        null.asInstanceOf[java.lang.Double], rel)), sch)
+    val keyed = Admission.gateFunnelBy(rep, "release").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // per-key slices must equal the unkeyed funnel over that slice
+    Seq("t0", "t1").foreach { rel =>
+      val slice = Admission.gateFunnel(rep.filter(col("release") === rel))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      slice.foreach { case (g, v) =>
+        assert(keyed((rel, g)) === v, s"keyed funnel at ($rel, $g)")
+      }
+    }
+    // the releases genuinely diverge: t1 thins at the first gate
+    assert(keyed(("t0", "1_source"))._2 === 2L)
+    assert(keyed(("t1", "1_source"))._2 === 1L)
+    // single-pass like the rest of the family
+    val plan = Admission.gateFunnelBy(rep, "release")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"),
+      s"gateFunnelBy must be one keyed aggregate, not a union:\n$plan")
+    // a release built by an older six-gate report refuses loudly even
+    // when the OTHER release is complete — the guard is per-table
+    val holey = rep.filter(
+      !(col("release") === "t1" && col("gate") === "7_neardup"))
+    val e = intercept[Exception] {
+      Admission.gateFunnelBy(holey, "release").collect()
+    }
+    assert(e.getMessage.contains("7_neardup"))
+  }
+
   test("lmThresholdSweep: production threshold reproduces the decision count; monotone; matches brute force") {
     val docs = Tables.documents(spark, sfDir)
     val (gate, sem, lm, nb) = cfg(docs)
