@@ -765,6 +765,54 @@ private[graft] object CorpusRegistry {
       fun
     }),
 
+    "corpus_admission_model_churn" -> ((s, d) => {
+      // MODEL-RETRAIN churn (round 15): the release queries freeze
+      // every artifact, so a shared doc's verdict can never change —
+      // which leaves the drift that production actually experiences
+      // unmeasured: retraining the LM and NB models on each release's
+      // corpus moves the model gates' scores, and docs near the cuts
+      // FLIP. This query inverts the matrix_releases axis — docs
+      // FIXED (the shared t0∩t1 set), models PER-RELEASE — and emits
+      // the model gates' verdicts side by side per shared doc:
+      // (doc_id, gate ∈ {5_lm, 6_nb, 8_decision}, pass_t0, score_t0,
+      // pass_t1, score_t1, flipped). The non-model gates are frozen
+      // per-doc functions and provably cannot flip, so the decision
+      // row isolates retrain-induced churn exactly. Reports staged
+      // per release before the join (the release-family discipline);
+      // the join is a (doc_id, gate) equi-join — linear, no pairwise
+      // term.
+      val docs = Tables.documents(s, d)
+      val shared = docs.filter(col("doc_id") % 7 =!= 1 &&
+        col("doc_id") % 7 =!= 2)
+      val tmp = TempDirs.create("graft-adm-churn-").toString
+      val (gate, sem) = admissionGateCfg(s, d)
+      val seenBands = admissionBandState(s, d, s"$tmp/bands")
+      Seq("t0" -> docs.filter(col("doc_id") % 7 =!= 1),
+          "t1" -> docs.filter(col("doc_id") % 7 =!= 2)).foreach {
+        case (name, rel) =>
+          val lm = TextAnalysis.bigramLmTrain(rel)
+            .localCheckpoint(eager = true)
+          val nb = graft.ext.Classifier.nbTrain(rel)
+            .localCheckpoint(eager = true)
+          ext.Admission.report(shared, Seq("src0", "src1"), gate,
+              contamThreshold = 0.3, semantic = sem, lmModel = lm,
+              minAvgLp = -3.40, nbModel = nb, allowedLabels = Seq("en"),
+              nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
+                numHashes = 8, bandWidth = 2)))
+            .write.mode("overwrite").parquet(s"$tmp/rep_$name")
+      }
+      val r0 = s.read.parquet(s"$tmp/rep_t0").select(col("doc_id"),
+        col("gate"), col("pass").as("pass_t0"), col("score").as("score_t0"))
+      val r1 = s.read.parquet(s"$tmp/rep_t1").select(col("doc_id"),
+        col("gate"), col("pass").as("pass_t1"), col("score").as("score_t1"))
+      detachAndClean(
+        r0.join(r1, Seq("doc_id", "gate"))
+          .filter(col("gate").isin("5_lm", "6_nb", "8_decision"))
+          .withColumn("flipped", col("pass_t0") =!= col("pass_t1"))
+          .orderBy("doc_id", "gate"),
+        tmp)
+    }),
+
     "corpus_token_budget" -> ((s, d) =>
       // token-budget mixture sampling (round 11): three sources admitted
       // in salted-hash order until each hits its TOKEN budget — the
@@ -1560,6 +1608,7 @@ private[graft] object CorpusRegistry {
     "corpus_admission_report_compacted" -> admissionCompactedReportOracle,
     "corpus_admission_matrix_releases" -> admissionMatrixReleasesOracle,
     "corpus_admission_funnel_releases" -> admissionFunnelReleasesOracle,
+    "corpus_admission_model_churn" -> admissionModelChurnOracle,
 
     "corpus_decontaminate_embedding" -> {
       // identical ±1 planes and band layout as the embedding-LSH dedup

@@ -941,6 +941,60 @@ private[graft] object Shared {
       "\nORDER BY release, gate_a, gate_b"
   }
 
+  /** The model-retrain churn oracle (round 15): the model gates (LM,
+    * NB) re-derived under each release's OWN training set via the
+    * parameterized chain builders, the other five gates frozen from
+    * the canonical chain — so the oracle pins exactly which shared
+    * docs flip when models retrain, bit-for-bit including both
+    * releases' scores.
+    */
+  lazy val admissionModelChurnOracle: String = {
+    val chains = Seq(
+      lmPerDocChain(id => s"$id % 7 <> 1", "clm0_"),
+      lmPerDocChain(id => s"$id % 7 <> 2", "clm1_"),
+      nbChain("doc_id % 7 <> 1", "cnb0_"),
+      nbChain("doc_id % 7 <> 2", "cnb1_")).mkString(",\n")
+    admissionVerdictCtes + ",\n" + chains +
+      """, cver AS (
+        |  SELECT v.doc_id,
+        |    (v.src_pass AND v.q_pass AND v.c_pass AND v.sem_pass
+        |     AND v.nd_pass) AS frozen_pass,
+        |    (l0.avg_lp IS NOT NULL AND l0.avg_lp >= -3.40) AS lm_pass_t0,
+        |    l0.avg_lp AS lm_score_t0,
+        |    (l1.avg_lp IS NOT NULL AND l1.avg_lp >= -3.40) AS lm_pass_t1,
+        |    l1.avg_lp AS lm_score_t1,
+        |    COALESCE(f0.label = 'en', FALSE) AS nb_pass_t0,
+        |    CAST(f0.score_fp AS DOUBLE) AS nb_score_t0,
+        |    COALESCE(f1.label = 'en', FALSE) AS nb_pass_t1,
+        |    CAST(f1.score_fp AS DOUBLE) AS nb_score_t1
+        |  FROM averd v
+        |  JOIN clm0_lm l0 ON l0.doc_id = v.doc_id
+        |  JOIN clm1_lm l1 ON l1.doc_id = v.doc_id
+        |  LEFT JOIN (SELECT doc_id, label, score_fp FROM cnb0_fin
+        |             WHERE rn = 1) f0 ON f0.doc_id = v.doc_id
+        |  LEFT JOIN (SELECT doc_id, label, score_fp FROM cnb1_fin
+        |             WHERE rn = 1) f1 ON f1.doc_id = v.doc_id
+        |  WHERE v.doc_id % 7 <> 1 AND v.doc_id % 7 <> 2
+        |)
+        |SELECT doc_id, gate, pass_t0, score_t0, pass_t1, score_t1,
+        |       pass_t0 <> pass_t1 AS flipped
+        |FROM (
+        |  SELECT doc_id, '5_lm' AS gate, lm_pass_t0 AS pass_t0,
+        |         lm_score_t0 AS score_t0, lm_pass_t1 AS pass_t1,
+        |         lm_score_t1 AS score_t1 FROM cver
+        |  UNION ALL
+        |  SELECT doc_id, '6_nb', nb_pass_t0, nb_score_t0,
+        |         nb_pass_t1, nb_score_t1 FROM cver
+        |  UNION ALL
+        |  SELECT doc_id, '8_decision',
+        |         frozen_pass AND lm_pass_t0 AND nb_pass_t0,
+        |         CAST(NULL AS DOUBLE),
+        |         frozen_pass AND lm_pass_t1 AND nb_pass_t1,
+        |         CAST(NULL AS DOUBLE) FROM cver
+        |)
+        |ORDER BY doc_id, gate""".stripMargin
+  }
+
   /** The per-release funnel oracle (round 15): like
     * [[admissionMatrixReleasesOracle]], every verdict is a per-doc
     * function of the FROZEN artifacts, so each release's funnel is
