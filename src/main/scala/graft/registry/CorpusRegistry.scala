@@ -813,6 +813,60 @@ private[graft] object CorpusRegistry {
         tmp)
     }),
 
+    "corpus_admission_score_drift" -> ((s, d) => {
+      // SCORE-DISTRIBUTION drift under retraining (round 15): the
+      // churn query counts verdict FLIPS; this one measures how the
+      // score distributions themselves MOVE — gateScoreProfile's
+      // exact type-1 quantiles per release over the model_churn
+      // topology (shared docs, per-release LM/NB). The three frozen
+      // scored gates (quality, contamination, near-dup) ride along as
+      // an internal control: their per-release profiles must be
+      // IDENTICAL (frozen artifacts over the same docs), pinned by an
+      // in-query require, while 5_lm / 6_nb show the retrain drift.
+      // 2 releases × 5 scored gates × 5 quantiles = 50 bounded rows.
+      val docs = Tables.documents(s, d)
+      val shared = docs.filter(col("doc_id") % 7 =!= 1 &&
+        col("doc_id") % 7 =!= 2)
+      val tmp = TempDirs.create("graft-adm-drift-").toString
+      val (gate, sem) = admissionGateCfg(s, d)
+      val seenBands = admissionBandState(s, d, s"$tmp/bands")
+      Seq("t0" -> docs.filter(col("doc_id") % 7 =!= 1),
+          "t1" -> docs.filter(col("doc_id") % 7 =!= 2)).foreach {
+        case (name, rel) =>
+          val lm = TextAnalysis.bigramLmTrain(rel)
+            .localCheckpoint(eager = true)
+          val nb = graft.ext.Classifier.nbTrain(rel)
+            .localCheckpoint(eager = true)
+          ext.Admission.report(shared, Seq("src0", "src1"), gate,
+              contamThreshold = 0.3, semantic = sem, lmModel = lm,
+              minAvgLp = -3.40, nbModel = nb, allowedLabels = Seq("en"),
+              nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
+                numHashes = 8, bandWidth = 2)))
+            .write.partitionBy("gate").parquet(s"$tmp/rep_$name")
+      }
+      val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+      val prof = Seq("t0", "t1").map { name =>
+        ext.Admission.gateScoreProfile(
+            s.read.parquet(s"$tmp/rep_$name"), qs)
+          .select(lit(name).as("release"), col("gate"), col("q"),
+            col("n_scored"), col("score"))
+      }.reduce(_ unionByName _)
+      val out = detachAndClean(
+        prof.orderBy("release", "gate", "q"), tmp)
+      // internal control off the bounded checkpoint: the frozen gates'
+      // profiles cannot drift between releases
+      val frozen = out.filter(col("gate")
+          .isin("2_quality", "3_contamination", "7_neardup")).collect()
+        .groupBy(r => (r.getString(1), r.getDouble(2)))
+      frozen.foreach { case ((g, q), rs) =>
+        require(rs.map(r => (r.getLong(3), r.getDouble(4)))
+            .distinct.length == 1,
+          s"frozen gate $g drifted between releases at q=$q — " +
+            "an artifact leaked into the per-release model build")
+      }
+      out
+    }),
+
     "corpus_token_budget" -> ((s, d) =>
       // token-budget mixture sampling (round 11): three sources admitted
       // in salted-hash order until each hits its TOKEN budget — the
@@ -1609,6 +1663,7 @@ private[graft] object CorpusRegistry {
     "corpus_admission_matrix_releases" -> admissionMatrixReleasesOracle,
     "corpus_admission_funnel_releases" -> admissionFunnelReleasesOracle,
     "corpus_admission_model_churn" -> admissionModelChurnOracle,
+    "corpus_admission_score_drift" -> admissionScoreDriftOracle,
 
     "corpus_decontaminate_embedding" -> {
       // identical ±1 planes and band layout as the embedding-LSH dedup

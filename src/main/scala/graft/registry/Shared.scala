@@ -995,6 +995,57 @@ private[graft] object Shared {
         |ORDER BY doc_id, gate""".stripMargin
   }
 
+  /** The score-drift oracle (round 15): per-release type-1 quantile
+    * profiles over the churn topology — frozen scored gates from the
+    * canonical chain (restricted to the shared doc set), model-gate
+    * scores re-derived under each release's own training set, ranked
+    * per (release, gate) with the same no-interpolation rank-join as
+    * the score-profile oracle.
+    */
+  lazy val admissionScoreDriftOracle: String = {
+    val chains = Seq(
+      lmPerDocChain(id => s"$id % 7 <> 1", "clm0_"),
+      lmPerDocChain(id => s"$id % 7 <> 2", "clm1_"),
+      nbChain("doc_id % 7 <> 1", "cnb0_"),
+      nbChain("doc_id % 7 <> 2", "cnb1_")).mkString(",\n")
+    def relLegs(rel: String, lmP: String, nbP: String) = Seq(
+      s"""SELECT '$rel' AS release, v.doc_id, '2_quality' AS gate,
+         |       v.q_score AS score FROM averd v JOIN dsh USING (doc_id)
+         |WHERE v.q_score IS NOT NULL""".stripMargin,
+      s"""SELECT '$rel', v.doc_id, '3_contamination', v.c_score
+         |FROM averd v JOIN dsh USING (doc_id)
+         |WHERE v.c_score IS NOT NULL""".stripMargin,
+      s"""SELECT '$rel', v.doc_id, '7_neardup', v.nd_score
+         |FROM averd v JOIN dsh USING (doc_id)
+         |WHERE v.nd_score IS NOT NULL""".stripMargin,
+      s"""SELECT '$rel', l.doc_id, '5_lm', l.avg_lp
+         |FROM ${lmP}lm l JOIN dsh USING (doc_id)
+         |WHERE l.avg_lp IS NOT NULL""".stripMargin,
+      s"""SELECT '$rel', f.doc_id, '6_nb', CAST(f.score_fp AS DOUBLE)
+         |FROM (SELECT doc_id, score_fp FROM ${nbP}fin WHERE rn = 1) f
+         |JOIN dsh USING (doc_id)""".stripMargin)
+    admissionVerdictCtes + ",\n" + chains +
+      s""", dsh AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id % 7 <> 1 AND doc_id % 7 <> 2
+         |), dlong AS (
+         |${(relLegs("t0", "clm0_", "cnb0_") ++
+             relLegs("t1", "clm1_", "cnb1_")).mkString("\nUNION ALL\n")}
+         |), drank AS (
+         |  SELECT release, gate, score,
+         |         row_number() OVER (PARTITION BY release, gate
+         |                            ORDER BY score, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY release, gate) AS n
+         |  FROM dlong
+         |)
+         |SELECT r.release, r.gate, q.q, r.n AS n_scored, r.score
+         |FROM drank r
+         |JOIN (SELECT CAST(q AS DOUBLE) AS q
+         |      FROM (VALUES (0.0),(0.25),(0.5),(0.75),(1.0)) t(q)) q
+         |  ON r.rn = greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
+         |ORDER BY release, gate, q""".stripMargin
+  }
+
   /** The per-release funnel oracle (round 15): like
     * [[admissionMatrixReleasesOracle]], every verdict is a per-doc
     * function of the FROZEN artifacts, so each release's funnel is
