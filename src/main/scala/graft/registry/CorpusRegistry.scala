@@ -867,6 +867,89 @@ private[graft] object CorpusRegistry {
       out
     }),
 
+    "corpus_admission_retrain_calibration" -> ((s, d) => {
+      // RETRAIN calibration rollups (round 15): the churn query emits
+      // the per-doc flip table; this query completes it with the two
+      // bounded rollups a release manager actually reads, both off
+      // ONE staged report pair (the lifecycle amortization applied to
+      // the retrain axis). kind='churn': per model gate, n_shared /
+      // n_flipped / n_gain (fail→pass) / n_loss (pass→fail) — a
+      // bounded-group aggregate over the (doc_id, gate) equi-join.
+      // kind='sweep': lmThresholdSweep run against EACH release's
+      // report and joined on threshold — which LM cut holds n_admit
+      // stable across a retrain (the drift-aware threshold re-pick).
+      // In-query law tying the two: at the production cut, the admit
+      // delta between releases equals n_gain − n_loss of the decision
+      // gate — the sweep and the churn cannot drift apart.
+      val docs = Tables.documents(s, d)
+      val shared = docs.filter(col("doc_id") % 7 =!= 1 &&
+        col("doc_id") % 7 =!= 2)
+      val tmp = TempDirs.create("graft-adm-recal-").toString
+      val (gate, sem) = admissionGateCfg(s, d)
+      val seenBands = admissionBandState(s, d, s"$tmp/bands")
+      Seq("t0" -> docs.filter(col("doc_id") % 7 =!= 1),
+          "t1" -> docs.filter(col("doc_id") % 7 =!= 2)).foreach {
+        case (name, rel) =>
+          val lm = TextAnalysis.bigramLmTrain(rel)
+            .localCheckpoint(eager = true)
+          val nb = graft.ext.Classifier.nbTrain(rel)
+            .localCheckpoint(eager = true)
+          ext.Admission.report(shared, Seq("src0", "src1"), gate,
+              contamThreshold = 0.3, semantic = sem, lmModel = lm,
+              minAvgLp = -3.40, nbModel = nb, allowedLabels = Seq("en"),
+              nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
+                numHashes = 8, bandWidth = 2)))
+            .write.mode("overwrite").parquet(s"$tmp/rep_$name")
+      }
+      val rep0 = s.read.parquet(s"$tmp/rep_t0")
+      val rep1 = s.read.parquet(s"$tmp/rep_t1")
+      val nl = lit(null).cast("bigint")
+      val churn = rep0.select(col("doc_id"), col("gate"),
+          col("pass").as("pass_t0"))
+        .join(rep1.select(col("doc_id"), col("gate"),
+          col("pass").as("pass_t1")), Seq("doc_id", "gate"))
+        .filter(col("gate").isin("5_lm", "6_nb", "8_decision"))
+        .groupBy("gate").agg(
+          count(lit(1)).as("n_shared"),
+          count(when(col("pass_t0") =!= col("pass_t1"), lit(1)))
+            .as("n_flipped"),
+          count(when(!col("pass_t0") && col("pass_t1"), lit(1)))
+            .as("n_gain"),
+          count(when(col("pass_t0") && !col("pass_t1"), lit(1)))
+            .as("n_loss"))
+      val ts = Seq(-3.60, -3.50, -3.40, -3.30, -3.20)
+      val sweep = ext.Admission.lmThresholdSweep(rep0, ts)
+        .select(col("threshold"), col("n_fail").as("n_fail_t0"),
+          col("n_admit").as("n_admit_t0"))
+        .join(ext.Admission.lmThresholdSweep(rep1, ts)
+          .select(col("threshold"), col("n_fail").as("n_fail_t1"),
+            col("n_admit").as("n_admit_t1")), Seq("threshold"))
+      val out = detachAndClean(
+        churn.select(lit("churn").as("kind"), col("gate"),
+            lit(null).cast("double").as("threshold"),
+            col("n_shared"), col("n_flipped"), col("n_gain"),
+            col("n_loss"), nl.as("n_fail_t0"), nl.as("n_admit_t0"),
+            nl.as("n_fail_t1"), nl.as("n_admit_t1"))
+          .unionByName(sweep.select(lit("sweep").as("kind"),
+            lit(null).cast("string").as("gate"), col("threshold"),
+            nl.as("n_shared"), nl.as("n_flipped"), nl.as("n_gain"),
+            nl.as("n_loss"), col("n_fail_t0"), col("n_admit_t0"),
+            col("n_fail_t1"), col("n_admit_t1")))
+          .orderBy("kind", "gate", "threshold"),
+        tmp)
+      // 8 bounded rows off the checkpoint: the cross-rollup law
+      val rows = out.collect()
+      val dec = rows.find(r => r.getString(0) == "churn" &&
+        r.getString(1) == "8_decision").get
+      val prod = rows.find(r => r.getString(0) == "sweep" &&
+        r.getDouble(2) == -3.40).get
+      require(prod.getLong(10) - prod.getLong(8) ==
+          dec.getLong(5) - dec.getLong(6),
+        "sweep admit delta at the production cut must equal the " +
+          "decision gate's n_gain - n_loss — the two rollups drifted")
+      out
+    }),
+
     "corpus_token_budget" -> ((s, d) =>
       // token-budget mixture sampling (round 11): three sources admitted
       // in salted-hash order until each hits its TOKEN budget — the
@@ -1664,6 +1747,7 @@ private[graft] object CorpusRegistry {
     "corpus_admission_funnel_releases" -> admissionFunnelReleasesOracle,
     "corpus_admission_model_churn" -> admissionModelChurnOracle,
     "corpus_admission_score_drift" -> admissionScoreDriftOracle,
+    "corpus_admission_retrain_calibration" -> admissionRetrainCalibrationOracle,
 
     "corpus_decontaminate_embedding" -> {
       // identical ±1 planes and band layout as the embedding-LSH dedup

@@ -948,13 +948,22 @@ private[graft] object Shared {
     * docs flip when models retrain, bit-for-bit including both
     * releases' scores.
     */
-  lazy val admissionModelChurnOracle: String = {
-    val chains = Seq(
-      lmPerDocChain(id => s"$id % 7 <> 1", "clm0_"),
-      lmPerDocChain(id => s"$id % 7 <> 2", "clm1_"),
-      nbChain("doc_id % 7 <> 1", "cnb0_"),
-      nbChain("doc_id % 7 <> 2", "cnb1_")).mkString(",\n")
-    admissionVerdictCtes + ",\n" + chains +
+  /** The per-release model chains (LM + NB trained on each release's
+    * corpus) — shared by the churn, drift, and retrain-calibration
+    * oracles.
+    */
+  private lazy val churnModelChains: String = Seq(
+    lmPerDocChain(id => s"$id % 7 <> 1", "clm0_"),
+    lmPerDocChain(id => s"$id % 7 <> 2", "clm1_"),
+    nbChain("doc_id % 7 <> 1", "cnb0_"),
+    nbChain("doc_id % 7 <> 2", "cnb1_")).mkString(",\n")
+
+  /** [[admissionVerdictCtes]] + [[churnModelChains]] + the side-by-side
+    * per-release verdict table `cver` over the shared t0∩t1 doc set —
+    * the base every retrain-axis oracle reads.
+    */
+  private lazy val churnVerdictCtes: String =
+    admissionVerdictCtes + ",\n" + churnModelChains +
       """, cver AS (
         |  SELECT v.doc_id,
         |    (v.src_pass AND v.q_pass AND v.c_pass AND v.sem_pass
@@ -975,7 +984,11 @@ private[graft] object Shared {
         |  LEFT JOIN (SELECT doc_id, label, score_fp FROM cnb1_fin
         |             WHERE rn = 1) f1 ON f1.doc_id = v.doc_id
         |  WHERE v.doc_id % 7 <> 1 AND v.doc_id % 7 <> 2
-        |)
+        |)""".stripMargin
+
+  lazy val admissionModelChurnOracle: String = {
+    churnVerdictCtes +
+      """
         |SELECT doc_id, gate, pass_t0, score_t0, pass_t1, score_t1,
         |       pass_t0 <> pass_t1 AS flipped
         |FROM (
@@ -995,6 +1008,50 @@ private[graft] object Shared {
         |ORDER BY doc_id, gate""".stripMargin
   }
 
+  /** The retrain-calibration oracle (round 15): the churn rollup
+    * (per model gate: shared/flipped/gain/loss) and the per-release
+    * LM threshold sweep stacked over one `cver` chain — pins
+    * corpus_admission_retrain_calibration including its cross-rollup
+    * law (the admit delta at the production cut IS the decision
+    * gate's gain − loss, since both count the same verdict flips).
+    */
+  lazy val admissionRetrainCalibrationOracle: String = {
+    val gates = Seq(
+      "5_lm" -> (("lm_pass_t0", "lm_pass_t1")),
+      "6_nb" -> (("nb_pass_t0", "nb_pass_t1")),
+      "8_decision" -> (("(frozen_pass AND lm_pass_t0 AND nb_pass_t0)",
+        "(frozen_pass AND lm_pass_t1 AND nb_pass_t1)")))
+    val nlB = "CAST(NULL AS BIGINT)"
+    val churn = gates.map { case (g, (p0, p1)) =>
+      s"""SELECT 'churn' AS kind, '$g' AS gate,
+         |       CAST(NULL AS DOUBLE) AS threshold,
+         |       count(*) AS n_shared,
+         |       count(*) FILTER (WHERE $p0 <> $p1) AS n_flipped,
+         |       count(*) FILTER (WHERE NOT $p0 AND $p1) AS n_gain,
+         |       count(*) FILTER (WHERE $p0 AND NOT $p1) AS n_loss,
+         |       $nlB AS n_fail_t0, $nlB AS n_admit_t0,
+         |       $nlB AS n_fail_t1, $nlB AS n_admit_t1
+         |FROM cver""".stripMargin
+    }
+    val sweep = Seq(-3.60, -3.50, -3.40, -3.30, -3.20).map { t =>
+      def leg(rel: String) =
+        s"""count(*) FILTER (WHERE lm_score_$rel IS NULL
+           |         OR lm_score_$rel < $t) AS n_fail_$rel,
+           |       count(*) FILTER (WHERE frozen_pass AND nb_pass_$rel
+           |         AND lm_score_$rel IS NOT NULL
+           |         AND lm_score_$rel >= $t) AS n_admit_$rel""".stripMargin
+      s"""SELECT 'sweep' AS kind, CAST(NULL AS VARCHAR) AS gate,
+         |       CAST($t AS DOUBLE) AS threshold,
+         |       $nlB AS n_shared, $nlB AS n_flipped,
+         |       $nlB AS n_gain, $nlB AS n_loss,
+         |       ${leg("t0")},
+         |       ${leg("t1")}
+         |FROM cver""".stripMargin
+    }
+    churnVerdictCtes + "\n" + (churn ++ sweep).mkString("\nUNION ALL\n") +
+      "\nORDER BY kind, gate, threshold"
+  }
+
   /** The score-drift oracle (round 15): per-release type-1 quantile
     * profiles over the churn topology — frozen scored gates from the
     * canonical chain (restricted to the shared doc set), model-gate
@@ -1003,11 +1060,7 @@ private[graft] object Shared {
     * the score-profile oracle.
     */
   lazy val admissionScoreDriftOracle: String = {
-    val chains = Seq(
-      lmPerDocChain(id => s"$id % 7 <> 1", "clm0_"),
-      lmPerDocChain(id => s"$id % 7 <> 2", "clm1_"),
-      nbChain("doc_id % 7 <> 1", "cnb0_"),
-      nbChain("doc_id % 7 <> 2", "cnb1_")).mkString(",\n")
+    val chains = churnModelChains
     def relLegs(rel: String, lmP: String, nbP: String) = Seq(
       s"""SELECT '$rel' AS release, v.doc_id, '2_quality' AS gate,
          |       v.q_score AS score FROM averd v JOIN dsh USING (doc_id)
