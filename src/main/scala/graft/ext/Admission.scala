@@ -450,6 +450,9 @@ object Admission {
     // bounded: at most one row per gate in the enum
     val ns = scored.groupBy("gate").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(ns.nonEmpty,
+      "gateScoreProfile: no gate carries a non-null score — not a " +
+        "decision table produced by Admission.report")
     val parts = ns.map { case (g, n) =>
       val rankOf = qs.map(q => q -> math.max(1L, math.ceil(q * n).toLong))
       val qOfRank = rankOf.map { case (q, r) => (r, q) }.toDF("rank", "q")

@@ -490,6 +490,37 @@ class AdmissionSpec extends AnyFunSuite {
     }
   }
 
+  test("gateScoreProfile over a gate-partitioned staged report prunes each selection to one partition") {
+    // the scale claim in the operator doc, evidenced: the per-gate
+    // filter must reach the staged read as a PARTITION filter (scan
+    // one gate directory), not a post-scan predicate over the whole
+    // report. Profile values must also round-trip the staging.
+    val docs = Tables.documents(spark, sfDir)
+    val (gate, sem, lm, nb) = cfg(docs)
+    val rep = Admission.report(docs, Seq("src0", "src1"), gate, 0.3, sem,
+      lm, -3.40, nb, Seq("en"), nearDup = ndCfg(docs))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-adm-scoreprof-").toString
+    rep.write.partitionBy("gate").parquet(s"$dir/report")
+    val staged = spark.read.parquet(s"$dir/report")
+    val qs = Seq(0.0, 0.5, 1.0)
+    // the per-gate slice the operator feeds exactRanks: its plan must
+    // carry the gate predicate as a partition filter
+    val slice = staged.filter(col("gate") === "5_lm" &&
+      col("score").isNotNull)
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("5_lm"),
+      s"gate slice must prune the staged partition, got:\n$plan")
+    // and the staged profile equals the in-memory-frame profile
+    def prof(df: org.apache.spark.sql.DataFrame) =
+      Admission.gateScoreProfile(df, qs).collect()
+        .map(r => (r.getString(0), r.getDouble(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(prof(staged) === prof(rep),
+      "staging partitioned by gate must not change one profiled value")
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("gateFunnelBy: per-key funnels match per-key gateFunnel; a release missing a gate refuses") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
