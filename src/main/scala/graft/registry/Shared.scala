@@ -1052,6 +1052,54 @@ private[graft] object Shared {
       "\nORDER BY kind, gate, threshold"
   }
 
+  /** The streamed model-rollout oracle (round 15): a doc's verdicts
+    * are the t0-model columns of the churn chain if its batch arrived
+    * before the swap (doc_id % 3 in (0, 1) under the pinned staging),
+    * the t1 columns after — batch==stream extended to model
+    * versioning. Non-model gates come from the canonical frozen chain
+    * and are version-independent by construction.
+    */
+  lazy val admissionModelSwapOracle: String = {
+    churnVerdictCtes +
+      """, sver AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.doc_id % 3 = 2 THEN c.lm_pass_t1
+        |         ELSE c.lm_pass_t0 END AS lm_pass,
+        |    CASE WHEN a.doc_id % 3 = 2 THEN c.lm_score_t1
+        |         ELSE c.lm_score_t0 END AS lm_score,
+        |    CASE WHEN a.doc_id % 3 = 2 THEN c.nb_pass_t1
+        |         ELSE c.nb_pass_t0 END AS nb_pass,
+        |    CASE WHEN a.doc_id % 3 = 2 THEN c.nb_score_t1
+        |         ELSE c.nb_score_t0 END AS nb_score,
+        |    a.src_pass, a.q_pass, a.q_score, a.c_pass, a.c_score,
+        |    a.sem_pass, a.nd_pass, a.nd_score, c.frozen_pass,
+        |    CASE WHEN a.doc_id % 3 = 2 THEN 'v1' ELSE 'v0' END AS model_version,
+        |    a.doc_id % 3 AS batch_id
+        |  FROM averd a JOIN cver c ON c.doc_id = a.doc_id
+        |)
+        |SELECT doc_id, gate, pass, score, model_version, batch_id FROM (
+        |  SELECT doc_id, '1_source' AS gate, src_pass AS pass,
+        |         CAST(NULL AS DOUBLE) AS score, model_version, batch_id FROM sver
+        |  UNION ALL
+        |  SELECT doc_id, '2_quality', q_pass, q_score, model_version, batch_id FROM sver
+        |  UNION ALL
+        |  SELECT doc_id, '3_contamination', c_pass, c_score, model_version, batch_id FROM sver
+        |  UNION ALL
+        |  SELECT doc_id, '4_semantic', sem_pass, CAST(NULL AS DOUBLE), model_version, batch_id FROM sver
+        |  UNION ALL
+        |  SELECT doc_id, '5_lm', lm_pass, lm_score, model_version, batch_id FROM sver
+        |  UNION ALL
+        |  SELECT doc_id, '6_nb', nb_pass, nb_score, model_version, batch_id FROM sver
+        |  UNION ALL
+        |  SELECT doc_id, '7_neardup', nd_pass, nd_score, model_version, batch_id FROM sver
+        |  UNION ALL
+        |  SELECT doc_id, '8_decision',
+        |         (frozen_pass AND lm_pass AND nb_pass),
+        |         CAST(NULL AS DOUBLE), model_version, batch_id FROM sver
+        |)
+        |ORDER BY doc_id, gate""".stripMargin
+  }
+
   /** The score-drift oracle (round 15): per-release type-1 quantile
     * profiles over the churn topology — frozen scored gates from the
     * canonical chain (restricted to the shared doc set), model-gate

@@ -809,6 +809,79 @@ private[graft] object StreamRegistry {
         tmp)
     }),
 
+    "stream_admission_model_swap" -> ((s, d) => {
+      // MODEL ROLLOUT mid-stream (round 15): the retrain axis pushed
+      // into the streaming front door. The feed is the shared t0∩t1
+      // doc set in THREE pinned-order batches (doc_id % 3, ascending
+      // staged mtimes); batches 0–1 score under the t0-trained LM/NB
+      // (v0), batch 2 under the t1-trained pair (v1) — the
+      // admissionModelSwapPipeline rollout at swapAtBatch = 2, every
+      // row tagged model_version. Every non-model artifact is frozen
+      // and shared across the swap, so the oracle is the churn chain
+      // read by batch: a doc's verdicts are the t0 columns if it
+      // arrived before the swap, the t1 columns after — batch==stream
+      // extended to model versioning, and a batch scored by the wrong
+      // model version breaks the hash on every model-gate row.
+      val tmp = TempDirs.create("graft-adm-swap-").toString
+      val src = s"$tmp/src"
+      val docs = Tables.documents(s, d)
+      val shared = docs.filter(col("doc_id") % 7 =!= 1 &&
+        col("doc_id") % 7 =!= 2)
+      val emb = Tables.embeddings(s, d)
+      val staged = scala.collection.mutable.Set[String]()
+      (0 until 3).foreach { i =>
+        shared.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src)
+        new java.io.File(src).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !staged.contains(f.getName))
+          .foreach { f =>
+            require(f.setLastModified(1700000000000L + i * 60000L),
+              s"could not pin mtime for $f — batch→model mapping would be undefined")
+            staged += f.getName
+          }
+      }
+      val bench = docs.filter(col("source").isin("src0", "src1"))
+      val bloom = ext.Sketches.bloomBuild(
+        Dedup.shingles(bench, w = 5).select(col("sh")), "sh",
+        numBits = 1 << 18, numHashes = 4)
+      val gate = (sh: Column) =>
+        ext.Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18,
+          numHashes = 4)
+      val sig = ext.Corpus.benchSignatureTable(docs, emb, Seq("src0", "src1"))
+      Dedup.writeBandState(
+        Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3),
+          w = 5, numHashes = 8, bandWidth = 2),
+        s"$tmp/bands", "overwrite")
+      val seenBands = s.read.parquet(s"$tmp/bands")
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.Streams.admissionModelSwapPipeline(
+        stateSized(s), sch, src, s"$tmp/out", s"$tmp/ck",
+        Seq("src0", "src1"), gate, 0.3,
+        Some(ext.Admission.SemanticCfg(emb, sig, threshold = 0.42)),
+        lmV0 = TextAnalysis.bigramLmTrain(
+          docs.filter(col("doc_id") % 7 =!= 1)),
+        nbV0 = ext.Classifier.nbTrain(
+          docs.filter(col("doc_id") % 7 =!= 1)),
+        lmV1 = TextAnalysis.bigramLmTrain(
+          docs.filter(col("doc_id") % 7 =!= 2)),
+        nbV1 = ext.Classifier.nbTrain(
+          docs.filter(col("doc_id") % 7 =!= 2)),
+        swapAtBatch = 2, minAvgLp = -3.40, allowedLabels = Seq("en"),
+        nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
+          numHashes = 8, bandWidth = 2,
+          stateDir = Some(s"$tmp/bands"))))
+      q.awaitTermination()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "the rollout needs >= 3 micro-batches — fewer would leave one " +
+          "model version unexercised or unswapped")
+      detachAndClean(
+        s.read.parquet(s"$tmp/out")
+          .select(col("doc_id"), col("gate"), col("pass"), col("score"),
+            col("model_version"), col("batch_id").cast("bigint"))
+          .orderBy("doc_id", "gate"),
+        tmp)
+    }),
+
     "stream_admission_restart" -> ((s, d) => {
       // the unified admission front door is CRASH-SAFE: two
       // AvailableNow passes on one checkpoint, the source growing by a
@@ -1280,6 +1353,7 @@ private[graft] object StreamRegistry {
     "stream_admission_restart" -> admissionReportOracle,
     // rollup over the streamed per-batch union == the batch rollup
     "stream_admission_overlap" -> admissionOverlapOracle,
+    "stream_admission_model_swap" -> admissionModelSwapOracle,
 
     // a batch-written baseline adopted by the stream plus the streamed
     // remainder == one batch train over the whole corpus (additivity

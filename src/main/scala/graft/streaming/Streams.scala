@@ -783,6 +783,70 @@ object Streams {
                         nearDup: Option[graft.ext.Admission.NearDupCfg] = None): StreamingQuery = {
     val lmFrozen = lmModel.localCheckpoint(eager = true)
     val nbFrozen = nbModel.localCheckpoint(eager = true)
+    admissionPipelineWith(spark, schema, srcDir, outDir, checkpointDir,
+      benchSources, shingleGate, contamThreshold, semantic, minAvgLp,
+      allowedLabels, nbBuckets, maxFilesPerTrigger, nearDup,
+      modelsOf = _ => (lmFrozen, nbFrozen, None))
+  }
+
+  /** [[admissionPipeline]] with a MODEL ROLLOUT mid-stream: batches
+    * with id < `swapAtBatch` score against (lmV0, nbV0), batches from
+    * `swapAtBatch` on against (lmV1, nbV1), and every per-batch report
+    * row is tagged `model_version` (v0 | v1). The version is a PURE
+    * function of the batch id, so a replayed batch recomputes its
+    * first-delivery answer bit-for-bit — the foreachBatch overwrite
+    * idempotency discipline extends to model versioning. Every
+    * non-model gate artifact is shared across the swap, so only the
+    * model gates (and the decision) can differ between versions:
+    * admission stays ONE definition per (document, model version).
+    */
+  def admissionModelSwapPipeline(spark: SparkSession, schema: StructType,
+                                 srcDir: String, outDir: String,
+                                 checkpointDir: String,
+                                 benchSources: Seq[String],
+                                 shingleGate: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                                 contamThreshold: Double,
+                                 semantic: Option[graft.ext.Admission.SemanticCfg],
+                                 lmV0: DataFrame, nbV0: DataFrame,
+                                 lmV1: DataFrame, nbV1: DataFrame,
+                                 swapAtBatch: Long,
+                                 minAvgLp: Double, allowedLabels: Seq[String],
+                                 nbBuckets: Int = 1024,
+                                 maxFilesPerTrigger: Int = 1,
+                                 nearDup: Option[graft.ext.Admission.NearDupCfg] = None): StreamingQuery = {
+    require(swapAtBatch > 0,
+      "admissionModelSwapPipeline: swapAtBatch must be > 0 — a rollout " +
+        "at batch 0 is a plain run under v1; use admissionPipeline")
+    val lm0 = lmV0.localCheckpoint(eager = true)
+    val nb0 = nbV0.localCheckpoint(eager = true)
+    val lm1 = lmV1.localCheckpoint(eager = true)
+    val nb1 = nbV1.localCheckpoint(eager = true)
+    admissionPipelineWith(spark, schema, srcDir, outDir, checkpointDir,
+      benchSources, shingleGate, contamThreshold, semantic, minAvgLp,
+      allowedLabels, nbBuckets, maxFilesPerTrigger, nearDup,
+      modelsOf = id =>
+        if (id < swapAtBatch) (lm0, nb0, Some("v0"))
+        else (lm1, nb1, Some("v1")))
+  }
+
+  /** Shared foreachBatch body: per-batch models (and an optional
+    * version tag emitted as `model_version`) chosen by batch id —
+    * constant for the plain pipeline, a rollout step function for the
+    * swap form. Caller freezes the model frames.
+    */
+  private def admissionPipelineWith(spark: SparkSession, schema: StructType,
+                                    srcDir: String, outDir: String,
+                                    checkpointDir: String,
+                                    benchSources: Seq[String],
+                                    shingleGate: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                                    contamThreshold: Double,
+                                    semantic: Option[graft.ext.Admission.SemanticCfg],
+                                    minAvgLp: Double,
+                                    allowedLabels: Seq[String],
+                                    nbBuckets: Int,
+                                    maxFilesPerTrigger: Int,
+                                    nearDup: Option[graft.ext.Admission.NearDupCfg],
+                                    modelsOf: Long => (DataFrame, DataFrame, Option[String])): StreamingQuery = {
     val semFrozen = semantic.map(g =>
       g.copy(benchState = g.benchState.localCheckpoint(eager = true)))
     // the near-dup band state is NOT re-frozen here: at scale it is
@@ -819,9 +883,11 @@ object Streams {
               bands = Some(p))), Some(p))
           case other => (other, None)
         }
-        try graft.ext.Admission.report(batch.toDF(), benchSources,
-            shingleGate, contamThreshold, semFrozen, lmFrozen, minAvgLp,
-            nbFrozen, allowedLabels, nbBuckets, ndBatch)
+        val (lmB, nbB, verB) = modelsOf(batchId)
+        val rep = graft.ext.Admission.report(batch.toDF(), benchSources,
+          shingleGate, contamThreshold, semFrozen, lmB, minAvgLp,
+          nbB, allowedLabels, nbBuckets, ndBatch)
+        try verB.fold(rep)(v => rep.withColumn("model_version", lit(v)))
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         finally probe.foreach(_.unpersist(blocking = false))
       }

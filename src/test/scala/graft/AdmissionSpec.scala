@@ -266,6 +266,62 @@ class AdmissionSpec extends AnyFunSuite {
         "must not change one either")
   }
 
+  test("model-swap rollout: each batch's report equals the batch report under that batch's model version") {
+    // batch==stream extended to MODEL VERSIONING: batches before the
+    // swap must reproduce the v0 batch report over their docs, batches
+    // after it the v1 report — and the version tag must be correct.
+    val docs = Tables.documents(spark, sfDir)
+    val (gate, sem, lm, nb) = cfg(docs)
+    // v1: models trained on a deliberately different corpus slice so
+    // the swap binds (some verdict differs between versions)
+    val v1docs = docs.filter(col("doc_id") % 2 === 0)
+    val lm1 = TextAnalysis.bigramLmTrain(v1docs).localCheckpoint(eager = true)
+    val nb1 = Classifier.nbTrain(v1docs).localCheckpoint(eager = true)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_adm_swap_spec").toString
+    val src = s"$base/src"
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(src)
+      new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          if (f.lastModified() > 1700000000000L + 10 * 60000L)
+            require(f.setLastModified(1700000000000L + i * 60000L))
+        }
+    }
+    val sch = spark.read.parquet(src).schema
+    Streams.admissionModelSwapPipeline(spark, sch, src, s"$base/out",
+        s"$base/ck", Seq("src0", "src1"), gate, 0.3, sem,
+        lmV0 = lm, nbV0 = nb, lmV1 = lm1, nbV1 = nb1,
+        swapAtBatch = 2, minAvgLp = -3.40, allowedLabels = Seq("en"),
+        nearDup = ndCfg(docs))
+      .awaitTermination()
+    val out = spark.read.parquet(s"$base/out")
+    // version tag is a pure function of the batch id
+    val tags = out.select("batch_id", "model_version").distinct()
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(tags === Map(0 -> "v0", 1 -> "v0", 2 -> "v1"))
+    // per-side parity with the batch report under that side's models
+    def side(pred: Column, lmM: DataFrame, nbM: DataFrame) =
+      rows(Admission.report(docs.filter(pred), Seq("src0", "src1"), gate,
+        0.3, sem, lmM, -3.40, nbM, Seq("en"), nearDup = ndCfg(docs)))
+    assert(rows(out.filter(col("model_version") === "v0")
+        .select("doc_id", "gate", "pass", "score")) ===
+      side(col("doc_id") % 3 =!= 2, lm, nb),
+      "pre-swap batches must equal the v0 batch report")
+    assert(rows(out.filter(col("model_version") === "v1")
+        .select("doc_id", "gate", "pass", "score")) ===
+      side(col("doc_id") % 3 === 2, lm1, nb1),
+      "post-swap batches must equal the v1 batch report")
+    // the swap binds: the v1 models give at least one different verdict
+    // on batch-2 docs than v0 would have
+    val v0on2 = side(col("doc_id") % 3 === 2, lm, nb)
+    assert(side(col("doc_id") % 3 === 2, lm1, nb1) !== v0on2,
+      "fixture too weak: v0 and v1 agree on every batch-2 verdict")
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   test("post-compaction gate parity: the gate over a compacted state equals a fresh keeper-only state; the trade is exact") {
     // round 15 (verdict item 5): compactNearDupState rewrites the band
     // state the 7_neardup gate reads, so the compactor and the front
