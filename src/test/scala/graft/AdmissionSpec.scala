@@ -322,6 +322,58 @@ class AdmissionSpec extends AnyFunSuite {
     graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  test("model-swap rollout survives a restart: the new batch after the checkpoint boundary gets the new version") {
+    // the version is derived from the CHECKPOINTED batch id, not from
+    // wall time or batches-seen-this-run — so a restart that delivers
+    // the third file must assign it batch id 2 and score it under v1,
+    // while the committed pre-swap batches are not re-emitted.
+    val docs = Tables.documents(spark, sfDir)
+    val (gate, _, lm, nb) = cfg(docs)
+    val v1docs = docs.filter(col("doc_id") % 2 === 0)
+    val lm1 = TextAnalysis.bigramLmTrain(v1docs).localCheckpoint(eager = true)
+    val nb1 = Classifier.nbTrain(v1docs).localCheckpoint(eager = true)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_adm_swap_restart").toString
+    val src = s"$base/src"
+    def stage(i: Int): Unit = {
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(src)
+      new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          if (f.lastModified() > 1700000000000L + 10 * 60000L)
+            require(f.setLastModified(1700000000000L + i * 60000L))
+        }
+    }
+    stage(0); stage(1)
+    val sch = spark.read.parquet(src).schema
+    def runPass() =
+      Streams.admissionModelSwapPipeline(spark, sch, src, s"$base/out",
+          s"$base/ck", Seq("src0", "src1"), gate, 0.3, None,
+          lmV0 = lm, nbV0 = nb, lmV1 = lm1, nbV1 = nb1,
+          swapAtBatch = 2, minAvgLp = -3.40, allowedLabels = Seq("en"))
+        .awaitTermination()
+    runPass()
+    val afterP1 = spark.read.parquet(s"$base/out")
+    assert(afterP1.select("model_version").distinct().collect()
+      .map(_.getString(0)).toSet === Set("v0"),
+      "pass 1 delivers only pre-swap batches")
+    stage(2)
+    runPass()
+    val out = spark.read.parquet(s"$base/out")
+    val tags = out.select("batch_id", "model_version").distinct()
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(tags === Map(0 -> "v0", 1 -> "v0", 2 -> "v1"),
+      "the restarted run must assign the new file the checkpointed " +
+        "next batch id and the post-swap version")
+    // and the v1 batch's content is the v1 batch report, exactly
+    assert(rows(out.filter(col("model_version") === "v1")
+        .select("doc_id", "gate", "pass", "score")) ===
+      rows(Admission.report(docs.filter(col("doc_id") % 3 === 2),
+        Seq("src0", "src1"), gate, 0.3, None, lm1, -3.40, nb1, Seq("en"))))
+    graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   test("post-compaction gate parity: the gate over a compacted state equals a fresh keeper-only state; the trade is exact") {
     // round 15 (verdict item 5): compactNearDupState rewrites the band
     // state the 7_neardup gate reads, so the compactor and the front
