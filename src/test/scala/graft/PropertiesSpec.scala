@@ -344,4 +344,40 @@ class PropertiesSpec extends AnyFunSuite {
         "the diagonal must subsume the rollup's n_fail"))
     }
   }
+
+  test("property: gateScoreProfile == brute-force type-1 quantiles for arbitrary score multisets") {
+    import SparkTestBase.spark.implicits._
+    // arbitrary decision-table score columns: small value pools force
+    // heavy ties, sizes range down to a single score, and eighths keep
+    // ceil(q·n) exact in both engines (the operator's contract)
+    val qPool = (0 to 8).map(_ / 8.0)
+    val tableGen = for {
+      gateScores <- Gen.sequence[Seq[(String, List[Double])], (String, List[Double])](
+        Seq("2_quality", "5_lm", "6_nb").map(g =>
+          Gen.choose(1, 20).flatMap(n =>
+            Gen.listOfN(n, Gen.oneOf(-3.5, -3.4, 0.0, 0.25, 1.0, 7.0))
+              .map(g -> _))))
+      qs <- Gen.someOf(qPool).map(_.toList).suchThat(_.nonEmpty)
+    } yield (gateScores, qs)
+    samples(tableGen, 10).foreach { case (gateScores, qs) =>
+      val rep = gateScores.flatMap { case (g, vs) =>
+        vs.zipWithIndex.map { case (v, i) =>
+          (i.toLong, g, true, Option(v))
+        }
+      }.toDF("doc_id", "gate", "pass", "score")
+      val got = graft.ext.Admission.gateScoreProfile(rep, qs).collect()
+        .map(r => (r.getString(0), r.getDouble(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      gateScores.foreach { case (g, vs) =>
+        val sorted = vs.sorted.toIndexedSeq
+        qs.foreach { q =>
+          val rank = math.max(1L, math.ceil(q * sorted.length).toLong).toInt
+          assert(got((g, q)) === ((sorted.length.toLong, sorted(rank - 1))),
+            s"profile mismatch at ($g, $q) for $vs")
+        }
+      }
+      // output is exactly gates × qs — nothing extra, nothing missing
+      assert(got.size === gateScores.size * qs.size)
+    }
+  }
 }
