@@ -430,39 +430,32 @@ object Admission {
     * rounding.
     *
     * Scale shape: NOT a `Window.partitionBy(gate)` rank (seven
-    * corpus-sized partitions = seven serial tasks at 100 TB). Per
-    * gate — a bounded enum, so the loop is over gates, never data —
-    * the quantiles come from [[graft.operators.ScaleOps.exactRanks]]'s
-    * two-pass distributed selection: range-partition the gate's
-    * scores, count partitions, read out only the partitions holding
-    * requested ranks. Feed it a report STAGED partitioned by gate and
-    * each selection scans one pruned partition. Callers pass
-    * exact-binary fractions (quarters, eighths) so `ceil(q·n)` is
-    * immune to float representation at every n.
+    * corpus-sized partitions = seven serial tasks at 100 TB), and —
+    * since round 15's continuation — not a per-gate loop either: ALL
+    * gates' quantiles come from ONE
+    * [[graft.operators.ScaleOps.exactRanksByKey]] selection —
+    * range-partition the scores by `(gate, score, doc_id)` (every
+    * gate's total order lands in contiguous partition ranges
+    * simultaneously), count (partition, gate) segments, read out only
+    * the rows holding requested ranks. TWO jobs total regardless of
+    * gate count, where the per-gate [[graft.operators.ScaleOps
+    * .exactRanks]] loop paid `1 + 2·|gates|` jobs and `|gates|` range
+    * shuffles over the same relation; the per-gate counts ride out of
+    * the counting pass, so no separate `groupBy(gate).count()` job
+    * either. Callers pass exact-binary fractions (quarters, eighths)
+    * so `ceil(q·n)` is immune to float representation at every n.
     */
   def gateScoreProfile(report: DataFrame, qs: Seq[Double]): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
-      "gateScoreProfile: quantile fractions must be in [0, 1]")
-    val spark = report.sparkSession
-    import spark.implicits._
     val scored = report.filter(col("gate") =!= DecisionGate &&
       col("score").isNotNull)
-    // bounded: at most one row per gate in the enum
-    val ns = scored.groupBy("gate").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    require(ns.nonEmpty,
-      "gateScoreProfile: no gate carries a non-null score — not a " +
-        "decision table produced by Admission.report")
-    val parts = ns.map { case (g, n) =>
-      val rankOf = qs.map(q => q -> math.max(1L, math.ceil(q * n).toLong))
-      val qOfRank = rankOf.map { case (q, r) => (r, q) }.toDF("rank", "q")
-      ScaleOps.exactRanks(scored.filter(col("gate") === g), "score",
-          "doc_id", rankOf.map(_._2).distinct)
-        .join(qOfRank, "rank") // both sides bounded by |qs|
-        .select(lit(g).as("gate"), col("q"), lit(n).as("n_scored"),
-          col("value").as("score"))
+    try Eval.scoreProfileByKey(scored, "gate", "score", "doc_id", qs)
+    catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+        e.getMessage.contains("empty input") =>
+        throw new IllegalArgumentException(
+          "gateScoreProfile: no gate carries a non-null score — not a " +
+            "decision table produced by Admission.report")
     }
-    parts.reduce(_ unionByName _)
   }
 
   /** [[gateFunnel]] keyed by a TIME AXIS (release id, batch id): the

@@ -186,15 +186,34 @@ object Classifier {
     */
   def nbClassify(docs: DataFrame, model: DataFrame,
                  buckets: Int = 1024): DataFrame = {
+    val perLabel = nbScores(docs, model, buckets)
+    val rn = row_number().over(Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("label").asc))
+    perLabel.withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        col("n_feats"), col("score_fp"))
+  }
+
+  /** The FULL per-(doc, label) score table [[nbClassify]] argmaxes
+    * over: `(doc_id, label, n_feats, score_fp)` for every label of the
+    * model's bounded class enum (the dense model joins every per-doc
+    * bucket to every label, so each doc with ≥1 feature scores under
+    * ALL labels; feature-less docs — empty text — emit nothing, as in
+    * classification). This is the evaluation tier's raw material:
+    * one-vs-rest margins, ranking metrics (AUC), and calibration bins
+    * all need the scores the argmax discards.
+    */
+  def nbScores(docs: DataFrame, model: DataFrame,
+               buckets: Int = 1024): DataFrame = {
     require(Seq("label", "bucket", "lp_fp").forall(model.columns.contains),
-      "nbClassify: not an NB model — need (label, bucket, lp_fp) as " +
+      "nbScores: not an NB model — need (label, bucket, lp_fp) as " +
         "built by nbModelFromCounts")
-    Stamp.requireMatch(model, "nbClassify", "buckets", buckets)
+    Stamp.requireMatch(model, "nbScores", "buckets", buckets)
     val feat = model.filter(col("bucket") =!= DocCountBucket)
       .select(col("label"), col("bucket"), col("lp_fp"))
     val prior = model.filter(col("bucket") === DocCountBucket)
       .select(col("label"), col("lp_fp").as("prior_fp"))
-    val perLabel = hashedFeatureCounts(docs, buckets)
+    hashedFeatureCounts(docs, buckets)
       .join(broadcast(feat), Seq("bucket"))
       .groupBy(col("doc_id"), col("label"))
       .agg(sum(col("n")).as("n_feats"),
@@ -202,10 +221,36 @@ object Classifier {
       .join(broadcast(prior), Seq("label"))
       .select(col("doc_id"), col("label"), col("n_feats"),
         (col("sum_lp_fp") + col("prior_fp")).as("score_fp"))
-    val rn = row_number().over(Window.partitionBy(col("doc_id"))
-      .orderBy(col("score_fp").desc, col("label").asc))
-    perLabel.withColumn("rn", rn).filter(col("rn") === 1)
-      .select(col("doc_id"), col("label").as("pred_label"),
-        col("n_feats"), col("score_fp"))
+  }
+
+  /** One-vs-rest MARGINS from a [[nbScores]] table: per (doc, label),
+    * `margin_fp = score_fp(label) − max over OTHER labels` — positive
+    * iff the label would win the argmax (ties at the top → margin 0
+    * for both). The margin is the classifier's native confidence
+    * ordering for "is this document class c?" — a length-robust
+    * discriminant (the document-length term in each class score
+    * cancels in the difference), and exact long arithmetic end to end
+    * (no softmax float). Windows run over the per-doc label set — a
+    * BOUNDED enum partition (≤ |labels| rows per doc), never a
+    * data-sized window. A dense model guarantees ≥2 labels per scored
+    * doc; a degenerate single-label table has no "rest" and margins
+    * NULL (the max-of-nothing), which downstream consumers must treat
+    * as unusable rather than zero.
+    */
+  def nbMargins(scores: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val top = scores.withColumn("_top", max(col("score_fp")).over(byDoc))
+    top
+      .withColumn("_n_top",
+        sum(when(col("score_fp") === col("_top"), 1L).otherwise(0L))
+          .over(byDoc))
+      .withColumn("_second",
+        max(when(col("score_fp") < col("_top"), col("score_fp")))
+          .over(byDoc))
+      .withColumn("_others_max",
+        when(col("score_fp") < col("_top") || col("_n_top") > 1, col("_top"))
+          .otherwise(col("_second")))
+      .select(col("doc_id"), col("label"),
+        (col("score_fp") - col("_others_max")).as("margin_fp"))
   }
 }

@@ -632,6 +632,208 @@ object ScaleOps {
         StructField("value", DoubleType, nullable = false))))
   }
 
+  /** [[exactRanks]] for MANY keys in the SAME two passes — the
+    * multi-key distributed selection (round 15, closing the PLANS
+    * open thread): per-key exact order statistics where the key count
+    * is bounded (a gate enum, a class enum) but looping [[exactRanks]]
+    * per key would pay `2·|keys|` driver jobs and `|keys|` range
+    * shuffles over the same relation. One range partition by
+    * `(key, value, id)` puts every key's total order into contiguous
+    * partition ranges simultaneously; the counting pass returns one
+    * row per (partition, key) SEGMENT (keys are contiguous within a
+    * sorted partition, so segments are exact), the driver locates
+    * every requested rank of every key, and one selection pass reads
+    * them all out. Two jobs total, independent of key count — and
+    * key skew cannot straddle-starve a task, because partitioning is
+    * by the full `(key, value, id)` tuple: a hot key simply spans
+    * more partitions.
+    *
+    * `ranksFor` maps each key's total count n to its requested
+    * 1-based ranks — resolved per key AFTER the counting pass, so
+    * quantile callers (`ceil(q·n)`) need no separate count job.
+    * `idCol` must be unique per key (the deterministic tie-break, as
+    * in [[exactRanks]]). Returns one row per (key, distinct rank):
+    * `(<key>, n, rank, value)` with the key column keeping its input
+    * name and type — bounded by `|keys| × |ranks|`, a driver-sized
+    * result.
+    */
+  def exactRanksByKey(df: DataFrame, keyCol: String, valueCol: String,
+                      idCol: String, ranksFor: Long => Seq[Long],
+                      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val ranged = df.select(col(keyCol), col(valueCol).cast("double"), col(idCol))
+      .repartitionByRange(n, col(keyCol), col(valueCol), col(idCol))
+      .sortWithinPartitions(col(keyCol), col(valueCol), col(idCol))
+    // one RDD value: the counting pass and the selection pass share the
+    // range shuffle's lineage (files), as in exactRanks/withPrefixSum.
+    val rdd = ranged.rdd
+    // per-(partition, key) segment counts IN within-partition order —
+    // segment order matters: a rank's local row position adds the
+    // preceding segments' rows of the same partition.
+    val segs: Array[(Int, Seq[(Any, Long)])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val out = Seq.newBuilder[(Any, Long)]
+        var cur: Any = null
+        var started = false
+        var c = 0L
+        it.foreach { r =>
+          val k = r.get(0)
+          if (!started) { cur = k; started = true; c = 1L }
+          else if (k == cur) c += 1
+          else { out += ((cur, c)); cur = k; c = 1L }
+        }
+        if (started) out += ((cur, c))
+        Iterator((pid, out.result()))
+      }.collect().sortBy(_._1)
+    // per key: totals in pid order → cumulative offsets; per (pid, key):
+    // the segment's start position within its partition
+    val byKey = scala.collection.mutable.LinkedHashMap
+      .empty[Any, Seq[(Int, Long, Long)]] // key -> (pid, segStartInPid, segLen)
+    segs.foreach { case (pid, ss) =>
+      var pos = 0L
+      ss.foreach { case (k, c) =>
+        byKey(k) = byKey.getOrElse(k, Nil) :+ ((pid, pos, c))
+        pos += c
+      }
+    }
+    // locate every requested (key, rank): partition + local row position
+    val needsByPid = scala.collection.mutable.Map
+      .empty[Int, Seq[(Long, Any, Long)]] // pid -> (localRowPos1Based, key, rank)
+    val nOf = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+    byKey.foreach { case (k, segsOfK) =>
+      val total = segsOfK.map(_._3).sum
+      nOf(k) = total
+      val ranks = ranksFor(total).distinct
+      require(ranks.nonEmpty && ranks.forall(r => r >= 1 && r <= total),
+        s"exactRanksByKey: ranks for key $k (n=$total) must be in [1, n], " +
+          s"got ${ranks.mkString(", ")}")
+      // cumulative starts of this key's segments across partitions
+      val cum = segsOfK.map(_._3).scanLeft(0L)(_ + _)
+      ranks.foreach { r =>
+        val si = cum.lastIndexWhere(_ < r) // segment holding rank r
+        val (pid, segStart, _) = segsOfK(si)
+        val local = segStart + (r - cum(si)) // 1-based within partition
+        needsByPid(pid) = needsByPid.getOrElse(pid, Nil) :+ ((local, k, r))
+      }
+    }
+    require(byKey.nonEmpty, "exactRanksByKey: empty input — no keys to rank")
+    val needs = needsByPid.toMap.view.mapValues(_.sortBy(_._1)).toMap
+    val picked: Array[(Any, Long, Double)] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        needs.get(pid) match {
+          case None => Iterator.empty
+          case Some(ws) =>
+            val out = Seq.newBuilder[(Any, Long, Double)]
+            var i = 0L
+            var ni = 0
+            while (it.hasNext && ni < ws.length) {
+              val row = it.next(); i += 1
+              while (ni < ws.length && ws(ni)._1 == i) {
+                out += ((ws(ni)._2, ws(ni)._3, row.getDouble(1)))
+                ni += 1
+              }
+            }
+            out.result().iterator
+        }
+      }.collect() // result-sized: one row per requested (key, rank)
+    val keyField = ranged.schema.fields(0)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(picked.toIndexedSeq.map {
+        case (k, r, v) => org.apache.spark.sql.Row(k, nOf(k), r, v)
+      }),
+      StructType(Seq(keyField.copy(nullable = true),
+        StructField("n", LongType, nullable = false),
+        StructField("rank", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = false))))
+  }
+
+  /** [[withPrefixSum]] PER KEY in the same two passes — the keyed
+    * exclusive prefix sum (cumulative counts below each row within its
+    * key's order), for when the partition key is a bounded enum but
+    * the per-key relations are corpus-sized: `Window.partitionBy(key)
+    * .orderBy(order)` would serialize each key's whole relation
+    * through one task. Range-partitioning by `(key, order)` instead
+    * spreads every key across partitions; the totals pass returns one
+    * row per (partition, key) segment, the driver prefix-sums each
+    * key's segment totals, and the second pass emits local running
+    * sums plus the key's cross-partition offset. Bit-identical to the
+    * per-key sequential scan (long addition is associative).
+    *
+    * `(key, order)` pairs must be UNIQUE (group first — the
+    * [[withPrefixSum]] tie discipline, per key); `valueCol` must be
+    * integral, nulls count 0.
+    */
+  def withPrefixSumByKey(df: DataFrame, keyCol: String, orderCol: String,
+                         valueCol: String, outCol: String,
+                         numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val vName = "_prefix_sum_v"
+    require(!df.columns.contains(vName) && !df.columns.contains(outCol),
+      s"input already has a $vName/$outCol column")
+    val vType = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vType),
+      s"withPrefixSumByKey: $valueCol is $vType — only integral types " +
+        "sum exactly; scale fractional values to fixed point first")
+    val ranged = df.withColumn(vName, col(valueCol).cast("long"))
+      .repartitionByRange(n, col(keyCol), col(orderCol))
+      .sortWithinPartitions(col(keyCol), col(orderCol))
+    val rangedRdd = ranged.rdd
+    val kIdx = ranged.schema.fieldIndex(keyCol)
+    val vIdx = ranged.schema.fieldIndex(vName)
+    def valueAt(r: org.apache.spark.sql.Row): Long =
+      if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+    // per-(partition, key) segment totals, in within-partition order
+    val segs: Array[(Int, Seq[(Any, Long)])] =
+      rangedRdd.mapPartitionsWithIndex { (pid, it) =>
+        val out = Seq.newBuilder[(Any, Long)]
+        var cur: Any = null
+        var started = false
+        var s = 0L
+        it.foreach { r =>
+          val k = r.get(kIdx)
+          if (!started) { cur = k; started = true; s = valueAt(r) }
+          else if (k == cur) s += valueAt(r)
+          else { out += ((cur, s)); cur = k; s = valueAt(r) }
+        }
+        if (started) out += ((cur, s))
+        Iterator((pid, out.result()))
+      }.collect().sortBy(_._1)
+    // exclusive offset of each (pid, key) segment = sum of the SAME
+    // key's totals in earlier partitions
+    val running = scala.collection.mutable.Map.empty[Any, Long]
+    val offsets: Map[(Int, Any), Long] = segs.flatMap { case (pid, ss) =>
+      ss.map { case (k, s) =>
+        val off = running.getOrElse(k, 0L)
+        running(k) = off + s
+        ((pid, k), off)
+      }
+    }.toMap
+    val out = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Any = null
+      var started = false
+      var acc = 0L
+      it.map { r =>
+        val k = r.get(kIdx)
+        if (!started || k != cur) {
+          cur = k; started = true; acc = offsets((pid, k))
+        }
+        val before = acc
+        acc += valueAt(r)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.patch(vIdx, Nil, 1) :+ before)
+      }
+    }
+    val schema = StructType(ranged.schema.fields.patch(vIdx, Nil, 1) :+
+      StructField(outCol, LongType, nullable = false))
+    spark.createDataFrame(out, schema)
+  }
+
   /** Partition BACKFILL — the `INSERT OVERWRITE PARTITION` maintenance
     * op: rewrite exactly the Hive partitions present in `df`, leaving
     * every other partition's files untouched (dynamic partition

@@ -193,6 +193,28 @@ private[graft] object CorpusRegistry {
           salt = "epoch0", shardSize = 64)
         .orderBy("position")),
 
+    "corpus_source_quality_profile" -> ((s, d) => {
+      // per-SOURCE quality profile (round 15 cont.): exact type-1
+      // quantiles of the corpus-LM avg_lp per source — where each
+      // source's quality mass and tails sit, the table a mixture
+      // builder reads BEFORE setting per-domain weights (the
+      // mix/temperature/cap knobs pick rates; this grounds them in
+      // the observed score distributions, the way the gate profile
+      // grounds the LM cut). The key axis is the HIGH-CARDINALITY
+      // regime the multi-key selection machinery exists for: 20
+      // sources here, thousands of domains in production — ONE
+      // two-pass exactRanksByKey selection either way, never a
+      // per-key job loop, never per-source window tasks.
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.lmScoreBigram(docs,
+          TextAnalysis.bigramLmTrain(docs))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .filter(col("avg_lp").isNotNull)
+      ext.Eval.scoreProfileByKey(scored, "source", "avg_lp", "doc_id",
+          Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+        .orderBy("source", "q")
+    }),
+
     "corpus_domain_cap" -> ((s, d) =>
       // per-domain cap: each source keeps its 15 BEST documents by
       // quality score — exact two-phase top-N (salt-bucket pre-rank
@@ -610,10 +632,10 @@ private[graft] object CorpusRegistry {
       // sidestepped by DEFINITION: the type-1 statistic is a member
       // of the score multiset at rank ceil(q·n) — both engines pick
       // the same element of the same total order, no interpolation
-      // anywhere. Quantiles come from exactRanks' distributed
-      // selection over a report STAGED partitioned by gate (each
-      // per-gate selection scans one pruned partition), never a
-      // corpus-sized per-gate window task.
+      // anywhere. All gates' quantiles come from ONE exactRanksByKey
+      // multi-key distributed selection (two jobs regardless of gate
+      // count — round 15 cont.), never a corpus-sized per-gate
+      // window task and never a per-gate job loop.
       val tmp = TempDirs.create("graft-adm-score-").toString
       admissionReportFor(s, d)
         .write.partitionBy("gate").parquet(s"$tmp/report")
@@ -1244,6 +1266,29 @@ private[graft] object CorpusRegistry {
         |FROM documents d JOIN rates r ON d.source = r.src
         |WHERE CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < r.rate
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-source type-1 quantile selection over the shared lm chain:
+    // rank-join at greatest(1, ceil(q·n)) within each source — the
+    // same member-of-the-multiset contract as the gate profile oracle.
+    "corpus_source_quality_profile" ->
+      (lmPerDocCte + """
+        |, src AS (
+        |  SELECT l.doc_id, d.source, l.avg_lp
+        |  FROM lm l JOIN documents d USING (doc_id)
+        |  WHERE l.avg_lp IS NOT NULL
+        |), r AS (
+        |  SELECT source, doc_id, avg_lp,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY avg_lp, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM src
+        |)
+        |SELECT r.source, q.q, r.n AS n_scored, r.avg_lp AS score
+        |FROM r
+        |JOIN (SELECT CAST(q AS DOUBLE) AS q
+        |      FROM (VALUES (0.0),(0.25),(0.5),(0.75),(1.0)) t(q)) q
+        |  ON r.rn = greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
+        |ORDER BY source, q""".stripMargin),
 
     "corpus_shuffle_shards" ->
       """WITH sk AS (

@@ -19,6 +19,24 @@ import Shared._
   */
 private[graft] object TextRegistry {
 
+  /** Holdout one-vs-rest margins + labels over the [[Shared.nbCteFor]]
+    * chain — the CTE suffix the AUC and calibration oracles share:
+    * `mg` computes each (doc, label)'s margin against the best OTHER
+    * label (the bounded self-join form of Classifier.nbMargins), `lab`
+    * attaches the boolean ground truth.
+    */
+  private lazy val nbMarginLabCte: String =
+    s""", mg AS (
+       |  SELECT a.doc_id, a.label,
+       |         CAST(a.score_fp - max(b.score_fp) AS BIGINT) AS margin_fp
+       |  FROM fin a JOIN fin b ON b.doc_id = a.doc_id AND b.label <> a.label
+       |  WHERE ${splitBucketSql("a.doc_id")} >= 80
+       |  GROUP BY a.doc_id, a.label, a.score_fp
+       |), lab AS (
+       |  SELECT m.label, m.margin_fp AS s, (d.lang = m.label) AS is_pos
+       |  FROM mg m JOIN documents d USING (doc_id)
+       |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy("doc_id")),
@@ -178,6 +196,57 @@ private[graft] object TextRegistry {
         .orderBy("doc_id")
     }),
 
+    "text_nb_auc" -> ((s, d) => {
+      // threshold-free RANKING quality of the classifier (round 15
+      // cont.): exact one-vs-rest ROC AUC per class over the
+      // leakage-free holdout, scored by the per-class MARGIN
+      // (score_fp − best other — exact long arithmetic, the
+      // document-length term cancels). The confusion matrix answers
+      // "how often is the argmax right"; AUC answers whether the
+      // margin ORDERS positives above negatives at every cut — the
+      // prior question for margin-thresholded gating. Scale shape:
+      // collapse to (class, margin) tie-groups, then ONE keyed
+      // two-pass prefix sum (Eval.aucByKey) evaluates all five
+      // classes together — no per-class loop, no global window.
+      val docs = Tables.documents(s, d)
+      val split = graft.ext.Corpus.splitAssign(docs)
+      val model = graft.ext.Classifier.nbTrain(
+        split.filter(col("bucket") < 80).drop("bucket", "split"))
+      val holdout = split.filter(col("bucket") >= 80).drop("bucket", "split")
+      val scored = graft.ext.Classifier.nbMargins(
+          graft.ext.Classifier.nbScores(holdout, model))
+        .join(holdout.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("label"), col("margin_fp"),
+          (col("lang") === col("label")).as("is_pos"))
+      graft.ext.Eval.aucByKey(scored, "label", "margin_fp", "is_pos")
+        .orderBy("label")
+    }),
+
+    "text_nb_calibration" -> ((s, d) => {
+      // the RELIABILITY table for the same margins: fixed-width bins
+      // (4 log units in 1e-3 fixed point) of the one-vs-rest margin,
+      // each with population, positives and empirical positive rate —
+      // does a margin of +4 actually mean "almost surely this class"?
+      // This is what turns an AUC-worthy score into a TRUSTED
+      // threshold (the admission ensemble's LM sweep picks a cut; a
+      // curation team believes it because the reliability curve is
+      // monotone where the cut sits). One bounded aggregate; bin ids
+      // use exact floor division, portable for negative margins.
+      val docs = Tables.documents(s, d)
+      val split = graft.ext.Corpus.splitAssign(docs)
+      val model = graft.ext.Classifier.nbTrain(
+        split.filter(col("bucket") < 80).drop("bucket", "split"))
+      val holdout = split.filter(col("bucket") >= 80).drop("bucket", "split")
+      val scored = graft.ext.Classifier.nbMargins(
+          graft.ext.Classifier.nbScores(holdout, model))
+        .join(holdout.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("label"), col("margin_fp"),
+          (col("lang") === col("label")).as("is_pos"))
+      graft.ext.Eval.calibrationBins(scored, "label", "margin_fp",
+          "is_pos", binWidth = 4000L)
+        .orderBy("label", "bin")
+    }),
+
     "text_nb_forget" -> ((s, d) => {
       // right-to-be-forgotten for the classifier: subtract the removed
       // cohort's class-conditional counts from the accumulated state
@@ -245,6 +314,52 @@ private[graft] object TextRegistry {
         |FROM documents d JOIN fin f ON f.doc_id = d.doc_id AND f.rn = 1
         |WHERE ${splitBucketSql("d.doc_id")} >= 80
         |ORDER BY d.doc_id""".stripMargin),
+
+    // one-vs-rest margin AUC on the holdout: the margin CTE self-joins
+    // the per-(doc, label) score table (bounded label-enum fan-out),
+    // tie-groups collapse per (class, margin), the cumulative-negatives
+    // window runs over DISTINCT margins only, and the final division is
+    // the single float op — u2 pins the exact integer numerator.
+    "text_nb_auc" ->
+      (nbCteFor(splitBucketSql("doc_id") + " < 80") + nbMarginLabCte + """
+        |, g AS (
+        |  SELECT label, s,
+        |         count(*) FILTER (WHERE is_pos) AS np,
+        |         count(*) FILTER (WHERE NOT is_pos) AS nn
+        |  FROM lab GROUP BY 1, 2
+        |), c AS (
+        |  SELECT label, np, nn,
+        |         coalesce(sum(nn) OVER (PARTITION BY label ORDER BY s
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS cneg
+        |  FROM g
+        |)
+        |SELECT label, CAST(sum(np) AS BIGINT) AS n_pos,
+        |       CAST(sum(nn) AS BIGINT) AS n_neg,
+        |       CAST(sum(np * (2 * cneg + nn)) AS BIGINT) AS u2,
+        |       CASE WHEN sum(np) > 0 AND sum(nn) > 0
+        |         THEN CAST(sum(np * (2 * cneg + nn)) AS DOUBLE) /
+        |              (2.0 * sum(np) * sum(nn)) END AS auc
+        |FROM c GROUP BY label
+        |ORDER BY label""".stripMargin),
+
+    // reliability bins of the same margins: exact floor-division bin
+    // ids (pmod subtraction — portable where engines disagree on the
+    // sign of % for negatives), empirical rate as the one float op.
+    "text_nb_calibration" ->
+      (nbCteFor(splitBucketSql("doc_id") + " < 80") + nbMarginLabCte + """
+        |, b AS (
+        |  SELECT label,
+        |         CAST((s - (((s % 4000) + 4000) % 4000)) / 4000 AS BIGINT) AS bin,
+        |         count(*) AS n,
+        |         count(*) FILTER (WHERE is_pos) AS n_pos
+        |  FROM lab GROUP BY 1, 2
+        |)
+        |SELECT label, bin, CAST(bin * 4000 AS BIGINT) AS bin_lo,
+        |       CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+        |FROM b
+        |ORDER BY label, bin""".stripMargin),
 
     "text_lm_score" ->
       (lmPerDocCte + """

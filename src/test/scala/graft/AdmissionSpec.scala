@@ -598,34 +598,41 @@ class AdmissionSpec extends AnyFunSuite {
     }
   }
 
-  test("gateScoreProfile over a gate-partitioned staged report prunes each selection to one partition") {
-    // the scale claim in the operator doc, evidenced: the per-gate
-    // filter must reach the staged read as a PARTITION filter (scan
-    // one gate directory), not a post-scan predicate over the whole
-    // report. Profile values must also round-trip the staging.
+  test("gateScoreProfile runs ONE multi-key selection — job count bounded, staging round-trips") {
+    // the scale claim in the operator doc, evidenced: since the round-15
+    // continuation ALL gates' quantiles come from one exactRanksByKey
+    // range shuffle — two passes + the driver-sized result, regardless
+    // of gate count. The former per-gate exactRanks loop paid
+    // 1 + 2·|gates| jobs (11 on this five-scored-gate report); a
+    // regression back to it trips the job bound.
     val docs = Tables.documents(spark, sfDir)
     val (gate, sem, lm, nb) = cfg(docs)
     val rep = Admission.report(docs, Seq("src0", "src1"), gate, 0.3, sem,
       lm, -3.40, nb, Seq("en"), nearDup = ndCfg(docs))
     val dir = java.nio.file.Files
       .createTempDirectory("graft-adm-scoreprof-").toString
-    rep.write.partitionBy("gate").parquet(s"$dir/report")
+    rep.write.parquet(s"$dir/report")
     val staged = spark.read.parquet(s"$dir/report")
     val qs = Seq(0.0, 0.5, 1.0)
-    // the per-gate slice the operator feeds exactRanks: its plan must
-    // carry the gate predicate as a partition filter
-    val slice = staged.filter(col("gate") === "5_lm" &&
-      col("score").isNotNull)
-    val plan = slice.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("5_lm"),
-      s"gate slice must prune the staged partition, got:\n$plan")
-    // and the staged profile equals the in-memory-frame profile
     def prof(df: org.apache.spark.sql.DataFrame) =
       Admission.gateScoreProfile(df, qs).collect()
         .map(r => (r.getString(0), r.getDouble(1)) ->
           ((r.getLong(2), r.getDouble(3)))).toMap
-    assert(prof(staged) === prof(rep),
-      "staging partitioned by gate must not change one profiled value")
+    val sc = spark.sparkContext
+    sc.setJobGroup("gsp", "gateScoreProfile job count")
+    val stagedProf = prof(staged)
+    val jobs = sc.statusTracker.getJobIdsForGroup("gsp").length
+    sc.clearJobGroup()
+    // one range-boundary sampling + counting pass + selection pass +
+    // driver-sized materializations; the per-gate loop pays the
+    // sample/count/select triple PER GATE (≥15 on this report)
+    assert(jobs <= 7,
+      s"profile must be one multi-key selection (≤7 jobs), got $jobs")
+    assert(stagedProf.keys.map(_._1).toSet.size >= 3,
+      "report must carry several scored gates for the bound to bind")
+    // and the staged profile equals the in-memory-frame profile
+    assert(stagedProf === prof(rep),
+      "staging must not change one profiled value")
     graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 

@@ -527,6 +527,85 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(gotN.toSeq === Seq(0L, 5L, 5L))
   }
 
+  test("exactRanksByKey equals per-key sequential order statistics, in two jobs for any key count") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), col("event_id"))
+    def ranksFor(n: Long): Seq[Long] =
+      Seq(1L, math.max(1L, n / 3), math.max(1L, n / 2), n).distinct
+    val sc = spark.sparkContext
+    sc.setJobGroup("erbk", "exactRanksByKey job count")
+    val got = ScaleOps.exactRanksByKey(ev, "event_type", "value",
+        "event_id", ranksFor)
+      .collect()
+    val jobsInGroup = sc.statusTracker.getJobIdsForGroup("erbk").length
+    sc.clearJobGroup()
+    // the multi-key claim, evidenced: range-boundary sampling + counting
+    // pass + selection pass + the driver-sized result materialization —
+    // NEVER per-key triples (events has 5 types; the per-key exactRanks
+    // loop pays sample/count/select each, ≥ 15 jobs)
+    assert(jobsInGroup <= 7, s"expected ≤7 jobs for all keys, got $jobsInGroup")
+    val gotMap = got.map(r => (r.getString(0), r.getLong(2)) ->
+      ((r.getLong(1), r.getDouble(3)))).toMap
+    val keys = ev.select("event_type").distinct()
+      .collect().map(_.getString(0))
+    assert(keys.length >= 3, "need a multi-key relation to evidence the claim")
+    keys.foreach { k =>
+      val sorted = ev.filter(col("event_type") === k)
+        .orderBy(col("value"), col("event_id"))
+        .select(col("value").cast("double")).collect().map(_.getDouble(0))
+      val n = sorted.length.toLong
+      ranksFor(n).foreach { r =>
+        assert(gotMap((k, r)) === ((n, sorted((r - 1).toInt))),
+          s"key $k rank $r")
+      }
+    }
+    // deterministic under a different input partitioning
+    val got2 = ScaleOps.exactRanksByKey(ev.repartition(7), "event_type",
+        "value", "event_id", ranksFor, numPartitions = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got2 === gotMap)
+    // a per-key out-of-range rank fails loudly, naming the key
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.exactRanksByKey(ev, "event_type", "value", "event_id",
+        n => Seq(n + 1))
+    }
+    assert(e.getMessage.contains("must be in [1, n]"))
+    // empty input refuses rather than returning an empty frame
+    intercept[IllegalArgumentException] {
+      ScaleOps.exactRanksByKey(ev.filter(lit(false)), "event_type",
+        "value", "event_id", ranksFor)
+    }
+  }
+
+  test("withPrefixSumByKey equals the per-key sequential window scan, any partitioning") {
+    import spark.implicits._
+    val df = spark.range(900).select(
+      (col("id") % 4).cast("string").as("k"), col("id"),
+      (col("id") * 7 % 13).cast("int").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = df
+      .withColumn("ps", coalesce(sum(col("v")).over(w), lit(0L)))
+      .select("k", "id", "ps").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (n <- Seq(1, 3, 32)) {
+      val got = ScaleOps.withPrefixSumByKey(df, "k", "id", "v", "ps",
+          numPartitions = n)
+        .select("k", "id", "ps").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected, s"numPartitions=$n diverged")
+    }
+    // nulls count as zero, per key
+    val withNull = Seq(("a", 1L, Some(5)), ("a", 2L, None), ("a", 3L, Some(7)),
+        ("b", 1L, Some(11)), ("b", 2L, Some(2)))
+      .toDF("k", "id", "v")
+    val gotN = ScaleOps.withPrefixSumByKey(withNull, "k", "id", "v", "ps", 2)
+      .orderBy("k", "id").select("ps").collect().map(_.getLong(0))
+    assert(gotN.toSeq === Seq(0L, 5L, 5L, 0L, 11L))
+  }
+
   test("sequence packing: budget respected up to one straddling doc, packs contiguous") {
     import graft.ext.Corpus
     val docs = Tables.documents(spark, sfDir)
