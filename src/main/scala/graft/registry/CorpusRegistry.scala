@@ -1042,6 +1042,28 @@ private[graft] object CorpusRegistry {
         .orderBy("doc_id")
     }),
 
+    "corpus_pack_by_lang" -> ((s, d) => {
+      // LANGUAGE-HOMOGENEOUS packing (round 15 cont.): training
+      // pipelines pack sequences within a language/domain stream, not
+      // across (a 512-token window spanning two languages wastes the
+      // boundary tokens). The per-language running token count comes
+      // from the KEYED two-phase scan (withPrefixSumByKey) — the
+      // obvious Window.partitionBy(lang) would serialize each
+      // language's ENTIRE corpus through one task (a 5-language
+      // corpus = 5 tasks for 100 TB); the keyed scan range-partitions
+      // by (lang, doc_id) so every language spreads across all
+      // partitions, and still reproduces the per-key sequential scan
+      // bit-for-bit.
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok"))
+      graft.operators.ScaleOps
+        .withPrefixSumByKey(docs, "lang", "doc_id", "n_tok", "tok_before")
+        .withColumn("pack_id",
+          floor(col("tok_before").cast("double") / 512).cast("int"))
+        .orderBy("lang", "doc_id")
+    }),
+
     "corpus_embedding_centroids" -> ((s, d) =>
       // per-label centroids in FIXED POINT: summing round(x*1e6) longs is
       // order-insensitive and exact, so the centroid is a plain
@@ -1385,6 +1407,18 @@ private[graft] object CorpusRegistry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
         |    / 512) AS INTEGER) AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "corpus_pack_by_lang" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        |  CAST(COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before,
+        |  CAST(floor(CAST(COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    / 512) AS INTEGER) AS pack_id
+        |FROM t ORDER BY lang, doc_id""".stripMargin,
 
     "corpus_contamination" ->
       """WITH toks AS (
