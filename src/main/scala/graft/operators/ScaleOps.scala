@@ -648,6 +648,10 @@ object ScaleOps {
     * by the full `(key, value, id)` tuple: a hot key simply spans
     * more partitions.
     *
+    * Driver state is one tiny row per (partition, key) SEGMENT —
+    * bounded by `partitions × keys-present-per-partition`, i.e. a few
+    * counters per task even at thousands of keys, never row data.
+    *
     * `ranksFor` maps each key's total count n to its requested
     * 1-based ranks — resolved per key AFTER the counting pass, so
     * quantile callers (`ceil(q·n)`) need no separate count job.
