@@ -434,6 +434,31 @@ object Dedup {
       .write.partitionBy("band", "bpfx").mode(mode).parquet(stateDir)
   }
 
+  /** Pre-resolved handle on persisted band state: the relation plus
+    * its stamped prefix fan-out (None for flat legacy layouts and
+    * empty states — nothing to prune). Band state is IMMUTABLE for a
+    * reader's lifetime (writers append new files; a frozen gate never
+    * sees them), so a long-lived consumer — a streaming pipeline
+    * probing per micro-batch — resolves the directory listing and the
+    * one-row layout probe ONCE here instead of paying a
+    * `spark.read.parquet` + `limit(1).collect()` per batch for values
+    * that cannot change (round 16: the per-batch re-resolution was
+    * the dominant fixed cost in the streamed-admission restart bench).
+    */
+  final case class BandStateHandle private[ext] (
+      state: DataFrame, prefixes: Option[Int])
+
+  def openBandState(spark: org.apache.spark.sql.SparkSession,
+                    stateDir: String): BandStateHandle = {
+    val st = spark.read.parquet(stateDir)
+    val p =
+      if (!st.columns.contains("bpfx") ||
+        !st.columns.contains("state_prefixes")) None
+      else st.select(col("state_prefixes")).limit(1).collect()
+        .headOption.map(_.getInt(0))
+    BandStateHandle(st, p)
+  }
+
   /** Read persisted band state restricted to the cells `probe` (a band
     * table) can collide with. Partitioned layouts prune at the file
     * index via an `isin` over the partition columns — the probe's
@@ -443,19 +468,23 @@ object Dedup {
     * layouts return the full state — same semantics, no pruning.
     */
   def readBandState(spark: org.apache.spark.sql.SparkSession,
-                    stateDir: String, probe: DataFrame): DataFrame = {
-    val st = spark.read.parquet(stateDir)
-    if (!st.columns.contains("bpfx") || !st.columns.contains("state_prefixes")) st
-    else st.select(col("state_prefixes")).limit(1).collect().headOption match {
-      case None => st // empty partitioned state: nothing to prune
-      case Some(r) =>
-        val p = r.getInt(0)
+                    stateDir: String, probe: DataFrame): DataFrame =
+    readBandState(openBandState(spark, stateDir), probe)
+
+  /** [[readBandState]] over a pre-resolved [[BandStateHandle]] — the
+    * per-micro-batch form: only the probe's cell collect runs per
+    * call; listing and layout probing were paid once at open.
+    */
+  def readBandState(handle: BandStateHandle, probe: DataFrame): DataFrame =
+    handle.prefixes match {
+      case None => handle.state // flat or empty: full state, same semantics
+      case Some(p) =>
         val cells = probe
           .select((col("band") * p + bpfxOf(p)).cast("int").as("_cell"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        st.filter((col("band") * p + col("bpfx")).cast("int").isin(cells: _*))
+        handle.state
+          .filter((col("band") * p + col("bpfx")).cast("int").isin(cells: _*))
     }
-  }
 
   /** Append band rows to existing state IN ITS OWN layout: partitioned
     * states get a partitioned append with the stamped fan-out, flat

@@ -47,11 +47,18 @@ object Eval {
     *        enum (a class in one-vs-rest, a gate), `scoreCol` the
     *        EXACT discrete score (fixed-point long — float scores
     *        with engine-specific rounding would make tie-groups
-    *        diverge), `labelCol` boolean ground truth.
+    *        diverge), `labelCol` boolean ground truth. Rows with a
+    *        NULL score are EXCLUDED up front (explicitly, round 16):
+    *        a null has no rank — and the engines disagree on where
+    *        one sorts (Spark ranges NULLS FIRST, SQL windows default
+    *        NULLS LAST), so admitting them would silently diverge
+    *        from any SQL oracle; n_pos/n_neg therefore count SCORED
+    *        rows only.
     */
   def aucByKey(scored: DataFrame, keyCol: String, scoreCol: String,
                labelCol: String): DataFrame = {
     val grouped = scored
+      .filter(col(scoreCol).isNotNull)
       .groupBy(col(keyCol), col(scoreCol).as("_s"))
       .agg(count(when(col(labelCol), 1)).as("_np"),
         count(when(!col(labelCol), 1)).as("_nn"))
@@ -98,7 +105,11 @@ object Eval {
       .map(r => (r.get(0), r.getLong(2)) -> ((r.getLong(1), r.getDouble(3))))
       .toMap
     val nOfKey = collected.map { case ((k, _), (n, _)) => k -> n }
-    implicit val ord: Ordering[Any] = Ordering.by(_.toString)
+    // null-safe key order (round 16): the generic high-cardinality key
+    // axis (per-domain, per-source) makes NULL keys plausible, and the
+    // output order is presentational only — NULL sorts first.
+    implicit val ord: Ordering[Any] =
+      Ordering.by(k => if (k == null) "" else k.toString)
     val rows = nOfKey.keys.toSeq.sorted.flatMap { k =>
       val n = nOfKey(k)
       qs.map { q =>
@@ -118,18 +129,24 @@ object Eval {
   /** Score-calibration (reliability) table per key: fixed-width bins
     * of the exact score, each with its population, positive count and
     * empirical positive rate — the reliability diagram as a query.
-    * Bin id is the exact FLOOR division `(s − pmod(s, w)) / w`
-    * (portable for negative scores, where engines disagree on `%`
-    * sign and truncating `div` would round toward zero); `bin_lo =
-    * bin·w` rides along so the table reads as score intervals.
+    * Bin id is the exact FLOOR division `(s − pmod(s, w)) div w`:
+    * the pmod subtraction makes the numerator an exact non-positive-
+    * remainder multiple of w (portable for negative scores, where
+    * engines disagree on `%` sign), and `div` keeps the division in
+    * LONG arithmetic — exact over the full long range, where an IEEE
+    * double division would silently lose bin-id precision beyond
+    * 2^53 (round 16; the DuckDB mirror uses `//` for the same
+    * reason). `bin_lo = bin·w` rides along so the table reads as
+    * score intervals.
     * One partial-agg groupBy — output is bounded by the score RANGE
     * over the bin width, never by corpus size.
     */
   def calibrationBins(scored: DataFrame, keyCol: String, scoreCol: String,
                       labelCol: String, binWidth: Long): DataFrame = {
     require(binWidth >= 1, "calibrationBins: bin width must be positive")
-    val s = col(scoreCol)
-    val bin = ((s - pmod(s, lit(binWidth))) / lit(binWidth)).cast("long")
+    val bin = expr(
+      s"CAST(`$scoreCol` - pmod(`$scoreCol`, ${binWidth}L) AS BIGINT) " +
+        s"div ${binWidth}L")
     scored
       .groupBy(col(keyCol), bin.as("bin"))
       .agg(count(lit(1)).as("n"),

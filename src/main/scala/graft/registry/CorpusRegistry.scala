@@ -205,13 +205,22 @@ private[graft] object CorpusRegistry {
       // sources here, thousands of domains in production — ONE
       // two-pass exactRanksByKey selection either way, never a
       // per-key job loop, never per-source window tasks.
+      // DECILES since round 16 (q = k/10): per-domain weighting reads
+      // the tails harder than quartiles, and ANY q set rides the same
+      // two passes (ranks resolve per key after the counting pass).
+      // k/10 is not an exact binary fraction, but parity holds anyway:
+      // both engines evaluate ceil(q·n) on the SAME IEEE double (the
+      // literal 0.1 and 1/10.0 round to one bit pattern), so the
+      // selected rank — and the member of the multiset it lands on —
+      // is identical even where float error shifts it off the
+      // mathematical decile.
       val docs = Tables.documents(s, d)
       val scored = TextAnalysis.lmScoreBigram(docs,
           TextAnalysis.bigramLmTrain(docs))
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .filter(col("avg_lp").isNotNull)
       ext.Eval.scoreProfileByKey(scored, "source", "avg_lp", "doc_id",
-          Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+          (0 to 10).map(_ / 10.0))
         .orderBy("source", "q")
     }),
 
@@ -646,6 +655,37 @@ private[graft] object CorpusRegistry {
         tmp)
     }),
 
+    "corpus_admission_gate_auc" -> ((s, d) => {
+      // which scored gate CARRIES the decision (round 16, closing the
+      // builder's gate-AUC thread): exact Mann-Whitney AUC of each
+      // scored gate's score against the final keep/drop verdict — a
+      // gate whose score RANKS kept docs above dropped ones is
+      // load-bearing signal; one near 0.5 is either redundant overlap
+      // or a pure veto the ensemble's other gates already express.
+      // This is the prior question to the threshold sweep (is the
+      // score worth cutting on at all), asked of the ensemble itself.
+      // Report staged ONCE (the lifecycle discipline — the decision
+      // label and the five scored-gate legs read the same staged
+      // table, not two live report subtrees); all five gates ride ONE
+      // keyed two-pass prefix sum (Eval.aucByKey), no per-gate loop.
+      // Scores are the report's oracle-pinned doubles: tie-groups
+      // need bit-identical values, not integral ones, and every score
+      // column is already hash-pinned by the report oracle.
+      val tmp = TempDirs.create("graft-adm-gauc-").toString
+      admissionReportFor(s, d).write.parquet(s"$tmp/report")
+      val rep = s.read.parquet(s"$tmp/report")
+      val kept = rep.filter(col("gate") === "8_decision")
+        .select(col("doc_id"), col("pass").as("is_kept"))
+      val scored = rep
+        .filter(col("gate") =!= "8_decision" && col("score").isNotNull)
+        .select(col("doc_id"), col("gate"), col("score"))
+        .join(kept, Seq("doc_id"))
+      detachAndClean(
+        graft.ext.Eval.aucByKey(scored, "gate", "score", "is_kept")
+          .orderBy("gate"),
+        tmp)
+    }),
+
     "corpus_admission_report_compacted" -> ((s, d) => {
       // POST-COMPACTION gate parity (round 15): the 7_neardup gate
       // reads persisted band state, and compactNearDupState rewrites
@@ -835,21 +875,38 @@ private[graft] object CorpusRegistry {
         tmp)
     }),
 
-    "corpus_admission_score_drift" -> ((s, d) => {
-      // SCORE-DISTRIBUTION drift under retraining (round 15): the
-      // churn query counts verdict FLIPS; this one measures how the
-      // score distributions themselves MOVE — gateScoreProfile's
-      // exact type-1 quantiles per release over the model_churn
-      // topology (shared docs, per-release LM/NB). The three frozen
-      // scored gates (quality, contamination, near-dup) ride along as
-      // an internal control: their per-release profiles must be
-      // IDENTICAL (frozen artifacts over the same docs), pinned by an
-      // in-query require, while 5_lm / 6_nb show the retrain drift.
-      // 2 releases × 5 scored gates × 5 quantiles = 50 bounded rows.
+    "corpus_admission_retrain_lifecycle" -> ((s, d) => {
+      // the RETRAIN AXIS amortized (round 16): the round-15 trio
+      // (model_churn rollups / score_drift / retrain_calibration) each
+      // staged the SAME t0/t1 report pair — 2 LM trains + 2 NB trains
+      // + 2 full 7-gate reports rebuilt three times over, ~80 s of
+      // bench for ~28 s of distinct work. This query is the production
+      // shape: the pair is staged ONCE and every retrain consumer
+      // reads the staged tables —
+      //   kind='churn'   per model gate: n_shared / n_flipped /
+      //                  n_gain (fail→pass) / n_loss (pass→fail),
+      //   kind='sweep'   lmThresholdSweep against EACH release's
+      //                  report joined on threshold (which LM cut
+      //                  holds n_admit stable across a retrain),
+      //   kind='profile' per-release exact type-1 score quantiles
+      //                  (score_drift's content; the three frozen
+      //                  scored gates ride as the in-query control
+      //                  that must be bit-identical between releases),
+      //   kind='bins'    NEW — per-release reliability bins of the
+      //                  'en' one-vs-rest NB margin vs the TRUE lang
+      //                  label: does the margin's MEANING move when
+      //                  the model retrains, not just its verdicts
+      //                  (churn) and its quantiles (profile). Margins
+      //                  are exact longs (the text_nb_calibration
+      //                  discipline), so the bins are engine-portable.
+      // Output: one stacked bounded table, ~90 rows regardless of
+      // corpus size. Cross-rollup laws pinned in-query: the sweep's
+      // admit delta at the production cut equals the decision gate's
+      // n_gain − n_loss, and the frozen gates' profiles cannot drift.
       val docs = Tables.documents(s, d)
       val shared = docs.filter(col("doc_id") % 7 =!= 1 &&
         col("doc_id") % 7 =!= 2)
-      val tmp = TempDirs.create("graft-adm-drift-").toString
+      val tmp = TempDirs.create("graft-adm-rlc-").toString
       val (gate, sem) = admissionGateCfg(s, d)
       val seenBands = admissionBandState(s, d, s"$tmp/bands")
       Seq("t0" -> docs.filter(col("doc_id") % 7 =!= 1),
@@ -865,67 +922,24 @@ private[graft] object CorpusRegistry {
               nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
                 numHashes = 8, bandWidth = 2)))
             .write.partitionBy("gate").parquet(s"$tmp/rep_$name")
-      }
-      val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
-      val prof = Seq("t0", "t1").map { name =>
-        ext.Admission.gateScoreProfile(
-            s.read.parquet(s"$tmp/rep_$name"), qs)
-          .select(lit(name).as("release"), col("gate"), col("q"),
-            col("n_scored"), col("score"))
-      }.reduce(_ unionByName _)
-      val out = detachAndClean(
-        prof.orderBy("release", "gate", "q"), tmp)
-      // internal control off the bounded checkpoint: the frozen gates'
-      // profiles cannot drift between releases
-      val frozen = out.filter(col("gate")
-          .isin("2_quality", "3_contamination", "7_neardup")).collect()
-        .groupBy(r => (r.getString(1), r.getDouble(2)))
-      frozen.foreach { case ((g, q), rs) =>
-        require(rs.map(r => (r.getLong(3), r.getDouble(4)))
-            .distinct.length == 1,
-          s"frozen gate $g drifted between releases at q=$q — " +
-            "an artifact leaked into the per-release model build")
-      }
-      out
-    }),
-
-    "corpus_admission_retrain_calibration" -> ((s, d) => {
-      // RETRAIN calibration rollups (round 15): the churn query emits
-      // the per-doc flip table; this query completes it with the two
-      // bounded rollups a release manager actually reads, both off
-      // ONE staged report pair (the lifecycle amortization applied to
-      // the retrain axis). kind='churn': per model gate, n_shared /
-      // n_flipped / n_gain (fail→pass) / n_loss (pass→fail) — a
-      // bounded-group aggregate over the (doc_id, gate) equi-join.
-      // kind='sweep': lmThresholdSweep run against EACH release's
-      // report and joined on threshold — which LM cut holds n_admit
-      // stable across a retrain (the drift-aware threshold re-pick).
-      // In-query law tying the two: at the production cut, the admit
-      // delta between releases equals n_gain − n_loss of the decision
-      // gate — the sweep and the churn cannot drift apart.
-      val docs = Tables.documents(s, d)
-      val shared = docs.filter(col("doc_id") % 7 =!= 1 &&
-        col("doc_id") % 7 =!= 2)
-      val tmp = TempDirs.create("graft-adm-recal-").toString
-      val (gate, sem) = admissionGateCfg(s, d)
-      val seenBands = admissionBandState(s, d, s"$tmp/bands")
-      Seq("t0" -> docs.filter(col("doc_id") % 7 =!= 1),
-          "t1" -> docs.filter(col("doc_id") % 7 =!= 2)).foreach {
-        case (name, rel) =>
-          val lm = TextAnalysis.bigramLmTrain(rel)
-            .localCheckpoint(eager = true)
-          val nb = graft.ext.Classifier.nbTrain(rel)
-            .localCheckpoint(eager = true)
-          ext.Admission.report(shared, Seq("src0", "src1"), gate,
-              contamThreshold = 0.3, semantic = sem, lmModel = lm,
-              minAvgLp = -3.40, nbModel = nb, allowedLabels = Seq("en"),
-              nearDup = Some(ext.Admission.NearDupCfg(seenBands, w = 5,
-                numHashes = 8, bandWidth = 2)))
-            .write.mode("overwrite").parquet(s"$tmp/rep_$name")
+          // the margin table for the bins leg, staged beside its
+          // release's report: one nbScores fan-out + the bounded
+          // per-doc margin windows — the only artifact the report
+          // itself does not carry (its 6_nb score is the argmax
+          // score_fp, which keeps the document-length term; the
+          // margin cancels it, which is what makes it calibratable)
+          ext.Classifier.nbMargins(ext.Classifier.nbScores(shared, nb))
+            .filter(col("label") === "en")
+            .join(shared.select(col("doc_id"), col("lang")), Seq("doc_id"))
+            .select(col("doc_id"), col("margin_fp"),
+              (col("lang") === "en").as("is_pos"))
+            .write.parquet(s"$tmp/mg_$name")
       }
       val rep0 = s.read.parquet(s"$tmp/rep_t0")
       val rep1 = s.read.parquet(s"$tmp/rep_t1")
       val nl = lit(null).cast("bigint")
+      val nlS = lit(null).cast("string")
+      val nlD = lit(null).cast("double")
       val churn = rep0.select(col("doc_id"), col("gate"),
           col("pass").as("pass_t0"))
         .join(rep1.select(col("doc_id"), col("gate"),
@@ -939,6 +953,13 @@ private[graft] object CorpusRegistry {
             .as("n_gain"),
           count(when(col("pass_t0") && !col("pass_t1"), lit(1)))
             .as("n_loss"))
+        .select(lit("churn").as("kind"), col("gate"), nlS.as("release"),
+          nlD.as("threshold"), nlD.as("q"), nl.as("n_scored"),
+          nlD.as("score"), col("n_shared"), col("n_flipped"),
+          col("n_gain"), col("n_loss"), nl.as("n_fail_t0"),
+          nl.as("n_admit_t0"), nl.as("n_fail_t1"), nl.as("n_admit_t1"),
+          nl.as("bin"), nl.as("bin_lo"), nl.as("n"), nl.as("n_pos"),
+          nlD.as("pos_rate"))
       val ts = Seq(-3.60, -3.50, -3.40, -3.30, -3.20)
       val sweep = ext.Admission.lmThresholdSweep(rep0, ts)
         .select(col("threshold"), col("n_fail").as("n_fail_t0"),
@@ -946,29 +967,62 @@ private[graft] object CorpusRegistry {
         .join(ext.Admission.lmThresholdSweep(rep1, ts)
           .select(col("threshold"), col("n_fail").as("n_fail_t1"),
             col("n_admit").as("n_admit_t1")), Seq("threshold"))
+        .select(lit("sweep").as("kind"), nlS.as("gate"),
+          nlS.as("release"), col("threshold"), nlD.as("q"),
+          nl.as("n_scored"), nlD.as("score"), nl.as("n_shared"),
+          nl.as("n_flipped"), nl.as("n_gain"), nl.as("n_loss"),
+          col("n_fail_t0"), col("n_admit_t0"), col("n_fail_t1"),
+          col("n_admit_t1"), nl.as("bin"), nl.as("bin_lo"), nl.as("n"),
+          nl.as("n_pos"), nlD.as("pos_rate"))
+      val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+      val prof = Seq("t0", "t1").map { name =>
+        ext.Admission.gateScoreProfile(s.read.parquet(s"$tmp/rep_$name"),
+            qs)
+          .select(lit("profile").as("kind"), col("gate"),
+            lit(name).as("release"), nlD.as("threshold"), col("q"),
+            col("n_scored"), col("score"), nl.as("n_shared"),
+            nl.as("n_flipped"), nl.as("n_gain"), nl.as("n_loss"),
+            nl.as("n_fail_t0"), nl.as("n_admit_t0"), nl.as("n_fail_t1"),
+            nl.as("n_admit_t1"), nl.as("bin"), nl.as("bin_lo"),
+            nl.as("n"), nl.as("n_pos"), nlD.as("pos_rate"))
+      }.reduce(_ unionByName _)
+      val bins = Seq("t0", "t1").map { name =>
+        graft.ext.Eval.calibrationBins(
+            s.read.parquet(s"$tmp/mg_$name")
+              .withColumn("release", lit(name)),
+            "release", "margin_fp", "is_pos", binWidth = 4000L)
+          .select(lit("bins").as("kind"), lit("nb_margin_en").as("gate"),
+            col("release"), nlD.as("threshold"), nlD.as("q"),
+            nl.as("n_scored"), nlD.as("score"), nl.as("n_shared"),
+            nl.as("n_flipped"), nl.as("n_gain"), nl.as("n_loss"),
+            nl.as("n_fail_t0"), nl.as("n_admit_t0"), nl.as("n_fail_t1"),
+            nl.as("n_admit_t1"), col("bin"), col("bin_lo"), col("n"),
+            col("n_pos"), col("pos_rate"))
+      }.reduce(_ unionByName _)
       val out = detachAndClean(
-        churn.select(lit("churn").as("kind"), col("gate"),
-            lit(null).cast("double").as("threshold"),
-            col("n_shared"), col("n_flipped"), col("n_gain"),
-            col("n_loss"), nl.as("n_fail_t0"), nl.as("n_admit_t0"),
-            nl.as("n_fail_t1"), nl.as("n_admit_t1"))
-          .unionByName(sweep.select(lit("sweep").as("kind"),
-            lit(null).cast("string").as("gate"), col("threshold"),
-            nl.as("n_shared"), nl.as("n_flipped"), nl.as("n_gain"),
-            nl.as("n_loss"), col("n_fail_t0"), col("n_admit_t0"),
-            col("n_fail_t1"), col("n_admit_t1")))
-          .orderBy("kind", "gate", "threshold"),
+        churn.unionByName(sweep).unionByName(prof).unionByName(bins)
+          .orderBy("kind", "gate", "release", "threshold", "q", "bin"),
         tmp)
-      // 8 bounded rows off the checkpoint: the cross-rollup law
+      // laws off the bounded checkpoint (~90 rows):
       val rows = out.collect()
-      val dec = rows.find(r => r.getString(0) == "churn" &&
-        r.getString(1) == "8_decision").get
-      val prod = rows.find(r => r.getString(0) == "sweep" &&
-        r.getDouble(2) == -3.40).get
-      require(prod.getLong(10) - prod.getLong(8) ==
-          dec.getLong(5) - dec.getLong(6),
+      val dec = rows.find(r => r.getAs[String]("kind") == "churn" &&
+        r.getAs[String]("gate") == "8_decision").get
+      val prod = rows.find(r => r.getAs[String]("kind") == "sweep" &&
+        r.getAs[Double]("threshold") == -3.40).get
+      require(prod.getAs[Long]("n_admit_t1") - prod.getAs[Long]("n_admit_t0") ==
+          dec.getAs[Long]("n_gain") - dec.getAs[Long]("n_loss"),
         "sweep admit delta at the production cut must equal the " +
           "decision gate's n_gain - n_loss — the two rollups drifted")
+      rows.filter(r => r.getAs[String]("kind") == "profile" &&
+          Seq("2_quality", "3_contamination", "7_neardup")
+            .contains(r.getAs[String]("gate")))
+        .groupBy(r => (r.getAs[String]("gate"), r.getAs[Double]("q")))
+        .foreach { case ((g, q), rs) =>
+          require(rs.map(r => (r.getAs[Long]("n_scored"),
+              r.getAs[Double]("score"))).distinct.length == 1,
+            s"frozen gate $g drifted between releases at q=$q — an " +
+              "artifact leaked into the per-release model build")
+        }
       out
     }),
 
@@ -1292,8 +1346,10 @@ private[graft] object CorpusRegistry {
     // per-source type-1 quantile selection over the shared lm chain:
     // rank-join at greatest(1, ceil(q·n)) within each source — the
     // same member-of-the-multiset contract as the gate profile oracle.
+    // Deciles (round 16): ceil runs on the same IEEE double in both
+    // engines, so the non-binary fractions still select one rank.
     "corpus_source_quality_profile" ->
-      (lmPerDocCte + """
+      (lmPerDocCte + s"""
         |, src AS (
         |  SELECT l.doc_id, d.source, l.avg_lp
         |  FROM lm l JOIN documents d USING (doc_id)
@@ -1308,7 +1364,7 @@ private[graft] object CorpusRegistry {
         |SELECT r.source, q.q, r.n AS n_scored, r.avg_lp AS score
         |FROM r
         |JOIN (SELECT CAST(q AS DOUBLE) AS q
-        |      FROM (VALUES (0.0),(0.25),(0.5),(0.75),(1.0)) t(q)) q
+        |      FROM (VALUES ${(0 to 10).map(k => s"(${k / 10.0})").mkString(",")}) t(q)) q
         |  ON r.rn = greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
         |ORDER BY source, q""".stripMargin),
 
@@ -1825,8 +1881,8 @@ private[graft] object CorpusRegistry {
     "corpus_admission_matrix_releases" -> admissionMatrixReleasesOracle,
     "corpus_admission_funnel_releases" -> admissionFunnelReleasesOracle,
     "corpus_admission_model_churn" -> admissionModelChurnOracle,
-    "corpus_admission_score_drift" -> admissionScoreDriftOracle,
-    "corpus_admission_retrain_calibration" -> admissionRetrainCalibrationOracle,
+    "corpus_admission_retrain_lifecycle" -> admissionRetrainLifecycleOracle,
+    "corpus_admission_gate_auc" -> admissionGateAucOracle,
 
     "corpus_decontaminate_embedding" -> {
       // identical ±1 planes and band layout as the embedding-LSH dedup

@@ -1008,29 +1008,40 @@ private[graft] object Shared {
         |ORDER BY doc_id, gate""".stripMargin
   }
 
-  /** The retrain-calibration oracle (round 15): the churn rollup
-    * (per model gate: shared/flipped/gain/loss) and the per-release
-    * LM threshold sweep stacked over one `cver` chain — pins
-    * corpus_admission_retrain_calibration including its cross-rollup
-    * law (the admit delta at the production cut IS the decision
-    * gate's gain − loss, since both count the same verdict flips).
+  /** The retrain-lifecycle oracle (round 16, replacing the round-15
+    * trio's three standalone oracles): churn rollup, per-release LM
+    * threshold sweep, per-release score-quantile profiles and the
+    * per-release 'en'-margin reliability bins, ALL stacked over one
+    * `cver` chain — pinning corpus_admission_retrain_lifecycle
+    * including the cross-rollup law (the admit delta at the
+    * production cut IS the decision gate's gain − loss, since both
+    * count the same verdict flips) and the frozen-gate controls.
+    * The wide NULL-padded schema (20 columns) is the price of one
+    * oracle pinning four row shapes; every leg's padding is typed so
+    * the UNION resolves identically in both engines.
     */
-  lazy val admissionRetrainCalibrationOracle: String = {
+  lazy val admissionRetrainLifecycleOracle: String = {
     val gates = Seq(
       "5_lm" -> (("lm_pass_t0", "lm_pass_t1")),
       "6_nb" -> (("nb_pass_t0", "nb_pass_t1")),
       "8_decision" -> (("(frozen_pass AND lm_pass_t0 AND nb_pass_t0)",
         "(frozen_pass AND lm_pass_t1 AND nb_pass_t1)")))
     val nlB = "CAST(NULL AS BIGINT)"
+    val nlD = "CAST(NULL AS DOUBLE)"
+    val nlS = "CAST(NULL AS VARCHAR)"
+    val binPad = s"$nlB AS bin, $nlB AS bin_lo, $nlB AS n, " +
+      s"$nlB AS n_pos, $nlD AS pos_rate"
     val churn = gates.map { case (g, (p0, p1)) =>
-      s"""SELECT 'churn' AS kind, '$g' AS gate,
-         |       CAST(NULL AS DOUBLE) AS threshold,
+      s"""SELECT 'churn' AS kind, '$g' AS gate, $nlS AS release,
+         |       $nlD AS threshold, $nlD AS q, $nlB AS n_scored,
+         |       $nlD AS score,
          |       count(*) AS n_shared,
          |       count(*) FILTER (WHERE $p0 <> $p1) AS n_flipped,
          |       count(*) FILTER (WHERE NOT $p0 AND $p1) AS n_gain,
          |       count(*) FILTER (WHERE $p0 AND NOT $p1) AS n_loss,
          |       $nlB AS n_fail_t0, $nlB AS n_admit_t0,
-         |       $nlB AS n_fail_t1, $nlB AS n_admit_t1
+         |       $nlB AS n_fail_t1, $nlB AS n_admit_t1,
+         |       $binPad
          |FROM cver""".stripMargin
     }
     val sweep = Seq(-3.60, -3.50, -3.40, -3.30, -3.20).map { t =>
@@ -1040,17 +1051,158 @@ private[graft] object Shared {
            |       count(*) FILTER (WHERE frozen_pass AND nb_pass_$rel
            |         AND lm_score_$rel IS NOT NULL
            |         AND lm_score_$rel >= $t) AS n_admit_$rel""".stripMargin
-      s"""SELECT 'sweep' AS kind, CAST(NULL AS VARCHAR) AS gate,
-         |       CAST($t AS DOUBLE) AS threshold,
+      s"""SELECT 'sweep' AS kind, $nlS AS gate, $nlS AS release,
+         |       CAST($t AS DOUBLE) AS threshold, $nlD AS q,
+         |       $nlB AS n_scored, $nlD AS score,
          |       $nlB AS n_shared, $nlB AS n_flipped,
          |       $nlB AS n_gain, $nlB AS n_loss,
          |       ${leg("t0")},
-         |       ${leg("t1")}
+         |       ${leg("t1")},
+         |       $binPad
          |FROM cver""".stripMargin
     }
-    churnVerdictCtes + "\n" + (churn ++ sweep).mkString("\nUNION ALL\n") +
-      "\nORDER BY kind, gate, threshold"
+    val profile =
+      s"""SELECT 'profile' AS kind, r.gate, r.release,
+         |       $nlD AS threshold, q.q, r.n AS n_scored, r.score,
+         |       $nlB AS n_shared, $nlB AS n_flipped,
+         |       $nlB AS n_gain, $nlB AS n_loss,
+         |       $nlB AS n_fail_t0, $nlB AS n_admit_t0,
+         |       $nlB AS n_fail_t1, $nlB AS n_admit_t1,
+         |       $binPad
+         |FROM drank r
+         |JOIN (SELECT CAST(q AS DOUBLE) AS q
+         |      FROM (VALUES (0.0),(0.25),(0.5),(0.75),(1.0)) t(q)) q
+         |  ON r.rn = greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))""".stripMargin
+    val bins = Seq("t0" -> "0", "t1" -> "1").map { case (rel, i) =>
+      s"""SELECT 'bins' AS kind, 'nb_margin_en' AS gate, '$rel' AS release,
+         |       $nlD AS threshold, $nlD AS q, $nlB AS n_scored,
+         |       $nlD AS score,
+         |       $nlB AS n_shared, $nlB AS n_flipped,
+         |       $nlB AS n_gain, $nlB AS n_loss,
+         |       $nlB AS n_fail_t0, $nlB AS n_admit_t0,
+         |       $nlB AS n_fail_t1, $nlB AS n_admit_t1,
+         |       bin, CAST(bin * 4000 AS BIGINT) AS bin_lo,
+         |       CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+         |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+         |FROM cbin$i""".stripMargin
+    }
+    churnVerdictCtes + ",\n" + retrainProfileCtes + ",\n" +
+      retrainMarginBinCtes + "\n" +
+      (churn ++ sweep ++ Seq(profile) ++ bins).mkString("\nUNION ALL\n") +
+      "\nORDER BY kind, gate, release, threshold, q, bin"
   }
+
+  /** The gate-AUC oracle (round 16): each scored gate's score ranked
+    * against the final keep/drop decision — the text_nb_auc machinery
+    * (tie-group counts, cumulative-negatives window over DISTINCT
+    * scores, integer u2 numerator, one final division) applied to the
+    * admission ensemble's own decision table.
+    */
+  lazy val admissionGateAucOracle: String = {
+    val legs = Seq(
+      "2_quality" -> "q_score", "3_contamination" -> "c_score",
+      "5_lm" -> "lm_score", "6_nb" -> "nb_score",
+      "7_neardup" -> "nd_score").map { case (g, c) =>
+      s"""SELECT '$g' AS gate, v.$c AS s, a.kept
+         |FROM averd v JOIN adec a USING (doc_id)
+         |WHERE v.$c IS NOT NULL""".stripMargin
+    }
+    admissionVerdictCtes +
+      s""", adec AS (
+         |  SELECT doc_id,
+         |         (src_pass AND q_pass AND c_pass AND sem_pass
+         |          AND lm_pass AND nb_pass AND nd_pass) AS kept
+         |  FROM averd
+         |), aglong AS (
+         |${legs.mkString("\nUNION ALL\n")}
+         |), ag AS (
+         |  SELECT gate, s,
+         |         count(*) FILTER (WHERE kept) AS np,
+         |         count(*) FILTER (WHERE NOT kept) AS nn
+         |  FROM aglong GROUP BY 1, 2
+         |), ac AS (
+         |  SELECT gate, np, nn,
+         |         coalesce(sum(nn) OVER (PARTITION BY gate ORDER BY s
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cneg
+         |  FROM ag
+         |)
+         |SELECT gate, CAST(sum(np) AS BIGINT) AS n_pos,
+         |       CAST(sum(nn) AS BIGINT) AS n_neg,
+         |       CAST(sum(np * (2 * cneg + nn)) AS BIGINT) AS u2,
+         |       CASE WHEN sum(np) > 0 AND sum(nn) > 0
+         |         THEN CAST(sum(np * (2 * cneg + nn)) AS DOUBLE) /
+         |              (2.0 * sum(np) * sum(nn)) END AS auc
+         |FROM ac GROUP BY gate
+         |ORDER BY gate""".stripMargin
+  }
+
+  /** The per-release scored-gate long table + rank CTEs the lifecycle
+    * oracle's profile leg reads: frozen scored gates from the
+    * canonical chain restricted to the shared doc set, model-gate
+    * scores re-derived under each release's own training set, ranked
+    * per (release, gate) with the no-interpolation rank-join.
+    */
+  private lazy val retrainProfileCtes: String = {
+    def relLegs(rel: String, lmP: String, nbP: String) = Seq(
+      s"""SELECT '$rel' AS release, v.doc_id, '2_quality' AS gate,
+         |       v.q_score AS score FROM averd v JOIN dsh USING (doc_id)
+         |WHERE v.q_score IS NOT NULL""".stripMargin,
+      s"""SELECT '$rel', v.doc_id, '3_contamination', v.c_score
+         |FROM averd v JOIN dsh USING (doc_id)
+         |WHERE v.c_score IS NOT NULL""".stripMargin,
+      s"""SELECT '$rel', v.doc_id, '7_neardup', v.nd_score
+         |FROM averd v JOIN dsh USING (doc_id)
+         |WHERE v.nd_score IS NOT NULL""".stripMargin,
+      s"""SELECT '$rel', l.doc_id, '5_lm', l.avg_lp
+         |FROM ${lmP}lm l JOIN dsh USING (doc_id)
+         |WHERE l.avg_lp IS NOT NULL""".stripMargin,
+      s"""SELECT '$rel', f.doc_id, '6_nb', CAST(f.score_fp AS DOUBLE)
+         |FROM (SELECT doc_id, score_fp FROM ${nbP}fin WHERE rn = 1) f
+         |JOIN dsh USING (doc_id)""".stripMargin)
+    s"""dsh AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id % 7 <> 1 AND doc_id % 7 <> 2
+       |), dlong AS (
+       |${(relLegs("t0", "clm0_", "cnb0_") ++
+           relLegs("t1", "clm1_", "cnb1_")).mkString("\nUNION ALL\n")}
+       |), drank AS (
+       |  SELECT release, gate, score,
+       |         row_number() OVER (PARTITION BY release, gate
+       |                            ORDER BY score, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY release, gate) AS n
+       |  FROM dlong
+       |)""".stripMargin
+  }
+
+  /** Per-release 'en' one-vs-rest margin + reliability-bin CTEs for
+    * the lifecycle oracle's bins leg: the bounded self-join margin
+    * (the text_nb_calibration form) over each release's NB chain,
+    * restricted to the shared doc set, with the TRUE language as the
+    * ground-truth label and exact floor-division bin ids (`//` keeps
+    * the division integral — the Spark side's `div`).
+    */
+  private lazy val retrainMarginBinCtes: String =
+    Seq("0", "1").map { i =>
+      s"""cmg$i AS (
+         |  SELECT a.doc_id,
+         |         CAST(a.score_fp - max(b.score_fp) AS BIGINT) AS s
+         |  FROM cnb${i}_fin a JOIN cnb${i}_fin b
+         |    ON b.doc_id = a.doc_id AND b.label <> a.label
+         |  WHERE a.label = 'en'
+         |    AND a.doc_id % 7 <> 1 AND a.doc_id % 7 <> 2
+         |  GROUP BY a.doc_id, a.score_fp
+         |), clab$i AS (
+         |  SELECT m.s, (d.lang = 'en') AS is_pos
+         |  FROM cmg$i m JOIN documents d USING (doc_id)
+         |), cbin$i AS (
+         |  SELECT CAST((s - (((s % 4000) + 4000) % 4000)) // 4000
+         |           AS BIGINT) AS bin,
+         |         count(*) AS n,
+         |         count(*) FILTER (WHERE is_pos) AS n_pos
+         |  FROM clab$i GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
 
   /** The streamed model-rollout oracle (round 15): a doc's verdicts
     * are the t0-model columns of the churn chain if its batch arrived
@@ -1098,53 +1250,6 @@ private[graft] object Shared {
         |         CAST(NULL AS DOUBLE), model_version, batch_id FROM sver
         |)
         |ORDER BY doc_id, gate""".stripMargin
-  }
-
-  /** The score-drift oracle (round 15): per-release type-1 quantile
-    * profiles over the churn topology — frozen scored gates from the
-    * canonical chain (restricted to the shared doc set), model-gate
-    * scores re-derived under each release's own training set, ranked
-    * per (release, gate) with the same no-interpolation rank-join as
-    * the score-profile oracle.
-    */
-  lazy val admissionScoreDriftOracle: String = {
-    val chains = churnModelChains
-    def relLegs(rel: String, lmP: String, nbP: String) = Seq(
-      s"""SELECT '$rel' AS release, v.doc_id, '2_quality' AS gate,
-         |       v.q_score AS score FROM averd v JOIN dsh USING (doc_id)
-         |WHERE v.q_score IS NOT NULL""".stripMargin,
-      s"""SELECT '$rel', v.doc_id, '3_contamination', v.c_score
-         |FROM averd v JOIN dsh USING (doc_id)
-         |WHERE v.c_score IS NOT NULL""".stripMargin,
-      s"""SELECT '$rel', v.doc_id, '7_neardup', v.nd_score
-         |FROM averd v JOIN dsh USING (doc_id)
-         |WHERE v.nd_score IS NOT NULL""".stripMargin,
-      s"""SELECT '$rel', l.doc_id, '5_lm', l.avg_lp
-         |FROM ${lmP}lm l JOIN dsh USING (doc_id)
-         |WHERE l.avg_lp IS NOT NULL""".stripMargin,
-      s"""SELECT '$rel', f.doc_id, '6_nb', CAST(f.score_fp AS DOUBLE)
-         |FROM (SELECT doc_id, score_fp FROM ${nbP}fin WHERE rn = 1) f
-         |JOIN dsh USING (doc_id)""".stripMargin)
-    admissionVerdictCtes + ",\n" + chains +
-      s""", dsh AS (
-         |  SELECT doc_id FROM documents
-         |  WHERE doc_id % 7 <> 1 AND doc_id % 7 <> 2
-         |), dlong AS (
-         |${(relLegs("t0", "clm0_", "cnb0_") ++
-             relLegs("t1", "clm1_", "cnb1_")).mkString("\nUNION ALL\n")}
-         |), drank AS (
-         |  SELECT release, gate, score,
-         |         row_number() OVER (PARTITION BY release, gate
-         |                            ORDER BY score, doc_id) AS rn,
-         |         count(*) OVER (PARTITION BY release, gate) AS n
-         |  FROM dlong
-         |)
-         |SELECT r.release, r.gate, q.q, r.n AS n_scored, r.score
-         |FROM drank r
-         |JOIN (SELECT CAST(q AS DOUBLE) AS q
-         |      FROM (VALUES (0.0),(0.25),(0.5),(0.75),(1.0)) t(q)) q
-         |  ON r.rn = greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
-         |ORDER BY release, gate, q""".stripMargin
   }
 
   /** The per-release funnel oracle (round 15): like

@@ -345,12 +345,14 @@ private[graft] object TextRegistry {
 
     // reliability bins of the same margins: exact floor-division bin
     // ids (pmod subtraction — portable where engines disagree on the
-    // sign of % for negatives), empirical rate as the one float op.
+    // sign of % for negatives; `//` keeps the division integral so the
+    // id is exact over the full BIGINT range, mirroring Spark's `div`),
+    // empirical rate as the one float op.
     "text_nb_calibration" ->
       (nbCteFor(splitBucketSql("doc_id") + " < 80") + nbMarginLabCte + """
         |, b AS (
         |  SELECT label,
-        |         CAST((s - (((s % 4000) + 4000) % 4000)) / 4000 AS BIGINT) AS bin,
+        |         CAST((s - (((s % 4000) + 4000) % 4000)) // 4000 AS BIGINT) AS bin,
         |         count(*) AS n,
         |         count(*) FILTER (WHERE is_pos) AS n_pos
         |  FROM lab GROUP BY 1, 2

@@ -858,30 +858,35 @@ object Streams {
     // identically); passing a derived in-memory frame merely prices a
     // per-batch recompute unless the caller froze it themselves.
     // With `stateDir` set on the cfg the per-batch probe goes further:
-    // the batch's band table is built ONCE (persisted for the cell
-    // collect + handed to the report as the precomputed probe) and the
-    // state is re-read pruned to the cells that batch can collide with
-    // ([[graft.ext.Dedup.readBandState]]) — O(batch-cells) file reads
-    // per micro-batch instead of a full state scan, which is the whole
-    // point of writeBandState's band=/bpfx= layout. Pruning is exact
-    // (a collision outside the probe's cells is impossible), so
-    // decisions are bit-identical to the full-state join.
+    // the batch's band table is built ONCE (persisted — the cell
+    // collect is its materializing action, and the report then reads
+    // the cached blocks) and the state is re-read pruned to the cells
+    // that batch can collide with ([[graft.ext.Dedup.readBandState]])
+    // — O(batch-cells) file reads per micro-batch instead of a full
+    // state scan, which is the whole point of writeBandState's
+    // band=/bpfx= layout. Pruning is exact (a collision outside the
+    // probe's cells is impossible), so decisions are bit-identical to
+    // the full-state join. The state HANDLE (directory listing +
+    // one-row layout probe) is resolved ONCE here, not per batch: the
+    // state is frozen for the pipeline's lifetime, and the r15 form
+    // that re-opened it per micro-batch paid ~3 extra driver jobs ×
+    // batches × passes — the restart bench's 2.6× regression.
     val ndFrozen = nearDup
+    val ndState = ndFrozen.flatMap(g =>
+      g.stateDir.map(graft.ext.Dedup.openBandState(spark, _)))
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val (ndBatch, probe) = ndFrozen match {
-          case Some(g) if g.stateDir.isDefined =>
+        val (ndBatch, probe) = (ndFrozen, ndState) match {
+          case (Some(g), Some(h)) =>
             val p = graft.ext.Dedup.bandTable(batch.toDF(), g.w,
               g.numHashes, g.bandWidth).persist()
-            p.count() // materialize before the cell collect AND the report read it
             (Some(g.copy(
-              seenBands = graft.ext.Dedup.readBandState(spark,
-                g.stateDir.get, p),
+              seenBands = graft.ext.Dedup.readBandState(h, p),
               bands = Some(p))), Some(p))
-          case other => (other, None)
+          case (other, _) => (other, None)
         }
         val (lmB, nbB, verB) = modelsOf(batchId)
         val rep = graft.ext.Admission.report(batch.toDF(), benchSources,

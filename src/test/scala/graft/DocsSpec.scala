@@ -17,7 +17,10 @@ class DocsSpec extends AnyFunSuite {
     "corpus_flags", "corpus_release", // corpus-release OUTPUT tables
     "dedup_state_", "silver_dim_",    // prefix wildcards in prose
     "scale_ladder",                   // tools/scale_ladder.py
-    "stats_sketches"                  // retired in round 10 (documented)
+    "stats_sketches",                 // retired in round 10 (documented)
+    // retired in round 16 — folded into corpus_admission_retrain_lifecycle
+    // (kept in the doc as history)
+    "corpus_admission_score_drift", "corpus_admission_retrain_calibration"
   )
 
   test("every query name cited in COVERAGE.md resolves to a registered query") {

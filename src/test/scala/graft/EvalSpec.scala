@@ -62,6 +62,51 @@ class EvalSpec extends AnyFunSuite {
     assert(rows("mixed") === false)
   }
 
+  test("aucByKey: NULL scores are excluded — counts and u2 see scored rows only") {
+    import SparkTestBase.spark.implicits._
+    // engines disagree on where a NULL sorts (Spark ranges NULLS FIRST,
+    // SQL windows default NULLS LAST), so the operator's contract is to
+    // drop them up front; the result must equal the pre-filtered input's
+    val df = Seq(("k", Some(2L), true), ("k", None, true),
+      ("k", Some(1L), false), ("k", None, false), ("k", Some(2L), false))
+      .toDF("k", "s", "y")
+    val got = Eval.aucByKey(df, "k", "s", "y").collect().head
+    assert((got.getLong(1), got.getLong(2)) === ((1L, 2L)),
+      "null-scored rows must not count as positives/negatives")
+    val filtered = Eval.aucByKey(df.filter(col("s").isNotNull),
+      "k", "s", "y").collect().head
+    assert(got.toSeq === filtered.toSeq)
+  }
+
+  test("scoreProfileByKey: a NULL key is a key — profiled, not a crash") {
+    import SparkTestBase.spark.implicits._
+    // the generic high-cardinality axis (per-domain) makes null keys
+    // plausible; the output ordering is null-safe (round 16)
+    val df = Seq((Some("a"), 3.0, 1L), (Some("a"), 1.0, 2L),
+      (None, 5.0, 3L), (None, 7.0, 4L)).toDF("k", "s", "id")
+    val got = Eval.scoreProfileByKey(df, "k", "s", "id", Seq(0.0, 1.0))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1)) -> r.getDouble(3))
+      .toMap
+    assert(got((Some("a"), 0.0)) === 1.0 && got((Some("a"), 1.0)) === 3.0)
+    assert(got((None, 0.0)) === 5.0 && got((None, 1.0)) === 7.0)
+  }
+
+  test("calibrationBins: bin ids stay exact beyond 2^53 (long div, not IEEE)") {
+    import SparkTestBase.spark.implicits._
+    // an IEEE double division would silently round these bin ids; the
+    // long `div` path must agree with Math.floorDiv at any magnitude
+    val w = 4000L
+    val scores = Seq((1L << 60) + 1234L, (1L << 60) + 1235L,
+      -(1L << 60) - 77L, (1L << 61) + 3L)
+    val df = scores.map(s => ("k", s, true)).toDF("k", "s", "y")
+    val got = Eval.calibrationBins(df, "k", "s", "y", w).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val expect = scores.groupBy(Math.floorDiv(_, w))
+      .map { case (b, rs) => b -> rs.size.toLong }
+    assert(got === expect)
+  }
+
   test("property: calibrationBins == floor-division brute force, negative scores included") {
     import SparkTestBase.spark.implicits._
     val gen = for {
