@@ -1277,7 +1277,7 @@ private[graft] object CorpusRegistry {
          |  SELECT a, a FROM edges
          |  UNION
          |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
-         |), cl AS (
+         |), cl AS MATERIALIZED (
          |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1
          |), withc AS (
          |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
@@ -1524,7 +1524,7 @@ private[graft] object CorpusRegistry {
          |  WHERE d.source NOT IN ('src0','src1')
          |),
          |ek AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
-         |ekd AS (SELECT g.* FROM gated g JOIN ek USING (doc_id)),
+         |ekd AS MATERIALIZED (SELECT g.* FROM gated g JOIN ek USING (doc_id)),
          |pairs AS (
          |  SELECT d1, d2 FROM ($minhashPairsCoreSql) p
          |  WHERE d1 IN (SELECT doc_id FROM ekd)
@@ -1537,7 +1537,7 @@ private[graft] object CorpusRegistry {
          |  SELECT a, a FROM edges
          |  UNION
          |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
-         |), cl AS (
+         |), cl AS MATERIALIZED (
          |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1
          |), kb AS (
          |  SELECT cluster_id, doc_id AS keeper FROM (
@@ -1694,7 +1694,7 @@ private[graft] object CorpusRegistry {
          |  SELECT a, a FROM edges
          |  UNION
          |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b),
-         |cl AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1),
+         |cl AS MATERIALIZED (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1),
          |allc AS (
          |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
          |         d.n_chars

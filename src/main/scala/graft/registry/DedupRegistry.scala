@@ -624,7 +624,7 @@ private[graft] object DedupRegistry {
          |  SELECT a, a FROM edges
          |  UNION
          |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b
-         |), cl AS (
+         |), cl AS MATERIALIZED (
          |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1
          |), j AS (
          |  SELECT cl.cluster_id, cl.doc_id, d.n_chars
@@ -659,7 +659,7 @@ private[graft] object DedupRegistry {
          |  SELECT a, a FROM edges
          |  UNION
          |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b),
-         |cl AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1),
+         |cl AS MATERIALIZED (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1),
          |allc AS (
          |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
          |         d.n_chars

@@ -187,12 +187,18 @@ private[graft] object Shared {
   // ---- generated oracle fragments (identical constants as the Spark
   //      plans: hash seeds, band layout, hyperplane matrix) --------------
 
-  /** toks+tri CTE bodies shared by the shingle-based dedup oracles. */
+  /** toks+tri CTE bodies shared by the shingle-based dedup oracles.
+    * `tri` is MATERIALIZED (round 16): DuckDB inlines plain CTEs, so
+    * every consumer re-ran the shingle explode — the pair oracles
+    * reference it 3-4× and corpus_pipeline_e2e's chain multiplies
+    * that again (60.7 s → 0.6 s measured at sf0.01 with tri/mh/cl
+    * materialized). Pure evaluation hint; identical rows.
+    */
   val triSql =
     """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
       |  WHERE len(string_split(text, ' ')) >= 5
-      |), tri AS (
+      |), tri AS MATERIALIZED (
       |  SELECT DISTINCT doc_id,
       |         unnest(list_transform(generate_series(1, len(l)-4),
       |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
@@ -271,7 +277,7 @@ private[graft] object Shared {
         .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ',' || ")
       s"  SELECT doc_id, $b AS band, $k AS bkey FROM mh"
     }.mkString("\n  UNION ALL\n")
-    s"""mh AS (
+    s"""mh AS MATERIALIZED (
        |  SELECT doc_id,
        |$mhCols
        |  FROM tri GROUP BY doc_id
@@ -507,6 +513,14 @@ private[graft] object Shared {
     * state oracle swaps in the keeper-only band state; everything else
     * (gates, artifacts, verdict emission) is shared verbatim so the
     * variants cannot drift from the canonical chain.
+    *
+    * `averd` is `AS MATERIALIZED` (round 16): DuckDB inlines plain
+    * CTEs, so every oracle leg that reads averd re-ran the ENTIRE
+    * verdict chain — bloom probe, semantic sweep, LM and NB trains —
+    * once per leg; the per-release matrix oracle (72 legs) took 261 s
+    * at sf0.01 and 2.8 s materialized, measured on this box. Pure
+    * evaluation hint, bit-identical output; the driver gate's compare
+    * phase is the consumer that must not time out.
     */
   def admissionVerdictCtesWith(
       andState: String =
@@ -613,7 +627,7 @@ private[graft] object Shared {
          |    AND ${cosineSql("x.embedding", "y.embedding")} >= 0.42
          |), ${lmPerDocChain(_ => "TRUE", "alm_")},
          |${nbChain("TRUE", "anb_")},
-         |averd AS (
+         |averd AS MATERIALIZED (
          |  SELECT d.doc_id,
          |    d.source NOT IN ('src0','src1') AS src_pass,
          |    (a.n_tok >= 5 AND a.n_stop >= 1 AND 4*a.n_dis >= a.n_tok) AS q_pass,
@@ -964,7 +978,7 @@ private[graft] object Shared {
     */
   private lazy val churnVerdictCtes: String =
     admissionVerdictCtes + ",\n" + churnModelChains +
-      """, cver AS (
+      """, cver AS MATERIALIZED (
         |  SELECT v.doc_id,
         |    (v.src_pass AND v.q_pass AND v.c_pass AND v.sem_pass
         |     AND v.nd_pass) AS frozen_pass,
