@@ -1043,8 +1043,12 @@ private[graft] object Shared {
     val nlB = "CAST(NULL AS BIGINT)"
     val nlD = "CAST(NULL AS DOUBLE)"
     val nlS = "CAST(NULL AS VARCHAR)"
+    // the AUC slice (round 17) widens the stacked schema by three
+    // columns; every non-auc leg pads them NULL in the same position
+    // so the UNION resolves identically in both engines
+    val aucPad = s"$nlB AS n_neg, $nlB AS u2, $nlD AS auc"
     val binPad = s"$nlB AS bin, $nlB AS bin_lo, $nlB AS n, " +
-      s"$nlB AS n_pos, $nlD AS pos_rate"
+      s"$nlB AS n_pos, $nlD AS pos_rate, " + aucPad
     val churn = gates.map { case (g, (p0, p1)) =>
       s"""SELECT 'churn' AS kind, '$g' AS gate, $nlS AS release,
          |       $nlD AS threshold, $nlD AS q, $nlB AS n_scored,
@@ -1097,13 +1101,76 @@ private[graft] object Shared {
          |       $nlB AS n_fail_t1, $nlB AS n_admit_t1,
          |       bin, CAST(bin * 4000 AS BIGINT) AS bin_lo,
          |       CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
-         |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+         |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+         |       $aucPad
          |FROM cbin$i""".stripMargin
     }
+    val auc =
+      s"""SELECT 'auc' AS kind, gate, release,
+         |       $nlD AS threshold, $nlD AS q,
+         |       CAST(n_pos + n_neg AS BIGINT) AS n_scored, $nlD AS score,
+         |       $nlB AS n_shared, $nlB AS n_flipped,
+         |       $nlB AS n_gain, $nlB AS n_loss,
+         |       $nlB AS n_fail_t0, $nlB AS n_admit_t0,
+         |       $nlB AS n_fail_t1, $nlB AS n_admit_t1,
+         |       $nlB AS bin, $nlB AS bin_lo, $nlB AS n, n_pos,
+         |       $nlD AS pos_rate, n_neg, u2, auc
+         |FROM rlauc""".stripMargin
     churnVerdictCtes + ",\n" + retrainProfileCtes + ",\n" +
-      retrainMarginBinCtes + "\n" +
-      (churn ++ sweep ++ Seq(profile) ++ bins).mkString("\nUNION ALL\n") +
+      retrainMarginBinCtes + ",\n" + retrainAucCtes + "\n" +
+      (churn ++ sweep ++ Seq(profile) ++ bins ++ Seq(auc))
+        .mkString("\nUNION ALL\n") +
       "\nORDER BY kind, gate, release, threshold, q, bin"
+  }
+
+  /** Per-(release, gate) exact-AUC CTEs for the lifecycle oracle's
+    * auc slice (round 17): each scored gate's fixed-point-projected
+    * score ranked against THAT release's keep/drop verdict — frozen
+    * gates read `averd` (their scores do not move; the label under
+    * them does), model gates read `cver`'s per-release scores. The
+    * tie-group / cumulative-negatives / integer-u2 machinery is the
+    * gate-AUC oracle's, keyed by (release, gate).
+    */
+  private lazy val retrainAucCtes: String = {
+    def legs(rel: String) = {
+      val kept = s"(c.frozen_pass AND c.lm_pass_$rel AND c.nb_pass_$rel)"
+      Seq("2_quality" -> "v.q_score", "3_contamination" -> "v.c_score",
+        "7_neardup" -> "v.nd_score").map { case (g, sc) =>
+        s"""SELECT '$rel' AS release, '$g' AS gate,
+           |       ${aucScoreFpSql(g, sc)} AS s, $kept AS kept
+           |FROM cver c JOIN averd v USING (doc_id)
+           |WHERE $sc IS NOT NULL""".stripMargin
+      } ++ Seq(
+        s"""SELECT '$rel', '5_lm',
+           |       ${aucScoreFpSql("5_lm", s"c.lm_score_$rel")}, $kept
+           |FROM cver c WHERE c.lm_score_$rel IS NOT NULL""".stripMargin,
+        s"""SELECT '$rel', '6_nb',
+           |       ${aucScoreFpSql("6_nb", s"c.nb_score_$rel")}, $kept
+           |FROM cver c WHERE c.nb_score_$rel IS NOT NULL""".stripMargin)
+    }
+    s"""rlong AS (
+       |${(legs("t0") ++ legs("t1")).mkString("\nUNION ALL\n")}
+       |), rlag AS (
+       |  SELECT release, gate, s,
+       |         count(*) FILTER (WHERE kept) AS np,
+       |         count(*) FILTER (WHERE NOT kept) AS nn
+       |  FROM rlong GROUP BY 1, 2, 3
+       |), rlac AS (
+       |  SELECT release, gate, np, nn,
+       |         coalesce(sum(nn) OVER (PARTITION BY release, gate ORDER BY s
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           0) AS cneg
+       |  FROM rlag
+       |), rlauc AS (
+       |  SELECT release, gate,
+       |         CAST(sum(np) AS BIGINT) AS n_pos,
+       |         CAST(sum(nn) AS BIGINT) AS n_neg,
+       |         CAST(sum(np * (2 * cneg + nn)) AS BIGINT) AS u2,
+       |         CASE WHEN sum(np) > 0 AND sum(nn) > 0
+       |           THEN CAST(sum(np * (2 * cneg + nn)) AS DOUBLE) /
+       |                (2.0 * sum(np) * sum(nn)) END AS auc
+       |  FROM rlac GROUP BY 1, 2
+       |)""".stripMargin
   }
 
   /** The gate-AUC oracle (round 16): each scored gate's score ranked
@@ -1112,12 +1179,22 @@ private[graft] object Shared {
     * scores, integer u2 numerator, one final division) applied to the
     * admission ensemble's own decision table.
     */
+  /** The fixed-point rank projection the AUC oracles share with the
+    * Spark side's `admissionScoreFp` (round 17): NB scores are exact
+    * integral doubles (plain CAST); fractional scores go through
+    * floor(s·2^40) — exact in both engines, order-preserving,
+    * identical sub-2^-40 tie-merging.
+    */
+  private def aucScoreFpSql(gate: String, c: String): String =
+    if (gate == "6_nb") s"CAST($c AS BIGINT)"
+    else s"CAST(floor($c * 1099511627776.0) AS BIGINT)"
+
   lazy val admissionGateAucOracle: String = {
     val legs = Seq(
       "2_quality" -> "q_score", "3_contamination" -> "c_score",
       "5_lm" -> "lm_score", "6_nb" -> "nb_score",
       "7_neardup" -> "nd_score").map { case (g, c) =>
-      s"""SELECT '$g' AS gate, v.$c AS s, a.kept
+      s"""SELECT '$g' AS gate, ${aucScoreFpSql(g, s"v.$c")} AS s, a.kept
          |FROM averd v JOIN adec a USING (doc_id)
          |WHERE v.$c IS NOT NULL""".stripMargin
     }
