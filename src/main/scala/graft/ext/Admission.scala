@@ -121,14 +121,16 @@ object Admission {
     require(allowedLabels.nonEmpty,
       "admission report: empty allowed-label set would reject everything")
     // contamination probe: corpusCleanStream's projection verbatim
-    // (5-shingles, distinct, Bloom might-contain fraction), guarded for
-    // sub-5-token docs the stream form never sees (its quality gate
-    // runs first; the report evaluates every gate on every doc)
-    val t = split(col("text"), " ", -1)
-    val shArr = when(size(t) >= 5,
-      array_distinct(transform(sequence(lit(0), size(t) - lit(5)),
-        i => array_join(slice(t, i + lit(1), lit(5)), " "))))
-      .otherwise(array().cast("array<string>"))
+    // (5-shingles, distinct, Bloom might-contain fraction) — via the
+    // native codegen'd ShingleArray kernel (round 17; bit-identical to
+    // the array_distinct(transform(sequence, slice, array_join)) chain,
+    // whose per-element lambdas Catalyst interprets), with the sub-5-
+    // token and null-text guards folded in (empty array both ways —
+    // the stream form never sees either; the report evaluates every
+    // gate on every doc)
+    val shArr = coalesce(
+      graft.functions.KeyColumns.shingle_array(col("text"), 5),
+      array().cast("array<string>"))
     val nTok = size(split(col("text"), " "))
     val wide = docs.select(col("doc_id"), col("source"), col("text"))
       .withColumn("_src_pass", !col("source").isin(benchSources: _*))

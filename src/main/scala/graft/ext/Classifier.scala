@@ -48,19 +48,52 @@ object Classifier {
     */
   def hashedFeatureCounts(docs: DataFrame, buckets: Int,
                           carry: Seq[String] = Nil): DataFrame = {
-    val toks = split(col("text"), " ")
-    val keep = carry.map(col)
-    val uni = docs.select(col("doc_id") +: keep :+ explode(toks).as("f"): _*)
-    val bi = docs.filter(size(toks) >= 2)
-      .select(col("doc_id") +: keep :+
-        explode(transform(sequence(lit(0), size(toks) - lit(2)),
-          i => concat(element_at(toks, i + 1), lit(" "),
-            element_at(toks, i + 2)))).as("f"): _*)
-    uni.unionByName(bi)
-      .select(col("doc_id") +: keep :+
-        pmod(Dedup.hash32(concat(lit("nb|"), col("f"))), lit(buckets))
-          .cast("int").as("bucket"): _*)
-      .groupBy(col("doc_id") +: keep :+ col("bucket"): _*)
+    // Typed flatMap (round 17): ONE pass emits every unigram and bigram
+    // occurrence's bucket directly — the round-13 form built the bigram
+    // strings through an interpreted array-transform lambda, unioned two
+    // corpus scans, and md5-hex'd each feature through
+    // conv(substring(...)); this is the Dedup.shingles finding applied
+    // to the feature kernel. Bit-identical buckets: the JVM hash is the
+    // same first-4-md5-bytes value ([[graft.functions.KeyFunctions
+    // .md5First32]]) of the same "nb|"-salted feature string, and split
+    // keeps trailing empty tokens (limit -1) like split()/string_split.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    require(carry.size <= 1 && carry.forall(c =>
+      docs.schema(c).dataType == org.apache.spark.sql.types.StringType),
+      s"hashedFeatureCounts: carry must be at most one STRING column, " +
+        s"got ${carry.mkString(", ")}")
+    def bucketsOf(text: String): Iterator[Int] =
+      if (text == null) Iterator.empty
+      else {
+        val t = text.split(" ", -1)
+        def b(f: String): Int =
+          (graft.functions.KeyFunctions.md5First32(
+            UTF8String.fromString("nb|" + f)) % buckets).toInt
+        val uni = t.iterator.map(b)
+        val bi =
+          if (t.length < 2) Iterator.empty
+          else (0 until t.length - 1).iterator
+            .map(i => b(t(i) + " " + t(i + 1)))
+        uni ++ bi
+      }
+    val bucketed = carry match {
+      case Seq() =>
+        docs.select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .flatMap { case (id, text) => bucketsOf(text).map(bk => (id, bk)) }
+          .toDF("doc_id", "bucket")
+      case Seq(k) =>
+        docs.select(col("doc_id").cast("long"), col(k), col("text"))
+          .as[(Long, String, String)]
+          .flatMap { case (id, kv, text) =>
+            bucketsOf(text).map(bk => (id, kv, bk))
+          }
+          .toDF("doc_id", k, "bucket")
+    }
+    bucketed
+      .groupBy(col("doc_id") +: carry.map(col) :+ col("bucket"): _*)
       .agg(count(lit(1)).as("n"))
   }
 

@@ -726,18 +726,51 @@ object Corpus {
     */
   private def hashedNgramFeatures(docs: DataFrame, buckets: Int,
                                   carry: Seq[String] = Nil): DataFrame = {
-    val toks = split(col("text"), " ")
-    val keep = carry.map(col)
-    val uni = docs.select(col("doc_id") +: keep :+ explode(toks).as("f"): _*)
-    val bi = docs.filter(size(toks) >= 2)
-      .select(col("doc_id") +: keep :+
-        explode(transform(sequence(lit(0), size(toks) - lit(2)),
-          i => concat(element_at(toks, i + 1), lit(" "),
-            element_at(toks, i + 2)))).as("f"): _*)
-    uni.unionByName(bi)
-      .select(col("doc_id") +: keep :+
-        pmod(Dedup.hash32(concat(lit("dsir|"), col("f"))), lit(buckets))
-          .cast("int").as("bucket"): _*)
+    // Typed flatMap (round 17, the hashedFeatureCounts rewrite applied
+    // to the DSIR family): one corpus pass emits every uni+bigram
+    // occurrence's bucket directly via the JVM md5First32 kernel —
+    // bit-identical buckets (same "dsir|"-salted md5-first-8-hex value,
+    // split keeps trailing empty tokens), no interpreted array lambda,
+    // no two-scan union, no hex round-trip. Carry is the one boolean
+    // slice flag the sliced estimator threads through.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    def bucketsOf(text: String): Iterator[Int] =
+      if (text == null) Iterator.empty
+      else {
+        val t = text.split(" ", -1)
+        def b(f: String): Int =
+          (graft.functions.KeyFunctions.md5First32(
+            UTF8String.fromString("dsir|" + f)) % buckets).toInt
+        val uni = t.iterator.map(b)
+        val bi =
+          if (t.length < 2) Iterator.empty
+          else (0 until t.length - 1).iterator
+            .map(i => b(t(i) + " " + t(i + 1)))
+        uni ++ bi
+      }
+    carry match {
+      case Seq() =>
+        docs.select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .flatMap { case (id, text) => bucketsOf(text).map(bk => (id, bk)) }
+          .toDF("doc_id", "bucket")
+      case Seq(k) =>
+        require(docs.schema(k).dataType ==
+          org.apache.spark.sql.types.BooleanType,
+          s"hashedNgramFeatures: carry column '$k' must be boolean, got " +
+            docs.schema(k).dataType)
+        docs.select(col("doc_id").cast("long"),
+            col(k).cast("boolean"), col("text"))
+          .as[(Long, Option[Boolean], String)]
+          .flatMap { case (id, flag, text) =>
+            bucketsOf(text).map(bk => (id, flag, bk))
+          }
+          .toDF("doc_id", k, "bucket")
+      case other => throw new IllegalArgumentException(
+        s"hashedNgramFeatures: at most one carry column, got $other")
+    }
   }
 
   /** Per-bucket importance log-ratio table — the DSIR estimator (Xie et

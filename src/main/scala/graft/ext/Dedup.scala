@@ -92,9 +92,12 @@ object Dedup {
 
   /** Portable 32-bit hash: first 8 hex chars of md5, as a long.
     * Engine-portable (DuckDB: CAST('0x' || substr(md5(s),1,8) AS BIGINT)).
+    * Computed by the native codegen'd [[graft.functions.Md5First32]]
+    * (first 4 digest bytes, unsigned) — bit-identical to the
+    * conv(substring(md5, 1, 8), 16, 10) form, without the hex-string
+    * materialization and base-16 parse per row (round 17).
     */
-  def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def hash32(c: Column): Column = graft.functions.KeyColumns.md5_first32(c)
 
   /** Exact pairwise n-gram Jaccard with LOSSLESS prefix filtering.
     *
@@ -353,15 +356,19 @@ object Dedup {
     * min per partition). TWO md5 digests per shingle yield eight 32-bit
     * hash functions (chunked substrings) — 4× fewer digest computations
     * than one md5 per hash function, with the same independence for
-    * min-hashing.
+    * min-hashing. The chunks come from the native codegen'd
+    * [[graft.functions.Md5MinhashChunks]] (round 17): bit-identical to
+    * the conv(substring(concat(md5, md5), 8k+1, 8), 16, 10) family,
+    * without the 64-char hex concat and eight substring+conv parses
+    * per shingle.
     */
   private def minhashesOf(tri: DataFrame, numHashes: Int): DataFrame = {
-    val hashed = tri.withColumn("m",
-      concat(md5(concat(lit("0|"), col("sh"))), md5(concat(lit("1|"), col("sh")))))
+    val hashed = tri.select(col("doc_id"),
+      graft.functions.KeyColumns.md5_minhash_chunks(col("sh")).as("ch"))
     hashed.groupBy(col("doc_id"))
-      .agg(min(conv(substring(col("m"), 1, 8), 16, 10).cast("long")).as("mh0"),
+      .agg(min(element_at(col("ch"), 1)).as("mh0"),
         (1 until numHashes).map(s =>
-          min(conv(substring(col("m"), 8 * s + 1, 8), 16, 10).cast("long")).as(s"mh$s")): _*)
+          min(element_at(col("ch"), s + 1)).as(s"mh$s")): _*)
   }
 
   /** Band keys from a signature frame: concatenate bandWidth consecutive

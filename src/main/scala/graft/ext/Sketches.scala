@@ -193,8 +193,10 @@ object Sketches {
     * salted per row, so the DuckDB oracle computes the identical sketch.
     */
   private def cmBucket(item: Column, j: Int, width: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"$j|"), item)), 1, 8), 16, 10)
-      .cast("long"), lit(width))
+    // native md5_first32 (round 17): same value as the conv(substring)
+    // form, no hex-string round-trip per (row, depth) pair.
+    pmod(graft.functions.KeyColumns.md5_first32(
+      concat(lit(s"$j|"), item)), lit(width))
 
   /** Count-Min sketch of an item stream — the heavy-hitter counting
     * sketch: `depth`×`width` counters, item counted once per row at its
@@ -262,8 +264,11 @@ object Sketches {
     * reproducible and the DuckDB oracle computes the identical one.
     */
   private def bloomPos(item: Column, j: Int, numBits: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"b$j|"), item)), 1, 8), 16, 10)
-      .cast("long"), lit(numBits))
+    // native md5_first32 (round 17): same salted-md5 32-bit value as the
+    // conv(substring(md5(...), 1, 8), 16, 10) form, codegen'd, no
+    // hex-string round-trip — this runs k times per probed item.
+    pmod(graft.functions.KeyColumns.md5_first32(
+      concat(lit(s"b$j|"), item)), lit(numBits))
 
   /** DETERMINISTIC Bloom filter over an item stream — the membership
     * prefilter a decontamination / blocklist pass runs before paying an

@@ -85,8 +85,13 @@ object TextAnalysis {
     */
   val qualityPass: org.apache.spark.sql.Column = {
     val stopArr = array(qualityStopwords.map(lit): _*)
+    // arrays_overlap == "at least one stopword hit" (round 17): same
+    // truth value as size(filter(...)) >= 1 over non-null token arrays,
+    // without the interpreted per-element lambda — this predicate runs
+    // on every document at the streaming front door and in every
+    // admission report.
     size(toks) >= 5 &&
-      size(filter(toks, t => array_contains(stopArr, t))) >= 1 &&
+      arrays_overlap(toks, stopArr) &&
       size(array_distinct(toks)) * 4 >= size(toks)
   }
 
@@ -427,16 +432,30 @@ object TextAnalysis {
 
   /** Consecutive whitespace-token bigrams of each document, one row per
     * occurrence: `(doc_id, w1, w2)`. Pairs are formed INSIDE the scan
-    * stage (array `transform` over the split — no positional self-join,
-    * no shuffle); documents shorter than two tokens contribute nothing.
+    * stage (no positional self-join, no shuffle); documents shorter than
+    * two tokens contribute nothing. A typed flatMap rather than the
+    * round-13 `explode(transform(sequence(...)))` chain: Catalyst array
+    * lambdas are interpreted per element, and this projection runs over
+    * the FULL corpus in every LM train and every LM scoring pass — the
+    * [[graft.ext.Dedup.shingles]] finding (~7× at sf0.1) applied to the
+    * bigram kernel (round 17). Same rows: split keeps trailing empty
+    * tokens (limit -1), `size < 2` docs drop, pair multiplicity kept.
     */
-  private def bigramPairs(docs: DataFrame): DataFrame =
-    docs.filter(size(toks) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(toks) - lit(2)),
-          i => struct(element_at(toks, i + 1).as("w1"),
-            element_at(toks, i + 2).as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+  private def bigramPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val t = text.split(" ", -1)
+          if (t.length < 2) Iterator.empty
+          else (0 until t.length - 1).iterator.map(i => (id, t(i), t(i + 1)))
+        }
+      }
+      .toDF("doc_id", "w1", "w2")
+  }
 
   /** Add-one-smoothed bigram language model trained over `docs` — the
     * CCNet/Gopher-style model-based quality signal's trainable half.
@@ -579,14 +598,31 @@ object TextAnalysis {
             (col("n_pairs").cast("double") * lit(1000.0))).as("avg_lp"))
   }
 
-  /** [[bigramPairs]] with the partition key carried alongside. */
-  private def bigramPairsBy(docs: DataFrame, key: String): DataFrame =
-    docs.filter(size(toks) >= 2)
-      .select(col("doc_id"), col(key),
-        explode(transform(sequence(lit(0), size(toks) - lit(2)),
-          i => struct(element_at(toks, i + 1).as("w1"),
-            element_at(toks, i + 2).as("w2")))).as("p"))
-      .select(col("doc_id"), col(key), col("p.w1"), col("p.w2"))
+  /** [[bigramPairs]] with the partition key carried alongside — the same
+    * typed flatMap (round 17). The key column must be a string (every
+    * caller keys on a language/source tag); a non-string key would
+    * silently change the model frame's key type through the encoder, so
+    * refuse loudly instead.
+    */
+  private def bigramPairsBy(docs: DataFrame, key: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(docs.schema(key).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"bigramPairsBy: key column '$key' must be a string, got " +
+        docs.schema(key).dataType)
+    docs.select(col("doc_id").cast("long"), col(key), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, k, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val t = text.split(" ", -1)
+          if (t.length < 2) Iterator.empty
+          else (0 until t.length - 1).iterator.map(i => (id, k, t(i), t(i + 1)))
+        }
+      }
+      .toDF("doc_id", key, "w1", "w2")
+  }
 
   /** ADDITIVE n-gram count state for incremental LM training: one row
     * per distinct unigram (`kind='uni'`, `w2=''`) and bigram

@@ -30,6 +30,75 @@ object KeyFunctions {
     java.nio.ByteBuffer.wrap(dig, 0, 8).getLong
   }
 
+  /** First 4 md5 digest bytes as an unsigned 32-bit value in a long —
+    * bit-identical to `conv(substring(md5(s), 1, 8), 16, 10)::bigint`
+    * (the engine-portable 32-bit hash family used by the Bloom/KMV/CMS
+    * sketches, the hashed-feature buckets and every salted-hash
+    * sampler), without materializing the 32-char hex string and
+    * base-16-parsing a substring of it per row.
+    */
+  def md5First32(s: UTF8String): Long = {
+    val dig = md5.get().digest(s.getBytes)
+    ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+      ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+  }
+
+  private def chunk32(d: Array[Byte], i: Int): Long =
+    ((d(4 * i) & 0xFFL) << 24) | ((d(4 * i + 1) & 0xFFL) << 16) |
+      ((d(4 * i + 2) & 0xFFL) << 8) | (d(4 * i + 3) & 0xFFL)
+
+  /** The eight 32-bit minhash hash values of one shingle: the four
+    * big-endian 32-bit chunks of md5("0|" ++ s) followed by the four of
+    * md5("1|" ++ s) — bit-identical to the
+    * `conv(substring(concat(md5(concat('0|', s)), md5(concat('1|', s))),
+    * 8·k+1, 8), 16, 10)` family ([[graft.ext.Dedup]]'s minhash kernel),
+    * with two digest calls and zero hex-string round-trips per shingle.
+    */
+  def md5MinhashChunks(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val d = md5.get()
+    val b = s.getBytes
+    d.update('0'.toByte); d.update('|'.toByte); d.update(b)
+    val d0 = d.digest()
+    d.update('1'.toByte); d.update('|'.toByte); d.update(b)
+    val d1 = d.digest()
+    val out = new Array[Long](8)
+    var i = 0
+    while (i < 4) { out(i) = chunk32(d0, i); out(i + 4) = chunk32(d1, i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Distinct w-token shingles of a single-space-delimited text, in
+    * first-occurrence order — bit-identical to
+    * `array_distinct(transform(sequence(0, size(t)-w),
+    * i -> array_join(slice(t, i+1, w), ' ')))` over
+    * `t = split(text, ' ', -1)` with the size(t) >= w guard (fewer than
+    * w tokens → empty array), as one JVM sliding window instead of an
+    * interpreted per-element lambda chain.
+    */
+  def shingleArray(s: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    // limit -1 keeps trailing empty tokens — split()/string_split parity,
+    // the Dedup.shingles convention
+    val t = s.toString.split(" ", -1)
+    if (t.length < w)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + w <= t.length) {
+        val sb = new java.lang.StringBuilder(t(i))
+        var j = 1
+        while (j < w) { sb.append(' ').append(t(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** Double-precision dot product over two float/double arrays (the
     * `aD`/`bD` flags select each side's element width — constants folded
     * by the JIT), index-ordered — bit-compatible with DuckDB's
@@ -85,6 +154,73 @@ case class SignedMd5Long(child: Expression)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.KeyFunctions$$.MODULE$$.signedMd5Long($c)")
   override protected def withNewChildInternal(newChild: Expression): SignedMd5Long =
+    copy(child = newChild)
+}
+
+/** Native 32-bit md5 hash (first 4 digest bytes, unsigned) — the
+  * codegen'd form of the portable hash family
+  * `conv(substring(md5(s), 1, 8), 16, 10)::bigint`. Same value, no
+  * hex-string materialization, no base-16 substring parse.
+  */
+case class Md5First32(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"md5_first32 expects a string column, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    KeyFunctions.md5First32(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.KeyFunctions$$.MODULE$$.md5First32($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5First32 =
+    copy(child = newChild)
+}
+
+/** Native minhash chunk vector: the eight 32-bit hash values of one
+  * shingle (two salted md5 digests, four big-endian chunks each) as
+  * array<bigint> — the [[graft.ext.Dedup]] signature kernel without the
+  * 64-char hex concat and eight substring+conv parses per shingle.
+  */
+case class Md5MinhashChunks(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"md5_minhash_chunks expects a string column, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    KeyFunctions.md5MinhashChunks(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.KeyFunctions$$.MODULE$$.md5MinhashChunks($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5MinhashChunks =
+    copy(child = newChild)
+}
+
+/** Native distinct w-shingle array of a text column — the contamination
+  * probe's shingle projection as one JVM sliding window (bit-identical
+  * to the array_distinct(transform(sequence, slice, array_join)) chain,
+  * which Catalyst evaluates as interpreted per-element lambdas).
+  */
+case class ShingleArray(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, "shingle width must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_array expects a string column, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    KeyFunctions.shingleArray(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.KeyFunctions$$.MODULE$$.shingleArray($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleArray =
     copy(child = newChild)
 }
 
@@ -148,6 +284,11 @@ object KeyColumns {
     column(CosineSimilarity(expression(a), expression(b)))
   def dot_native(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def md5_first32(c: Column): Column = column(Md5First32(expression(c)))
+  def md5_minhash_chunks(c: Column): Column =
+    column(Md5MinhashChunks(expression(c)))
+  def shingle_array(c: Column, w: Int): Column =
+    column(ShingleArray(expression(c), w))
 
   /** Register all three for SQL callers (`SELECT signed_md5_long(x) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -168,10 +168,11 @@ object Streams {
                         semantic: Option[SemanticGate] = None): DataFrame = {
     val gated = graft.ext.TextAnalysis.qualityGateDocs(
       docs.filter(!col("source").isin(benchSources: _*)))
-    val t = split(col("text"), " ", -1)
-    val shArr = array_distinct(transform(
-      sequence(lit(0), size(t) - lit(5)),
-      i => array_join(slice(t, i + lit(1), lit(5)), " ")))
+    // native ShingleArray kernel (round 17): bit-identical distinct
+    // 5-shingles without the interpreted per-element lambda chain; the
+    // quality gate upstream guarantees >= 5 tokens, and the < 5 guard
+    // is inside the kernel anyway (empty array).
+    val shArr = graft.functions.KeyColumns.shingle_array(col("text"), 5)
     val shingled = gated
       .withColumn("n_sh", size(shArr))
       .withColumn("n_hit", size(filter(shArr, shingleGate)))

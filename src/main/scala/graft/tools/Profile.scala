@@ -105,6 +105,52 @@ object Profile {
       graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
       spark.stop(); return
     }
+    if (args.contains("--admission")) {
+      // stage walls of the standalone admission-report chain (round 17):
+      // where do the ~10 s of corpus_admission_report actually go —
+      // models, gate artifacts, band state, or the report DAG itself.
+      import graft.ext.{Admission, Classifier, Corpus, Dedup, Sketches, TextAnalysis}
+      val docs = Tables.documents(spark, sfDir)
+      val emb = Tables.embeddings(spark, sfDir)
+      val lm = time("lm train + freeze")(
+        TextAnalysis.bigramLmTrain(docs).localCheckpoint(eager = true))
+      val nb = time("nb train + freeze")(
+        Classifier.nbTrain(docs).localCheckpoint(eager = true))
+      val bench = docs.filter(col("source").isin("src0", "src1"))
+      val bloom = Sketches.bloomBuild(
+        Dedup.shingles(bench, w = 5).select(col("sh")), "sh",
+        numBits = 1 << 18, numHashes = 4)
+      val gate = time("bloom build + pack (collect)") {
+        val g = (sh: org.apache.spark.sql.Column) =>
+          Sketches.bloomGateColumn(bloom, sh, numBits = 1 << 18, numHashes = 4)
+        g(lit("probe")) // forces the collect+pack inside the timer
+        g
+      }
+      val sig = time("bench signature table")(
+        Corpus.benchSignatureTable(docs, emb, Seq("src0", "src1"))
+          .localCheckpoint(eager = true))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-admprof-").toString
+      val bands = time("band state build+write+read") {
+        Dedup.writeBandState(
+          Dedup.bandTable(docs.filter(col("doc_id") % 7 === 3),
+            w = 5, numHashes = 8, bandWidth = 2),
+          s"$tmp/state", "overwrite")
+        spark.read.parquet(s"$tmp/state")
+      }
+      val rep = Admission.report(docs, Seq("src0", "src1"), gate,
+        contamThreshold = 0.3,
+        semantic = Some(Admission.SemanticCfg(emb, sig, threshold = 0.42)),
+        lmModel = lm, minAvgLp = -3.40,
+        nbModel = nb, allowedLabels = Seq("en"),
+        nearDup = Some(Admission.NearDupCfg(bands, w = 5,
+          numHashes = 8, bandWidth = 2)))
+      time("report execute (count)")(rep.count())
+      time("report execute again")(rep.count())
+      time("report + orderBy (registered shape)")(
+        rep.orderBy("doc_id", "gate").count())
+      graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
+      spark.stop(); return
+    }
     // comma-separated names run once each in THIS session (the A/B
     // harness shape: one JVM, many queries, uniform conf); a single
     // name keeps the run1/run2 cold-vs-warm split.
