@@ -217,7 +217,11 @@ object Admission {
       case None => withSem.withColumn("_nd_pass", lit(true))
         .withColumn("_nd_score", lit(null).cast("double"))
     }
-    val lm = TextAnalysis.lmScoreBigram(docs, lmModel)
+    // sparse scorer (round 18, guide §2.4): the zero-fill form re-scans
+    // docs and re-shuffles it on doc_id only to emit NULL-avg_lp rows —
+    // this report's own LEFT join encodes a miss identically (_lm_pass
+    // needs avg_lp non-null), so the extra scan + exchange go away.
+    val lm = TextAnalysis.lmScoreBigramSparse(docs, lmModel)
       .select(col("doc_id"), col("avg_lp"))
     val nb = Classifier.nbClassify(docs, nbModel, nbBuckets)
       .select(col("doc_id"), col("pred_label"), col("score_fp"))

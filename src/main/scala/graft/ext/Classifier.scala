@@ -59,25 +59,12 @@ object Classifier {
     // keeps trailing empty tokens (limit -1) like split()/string_split.
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.unsafe.types.UTF8String
     require(carry.size <= 1 && carry.forall(c =>
       docs.schema(c).dataType == org.apache.spark.sql.types.StringType),
       s"hashedFeatureCounts: carry must be at most one STRING column, " +
         s"got ${carry.mkString(", ")}")
-    def bucketsOf(text: String): Iterator[Int] =
-      if (text == null) Iterator.empty
-      else {
-        val t = text.split(" ", -1)
-        def b(f: String): Int =
-          (graft.functions.KeyFunctions.md5First32(
-            UTF8String.fromString("nb|" + f)) % buckets).toInt
-        val uni = t.iterator.map(b)
-        val bi =
-          if (t.length < 2) Iterator.empty
-          else (0 until t.length - 1).iterator
-            .map(i => b(t(i) + " " + t(i + 1)))
-        uni ++ bi
-      }
+    val biFn = bucketIter // local copy: the closure must not capture the object
+    def bucketsOf(text: String): Iterator[Int] = biFn(text, buckets)
     val bucketed = carry match {
       case Seq() =>
         docs.select(col("doc_id").cast("long"), col("text"))
@@ -97,6 +84,31 @@ object Classifier {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The hashed uni+bigram feature-bucket stream of one document — the
+    * ONE definition of the NB feature space, shared by the per-doc
+    * collapse ([[hashedFeatureCounts]]) and the direct label-grain
+    * training aggregation ([[nbCountsBuild]]). Salt `nb|`; split keeps
+    * trailing empty tokens (limit -1) like split()/string_split.
+    * A FUNCTION VALUE (bound to a local before each flatMap captures
+    * it): a method reference would drag the whole non-serializable
+    * Classifier object into the task closure.
+    */
+  private val bucketIter: (String, Int) => Iterator[Int] = (text, buckets) =>
+    if (text == null) Iterator.empty
+    else {
+      import org.apache.spark.unsafe.types.UTF8String
+      val t = text.split(" ", -1)
+      def b(f: String): Int =
+        (graft.functions.KeyFunctions.md5First32(
+          UTF8String.fromString("nb|" + f)) % buckets).toInt
+      val uni = t.iterator.map(b)
+      val bi =
+        if (t.length < 2) Iterator.empty
+        else (0 until t.length - 1).iterator
+          .map(i => b(t(i) + " " + t(i + 1)))
+      uni ++ bi
+    }
+
   /** Sentinel bucket carrying the per-label DOCUMENT count (the prior's
     * numerator) inside the same additive count frame as the feature
     * counts — one state table, one merge law, one fold discipline.
@@ -115,11 +127,29 @@ object Classifier {
   def nbCountsBuild(docs: DataFrame, labelCol: String = "lang",
                     buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, "nbCountsBuild: need at least two buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val labeled = docs.filter(col(labelCol).isNotNull)
       .withColumn("_label", col(labelCol).cast("string"))
-    val feat = hashedFeatureCounts(labeled, buckets, carry = Seq("_label"))
-      .groupBy(col("_label").as("label"), col("bucket"))
-      .agg(sum(col("n")).as("c"))
+    // direct label-grain aggregation (round 18, guide §2.3 — aggregate
+    // before you shuffle): training needs only Σ occurrences per
+    // (label, bucket), so routing the feature stream through
+    // hashedFeatureCounts' per-DOC collapse paid a corpus-grain
+    // exchange on (doc_id, label, bucket) before the label rollup.
+    // One aggregation instead of two: map-side combine collapses the
+    // occurrence stream to ≤ labels×buckets rows per partition before
+    // the only exchange. Counts are bit-identical (Σ over docs of
+    // per-doc occurrence counts == plain occurrence counts), and the
+    // per-doc form stays what classification joins on.
+    val biFn = bucketIter // local copy: the closure must not capture the object
+    val feat = labeled.select(col("_label"), col("text"))
+      .as[(String, String)]
+      .flatMap { case (label, text) =>
+        biFn(text, buckets).map(bk => (label, bk))
+      }
+      .toDF("label", "bucket")
+      .groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
     val docCounts = labeled.groupBy(col("_label").as("label"))
       .agg(count(lit(1)).as("c"))
       .select(col("label"), lit(DocCountBucket).as("bucket"), col("c"))

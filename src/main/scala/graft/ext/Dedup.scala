@@ -1570,9 +1570,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("dropped"), lit(1))).as("n_dropped"),
         array_join(
-          transform(
-            array_sort(collect_list(
-              when(!col("dropped"), struct(col("p"), col("tok"))))),
-            s => s.getField("tok")),
+          // struct-field extraction (GetArrayStructFields — a plain
+          // codegen'd expression) instead of the round-13 interpreted
+          // transform(_, s => s.getField("tok")) lambda; same array.
+          // (Round 18: a typed groupByKey.mapGroups rewrite of this
+          // kernel was measured 2.1× SLOWER on corpus_decontaminate_
+          // spans — per-TOKEN object serde plus the mapGroups sort
+          // loses to the hash aggregate's per-doc array ops — so the
+          // aggregate form stays; guide §1.1's fresh-ideal caveat.)
+          array_sort(collect_list(
+            when(!col("dropped"), struct(col("p"), col("tok")))))
+            .getField("tok"),
           " ").as("clean_text"))
 }

@@ -393,7 +393,15 @@ object Sketches {
       "kmvOverlapMatrix: not a grouped KMV sketch frame — need " +
         "(key, rank, h) as built by kmvBuildBy")
     requireStamp(sketches, "kmvOverlapMatrix input", Seq("k" -> k))
+    // materialized ONCE (≤ keys×k rows — bounded by the scaladoc's
+    // keys-are-sources contract): the matrix reads the sketch frame
+    // THREE times (key list, left side, right side), and a live
+    // kmvBuildBy input re-runs its corpus-scale shingle pipeline per
+    // read (round 18, guide §5; bench-neutral at sf0.1 — the win is
+    // the two corpus scans this saves at scale, priced by
+    // stats_overlap_incremental's improvement).
     val sk = sketches.select(col("key"), col("h"))
+      .localCheckpoint(eager = true)
     val keys = sk.select(col("key")).distinct()
     val pairs = keys.select(col("key").as("s1"))
       .crossJoin(keys.select(col("key").as("s2")))

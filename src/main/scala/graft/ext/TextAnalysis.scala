@@ -238,6 +238,7 @@ object TextAnalysis {
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "bpeMerges: at least one merge round")
     val spark = docs.sparkSession
+    import spark.implicits._
     // word-frequency table: BPE's working set (distinct words, not the
     // corpus). Empty tokens (double spaces) carry no symbols — dropped.
     var words = docs.select(explode(toks).as("word"))
@@ -250,13 +251,28 @@ object TextAnalysis {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     try {
       for (r <- 1 to rounds) {
-        val l = split(trim(col("seq")), " ")
-        val pairs = words
-          .filter(size(l) >= 2) // sequence(1, 0) would DEscend — guard
-          .select(col("cnt"), explode(transform(sequence(lit(1), size(l) - 1),
-            i => struct(element_at(l, i).as("p1"),
-              element_at(l, i + 1).as("p2")))).as("p"))
-          .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        // Typed flatMap (round 18): the pair projection ran as
+        // explode(transform(sequence(...))) — interpreted per symbol,
+        // once per merge ROUND over the distinct-word table (the r17
+        // Block-A finding applied to the BPE trainer). Same rows: seq
+        // is " s1 s2 ... sn " by construction (one boundary space each
+        // side, symbols non-empty and space-free), so slicing off the
+        // two boundary fields of a keep-empties split yields exactly
+        // the symbol list Spark's split(trim(seq), " ") produced — and
+        // unlike String.trim it cannot eat a control-char symbol.
+        // Words with <2 symbols contribute nothing; adjacent-pair
+        // multiplicity is weighted by cnt exactly as the grouped sum.
+        val pairs = words.select(col("seq"), col("cnt"))
+          .as[(String, Long)]
+          .flatMap { case (seq, cnt) =>
+            val t0 = seq.split(" ", -1)
+            val t = t0.slice(1, t0.length - 1)
+            if (t.length < 2) Iterator.empty
+            else (0 until t.length - 1).iterator
+              .map(i => (t(i), t(i + 1), cnt))
+          }
+          .toDF("p1", "p2", "cnt")
+          .groupBy(col("p1"), col("p2"))
           .agg(sum(col("cnt")).as("pc"))
         val best = pairs
           .orderBy(col("pc").desc, col("p1").asc, col("p2").asc)
@@ -513,7 +529,25 @@ object TextAnalysis {
     * rollup is one partial+final agg on doc_id. No windows, no
     * driver-side state.
     */
-  def lmScoreBigram(docs: DataFrame, model: DataFrame): DataFrame = {
+  def lmScoreBigram(docs: DataFrame, model: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(lmScoreBigramSparse(docs, model), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("sum_lp_fp"), lit(0L)).as("sum_lp_fp"),
+        col("avg_lp"))
+
+  /** [[lmScoreBigram]] WITHOUT the zero-fill join — one row per document
+    * with ≥ 1 bigram pair, `(doc_id, n_pairs, sum_lp_fp, avg_lp)` with
+    * n_pairs ≥ 1 and avg_lp NULL only under an empty model. The form for
+    * consumers that LEFT-join the scores onto a per-document frame they
+    * already hold (the admission report): the zero-fill join re-scans
+    * the corpus and re-shuffles it on doc_id purely to emit rows whose
+    * avg_lp is NULL — verdicts a left-join miss encodes identically
+    * (round 18, guide §2.4: remove shuffles outright).
+    */
+  private[graft] def lmScoreBigramSparse(docs: DataFrame,
+                                         model: DataFrame): DataFrame = {
     require(Seq("w1", "w2", "c2", "c1", "v").forall(model.columns.contains),
       "lmScoreBigram: not a bigram LM — need (w1, w2, c2, c1, v) as " +
         "built by bigramLmTrain")
@@ -534,15 +568,11 @@ object TextAnalysis {
       .crossJoin(v)
       .select(col("doc_id"),
         round(log(p) * lit(1000), 0).cast("long").as("lp_fp"))
-    val per = scored.groupBy(col("doc_id"))
+    scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("lp_fp")).as("sum_lp_fp"))
-    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        coalesce(col("sum_lp_fp"), lit(0L)).as("sum_lp_fp"),
-        when(col("n_pairs").isNotNull,
-          col("sum_lp_fp").cast("double") /
-            (col("n_pairs").cast("double") * lit(1000.0))).as("avg_lp"))
+      .select(col("doc_id"), col("n_pairs"), col("sum_lp_fp"),
+        (col("sum_lp_fp").cast("double") /
+          (col("n_pairs").cast("double") * lit(1000.0))).as("avg_lp"))
   }
 
   /** [[bigramLmTrain]] per partition key (CCNet trains ONE MODEL PER

@@ -273,8 +273,13 @@ private[graft] object ScaleStatsRegistry {
       // union stream: pass ⟺ persist → load → merge → persist → read is
       // indistinguishable from never having split the stream.
       val docs = Tables.documents(s, d)
+      // ONE tokenize pass feeds all six builds (round 18, guide §5):
+      // the six day-slice sketch builds each consumed a fresh
+      // scan+split+explode of the corpus — staged once here, the
+      // rebuild-forget shingle discipline applied to the token stream
+      // (a warehouse would likewise stage the token table per release).
       val tokens = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("token"))
+        explode(split(col("text"), " ")).as("token")).persist()
       val day1 = tokens.filter(col("doc_id") % 2 === 0).select(col("token"))
       val day2 = tokens.filter(col("doc_id") % 2 =!= 0).select(col("token"))
       val tmp = TempDirs.create("graft-sketchstate-").toString
@@ -293,6 +298,8 @@ private[graft] object ScaleStatsRegistry {
       ext.Sketches.kmvWrite(ext.Sketches.kmvMerge(256,
           s.read.parquet(s"$tmp/kmv1"),
           ext.Sketches.kmvBuild(day2, "token", k = 256)), s"$tmp/kmv2")
+      // every build is persisted state now — the staged token table is done
+      tokens.unpersist(blocking = false)
       val top = ext.TextAnalysis.topTokens(docs, 10).select(col("token"))
       val absent = s.range(10)
         .select(concat(lit("__absent_"), col("id")).as("token"))

@@ -743,8 +743,12 @@ object Streams {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // sparse scorer (round 18): the gate's >= cut rejects NULL
+        // avg_lp anyway, so the zero-fill join's rows could never
+        // survive — scoring only pair-bearing docs drops one batch
+        // scan + doc_id exchange per micro-batch (guide §2.4).
         val admitted = batch.toDF().join(
-          TextAnalysis.lmScoreBigram(batch.toDF(), model)
+          TextAnalysis.lmScoreBigramSparse(batch.toDF(), model)
             .filter(col("avg_lp") >= lit(minAvgLp))
             .select(col("doc_id"), col("n_pairs"), col("avg_lp")),
           Seq("doc_id"))
