@@ -174,25 +174,72 @@ object Similarity {
     * stays with sampled centroids). Recall < 1 by design: a true
     * neighbor in an unprobed cell is missed — the standard IVF trade.
     */
-  /** Corpus-side nearest-cell assignment as a PARTIAL-AGG ARGMAX —
-    * `max(struct(csim, -cell, emb))` per vector — NOT a window: map-side
-    * combine collapses the K-expanded scored rows back to one row per
-    * vector BEFORE the exchange, so the one shuffle carries corpus-sized
-    * rows and there is no Sort of the K× expansion (the plan a window
-    * assignment pays). Tie-break matches the window form exactly:
-    * highest csim, then lowest cell (max of the negated cell id) — the
-    * idiom shared with `keepBestPerCluster` and `silver_nearest`.
+  /** Above this centroid count the literal-projection assignment falls
+    * back to the crossJoin+argmax shape: a greatest() over thousands of
+    * literal-centroid cosines would blow the generated method past
+    * codegen limits, and at production cell counts (√N) the broadcast
+    * join is the scalable plan anyway.
+    */
+  private val LiteralAssignCap = 64
+
+  /** Corpus-side nearest-cell assignment.
+    *
+    * SMALL-K fast path (round 18, guide §2.4 — remove shuffles
+    * outright): the centroid table is bounded (≤ [[LiteralAssignCap]]
+    * on every registered path: numCells = 16), so collect it once and
+    * compute the argmax as ONE PROJECTION — `greatest()` over K
+    * `struct(csim, -cell)` literals. The crossJoin+agg form expanded
+    * every vector K×, carried a copy of its EMBEDDING in each expanded
+    * row, and shuffled that through the arg-max exchange; the
+    * projection form touches each vector once and shuffles NOTHING.
+    * Ordering semantics are identical by construction: struct
+    * comparison orders by (csim, -cell) exactly as `max(struct(csim,
+    * neg_cell, e))` did — highest csim, ties to the lowest cell — and
+    * greatest() uses the same NaN-greatest double ordering as max().
+    *
+    * LARGE-K path: the original PARTIAL-AGG ARGMAX — `max(struct(csim,
+    * -cell, emb))` per vector — NOT a window: map-side combine
+    * collapses the K-expanded scored rows back to one row per vector
+    * BEFORE the exchange (no Sort of the K× expansion). Same tie-break
+    * (the idiom shared with `keepBestPerCluster` and `silver_nearest`).
     * Output columns: (<id>, <embCol>, cell).
     */
   private[ext] def assignCells(df: DataFrame, id: String, embCol: String,
-                               centroids: DataFrame): DataFrame =
-    df.crossJoin(centroids)
-      .withColumn("csim", cosine(col(embCol), col("centroid")))
-      .groupBy(col(id))
-      .agg(max(struct(col("csim"), (-col("cell")).as("neg_cell"),
-        col(embCol).as("e"))).as("best"))
-      .select(col(id), col("best.e").as(embCol),
-        (-col("best.neg_cell")).as("cell"))
+                               centroids: DataFrame): DataFrame = {
+    val rows = centroids.select(col("cell"), col("centroid")).collect()
+    val literalOk = rows.nonEmpty && rows.length <= LiteralAssignCap &&
+      rows.forall(r => !r.isNullAt(0) && r.get(0).isInstanceOf[Long] &&
+        !r.isNullAt(1))
+    if (literalOk) {
+      val scored = rows
+        .map(r => (r.getLong(0), r.getSeq[Any](1)))
+        .sortBy(_._1)
+        .map { case (cell, cent) =>
+          // preserve the centroid column's ELEMENT TYPE (float corpus
+          // slices vs the k-means loop's double centroids) so the
+          // cosine evaluates on exactly the values the join form saw
+          val centLit = cent.headOption match {
+            case Some(_: Float) =>
+              typedLit(cent.map(_.asInstanceOf[Float]))
+            case _ =>
+              typedLit(cent.map(_.asInstanceOf[Double]))
+          }
+          struct(cosine(col(embCol), centLit).as("csim"),
+            lit(-cell).as("neg_cell"))
+        }
+      val best =
+        if (scored.length == 1) scored.head else greatest(scored: _*)
+      df.select(col(id), col(embCol),
+        (-best.getField("neg_cell")).as("cell"))
+    } else
+      df.crossJoin(centroids)
+        .withColumn("csim", cosine(col(embCol), col("centroid")))
+        .groupBy(col(id))
+        .agg(max(struct(col("csim"), (-col("cell")).as("neg_cell"),
+          col(embCol).as("e"))).as("best"))
+        .select(col(id), col("best.e").as(embCol),
+          (-col("best.neg_cell")).as("cell"))
+  }
 
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
               numCells: Int = 16, nprobe: Int = 4): DataFrame = {

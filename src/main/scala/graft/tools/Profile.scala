@@ -105,6 +105,34 @@ object Profile {
       graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
       spark.stop(); return
     }
+    if (args.contains("--vindex")) {
+      // stage walls of the persisted-index lifecycle (round 18): where
+      // do sim_index_compact / roundtrip / recenter actually spend —
+      // the quantizer+encode build, the per-append encode+write, the
+      // staged rewrite, or the search.
+      import graft.ext.VectorIndex
+      val emb = Tables.embeddings(spark, sfDir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vprof-").toString
+      val dir = s"$tmp/index"
+      time("build (1/2 corpus)")(
+        VectorIndex.build(emb.filter(col("vec_id") % 4 < 2), dir))
+      time("append 1 (1/4 corpus)")(
+        VectorIndex.append(spark, dir, emb.filter(col("vec_id") % 4 === 2)))
+      time("append 2 (1/4 corpus)")(
+        VectorIndex.append(spark, dir, emb.filter(col("vec_id") % 4 === 3)))
+      time("file count probe")(
+        spark.read.parquet(s"$dir/cells").select(input_file_name())
+          .distinct().count())
+      time("compact cells+codes")(VectorIndex.compact(spark, dir))
+      time("searchFlat nprobe=16")(
+        VectorIndex.searchFlat(spark, dir, emb.filter(col("vec_id") < 5),
+          k = 10, nprobe = 16).count())
+      time("recenter")(VectorIndex.recenter(spark, dir))
+      time("retain 3/4")(
+        VectorIndex.retain(spark, dir, emb.filter(col("vec_id") % 4 =!= 3)))
+      graft.plans.Pipeline.deleteRecursively(java.nio.file.Paths.get(tmp))
+      spark.stop(); return
+    }
     if (args.contains("--admission")) {
       // stage walls of the standalone admission-report chain (round 17):
       // where do the ~10 s of corpus_admission_report actually go —

@@ -15,18 +15,20 @@ class SimilaritySpec extends AnyFunSuite {
   private def embDf(rows: Seq[(Long, Seq[Float])]): DataFrame =
     rows.toDF("vec_id", "embedding")
 
-  test("IVF assignment is a partial-agg argmax: no window/sort over the scored corpus") {
+  test("IVF assignment is a pure projection at small K: no window, no join, no K-expansion") {
     val emb = Tables.embeddings(spark, sfDir)
     val refined = Similarity.ivfRefineStep(emb, numCells = 16)
     val plan = refined.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // the corpus-only path must carry ZERO window operators — nearest
-    // cell is max(struct(csim, -cell)) with map-side combine, so the one
-    // exchange ships corpus-sized rows, never the K-expanded scoring.
+    // the corpus-only path must carry ZERO window operators, and at
+    // bounded K (round 18) the nearest cell is a greatest() over K
+    // literal-centroid cosines — a PROJECTION: no join node may expand
+    // the corpus K× and no arg-max exchange may ship it (the only
+    // aggregation left in the refine step is the fixed-point mean).
     assert(!plan.contains("Window"),
       s"corpus cell assignment regressed to a window plan:\n$plan")
-    assert(plan.contains("partial_max"),
-      s"expected a partial-aggregated argmax in:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"small-K cell assignment regressed to a join plan:\n$plan")
   }
 
   test("one ivfKMeans iteration is exactly the oracle-checked Lloyd step") {
