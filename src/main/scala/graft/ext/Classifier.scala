@@ -250,11 +250,21 @@ object Classifier {
   def nbClassify(docs: DataFrame, model: DataFrame,
                  buckets: Int = 1024): DataFrame = {
     val perLabel = nbScores(docs, model, buckets)
-    val rn = row_number().over(Window.partitionBy(col("doc_id"))
-      .orderBy(col("score_fp").desc, col("label").asc))
-    perLabel.withColumn("rn", rn).filter(col("rn") === 1)
-      .select(col("doc_id"), col("label").as("pred_label"),
-        col("n_feats"), col("score_fp"))
+    // argmax as a partial aggregation (round 18, guide §2.4): the
+    // row_number window paid its own doc_id exchange plus a sort of the
+    // per-(doc, label) score table; min(struct(-score_fp, label, ...))
+    // picks the identical row (highest score, ties to the ascending
+    // label — struct ordering == the window's (score desc, label asc))
+    // with map-side combine and no sort. n_feats rides in the struct
+    // (it is the same value on every label row of a doc — the dense
+    // model joins every doc bucket to every label).
+    perLabel
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score_fp")).as("neg_score"),
+        col("label"), col("n_feats"))).as("b"))
+      .select(col("doc_id"), col("b.label").as("pred_label"),
+        col("b.n_feats").as("n_feats"),
+        (-col("b.neg_score")).as("score_fp"))
   }
 
   /** The FULL per-(doc, label) score table [[nbClassify]] argmaxes

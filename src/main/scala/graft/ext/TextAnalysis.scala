@@ -186,21 +186,30 @@ object TextAnalysis {
   def languageId(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val lex = langLexicon.toDF("lex_lang", "lex_token")
-    val langs = lex.select(col("lex_lang").as("cand_lang")).distinct()
     val hits = docs.select(col("doc_id"), explode(toks).as("token"))
       .join(broadcast(lex), col("token") === col("lex_token"))
       .groupBy(col("doc_id"), col("lex_lang").as("cand_lang"))
       .agg(count(lit(1)).as("hits"))
-    val all = docs.select(col("doc_id")).crossJoin(broadcast(langs))
-      .join(hits, Seq("doc_id", "cand_lang"), "left")
-      .withColumn("hits", coalesce(col("hits"), lit(0L)))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("hits").desc, col("cand_lang").asc)
-    all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // argmax as a partial aggregation (round 18, guide §2.4): the
+    // round-10 form cross-joined docs × |langs|, zero-filled, and ranked
+    // a per-doc window — a 5× row expansion plus a sort whose only
+    // survivors are the rank-1 rows. min(struct(-hits, lang)) picks the
+    // identical row (largest hits, ties to the lexicographically
+    // smallest language — struct ordering == the window's (hits desc,
+    // lang asc)), map-side combined; docs with zero lexicon hits come
+    // back through the zero-fill LEFT join as 'unknown' exactly as the
+    // cross-join form emitted them.
+    val best = hits
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("hits")).as("neg_hits"),
+        col("cand_lang").as("lang"))).as("b"))
+      .select(col("doc_id"), col("b.lang").as("cand_lang"),
+        (-col("b.neg_hits")).as("hits"))
+    docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("hits") > 0, col("cand_lang")).otherwise(lit("unknown"))
           .as("pred_lang"),
-        col("hits").as("best_hits"))
+        coalesce(col("hits"), lit(0L)).as("best_hits"))
   }
 
   /** Byte-pair-encoding MERGE TRAINING, distributed — the tokenizer-

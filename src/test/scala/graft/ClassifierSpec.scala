@@ -96,13 +96,13 @@ class ClassifierSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"model join must broadcast the bounded dense model:\n$plan")
     // the model CONSTRUCTION may cross-join two bounded frames
-    // (labels × buckets grid); the corpus-side feature stream must not
-    // appear under a nested-loop join — check the corpus scan and any
-    // BNLJ never share a subtree by asserting the argmax window was
-    // group-limited (rank pushdown) and the join fan-out happened
-    // post-collapse (HashAggregate below the broadcast join).
-    assert(plan.contains("WindowGroupLimit"),
-      s"per-doc argmax must prune via rank pushdown:\n$plan")
+    // (labels × buckets grid); the corpus-side per-doc argmax must be a
+    // partial AGGREGATION (round 18: min(struct(-score, label)) with
+    // map-side combine), never a window sort of the (doc, label) score
+    // table — a regression to the window form re-pays a sort plus its
+    // own exchange per classify.
+    assert(!plan.contains("Window"),
+      s"per-doc argmax regressed to a window plan:\n$plan")
   }
 
   test("classification against streamed-equivalent folded counts equals batch train") {
